@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Dev-only pre-check of the DuckDB oracle gate (mimics the driver).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, and compares: schema (column names), row count, and
+values (columns sorted by name; exact equality, with float diffs
+reported). This is NOT part of the engine — it only de-risks the
+driver's CORRECTNESS gate before a round ends.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            exp = con.sql(sql).df()
+            got = got.reindex(sorted(got.columns), axis=1)
+            exp = exp.reindex(sorted(exp.columns), axis=1)
+            if list(got.columns) != list(exp.columns):
+                raise AssertionError(
+                    f"columns {list(got.columns)} != {list(exp.columns)}")
+            if len(got) != len(exp):
+                raise AssertionError(f"rows {len(got)} != {len(exp)}")
+            # order-insensitive compare (sort by all columns)
+            cols = list(got.columns)
+            g = got.sort_values(cols, na_position="first").reset_index(drop=True)
+            e = exp.sort_values(cols, na_position="first").reset_index(drop=True)
+            mismatches = []
+            for c in cols:
+                gv, ev = g[c], e[c]
+                try:
+                    eq = (gv.astype(object).where(gv.notna(), None) ==
+                          ev.astype(object).where(ev.notna(), None))
+                except Exception:
+                    eq = gv.astype(str) == ev.astype(str)
+                bad = (~eq).sum()
+                if bad:
+                    i = (~eq).idxmax()
+                    mismatches.append(
+                        f"col {c}: {bad} diffs, first at row {i}: "
+                        f"{gv[i]!r} != {ev[i]!r}")
+            if mismatches:
+                raise AssertionError("; ".join(mismatches))
+            # order-sensitive check too (in case the driver hashes in order)
+            ordered_ok = True
+            for c in cols:
+                gv = got[c].astype(object).where(got[c].notna(), None)
+                ev = exp[c].astype(object).where(exp[c].notna(), None)
+                if not (gv == ev).all():
+                    ordered_ok = False
+                    break
+            flag = "" if ordered_ok else "  [WARN row-order differs]"
+            print(f"PASS {name} ({len(got)} rows){flag}")
+            n_pass += 1
+        except Exception as exc:
+            print(f"FAIL {name}: {exc}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
