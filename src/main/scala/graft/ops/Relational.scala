@@ -190,13 +190,373 @@ object Relational {
 
   // ---------------------------------------------------------------- //
 
+  /** Left outer join with per-customer aggregates (zero-filled). */
+  def q7OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q7Sql: String =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Window: top-3 orders per customer by price (deterministic
+    * tiebreak on orderkey). One shuffle on the partition key. */
+  def q8WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q8Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Window: running decimal-exact sum + lag per supplier. */
+  def q9WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 10)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    l.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_qty"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+               col("l_linenumber"))
+  }
+
+  val q9Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w2 AS DOUBLE) AS running_qty,
+      |  LAG(l_quantity, 1) OVER w AS prev_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 10
+      |WINDOW
+      |  w AS (PARTITION BY l_suppkey
+      |        ORDER BY l_shipdate, l_orderkey, l_linenumber),
+      |  w2 AS (PARTITION BY l_suppkey
+      |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** Join + agg + top-k: 20 biggest customers by order value. */
+  def q10TopSpenders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spent"),
+           count(lit(1)).as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spent"),
+              col("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY total_spent DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Distinct aggregates (exact): per return flag. */
+  def q11DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q11Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Set operations: nation keys by membership class. */
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+    val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+    val both    = cn.intersect(sn).withColumn("cls", lit("both"))
+    val custOnly = cn.except(sn).withColumn("cls", lit("customer_only"))
+    val either  = cn.union(sn).distinct().withColumn("cls", lit("either"))
+    both.union(custOnly).union(either)
+      .orderBy(col("cls"), col("nk"))
+  }
+
+  val q12Sql: String =
+    """SELECT nk, cls FROM (
+      |  SELECT nk, 'both' AS cls FROM
+      |    (SELECT c_nationkey AS nk FROM customer
+      |     INTERSECT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT nk, 'customer_only' AS cls FROM
+      |    (SELECT c_nationkey AS nk FROM customer
+      |     EXCEPT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT nk, 'either' AS cls FROM
+      |    (SELECT c_nationkey AS nk FROM customer
+      |     UNION SELECT s_nationkey FROM supplier))
+      |ORDER BY cls, nk""".stripMargin
+
+  /** ROLLUP: order counts/totals at (status, priority), (status), (). */
+  def q13Rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+  }
+
+  val q13Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** CUBE over (returnflag, linestatus). */
+  def q14Cube(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+  }
+
+  val q14Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** CASE/WHEN bucketing + conditional aggregation. */
+  def q15CaseBucket(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val tier = when(col("o_totalprice") < 1000.0, "small")
+      .when(col("o_totalprice") < 10000.0, "medium")
+      .otherwise("large")
+    o.groupBy(tier.as("tier"))
+      .agg(count(lit(1)).as("n"),
+           count(when(col("o_orderstatus") === "O", 1)).as("n_open"))
+      .orderBy(col("tier"))
+  }
+
+  val q15Sql: String =
+    """SELECT CASE WHEN o_totalprice < 1000.0 THEN 'small'
+      |            WHEN o_totalprice < 10000.0 THEN 'medium'
+      |            ELSE 'large' END AS tier,
+      |  COUNT(*) AS n,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY tier""".stripMargin
+
+  /** String functions: upper/substring/length/concat/LIKE. */
+  def q16StringFuncs(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    p.filter(col("p_type").like("%ECO%") || col("p_name").like("s%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_brand"), 1, 5).as("brand5"),
+        length(col("p_type")).cast(LongType).as("type_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_partkey, UPPER(p_name) AS uname,
+      |  SUBSTRING(p_brand, 1, 5) AS brand5,
+      |  CAST(LENGTH(p_type) AS BIGINT) AS type_len,
+      |  CONCAT_WS('/', p_brand, p_type) AS brand_type
+      |FROM part
+      |WHERE p_type LIKE '%ECO%' OR p_name LIKE 's%'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Date bucketing: revenue per calendar month. */
+  def q17DateBuckets(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(
+        date_trunc("month", col("l_shipdate")).as("ship_month"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(dsum(col("l_extendedprice")).as("revenue"),
+           count(lit(1)).as("n"))
+      .orderBy(col("ship_month"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+      |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY ship_month""".stripMargin
+
+  /** TPC-H Q17-style: rows below 20% of their part's average quantity.
+    * The per-part aggregate is tiny relative to lineitem → AQE
+    * broadcasts it; avg is computed identically on both sides. */
+  def q18AvgSubquery(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val avgPerPart = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    l.join(broadcast(avgPerPart), col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(dsum(col("l_extendedprice")).as("total_price"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q18Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS ap_partkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+      |      FROM lineitem GROUP BY 1) a
+      |  ON l.l_partkey = a.ap_partkey
+      |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin
+
+  /** GROUP BY ... HAVING via post-aggregation filter. */
+  def q19Having(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .filter(col("sum_qty") > 100.0)
+      .orderBy(col("l_suppkey"))
+  }
+
+  val q19Sql: String =
+    """SELECT l_suppkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100.0
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Cross join (small × small): region × order-status matrix. */
+  def q20CrossJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val st = Tables.orders(s, dir).select(col("o_orderstatus")).distinct()
+    r.crossJoin(st)
+      .select(col("r_regionkey"), col("r_name"), col("o_orderstatus"))
+      .orderBy(col("r_regionkey"), col("o_orderstatus"))
+  }
+
+  val q20Sql: String =
+    """SELECT r_regionkey, r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      |ORDER BY r_regionkey, o_orderstatus""".stripMargin
+
+  /** NULL semantics: NULLIF/COALESCE/IS NULL counting. */
+  def q21NullHandling(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val masked = o.withColumn("status_nn",
+      nullif(col("o_orderstatus"), lit("O")))
+    masked.groupBy(coalesce(col("status_nn"), lit("~none~")).as("status"))
+      .agg(count(lit(1)).as("n"),
+           count(col("status_nn")).as("n_not_null"),
+           sum(when(col("status_nn").isNull, 1L).otherwise(0L)).as("n_null"))
+      .orderBy(col("status"))
+  }
+
+  val q21Sql: String =
+    """SELECT COALESCE(NULLIF(o_orderstatus, 'O'), '~none~') AS status,
+      |  COUNT(*) AS n,
+      |  COUNT(NULLIF(o_orderstatus, 'O')) AS n_not_null,
+      |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY status""".stripMargin
+
+  /** Scalar math: abs/floor/ceil/sqrt/modulo (IEEE-deterministic). */
+  def q22ScalarMath(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).filter(col("l_orderkey") <= 100)
+    l.select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - lit(0.05)).as("abs_disc"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        (col("l_orderkey") % 7).as("mod7"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q22Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  ABS(l_discount - 0.05) AS abs_disc,
+      |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+      |  CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+      |  SQRT(l_quantity) AS sqrt_qty,
+      |  l_orderkey % 7 AS mod7
+      |FROM lineitem
+      |WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project"  -> (q2FilterProject _),
     "q3_top_revenue"     -> (q3TopRevenue _),
     "q4_semi_join"       -> (q4SemiJoin _),
     "q5_anti_join"       -> (q5AntiJoin _),
-    "q6_forecast_revenue" -> (q6ForecastRevenue _))
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q7_outer_join"      -> (q7OuterJoin _),
+    "q8_window_rank"     -> (q8WindowRank _),
+    "q9_window_running"  -> (q9WindowRunning _),
+    "q10_top_spenders"   -> (q10TopSpenders _),
+    "q11_distinct_agg"   -> (q11DistinctAgg _),
+    "q12_set_ops"        -> (q12SetOps _),
+    "q13_rollup"         -> (q13Rollup _),
+    "q14_cube"           -> (q14Cube _),
+    "q15_case_bucket"    -> (q15CaseBucket _),
+    "q16_string_funcs"   -> (q16StringFuncs _),
+    "q17_date_buckets"   -> (q17DateBuckets _),
+    "q18_avg_subquery"   -> (q18AvgSubquery _),
+    "q19_having"         -> (q19Having _),
+    "q20_cross_join"     -> (q20CrossJoin _),
+    "q21_null_handling"  -> (q21NullHandling _),
+    "q22_scalar_math"    -> (q22ScalarMath _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -204,5 +564,21 @@ object Relational {
     "q3_top_revenue"     -> q3Sql,
     "q4_semi_join"       -> q4Sql,
     "q5_anti_join"       -> q5Sql,
-    "q6_forecast_revenue" -> q6Sql)
+    "q6_forecast_revenue" -> q6Sql,
+    "q7_outer_join"      -> q7Sql,
+    "q8_window_rank"     -> q8Sql,
+    "q9_window_running"  -> q9Sql,
+    "q10_top_spenders"   -> q10Sql,
+    "q11_distinct_agg"   -> q11Sql,
+    "q12_set_ops"        -> q12Sql,
+    "q13_rollup"         -> q13Sql,
+    "q14_cube"           -> q14Sql,
+    "q15_case_bucket"    -> q15Sql,
+    "q16_string_funcs"   -> q16Sql,
+    "q17_date_buckets"   -> q17Sql,
+    "q18_avg_subquery"   -> q18Sql,
+    "q19_having"         -> q19Sql,
+    "q20_cross_join"     -> q20Sql,
+    "q21_null_handling"  -> q21Sql,
+    "q22_scalar_math"    -> q22Sql)
 }

@@ -42,30 +42,31 @@ def main(sf_dir, out_dir):
             cols = list(got.columns)
             g = got.sort_values(cols, na_position="first").reset_index(drop=True)
             e = exp.sort_values(cols, na_position="first").reset_index(drop=True)
-            mismatches = []
-            for c in cols:
-                gv, ev = g[c], e[c]
+            def col_eq(gv, ev):
+                both_na = gv.isna() & ev.isna()
                 try:
                     eq = (gv.astype(object).where(gv.notna(), None) ==
                           ev.astype(object).where(ev.notna(), None))
                 except Exception:
                     eq = gv.astype(str) == ev.astype(str)
+                return eq | both_na
+
+            mismatches = []
+            for c in cols:
+                gv, ev = g[c], e[c]
+                eq = col_eq(gv, ev)
                 bad = (~eq).sum()
                 if bad:
                     i = (~eq).idxmax()
                     mismatches.append(
                         f"col {c}: {bad} diffs, first at row {i}: "
                         f"{gv[i]!r} != {ev[i]!r}")
+                if str(gv.dtype) != str(ev.dtype):
+                    print(f"  [note {name}.{c}: dtype {gv.dtype} vs {ev.dtype}]")
             if mismatches:
                 raise AssertionError("; ".join(mismatches))
             # order-sensitive check too (in case the driver hashes in order)
-            ordered_ok = True
-            for c in cols:
-                gv = got[c].astype(object).where(got[c].notna(), None)
-                ev = exp[c].astype(object).where(exp[c].notna(), None)
-                if not (gv == ev).all():
-                    ordered_ok = False
-                    break
+            ordered_ok = all(col_eq(got[c], exp[c]).all() for c in cols)
             flag = "" if ordered_ok else "  [WARN row-order differs]"
             print(f"PASS {name} ({len(got)} rows){flag}")
             n_pass += 1
