@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.schema.SchemaLoader
+import graft.sources.{CsvIngest, ParquetSink}
+
+/** Reference-parity operators exposed through the correctness gate:
+  * the CSV→Parquet conversion path (SchemaLoader + CsvIngest, SURVEY
+  * §2.1-2.3) and the purge engine (§2.7), each validated against a
+  * DuckDB oracle over the *original* parquet tables — conversion and
+  * purge must be value-preserving, so the oracle never needs to see
+  * the scratch files.
+  */
+object ParityQueries {
+
+  /** Scratch root, namespaced per scale factor so sf0.01 verify and
+    * sf0.1 bench runs don't collide. */
+  private def scratch(dir: String, name: String): String =
+    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  /** The lineitem table declared in the reference's schema-JSON
+    * dialect — exercises SchemaLoader end-to-end (INT32/INT64,
+    * STRING, DECIMAL, TIMESTAMP_MICROS, REQUIRED/OPTIONAL). */
+  val LineitemSchemaJson: String =
+    """{"fields": [
+      |  {"name": "l_orderkey",      "type": "INT64", "repetition": "REQUIRED"},
+      |  {"name": "l_partkey",       "type": "INT64"},
+      |  {"name": "l_suppkey",       "type": "INT64"},
+      |  {"name": "l_linenumber",    "type": "INT32"},
+      |  {"name": "l_quantity",      "type": "BINARY", "logicalType": "DECIMAL", "precision": 18, "scale": 2},
+      |  {"name": "l_extendedprice", "type": "BINARY", "logicalType": "DECIMAL", "precision": 18, "scale": 2},
+      |  {"name": "l_discount",      "type": "BINARY", "logicalType": "DECIMAL", "precision": 18, "scale": 2},
+      |  {"name": "l_tax",           "type": "BINARY", "logicalType": "DECIMAL", "precision": 18, "scale": 2},
+      |  {"name": "l_returnflag",    "type": "BINARY", "logicalType": "STRING"},
+      |  {"name": "l_linestatus",    "type": "BINARY", "logicalType": "STRING"},
+      |  {"name": "l_shipdate",      "type": "INT64", "logicalType": "TIMESTAMP_MICROS"}
+      |]}""".stripMargin
+
+  /** CSV round-trip: export lineitem to CSV, re-ingest it through the
+    * schema-declared conversion path (casts P1–P7), aggregate. The
+    * oracle computes the same aggregate over the original parquet —
+    * equality proves the conversion is value-preserving. */
+  def convCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = scratch(dir, "conv_roundtrip_csv")
+    Tables.lineitem(s, dir).write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(csvDir)
+    val schema = SchemaLoader.fromJson(LineitemSchemaJson)
+    val back = CsvIngest.read(s, csvDir, schema)
+    back.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice")).cast(DoubleType).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val convCsvRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  MIN(l_shipdate) AS min_ship,
+      |  MAX(l_shipdate) AS max_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  private val Criteria =
+    "o_orderstatus = 'F' AND o_orderdate < timestamp'1997-01-01'"
+
+  /** Fresh scratch copy of `orders` as a purge-able parquet table. */
+  private def copyOrders(s: SparkSession, dir: String, name: String)
+      : (String, Purge.DirResolver) = {
+    val root = scratch(dir, name)
+    ParquetSink.write(Tables.orders(s, dir), s"$root/orders")
+    (s"$root/orders", Purge.DirResolver(root))
+  }
+
+  /** Criteria delete (Q4): guarded anti-rewrite, then the surviving
+    * rows. Oracle: `SELECT ... WHERE NOT(criteria)` on the original. */
+  def purgeCriteriaDelete(s: SparkSession, dir: String): DataFrame = {
+    val (path, resolver) = copyOrders(s, dir, "purge_criteria")
+    new Purge.Engine(s, resolver).run(
+      Seq(Purge.PurgeConfig("graft", "orders", "CRITERIA", Criteria,
+        maxRecordCount = Long.MaxValue)))
+    s.read.parquet(path)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val purgeCriteriaDeleteSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1997-01-01')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Guard abort (A1): matching rows exceed maxRecordCount → purge
+    * aborts, table untouched. Oracle: full row count. */
+  def purgeGuardAbort(s: SparkSession, dir: String): DataFrame = {
+    val (path, resolver) = copyOrders(s, dir, "purge_guard")
+    new Purge.Engine(s, resolver).run(
+      Seq(Purge.PurgeConfig("graft", "orders", "CRITERIA", Criteria,
+        maxRecordCount = 10)))
+    s.read.parquet(path).agg(count(lit(1)).as("n_remaining"))
+  }
+
+  val purgeGuardAbortSql: String =
+    "SELECT COUNT(*) AS n_remaining FROM orders"
+
+  /** Dry run (Q8): counts computed, nothing written. */
+  def purgeDryRun(s: SparkSession, dir: String): DataFrame = {
+    val (path, resolver) = copyOrders(s, dir, "purge_dryrun")
+    new Purge.Engine(s, resolver, dryRun = true).run(
+      Seq(Purge.PurgeConfig("graft", "orders", "CRITERIA", Criteria,
+        maxRecordCount = Long.MaxValue)))
+    s.read.parquet(path).agg(count(lit(1)).as("n_remaining"))
+  }
+
+  val purgeDryRunSql: String =
+    "SELECT COUNT(*) AS n_remaining FROM orders"
+
+  /** TRUNCATE fast path (Q3): SQL action empties the table without a
+    * data scan. */
+  def purgeTruncate(s: SparkSession, dir: String): DataFrame = {
+    val (path, resolver) = copyOrders(s, dir, "purge_truncate")
+    new Purge.Engine(s, resolver).run(
+      Seq(Purge.PurgeConfig("graft", "orders", "SQL",
+        "TRUNCATE TABLE orders", maxRecordCount = 0)))
+    s.read.parquet(path).agg(count(lit(1)).as("n_remaining"))
+  }
+
+  val purgeTruncateSql: String =
+    "SELECT CAST(0 AS BIGINT) AS n_remaining"
+
+  /** Missing-table validation (Q2): the engine skips-with-audit; the
+    * real table is untouched. Surfaced as the audit row count for the
+    * missing table (always exactly one skip event). */
+  def purgeMissingTable(s: SparkSession, dir: String): DataFrame = {
+    val (_, resolver) = copyOrders(s, dir, "purge_missing")
+    val engine = new Purge.Engine(s, resolver)
+    engine.run(
+      Seq(Purge.PurgeConfig("graft", "no_such_table", "CRITERIA", "1=1",
+        maxRecordCount = 0)))
+    import s.implicits._
+    engine.auditLog
+      .filter(e => e.tableName == "no_such_table")
+      .map(_ => 1L).toDF("skipped")
+      .agg(count(lit(1)).cast(LongType).as("n_skip_events"))
+  }
+
+  val purgeMissingTableSql: String =
+    "SELECT CAST(1 AS BIGINT) AS n_skip_events"
+
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conv_csv_roundtrip"    -> (convCsvRoundtrip _),
+    "purge_criteria_delete" -> (purgeCriteriaDelete _),
+    "purge_guard_abort"     -> (purgeGuardAbort _),
+    "purge_dryrun"          -> (purgeDryRun _),
+    "purge_truncate"        -> (purgeTruncate _),
+    "purge_missing_table"   -> (purgeMissingTable _))
+
+  def oracle: Map[String, String] = Map(
+    "conv_csv_roundtrip"    -> convCsvRoundtripSql,
+    "purge_criteria_delete" -> purgeCriteriaDeleteSql,
+    "purge_guard_abort"     -> purgeGuardAbortSql,
+    "purge_dryrun"          -> purgeDryRunSql,
+    "purge_truncate"        -> purgeTruncateSql,
+    "purge_missing_table"   -> purgeMissingTableSql)
+}
