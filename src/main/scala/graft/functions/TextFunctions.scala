@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column builders for the documents pipeline
+  * (SURVEY.md §2.9 extensions): tokenization, counting, quality
+  * scoring, language ID, fingerprints, shingles.
+  *
+  * Everything here composes Spark built-ins (`split`, `filter`,
+  * `transform`, `aggregate`, `xxhash64`, `regexp_*`) — no Scala UDFs —
+  * so every expression stays inside whole-stage codegen and the
+  * column pruner sees exactly which inputs are read. At 100 TB that
+  * means the scan reads only `text`, and the per-row work is a tight
+  * generated loop, not a serialization boundary.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text; empty text → empty
+    * array (split of "" yields [""], which we filter out). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword count: word-boundary pieces plus length-driven
+    * extra tokens for long words (a cheap, deterministic stand-in for
+    * a real tokenizer's token count: ~1 token per 4 chars of word). */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => greatest(lit(1L),
+        ceil(length(t).cast(DoubleType) / 4.0).cast(LongType))),
+      lit(0L), (acc, x) => acc + x)
+
+  def charCount(text: Column): Column = length(text).cast(LongType)
+
+  /** Ratio of punctuation characters to all characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^.,!?;:'\"()\\[\\]-]", ""))
+    when(length(text) === 0, 0.0)
+      .otherwise(punct.cast(DoubleType) / length(text).cast(DoubleType))
+  }
+
+  /** Uppercase-letter ratio. */
+  def upperRatio(text: Column): Column = {
+    val up = length(regexp_replace(text, "[^A-Z]", ""))
+    when(length(text) === 0, 0.0)
+      .otherwise(up.cast(DoubleType) / length(text).cast(DoubleType))
+  }
+
+  /** Compact English stopword list (public, standard). */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be")
+
+  /** Fraction of tokens that are stopwords (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords)
+      : Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks,
+      t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    when(size(toks) === 0, 0.0)
+      .otherwise(hits.cast(DoubleType) / size(toks).cast(DoubleType))
+  }
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        aggregate(transform(toks, t => length(t).cast(LongType)),
+          lit(0L), (a, x) => a + x).cast(DoubleType)
+          / size(toks).cast(DoubleType))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, a
+    * healthy stopword ratio and moderate punctuation — the standard
+    * cheap pre-filter shape for training-data curation. Deterministic
+    * arithmetic only (no exp/log, which differ across libm builds). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(charCount(text).cast(DoubleType) / 200.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    (lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2)
+  }
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
+
+  /** Marker-hit count for one language. */
+  def langHits(text: Column, lang: String): Column =
+    size(filter(tokens(lower(text)),
+      t => t.isin(LangMarkers(lang).map(_.asInstanceOf[Any]): _*)))
+
+  /** Heuristic language ID: argmax of marker hits, ties broken by
+    * language code order, "und" (undetermined) when nothing hits. */
+  def langId(text: Column): Column = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val best = langs.foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestHits), l) =>
+        val h = langHits(text, l)
+        (when(h > bestHits, lit(l)).otherwise(bestLang),
+         when(h > bestHits, h).otherwise(bestHits))
+    }
+    best._1
+  }
+
+  /** Deterministic 64-bit document fingerprint of normalized text.
+    * xxhash64 is Spark-native, seeded, and stable across the cluster —
+    * the exact-dedup key for content-addressed grouping at scale. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (for Jaccard / MinHash). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(lower(text))
+    val count = size(toks)
+    when(count < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(0), count - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Distinct shingle hashes (the MinHash input set). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** MinHash signature: k independent permutations approximated by
+    * re-hashing the shingle hash with k seeds (xxhash64(seed ⊕ h)).
+    * Returns array<long> of length k. Universal-hash re-mixing is the
+    * standard O(n·k) one-pass formulation — no global sort, no
+    * shuffle; each row computes its signature independently. */
+  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column = {
+    val hashes = shingleHashes(text, n)
+    val sig = (0 until k).map { seed =>
+      array_min(transform(hashes, h => xxhash64(h, lit(seed))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` groups of
+    * `rowsPerBand`, each band hashed to one bucket key. Two docs that
+    * agree on any band land in the same bucket → candidate pair. */
+  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)
+          .cast(ArrayType(LongType)), lit(b)).as("bucket"))
+    }: _*)
+
+  /** 64-bit SimHash over token hashes: per-bit majority vote of the
+    * xxhash64 of each token. Near-duplicate docs differ in few bits
+    * (small Hamming distance). Pure expression — bit tests via
+    * shiftright/bitwise-and, summed per position. */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    val n = size(hashes)
+    val bits = (0 until 64).map { i =>
+      val ones = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+      // bit i set iff more than half the tokens set it
+      when(ones * 2 > n.cast(LongType), shiftleft(lit(1L), i))
+        .otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast(IntegerType)
+}

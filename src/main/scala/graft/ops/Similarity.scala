@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Similarity search over `embeddings` (64-dim unit float vectors):
+  * brute-force cosine top-k as the correctness baseline, a
+  * random-hyperplane LSH bucketed variant as the scale path, and a
+  * cosine near-duplicate join.
+  *
+  * All vector math is built from `transform`/`zip_with`/`aggregate`
+  * higher-order functions over `array<double>` — sequential IEEE
+  * folds, bit-identical to the DuckDB oracle's `list_reduce`, and
+  * fully codegen'd (no UDF boxing per element).
+  *
+  * Scale notes: brute-force top-k is O(Q·N) — correct baseline, used
+  * with a bounded query set; the LSH path shuffles only (vec_id,
+  * bucket-key) pairs and does exact scoring inside buckets. At 100 TB
+  * the bucketed join replaces the cross join entirely, and the
+  * signature computation is a linear scan.
+  */
+object Similarity {
+
+  /** Elements cast to double (float32→float64 is exact). */
+  private def asDouble(v: Column): Column =
+    transform(v, x => x.cast(DoubleType))
+
+  /** Sequential-fold dot product (matches list_reduce order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Original vectors with elements as double. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Corpus with perturbed near-duplicate copies (vec_id+10000, first
+    * component nudged by 0.01) — cosine ≥ 0.9999 to the original,
+    * while natural pairs top out near 0.51. */
+  def withNearDuplicates(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir)
+    val perturbed = base.filter(col("vec_id") < 100).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        when(i === 0, x + 0.01).otherwise(x)).as("v"))
+    base.union(perturbed)
+  }
+
+  /** DuckDB CTE mirroring [[withNearDuplicates]]. */
+  private val VecCorpusSql: String =
+    """vecs AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |           x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id,
+      |    list_transform(generate_series(1, len(embedding)),
+      |      i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.01
+      |                ELSE CAST(embedding[i] AS DOUBLE) END) AS v
+      |  FROM embeddings WHERE vec_id < 100
+      |)""".stripMargin
+
+  private val CosineSql: String =
+    """list_reduce(list_transform(generate_series(1, len(a.v)),
+      |      i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      |  / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)),
+      |        i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+      |   * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)),
+      |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)))""".stripMargin
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 5). */
+  def topK(s: SparkSession, dir: String): DataFrame = {
+    val q = vecs(s, dir).filter(col("vec_id") < 5).toDF("query_id", "qv")
+    val t = vecs(s, dir).toDF("target_id", "tv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    q.crossJoin(t)
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val topKSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+       |SELECT query_id, target_id, rank, sim FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS target_id,
+       |    ${CosineSql} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${CosineSql} DESC, b.vec_id) AS rank
+       |  FROM vecs a, vecs b
+       |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.99). */
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val a = withNearDuplicates(s, dir).toDF("id_a", "va")
+    val b = withNearDuplicates(s, dir).toDF("id_b", "vb")
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.99)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val nearDupPairsSql: String =
+    s"""WITH ${VecCorpusSql}
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${CosineSql} AS sim
+       |FROM vecs a, vecs b
+       |WHERE a.vec_id < b.vec_id
+       |  AND ${CosineSql} >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  /** Deterministic pseudo-random hyperplane component for (table,
+    * bit, dim): xxhash64 of the coordinates mapped into [-1, 1]. */
+  private def planeComponent(table: Int, bit: Int, d: Column): Column =
+    xxhash64(lit(table * 1000 + bit), d).cast(DoubleType) /
+      lit(Long.MaxValue.toDouble)
+
+  /** Sign-bit signature for one LSH table: bucket = integer of
+    * `bits` sign bits of random-hyperplane projections. */
+  def lshBucket(v: Column, table: Int, bits: Int): Column =
+    (0 until bits).map { bit =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x * planeComponent(table, bit, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0.0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+
+  /** ANN via multi-table random-hyperplane LSH: 4 tables × 8 bits.
+    * Candidates = bucket collisions in any table; exact cosine is
+    * computed only on candidates. No SQL oracle (approximate by
+    * construction) — recall is asserted in SimilaritySpec against the
+    * brute-force baseline. */
+  def annLsh(s: SparkSession, dir: String, nTables: Int = 4,
+      bits: Int = 8, k: Int = 5): DataFrame = {
+    val base = vecs(s, dir)
+    val tables = (0 until nTables).map(t =>
+      base.select(col("vec_id"), col("v"),
+        lit(t).as("table"), lshBucket(col("v"), t, bits).as("bucket")))
+      .reduce(_ union _)
+    val q = tables.filter(col("vec_id") < 5)
+      .toDF("query_id", "qv", "table", "bucket")
+    val t = tables.toDF("target_id", "tv", "table", "bucket")
+    val candidates = q.join(t, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("target_id"))
+      .select(col("query_id"), col("qv"), col("target_id"), col("tv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    candidates
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> (topK _),
+    "sim_near_dup"        -> (nearDupPairs _),
+    "sim_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(s, d)))
+
+  def oracle: Map[String, String] = Map(
+    "sim_topk_bruteforce" -> topKSql,
+    "sim_near_dup"        -> nearDupPairsSql)
+    // sim_ann_lsh: approximate → rows-only check (no oracle entry)
+}

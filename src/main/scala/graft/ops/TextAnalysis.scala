@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` (SURVEY §2.9 extensions):
+  * token/char statistics, quality scoring, language ID. Every query is
+  * a single codegen'd projection or aggregation — the 100 TB shape is
+  * "scan text column, emit small stats", no shuffle except the final
+  * tiny group-by.
+  */
+object TextAnalysis {
+
+  /** Per-document token/char statistics. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tok"),
+      subwordCount(col("text")).as("n_subword"),
+      charCount(col("text")).as("n_char"),
+      punctRatio(col("text")).as("punct_ratio"),
+      meanTokenLen(col("text")).as("mean_tok_len"))
+    .orderBy(col("doc_id"))
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> len(t) > 0)) AS n_tok,
+      |  CAST(list_sum(list_transform(
+      |      list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                  t -> len(t) > 0),
+      |      t -> greatest(1, CAST(ceil(len(t)/4.0) AS BIGINT))))
+      |    AS BIGINT) AS n_subword,
+      |  CAST(length(text) AS BIGINT) AS n_char,
+      |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |    CAST(length(regexp_replace(text, '[^.,!?;:''"()\[\]-]', '', 'g'))
+      |      AS DOUBLE) / length(text) END AS punct_ratio,
+      |  CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                t -> len(t) > 0)) = 0 THEN 0.0 ELSE
+      |    CAST(list_sum(list_transform(
+      |        list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                    t -> len(t) > 0), t -> len(t))) AS DOUBLE)
+      |    / len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |          t -> len(t) > 0)) END AS mean_tok_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: the standard cheap curation pre-filter. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      qualityScore(col("text")).as("quality"))
+    .orderBy(col("doc_id"))
+
+  private val stopList = EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, stopword_ratio,
+       |  least(n_char / 200.0, 1.0) * 0.4
+       |    + least(stopword_ratio * 4.0, 1.0) * 0.4
+       |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |      CAST(len(list_filter(toks, t -> t IN ($stopList)))
+       |        AS DOUBLE) / len(toks) END AS stopword_ratio,
+       |    CAST(length(text) AS DOUBLE) AS n_char,
+       |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |      CAST(length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]', '', 'g'))
+       |        AS DOUBLE) / length(text) END AS punct_ratio
+       |  FROM (SELECT doc_id, text,
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                      t -> len(t) > 0) AS toks
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID confusion counts: heuristic prediction vs the
+    * table's labeled `lang`. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+
+  private def hitsSql(lang: String): String = {
+    val markers = graft.functions.TextFunctions.LangMarkers(lang)
+      .map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($markers)))"
+  }
+
+  /** Replicates the fold in TextFunctions.langId: languages in sorted
+    * order, strict > beats the incumbent, all-zero → 'und'. */
+  val langIdConfusionSql: String = {
+    val langs = graft.functions.TextFunctions.LangMarkers.keys.toSeq.sorted
+    val hitCols = langs.map(l => s"${hitsSql(l)} AS h_$l").mkString(",\n    ")
+    val greatest = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN h_$l = $greatest THEN '$l'")
+      .mkString("\n      ")
+    s"""SELECT lang, pred, COUNT(*) AS n FROM (
+       |  SELECT lang,
+       |    CASE WHEN $greatest = 0 THEN 'und'
+       |      $cases
+       |      END AS pred
+       |  FROM (
+       |    SELECT lang,
+       |      $hitCols
+       |    FROM (SELECT lang,
+       |            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                        t -> len(t) > 0) AS toks
+       |          FROM documents)))
+       |GROUP BY lang, pred
+       |ORDER BY lang, pred""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"   -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_lang_id" -> (langIdConfusion _))
+
+  def oracle: Map[String, String] = Map(
+    "text_stats"   -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_lang_id" -> langIdConfusionSql)
+}
