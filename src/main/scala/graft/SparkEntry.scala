@@ -8,10 +8,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.ParityQueries.queries ++
-    ops.TextAnalysis.queries ++ ops.Dedup.queries ++ ops.Similarity.queries
+    ops.TextAnalysis.queries ++ ops.Dedup.queries ++
+    ops.Similarity.queries ++ ops.StreamingQueries.queries ++
+    ops.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.ParityQueries.oracle ++
-    ops.TextAnalysis.oracle ++ ops.Dedup.oracle ++ ops.Similarity.oracle
+    ops.TextAnalysis.oracle ++ ops.Dedup.oracle ++
+    ops.Similarity.oracle ++ ops.StreamingQueries.oracle ++
+    ops.Multimodal.oracle
 }

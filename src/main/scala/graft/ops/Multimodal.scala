@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal columns (SURVEY §2.9): image/audio/video as opaque
+  * `binary` payloads with a typed metadata struct, plus the
+  * decode / feature-extract / frame-sample plumbing a training-data
+  * pipeline needs.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[FakeDecoder]]) — but the
+  * Spark-side shape is real and tested: binary columns flow through
+  * parquet scans column-pruned like any other column, feature
+  * extraction runs as `mapPartitions` over typed rows (one JVM-side
+  * batch loop per partition — the Scala analogue of `mapInPandas`
+  * batches, no per-row UDF boxing), and frame sampling is a
+  * `posexplode` over payload slices. At 100 TB the payload column
+  * dominates storage; everything here reads it exactly once and
+  * carries only (id, features) forward.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata (the multimodal schema). */
+  case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
+      n_bytes: Long, mime: String)
+
+  case class FeatureRow(doc_id: Long, kind: String, dim: Int,
+      features: Array[Float])
+
+  case class Frame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Deterministic media table synthesized from `documents`: the text
+    * bytes stand in for encoded media; kind/mime cycle by doc_id.
+    * (In production this is `spark.read.parquet` over real payloads —
+    * the engine only sees `binary` + metadata either way.) */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+      element_at(array(lit("image/png"), lit("audio/wav"),
+        lit("video/mp4")), (col("doc_id") % 3 + 1).cast(IntegerType))
+        .as("mime"))
+
+  /** STUB decoder — deterministic fake standing in for a real codec
+    * (??? in spirit: the container ships no image/audio libraries).
+    * Emits a 16-bin byte histogram normalized to [0,1]; a real
+    * deployment swaps `decode` for e.g. JPEG→pixels with the same
+    * signature and the pipeline shape is unchanged. */
+  object FakeDecoder {
+    val Dim = 16
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](Dim)
+      if (payload.isEmpty) return hist
+      payload.foreach { b => hist((b & 0xFF) / Dim) += 1f }
+      val n = payload.length.toFloat
+      hist.map(_ / n)
+    }
+  }
+
+  /** Feature extraction over typed rows: one partition = one batch
+    * loop (the mapInPandas shape). Only (id, kind, features) survives
+    * — the payload is dropped before any shuffle. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val f = FakeDecoder.decode(r.payload)
+        FeatureRow(r.doc_id, r.kind, f.length, f)
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: fixed-stride slices of the
+    * payload, exploded one row per frame — the scan-side shape of
+    * video frame extraction (stride/size in bytes here; a real
+    * decoder slices on keyframes with the same plumbing). */
+  def frameSample(media: DataFrame, frameBytes: Int = 64,
+      stride: Int = 128): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            greatest(expr(s"(length(payload) - 1) div $stride"), lit(0L))),
+          i => substring(col("payload"), (i * stride + 1).cast(IntegerType),
+            lit(frameBytes)))))
+      .select(col("doc_id"), col("pos").cast(IntegerType).as("frame_no"),
+        col("col").as("frame"))
+
+  // ---------------------------------------------------------------- //
+
+  /** Gate query: metadata + payload sizing (oracle-checkable — the
+    * byte length of UTF-8 text is engine-independent). */
+  def meta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("kind"), col("mime"), col("n_bytes"))
+      .orderBy(col("doc_id"))
+
+  val metaSql: String =
+    """SELECT doc_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Gate query (rows-only: the stub decoder is not SQL-expressible):
+    * feature vectors summarized per kind — proves the typed
+    * mapPartitions path runs distributed and deterministic. */
+  def featureSummary(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val media = mediaTable(s, dir).as[MediaRow]
+    extractFeatures(media).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        avg(element_at(col("features"), 1)).as("mean_bin0"),
+        max(col("dim")).as("dim"))
+      .orderBy(col("kind"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta"     -> (meta _),
+    "multimodal_features" -> (featureSummary _))
+
+  def oracle: Map[String, String] = Map(
+    "multimodal_meta" -> metaSql)
+    // multimodal_features: stub decoder → rows-only check
+}

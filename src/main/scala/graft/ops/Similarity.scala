@@ -146,13 +146,17 @@ object Similarity {
       when(proj > 0.0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
 
-  /** ANN via multi-table random-hyperplane LSH: 4 tables × 8 bits.
+  /** ANN via multi-table random-hyperplane LSH: 8 tables × 4 bits
+    * (tuned for mid-range cosine neighborhoods — at cos≈0.4 a
+    * hyperplane splits a pair with p≈0.37, so short signatures +
+    * many tables is the right recall/candidate tradeoff; near-dup
+    * pairs at cos≈1 collide in essentially every table regardless).
     * Candidates = bucket collisions in any table; exact cosine is
     * computed only on candidates. No SQL oracle (approximate by
-    * construction) — recall is asserted in SimilaritySpec against the
-    * brute-force baseline. */
-  def annLsh(s: SparkSession, dir: String, nTables: Int = 4,
-      bits: Int = 8, k: Int = 5): DataFrame = {
+    * construction) — recall is asserted in DedupSimilaritySpec
+    * against the brute-force baseline. */
+  def annLsh(s: SparkSession, dir: String, nTables: Int = 8,
+      bits: Int = 4, k: Int = 5): DataFrame = {
     val base = vecs(s, dir)
     val tables = (0 until nTables).map(t =>
       base.select(col("vec_id"), col("v"),

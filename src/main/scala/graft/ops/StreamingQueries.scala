@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Batch-mode gate queries for the streaming operators: the SAME
+  * transform functions (EventStreams.*) the streaming specs drive
+  * through a file-source → memory-sink query, replayed here over the
+  * events parquet so the DuckDB oracle can hash-check the windowing
+  * semantics (tumbling/sliding alignment, session gap logic, dedup).
+  */
+object StreamingQueries {
+
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    EventStreams.tumblingCounts(Tables.events(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val tumblingSql: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    EventStreams.slidingCounts(Tables.events(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** An event in 10-min/5-min-slide windows belongs to exactly the
+    * windows starting at floor5(ts) and floor5(ts)-5min. */
+  val slidingSql: String =
+    """SELECT window_start, event_type, COUNT(*) AS n FROM (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |         event_type FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+      |         event_type FROM events)
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  def session(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionCounts(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Gaps-and-islands reconstruction of session_window semantics: a
+    * gap of >= the session timeout starts a new session (Spark's
+    * session end `last_ts + gap` is exclusive). */
+  val sessionSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Dedup over a corpus with every event duplicated (union with
+    * itself) — survivors must equal the original min-aggregates. */
+  def dedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    EventStreams.dedupEvents(e.union(e)).orderBy(col("event_id"))
+  }
+
+  val dedupSql: String =
+    """SELECT event_id, MIN(ts) AS ts, MIN(user_id) AS user_id,
+      |  MIN(event_type) AS event_type, MIN(value) AS value
+      |FROM events
+      |GROUP BY event_id
+      |ORDER BY event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> (tumbling _),
+    "stream_sliding"  -> (sliding _),
+    "stream_session"  -> (session _),
+    "stream_dedup"    -> (dedup _))
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling" -> tumblingSql,
+    "stream_sliding"  -> slidingSql,
+    "stream_session"  -> sessionSql,
+    "stream_dedup"    -> dedupSql)
+}

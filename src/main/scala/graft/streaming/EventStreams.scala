@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-time streaming operators over the `events` table (SURVEY
+  * §2.9): watermarked tumbling/sliding/session windows, deduplication,
+  * and custom per-key state via flatMapGroupsWithState.
+  *
+  * Every windowed transform is written against the unified
+  * DataFrame API, so the SAME function runs in batch (the DuckDB
+  * correctness gate replays it over the parquet table — Catalyst's
+  * EliminateEventTimeWatermark drops the watermark node) and in
+  * Structured Streaming (the specs drive it through a file stream →
+  * memory sink). That is the Spark-native contract: one declarative
+  * plan, two execution modes.
+  *
+  * Scale: windowed aggregations shuffle on (window, key); the
+  * watermark bounds state size — at 100 TB/day the state store holds
+  * only open windows, and `dropDuplicatesWithinWatermark` keeps the
+  * dedup state similarly bounded.
+  */
+object EventStreams {
+
+  /** Decimal-exact sum of `value` (determinism policy, see
+    * Relational). */
+  private def dsumValue: org.apache.spark.sql.Column =
+    sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Tumbling 5-minute counts per event type. */
+  def tumblingCounts(events: DataFrame, size: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsumValue.as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding windows: 10-minute span, 5-minute slide. */
+  def slidingCounts(events: DataFrame, size: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** Session windows per user: a session closes after `gap` of
+    * inactivity. */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsumValue.as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Deterministic per-event_id dedup: min-aggregation keeps the
+    * earliest observation of each id (batch analogue of streaming
+    * `dropDuplicatesWithinWatermark`, which the spec exercises). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.groupBy(col("event_id"))
+      .agg(min(col("ts")).as("ts"), min(col("user_id")).as("user_id"),
+        min(col("event_type")).as("event_type"),
+        min(col("value")).as("value"))
+
+  /** Streaming-native dedup (state bounded by the watermark). */
+  def dedupEventsStreaming(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  // ---------------------------------------------------------------- //
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state (flatMapGroupsWithState): running per-user
+    * event count + value total, emitted on every micro-batch update.
+    * The state object is one small case class per user — O(users)
+    * state, watermark-independent. */
+  def runningUserTotals(events: Dataset[Event])
+      : Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(userId, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  // ---------------------------------------------------------------- //
+
+  /** Drive a windowed transform through a real Structured Streaming
+    * query: parquet file source → transform → memory sink, processed
+    * to completion. Used by the specs to prove stream-mode execution
+    * of the same plans the batch gate verifies. */
+  def runAsStream(spark: SparkSession, eventsPath: String,
+      schema: StructType, name: String,
+      transform: DataFrame => DataFrame,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming execution of the same transforms the batch
+  * gate verifies: file source → transform → memory sink, then
+  * compared against the batch run on identical data. */
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val batchEvents = Tables.events(spark, dir).cache()
+
+  /** The events table materialized to a plain-micros parquet dir the
+    * file stream source can read without the nanos legacy conf. */
+  private lazy val eventsPath: String = {
+    val p = tmpDir("stream_events")
+    batchEvents.write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def streamed(name: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode = OutputMode.Complete()) = {
+    val schema = spark.read.parquet(eventsPath).schema
+    EventStreams.runAsStream(spark, eventsPath, schema, name, transform, mode)
+  }
+
+  test("tumbling window counts: stream == batch") {
+    val stream = streamed("t_tumbling", EventStreams.tumblingCounts(_))
+    val batch = EventStreams.tumblingCounts(batchEvents)
+    assert(stream.count() == batch.count())
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("session window counts: stream == batch") {
+    val stream = streamed("t_session", EventStreams.sessionCounts(_))
+    val batch = EventStreams.sessionCounts(batchEvents)
+    assert(stream.count() == batch.count())
+    assert(stream.exceptAll(batch).isEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a doubled stream (append)") {
+    val doubled = tmpDir("stream_doubled")
+    batchEvents.write.mode("overwrite").parquet(doubled)
+    batchEvents.write.mode("append").parquet(doubled)
+    val schema = spark.read.parquet(doubled).schema
+    val out = EventStreams.runAsStream(spark, doubled, schema, "t_dedup",
+      EventStreams.dedupEventsStreaming(_), OutputMode.Append())
+    assert(out.count() == batchEvents.select("event_id").distinct().count())
+  }
+
+  test("flatMapGroupsWithState: running per-user totals reach batch totals") {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    val q = EventStreams.runningUserTotals(
+        stream.select($"event_id", $"ts", $"user_id", $"event_type",
+          $"value").as[EventStreams.Event])
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // final state per user (last emitted row) must equal batch agg
+    val finalState = spark.table("t_state")
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n_events"))
+    val batch = batchEvents.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    assert(finalState.exceptAll(batch).isEmpty)
+  }
+}
