@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev tool: dump formatted physical plans for selected queries and
+  * flag scale smells — missing filter pushdown, unexpected full-column
+  * scans, non-broadcast joins of tiny dimensions, missing whole-stage
+  * codegen. Usage: runMain graft.PlanAudit <sfDir> [q1,q2,...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val only = args.lift(1).map(_.split(",").toSet)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+          println(s"\n===== $name =====")
+          println(plan)
+          val smells = Seq(
+            "PushedFilters: []" -> "no pushed filters on a scan",
+            "SortMergeJoin" -> "sort-merge join (check if broadcast fits)",
+            "CartesianProduct" -> "cartesian product",
+            "BatchEvalPython" -> "python UDF in plan")
+            .collect { case (pat, msg) if plan.contains(pat) => msg }
+          if (smells.nonEmpty) println(s"[smells] $name: ${smells.mkString("; ")}")
+        } catch { case e: Throwable =>
+          println(s"===== $name FAILED: ${e.getMessage}")
+        }
+      }
+    spark.stop()
+  }
+}

@@ -48,10 +48,14 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(shingles(lower(col("text")), 3)).as("sh"))
 
-  /** Brute-force n-gram Jaccard near-dup pairs (threshold 0.6). */
+  /** Brute-force n-gram Jaccard near-dup pairs (threshold 0.6).
+    * Left side repartitioned (a lone small parquet split would
+    * otherwise serialize the whole quadratic loop on one core),
+    * right side broadcast. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val a = shingleSets(s, dir).toDF("id_a", "sh_a")
-    val b = shingleSets(s, dir).toDF("id_b", "sh_b")
+    val par = s.sparkContext.defaultParallelism
+    val a = shingleSets(s, dir).toDF("id_a", "sh_a").repartition(par)
+    val b = broadcast(shingleSets(s, dir).toDF("id_b", "sh_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("inter",
@@ -106,7 +110,9 @@ object Dedup {
     * with s ≈ 1 — so verified candidates equal the brute-force
     * truth, which IS SQL-expressible. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
     val docs = DocCorpus.withDuplicates(s, dir)
+      .repartition(par)
       .select(col("doc_id"),
         shingleHashes(lower(col("text")), 3).as("hashes"))
       .withColumn("sig", {
@@ -114,23 +120,28 @@ object Dedup {
           array_min(transform(col("hashes"), h => xxhash64(h, lit(seed)))))
         array(sigCols: _*)
       })
-    val banded = docs.select(col("doc_id"), col("hashes"),
+      .cache()
+    // Bucket shuffle carries only (doc_id, band, bucket) — the shingle
+    // hash arrays stay behind and are re-joined per candidate pair.
+    val banded = docs.select(col("doc_id"),
         posexplode(minhashBands(col("sig"), bands = 8, rowsPerBand = 4)))
-      .select(col("doc_id"), col("hashes"),
+      .select(col("doc_id"),
         col("col.band").as("band"), col("col.bucket").as("bucket"))
-    val a = banded.toDF("id_a", "h_a", "band", "bucket")
-    val b = banded.toDF("id_b", "h_b", "band", "bucket")
+    val a = banded.toDF("id_a", "band", "bucket")
+    val b = banded.toDF("id_b", "band", "bucket")
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val hashesOf = docs.select(col("doc_id"), col("hashes"))
     candidates
+      .join(hashesOf.toDF("id_a", "h_a"), "id_a")
+      .join(hashesOf.toDF("id_b", "h_b"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
         size(array_union(col("h_a"), col("h_b"))).cast(DoubleType))
       .filter(col("jaccard") >= 0.6)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -158,10 +169,12 @@ object Dedup {
     * shape), then verify with normalized-text equality to kill
     * small-vocabulary collisions. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = DocCorpus.withDuplicates(s, dir)
-      .select(col("doc_id"),
-        simhash64(col("text")).as("sh"),
-        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    val corpus = DocCorpus.withDuplicates(s, dir)
+    val docs = simhashDf(corpus, "doc_id", "text", out = "sh")
+      .join(corpus.select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm")),
+        "doc_id")
+      .select(col("doc_id"), col("sh"), col("norm"))
     val a = docs.toDF("id_a", "sh", "norm_a")
     val b = docs.toDF("id_b", "sh", "norm_b")
     a.join(b, "sh")

@@ -29,19 +29,24 @@ object Similarity {
   private def asDouble(v: Column): Column =
     transform(v, x => x.cast(DoubleType))
 
-  /** Sequential-fold dot product (matches list_reduce order). */
+  /** Sequential-fold dot product (matches list_reduce order) — the
+    * codegen'd [[graft.plans.VectorDot]] kernel, not a higher-order
+    * function (HOFs evaluate interpreted; see VectorExpressions). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.vectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Original vectors with elements as double. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  /** Original vectors with elements as double. Registers the native
+    * vector kernel on the session as a side effect. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  }
 
   /** Corpus with perturbed near-duplicate copies (vec_id+10000, first
     * component nudged by 0.01) — cosine ≥ 0.9999 to the original,
@@ -77,15 +82,23 @@ object Similarity {
       |   * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)),
       |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)))""".stripMargin
 
-  /** Brute-force cosine top-5 for query vectors (vec_id < 5). */
+  /** Brute-force cosine top-5 for query vectors (vec_id < 5).
+    * Norms are precomputed per side (O(N), not O(Q·N)), and the big
+    * side is repartitioned so the nested-loop join parallelizes —
+    * a single small parquet file otherwise arrives as ONE partition
+    * and the whole cross join runs on one core. */
   def topK(s: SparkSession, dir: String): DataFrame = {
-    val q = vecs(s, dir).filter(col("vec_id") < 5).toDF("query_id", "qv")
-    val t = vecs(s, dir).toDF("target_id", "tv")
+    val par = s.sparkContext.defaultParallelism
+    val q = vecs(s, dir).filter(col("vec_id") < 5)
+      .withColumn("qn", norm(col("v"))).toDF("query_id", "qv", "qn")
+    val t = vecs(s, dir)
+      .withColumn("tn", norm(col("v"))).toDF("target_id", "tv", "tn")
+      .repartition(par)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("target_id"))
-    q.crossJoin(t)
+    t.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("target_id"))
-      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .withColumn("sim", dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("target_id"),
@@ -107,13 +120,20 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Embedding-cosine near-duplicate pairs (threshold 0.99). */
+  /** Embedding-cosine near-duplicate pairs (threshold 0.99). One side
+    * is repartitioned for parallelism, the other broadcast; norms are
+    * computed once per vector, not once per pair. (The truly scalable
+    * variant is [[annLsh]]-style bucketing — this is the exact
+    * baseline the oracle can check.) */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val a = withNearDuplicates(s, dir).toDF("id_a", "va")
-    val b = withNearDuplicates(s, dir).toDF("id_b", "vb")
-    a.crossJoin(b)
+    val par = s.sparkContext.defaultParallelism
+    val base = withNearDuplicates(s, dir)
+      .withColumn("n", norm(col("v")))
+    val a = base.toDF("id_a", "va", "na").repartition(par)
+    val b = base.toDF("id_b", "vb", "nb")
+    a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= 0.99)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native (whole-stage-codegen) vector kernels.
+  *
+  * Spark's higher-order functions (`zip_with`/`aggregate`) are
+  * `CodegenFallback` — every evaluation interprets the lambda tree and
+  * allocates per-element bindings, which makes an O(N²) cosine join
+  * ~50× slower than a compiled loop (measured on the sf0.1 near-dup
+  * join). This is exactly the case for a custom Catalyst
+  * `Expression` with `doGenCode` (SURVEY §4: custom code reserved for
+  * extension operators where built-ins fall short).
+  *
+  * [[VectorDot]] folds left-to-right from 0.0 — the SAME summation
+  * order as the `aggregate`-based formulation and the DuckDB oracle's
+  * `list_reduce`, so results stay bit-identical; only the evaluation
+  * strategy changes.
+  *
+  * Array elements are assumed non-null (enforced upstream by the
+  * embedding schema); a null ARRAY still yields null via
+  * `nullSafeEval`/`nullSafeCodeGen`. Exposed through the session
+  * `FunctionRegistry` + `call_function` (public API; the
+  * Column↔Expression bridge is private[sql] in Spark 4).
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_dot expects array<double> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorDot = copy(newLeft, newRight)
+}
+
+object VectorExpressions {
+
+  val FnName = "graft_vector_dot"
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+
+  /** Codegen'd dot product over array<double> columns. The session
+    * must have called [[register]] (query builders do). */
+  def vectorDot(a: Column, b: Column): Column =
+    call_function(FnName, a, b)
+}
