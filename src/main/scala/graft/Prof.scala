@@ -2,46 +2,48 @@ package graft
 
 import org.apache.spark.sql.functions.col
 
-/** Dev-only micro-profiler for hotspot queries. */
+/** Dev-only micro-profiler for hotspot queries: runs each target
+  * twice (cold incl. analysis+codegen, then warm) to separate
+  * fixed per-query overhead from per-row compute. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[16]").config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Unit): Unit = {
+    def time2(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
-      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); f
+      val warm = (System.nanoTime() - t1) / 1e9
+      println(f"[prof] $name%-28s cold $cold%7.2fs  warm $warm%7.2fs")
     }
-    val d01 = "/root/testdata/sf0.01"
     val d1 = "/root/testdata/sf0.1"
-    time("corpus_count_sf0.1") {
-      ops.DocCorpus.withDuplicates(spark, d1).count()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    time2("dedup_exact") { noop(ops.Dedup.exact(spark, d1)) }
+    time2("corpus_only") { noop(ops.DocCorpus.withDuplicates(spark, d1)) }
+    time2("fingerprint_only") {
+      noop(ops.DocCorpus.withDuplicates(spark, d1)
+        .select(functions.TextFunctions.fingerprint(col("text")).as("fp")))
     }
-    time("fingerprint_only_sf0.1") {
-      ops.DocCorpus.withDuplicates(spark, d1)
-        .select(functions.TextFunctions.fingerprint(col("text")).as("fp"))
-        .write.format("noop").mode("overwrite").save()
+    time2("shingle_sets") {
+      noop(ops.DocCorpus.withDuplicates(spark, d1)
+        .filter(col("doc_id") % 10000 < 100)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.array_distinct(
+            functions.TextFunctions.shingles(
+              org.apache.spark.sql.functions.lower(col("text")), 3)).as("sh")))
     }
-    time("dedup_exact_sf0.01") {
-      ops.Dedup.exact(spark, d01).write.format("noop").mode("overwrite").save()
+    time2("minhash_sig_only") {
+      noop(ops.DocCorpus.withDuplicates(spark, d1)
+        .select(col("doc_id"),
+          functions.TextFunctions.minhashSignature(col("text")).as("sig")))
     }
-    time("dedup_exact_sf0.1") {
-      ops.Dedup.exact(spark, d1).write.format("noop").mode("overwrite").save()
-    }
-    time("simhash_df_sf0.1") {
-      functions.TextFunctions.simhashDf(
-        ops.DocCorpus.withDuplicates(spark, d1), "doc_id", "text")
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("dedup_simhash_sf0.1") {
-      ops.Dedup.simhash(spark, d1).write.format("noop").mode("overwrite").save()
-    }
-    time("sim_near_dup_sf0.1") {
-      ops.Similarity.nearDupPairs(spark, d1)
-        .write.format("noop").mode("overwrite").save()
-    }
+    time2("dedup_ngram_jaccard") { noop(ops.Dedup.ngramJaccard(spark, d1)) }
+    time2("dedup_minhash_lsh") { noop(ops.Dedup.minhashLsh(spark, d1)) }
     spark.stop()
   }
 }

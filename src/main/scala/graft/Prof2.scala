@@ -1,23 +1,23 @@
 package graft
 
-import org.apache.spark.sql.functions.col
-
-/** Dev-only: plan + partition inspection for the quadratic queries. */
+/** Dev-only: variance probe — one query N times in one JVM. */
 object Prof2 {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[16]").config("spark.sql.shuffle.partitions", "16")
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d1 = "/root/testdata/sf0.1"
-    val nd = ops.Similarity.nearDupPairs(spark, d1)
-    nd.explain("formatted")
-    val base = ops.Similarity.withNearDuplicates(spark, d1)
-    println("corpus partitions: " +
-      base.rdd.getNumPartitions)
-    println("corpus repart partitions: " +
-      base.repartition(16).rdd.getNumPartitions)
+    val q = args.lift(0).getOrElse("dedup_minhash_lsh")
+    val n = args.lift(1).map(_.toInt).getOrElse(5)
+    for (i <- 1 to n) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, d1)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[prof2] $q run$i ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    }
     spark.stop()
   }
 }

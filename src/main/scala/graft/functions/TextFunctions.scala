@@ -188,6 +188,51 @@ object TextFunctions {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast(IntegerType)
 
+  /** Rolling k-gram hash stream of a document: the xxhash64 of each
+    * token k-gram window, in document order (the shingle pipeline
+    * WITHOUT the distinct — position matters for winnowing). */
+  def rollingHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+
+  /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken,
+    * SIGMOD '03): the distinct set of per-window minima over the
+    * rolling hash stream — guarantees any match of ≥ w+k-1 tokens
+    * between two docs shares a fingerprint, at ~2/(w+1) sample rate.
+    * Normalization-equivalent docs produce identical sets (the
+    * oracle-checked property). */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hs = rollingHashes(text, k)
+    val n = size(hs)
+    array_distinct(
+      when(n <= w, array(array_min(hs)))
+        .otherwise(transform(sequence(lit(0), n - w),
+          i => array_min(slice(hs, i + 1, lit(w))))))
+  }
+
+  /** DataFrame-level winnowing — the scale formulation of
+    * [[winnowFingerprints]]: posexplode the rolling hash stream, a
+    * per-window minimum via a codegen'd window frame
+    * (`ROWS BETWEEN CURRENT AND w-1 FOLLOWING` over pos), then
+    * `collect_set` per doc. One shuffle on the doc id; identical
+    * output sets to the scalar expression (which evaluates its
+    * nested `array_min(slice(...))` per window interpreted —
+    * ~50 ms/doc, measured). */
+  def winnowDf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4, out: String = "fp")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val hs = docs.select(id, posexplode(rollingHashes(col(textCol), k)))
+    val frame = Window.partitionBy(id).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hs.withColumn("n", count(lit(1)).over(Window.partitionBy(id)))
+      .withColumn("wmin", min(col("col")).over(frame))
+      // window starts: pos 0..n-w; degenerate n<=w case → pos 0 only
+      // (its frame then spans the whole doc = the global min)
+      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
+      .groupBy(id).agg(collect_set(col("wmin")).as(out))
+  }
+
   /** DataFrame-level SimHash — the scale formulation: explode token
     * hashes, then ONE hash-aggregate with 64 per-bit `sum` columns
     * (map-side partial aggregation, fully codegen'd), then assemble

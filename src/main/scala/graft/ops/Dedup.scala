@@ -111,16 +111,25 @@ object Dedup {
     * truth, which IS SQL-expressible. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    val docs = DocCorpus.withDuplicates(s, dir)
+    val hashed = DocCorpus.withDuplicates(s, dir)
       .repartition(par)
       .select(col("doc_id"),
         shingleHashes(lower(col("text")), 3).as("hashes"))
-      .withColumn("sig", {
-        val sigCols = (0 until 32).map(seed =>
-          array_min(transform(col("hashes"), h => xxhash64(h, lit(seed)))))
-        array(sigCols: _*)
-      })
       .cache()
+    // Signature via explode + 32 min-aggregates, NOT 32 interpreted
+    // array_min(transform(...)) per row: higher-order functions have
+    // no doGenCode, so the HOF formulation evaluates interpreted
+    // (~10× slower, measured). Exploded, the 32 xxhash64+min run in
+    // whole-stage codegen, and partial aggregation means the shuffle
+    // carries one 32-long row per doc per mapper, not the shingles.
+    val minCols = (0 until 32).map(seed =>
+      min(xxhash64(col("h"), lit(seed))).as(s"_m$seed"))
+    val docs = hashed
+      .select(col("doc_id"), explode(col("hashes")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 32).map(i => col(s"_m$i")): _*).as("sig"))
     // Bucket shuffle carries only (doc_id, band, bucket) — the shingle
     // hash arrays stay behind and are re-joined per candidate pair.
     val banded = docs.select(col("doc_id"),
@@ -133,7 +142,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val hashesOf = docs.select(col("doc_id"), col("hashes"))
+    val hashesOf = hashed.select(col("doc_id"), col("hashes"))
     candidates
       .join(hashesOf.toDF("id_a", "h_a"), "id_a")
       .join(hashesOf.toDF("id_b", "h_b"), "id_b")

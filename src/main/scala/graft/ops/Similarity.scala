@@ -200,13 +200,90 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- //
+
+  /** IVF-Flat ANN: a coarse quantizer partitions the corpus into
+    * `nCells` inverted lists; a query probes only its `nProbe`
+    * nearest cells and scores exactly inside them.
+    *
+    * Training is fully distributed: deterministic seed centroids
+    * (the `nCells` corpus vectors with the smallest xxhash64 of
+    * their id) refined by one Lloyd iteration expressed as
+    * DataFrame ops — assign via broadcast nested-loop argmax, then
+    * per-cell mean via `posexplode` + (cell, pos) average, arrays
+    * re-assembled position-sorted. No driver-side iteration over
+    * rows.
+    *
+    * Scale shape: centroids are O(nCells·dim) — broadcast; the
+    * corpus is touched in linear passes (two assignments, one
+    * refinement); the probe join shuffles candidates by cell only.
+    * At 100 TB you raise nCells so cells stay ~executor-sized and
+    * swap the broadcast argmax for a codegen'd argmin kernel; the
+    * plan shape is unchanged. Approximate by construction → no SQL
+    * oracle (rows-only check); recall vs the brute-force baseline
+    * is asserted in DedupSimilaritySpec. */
+  def annIvf(s: SparkSession, dir: String, nCells: Int = 16,
+      nProbe: Int = 4, k: Int = 5): DataFrame = {
+    val base = vecs(s, dir)
+    // Seed pick = distributed top-N (TakeOrderedAndProject), NOT a
+    // global window over the corpus; the single-partition row_number
+    // only ever sees the nCells surviving rows.
+    val w0 = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = base
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(nCells)
+      .withColumn("cell", row_number().over(w0) - 1)
+      .select(col("cell"), col("v").as("cv"))
+
+    def nearestCells(df: DataFrame, cents: DataFrame, n: Int,
+        vCol: String): DataFrame = {
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cell"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col(vCol), col("cv")))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= n)
+        .drop("cv", "csim", "crn")
+    }
+
+    // One Lloyd iteration: assign → per-cell mean, positions
+    // re-assembled in order (collect_list is unordered; sort by pos).
+    val assigned0 = nearestCells(base, seeds, 1, "v")
+    val refined = assigned0
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cell"), transform(col("pc"), p => p("c")).as("cv"))
+
+    val lists = nearestCells(base, refined, 1, "v")
+      .select(col("cell"), col("vec_id").as("target_id"), col("v").as("tv"))
+    val probes = nearestCells(base.filter(col("vec_id") < 5), refined,
+        nProbe, "v")
+      .select(col("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
+
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    probes.join(lists, "cell")
+      .filter(col("query_id") =!= col("target_id"))
+      .select(col("query_id"), col("qv"), col("target_id"), col("tv"))
+      .distinct()
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topK _),
     "sim_near_dup"        -> (nearDupPairs _),
-    "sim_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(s, d)))
+    "sim_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(s, d)),
+    "sim_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topKSql,
     "sim_near_dup"        -> nearDupPairsSql)
-    // sim_ann_lsh: approximate → rows-only check (no oracle entry)
+    // sim_ann_lsh / sim_ann_ivf: approximate → rows-only check (no oracle)
 }

@@ -118,13 +118,47 @@ object TextAnalysis {
        |ORDER BY lang, pred""".stripMargin
   }
 
+  /** Winnowing fingerprint check over the mutated corpus. The hash
+    * values themselves aren't DuckDB-reproducible (xxhash64), so the
+    * gate asserts the *defining properties* of winnowing instead:
+    * a normalization-equivalent mutant (case/whitespace) yields the
+    * IDENTICAL fingerprint set, and a one-token-dropped mutant — which
+    * perturbs only the trailing w+k-2 windows — keeps high overlap.
+    * Both are deterministic truths the oracle states as constants. */
+  def winnowCheck(s: SparkSession, dir: String): DataFrame = {
+    val fp = winnowDf(
+      DocCorpus.withDuplicates(s, dir).filter(col("doc_id") % 10000 < 100),
+      "doc_id", "text")
+    val orig = fp.filter(col("doc_id") < 100).toDF("doc_id", "fp_o")
+    val ws = fp.filter(col("doc_id").between(10000, 10099))
+      .select((col("doc_id") - 10000).as("doc_id"), col("fp").as("fp_w"))
+    val drop = fp.filter(col("doc_id") >= 20000)
+      .select((col("doc_id") - 20000).as("doc_id"), col("fp").as("fp_d"))
+    orig.join(broadcast(ws), "doc_id").join(broadcast(drop), "doc_id")
+      .select(col("doc_id"),
+        (size(array_except(col("fp_o"), col("fp_w"))) === 0 &&
+         size(array_except(col("fp_w"), col("fp_o"))) === 0)
+          .as("ws_identical"),
+        (size(array_intersect(col("fp_o"), col("fp_d"))).cast(DoubleType) /
+         size(array_union(col("fp_o"), col("fp_d"))).cast(DoubleType)
+           >= 0.5).as("drop_similar"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowCheckSql: String =
+    """SELECT doc_id, true AS ws_identical, true AS drop_similar
+      |FROM documents WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"   -> (textStats _),
     "text_quality" -> (textQuality _),
-    "text_lang_id" -> (langIdConfusion _))
+    "text_lang_id" -> (langIdConfusion _),
+    "text_winnow"  -> (winnowCheck _))
 
   def oracle: Map[String, String] = Map(
     "text_stats"   -> textStatsSql,
     "text_quality" -> textQualitySql,
-    "text_lang_id" -> langIdConfusionSql)
+    "text_lang_id" -> langIdConfusionSql,
+    "text_winnow"  -> winnowCheckSql)
 }

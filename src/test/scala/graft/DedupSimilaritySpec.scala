@@ -36,6 +36,36 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missing ${dropPairs.diff(pairs).size} drop-token pairs")
   }
 
+  test("winnowing: local edit perturbs only trailing fingerprints") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val casedDoubleSpace = base.toUpperCase.replace(" ", "  ")
+    // change every 10th token: several separated edit regions — the
+    // sets must differ, but unedited stretches keep shared prints
+    val edited = (1 to 40)
+      .map(i => if (i % 10 == 0) s"edit$i" else s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, casedDoubleSpace), (3L, edited))
+      .toDF("id", "text")
+      .select($"id", winnowFingerprints($"text").as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(m(1L) == m(2L)) // normalization-equivalent → identical set
+    val overlap = (m(1L) intersect m(3L)).size.toDouble / (m(1L) union m(3L)).size
+    assert(overlap >= 0.15 && m(1L) != m(3L),
+      s"spread edits should keep partial overlap, got $overlap")
+    // winnowing samples: far fewer fingerprints than windows
+    assert(m(1L).size < 38 && m(1L).size >= 38 * 2 / (4 + 1) / 2)
+    // the windowed DataFrame formulation produces identical sets
+    val short = "only two tok" // n_windows <= w degenerate case
+    val dfSets = winnowDf(
+      Seq((1L, base), (2L, casedDoubleSpace), (3L, edited), (4L, short))
+        .toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(dfSets.view.filterKeys(_ <= 3).toMap == m)
+    val scalarShort = Seq((4L, short)).toDF("id", "text")
+      .select(winnowFingerprints($"text")).collect()(0).getSeq[Long](0).toSet
+    assert(dfSets(4L) == scalarShort)
+  }
+
   test("minhash signature: identical text → identical signature") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps"),
@@ -58,6 +88,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"ann recall@5 too low: $recall")
     // and every ann hit must be a real vector pair (sanity)
     assert(ann.forall { case (q, t) => q < 5 && t >= 0 && q != t })
+  }
+
+  test("ann IVF: probed cells recall the exact top-5 meaningfully") {
+    val bf = Similarity.topK(spark, dir).select("query_id", "target_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, dir).select("query_id", "target_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect bf).size.toDouble / bf.size
+    // nProbe=4 of 16 cells covers a quarter of the space; high-sim
+    // neighbors concentrate in the query's own cell, so recall should
+    // beat the random-probe floor comfortably
+    assert(recall >= 0.2, s"ivf recall@5 too low: $recall")
+    assert(ivf.forall { case (q, t) => q < 5 && t >= 0 && q != t })
+    // rank column is a contiguous 1..k per query
+    val ranks = Similarity.annIvf(spark, dir)
+      .groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .collect().map(_.getSeq[Long](1).sorted)
+    assert(ranks.forall(rs => rs == (1L to rs.length).toVector))
   }
 
   test("exact dedup: survivors count matches corpus minus dup groups") {
