@@ -43,22 +43,26 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Best-of-2: the host shows multi-second noisy-neighbor stalls
-    // (the same query swings 2.7s↔81s run-to-run with identical plans
-    // and <15% CPU); min-of-2 reports steady-state operator cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try materialize(name, fn)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
+    // Best-of-2 in two SEPARATED passes: the host shows multi-second
+    // noisy-neighbor stalls (the same query swings 2.7s↔81s
+    // run-to-run with identical plans and <15% CPU), and a stall
+    // burst can span consecutive runs — so sample each query once per
+    // pass and take the min, putting minutes between the two samples.
+    def sample(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try materialize(name, fn)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        val sec = math.min(once(), once())
-        System.err.println(f"[bench] $name%-24s $sec%8.2fs")
-        name -> sec
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val pass1 = sample()
+    val pass2 = sample()
+    val results = pass1.keys.toSeq.sorted.map { name =>
+      val sec = math.min(pass1(name), pass2(name))
+      System.err.println(f"[bench] $name%-24s $sec%8.2fs")
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -178,13 +178,37 @@ object Similarity {
   def annLsh(s: SparkSession, dir: String, nTables: Int = 8,
       bits: Int = 4, k: Int = 5): DataFrame = {
     val base = vecs(s, dir)
-    val tables = (0 until nTables).map(t =>
-      base.select(col("vec_id"), col("v"),
-        lit(t).as("table"), lshBucket(col("v"), t, bits).as("bucket")))
-      .reduce(_ union _)
+    // All nTables×bits hyperplane projections in ONE pass: posexplode
+    // the vector, one sum-aggregate per (table, bit) — codegen'd with
+    // map-side partial aggregation (the per-row HOF fold in
+    // [[lshBucket]] evaluates interpreted and re-walks the vector 32×).
+    // A vector's exploded rows stay contiguous in one partition, so
+    // each sum accumulates in position order — the same IEEE fold as
+    // the sequential formulation.
+    val projCols = for (t <- 0 until nTables; b <- 0 until bits)
+      yield sum(col("x") * planeComponent(t, b, col("d"))).as(s"_p${t}_$b")
+    val sigs = base
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("vec_id"))
+      .agg(projCols.head, projCols.tail: _*)
+    val bucketCols = (0 until nTables).map { t =>
+      (0 until bits).map(b =>
+        when(col(s"_p${t}_$b") > 0.0, shiftleft(lit(1L), b))
+          .otherwise(lit(0L)))
+        .reduce[Column](_.bitwiseOR(_)).as(s"_bkt$t")
+    }
+    val tables = sigs
+      .select(col("vec_id") +: bucketCols: _*)
+      .select(col("vec_id"), posexplode(
+        array((0 until nTables).map(t => col(s"_bkt$t")): _*)))
+      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
+      .join(base, "vec_id")
     val q = tables.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("v"), col("table"), col("bucket"))
       .toDF("query_id", "qv", "table", "bucket")
-    val t = tables.toDF("target_id", "tv", "table", "bucket")
+    val t = tables
+      .select(col("vec_id"), col("v"), col("table"), col("bucket"))
+      .toDF("target_id", "tv", "table", "bucket")
     val candidates = q.join(t, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("target_id"))
       .select(col("query_id"), col("qv"), col("target_id"), col("tv"))
