@@ -185,10 +185,13 @@ object Similarity {
     // A vector's exploded rows stay contiguous in one partition, so
     // each sum accumulates in position order — the same IEEE fold as
     // the sequential formulation.
-    val projCols = for (t <- 0 until nTables; b <- 0 until bits)
+    // first(v) rides the groupBy shuffle (one copy per group per
+    // mapper), so no corpus re-join is needed to recover the vector.
+    val projCols = (for (t <- 0 until nTables; b <- 0 until bits)
       yield sum(col("x") * planeComponent(t, b, col("d"))).as(s"_p${t}_$b")
+    ) :+ first(col("v")).as("v")
     val sigs = base
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("v"), posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("vec_id"))
       .agg(projCols.head, projCols.tail: _*)
     val bucketCols = (0 until nTables).map { t =>
@@ -198,18 +201,16 @@ object Similarity {
         .reduce[Column](_.bitwiseOR(_)).as(s"_bkt$t")
     }
     val tables = sigs
-      .select(col("vec_id") +: bucketCols: _*)
-      .select(col("vec_id"), posexplode(
+      .select(col("vec_id") +: col("v") +: bucketCols: _*)
+      .select(col("vec_id"), col("v"), posexplode(
         array((0 until nTables).map(t => col(s"_bkt$t")): _*)))
-      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
-      .join(base, "vec_id")
+      .select(col("vec_id"), col("v"),
+        col("pos").as("table"), col("col").as("bucket"))
     val q = tables.filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("v"), col("table"), col("bucket"))
       .toDF("query_id", "qv", "table", "bucket")
-    val t = tables
-      .select(col("vec_id"), col("v"), col("table"), col("bucket"))
-      .toDF("target_id", "tv", "table", "bucket")
-    val candidates = q.join(t, Seq("table", "bucket"))
+    val t = tables.toDF("target_id", "tv", "table", "bucket")
+    // queries × tables is tiny; the corpus side must NOT be broadcast
+    val candidates = broadcast(q).join(t, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("target_id"))
       .select(col("query_id"), col("qv"), col("target_id"), col("tv"))
       .distinct()
@@ -288,7 +289,8 @@ object Similarity {
 
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("target_id"))
-    probes.join(lists, "cell")
+    // probes = queries × nProbe rows — broadcast; lists is the corpus
+    broadcast(probes).join(lists, "cell")
       .filter(col("query_id") =!= col("target_id"))
       .select(col("query_id"), col("qv"), col("target_id"), col("tv"))
       .distinct()
