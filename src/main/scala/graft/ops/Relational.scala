@@ -532,6 +532,51 @@ object Relational {
       |WHERE l_orderkey <= 100
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Exact percentiles (sorted-data interpolation — `percentile`, not
+    * the approximate sketch) per return flag. At 100 TB prefer
+    * `percentile_approx` (mergeable KLL-ish sketch, no global sort);
+    * the exact form is the oracle-checkable baseline. Both engines
+    * use the same (1-d)·lower + d·upper interpolation; results are
+    * rounded to 4 decimals on both sides to absorb the one
+    * floating-point interpolation step. */
+  def q23Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  val q23Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Pivot: line status columns per return flag (conditional
+    * aggregation under the hood — one pass, no extra shuffle beyond
+    * the groupBy). */
+  def q24Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy(col("l_returnflag"))
+
+  val q24Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -556,7 +601,9 @@ object Relational {
     "q19_having"         -> (q19Having _),
     "q20_cross_join"     -> (q20CrossJoin _),
     "q21_null_handling"  -> (q21NullHandling _),
-    "q22_scalar_math"    -> (q22ScalarMath _))
+    "q22_scalar_math"    -> (q22ScalarMath _),
+    "q23_percentiles"    -> (q23Percentiles _),
+    "q24_pivot"          -> (q24Pivot _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -580,5 +627,7 @@ object Relational {
     "q19_having"         -> q19Sql,
     "q20_cross_join"     -> q20Sql,
     "q21_null_handling"  -> q21Sql,
-    "q22_scalar_math"    -> q22Sql)
+    "q22_scalar_math"    -> q22Sql,
+    "q23_percentiles"    -> q23Sql,
+    "q24_pivot"          -> q24Sql)
 }

@@ -84,15 +84,31 @@ object StreamingQueries {
       |GROUP BY event_id
       |ORDER BY event_id""".stripMargin
 
+  /** Stream-stream funnel join (view → purchase within 4 h). */
+  def interval(s: SparkSession, dir: String): DataFrame =
+    EventStreams.intervalJoin(Tables.events(s, dir), "view", "purchase")
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+
+  val intervalSql: String =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  a.ts AS a_ts, b.ts AS b_ts
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'purchase'
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '4 hours'
+      |ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_sliding"  -> (sliding _),
     "stream_session"  -> (session _),
-    "stream_dedup"    -> (dedup _))
+    "stream_dedup"    -> (dedup _),
+    "stream_interval_join" -> (interval _))
 
   def oracle: Map[String, String] = Map(
     "stream_tumbling" -> tumblingSql,
     "stream_sliding"  -> slidingSql,
     "stream_session"  -> sessionSql,
-    "stream_dedup"    -> dedupSql)
+    "stream_dedup"    -> dedupSql,
+    "stream_interval_join" -> intervalSql)
 }

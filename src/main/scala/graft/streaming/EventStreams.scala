@@ -76,6 +76,31 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream interval join: pair each `fromType` event with the
+    * same user's `toType` events inside (ts, ts + maxDelay]. In
+    * streaming mode both sides carry watermarks and the event-time
+    * range bound lets the state store evict rows older than
+    * watermark + maxDelay — bounded state, the canonical funnel-join
+    * shape (view→purchase attribution). The batch gate replays the
+    * identical plan (watermarks eliminate). */
+  def intervalJoin(events: DataFrame, fromType: String, toType: String,
+      maxDelay: String = "4 hours", watermark: String = "10 minutes")
+      : DataFrame = {
+    val a = events.filter(col("event_type") === fromType)
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === toType)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, expr(
+        s"user_id = b_user AND b_ts >= a_ts AND " +
+        s"b_ts <= a_ts + interval $maxDelay"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        col("a_ts"), col("b_ts"))
+  }
+
   // ---------------------------------------------------------------- //
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -53,6 +53,14 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchEvents.select("event_id").distinct().count())
   }
 
+  test("stream-stream interval join: stream == batch") {
+    val stream = streamed("t_interval",
+      EventStreams.intervalJoin(_, "view", "purchase"), OutputMode.Append())
+    val batch = EventStreams.intervalJoin(batchEvents, "view", "purchase")
+    assert(stream.count() == batch.count() && batch.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
   test("flatMapGroupsWithState: running per-user totals reach batch totals") {
     import spark.implicits._
     val schema = spark.read.parquet(eventsPath).schema
