@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Bucketed (pre-partitioned, co-located) joins — the "reuse a
+  * partitioning across stages" lever: both sides are written
+  * `CLUSTERED BY (join key) SORTED BY (join key) INTO n BUCKETS`, so
+  * the sort-merge join reads co-located buckets and needs NO shuffle
+  * exchange and NO sort at query time. At 100 TB this converts the
+  * recurring fact⋈dim shuffle (the dominant cost of a repeated join)
+  * into a one-time write-side layout decision.
+  *
+  * Tables are EXTERNAL (explicit LOCATION under scratch) so the
+  * in-memory catalog needs no warehouse/metastore; bucket counts must
+  * match on both sides for exchange elimination. BucketingSpec
+  * asserts the executed plan contains no ShuffleExchange and no
+  * query-time Sort.
+  */
+object Bucketing {
+
+  private def scratch(dir: String): String =
+    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/bucketed"
+
+  val NBuckets = 8
+
+  /** Write orders + customer bucketed on the join key (idempotent:
+    * re-registers and overwrites). */
+  def writeBucketed(s: SparkSession, dir: String): Unit = {
+    val root = scratch(dir)
+    Seq("g_orders_b", "g_customer_b").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .bucketBy(NBuckets, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$root/g_orders_b")
+      .saveAsTable("g_orders_b")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .write.mode("overwrite")
+      .bucketBy(NBuckets, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$root/g_customer_b")
+      .saveAsTable("g_customer_b")
+  }
+
+  /** The co-located join over the bucketed tables (exchange-free). */
+  def bucketedJoin(s: SparkSession): DataFrame =
+    s.table("g_orders_b")
+      .join(s.table("g_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+
+  /** Gate query: per-segment order totals through the bucketed join.
+    * Value-preserving vs the original tables, so the oracle is the
+    * plain SQL join over the source parquet. */
+  def bucketedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    writeBucketed(s, dir)
+    bucketedJoin(s)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val bucketedJoinAggSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join_agg" -> (bucketedJoinAgg _))
+
+  def oracle: Map[String, String] = Map(
+    "bucketed_join_agg" -> bucketedJoinAggSql)
+}

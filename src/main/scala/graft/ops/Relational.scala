@@ -542,10 +542,14 @@ object Relational {
   def q23Percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      // one percentile aggregate with an array argument — buffers the
+      // group's values once, not once per requested quantile
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        round(element_at(col("ps"), 3), 4).as("p99"))
       .orderBy(col("l_returnflag"))
 
   val q23Sql: String =
