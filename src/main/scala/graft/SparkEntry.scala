@@ -10,12 +10,14 @@ object SparkEntry {
     ops.Relational.queries ++ ops.ParityQueries.queries ++
     ops.TextAnalysis.queries ++ ops.Dedup.queries ++
     ops.Similarity.queries ++ ops.StreamingQueries.queries ++
-    ops.Multimodal.queries ++ ops.Skew.queries ++ ops.Bucketing.queries
+    ops.Multimodal.queries ++ ops.Skew.queries ++ ops.Bucketing.queries ++
+    ops.AsofJoin.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.ParityQueries.oracle ++
     ops.TextAnalysis.oracle ++ ops.Dedup.oracle ++
     ops.Similarity.oracle ++ ops.StreamingQueries.oracle ++
-    ops.Multimodal.oracle ++ ops.Skew.oracle ++ ops.Bucketing.oracle
+    ops.Multimodal.oracle ++ ops.Skew.oracle ++ ops.Bucketing.oracle ++
+    ops.AsofJoin.oracle
 }

@@ -1,0 +1,34 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof: inclusive boundary, latest-prior pick, tie-break, no-match null") {
+    import spark.implicits._
+    val views = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (1L, ts("2024-01-01 11:00:00"), 102L), // tie on ts → max id wins
+      (2L, ts("2024-01-01 12:00:00"), 200L)
+    ).toDF("user_id", "ts", "event_id")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 900L), // equal ts → inclusive
+      (1L, ts("2024-01-01 10:30:00"), 901L), // between views → 100
+      (2L, ts("2024-01-01 11:59:59"), 902L), // before any view → null
+      (3L, ts("2024-01-01 09:00:00"), 903L)  // user with no views → null
+    ).toDF("user_id", "ts", "event_id")
+    val out = AsofJoin.asof(purchases, views, "user_id", "ts", "event_id",
+      Seq("event_id"), Seq("event_id"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out(900L) == 102L) // inclusive at equal ts, tie → max id
+    assert(out(901L) == 100L)
+    assert(out(902L) == -1L)
+    assert(out(903L) == -1L)
+  }
+}
