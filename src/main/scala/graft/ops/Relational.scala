@@ -581,6 +581,41 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Cohort retention over `events`: users cohorted by first-activity
+    * week, distinct active users per (cohort, week offset). Two
+    * aggregations + one join, all keyed on user_id/cohort — the join
+    * reuses the first aggregation's partitioning, and the final
+    * distinct-count shuffles only (cohort, offset, user_id). */
+  def q25CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort"))
+    val active = e.distinct()
+    active.join(cohorts, "user_id")
+      .select(col("cohort").cast(DateType).as("cohort_week"),
+        (datediff(col("week"), col("cohort")) / 7)
+          .cast(IntegerType).as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q25Sql: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(week) AS cohort FROM weekly GROUP BY user_id)
+      |SELECT CAST(c.cohort AS DATE) AS cohort_week,
+      |  CAST(date_diff('day', c.cohort, w.week) / 7 AS INTEGER)
+      |    AS week_offset,
+      |  COUNT(DISTINCT w.user_id) AS n_users
+      |FROM weekly w JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -607,7 +642,8 @@ object Relational {
     "q21_null_handling"  -> (q21NullHandling _),
     "q22_scalar_math"    -> (q22ScalarMath _),
     "q23_percentiles"    -> (q23Percentiles _),
-    "q24_pivot"          -> (q24Pivot _))
+    "q24_pivot"          -> (q24Pivot _),
+    "q25_cohort"         -> (q25CohortRetention _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -633,5 +669,6 @@ object Relational {
     "q21_null_handling"  -> q21Sql,
     "q22_scalar_math"    -> q22Sql,
     "q23_percentiles"    -> q23Sql,
-    "q24_pivot"          -> q24Sql)
+    "q24_pivot"          -> q24Sql,
+    "q25_cohort"         -> q25Sql)
 }
