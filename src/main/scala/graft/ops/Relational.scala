@@ -616,6 +616,56 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Window-function breadth: lag/lead/first_value/ntile per user
+    * timeline (deterministic window order via the unique event_id
+    * tiebreak). */
+  def q26WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("event_type")).over(w).as("first_type"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q26Sql: String =
+    """SELECT user_id, event_id,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  first_value(event_type) OVER w AS first_type,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM events
+      |WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Semi-structured extraction: JSON props column → typed value,
+    * aggregated. The JSON path evaluates inside the scan projection —
+    * at 100 TB the string column is read once, parsed once per row,
+    * and only (event_type, k) survives to the shuffle. */
+  def q27JsonExtract(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q27Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(CAST(props->>'k' AS BIGINT)) AS n_k,
+      |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -643,7 +693,9 @@ object Relational {
     "q22_scalar_math"    -> (q22ScalarMath _),
     "q23_percentiles"    -> (q23Percentiles _),
     "q24_pivot"          -> (q24Pivot _),
-    "q25_cohort"         -> (q25CohortRetention _))
+    "q25_cohort"         -> (q25CohortRetention _),
+    "q26_window_funcs"   -> (q26WindowFuncs _),
+    "q27_json_extract"   -> (q27JsonExtract _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -670,5 +722,7 @@ object Relational {
     "q22_scalar_math"    -> q22Sql,
     "q23_percentiles"    -> q23Sql,
     "q24_pivot"          -> q24Sql,
-    "q25_cohort"         -> q25Sql)
+    "q25_cohort"         -> q25Sql,
+    "q26_window_funcs"   -> q26Sql,
+    "q27_json_extract"   -> q27Sql)
 }
