@@ -154,6 +154,46 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Fuzzy (edit-distance) dedup over the bounded mutated
+    * neighborhood: normalized text pairs whose Levenshtein distance
+    * is ≤ 10% of the longer text. Candidate pruning: a length-delta
+    * guard (edit distance is bounded below by the length difference)
+    * runs before the O(n·m) distance — at 100 TB candidates come from
+    * [[minhashLsh]] buckets instead of the bounded cross join, and
+    * the distance only ever scores candidate pairs. */
+  def fuzzy(s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val docs = DocCorpus.withDuplicates(s, dir)
+      .filter(col("doc_id") % 10000 < 30)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+    val a = docs.toDF("id_a", "t_a").repartition(par)
+    val b = broadcast(docs.toDF("id_b", "t_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("len_max",
+        greatest(length(col("t_a")), length(col("t_b"))))
+      .filter(abs(length(col("t_a")) - length(col("t_b")))
+        <= col("len_max") * 0.1)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= col("len_max") * 0.1)
+      .select(col("id_a"), col("id_b"), col("dist").cast(LongType)
+        .as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val fuzzySql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |norm AS (
+       |  SELECT doc_id, ${DocCorpus.NormalizeSql} AS t
+       |  FROM corpus WHERE doc_id % 10000 < 30)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+       |FROM norm a JOIN norm b ON a.doc_id < b.doc_id
+       |WHERE abs(len(a.t) - len(b.t)) <= greatest(len(a.t), len(b.t)) * 0.1
+       |  AND levenshtein(a.t, b.t) <= greatest(len(a.t), len(b.t)) * 0.1
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Full-corpus shingle sets for the LSH oracle. */
   private val FullShingleSetsSql: String =
     ShingleSetsSql.replace("FROM corpus WHERE doc_id % 10000 < 100",
@@ -208,11 +248,13 @@ object Dedup {
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
-    "dedup_simhash"       -> (simhash _))
+    "dedup_simhash"       -> (simhash _),
+    "dedup_fuzzy"         -> (fuzzy _))
 
   def oracle: Map[String, String] = Map(
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh"   -> minhashLshSql,
-    "dedup_simhash"       -> simhashSql)
+    "dedup_simhash"       -> simhashSql,
+    "dedup_fuzzy"         -> fuzzySql)
 }
