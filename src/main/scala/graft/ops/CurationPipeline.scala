@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** End-to-end training-data curation pipeline — the operators of this
+  * engine composed the way a corpus build actually runs them:
+  *
+  *   corpus (with mutated duplicates)
+  *     → quality gate   (qualityScore ≥ threshold; codegen'd projection)
+  *     → exact dedup    (normalized-content fingerprint, min-id survivor)
+  *     → language join  (broadcast dim lookup)
+  *     → per-language corpus summary
+  *
+  * Everything is one declarative plan: the quality score and the
+  * fingerprint are scan-side projections, the dedup is one shuffle on
+  * the fingerprint, the language lookup a broadcast join, the summary
+  * one partial-aggregated groupBy — at 100 TB this reads the text
+  * column once and shuffles only (fingerprint, doc_id, n_chars).
+  *
+  * The whole pipeline is SQL-expressible, so the DuckDB oracle
+  * replays it end-to-end — the gate checks the composition, not just
+  * the parts.
+  */
+object CurationPipeline {
+
+  val QualityThreshold = 0.5
+
+  /** Quality-passing, exact-deduped corpus rows (survivors keep the
+    * smallest doc_id of their content group and its raw length). */
+  def curated(s: SparkSession, dir: String): DataFrame =
+    DocCorpus.withDuplicates(s, dir)
+      .filter(qualityScore(col("text")) >= QualityThreshold)
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("n_chars"))).as("survivor"))
+      .select(col("survivor.doc_id").as("doc_id"),
+        col("survivor.n_chars").as("n_chars"))
+
+  /** Gate query: per-language summary of the curated corpus — the
+    * language comes from a broadcast join back to the documents dim
+    * (mutant ids map to their source via doc_id % 10000). */
+  def summary(s: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(s, dir)
+      .select(col("doc_id").as("src_id"), col("lang"))
+    curated(s, dir)
+      .withColumn("src_id", col("doc_id") % 10000)
+      .join(broadcast(langs), "src_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
+  /** The same pipeline in DuckDB SQL (quality score inlined from the
+    * TextAnalysis oracle formulation). */
+  val summarySql: String = {
+    val stopList = EnStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${DocCorpus.CorpusSql},
+       |scored AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    least(length(text) / 200.0, 1.0) * 0.4
+       |    + least(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |        CAST(len(list_filter(toks, t -> t IN ($stopList)))
+       |          AS DOUBLE) / len(toks) END * 4.0, 1.0) * 0.4
+       |    + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |        CAST(length(regexp_replace(text, '[^.,!?;:''"()\\[\\]-]',
+       |          '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0))
+       |      * 0.2 AS quality,
+       |    ${DocCorpus.NormalizeSql} AS norm
+       |  FROM (SELECT *,
+       |          list_filter(regexp_split_to_array(trim(lower(text)),
+       |            '\\s+'), t -> len(t) > 0) AS toks
+       |        FROM corpus)),
+       |survivors AS (
+       |  SELECT min(doc_id) AS doc_id,
+       |    CAST(arg_min(n_chars, doc_id) AS BIGINT) AS n_chars
+       |  FROM scored WHERE quality >= $QualityThreshold
+       |  GROUP BY norm)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(s.n_chars) AS BIGINT) AS total_chars,
+       |  MIN(s.doc_id) AS first_doc
+       |FROM survivors s JOIN documents d ON s.doc_id % 10000 = d.doc_id
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> (summary _))
+
+  def oracle: Map[String, String] = Map(
+    "pipeline_curate" -> summarySql)
+}
