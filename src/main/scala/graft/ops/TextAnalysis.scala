@@ -150,15 +150,72 @@ object TextAnalysis {
       |FROM documents WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top terms per document (bounded to doc_id < 50 for the
+    * gate): explode tokens → per-(doc, term) TF, corpus-wide DF, IDF
+    * join, windowed top-3. Scale shape: the DF table is
+    * O(vocabulary) — broadcast; the token explosion shuffles
+    * (doc, term) pairs once for the TF aggregate; everything else is
+    * projection. ln() is rounded to 6 decimals on both sides (one
+    * libm call — engines agree far beyond 1e-6). */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.filter(col("doc_id") < 50)
+      .join(broadcast(df), "term")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+        col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfTopSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    t -> len(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      |  GROUP BY doc_id, term),
+      |df AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+      |  GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id < 50)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS rank, term, tfidf
+      |FROM scored
+      |WINDOW w AS (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+      |QUALIFY row_number() OVER w <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"   -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langIdConfusion _),
-    "text_winnow"  -> (winnowCheck _))
+    "text_winnow"  -> (winnowCheck _),
+    "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
     "text_stats"   -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdConfusionSql,
-    "text_winnow"  -> winnowCheckSql)
+    "text_winnow"  -> winnowCheckSql,
+    "text_tfidf"   -> tfidfTopSql)
 }
