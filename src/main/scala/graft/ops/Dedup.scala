@@ -194,6 +194,64 @@ object Dedup {
        |  AND levenshtein(a.t, b.t) <= greatest(len(a.t), len(b.t)) * 0.1
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise dedup output into survivor GROUPS (a pair list alone
+    * can't pick survivors when dups chain: a~b, b~c). Iterative
+    * min-label propagation: label(n) ← min(label(n), labels of
+    * neighbors), repeated to fixpoint. Iterations = cluster diameter
+    * (dup clusters are shallow — 2 here, bounded small in practice;
+    * at extreme scale swap in the large-star/small-star contraction,
+    * same DataFrame shape). Each iteration is one join + one
+    * aggregate; the driver only checks the convergence count. */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    val nodes = DocCorpus.withDuplicates(s, dir)
+      .filter(col("doc_id") % 10000 < 100)
+      .select(col("doc_id").as("id"))
+    val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").cache()
+    var labels = nodes.withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges
+        .join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .cache()
+      changed = prop.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = prop
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE oracle: component(id) = min label reachable over
+    * the symmetric near-dup edge set. */
+  val componentsSql: String =
+    s"""WITH RECURSIVE ${DocCorpus.CorpusSql},
+       |${ShingleSetsSql},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shingled a, shingled b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM shingled
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, MIN(label) AS component
+       |FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   /** Full-corpus shingle sets for the LSH oracle. */
   private val FullShingleSetsSql: String =
     ShingleSetsSql.replace("FROM corpus WHERE doc_id % 10000 < 100",
@@ -249,12 +307,14 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
-    "dedup_fuzzy"         -> (fuzzy _))
+    "dedup_fuzzy"         -> (fuzzy _),
+    "dedup_components"    -> (components _))
 
   def oracle: Map[String, String] = Map(
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh"   -> minhashLshSql,
     "dedup_simhash"       -> simhashSql,
-    "dedup_fuzzy"         -> fuzzySql)
+    "dedup_fuzzy"         -> fuzzySql,
+    "dedup_components"    -> componentsSql)
 }

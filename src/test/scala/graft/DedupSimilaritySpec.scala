@@ -108,6 +108,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ranks.forall(rs => rs == (1L to rs.length).toVector))
   }
 
+  test("components: each mutant group collapses to its original's id") {
+    val comp = Dedup.components(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every original 0..99 labels its own cluster; both mutants join it
+    (0L until 100L).foreach { i =>
+      assert(comp(i) == comp(i + 10000) && comp(i) == comp(i + 20000))
+      assert(comp(i) <= i)
+    }
+  }
+
   test("exact dedup: survivors count matches corpus minus dup groups") {
     val survivors = Dedup.exact(spark, dir)
     val corpus = DocCorpus.withDuplicates(spark, dir)
