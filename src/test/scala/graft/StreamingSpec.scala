@@ -53,6 +53,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchEvents.select("event_id").distinct().count())
   }
 
+  test("checkpointed file sink resumes exactly-once across restarts") {
+    val in = tmpDir("ckpt_in")
+    val out = tmpDir("ckpt_out")
+    val ck = tmpDir("ckpt_state")
+    val schema = spark.read.parquet(eventsPath).schema
+    batchEvents.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(in)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    // new data arrives while the query is down; the restart must pick
+    // up ONLY the unprocessed files (exactly-once via the checkpoint
+    // + the sink's transactional file log)
+    batchEvents.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    val result = spark.read.parquet(out)
+    assert(result.count() == batchEvents.count())
+    assert(result.select("event_id").distinct().count() ==
+      batchEvents.count())
+  }
+
   test("stream-stream interval join: stream == batch") {
     val stream = streamed("t_interval",
       EventStreams.intervalJoin(_, "view", "purchase"), OutputMode.Append())
