@@ -30,6 +30,22 @@ object ParquetSink {
       .option("parquet.block.size", RowGroupBytes.toString)
       .parquet(path)
 
+  /** Hive-layout partitioned write (`path/col=value/part-*`): the
+    * read-side layout lever at scale — a filter on the partition
+    * column prunes entire directories before any I/O (the plan's
+    * `PartitionFilters`), and each partition can be compacted /
+    * retired independently (the purge engine's criteria deletes
+    * become partition drops when the criteria aligns). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .option("compression", "snappy")
+      .option("parquet.block.size", RowGroupBytes.toString)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Write exactly one parquet FILE at `targetFile` (e.g.
     * `/out/sample1.parquet`), reproducing the reference's one-in →
     * one-out naming. */
