@@ -91,9 +91,37 @@ object CurationPipeline {
        |ORDER BY d.lang""".stripMargin
   }
 
+  /** Deterministic stratified downsampling: every `k`-th document per
+    * stratum in id order. Unlike seeded Bernoulli `sampleBy` (whose
+    * draw is engine-specific), the systematic form is bit-reproducible
+    * across engines AND across reruns — the property that matters
+    * when a 100 TB corpus build must be auditable. One window sort
+    * per stratum, no extra shuffle after it. */
+  def stratifiedSample(s: SparkSession, dir: String, k: Int = 10)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % k === 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE (rn - 1) % 10 = 0
+      |ORDER BY lang, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> (summary _))
+    "pipeline_curate" -> (summary _),
+    "pipeline_sample" -> ((s: SparkSession, d: String) =>
+      stratifiedSample(s, d)))
 
   def oracle: Map[String, String] = Map(
-    "pipeline_curate" -> summarySql)
+    "pipeline_curate" -> summarySql,
+    "pipeline_sample" -> stratifiedSampleSql)
 }
