@@ -125,11 +125,32 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** Gate query: frame sampling, frames decoded back to text for the
+    * oracle (the synthetic payloads are UTF-8 ASCII, so byte slices
+    * equal DuckDB's character slices; with real codecs this gate
+    * stays rows-only like the features). */
+  def frames(s: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(s, dir))
+      .select(col("doc_id"), col("frame_no"),
+        decode(col("frame"), "UTF-8").as("frame_text"))
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  val framesSql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+      |  substring(text, CAST(i * 128 + 1 AS BIGINT), 64) AS frame_text
+      |FROM documents,
+      |  LATERAL unnest(generate_series(0,
+      |    greatest((length(text) - 1) // 128, 0))) AS t(i)
+      |WHERE doc_id % 3 = 2
+      |ORDER BY doc_id, frame_no""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> (meta _),
-    "multimodal_features" -> (featureSummary _))
+    "multimodal_features" -> (featureSummary _),
+    "multimodal_frames"   -> (frames _))
 
   def oracle: Map[String, String] = Map(
-    "multimodal_meta" -> metaSql)
+    "multimodal_meta"   -> metaSql,
+    "multimodal_frames" -> framesSql)
     // multimodal_features: stub decoder → rows-only check
 }
