@@ -23,6 +23,26 @@ class ApproxSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("count_min_sketch estimates bound exact frequencies from above") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val e = Tables.events(spark, dir)
+    val bytes = e.agg(
+      expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = e.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      // CMS never underestimates; eps=0.1% of stream length bounds
+      // the overestimate with 99% confidence
+      assert(est >= n && est <= n + (0.002 * total).toLong + 1,
+        s"$k exact=$n est=$est")
+    }
+  }
+
   test("percentile_approx brackets the exact percentile") {
     val li = Tables.lineitem(spark, dir)
     val row = li.agg(
