@@ -120,6 +120,49 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Brute-force euclidean top-5 (squared-distance ranking — argmin
+    * is monotonic in the square, so the sqrt is paid only on the
+    * emitted k rows). Same plan shape as [[topK]]; distance via the
+    * codegen'd [[graft.plans.VectorL2Sq]] kernel. */
+  def topKL2(s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val q = vecs(s, dir).filter(col("vec_id") < 5).toDF("query_id", "qv")
+    val t = vecs(s, dir).toDF("target_id", "tv").repartition(par)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("target_id"))
+    t.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("d2",
+        graft.plans.VectorExpressions.vectorL2Sq(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"),
+        sqrt(col("d2")).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Same index-order fold as the codegen kernel (sum of (a-b)^2
+    * ascending), so results are bit-identical. */
+  val topKL2Sql: String =
+    """SELECT query_id, target_id, rank, dist FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS target_id,
+      |    sqrt(list_reduce(list_transform(generate_series(1, len(a.v)),
+      |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+      |      (x, y) -> x + y)) AS dist,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      list_reduce(list_transform(generate_series(1, len(a.v)),
+      |        i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+      |        (x, y) -> x + y) ASC, b.vec_id) AS rank
+      |  FROM (SELECT vec_id, list_transform(embedding,
+      |          x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings WHERE vec_id < 5) a,
+      |       (SELECT vec_id, list_transform(embedding,
+      |          x -> CAST(x AS DOUBLE)) AS v FROM embeddings) b
+      |  WHERE a.vec_id <> b.vec_id)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (threshold 0.99). One side
     * is repartitioned for parallelism, the other broadcast; norms are
     * computed once per vector, not once per pair. (The truly scalable
@@ -304,12 +347,14 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topK _),
+    "sim_topk_l2"         -> (topKL2 _),
     "sim_near_dup"        -> (nearDupPairs _),
     "sim_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "sim_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topKSql,
+    "sim_topk_l2"         -> topKL2Sql,
     "sim_near_dup"        -> nearDupPairsSql)
     // sim_ann_lsh / sim_ann_ivf: approximate → rows-only check (no oracle)
 }

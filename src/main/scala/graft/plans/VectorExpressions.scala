@@ -75,17 +75,80 @@ case class VectorDot(left: Expression, right: Expression)
       newRight: Expression): VectorDot = copy(newLeft, newRight)
 }
 
+/** Squared L2 distance — same codegen shape as [[VectorDot]]; the
+  * caller takes sqrt if the true metric is needed (argmin is
+  * monotonic in the square, so ANN never pays the sqrt). */
+case class VectorL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_l2sq expects array<double> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val d = xs.getDouble(i) - ys.getDouble(i)
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $sum += $d * $d;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorL2Sq = copy(newLeft, newRight)
+}
+
 object VectorExpressions {
 
   val FnName = "graft_vector_dot"
+  val L2FnName = "graft_vector_l2sq"
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      L2FnName, exprs => VectorL2Sq(exprs(0), exprs(1)), "scala_udf")
+  }
 
   /** Codegen'd dot product over array<double> columns. The session
     * must have called [[register]] (query builders do). */
   def vectorDot(a: Column, b: Column): Column =
     call_function(FnName, a, b)
+
+  /** Codegen'd squared euclidean distance over array<double>. */
+  def vectorL2Sq(a: Column, b: Column): Column =
+    call_function(L2FnName, a, b)
 }
