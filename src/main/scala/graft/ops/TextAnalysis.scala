@@ -159,7 +159,9 @@ object TextAnalysis {
     * libm call — engines agree far beyond 1e-6). */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
+    // corpus size as a broadcast scalar IN the plan — no eager
+    // count() at build time; the whole query stays lazy
+    val nDf = docs.agg(count(lit(1)).as("_n"))
     val terms = docs
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -171,8 +173,9 @@ object TextAnalysis {
       .orderBy(col("tfidf").desc, col("term"))
     tf.filter(col("doc_id") < 50)
       .join(broadcast(df), "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
-        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+        round(col("tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
