@@ -109,9 +109,15 @@ object Dedup {
     * > 0.999 at s=0.8), and the mutated corpus only contains pairs
     * with s ≈ 1 — so verified candidates equal the brute-force
     * truth, which IS SQL-expressible. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val par = s.sparkContext.defaultParallelism
-    val hashed = DocCorpus.withDuplicates(s, dir)
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(DocCorpus.withDuplicates(s, dir))
+
+  /** DataFrame-first MinHash LSH: near-dup pairs (id_a, id_b,
+    * jaccard ≥ 0.6) over ANY (doc_id, text) corpus — the API a user
+    * points at their own table. */
+  def minhashLshPairs(corpus: DataFrame): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val hashed = corpus
       .repartition(par)
       .select(col("doc_id"),
         shingleHashes(lower(col("text")), 3).as("hashes"))
