@@ -23,7 +23,11 @@ object Dedup {
   /** Exact dedup: group by 64-bit content fingerprint of normalized
     * text, keep the smallest doc_id. Output: survivor + group size. */
   def exact(s: SparkSession, dir: String): DataFrame =
-    DocCorpus.withDuplicates(s, dir)
+    exactSurvivors(DocCorpus.withDuplicates(s, dir))
+
+  /** DataFrame-first exact dedup over ANY (doc_id, text) corpus. */
+  def exactSurvivors(corpus: DataFrame): DataFrame =
+    corpus
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("survivor_id"),
            count(lit(1)).as("n_dups"))
@@ -209,11 +213,16 @@ object Dedup {
     * at extreme scale swap in the large-star/small-star contraction,
     * same DataFrame shape). Each iteration is one join + one
     * aggregate; the driver only checks the convergence count. */
-  def components(s: SparkSession, dir: String): DataFrame = {
-    val nodes = DocCorpus.withDuplicates(s, dir)
-      .filter(col("doc_id") % 10000 < 100)
-      .select(col("doc_id").as("id"))
-    val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
+  def components(s: SparkSession, dir: String): DataFrame =
+    componentsOver(
+      DocCorpus.withDuplicates(s, dir)
+        .filter(col("doc_id") % 10000 < 100)
+        .select(col("doc_id").as("id")),
+      ngramJaccard(s, dir).select(col("id_a"), col("id_b")))
+
+  /** DataFrame-first components: nodes (`id`) + undirected pair list
+    * (`id_a`, `id_b`) from ANY dedup detector → (doc_id, component). */
+  def componentsOver(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
