@@ -57,10 +57,10 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-    val pass1 = sample()
-    val pass2 = sample()
-    val results = pass1.keys.toSeq.sorted.map { name =>
-      val sec = math.min(pass1(name), pass2(name))
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = (1 to nPasses).map(_ => sample())
+    val results = passes.head.keys.toSeq.sorted.map { name =>
+      val sec = passes.map(_(name)).min
       System.err.println(f"[bench] $name%-24s $sec%8.2fs")
       name -> sec
     }
