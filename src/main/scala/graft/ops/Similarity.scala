@@ -120,6 +120,34 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Cosine top-5 via the bounded-heap [[graft.plans.TopK]]
+    * aggregator instead of a window: partial aggregation truncates to
+    * k map-side, so the shuffle carries ≤ k×partitions rows per query
+    * rather than every scored candidate (the window formulation
+    * shuffles and sorts all Q·N). Same deterministic ordering and the
+    * SAME oracle as [[topK]] — the two plans must agree exactly. */
+  def topKAgg(s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val q = vecs(s, dir).filter(col("vec_id") < 5)
+      .withColumn("qn", norm(col("v"))).toDF("query_id", "qv", "qn")
+    val t = vecs(s, dir)
+      .withColumn("tn", norm(col("v"))).toDF("target_id", "tv", "tn")
+      .repartition(par)
+    val topk = udaf(graft.plans.TopK(5),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    t.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("sim", dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("target_id")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"),
+        col("col._2").as("target_id"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("col._1").as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Brute-force euclidean top-5 (squared-distance ranking — argmin
     * is monotonic in the square, so the sqrt is paid only on the
     * emitted k rows). Same plan shape as [[topK]]; distance via the
@@ -348,6 +376,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topK _),
     "sim_topk_l2"         -> (topKL2 _),
+    "sim_topk_agg"        -> (topKAgg _),
     "sim_near_dup"        -> (nearDupPairs _),
     "sim_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "sim_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(s, d)))
@@ -355,6 +384,7 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topKSql,
     "sim_topk_l2"         -> topKL2Sql,
+    "sim_topk_agg"        -> topKSql,
     "sim_near_dup"        -> nearDupPairsSql)
     // sim_ann_lsh / sim_ann_ivf: approximate → rows-only check (no oracle)
 }
