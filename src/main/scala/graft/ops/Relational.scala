@@ -666,6 +666,55 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): duplicates
+    * count — `orders` has multiple orders per customer, so the bag
+    * results differ from the distinct q12 variants. */
+  def q28SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val co = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+    val cc = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    val exceptAll = co.exceptAll(cc).withColumn("op", lit("except_all"))
+    val intersectAll = co.intersectAll(cc)
+      .withColumn("op", lit("intersect_all"))
+    exceptAll.union(intersectAll)
+      .groupBy(col("op"), col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("k"))
+  }
+
+  val q28Sql: String =
+    """SELECT op, k, COUNT(*) AS n FROM (
+      |  SELECT 'except_all' AS op, k FROM (
+      |    SELECT o_custkey AS k FROM orders
+      |    EXCEPT ALL
+      |    SELECT c_custkey AS k FROM customer)
+      |  UNION ALL
+      |  SELECT 'intersect_all' AS op, k FROM (
+      |    SELECT o_custkey AS k FROM orders
+      |    INTERSECT ALL
+      |    SELECT c_custkey AS k FROM customer))
+      |GROUP BY op, k
+      |ORDER BY op, k""".stripMargin
+
+  /** Explicit GROUPING SETS with grouping_id — finer than rollup/cube
+    * (q13/q14): exactly the (flag,status), (flag), () combinations,
+    * with the grouping level surfaced as a column. */
+  def q29GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        grouping_id().cast(LongType).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val q29Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -695,7 +744,9 @@ object Relational {
     "q24_pivot"          -> (q24Pivot _),
     "q25_cohort"         -> (q25CohortRetention _),
     "q26_window_funcs"   -> (q26WindowFuncs _),
-    "q27_json_extract"   -> (q27JsonExtract _))
+    "q27_json_extract"   -> (q27JsonExtract _),
+    "q28_set_ops_all"    -> (q28SetOpsAll _),
+    "q29_grouping_sets"  -> (q29GroupingSets _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -724,5 +775,7 @@ object Relational {
     "q24_pivot"          -> q24Sql,
     "q25_cohort"         -> q25Sql,
     "q26_window_funcs"   -> q26Sql,
-    "q27_json_extract"   -> q27Sql)
+    "q27_json_extract"   -> q27Sql,
+    "q28_set_ops_all"    -> q28Sql,
+    "q29_grouping_sets"  -> q29Sql)
 }
