@@ -715,6 +715,173 @@ object Relational {
       |  (l_returnflag), ())
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG-style): per nation, the
+    * sorted distinct market segments of its customers. `collect_set`
+    * is order-nondeterministic under parallel merge, so the plan
+    * sorts the array before joining — the only way a string agg can
+    * be hash-stable on a cluster. */
+  def q30StringAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  val q30Sql: String =
+    """SELECT n_name,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+      |  COUNT(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS subqueries, run through
+    * `spark.sql` over temp views so the exact oracle text executes on
+    * both engines. Catalyst rewrites the subqueries into left-semi /
+    * left-anti hash joins (RewritePredicateSubquery) — no per-row
+    * re-execution, one shuffle each on o_custkey. */
+  def q31ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q31Sql)
+  }
+
+  val q31Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderstatus = 'O')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_totalprice > 400000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Single-pass statistical moments: covariance / correlation /
+    * stddev from decimal power sums (n, Σx, Σy, Σx², Σy², Σxy). The
+    * naive two-pass mean-then-deviation plan reads the data twice; the
+    * power-sum form is one map-side-combinable aggregation — at 100 TB
+    * the shuffle carries 6 numbers per group. Decimal sums make the
+    * partial-merge order irrelevant; the float math on top is a fixed
+    * scalar expression, identical in both engines. */
+  def q32StatsMoments(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_extendedprice").cast(DecimalType(18, 2))
+    val cv = (col("sxy") - col("sx") * col("sy") / col("n")) / col("n")
+    val sdx = sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+    val sdy = sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"),
+        sum(x * y).cast(DoubleType).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        cv.as("covar_pop"), sdx.as("stddev_x"),
+        (cv / (sdx * sdy)).as("corr_xy"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q32Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (sxy - sx * sy / n) / n AS covar_pop,
+      |  sqrt((sxx - sx * sx / n) / n) AS stddev_x,
+      |  ((sxy - sx * sy / n) / n)
+      |    / (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)) AS corr_xy
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Time-interval RANGE frame: per-customer 30-day moving order
+    * total (frame bounded by value distance on the epoch-millis sort
+    * key, not row count), plus percent_rank/cume_dist — rank-based,
+    * so tie-safe. One shuffle on o_custkey serves all four windows. */
+  def q33RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val wt = Window.partitionBy(col("o_custkey"))
+      .orderBy((col("o_orderdate").cast(TimestampType).cast(LongType)
+        * 1000L).as("odate_ms"))
+      .rangeBetween(-30L * dayMs, 0L)
+    val wr = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+    Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wt)
+          .cast(DoubleType).as("moving_30d_total"),
+        count(lit(1)).over(wt).as("n_in_window"),
+        percent_rank().over(wr).as("pr"),
+        cume_dist().over(wr).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+      |    RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_30d_total,
+      |  COUNT(*) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+      |    RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW) AS n_in_window,
+      |  percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS pr,
+      |  cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cd
+      |FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Binned range join: for each purchase event, count/sum all events
+    * in the preceding 10 minutes. A pure non-equi join is a
+    * BroadcastNestedLoopJoin in Spark — O(probe × build), hopeless at
+    * 100 TB. Binning the time axis at the window width and exploding
+    * the probe side into its two covering buckets turns it into an
+    * equi shuffle join on the bucket id (each matching pair lands in
+    * exactly one bucket, so no dedup pass is needed); the residual
+    * range predicate filters within buckets. The oracle states the
+    * same join un-binned — equality proves the rewrite lossless. */
+  def q34RangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    val binSec = 600L
+    val ev = Tables.events(s, dir)
+    val bucket = (t: Column) => floor(t.cast(LongType) / binSec)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withColumn("pb", explode(array(
+        bucket(col("p_ts")), bucket(col("p_ts")) - 1)))
+    val others = ev.select(col("event_id").as("o_id"), col("ts").as("o_ts"),
+        col("value").as("o_value"))
+      .withColumn("ob", bucket(col("o_ts")))
+    purchases.join(others,
+        col("pb") === col("ob") &&
+        col("o_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("o_ts") < col("p_ts"), "left")
+      .groupBy(col("p_id"))
+      .agg(count(col("o_id")).as("n_prior"),
+        sum(col("o_value").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("prior_value"))
+      .orderBy(col("p_id"))
+  }
+
+  val q34Sql: String =
+    """SELECT a.event_id AS p_id, COUNT(b.event_id) AS n_prior,
+      |  CAST(SUM(CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS prior_value
+      |FROM events a LEFT JOIN events b
+      |  ON b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+      |WHERE a.event_type = 'purchase'
+      |GROUP BY a.event_id
+      |ORDER BY a.event_id""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -746,7 +913,12 @@ object Relational {
     "q26_window_funcs"   -> (q26WindowFuncs _),
     "q27_json_extract"   -> (q27JsonExtract _),
     "q28_set_ops_all"    -> (q28SetOpsAll _),
-    "q29_grouping_sets"  -> (q29GroupingSets _))
+    "q29_grouping_sets"  -> (q29GroupingSets _),
+    "q30_string_agg"     -> (q30StringAgg _),
+    "q31_exists_subquery" -> (q31ExistsSubquery _),
+    "q32_stats_moments"  -> (q32StatsMoments _),
+    "q33_range_frame"    -> (q33RangeFrame _),
+    "q34_range_join"     -> (q34RangeJoinBinned _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -777,5 +949,10 @@ object Relational {
     "q26_window_funcs"   -> q26Sql,
     "q27_json_extract"   -> q27Sql,
     "q28_set_ops_all"    -> q28Sql,
-    "q29_grouping_sets"  -> q29Sql)
+    "q29_grouping_sets"  -> q29Sql,
+    "q30_string_agg"     -> q30Sql,
+    "q31_exists_subquery" -> q31Sql,
+    "q32_stats_moments"  -> q32Sql,
+    "q33_range_frame"    -> q33Sql,
+    "q34_range_join"     -> q34Sql)
 }
