@@ -11,7 +11,8 @@ object SparkEntry {
     ops.TextAnalysis.queries ++ ops.Dedup.queries ++
     ops.Similarity.queries ++ ops.StreamingQueries.queries ++
     ops.Multimodal.queries ++ ops.Skew.queries ++ ops.Bucketing.queries ++
-    ops.AsofJoin.queries ++ ops.CurationPipeline.queries
+    ops.AsofJoin.queries ++ ops.CurationPipeline.queries ++
+    ops.ZOrder.queries ++ ops.Maintenance.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
     ops.TextAnalysis.oracle ++ ops.Dedup.oracle ++
     ops.Similarity.oracle ++ ops.StreamingQueries.oracle ++
     ops.Multimodal.oracle ++ ops.Skew.oracle ++ ops.Bucketing.oracle ++
-    ops.AsofJoin.oracle ++ ops.CurationPipeline.oracle
+    ops.AsofJoin.oracle ++ ops.CurationPipeline.oracle ++
+    ops.ZOrder.oracle ++ ops.Maintenance.oracle
 }

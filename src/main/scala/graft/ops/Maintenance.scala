@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Table-maintenance operators for plain-parquet lakes: CDC-style
+  * upsert (MERGE with updates-win semantics) and small-file
+  * compaction. Both are copy-on-write jobs — the only transactional
+  * primitive plain parquet offers — kept as single declarative plans
+  * so Catalyst/AQE size the shuffles.
+  *
+  * Scale: the upsert anti-join shuffles on the merge key; when the
+  * base table is bucketed on that key (`Bucketing`) the exchange on
+  * the base side disappears, and with key-clustered layout
+  * (`ZOrder`/range partitioning) a production variant rewrites only
+  * the files whose key ranges intersect the updates — the mechanism
+  * behind Delta/Iceberg MERGE. Compaction sizes output files from
+  * the actual input byte size, not a fixed partition count, so the
+  * same code yields ~`targetBytes` files at any scale.
+  */
+object Maintenance {
+
+  /** MERGE: rows of `updates` replace base rows with the same key;
+    * unmatched base rows are kept; brand-new keys are inserted.
+    * Precondition: `updates` has at most one row per key (enforce
+    * upstream with dedup — this keeps the operator a pure two-branch
+    * union, no window shuffle). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String])
+      : DataFrame = {
+    val cols = base.columns.toSeq.map(col)
+    updates.select(cols: _*)
+      .unionByName(base.join(updates.select(keys.map(col): _*).distinct(),
+        keys, "left_anti"))
+  }
+
+  /** Compact a parquet directory to ~targetBytes output files: count
+    * comes from the real input size, so small-file storms collapse to
+    * a bounded file count regardless of how many inputs exist. */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val fs = new Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new Path(srcDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(dstDir)
+    spark.read.parquet(dstDir)
+  }
+
+  // -------------------------------------------------------------- //
+
+  private def scratch(dir: String, name: String): String =
+    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2)
+      : org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Gate: upsert a deterministic batch of corrections (every 7th
+    * order re-priced at 0.9× and re-flagged 'R') into orders, then
+    * aggregate the merged table. The oracle states the same merge as
+    * UNION ALL + NOT IN — value equality proves replace/keep/insert
+    * semantics. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+      .withColumn("o_orderstatus", lit("R"))
+    // Sum at scale 4: the 0.9× product carries 3 true decimals, so a
+    // scale-2 cast rounds off-grid doubles and Spark (exact-expansion
+    // HALF_UP) and DuckDB (digit-shift) disagree on ~2% of rows; at
+    // scale 4 every value sits ON the decimal grid and both engines
+    // recover it exactly regardless of rounding mode.
+    upsert(o, updates, Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 4).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH updates AS (
+      |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+      |    o_totalprice * 0.9 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |merged AS (
+      |  SELECT * FROM updates
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates))
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM merged
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Gate: shatter lineitem into 64 small files, compact to ~8 MiB
+    * targets, aggregate the compacted copy. The oracle aggregates the
+    * ORIGINAL table — equality proves compaction is value-preserving.
+    */
+  def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "compact_src")
+    val dst = scratch(dir, "compact_out")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(src)
+    compact(s, src, dst, targetBytes = 8L * 1024 * 1024)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val compactRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> (mergeUpsert _),
+    "compact_roundtrip" -> (compactRoundtrip _))
+  def oracle: Map[String, String] = Map(
+    "merge_upsert" -> mergeUpsertSql,
+    "compact_roundtrip" -> compactRoundtripSql)
+}

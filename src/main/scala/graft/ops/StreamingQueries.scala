@@ -98,17 +98,32 @@ object StreamingQueries {
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '4 hours'
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Stream-static enrichment (broadcast dim join + aggregation). */
+  def enrich(s: SparkSession, dir: String): DataFrame =
+    EventStreams.enrichedSegmentTotals(
+        Tables.events(s, dir), Tables.customer(s, dir))
+      .orderBy(col("c_mktsegment"))
+
+  val enrichSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_sliding"  -> (sliding _),
     "stream_session"  -> (session _),
     "stream_dedup"    -> (dedup _),
-    "stream_interval_join" -> (interval _))
+    "stream_interval_join" -> (interval _),
+    "stream_enrich"   -> (enrich _))
 
   def oracle: Map[String, String] = Map(
     "stream_tumbling" -> tumblingSql,
     "stream_sliding"  -> slidingSql,
     "stream_session"  -> sessionSql,
     "stream_dedup"    -> dedupSql,
-    "stream_interval_join" -> intervalSql)
+    "stream_interval_join" -> intervalSql,
+    "stream_enrich"   -> enrichSql)
 }

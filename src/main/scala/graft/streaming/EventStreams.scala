@@ -101,6 +101,20 @@ object EventStreams {
         col("a_ts"), col("b_ts"))
   }
 
+  /** Stream-static enrichment: join the event stream to a static
+    * dimension table and aggregate per segment. The dim side is
+    * broadcast — no stream-side shuffle, no join state (Spark
+    * re-reads/broadcasts the static side per micro-batch), which is
+    * the scalable shape for stream × small-dim joins; only the
+    * aggregation keeps (tiny, per-segment) state. */
+  def enrichedSegmentTotals(events: DataFrame, customers: DataFrame)
+      : DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsumValue.as("total_value"))
+
   // ---------------------------------------------------------------- //
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Maintenance
+
+/** Upsert (MERGE) semantics and compaction behavior. */
+class MaintenanceSpec extends SparkSpec {
+
+  test("upsert replaces matched keys, keeps unmatched, inserts new") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0))
+      .toDF("k", "tag", "v")
+    val got = Maintenance.upsert(base, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 99.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert on a composite key") {
+    import spark.implicits._
+    val base = Seq((1L, 1, "x"), (1L, 2, "y")).toDF("k1", "k2", "v")
+    val updates = Seq((1L, 2, "Y")).toDF("k1", "k2", "v")
+    val got = Maintenance.upsert(base, updates, Seq("k1", "k2"))
+      .orderBy("k1", "k2").as[(Long, Int, String)].collect().toSeq
+    assert(got == Seq((1L, 1, "x"), (1L, 2, "Y")))
+  }
+
+  test("compact collapses a small-file storm, preserving content") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val src = tmpDir("compact_src")
+    li.repartition(32).write.mode("overwrite").parquet(src)
+    val nSrc = new java.io.File(src).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nSrc == 32)
+
+    val dst = tmpDir("compact_dst")
+    Maintenance.compact(spark, src, dst, targetBytes = 1L * 1024 * 1024)
+    val nDst = new java.io.File(dst).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nDst < nSrc, s"expected fewer files, got $nDst")
+
+    // Content identical (bag equality).
+    val a = spark.read.parquet(src)
+    val b = spark.read.parquet(dst)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}

@@ -43,6 +43,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty)
   }
 
+  test("stream-static enrichment join: stream == batch") {
+    val customers = Tables.customer(spark, dir)
+    val stream = streamed("t_enrich",
+      EventStreams.enrichedSegmentTotals(_, customers))
+    val batch = EventStreams.enrichedSegmentTotals(batchEvents, customers)
+    assert(stream.count() == batch.count())
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark dedups a doubled stream (append)") {
     val doubled = tmpDir("stream_doubled")
     batchEvents.write.mode("overwrite").parquet(doubled)
