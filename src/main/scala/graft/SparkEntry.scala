@@ -12,7 +12,8 @@ object SparkEntry {
     ops.Similarity.queries ++ ops.StreamingQueries.queries ++
     ops.Multimodal.queries ++ ops.Skew.queries ++ ops.Bucketing.queries ++
     ops.AsofJoin.queries ++ ops.CurationPipeline.queries ++
-    ops.ZOrder.queries ++ ops.Maintenance.queries
+    ops.ZOrder.queries ++ ops.Maintenance.queries ++
+    ops.DataQuality.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
     ops.Similarity.oracle ++ ops.StreamingQueries.oracle ++
     ops.Multimodal.oracle ++ ops.Skew.oracle ++ ops.Bucketing.oracle ++
     ops.AsofJoin.oracle ++ ops.CurationPipeline.oracle ++
-    ops.ZOrder.oracle ++ ops.Maintenance.oracle
+    ops.ZOrder.oracle ++ ops.Maintenance.oracle ++
+    ops.DataQuality.oracle
 }

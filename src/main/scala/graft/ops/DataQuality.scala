@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Data-quality operators for a curation pipeline: rule profiling,
+  * referential-integrity checks, and value-distribution histograms.
+  *
+  * Scale design: `profile` evaluates EVERY rule in one
+  * map-side-combinable aggregate — a 100-rule profile of a 100 TB
+  * table is still a single scan with a one-row-per-partition shuffle.
+  * Orphan checks are anti-joins that shuffle on the FK (exchange-free
+  * when the fact table is bucketed on it); the histogram is a
+  * fixed-width bucket groupBy, O(buckets) shuffle rows.
+  */
+object DataQuality {
+
+  /** A named violation predicate (true = row violates the rule). */
+  final case class Rule(name: String, violation: Column)
+
+  /** One scan, one output row: total row count + per-rule violation
+    * counts. */
+  def profile(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      rules.map(r =>
+        sum(when(r.violation, 1L).otherwise(0L)).as(r.name)): _*)
+
+  /** Count of child rows whose FK has no parent (anti-join). */
+  def orphanCount(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+
+  /** Equi-width histogram: `nBuckets` buckets over [min, max), with
+    * out-of-range values clamped into the edge buckets. */
+  def valueHistogram(df: DataFrame, c: Column, min: Double, max: Double,
+      nBuckets: Int): DataFrame = {
+    val w = (max - min) / nBuckets
+    val bucket = least(
+      greatest(floor((c - lit(min)) / lit(w)).cast(LongType), lit(0L)),
+      lit(nBuckets - 1L))
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  // -------------------------------------------------------------- //
+
+  /** Gate: one-pass rule profile over lineitem. Counts are exact and
+    * engine-independent, so the row hashes bit-for-bit. */
+  def dqProfile(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.lineitem(s, dir), Seq(
+      Rule("n_null_price", col("l_extendedprice").isNull),
+      Rule("n_qty_out_of_range",
+        col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+      Rule("n_high_discount", col("l_discount") > 0.08),
+      Rule("n_ship_after_1998",
+        col("l_shipdate") >= lit("1999-01-01").cast(TimestampType)),
+      Rule("n_negative_tax", col("l_tax") < 0.0)))
+
+  val dqProfileSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
+      |  CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_out_of_range,
+      |  CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount,
+      |  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_ship_after_1998,
+      |  CAST(SUM(CASE WHEN l_tax < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_tax
+      |FROM lineitem""".stripMargin
+
+  /** Gate: referential integrity — lineitem→orders and
+    * orders→customer orphan counts in one row. */
+  def dqOrphans(s: SparkSession, dir: String): DataFrame = {
+    val liOrphans = orphanCount(Tables.lineitem(s, dir), "l_orderkey",
+      Tables.orders(s, dir), "o_orderkey")
+      .withColumnRenamed("n_orphans", "n_lineitem_orphans")
+    val oOrphans = orphanCount(Tables.orders(s, dir), "o_custkey",
+      Tables.customer(s, dir), "c_custkey")
+      .withColumnRenamed("n_orphans", "n_order_orphans")
+    liOrphans.crossJoin(oOrphans)
+  }
+
+  val dqOrphansSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_lineitem_orphans,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_order_orphans""".stripMargin
+
+  /** Gate: 10-bucket equi-width histogram of order totals. */
+  def dqHistogram(s: SparkSession, dir: String): DataFrame =
+    valueHistogram(Tables.orders(s, dir), col("o_totalprice"),
+      0.0, 500000.0, 10)
+
+  val dqHistogramSql: String =
+    """SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 50000.0) AS BIGINT), 0), 9) AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile" -> (dqProfile _),
+    "dq_orphans" -> (dqOrphans _),
+    "dq_histogram" -> (dqHistogram _))
+  def oracle: Map[String, String] = Map(
+    "dq_profile" -> dqProfileSql,
+    "dq_orphans" -> dqOrphansSql,
+    "dq_histogram" -> dqHistogramSql)
+}

@@ -54,6 +54,20 @@ object Maintenance {
     spark.read.parquet(dstDir)
   }
 
+  /** Build a type-2 slowly-changing dimension from a change log: one
+    * row per change with `effective_from` = the change timestamp and
+    * `effective_to` = the key's next change (NULL while current).
+    * One window shuffle on the key; `tieBreak` totalizes the order so
+    * same-timestamp changes version deterministically. */
+  def scd2FromLog(log: DataFrame, key: String, ts: String,
+      tieBreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    log.withColumn("effective_from", col(ts))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
   // -------------------------------------------------------------- //
 
   private def scratch(dir: String, name: String): String =
@@ -126,10 +140,31 @@ object Maintenance {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Gate: SCD2 over orders-as-change-log (each order "changes" its
+    * customer's priority attribute). The oracle is the same LEAD
+    * window in DuckDB. */
+  def scd2Build(s: SparkSession, dir: String): DataFrame =
+    scd2FromLog(Tables.orders(s, dir),
+        key = "o_custkey", ts = "o_orderdate", tieBreak = "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+      .orderBy(col("o_custkey"), col("effective_from"), col("o_orderkey"))
+
+  val scd2BuildSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderpriority,
+      |  o_orderdate AS effective_from,
+      |  LEAD(o_orderdate) OVER w AS effective_to,
+      |  (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
-    "compact_roundtrip" -> (compactRoundtrip _))
+    "compact_roundtrip" -> (compactRoundtrip _),
+    "scd2_build" -> (scd2Build _))
   def oracle: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
-    "compact_roundtrip" -> compactRoundtripSql)
+    "compact_roundtrip" -> compactRoundtripSql,
+    "scd2_build" -> scd2BuildSql)
 }
