@@ -13,7 +13,7 @@ object SparkEntry {
     ops.Multimodal.queries ++ ops.Skew.queries ++ ops.Bucketing.queries ++
     ops.AsofJoin.queries ++ ops.CurationPipeline.queries ++
     ops.ZOrder.queries ++ ops.Maintenance.queries ++
-    ops.DataQuality.queries
+    ops.DataQuality.queries ++ ops.TimeSeries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +23,5 @@ object SparkEntry {
     ops.Multimodal.oracle ++ ops.Skew.oracle ++ ops.Bucketing.oracle ++
     ops.AsofJoin.oracle ++ ops.CurationPipeline.oracle ++
     ops.ZOrder.oracle ++ ops.Maintenance.oracle ++
-    ops.DataQuality.oracle
+    ops.DataQuality.oracle ++ ops.TimeSeries.oracle
 }

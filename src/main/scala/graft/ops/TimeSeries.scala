@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Time-series regularization: resample an irregular event stream
+  * onto a fixed grid (the "spine") and forward-fill gaps with the
+  * last observation.
+  *
+  * Scale: the spine is `users × grid` — generated, not shuffled
+  * (a `sequence` + `explode` on the dimension side), so the only
+  * shuffles are the hourly pre-aggregation and the per-user window
+  * for the fill, both keyed on user_id and reusable. The fill itself
+  * is `last(ignoreNulls)` over a running row frame — one pass, no
+  * self-join (the naive "join each gap to its predecessor" plan is a
+  * range self-join that explodes at scale).
+  */
+object TimeSeries {
+
+  /** Hourly resample + forward fill. `gridStart`/`gridEnd` bound the
+    * spine (at scale: from table stats, or a calendar dimension). */
+  def resampleFfill(events: DataFrame, gridStart: String, gridEnd: String)
+      : DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+        .as("v"))
+    val users = events.select(col("user_id")).distinct()
+    val spine = users.select(col("user_id"),
+      explode(sequence(
+        lit(gridStart).cast(TimestampType),
+        lit(gridEnd).cast(TimestampType),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
+  }
+
+  // -------------------------------------------------------------- //
+
+  /** Gate: resample the events table onto its (fixture-fixed) January
+    * 2024 hourly grid, forward-fill, and roll up per user: grid size,
+    * number of gap-filled hours, and the decimal-exact total of the
+    * filled series. The oracle rebuilds the same spine with
+    * generate_series + IGNORE NULLS window in DuckDB. */
+  def tsResample(s: SparkSession, dir: String): DataFrame =
+    resampleFfill(Tables.events(s, dir),
+        "2024-01-01 00:00:00", "2024-01-30 23:00:00")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("v").isNull && col("fv").isNotNull, 1L).otherwise(0L))
+          .as("n_filled"),
+        sum(col("fv").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total"))
+      .orderBy(col("user_id"))
+
+  val tsResampleSql: String =
+    """WITH hours AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT u.user_id, hours.h FROM users u CROSS JOIN hours),
+      |filled AS (
+      |  SELECT s.user_id, s.h, hourly.v,
+      |    last_value(hourly.v IGNORE NULLS) OVER (
+      |      PARTITION BY s.user_id ORDER BY s.h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      |  FROM spine s LEFT JOIN hourly
+      |    ON s.user_id = hourly.user_id AND s.h = hourly.h)
+      |SELECT user_id, COUNT(*) AS n_hours,
+      |  CAST(SUM(CASE WHEN v IS NULL AND fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+      |  CAST(SUM(CAST(fv AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM filled
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("ts_resample_ffill" -> (tsResample _))
+  def oracle: Map[String, String] =
+    Map("ts_resample_ffill" -> tsResampleSql)
+}
