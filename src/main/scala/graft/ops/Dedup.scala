@@ -315,9 +315,43 @@ object Dedup {
        |      ${DocCorpus.NormalizeSql.replace("text", "b.text")}
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Keep the newest row per key (change-log compaction / dedup by
+    * recency): row_number over (keys, orderCols desc) = 1. The
+    * tie-break columns must totalize the order or survivors are
+    * nondeterministic. One window shuffle on the keys; at scale this
+    * is the standard upstream of a CDC upsert (one row per key per
+    * batch — `Maintenance.applyCdcStream`'s precondition). */
+  def latestPerKey(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Gate: the latest event per user (ties on ts broken by event_id).
+    */
+  def latest(s: SparkSession, dir: String): DataFrame =
+    latestPerKey(graft.Tables.events(s, dir),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .orderBy(col("user_id"))
+
+  val latestSql: String =
+    """SELECT user_id, event_id, ts, event_type FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_latest"        -> (latest _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -326,6 +360,7 @@ object Dedup {
     "dedup_components"    -> (components _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_latest"        -> latestSql,
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh"   -> minhashLshSql,

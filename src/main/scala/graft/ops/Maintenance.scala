@@ -54,6 +54,39 @@ object Maintenance {
     spark.read.parquet(dstDir)
   }
 
+  /** MERGE one change batch into a parquet table path: upsert, write
+    * to a staging dir, swap atomically (same pattern as the purge
+    * engine's anti-rewrite). The staging write materializes the merge
+    * before the old table is dropped. */
+  def applyBatch(batch: DataFrame, baseDir: String, keys: Seq[String])
+      : Unit = {
+    val spark = batch.sparkSession
+    val merged = upsert(spark.read.parquet(baseDir), batch, keys)
+    val staging = baseDir + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val fs = new Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(baseDir), true)
+    fs.rename(new Path(staging), new Path(baseDir))
+  }
+
+  /** Apply a CDC change stream to a base parquet table: foreachBatch
+    * MERGEs each micro-batch (updates win) and swaps the table dir.
+    * The checkpoint gives exactly-once batch delivery; re-applying a
+    * replayed batch is idempotent because upsert is deterministic on
+    * the keys. Precondition (as for `upsert`): one row per key per
+    * batch. */
+  def applyCdcStream(changes: DataFrame, baseDir: String,
+      keys: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, baseDir, keys)
+      }
+      .start()
+
   /** Build a type-2 slowly-changing dimension from a change log: one
     * row per change with `effective_from` = the change timestamp and
     * `effective_to` = the key's next change (NULL while current).

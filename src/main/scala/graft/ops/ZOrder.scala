@@ -37,14 +37,23 @@ object ZOrder {
       lit(buckets - 1))
   }
 
-  /** Morton interleave of two quantized keys: bit i of x lands at
-    * position 2i, bit i of y at 2i+1. 2·bits shift-and-mask terms,
-    * all codegen'd. */
-  def interleave2(x: Column, y: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+  /** Morton interleave of N quantized keys, round-robin: bit i of
+    * dimension j lands at position i·N + j. N·bits shift-and-mask
+    * terms, all codegen'd. Result must fit a signed long. */
+  def interleaveN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.size * bits <= 63,
+      s"${dims.size} dims × $bits bits exceeds a signed long")
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+          i * dims.size + j)
+      }
     }.reduce(_ + _)
+  }
+
+  /** Two-key Morton interleave: bit i of x at 2i, of y at 2i+1. */
+  def interleave2(x: Column, y: Column, bits: Int): Column =
+    interleaveN(Seq(x, y), bits)
 
   /** The same quantize+interleave as a SQL string (for the oracle). */
   def interleaveSql(xExpr: String, yExpr: String, bits: Int): String =

@@ -28,6 +28,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(got == Seq((1L, 1, "x"), (1L, 2, "Y")))
   }
 
+  test("CDC stream applies change batches to a parquet table") {
+    import spark.implicits._
+    val baseDir = tmpDir("cdc_base")
+    val srcDir = tmpDir("cdc_changes")
+    val ck = tmpDir("cdc_ckpt")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(baseDir)
+
+    // Batch 1: update k=2, insert k=4.
+    Seq((2L, "B"), (4L, "d")).toDF("k", "v")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = Maintenance.applyCdcStream(
+      spark.readStream.schema(schema).parquet(srcDir),
+      baseDir, Seq("k"), ck)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(baseDir).orderBy("k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+
+      // Batch 2: update k=4, insert k=5.
+      Seq((4L, "D"), (5L, "e")).toDF("k", "v")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(spark.read.parquet(baseDir).orderBy("k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"), (5L, "e")))
+    } finally q.stop()
+  }
+
   test("compact collapses a small-file storm, preserving content") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey"), col("l_quantity"))

@@ -23,6 +23,25 @@ class ZOrderSpec extends SparkSpec {
     assert(got.toSeq == pairs.map { case (x, y) => morton(x, y) })
   }
 
+  test("interleaveN matches reference round-robin encoding (property)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    def ref(dims: Seq[Long], bits: Int): Long =
+      (0 until bits).flatMap(i => dims.zipWithIndex.map { case (v, j) =>
+        ((v >> i) & 1L) << (i * dims.size + j)
+      }).sum
+    val g = Gen.listOfN(3, Gen.choose(0L, (1L << 20) - 1))
+    val triples = Gen.listOfN(200, g).sample.get.map {
+      case Seq(a, b, c) => (a, b, c)
+      case _ => (0L, 0L, 0L)
+    }
+    val got = triples.toDF("a", "b", "c")
+      .select(ZOrder.interleaveN(
+        Seq(col("a"), col("b"), col("c")), 20).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == triples.map(t => ref(Seq(t._1, t._2, t._3), 20)))
+  }
+
   test("quantize clamps to [0, 2^bits)") {
     import spark.implicits._
     val got = Seq(-5.0, 0.0, 50.0, 100.0, 120.0).toDF("v")
