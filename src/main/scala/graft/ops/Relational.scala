@@ -882,6 +882,62 @@ object Relational {
       |GROUP BY a.event_id
       |ORDER BY a.event_id""".stripMargin
 
+  /** UNPIVOT (melt): wide per-flag measure columns back to long
+    * (measure, value) rows with the native `Dataset.unpivot` — the
+    * inverse of q24's pivot. Generated, not shuffled: unpivot is a
+    * projection (each input row expands to k output rows). */
+  def q35Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_tax"), 4).as("sum_tax"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_tax")),
+        "measure", "val")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  val q35Sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, val FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_tax', sum_tax FROM wide)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  /** Semi-structured props through Spark 4's VariantType: parse once,
+    * extract typed paths with variant_get. Variant's binary encoding
+    * is decoded lazily per path — at scale this beats re-parsing JSON
+    * text per extraction (q27's get_json_object path). Same oracle
+    * semantics as q27, different (variant) execution path. */
+  def q36Variant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q36Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(CAST(props->>'k' AS BIGINT)) AS n_k,
+      |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -918,7 +974,9 @@ object Relational {
     "q31_exists_subquery" -> (q31ExistsSubquery _),
     "q32_stats_moments"  -> (q32StatsMoments _),
     "q33_range_frame"    -> (q33RangeFrame _),
-    "q34_range_join"     -> (q34RangeJoinBinned _))
+    "q34_range_join"     -> (q34RangeJoinBinned _),
+    "q35_unpivot"        -> (q35Unpivot _),
+    "q36_variant"        -> (q36Variant _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -954,5 +1012,7 @@ object Relational {
     "q31_exists_subquery" -> q31Sql,
     "q32_stats_moments"  -> q32Sql,
     "q33_range_frame"    -> q33Sql,
-    "q34_range_join"     -> q34Sql)
+    "q34_range_join"     -> q34Sql,
+    "q35_unpivot"        -> q35Sql,
+    "q36_variant"        -> q36Sql)
 }
