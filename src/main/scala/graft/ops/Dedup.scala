@@ -226,21 +226,31 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
-    var labels = nodes.withColumn("label", col("id")).cache()
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
+      // localCheckpoint (eager) both materializes this iteration's
+      // labels AND truncates the plan lineage — without it the plan
+      // deepens by a join+agg every iteration, so planning time and
+      // (post-cache-eviction) recompute cost grow linearly with
+      // cluster diameter. Storage-level persistence of a checkpoint
+      // survives only executor life — acceptable for an iterative
+      // refinement that can simply be rerun on loss; a durable
+      // `checkpoint(dir)` is the belt-and-braces variant at scale.
       val prop = edges
         .join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint()
       changed = prop.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist(blocking = false) // superseded — drop its storage
       labels = prop
       iter += 1
     }
+    edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
   }

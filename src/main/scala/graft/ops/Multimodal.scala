@@ -29,7 +29,7 @@ object Multimodal {
       n_bytes: Long, mime: String)
 
   case class FeatureRow(doc_id: Long, kind: String, dim: Int,
-      features: Array[Float])
+      features: Array[Float], n_bytes: Long)
 
   case class Frame(doc_id: Long, frame_no: Int, frame: Array[Byte])
 
@@ -72,7 +72,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val f = FakeDecoder.decode(r.payload)
-        FeatureRow(r.doc_id, r.kind, f.length, f)
+        FeatureRow(r.doc_id, r.kind, f.length, f, r.payload.length.toLong)
       }
     }
   }
@@ -110,20 +110,46 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Gate query (rows-only: the stub decoder is not SQL-expressible):
-    * feature vectors summarized per kind — proves the typed
-    * mapPartitions path runs distributed and deterministic. */
+  /** Gate query: feature vectors summarized per kind — proves the
+    * typed mapPartitions path runs distributed and deterministic.
+    *
+    * Oracle-exact despite float features: bin 0 of the stub histogram
+    * is (count of bytes ≤ 0x0F) / n as a float32, so
+    * `round(features[0] * n_bytes)` recovers the integer count exactly
+    * (relative float32 error < 2^-24 → absolute error < 0.5 for any
+    * payload under 8 MB). In UTF-8, bytes 0x00–0x0F arise only from
+    * codepoints U+0000–U+000F (multibyte sequences use bytes ≥ 0x80),
+    * so DuckDB can reproduce the count as characters stripped by a
+    * control-char regex — an engine-independent integer oracle for a
+    * float feature pipeline. */
   def featureSummary(s: SparkSession, dir: String): DataFrame = {
     val sp = s
     import sp.implicits._
     val media = mediaTable(s, dir).as[MediaRow]
     extractFeatures(media).toDF()
+      .withColumn("bin0_count",
+        round(element_at(col("features"), 1) * col("n_bytes"))
+          .cast(LongType))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
-        avg(element_at(col("features"), 1)).as("mean_bin0"),
-        max(col("dim")).as("dim"))
+        max(col("dim")).as("dim"),
+        sum(col("bin0_count")).as("bin0_bytes"),
+        sum(col("n_bytes")).as("total_bytes"))
       .orderBy(col("kind"))
   }
+
+  val featureSummarySql: String =
+    """SELECT
+      |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |  count(*) AS n,
+      |  CAST(16 AS INTEGER) AS dim,
+      |  CAST(sum(length(text) -
+      |    length(regexp_replace(text, '[\x00-\x0f]', '', 'g'))) AS BIGINT)
+      |    AS bin0_bytes,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY kind""".stripMargin
 
   /** Gate query: frame sampling, frames decoded back to text for the
     * oracle (the synthetic payloads are UTF-8 ASCII, so byte slices
@@ -150,7 +176,7 @@ object Multimodal {
     "multimodal_frames"   -> (frames _))
 
   def oracle: Map[String, String] = Map(
-    "multimodal_meta"   -> metaSql,
-    "multimodal_frames" -> framesSql)
-    // multimodal_features: stub decoder → rows-only check
+    "multimodal_meta"     -> metaSql,
+    "multimodal_features" -> featureSummarySql,
+    "multimodal_frames"   -> framesSql)
 }

@@ -46,12 +46,18 @@ object ParityQueries {
     * equality proves the conversion is value-preserving. */
   def convCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val csvDir = scratch(dir, "conv_roundtrip_csv")
-    Tables.lineitem(s, dir).write
-      .mode("overwrite")
-      .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
-      .csv(csvDir)
+    // Micros-preserving export: SSSSSS keeps fractional seconds, so the
+    // round-trip gate (not just the unit spec) proves sub-second
+    // fidelity through the conversion path. CsvIngest's multi-format
+    // timestamp parse accepts both fraction-less and fractional forms.
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir).write
+        .mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(csvDir)
+    }
     val schema = SchemaLoader.fromJson(LineitemSchemaJson)
     val back = CsvIngest.read(s, csvDir, schema)
     back.groupBy(col("l_returnflag"))
@@ -81,7 +87,7 @@ object ParityQueries {
 
   /** Fresh scratch copy of `orders` as a purge-able parquet table. */
   private def copyOrders(s: SparkSession, dir: String, name: String)
-      : (String, Purge.DirResolver) = {
+      : (String, Purge.DirResolver) = graft.Scaffold.setup {
     val root = scratch(dir, name)
     ParquetSink.write(Tables.orders(s, dir), s"$root/orders")
     (s"$root/orders", Purge.DirResolver(root))
@@ -105,6 +111,24 @@ object ParityQueries {
       |FROM orders
       |WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1997-01-01')
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Mutating `action='SQL'` (Q3, reference `AutoPurge.sql:129-138`):
+    * a raw `DELETE FROM t WHERE c` config statement actually mutates
+    * the parquet table (routed through the anti-rewrite), unlike a
+    * temp-view no-op. Oracle: survivors on the original table. */
+  def purgeSqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val (path, resolver) = copyOrders(s, dir, "purge_sql_delete")
+    new Purge.Engine(s, resolver).run(
+      Seq(Purge.PurgeConfig("graft", "orders", "SQL",
+        s"DELETE FROM orders WHERE $Criteria",
+        maxRecordCount = Long.MaxValue)))
+    s.read.parquet(path)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val purgeSqlDeleteSql: String = purgeCriteriaDeleteSql
 
   /** Guard abort (A1): matching rows exceed maxRecordCount → purge
     * aborts, table untouched. Oracle: full row count. */
@@ -168,6 +192,7 @@ object ParityQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_csv_roundtrip"    -> (convCsvRoundtrip _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
+    "purge_sql_delete"      -> (purgeSqlDelete _),
     "purge_guard_abort"     -> (purgeGuardAbort _),
     "purge_dryrun"          -> (purgeDryRun _),
     "purge_truncate"        -> (purgeTruncate _),
@@ -176,6 +201,7 @@ object ParityQueries {
   def oracle: Map[String, String] = Map(
     "conv_csv_roundtrip"    -> convCsvRoundtripSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
+    "purge_sql_delete"      -> purgeSqlDeleteSql,
     "purge_guard_abort"     -> purgeGuardAbortSql,
     "purge_dryrun"          -> purgeDryRunSql,
     "purge_truncate"        -> purgeTruncateSql,

@@ -126,23 +126,67 @@ object Purge extends Logging {
       }
     }
 
+    /** `DELETE FROM <table> [WHERE <criteria>]` — the one mutating
+      * statement shape the reference's SQL-action configs actually
+      * carry (`AutoPurge.sql:129-138`), recognized so it MUTATES the
+      * parquet table (routed through the same anti-rewrite as the
+      * CRITERIA action) instead of no-op'ing against a temp view. */
+    private val DeleteStmt =
+      """(?is)\A\s*DELETE\s+FROM\s+([A-Za-z_][\w$.]*)\s*(?:WHERE\s+(.+?))?\s*;?\s*\z""".r
+
+    private val MutatingVerbs =
+      Set("UPDATE", "INSERT", "MERGE", "DROP", "ALTER", "CREATE")
+
     private def runSql(c: PurgeConfig, path: String): Unit = {
       val stmt = c.sqlStatement.trim
-      val isTruncate = stmt.toUpperCase.startsWith("TRUNCATE")
       if (dryRun) {
         audit(s"DRY RUN: would execute: $stmt", c.userName, c.tableName)
-      } else if (isTruncate) {
-        // TRUNCATE fast path (Q3): overwrite with an empty frame of the
-        // same schema — no scan of the data.
-        val schema = spark.read.parquet(path).schema
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        replaceTable(path, empty)
-        audit("TRUNCATE fast path: table emptied", c.userName, c.tableName)
-      } else {
-        spark.read.parquet(path).createOrReplaceTempView(c.tableName)
-        spark.sql(stmt)
-        audit(s"executed SQL: $stmt", c.userName, c.tableName)
+        return
+      }
+      stmt match {
+        case s if s.toUpperCase.startsWith("TRUNCATE") =>
+          // TRUNCATE fast path (Q3): overwrite with an empty frame of
+          // the same schema — no scan of the data.
+          val schema = spark.read.parquet(path).schema
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          replaceTable(path, empty)
+          audit("TRUNCATE fast path: table emptied", c.userName,
+            c.tableName)
+        case DeleteStmt(table, whereOrNull) =>
+          val target =
+            if (table.equalsIgnoreCase(c.tableName)) Some(path)
+            else resolver.pathOf(table)
+          target match {
+            case None =>
+              audit(s"DELETE target '$table' not found, skipping",
+                c.userName, c.tableName)
+            case Some(p) =>
+              val df = spark.read.parquet(p)
+              Option(whereOrNull) match {
+                case Some(cond) =>
+                  val n = df.filter(expr(cond)).count()
+                  replaceTable(p, df.filter(!expr(cond)))
+                  audit(s"SQL DELETE: removed $n rows matching '$cond'",
+                    c.userName, c.tableName)
+                case None =>
+                  val n = df.count()
+                  replaceTable(p, df.limit(0))
+                  audit(s"SQL DELETE: removed all $n rows", c.userName,
+                    c.tableName)
+              }
+          }
+        case s if MutatingVerbs.contains(
+            s.split("\\s+").head.toUpperCase) =>
+          // Loud skip, not a silent temp-view no-op: plain parquet has
+          // no in-place mutation; a table format (Delta/Iceberg) is
+          // the scale answer for general DML.
+          audit(s"UNSUPPORTED mutating statement on a parquet table, " +
+            s"skipping: $stmt", c.userName, c.tableName)
+        case _ =>
+          spark.read.parquet(path).createOrReplaceTempView(c.tableName)
+          spark.sql(stmt)
+          audit(s"executed SQL: $stmt", c.userName, c.tableName)
       }
     }
 
@@ -171,12 +215,7 @@ object Purge extends Logging {
     private def replaceTable(path: String, replacement: DataFrame): Unit = {
       val staging = path + ".staging"
       ParquetSink.write(replacement, staging)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(staging),
-        spark.sparkContext.hadoopConfiguration)
-      val target = new org.apache.hadoop.fs.Path(path)
-      fs.delete(target, true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+      TableSwap.swapIn(spark, path, staging)
     }
   }
 }

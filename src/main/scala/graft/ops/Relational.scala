@@ -938,6 +938,46 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Approximate sketches — the 100 TB alternatives to q11's exact
+    * multi-distinct (which forces Catalyst's Expand row-tripling) and
+    * q23's exact percentile (which buffers every group's values).
+    * `approx_count_distinct` (HLL++, rsd 0.01) and `percentile_approx`
+    * (mergeable rank sketch) are both single-pass, fixed-memory,
+    * map-combinable — one scan, no Expand, no value buffering.
+    *
+    * Oracle design: sketch outputs differ across engines by
+    * construction, so the gate hash-matches the EXACT values and
+    * asserts the approximate ones land within tolerance as booleans
+    * (DuckDB emits literal `true`). Deterministic per dataset: the
+    * sketches have no RNG, so a local pass is a driver pass. */
+  def q37ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("ap_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+          .as("ap_p50"))
+      .select(col("l_returnflag"),
+        col("n_parts_exact"),
+        (abs(col("ap_parts").cast(DoubleType) - col("n_parts_exact"))
+          / col("n_parts_exact") <= 0.05).as("parts_approx_ok"),
+        round(col("p50_exact"), 4).as("p50_exact"),
+        (abs(col("ap_p50") - col("p50_exact")) / col("p50_exact") <= 0.01)
+          .as("p50_approx_ok"))
+      .orderBy(col("l_returnflag"))
+
+  val q37Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts_exact,
+      |  true AS parts_approx_ok,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      |  true AS p50_approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -976,7 +1016,8 @@ object Relational {
     "q33_range_frame"    -> (q33RangeFrame _),
     "q34_range_join"     -> (q34RangeJoinBinned _),
     "q35_unpivot"        -> (q35Unpivot _),
-    "q36_variant"        -> (q36Variant _))
+    "q36_variant"        -> (q36Variant _),
+    "q37_approx_distinct" -> (q37ApproxDistinct _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1014,5 +1055,6 @@ object Relational {
     "q33_range_frame"    -> q33Sql,
     "q34_range_join"     -> q34Sql,
     "q35_unpivot"        -> q35Sql,
-    "q36_variant"        -> q36Sql)
+    "q36_variant"        -> q36Sql,
+    "q37_approx_distinct" -> q37Sql)
 }

@@ -79,4 +79,46 @@ class MaintenanceSpec extends SparkSpec {
     val b = spark.read.parquet(dst)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("TableSwap keeps a full copy on disk at every instant") {
+    import spark.implicits._
+    import graft.ops.TableSwap
+    val target = tmpDir("swap_target") + "/t"
+    val staging = target + ".staging"
+    Seq((1L, "old")).toDF("k", "v").write.parquet(target)
+    Seq((2L, "new")).toDF("k", "v").write.parquet(staging)
+
+    // Simulate the crash window the old delete-then-rename had: after
+    // step (1) the committed table must still exist (at .old) even
+    // though the target path is briefly vacant.
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + ".old")) // = crash after (1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target)))
+    assert(spark.read.parquet(target + ".old").count() == 1) // data safe
+
+    // Recovery restores the committed table.
+    assert(TableSwap.recover(spark, target))
+    assert(spark.read.parquet(target)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "old")))
+
+    // And the full swap lands the staging data with no loss window.
+    TableSwap.swapIn(spark, target, staging)
+    assert(spark.read.parquet(target)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "new")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + ".old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+  }
+
+  test("TableSwap on a fresh path (no existing target)") {
+    import spark.implicits._
+    import graft.ops.TableSwap
+    val target = tmpDir("swap_fresh") + "/t"
+    val staging = target + ".staging"
+    Seq((7L, "x")).toDF("k", "v").write.parquet(staging)
+    TableSwap.swapIn(spark, target, staging)
+    assert(spark.read.parquet(target)
+      .as[(Long, String)].collect().toSeq == Seq((7L, "x")))
+  }
 }
