@@ -43,7 +43,15 @@ object ConvertPipeline extends Logging {
       parquetDir: String,
       schema: StructType,
       preserveFileNames: Boolean = true,
-      s3: Option[S3Conf.S3Settings] = None)
+      s3: Option[S3Conf.S3Settings] = None,
+      quarantineDir: Option[String] = None)
+
+  /** Per-file conversion report (quarantine mode): input rows, rows
+    * quarantined, produced target. The reference's per-file abort
+    * (`CsvToParquetConverter.java:204-213`) becomes per-ROW isolation
+    * with a loud per-file account of what was held back. */
+  case class FileReport(source: String, target: String,
+      rows: Long, quarantined: Long)
 
   def loadProperties(path: String): Properties = {
     val p = new Properties()
@@ -111,6 +119,52 @@ object ConvertPipeline extends Logging {
       val df = CsvIngest.readAll(spark, csvs, cfg.schema)
       ParquetSink.write(df, cfg.parquetDir)
       Seq(cfg.parquetDir)
+    }
+  }
+
+  /** Conversion with row-level quarantine: bad rows (malformed lines,
+    * failed strict casts) are diverted to `cfg.quarantineDir` with
+    * their raw cells + source file + reason, good rows written as
+    * usual. One distributed job regardless of file count; per-file
+    * accounting is a second aggregate over the pruned (raw-cells-free)
+    * scan. The driver-side collect is per-FILE metadata (like the
+    * directory listing itself), not per-row data. */
+  def convertChecked(spark: SparkSession, cfg: Config): Seq[FileReport] = {
+    val qDir = cfg.quarantineDir.getOrElse(
+      throw new IllegalArgumentException("quarantineDir not set"))
+    val csvs = discoverCsvs(cfg.sourceDir)
+    Files.createDirectories(Paths.get(cfg.parquetDir))
+    val checked = CsvIngest.readChecked(spark, csvs, cfg.schema)
+    val bad = CsvIngest.badRows(checked, cfg.schema)
+    bad.write.mode("overwrite")
+      .option("compression", "snappy").parquet(qDir)
+    if (cfg.preserveFileNames) {
+      csvs.foreach { csv =>
+        val name = Paths.get(csv).getFileName.toString
+          .replaceAll("(?i)\\.csv$", ".parquet")
+        val good = CsvIngest.goodRows(
+          CsvIngest.readChecked(spark, Seq(csv), cfg.schema), cfg.schema)
+        ParquetSink.writeSingleFile(good, s"${cfg.parquetDir}/$name")
+      }
+    } else {
+      ParquetSink.write(
+        CsvIngest.goodRows(checked, cfg.schema), cfg.parquetDir)
+    }
+    val counts = checked
+      .groupBy(col(CsvIngest.SrcFileCol))
+      .agg(count(lit(1)).as("rows"),
+        count(col(CsvIngest.ReasonCol)).as("quarantined"))
+      .collect()
+      .map(r => r.getString(0).replaceFirst("^file:/+", "/") ->
+        (r.getLong(1), r.getLong(2))).toMap
+    csvs.map { csv =>
+      val (rows, q) = counts.getOrElse(csv, (0L, 0L))
+      val name = Paths.get(csv).getFileName.toString
+        .replaceAll("(?i)\\.csv$", ".parquet")
+      val target = if (cfg.preserveFileNames)
+        s"${cfg.parquetDir}/$name" else cfg.parquetDir
+      if (q > 0) logWarning(s"$csv: quarantined $q of $rows row(s) → $qDir")
+      FileReport(csv, target, rows, q)
     }
   }
 

@@ -80,6 +80,53 @@ object ParityQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Quarantine gate (reference file-abort semantics,
+    * `CsvToParquetConverter.java:204-213`, re-expressed as row-level
+    * isolation): export lineitem to CSV with l_linenumber deliberately
+    * corrupted to a non-integer on a deterministic key subset, ingest
+    * through [[CsvIngest.readChecked]], and prove the split is exact —
+    * good rows aggregate like the un-corrupted table minus the
+    * corrupted keys; the corrupted rows are ALL quarantined (counted
+    * under the `_quarantined` bucket), none silently NULLed into the
+    * output. */
+  def convQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = scratch(dir, "conv_quarantine_csv")
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir)
+        .withColumn("l_linenumber",
+          when(col("l_orderkey") % 97 === 0, lit("not_an_int"))
+            .otherwise(col("l_linenumber").cast(StringType)))
+        .write
+        .mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(csvDir)
+    }
+    val schema = SchemaLoader.fromJson(LineitemSchemaJson)
+    val checked = CsvIngest.readChecked(s, Seq(csvDir), schema)
+    val good = CsvIngest.goodRows(checked, schema)
+      .groupBy(col("l_returnflag").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"))
+    val bad = CsvIngest.badRows(checked, schema)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("_quarantined").as("bucket"), col("n"),
+        lit(null).cast(DoubleType).as("sum_qty"))
+    good.unionAll(bad).orderBy(col("bucket"))
+  }
+
+  val convQuarantineSql: String =
+    """SELECT l_returnflag AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 97 <> 0
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT '_quarantined' AS bucket, COUNT(*) AS n,
+      |  CAST(NULL AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 97 = 0
+      |ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   private val Criteria =
@@ -191,6 +238,7 @@ object ParityQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_csv_roundtrip"    -> (convCsvRoundtrip _),
+    "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_sql_delete"      -> (purgeSqlDelete _),
     "purge_guard_abort"     -> (purgeGuardAbort _),
@@ -200,6 +248,7 @@ object ParityQueries {
 
   def oracle: Map[String, String] = Map(
     "conv_csv_roundtrip"    -> convCsvRoundtripSql,
+    "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_sql_delete"      -> purgeSqlDeleteSql,
     "purge_guard_abort"     -> purgeGuardAbortSql,

@@ -100,6 +100,116 @@ object CsvIngest {
     raw.selectExpr(exprs.toIndexedSeq: _*)
   }
 
+  // ------------------------------------------------------------------ //
+  // Quarantine path (reference file-abort semantics, re-expressed):
+  // `CsvToParquetConverter.java:204-213` aborts the WHOLE file on one
+  // unparseable int/long/date/timestamp. A distributed engine does
+  // better than both silent NULLing and whole-file loss: every row is
+  // classified in the same single codegen'd projection, good rows flow
+  // to the sink, bad rows land in a quarantine table with their raw
+  // cells, source file, and a reason — loud isolation, no data loss.
+
+  /** Metadata columns added by [[readChecked]]. */
+  val SrcFileCol = "_src_file"
+  val ReasonCol = "_bad_reason"
+  val CorruptCol = "_corrupt_record"
+  def rawName(field: String): String = s"_raw_$field"
+
+  /** Types whose unparseable values abort a file in the reference
+    * (P2–P5). DECIMAL stays lenient (warn + NULL) there too (P6). */
+  private def strictType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Read CSVs bound positionally to `schema`, classifying every row.
+    *
+    * Output = typed columns (per `schema`) ++ raw string cells
+    * (`_raw_<name>`) ++ [[SrcFileCol]] ++ [[ReasonCol]]. A row is bad
+    * when (a) the line itself is malformed — extra tokens or broken
+    * RFC-4180 quoting, captured via PERMISSIVE's corrupt-record column
+    * — or (b) a non-empty cell of a strict type fails its cast.
+    * [[ReasonCol]] is NULL for good rows.
+    *
+    * Short rows are NOT malformed: the reference reads missing
+    * trailing cells as NULL (`CsvToParquetConverter.java:159`, P7) and
+    * [[readAll]] preserves that, so the corrupt-record marker (which
+    * Spark also sets for under-length rows) is demoted back to good
+    * when the raw line has fewer delimiters than the schema needs. A
+    * short row whose QUOTED cells embed the delimiter can over-count
+    * and land in quarantine — the conservative direction for an
+    * isolation path (loudly held back, never silently wrong).
+    *
+    * Still one scan + one projection, no UDFs: callers that select
+    * only the typed columns get the raw cells pruned away by Catalyst,
+    * so the good-row path costs the same as [[readAll]].
+    */
+  def readChecked(spark: SparkSession, paths: Seq[String],
+      schema: StructType, header: Boolean = true,
+      delimiter: String = ",",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val rawSchema = StructType(schema.indices.map(i =>
+      StructField(s"_c$i", StringType, nullable = true)) :+
+      StructField(CorruptCol, StringType, nullable = true))
+    val raw = spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("enforceSchema", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .options(options)
+      .schema(rawSchema)
+      .csv(paths: _*)
+    // Per-column failed-cast markers: non-empty raw cell, NULL typed
+    // value. Catalyst's common-subexpression elimination shares the
+    // cast between the value column and its check.
+    val badMarks = schema.fields.zipWithIndex.collect {
+      case (f, i) if strictType(f.dataType) =>
+        s"""CASE WHEN TRIM(COALESCE(_c$i, '')) <> ''
+           |  AND (${castSql(s"_c$i", f.dataType)}) IS NULL
+           |  THEN '${f.name}' END""".stripMargin
+    }
+    // concat_ws skips NULL elements natively (codegen'd — no
+    // interpreted higher-order FILTER in the per-row path).
+    val badJoined = concat_ws(",", expr(
+      if (badMarks.isEmpty) "ARRAY(CAST(NULL AS STRING))"
+      else badMarks.mkString("ARRAY(", ", ", ")")))
+    // Spark sets the corrupt marker for under-length rows too; a raw
+    // line with fewer tokens than the schema is a SHORT row (good, P7),
+    // not a malformed one. Token count via regex-quoted delimiter.
+    val corrupt = col(CorruptCol)
+    val shortRow =
+      size(split(corrupt, java.util.regex.Pattern.quote(delimiter))) <
+        lit(schema.length)
+    val reason =
+      when(corrupt.isNotNull && !shortRow, lit("malformed_line"))
+        .when(length(badJoined) > 0,
+          concat(lit("bad_cast:"), badJoined))
+        .otherwise(lit(null).cast(StringType))
+    val typed = schema.fields.zipWithIndex.map { case (f, i) =>
+      expr(castSql(s"_c$i", f.dataType)).as(f.name)
+    }
+    val raws = schema.fields.zipWithIndex.map { case (f, i) =>
+      col(s"_c$i").as(rawName(f.name))
+    }
+    raw.select(
+      (typed ++ raws ++ Seq(
+        input_file_name().as(SrcFileCol),
+        reason.as(ReasonCol))).toIndexedSeq: _*)
+  }
+
+  /** Clean rows of a [[readChecked]] frame, schema columns only. */
+  def goodRows(checked: DataFrame, schema: StructType): DataFrame =
+    checked.filter(col(ReasonCol).isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Quarantined rows: source file, reason, original raw cells. */
+  def badRows(checked: DataFrame, schema: StructType): DataFrame =
+    checked.filter(col(ReasonCol).isNotNull)
+      .select((Seq(SrcFileCol, ReasonCol) ++
+        schema.fieldNames.map(rawName)).map(col): _*)
+
   /** Column-level cast helper for programmatic use (same semantics as
     * [[castSql]], for callers that already hold typed columns). */
   def castTo(raw: Column, dt: DataType): Column = {

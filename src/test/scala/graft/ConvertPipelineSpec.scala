@@ -85,6 +85,51 @@ class ConvertPipelineSpec extends SparkSpec {
     assert(s3.endpoint.contains("https://s3.example.com:9021"))
   }
 
+  test("convertChecked diverts bad rows to quarantine with per-file report") {
+    val dir = tmpDir("conv_q_src")
+    Files.write(Paths.get(dir, "a.csv"),
+      "id,name,age\n1,Alice,25\n2,Bob,NaN".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "b.csv"),
+      "id,name,age\n3,Cara,35".getBytes("UTF-8"))
+    val out = tmpDir("conv_q_out")
+    val q = tmpDir("conv_q_bad") + "/quarantine"
+    val cfg = ConvertPipeline.Config(dir, out,
+      graft.schema.SchemaLoader.fromJson(schemaJson),
+      quarantineDir = Some(q))
+    val report = ConvertPipeline.convertChecked(spark, cfg).sortBy(_.source)
+    assert(report.map(r => (r.rows, r.quarantined)) == Seq((2L, 1L), (1L, 0L)))
+    // good rows only in the converted outputs
+    assert(spark.read.parquet(s"$out/a.parquet").count() == 1)
+    assert(spark.read.parquet(s"$out/b.parquet").count() == 1)
+    // the bad row is in quarantine with raw cells + file + reason
+    val badDf = spark.read.parquet(q)
+    assert(badDf.count() == 1)
+    val b = badDf.collect().head
+    assert(b.getAs[String]("_bad_reason") == "bad_cast:age")
+    assert(b.getAs[String]("_raw_age") == "NaN")
+    assert(b.getAs[String]("_src_file").contains("a.csv"))
+  }
+
+  test("end-to-end upload through an s3a:// URI (K3/X2, mock object store)") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[MockS3AFileSystem].getName)
+    try {
+      val bucketRoot = tmpDir("mock_bucket")
+      val key = bucketRoot.stripPrefix("/") + "/upload"
+      val out = tmpDir("conv_s3_local")
+      val cfg = ConvertPipeline.Config(mkCsvDir(), out,
+        graft.schema.SchemaLoader.fromJson(schemaJson),
+        s3 = Some(S3Conf.S3Settings(bucket = "test-bucket", prefix = key)))
+      ConvertPipeline.run(spark, cfg) // convert THEN upload to s3a://
+      val back = spark.read.parquet(s"s3a://test-bucket/$key")
+      assert(back.count() == 4)
+      assert(back.columns.toSeq == Seq("id", "name", "age"))
+      // objects physically landed under the bucket-mapped local root,
+      // committed (_SUCCESS) by the parquet job, not a client-side copy
+      assert(Files.exists(Paths.get(bucketRoot, "upload", "_SUCCESS")))
+    } finally hc.unset("fs.s3a.impl")
+  }
+
   test("S3 settings land in hadoopConfiguration as fs.s3a.* (K3)") {
     S3Conf.configure(spark, S3Conf.S3Settings(
       bucket = "bkt", prefix = "pre",

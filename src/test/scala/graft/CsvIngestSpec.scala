@@ -137,6 +137,48 @@ class CsvIngestSpec extends SparkSpec {
     }
   }
 
+  test("readChecked quarantines failed strict casts, not silently NULLing") {
+    val csv = writeCsv(
+      "1,Alice,25,1.00,1980-05-20,2023-01-01 12:00:00,1.00,1",
+      "2,Bob,NaN,2.00,1981-06-21,2023-01-01 12:00:00,2.00,2",
+      // bad decimal stays LENIENT (P6: reference warns + nulls) — good
+      "3,Cara,30,not_a_number,1982-07-22,2023-01-01 12:00:00,3.00,3",
+      // two strict failures on one row → both named in the reason
+      "4,Dee,31,4.00,bogus-date,25:99 pm,4.00,4")
+    val checked = CsvIngest.readChecked(spark, Seq(csv), schema)
+    val good = CsvIngest.goodRows(checked, schema).orderBy("id").collect()
+    assert(good.map(_.getAs[Int]("id")).toSeq == Seq(1, 3))
+    assert(good(1).isNullAt(good(1).fieldIndex("amount"))) // lenient NULL
+    val bad = CsvIngest.badRows(checked, schema)
+      .orderBy(CsvIngest.rawName("id")).collect()
+    assert(bad.length == 2)
+    assert(bad(0).getAs[String](CsvIngest.ReasonCol) == "bad_cast:age")
+    assert(bad(0).getAs[String](CsvIngest.rawName("age")) == "NaN")
+    assert(bad(1).getAs[String](CsvIngest.ReasonCol) ==
+      "bad_cast:birth_date,event_timestamp")
+    assert(bad(0).getAs[String](CsvIngest.SrcFileCol).contains("in.csv"))
+  }
+
+  test("readChecked flags malformed lines; short rows stay good (P7)") {
+    val csv = writeCsv(
+      "1,Alice,25,1.00,1980-05-20,2023-01-01 12:00:00,1.00,1",
+      // broken RFC-4180 quoting — the quote swallows the delimiters
+      "2,\"unclosed,30,2.00,1981-06-21,2023-01-01 12:00:00,2.00,2",
+      // extra trailing token
+      "3,Cara,35,3.00,1982-07-22,2023-01-01 12:00:00,3.00,3,EXTRA",
+      // short row: reference semantics read missing cells as NULL
+      "4,Dee,40")
+    val checked = CsvIngest.readChecked(spark, Seq(csv), schema)
+    val good = CsvIngest.goodRows(checked, schema).orderBy("id").collect()
+    assert(good.map(_.getAs[Int]("id")).toSeq == Seq(1, 4))
+    assert(good(1).isNullAt(good(1).fieldIndex("amount"))) // short → NULL
+    val bad = CsvIngest.badRows(checked, schema)
+      .orderBy(CsvIngest.rawName("id")).collect()
+    assert(bad.length == 2)
+    assert(bad.forall(
+      _.getAs[String](CsvIngest.ReasonCol) == "malformed_line"))
+  }
+
   test("positional binding ignores header names (S3)") {
     val dir = tmpDir("csv_pos")
     Files.write(Paths.get(dir, "in.csv"),
