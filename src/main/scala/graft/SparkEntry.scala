@@ -13,7 +13,8 @@ object SparkEntry {
     ops.Multimodal.queries ++ ops.Skew.queries ++ ops.Bucketing.queries ++
     ops.AsofJoin.queries ++ ops.CurationPipeline.queries ++
     ops.ZOrder.queries ++ ops.Maintenance.queries ++
-    ops.DataQuality.queries ++ ops.TimeSeries.queries
+    ops.DataQuality.queries ++ ops.TimeSeries.queries ++
+    ops.TrainingData.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
     ops.Multimodal.oracle ++ ops.Skew.oracle ++ ops.Bucketing.oracle ++
     ops.AsofJoin.oracle ++ ops.CurationPipeline.oracle ++
     ops.ZOrder.oracle ++ ops.Maintenance.oracle ++
-    ops.DataQuality.oracle ++ ops.TimeSeries.oracle
+    ops.DataQuality.oracle ++ ops.TimeSeries.oracle ++
+    ops.TrainingData.oracle
 }

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators beyond the reference's surface:
+  * benchmark decontamination, repetition-quality filtering, and
+  * token-budget shard packing — the ops an LLM pre-training pipeline
+  * runs between raw ingestion and tokenization.
+  *
+  * All three are declarative DataFrame plans (no UDFs, no driver-side
+  * loops); the scale notes on each describe how the shape holds at
+  * 100 TB / 1000 executors.
+  */
+object TrainingData {
+
+  /** Word n-grams of `text` as an array column: positions 1..len-n+1,
+    * empty array when the document is shorter than n tokens (matches
+    * DuckDB `range(1, greatest(len-n+2, 1))` semantics — `sequence`
+    * alone would count DOWN from 1 to 0 for short docs). */
+  private def wordGrams(text: Column, n: Int): Column = {
+    val t = split(text, " ")
+    when(size(t) >= n,
+      transform(
+        sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: find corpus documents sharing any word
+    * 3-gram with a held-out benchmark set (here: `doc_id % 101 == 0`,
+    * standing in for an eval suite). Returns (doc_id, n_hit_grams)
+    * for every contaminated non-benchmark document.
+    *
+    * Scale: the benchmark side of a decontamination join is an eval
+    * suite — MBs against the corpus's TBs — so its distinct grams are
+    * `broadcast()`: the corpus side never shuffles, each task streams
+    * its documents against the in-memory gram set and only (doc_id)
+    * hits reach the final per-doc count, which reuses the explode's
+    * doc-locality. At true 100 TB the gram strings would be
+    * `xxhash64`-ed to 8-byte keys before the broadcast; kept as
+    * strings here so the oracle can reproduce them exactly.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), wordGrams(col("text"), 3).as("grams"))
+    val corpus = docs.filter(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram")).distinct()
+    val bench = docs.filter(col("doc_id") % 101 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    corpus.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok),
+      |grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram FROM pos)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+      |FROM (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 101 <> 0) g
+      |JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0) b USING (gram)
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  /** Repetition-quality metrics (Gopher-style): per document, the
+    * duplicate word-2-gram fraction (1 − distinct/total) and the
+    * most-frequent-2-gram fraction. High values mark boilerplate /
+    * degenerate generations for downstream filtering.
+    *
+    * Scale: explode → partial-aggregated count by (doc_id, gram) →
+    * aggregate by doc_id. Both aggregations are map-side combinable,
+    * rows after the first shuffle are bounded by distinct grams per
+    * doc, and nothing is quadratic in document length. The fractions
+    * are exact-integer divisions evaluated identically (IEEE double)
+    * by Spark and DuckDB, so the gate needs no rounding tolerance.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+           count(lit(1)).as("n_distinct"),
+           max(col("c")).as("top_cnt"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("top_cnt"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_grams").cast("double")).as("dup_frac"),
+        (col("top_cnt").cast("double") /
+          col("n_grams").cast("double")).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+      |grams AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram FROM pos),
+      |cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(MAX(c) AS BIGINT) AS top_cnt,
+      |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+      |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+      |FROM cnt GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token-budget shard packing: assign documents (in doc_id order) to
+    * shards of ~`budget` whitespace tokens each — the step that turns
+    * a curated corpus into fixed-size tokenizer/training shards.
+    * A document goes to shard `floor(tokens_before_it / budget)`, so
+    * shard boundaries never split a document. Returns per-shard
+    * summaries.
+    *
+    * Scale: a naive `sum() over (order by doc_id)` is a single-
+    * partition window — a non-starter at 10^9 documents. This is the
+    * classic two-phase parallel prefix sum instead: (1) per-bucket
+    * token subtotals (one map-side-combinable aggregate over
+    * `doc_id div bucketWidth`), (2) running offsets over the bucket
+    * subtotals — 1/bucketWidth the data; levels compose if even that
+    * overflows one partition — (3) broadcast-join the offsets back
+    * and take the intra-bucket running sum with a window PARTITIONED
+    * by bucket, so every partition works independently. `bucketWidth`
+    * is the broadcast-size knob: at 10^9 docs, width 10^4 keeps the
+    * offset table at 10^5 rows — trivially broadcastable — while the
+    * per-bucket windows stay thousands of independent partitions.
+    */
+  def packShards(s: SparkSession, dir: String, budget: Long = 2000L,
+      bucketWidth: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        (col("doc_id").cast("long") / lit(bucketWidth))
+          .cast("long").as("bucket"))
+    val offsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("bucket_tok"))
+      .select(col("bucket"),
+        sum(col("bucket_tok")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1))
+          .as("bucket_before"))
+      .na.fill(0L, Seq("bucket_before"))
+    val cumBefore = docs
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("n_tok"),
+        (col("bucket_before") +
+          coalesce(sum(col("n_tok")).over(
+            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .as("cum_before"))
+    cumBefore
+      .select(col("doc_id"), col("n_tok"),
+        floor(col("cum_before") / lit(budget)).as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
+  val packShardsSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM t)
+      |SELECT CAST(FLOOR(cum_before / 2000) AS BIGINT) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1
+      |ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "text_repetition"    -> ((s, d) => repetition(s, d)),
+    "pack_shards"        -> ((s, d) => packShards(s, d)))
+
+  def oracle: Map[String, String] = Map(
+    "text_decontaminate" -> decontaminateSql,
+    "text_repetition"    -> repetitionSql,
+    "pack_shards"        -> packShardsSql)
+}
