@@ -61,7 +61,12 @@ object Bench {
         dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // Dev-only loop shortener: SPARK_GRAFT_BENCH_ONLY=q11,q23 times a
+    // subset. The driver never sets it, so round benches stay complete.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     // Warmup: run EVERY query once on the smallest corpus. Janino
     // compilation of each query's generated code + C2 JIT of the hot

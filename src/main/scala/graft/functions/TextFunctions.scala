@@ -117,14 +117,17 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (for Jaccard / MinHash). */
+  /** Word n-gram shingles (for Jaccard / MinHash). A doc shorter than
+    * n tokens yields its whole token sequence as one shingle. Built on
+    * the codegen'd [[graft.plans.TokenNGrams]] kernel (the HOF
+    * formulation interprets three nested lambdas per gram); gram
+    * strings are bit-identical, so minhash signatures and every
+    * downstream LSH bucket are unchanged. */
   def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(lower(text))
-    val count = size(toks)
-    when(count < n, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(sequence(lit(0), count - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.TextExpressions.register)
+    graft.plans.TextExpressions.tokenNGrams(
+      tokens(lower(text)), n, emitWholeShortDoc = true)
   }
 
   /** Distinct shingle hashes (the MinHash input set). */

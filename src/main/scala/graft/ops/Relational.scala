@@ -285,14 +285,29 @@ object Relational {
       |ORDER BY total_spent DESC, c_custkey
       |LIMIT 20""".stripMargin
 
-  /** Distinct aggregates (exact): per return flag. */
+  /** Distinct aggregates (exact): per return flag.
+    *
+    * Deliberately NOT `agg(countDistinct, countDistinct, ...)`: three
+    * distincts in one aggregate force Catalyst's Expand — every input
+    * row is tripled (one copy per gid) before the partial aggregate,
+    * the known multi-distinct cost amplifier at 100 TB. Instead each
+    * distinct runs as its own scan branch (parquet reads exactly the
+    * 2-3 columns it needs), deduped by a map-side-combinable partial
+    * aggregate so the shuffle carries only distinct (flag, key) pairs,
+    * then the three 3-row results broadcast-join back together. One
+    * job, three concurrent stages, no row multiplication anywhere.
+    * (`q37_approx_distinct` is the single-scan sketch alternative.) */
   def q11DistinctAgg(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
-    l.groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_lines"))
+    def branch(keys: Seq[Column], as: String): DataFrame =
+      l.select(col("l_returnflag") +: keys: _*).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    branch(Seq(col("l_partkey")), "n_parts")
+      .join(broadcast(branch(Seq(col("l_suppkey")), "n_supps")),
+        "l_returnflag")
+      .join(broadcast(
+          branch(Seq(col("l_orderkey"), col("l_linenumber")), "n_lines")),
+        "l_returnflag")
       .orderBy(col("l_returnflag"))
   }
 
@@ -950,15 +965,28 @@ object Relational {
     * asserts the approximate ones land within tolerance as booleans
     * (DuckDB emits literal `true`). Deterministic per dataset: the
     * sketches have no RNG, so a local pass is a driver pass. */
-  def q37ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  def q37ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    // The sketch side — what this gate exists to certify — is ONE
+    // single-pass fixed-memory aggregate. The exact reference values
+    // ride in separate branches (Expand-free distinct-then-count +
+    // a percentile-only aggregate) so the sketch plan is never
+    // entangled with Catalyst's multi-phase distinct rewrite or the
+    // exact percentile's value buffers (a 12× slowdown when all four
+    // shared one Aggregate).
+    val sketch = l.groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).as("n_parts_exact"),
         approx_count_distinct(col("l_partkey"), rsd = 0.01).as("ap_parts"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
         expr("percentile_approx(l_extendedprice, 0.5, 10000)")
           .as("ap_p50"))
+    val exactDistinct = l.select(col("l_returnflag"), col("l_partkey"))
+      .distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_parts_exact"))
+    val exactP50 = l.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+    sketch
+      .join(broadcast(exactDistinct), "l_returnflag")
+      .join(broadcast(exactP50), "l_returnflag")
       .select(col("l_returnflag"),
         col("n_parts_exact"),
         (abs(col("ap_parts").cast(DoubleType) - col("n_parts_exact"))
@@ -967,6 +995,7 @@ object Relational {
         (abs(col("ap_p50") - col("p50_exact")) / col("p50_exact") <= 0.01)
           .as("p50_approx_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   val q37Sql: String =
     """SELECT l_returnflag,

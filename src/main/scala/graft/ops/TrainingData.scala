@@ -18,15 +18,15 @@ object TrainingData {
 
   /** Word n-grams of `text` as an array column: positions 1..len-n+1,
     * empty array when the document is shorter than n tokens (matches
-    * DuckDB `range(1, greatest(len-n+2, 1))` semantics — `sequence`
-    * alone would count DOWN from 1 to 0 for short docs). */
+    * DuckDB `range(1, greatest(len-n+2, 1))` semantics).
+    *
+    * Built on the codegen'd [[graft.plans.TokenNGrams]] kernel — the
+    * built-in `transform(sequence, i -> concat_ws(slice))` formulation
+    * is three nested CodegenFallback HOFs interpreted per gram. */
   private def wordGrams(text: Column, n: Int): Column = {
-    val t = split(text, " ")
-    when(size(t) >= n,
-      transform(
-        sequence(lit(1), size(t) - lit(n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    SparkSession.getActiveSession.foreach(graft.plans.TextExpressions.register)
+    graft.plans.TextExpressions.tokenNGrams(
+      split(text, " "), n, emitWholeShortDoc = false)
   }
 
   /** Benchmark decontamination: find corpus documents sharing any word
@@ -44,10 +44,15 @@ object TrainingData {
     * strings here so the oracle can reproduce them exactly.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // array_distinct BEFORE explode: per-doc gram dedup is array-local
+    // work inside the scan task, so the corpus side needs NO distinct()
+    // shuffle at all — the only wide exchange in the whole plan is the
+    // final per-doc count of hits, which is tiny (docs with overlap).
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), wordGrams(col("text"), 3).as("grams"))
+      .select(col("doc_id"),
+        array_distinct(wordGrams(col("text"), 3)).as("grams"))
     val corpus = docs.filter(col("doc_id") % 101 =!= 0)
-      .select(col("doc_id"), explode(col("grams")).as("gram")).distinct()
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
     val bench = docs.filter(col("doc_id") % 101 === 0)
       .select(explode(col("grams")).as("gram")).distinct()
     corpus.join(broadcast(bench), "gram")

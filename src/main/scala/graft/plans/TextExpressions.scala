@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (whole-stage-codegen) text kernels.
+  *
+  * Word n-gram construction via built-ins is
+  * `transform(sequence(...), i -> concat_ws(" ", slice(toks, i, n)))` —
+  * three nested `CodegenFallback` higher-order functions that
+  * interpret the lambda tree per gram and re-slice the token array
+  * per position. [[TokenNGrams]] is the compiled equivalent: one pass
+  * over the token array, one `concatWs` per gram. Same rationale as
+  * [[VectorDot]] (HOFs fall out of whole-stage codegen), same
+  * bit-identical-output contract: grams are the identical strings the
+  * built-in formulation produces, only the evaluation strategy
+  * changes — so every downstream hash (minhash shingles, xxhash64
+  * fingerprints) and every DuckDB oracle stays unchanged.
+  *
+  * Takes the TOKEN ARRAY, not the raw text: tokenization (literal
+  * split, regex `\s+`, lowercase-trim) stays whatever the caller's
+  * semantics demand, and those built-ins are already codegen'd.
+  *
+  * `emitWholeShortDoc` selects the short-document convention:
+  *   - false — a doc with fewer than n tokens yields NO grams
+  *     (decontamination/repetition semantics);
+  *   - true — it yields its whole token sequence as one gram
+  *     (MinHash shingle semantics: every doc must hash to something).
+  */
+case class TokenNGrams(tokens: Expression, n: Int,
+    emitWholeShortDoc: Boolean) extends UnaryExpression {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def child: Expression = tokens
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_ngrams expects array<string> input, got ${t.sql}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val count = toks.numElements()
+    val out = count - n + 1
+    if (out <= 0) {
+      if (!emitWholeShortDoc) new GenericArrayData(Array.empty[Any])
+      else {
+        val parts = Array.tabulate(count)(toks.getUTF8String)
+        new GenericArrayData(
+          Array[Any](UTF8String.concatWs(space, parts: _*)))
+      }
+    } else {
+      val grams = new Array[Any](out)
+      var i = 0
+      while (i < out) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        grams(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(grams)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val spaceRef = ctx.addReferenceObj("space", space,
+      classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, tk => {
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val grams = ctx.freshName("grams")
+      val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val utf8 = classOf[UTF8String].getName
+      val whole =
+        if (emitWholeShortDoc)
+          s"""
+             |$grams = new UTF8String[1];
+             |$utf8[] $parts = new $utf8[$cnt];
+             |for (int $j = 0; $j < $cnt; $j++) {
+             |  $parts[$j] = $tk.getUTF8String($j);
+             |}
+             |$grams[0] = $utf8.concatWs($spaceRef, $parts);
+           """.stripMargin
+        else s"$grams = new UTF8String[0];"
+      s"""
+         |int $cnt = $tk.numElements();
+         |int $out = $cnt - $n + 1;
+         |UTF8String[] $grams;
+         |if ($out <= 0) {
+         |  $whole
+         |} else {
+         |  $grams = new UTF8String[$out];
+         |  for (int $i = 0; $i < $out; $i++) {
+         |    $utf8[] $parts = new $utf8[$n];
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $parts[$j] = $tk.getUTF8String($i + $j);
+         |    }
+         |    $grams[$i] = $utf8.concatWs($spaceRef, $parts);
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($grams);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenNGrams = copy(tokens = newChild)
+}
+
+object TextExpressions {
+
+  val NGramsFnName = "graft_token_ngrams"
+
+  /** Idempotent per-session registration. n and the short-doc flag
+    * must be literals — they parameterize the generated code. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NGramsFnName,
+      exprs => TokenNGrams(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Boolean]),
+      "scala_udf")
+
+  /** Codegen'd word n-grams over a token-array column. The session
+    * must have called [[register]] (query builders do). */
+  def tokenNGrams(tokens: Column, n: Int,
+      emitWholeShortDoc: Boolean): Column =
+    call_function(NGramsFnName, tokens,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(emitWholeShortDoc))
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.TextExpressions
+
+/** TokenNGrams codegen kernel: bit-identical to the built-in HOF
+  * formulation it replaces, on both evaluation paths. */
+class TextExpressionsSpec extends SparkSpec {
+
+  private def hofGrams(n: Int) = {
+    val t = split(col("text"), " ")
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val fixtures = Seq(
+    "a b c d e", "a", "", "x y", "a b c",
+    "double  space", " leading", "trailing ",
+    "the same the same the same")
+
+  test("matches the HOF formulation exactly (skip-short convention)") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = fixtures.toDF("text")
+      val got = df.select(
+        TextExpressions.tokenNGrams(split(col("text"), " "), n,
+          emitWholeShortDoc = false).as("g")).collect()
+      val want = df.select(hofGrams(n).as("g")).collect()
+      assert(got.map(_.getSeq[String](0)).toSeq ==
+        want.map(_.getSeq[String](0)).toSeq, s"n=$n")
+    }
+  }
+
+  test("whole-short-doc convention matches legacy shingles semantics") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val df = fixtures.toDF("text")
+    val n = 3
+    val toks = split(col("text"), " ")
+    val legacy = when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val got = df.select(TextExpressions.tokenNGrams(toks, n,
+      emitWholeShortDoc = true).as("g")).collect()
+    val want = df.select(legacy.as("g")).collect()
+    assert(got.map(_.getSeq[String](0)).toSeq ==
+      want.map(_.getSeq[String](0)).toSeq)
+  }
+
+  test("interpreted eval path agrees with codegen") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val df = fixtures.toDF("text")
+    val expr = TextExpressions.tokenNGrams(split(col("text"), " "), 2,
+      emitWholeShortDoc = true).as("g")
+    val viaCodegen = df.select(expr).collect().map(_.getSeq[String](0))
+    // Force the interpreted path: wrap in a CodegenFallback context by
+    // evaluating through a filter on an interpreted-only predicate is
+    // brittle; instead call nullSafeEval directly on literal rows.
+    val kernel = graft.plans.TokenNGrams(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)), 2, true)
+    val viaEval = fixtures.map { s =>
+      val toks = s.split(" ", -1).map(
+        org.apache.spark.unsafe.types.UTF8String.fromString)
+      kernel.nullSafeEval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.asInstanceOf[Array[Any]]))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.map(_.toString).toSeq
+    }
+    assert(viaCodegen.toSeq == viaEval)
+  }
+}
