@@ -132,7 +132,7 @@ object TextFunctions {
 
   /** Distinct shingle hashes (the MinHash input set). */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+    array_distinct(graft.plans.TextExpressions.xxhashArray(shingles(text, n)))
 
   /** MinHash signature: k independent permutations approximated by
     * re-hashing the shingle hash with k seeds (xxhash64(seed ⊕ h)).
@@ -161,30 +161,16 @@ object TextFunctions {
     * xxhash64 of each token. Near-duplicate docs differ in few bits
     * (small Hamming distance).
     *
-    * Single-pass formulation: one `aggregate` whose accumulator is the
-    * 64-vector of bit counts (`zip_with` merge per token), folded to
-    * the final hash at the end. The naive alternative — 64 separate
-    * aggregates, one per bit — duplicates the tokenize+hash subtree
-    * 64×, blows past the codegen method-size limit, and falls back to
-    * interpreted evaluation (~50× slower, measured). */
+    * Evaluated by the codegen'd [[graft.plans.SimHash64FromTokens]]
+    * kernel (one compiled loop over tokens × bits). Earlier
+    * formulations — one `aggregate`+`zip_with` 64-vector fold, or 64
+    * separate per-bit aggregates — are both interpreted
+    * (CodegenFallback HOFs, resp. a codegen-method-size blowout) and
+    * measured far slower; the hash value itself is unchanged. */
   def simhash64(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    val n = size(hashes)
-    val bitIdx = sequence(lit(0), lit(63))
-    // shiftright/shiftleft via call_function: the Scala wrappers only
-    // accept literal Int shift amounts, the SQL functions take columns.
-    val counts = aggregate(
-      hashes,
-      transform(bitIdx, _ => lit(0L)),
-      (acc, h) => zip_with(acc, bitIdx,
-        (c, i) => c + call_function("shiftright", h, i).bitwiseAND(1L)))
-    // bit i set iff more than half the tokens set it
-    aggregate(
-      zip_with(counts, bitIdx, (c, i) =>
-        when(c * 2 > n.cast(LongType), call_function("shiftleft", lit(1L), i))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.TextExpressions.register)
+    graft.plans.TextExpressions.simhash64(tokens(lower(text)))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -195,7 +181,7 @@ object TextFunctions {
     * token k-gram window, in document order (the shingle pipeline
     * WITHOUT the distinct — position matters for winnowing). */
   def rollingHashes(text: Column, k: Int = 3): Column =
-    transform(shingles(text, k), s => xxhash64(s))
+    graft.plans.TextExpressions.xxhashArray(shingles(text, k))
 
   /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken,
     * SIGMOD '03): the distinct set of per-window minima over the

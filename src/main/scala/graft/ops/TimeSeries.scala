@@ -29,7 +29,10 @@ object TimeSeries {
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
       .agg(sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
         .as("v"))
-    val users = events.select(col("user_id")).distinct()
+    // Derive the user dimension from the (already tiny) hourly
+    // aggregate, not a second full scan of the event stream — at
+    // 100 TB the raw table is the expensive thing to touch twice.
+    val users = hourly.select(col("user_id")).distinct()
     val spine = users.select(col("user_id"),
       explode(sequence(
         lit(gridStart).cast(TimestampType),

@@ -124,13 +124,136 @@ case class TokenNGrams(tokens: Expression, n: Int,
       newChild: Expression): TokenNGrams = copy(tokens = newChild)
 }
 
+/** xxhash64 of every element of an array<string>, as array<long> —
+  * the compiled equivalent of `transform(arr, x -> xxhash64(x))`
+  * (interpreted lambda per element). Uses the same XXH64 kernel and
+  * default seed (42) as Spark's `xxhash64`, so outputs are
+  * bit-identical to the built-in formulation: minhash inputs, rolling
+  * hash streams, and winnowing fingerprints are unchanged. */
+case class XxHashArray(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"xxhash_array expects array<string> input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = XXH64.hashUTF8String(arr.getUTF8String(i), seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $xxh.hashUTF8String($arr.getUTF8String($i), ${seed}L);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): XxHashArray = copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: per-bit majority vote of the
+  * xxhash64 (seed 42) of each token; bit i is set iff strictly more
+  * than half the tokens have it set. Compiled replacement for the
+  * `aggregate`/`zip_with` 64-vector fold (interpreted per token ×
+  * per bit); produces the identical long for every input. */
+case class SimHash64FromTokens(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string> input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * counts(b) > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counts[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |long $acc = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if (2L * $counts[$b] > $n) $acc |= (1L << $b);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64FromTokens = copy(child = newChild)
+}
+
 object TextExpressions {
 
   val NGramsFnName = "graft_token_ngrams"
+  val HashArrayFnName = "graft_xxhash_array"
+  val SimHashFnName = "graft_simhash64"
 
   /** Idempotent per-session registration. n and the short-doc flag
     * must be literals — they parameterize the generated code. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NGramsFnName,
       exprs => TokenNGrams(
@@ -138,6 +261,19 @@ object TextExpressions {
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Boolean]),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HashArrayFnName,
+      exprs => XxHashArray(exprs(0),
+        exprs(1).eval() match {
+          case l: Long => l
+          case i: Int => i.toLong
+        }),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SimHashFnName,
+      exprs => SimHash64FromTokens(exprs(0)),
+      "scala_udf")
+  }
 
   /** Codegen'd word n-grams over a token-array column. The session
     * must have called [[register]] (query builders do). */
@@ -146,4 +282,14 @@ object TextExpressions {
     call_function(NGramsFnName, tokens,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(emitWholeShortDoc))
+
+  /** Codegen'd per-element xxhash64 over an array<string> column;
+    * seed 42 = Spark's `xxhash64` default. */
+  def xxhashArray(arr: Column, seed: Long = 42L): Column =
+    call_function(HashArrayFnName, arr,
+      org.apache.spark.sql.functions.lit(seed))
+
+  /** Codegen'd 64-bit SimHash over a token-array column. */
+  def simhash64(tokens: Column): Column =
+    call_function(SimHashFnName, tokens)
 }

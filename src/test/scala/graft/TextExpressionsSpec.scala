@@ -51,6 +51,35 @@ class TextExpressionsSpec extends SparkSpec {
       want.map(_.getSeq[String](0)).toSeq)
   }
 
+  test("xxhashArray matches per-element builtin xxhash64") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val df = fixtures.toDF("text")
+    val toks = split(col("text"), " ")
+    val got = df.select(TextExpressions.xxhashArray(toks).as("h")).collect()
+    val want = df.select(transform(toks, t => xxhash64(t)).as("h")).collect()
+    assert(got.map(_.getSeq[Long](0)).toSeq ==
+      want.map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("simhash64 kernel = per-bit majority vote of builtin xxhash64") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val df = fixtures.filter(_.nonEmpty).toDF("text")
+    val toks = split(col("text"), " ")
+    val got = df.select(TextExpressions.simhash64(toks).as("sh"))
+      .as[Long].collect().toSeq
+    val hashes = df.select(transform(toks, t => xxhash64(t)).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val want = hashes.map { hs =>
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        val c = hs.count(h => ((h >>> b) & 1L) == 1L)
+        if (2L * c > hs.size) acc | (1L << b) else acc
+      }
+    }.toSeq
+    assert(got == want)
+  }
+
   test("interpreted eval path agrees with codegen") {
     import spark.implicits._
     TextExpressions.register(spark)
