@@ -187,13 +187,74 @@ object TrainingData {
 
   // ---------------------------------------------------------------- //
 
+  /** PII redaction: mask emails and phone numbers with typed
+    * placeholder tokens before a corpus ships to training. The corpus
+    * is synthetic, so the gate plants deterministic PII on every 7th
+    * document (email + dashed phone) and then proves the scrub: each
+    * affected doc comes back with both placeholders in place, zero
+    * residual `@`, and the exact count of characters removed.
+    *
+    * Scale: a pure per-row projection of codegen'd `regexp_replace`s —
+    * no shuffle at all except the gate's presentation ORDER BY. The
+    * patterns compile once per task; at 100 TB this runs at scan
+    * speed, which is the point: redaction must never be the
+    * bottleneck of an export job. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+    val aug = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" now")))
+          .otherwise(col("text")).as("text"))
+    aug
+      .select(col("doc_id"), col("text"),
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean"))
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("clean"),
+        (length(col("text")) - length(col("clean"))).cast("long")
+          .as("chars_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@example.com or +1-555-'
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+      |      ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
+      |  CAST(length(text) - length(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
+      |    AS chars_removed
+      |FROM aug
+      |WHERE doc_id % 7 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "text_repetition"    -> ((s, d) => repetition(s, d)),
-    "pack_shards"        -> ((s, d) => packShards(s, d)))
+    "pack_shards"        -> ((s, d) => packShards(s, d)),
+    "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
     "text_decontaminate" -> decontaminateSql,
     "text_repetition"    -> repetitionSql,
-    "pack_shards"        -> packShardsSql)
+    "pack_shards"        -> packShardsSql,
+    "pii_scrub"          -> piiScrubSql)
 }

@@ -72,6 +72,18 @@ class TrainingDataSpec extends SparkSpec {
         r.getAs[Long]("tokens"))).toSeq)
   }
 
+  test("pii_scrub leaves no residual emails or dashed phones") {
+    val out = TrainingData.piiScrub(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("clean").contains("@")).count() == 0)
+      assert(out.filter(!col("clean").contains("<EMAIL>")).count() == 0)
+      assert(out.filter(!col("clean").contains("<PHONE>")).count() == 0)
+      assert(out.filter(col("clean").rlike("[0-9]{3}-[0-9]{4}")).count() == 0)
+      assert(out.filter(col("chars_removed") <= 0).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("wordGrams handles documents shorter than n") {
     import spark.implicits._
     val df = Seq((1L, "solo"), (2L, "two words"), (3L, "a b c d"))
