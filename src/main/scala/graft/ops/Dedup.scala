@@ -101,6 +101,40 @@ object Dedup {
 
   // ---------------------------------------------------------------- //
 
+  /** Shared LSH machinery: per-doc shingle-hash sets (cached — both
+    * the banding and the verification join read them) and the
+    * exploded (doc_id, band, bucket) keys.
+    *
+    * Signature via explode + 32 min-aggregates, NOT 32 interpreted
+    * array_min(transform(...)) per row: higher-order functions have
+    * no doGenCode, so the HOF formulation evaluates interpreted
+    * (~10× slower, measured). Exploded, the 32 xxhash64+min run in
+    * whole-stage codegen, and partial aggregation means the shuffle
+    * carries one 32-long row per doc per mapper, not the shingles.
+    * The bucket shuffle then carries only (doc_id, band, bucket) —
+    * the shingle hash arrays stay behind and re-join per candidate. */
+  private def hashedAndBands(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val hashed = corpus
+      .repartition(par)
+      .select(col("doc_id"),
+        shingleHashes(lower(col("text")), 3).as("hashes"))
+      .cache()
+    val minCols = (0 until 32).map(seed =>
+      min(xxhash64(col("h"), lit(seed))).as(s"_m$seed"))
+    val docs = hashed
+      .select(col("doc_id"), explode(col("hashes")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 32).map(i => col(s"_m$i")): _*).as("sig"))
+    val banded = docs.select(col("doc_id"),
+        posexplode(minhashBands(col("sig"), bands = 8, rowsPerBand = 4)))
+      .select(col("doc_id"),
+        col("col.band").as("band"), col("col.bucket").as("bucket"))
+    (hashed, banded)
+  }
+
   /** MinHash + LSH near-dup detection over the FULL corpus — the
     * 100 TB path. Stages: (1) per-row minhash signature (k=32);
     * (2) explode 8 bands × 4 rows → bucket keys; (3) shuffle on
@@ -120,32 +154,7 @@ object Dedup {
     * jaccard ≥ 0.6) over ANY (doc_id, text) corpus — the API a user
     * points at their own table. */
   def minhashLshPairs(corpus: DataFrame): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val hashed = corpus
-      .repartition(par)
-      .select(col("doc_id"),
-        shingleHashes(lower(col("text")), 3).as("hashes"))
-      .cache()
-    // Signature via explode + 32 min-aggregates, NOT 32 interpreted
-    // array_min(transform(...)) per row: higher-order functions have
-    // no doGenCode, so the HOF formulation evaluates interpreted
-    // (~10× slower, measured). Exploded, the 32 xxhash64+min run in
-    // whole-stage codegen, and partial aggregation means the shuffle
-    // carries one 32-long row per doc per mapper, not the shingles.
-    val minCols = (0 until 32).map(seed =>
-      min(xxhash64(col("h"), lit(seed))).as(s"_m$seed"))
-    val docs = hashed
-      .select(col("doc_id"), explode(col("hashes")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 32).map(i => col(s"_m$i")): _*).as("sig"))
-    // Bucket shuffle carries only (doc_id, band, bucket) — the shingle
-    // hash arrays stay behind and are re-joined per candidate pair.
-    val banded = docs.select(col("doc_id"),
-        posexplode(minhashBands(col("sig"), bands = 8, rowsPerBand = 4)))
-      .select(col("doc_id"),
-        col("col.band").as("band"), col("col.bucket").as("bucket"))
+    val (hashed, banded) = hashedAndBands(corpus)
     val a = banded.toDF("id_a", "band", "bucket")
     val b = banded.toDF("id_b", "band", "bucket")
     val candidates = a.join(b, Seq("band", "bucket"))
@@ -360,6 +369,74 @@ object Dedup {
 
   // ---------------------------------------------------------------- //
 
+  /** Incremental exact dedup — the every-day production shape at
+    * 100 TB: a NEW batch arrives and must be deduped against the
+    * EXISTING corpus without ever reshuffling the corpus. The batch's
+    * fingerprints broadcast to every corpus partition; the corpus is
+    * scanned once in place (with a stored fingerprint column the scan
+    * reads one long per doc) and only matches leave the map side.
+    * Normalized-text equality verifies each fingerprint hit, so a
+    * 64-bit collision can never fabricate a duplicate. Output: each
+    * new doc paired with the corpus doc it duplicates. */
+  def incrementalExactPairs(corpus: DataFrame, batch: DataFrame)
+      : DataFrame = {
+    def norm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_replace(lower(trim(c)), "\\s+", " ")
+    val c = corpus.select(col("doc_id").as("dup_of"),
+      fingerprint(col("text")).as("fp"), norm(col("text")).as("norm_c"))
+    val b = batch.select(col("doc_id").as("new_id"),
+      fingerprint(col("text")).as("fp"), norm(col("text")).as("norm_b"))
+    c.join(broadcast(b), "fp")
+      .filter(col("norm_c") === col("norm_b"))
+      .select(col("new_id"), col("dup_of"))
+  }
+
+  /** Incremental near-dup via MinHash LSH: band keys for the new
+    * batch broadcast against the corpus's band keys — at scale the
+    * corpus side is precomputed and stored with the table, so a batch
+    * arrival touches one corpus scan and shuffles only candidates.
+    * Exact Jaccard on shingle sets verifies each collision. */
+  def incrementalNearDupPairs(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    val (cHashed, cBanded) = hashedAndBands(corpus)
+    val (bHashed, bBanded) = hashedAndBands(batch)
+    val candidates = cBanded.toDF("dup_of", "band", "bucket")
+      .join(broadcast(bBanded.toDF("new_id", "band", "bucket")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("dup_of"))
+      .distinct()
+    candidates
+      .join(bHashed.toDF("new_id", "h_a"), "new_id")
+      .join(cHashed.toDF("dup_of", "h_b"), "dup_of")
+      .withColumn("jaccard",
+        size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
+        size(array_union(col("h_a"), col("h_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("dup_of"), col("jaccard"))
+  }
+
+  /** Gate: the mutated copies (doc_id ≥ 10000) arrive as the new
+    * batch against the original documents as the standing corpus;
+    * exact incremental dedup must pair every normalization-equivalent
+    * newcomer with its original and nothing else. */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val all = DocCorpus.withDuplicates(s, dir)
+    incrementalExactPairs(
+        all.filter(col("doc_id") < 10000),
+        all.filter(col("doc_id") >= 10000))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  val incrementalSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |norm AS (SELECT doc_id, ${DocCorpus.NormalizeSql} AS n FROM corpus)
+       |SELECT b.doc_id AS new_id, c.doc_id AS dup_of
+       |FROM norm b JOIN norm c ON b.n = c.n
+       |WHERE b.doc_id >= 10000 AND c.doc_id < 10000
+       |ORDER BY new_id, dup_of""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_latest"        -> (latest _),
     "dedup_exact"         -> (exact _),
@@ -367,7 +444,8 @@ object Dedup {
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_fuzzy"         -> (fuzzy _),
-    "dedup_components"    -> (components _))
+    "dedup_components"    -> (components _),
+    "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
     "dedup_latest"        -> latestSql,
@@ -376,5 +454,6 @@ object Dedup {
     "dedup_minhash_lsh"   -> minhashLshSql,
     "dedup_simhash"       -> simhashSql,
     "dedup_fuzzy"         -> fuzzySql,
-    "dedup_components"    -> componentsSql)
+    "dedup_components"    -> componentsSql,
+    "dedup_incremental"   -> incrementalSql)
 }

@@ -36,6 +36,52 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missing ${dropPairs.diff(pairs).size} drop-token pairs")
   }
 
+  test("incremental near-dup equals brute-force batch-vs-corpus truth") {
+    val all = DocCorpus.withDuplicates(spark, dir)
+    val corpus = all.filter(col("doc_id") < 10000)
+    val batch = all.filter(col("doc_id") >= 10000)
+    val got = Dedup.incrementalNearDupPairs(corpus, batch)
+      .select("new_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Brute force: every (batch, corpus) pair with shingle-set
+    // jaccard >= 0.6 — at the mutants' similarity (~0.93+) the LSH
+    // band recall is ~1, so the candidate path must find them all.
+    val h = all.select(col("doc_id"),
+      shingleHashes(lower(col("text")), 3).as("hs"))
+    val want = h.toDF("new_id", "h_a").filter(col("new_id") >= 10000)
+      .crossJoin(h.toDF("dup_of", "h_b").filter(col("dup_of") < 10000))
+      .withColumn("j",
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+        size(array_union(col("h_a"), col("h_b"))).cast("double"))
+      .filter(col("j") >= 0.6)
+      .select("new_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.subsetOf(got),
+      s"LSH incremental missed ${want.diff(got).size} true pairs")
+    assert(got.subsetOf(want),
+      s"verification let ${got.diff(want).size} sub-threshold pairs through")
+  }
+
+  test("incremental exact pairs: every normalized dup, nothing else") {
+    val out = Dedup.incremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // All 100 whitespace/case mutants must pair with their original...
+    val wsPairs = (0L until 100L).map(i => (i + 10000, i)).toSet
+    assert(wsPairs.subsetOf(out))
+    // ...and every reported pair is a true normalized-text match
+    // (the tiny vocabulary makes some drop-last mutants collide with
+    // OTHER corpus docs — those are genuine duplicates, not noise).
+    val all = DocCorpus.withDuplicates(spark, dir)
+    val norm = all.select(col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("n"))
+    val want = norm.toDF("new_id", "n").filter(col("new_id") >= 10000)
+      .join(norm.toDF("dup_of", "n"), "n")
+      .filter(col("dup_of") < 10000)
+      .select("new_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == want)
+  }
+
   test("winnowing: local edit perturbs only trailing fingerprints") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
