@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.sources.ParquetSink
 
 /** Table-maintenance operators for plain-parquet lakes: CDC-style
   * upsert (MERGE with updates-win semantics) and small-file
@@ -146,6 +147,77 @@ object Maintenance {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Gate: a REAL two-micro-batch CDC stream (file source →
+    * foreachBatch MERGE → atomic table swap, exactly the production
+    * wiring) applied to a scratch copy of orders. Batch 1 re-prices
+    * every 11th order at 0.8×; batch 2 every 13th at 1.1× — overlap
+    * keys must take batch 2 (updates win, batches in order). The
+    * oracle states the same two-layer merge declaratively; equality
+    * proves ordering, override, and swap semantics of the streaming
+    * path itself, not a batch stand-in. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val baseDir = scratch(dir, "cdc/orders")
+    val srcDir = scratch(dir, "cdc/changes")
+    val ck = scratch(dir, "cdc/ck")
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    val o = Tables.orders(s, dir)
+    def batch(mod: Int, factor: Double, status: String): DataFrame =
+      o.filter(col("o_orderkey") % mod === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * factor)
+        .withColumn("o_orderstatus", lit(status))
+    graft.Scaffold.setup {
+      // Fresh state per run: a stale checkpoint would silently skip
+      // the change files of this pass.
+      Seq(srcDir, ck).foreach(rm)
+      ParquetSink.write(o, baseDir)
+      batch(11, 0.8, "U1").write.mode("overwrite").parquet(srcDir)
+    }
+    val q = applyCdcStream(
+      s.readStream.schema(o.schema).parquet(srcDir),
+      baseDir, Seq("o_orderkey"), ck)
+    try {
+      q.processAllAvailable()
+      graft.Scaffold.setup {
+        batch(13, 1.1, "U2").write.mode("append").parquet(srcDir)
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(baseDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 4).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val cdcApplySql: String =
+    """WITH b1 AS (
+      |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+      |    o_totalprice * 0.8 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |b2 AS (
+      |  SELECT o_orderkey, o_custkey, 'U2' AS o_orderstatus,
+      |    o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |merged AS (
+      |  SELECT * FROM b2
+      |  UNION ALL
+      |  SELECT * FROM b1
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM b2))
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM merged
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Gate: shatter lineitem into 64 small files, compact to ~8 MiB
     * targets, aggregate the compacted copy. The oracle aggregates the
     * ORIGINAL table — equality proves compaction is value-preserving.
@@ -196,9 +268,11 @@ object Maintenance {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "compact_roundtrip" -> (compactRoundtrip _),
-    "scd2_build" -> (scd2Build _))
+    "scd2_build" -> (scd2Build _),
+    "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
     "compact_roundtrip" -> compactRoundtripSql,
-    "scd2_build" -> scd2BuildSql)
+    "scd2_build" -> scd2BuildSql,
+    "stream_cdc_apply" -> cdcApplySql)
 }
