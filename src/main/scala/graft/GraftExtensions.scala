@@ -4,8 +4,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{SimHash64FromTokens, TextExpressions, TokenNGrams,
-  VectorDot, VectorL2Sq, VectorExpressions, XxHashArray}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.plans.{SimHash64FromTokens, TextExpressions, TokenCountInSet,
+  TokenNGrams, VectorDot, VectorL2Sq, VectorExpressions, XxHashArray}
 
 /** Idiomatic library installation point: the codegen'd graft kernels
   * as permanent SQL functions via `SparkSessionExtensions`, so a
@@ -59,5 +63,10 @@ object GraftExtensions {
         })),
     (TextExpressions.SimHashFnName,
       "graft_simhash64(tokens) - 64-bit SimHash of a token array",
-      (es: Seq[Expression]) => SimHash64FromTokens(es(0))))
+      (es: Seq[Expression]) => SimHash64FromTokens(es(0))),
+    (TextExpressions.CountInSetFnName,
+      "graft_count_in_set(tokens, set) - tokens contained in a fixed set",
+      (es: Seq[Expression]) => TokenCountInSet(es(0),
+        es(1).eval().asInstanceOf[ArrayData]
+          .toArray[UTF8String](StringType).toSeq.map(_.toString))))
 }

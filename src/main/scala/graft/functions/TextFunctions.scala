@@ -58,9 +58,10 @@ object TextFunctions {
   /** Fraction of tokens that are stopwords (quality signal). */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords)
       : Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.TextExpressions.register)
     val toks = tokens(lower(text))
-    val hits = size(filter(toks,
-      t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    val hits = graft.plans.TextExpressions.countInSet(toks, stopwords)
     when(size(toks) === 0, 0.0)
       .otherwise(hits.cast(DoubleType) / size(toks).cast(DoubleType))
   }
@@ -93,10 +94,15 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
 
-  /** Marker-hit count for one language. */
-  def langHits(text: Column, lang: String): Column =
-    size(filter(tokens(lower(text)),
-      t => t.isin(LangMarkers(lang).map(_.asInstanceOf[Any]): _*)))
+  /** Marker-hit count for one language (codegen'd set-membership
+    * kernel; the `filter`+`isin` formulation interprets a k-wide
+    * comparison chain per token). */
+  def langHits(text: Column, lang: String): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.TextExpressions.register)
+    graft.plans.TextExpressions.countInSet(
+      tokens(lower(text)), LangMarkers(lang))
+  }
 
   /** Heuristic language ID: argmax of marker hits, ties broken by
     * language code order, "und" (undetermined) when nothing hits. */

@@ -307,20 +307,27 @@ object Dedup {
 
   /** SimHash dedup: join on equal 64-bit simhash (Hamming distance 0;
     * the k-bit variant splits the hash into k+1 bands — same join
-    * shape), then verify with normalized-text equality to kill
-    * small-vocabulary collisions. */
+    * shape), then verify with normalized-content fingerprint equality
+    * to kill small-vocabulary collisions.
+    *
+    * The verification key is the 64-bit [[fingerprint]] of the
+    * normalized text, NOT the normalized string itself — the self-join
+    * shuffle carries (id, sh, fp) = 24 bytes/doc instead of the full
+    * document body, which at 100 TB is the difference between
+    * shuffling key material and re-shuffling the corpus. (Same
+    * collision stance as exact dedup, which groups by this very
+    * fingerprint.) */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val corpus = DocCorpus.withDuplicates(s, dir)
     val docs = simhashDf(corpus, "doc_id", "text", out = "sh")
       .join(corpus.select(col("doc_id"),
-        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm")),
-        "doc_id")
-      .select(col("doc_id"), col("sh"), col("norm"))
-    val a = docs.toDF("id_a", "sh", "norm_a")
-    val b = docs.toDF("id_b", "sh", "norm_b")
+        fingerprint(col("text")).as("fp")), "doc_id")
+      .select(col("doc_id"), col("sh"), col("fp"))
+    val a = docs.toDF("id_a", "sh", "fp_a")
+    val b = docs.toDF("id_b", "sh", "fp_b")
     a.join(b, "sh")
       .filter(col("id_a") < col("id_b"))
-      .filter(col("norm_a") === col("norm_b")) // verification
+      .filter(col("fp_a") === col("fp_b")) // verification
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }

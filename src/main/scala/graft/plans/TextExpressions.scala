@@ -245,11 +245,71 @@ case class SimHash64FromTokens(child: Expression)
       newChild: Expression): SimHash64FromTokens = copy(child = newChild)
 }
 
+/** Count of array elements contained in a fixed string set — the
+  * compiled equivalent of `size(filter(arr, t -> t.isin(set)))`
+  * (ArrayFilter is CodegenFallback, and `isin` over k literals is a
+  * k-wide comparison chain per element; this is one hash probe per
+  * element). Counts are identical to the builtin formulation, so the
+  * language-ID and stopword-ratio oracles are unchanged. */
+case class TokenCountInSet(child: Expression, values: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_count_in_set expects array<string> input, got ${t.sql}")
+  }
+
+  // HashSet of UTF8String: one byte-wise hash probe per token.
+  private val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](values.size * 2)
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("set", set,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $arr.numElements();
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($setRef.contains($arr.getUTF8String($i))) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenCountInSet = copy(child = newChild)
+}
+
 object TextExpressions {
 
   val NGramsFnName = "graft_token_ngrams"
   val HashArrayFnName = "graft_xxhash_array"
   val SimHashFnName = "graft_simhash64"
+  val CountInSetFnName = "graft_count_in_set"
 
   /** Idempotent per-session registration. n and the short-doc flag
     * must be literals — they parameterize the generated code. */
@@ -273,6 +333,13 @@ object TextExpressions {
       SimHashFnName,
       exprs => SimHash64FromTokens(exprs(0)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CountInSetFnName,
+      exprs => TokenCountInSet(exprs(0),
+        exprs(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[UTF8String](StringType).toSeq.map(_.toString)),
+      "scala_udf")
   }
 
   /** Codegen'd word n-grams over a token-array column. The session
@@ -292,4 +359,10 @@ object TextExpressions {
   /** Codegen'd 64-bit SimHash over a token-array column. */
   def simhash64(tokens: Column): Column =
     call_function(SimHashFnName, tokens)
+
+  /** Codegen'd count of tokens contained in a fixed string set. */
+  def countInSet(tokens: Column, values: Seq[String]): Column =
+    call_function(CountInSetFnName, tokens,
+      org.apache.spark.sql.functions.array(
+        values.map(org.apache.spark.sql.functions.lit): _*))
 }

@@ -80,6 +80,20 @@ class TextExpressionsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("countInSet matches size(filter(isin)) builtin formulation") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val df = fixtures.toDF("text")
+    val toks = split(col("text"), " ")
+    val set = Seq("a", "b", "the", "double")
+    val got = df.select(TextExpressions.countInSet(toks, set).as("c"))
+      .as[Int].collect().toSeq
+    val want = df.select(size(filter(toks,
+        t => t.isin(set.map(_.asInstanceOf[Any]): _*))).as("c"))
+      .as[Int].collect().toSeq
+    assert(got == want)
+  }
+
   test("interpreted eval path agrees with codegen") {
     import spark.implicits._
     TextExpressions.register(spark)
