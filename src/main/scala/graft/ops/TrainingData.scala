@@ -246,15 +246,70 @@ object TrainingData {
 
   // ---------------------------------------------------------------- //
 
+  /** Deterministic training-order shuffle: permute the corpus by a
+    * seeded multiplicative hash of the doc id (Knuth's 2654435761,
+    * exact 64-bit integer arithmetic — bit-identical in any engine)
+    * and cut the permuted order into shards BY HASH RANGE, so shard
+    * assignment needs no global row_number: every task maps its docs
+    * to shards independently, and reading shards in order replays the
+    * full pseudo-random permutation. Returns per-shard summaries.
+    *
+    * Scale: a seeded reshuffle of 10^9 docs is one hash projection +
+    * one range-partitioned write — no global sort barrier, no
+    * single-partition window, re-seedable per epoch. */
+  def packShuffle(s: SparkSession, dir: String, nShards: Int = 16,
+      seed: Long = 7L): DataFrame = {
+    val m = 2654435761L
+    val mod = 4294967296L // 2^32
+    // XOR the seed in, don't add it: an additive seed only translates
+    // the whole key set ((id+s+1)·m is (id+s)·m shifted by m), so two
+    // epochs would replay almost the same order. XOR perturbs bits
+    // non-affinely; the multiplier stays odd => still injective. The
+    // seed hash is masked to 20 bits so the 64-bit product can never
+    // overflow for doc ids < 2^41 (DuckDB would raise, Spark would
+    // silently wrap — neither is acceptable).
+    val seedHash = (seed * 0x9E3779B9L) % 1048576L
+    val key =
+      (col("doc_id").bitwiseXOR(lit(seedHash)) * lit(m)) % lit(mod)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("perm_key"))
+      .withColumn("shard_id",
+        floor(col("perm_key") / lit(mod / nShards)).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("chars"),
+           min(col("perm_key")).as("key_lo"),
+           max(col("perm_key")).as("key_hi"))
+      .orderBy(col("shard_id"))
+  }
+
+  val packShuffleSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, n_chars,
+      |    (xor(doc_id, (7 * 2654435769) % 1048576) * 2654435761) % 4294967296
+      |      AS perm_key
+      |  FROM documents)
+      |SELECT CAST(FLOOR(perm_key / 268435456) AS BIGINT) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  MIN(perm_key) AS key_lo, MAX(perm_key) AS key_hi
+      |FROM keyed
+      |GROUP BY 1
+      |ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "text_repetition"    -> ((s, d) => repetition(s, d)),
     "pack_shards"        -> ((s, d) => packShards(s, d)),
+    "pack_shuffle"       -> ((s, d) => packShuffle(s, d)),
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
     "text_decontaminate" -> decontaminateSql,
     "text_repetition"    -> repetitionSql,
     "pack_shards"        -> packShardsSql,
+    "pack_shuffle"       -> packShuffleSql,
     "pii_scrub"          -> piiScrubSql)
 }

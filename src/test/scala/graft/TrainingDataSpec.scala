@@ -84,6 +84,29 @@ class TrainingDataSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("pack_shuffle is a balanced, injective, seeded permutation") {
+    val out = TrainingData.packShuffle(spark, sf).collect()
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    // Hash-range sharding balances within a loose band.
+    val max = out.map(_.getAs[Long]("n_docs")).max
+    val min = out.map(_.getAs[Long]("n_docs")).min
+    assert(max <= min * 3 + 8, s"shards unbalanced: min=$min max=$max")
+    // The multiplier is odd => the permutation key is injective.
+    val m = 2654435761L
+    val seedHash = (7L * 0x9E3779B9L) % 1048576L
+    val keys = Tables.documents(spark, sf)
+      .select(((col("doc_id").bitwiseXOR(seedHash) * m) % 4294967296L)
+        .as("k"))
+    assert(keys.distinct().count() == totalDocs)
+    // A different seed produces a different permutation order.
+    val k1 = TrainingData.packShuffle(spark, sf, seed = 7L)
+      .collect().map(_.getAs[Long]("key_lo")).toSeq
+    val k2 = TrainingData.packShuffle(spark, sf, seed = 8L)
+      .collect().map(_.getAs[Long]("key_lo")).toSeq
+    assert(k1 != k2)
+  }
+
   test("wordGrams handles documents shorter than n") {
     import spark.implicits._
     val df = Seq((1L, "solo"), (2L, "two words"), (3L, "a b c d"))
