@@ -31,4 +31,45 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(902L) == -1L)
     assert(out(903L) == -1L)
   }
+
+  test("asof backward tolerance: stale matches become nulls") {
+    import spark.implicits._
+    val views = Seq((1L, ts("2024-01-01 08:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 08:30:00"), 900L),  // 30 min old → within 1h
+      (1L, ts("2024-01-01 10:00:00"), 901L))  // 2h old → cut
+      .toDF("user_id", "ts", "event_id")
+    val out = AsofJoin.asof(purchases, views, "user_id", "ts", "event_id",
+      Seq("event_id"), Seq("event_id"), toleranceSeconds = Some(3600L))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out(900L) == 100L)
+    assert(out(901L) == -1L)
+  }
+
+  test("asofForward: inclusive boundary, earliest-next pick, tolerance") {
+    import spark.implicits._
+    val views = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (1L, ts("2024-01-01 11:00:00"), 100L), // tie on ts → min id wins
+      (1L, ts("2024-01-01 12:00:00"), 102L),
+      (2L, ts("2024-01-01 10:00:00"), 200L)
+    ).toDF("user_id", "ts", "event_id")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 900L), // equal ts → inclusive
+      (1L, ts("2024-01-01 11:30:00"), 901L), // next is 12:00 → 102
+      (2L, ts("2024-01-01 10:00:01"), 902L), // after last view → null
+      (1L, ts("2024-01-01 09:00:00"), 903L)  // next is 11:00, 2h away
+    ).toDF("user_id", "ts", "event_id")
+    val out = AsofJoin.asofForward(purchases, views, "user_id", "ts",
+      "event_id", Seq("event_id"), Seq("event_id"),
+      toleranceSeconds = Some(3600L))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out(900L) == 100L) // inclusive at equal ts, tie → min id
+    assert(out(901L) == 102L)
+    assert(out(902L) == -1L)
+    assert(out(903L) == -1L)  // beyond the 1h tolerance
+  }
 }
