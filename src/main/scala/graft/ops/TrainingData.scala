@@ -187,6 +187,70 @@ object TrainingData {
 
   // ---------------------------------------------------------------- //
 
+  /** Domain-mixture sampling: downsample each source so the output
+    * approaches target mixture weights — the data-mixing step between
+    * curation and training. Per-source keep-rate =
+    * min(1, weight · total / sourceCount), applied by DETERMINISTIC
+    * hash-threshold selection (keep iff the doc's multiplicative hash
+    * < rate·2^32) — bit-reproducible across runs and engines, unlike
+    * seeded Bernoulli, and each doc decides independently so the
+    * filter is a pure projection.
+    *
+    * Scale: one map-combinable count aggregate over sources (tiny),
+    * broadcast back, one filtered scan. No per-source repartition, no
+    * global sort, no RNG state. */
+  def mixtureSample(s: SparkSession, dir: String,
+      weights: Map[String, Double]): DataFrame = {
+    val m = 2654435761L
+    val mod = 4294967296L
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("n_total", sum(col("n_src")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val weightCol = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    val rates = counts.select(col("source"),
+      least(lit(1.0),
+        weightCol * col("n_total") / col("n_src")).as("rate"))
+    docs
+      .join(broadcast(rates), "source")
+      .filter(((col("doc_id") * lit(m)) % lit(mod)).cast("double")
+        < col("rate") * lit(mod.toDouble))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_chars")).as("chars_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Gate: mix to 50% src0 / 30% src1 / 10% src2, dropping all other
+    * sources (weight 0). */
+  def mixture(s: SparkSession, dir: String): DataFrame =
+    mixtureSample(s, dir,
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.1))
+
+  val mixtureSql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_src,
+      |    SUM(COUNT(*)) OVER () AS n_total
+      |  FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source,
+      |    least(1.0, (CASE source WHEN 'src0' THEN 0.5
+      |                WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.1
+      |                ELSE 0.0 END) * n_total / n_src) AS rate
+      |  FROM counts)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+      |FROM documents d JOIN rates USING (source)
+      |WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+      |  < rate * 4294967296
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
   /** PII redaction: mask emails and phone numbers with typed
     * placeholder tokens before a corpus ships to training. The corpus
     * is synthetic, so the gate plants deterministic PII on every 7th
@@ -304,6 +368,7 @@ object TrainingData {
     "text_repetition"    -> ((s, d) => repetition(s, d)),
     "pack_shards"        -> ((s, d) => packShards(s, d)),
     "pack_shuffle"       -> ((s, d) => packShuffle(s, d)),
+    "pack_mixture"       -> ((s, d) => mixture(s, d)),
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -311,5 +376,6 @@ object TrainingData {
     "text_repetition"    -> repetitionSql,
     "pack_shards"        -> packShardsSql,
     "pack_shuffle"       -> packShuffleSql,
+    "pack_mixture"       -> mixtureSql,
     "pii_scrub"          -> piiScrubSql)
 }

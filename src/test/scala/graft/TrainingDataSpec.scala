@@ -107,6 +107,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(k1 != k2)
   }
 
+  test("mixtureSample: zero-weight sources dropped, capped rates keep all") {
+    val out = TrainingData.mixtureSample(spark, sf,
+      Map("src0" -> 0.5, "src1" -> 0.3)).collect()
+    val kept = out.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    // Only weighted sources survive.
+    assert(kept.keySet.subsetOf(Set("src0", "src1")))
+    val srcCounts = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val total = srcCounts.values.sum.toDouble
+    for ((src, n) <- kept) {
+      assert(n <= srcCounts(src))
+      // rate = min(1, w·total/n_src); when it caps at 1 the source
+      // must come through whole (deterministic, not probabilistic).
+      val w = Map("src0" -> 0.5, "src1" -> 0.3)(src)
+      if (w * total / srcCounts(src) >= 1.0) assert(n == srcCounts(src))
+    }
+    // Deterministic: a second run returns identical counts.
+    val again = TrainingData.mixtureSample(spark, sf,
+      Map("src0" -> 0.5, "src1" -> 0.3)).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    assert(again == kept)
+  }
+
   test("wordGrams handles documents shorter than n") {
     import spark.implicits._
     val df = Seq((1L, "solo"), (2L, "two words"), (3L, "a b c d"))
