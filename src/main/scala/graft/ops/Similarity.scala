@@ -373,18 +373,56 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall gate for an ANN variant: the ANN result set joined
+    * against THIS ENGINE's exact brute-force top-k — recall is a
+    * deterministic number for a deterministic index (no RNG anywhere
+    * in the LSH planes or IVF seeding), so "recall ≥ threshold" is a
+    * hash-checkable constant the oracle can state, upgrading the ANN
+    * gates from rows-only to value-checked. Also asserts structural
+    * validity (no self-pairs, only the declared query set). */
+  private def annRecallGate(s: SparkSession, dir: String,
+      ann: DataFrame, threshold: Double): DataFrame = {
+    val bf = topK(s, dir).select(col("query_id"), col("target_id"))
+    val a = ann.select(col("query_id"), col("target_id"))
+    val hits = a.join(bf, Seq("query_id", "target_id")).count()
+    val bfN = bf.count()
+    val invalid = a.filter(col("query_id") === col("target_id") ||
+      col("query_id") >= 5).count()
+    val nQ = bf.select(countDistinct(col("query_id"))).head().getLong(0)
+    import s.implicits._
+    Seq((nQ, hits.toDouble / bfN >= threshold, invalid == 0L))
+      .toDF("n_queries", "recall_ok", "pairs_valid")
+  }
+
+  def annLshRecall(s: SparkSession, dir: String): DataFrame =
+    annRecallGate(s, dir, annLsh(s, dir), threshold = 0.4)
+
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame =
+    annRecallGate(s, dir, annIvf(s, dir), threshold = 0.3)
+
+  val annRecallSql: String =
+    """SELECT CAST(5 AS BIGINT) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS recall_ok,
+      |  CAST(1 AS BOOLEAN) AS pairs_valid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topK _),
     "sim_topk_l2"         -> (topKL2 _),
     "sim_topk_agg"        -> (topKAgg _),
     "sim_near_dup"        -> (nearDupPairs _),
     "sim_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(s, d)),
-    "sim_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(s, d)))
+    "sim_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "sim_ann_lsh_recall"  -> (annLshRecall _),
+    "sim_ann_ivf_recall"  -> (annIvfRecall _))
 
   def oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topKSql,
     "sim_topk_l2"         -> topKL2Sql,
     "sim_topk_agg"        -> topKSql,
-    "sim_near_dup"        -> nearDupPairsSql)
-    // sim_ann_lsh / sim_ann_ivf: approximate → rows-only check (no oracle)
+    "sim_near_dup"        -> nearDupPairsSql,
+    "sim_ann_lsh_recall"  -> annRecallSql,
+    "sim_ann_ivf_recall"  -> annRecallSql)
+    // sim_ann_lsh / sim_ann_ivf raw neighbor lists stay rows-only
+    // (approximate by construction); their *_recall gates hash-check
+    // the quality bound instead.
 }
