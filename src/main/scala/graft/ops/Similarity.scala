@@ -256,13 +256,10 @@ object Similarity {
     // A vector's exploded rows stay contiguous in one partition, so
     // each sum accumulates in position order — the same IEEE fold as
     // the sequential formulation.
-    // first(v) rides the groupBy shuffle (one copy per group per
-    // mapper), so no corpus re-join is needed to recover the vector.
-    val projCols = (for (t <- 0 until nTables; b <- 0 until bits)
+    val projCols = for (t <- 0 until nTables; b <- 0 until bits)
       yield sum(col("x") * planeComponent(t, b, col("d"))).as(s"_p${t}_$b")
-    ) :+ first(col("v")).as("v")
     val sigs = base
-      .select(col("vec_id"), col("v"), posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("vec_id"))
       .agg(projCols.head, projCols.tail: _*)
     val bucketCols = (0 until nTables).map { t =>
@@ -271,20 +268,28 @@ object Similarity {
           .otherwise(lit(0L)))
         .reduce[Column](_.bitwiseOR(_)).as(s"_bkt$t")
     }
+    // Bucket tables carry (vec_id, table, bucket) ONLY — ~24 B/row.
+    // Vectors are re-joined after the candidate pairs are deduped, so
+    // neither the bucket join nor the distinct exchange ever shuffles
+    // a ~1 KB embedding (at 100 TB that width difference is ~60×).
     val tables = sigs
-      .select(col("vec_id") +: col("v") +: bucketCols: _*)
-      .select(col("vec_id"), col("v"), posexplode(
+      .select(col("vec_id") +: bucketCols: _*)
+      .select(col("vec_id"), posexplode(
         array((0 until nTables).map(t => col(s"_bkt$t")): _*)))
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
         col("pos").as("table"), col("col").as("bucket"))
     val q = tables.filter(col("vec_id") < 5)
-      .toDF("query_id", "qv", "table", "bucket")
-    val t = tables.toDF("target_id", "tv", "table", "bucket")
+      .toDF("query_id", "table", "bucket")
+    val t = tables.toDF("target_id", "table", "bucket")
     // queries × tables is tiny; the corpus side must NOT be broadcast
-    val candidates = broadcast(q).join(t, Seq("table", "bucket"))
+    val pairs = broadcast(q).join(t, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("target_id"))
-      .select(col("query_id"), col("qv"), col("target_id"), col("tv"))
+      .select(col("query_id"), col("target_id"))
       .distinct()
+    val candidates = pairs
+      .join(base.toDF("target_id", "tv"), "target_id")
+      .join(broadcast(base.filter(col("vec_id") < 5)
+        .toDF("query_id", "qv")), "query_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("target_id"))
     candidates
@@ -352,19 +357,25 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cell"), transform(col("pc"), p => p("c")).as("cv"))
 
+    // Inverted lists and probes carry (cell, id) ONLY — the probe
+    // join and pair-dedup shuffle ~16 B/candidate; vectors re-join
+    // after the distinct (same width discipline as [[annLsh]]).
     val lists = nearestCells(base, refined, 1, "v")
-      .select(col("cell"), col("vec_id").as("target_id"), col("v").as("tv"))
+      .select(col("cell"), col("vec_id").as("target_id"))
     val probes = nearestCells(base.filter(col("vec_id") < 5), refined,
         nProbe, "v")
-      .select(col("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("cell"), col("vec_id").as("query_id"))
 
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("target_id"))
     // probes = queries × nProbe rows — broadcast; lists is the corpus
     broadcast(probes).join(lists, "cell")
       .filter(col("query_id") =!= col("target_id"))
-      .select(col("query_id"), col("qv"), col("target_id"), col("tv"))
+      .select(col("query_id"), col("target_id"))
       .distinct()
+      .join(base.toDF("target_id", "tv"), "target_id")
+      .join(broadcast(base.filter(col("vec_id") < 5)
+        .toDF("query_id", "qv")), "query_id")
       .withColumn("sim", cosine(col("qv"), col("tv")))
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
@@ -373,24 +384,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Brute-force top-k id pairs, memoized per (session, dir) and
+    * persisted: the two `sim_ann_*_recall` gates (and any repeat run
+    * in the same JVM) share one computation of the exact baseline
+    * instead of redoing the O(Q·N) scan per gate. The persisted set
+    * is k·|Q| rows — trivially small. */
+  private val bfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bruteForcePairs(s: SparkSession, dir: String): DataFrame =
+    bfMemo.computeIfAbsent((s, dir), _ =>
+      topK(s, dir).select(col("query_id"), col("target_id")).persist())
+
   /** Recall gate for an ANN variant: the ANN result set joined
     * against THIS ENGINE's exact brute-force top-k — recall is a
     * deterministic number for a deterministic index (no RNG anywhere
     * in the LSH planes or IVF seeding), so "recall ≥ threshold" is a
     * hash-checkable constant the oracle can state, upgrading the ANN
     * gates from rows-only to value-checked. Also asserts structural
-    * validity (no self-pairs, only the declared query set). */
+    * validity (no self-pairs, only the declared query set).
+    *
+    * Everything is computed in ONE action: a full-outer join of the
+    * ANN and baseline pair sets feeds a single aggregate producing
+    * hit/baseline/invalid counts together (the previous formulation
+    * ran three separate driver-side counts). */
   private def annRecallGate(s: SparkSession, dir: String,
       ann: DataFrame, threshold: Double): DataFrame = {
-    val bf = topK(s, dir).select(col("query_id"), col("target_id"))
+    val bf = bruteForcePairs(s, dir).withColumn("in_bf", lit(1))
     val a = ann.select(col("query_id"), col("target_id"))
-    val hits = a.join(bf, Seq("query_id", "target_id")).count()
-    val bfN = bf.count()
-    val invalid = a.filter(col("query_id") === col("target_id") ||
-      col("query_id") >= 5).count()
-    val nQ = bf.select(countDistinct(col("query_id"))).head().getLong(0)
+      .withColumn("in_ann", lit(1))
+    val r = a.join(bf, Seq("query_id", "target_id"), "full_outer")
+      .agg(
+        sum(col("in_bf")).as("bf_n"),
+        sum(when(col("in_ann") === 1 && col("in_bf") === 1, 1L)
+          .otherwise(0L)).as("hits"),
+        sum(when(col("in_ann") === 1 &&
+            (col("query_id") === col("target_id") || col("query_id") >= 5),
+          1L).otherwise(0L)).as("invalid"),
+        countDistinct(when(col("in_bf") === 1, col("query_id")))
+          .as("n_queries"))
+      .head()
     import s.implicits._
-    Seq((nQ, hits.toDouble / bfN >= threshold, invalid == 0L))
+    Seq((r.getAs[Long]("n_queries"),
+        r.getAs[Long]("hits").toDouble / r.getAs[Long]("bf_n") >= threshold,
+        r.getAs[Long]("invalid") == 0L))
       .toDF("n_queries", "recall_ok", "pairs_valid")
   }
 
