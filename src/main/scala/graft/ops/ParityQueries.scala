@@ -215,6 +215,59 @@ object ParityQueries {
   val purgeTruncateSql: String =
     "SELECT CAST(0 AS BIGINT) AS n_remaining"
 
+  /** Partition-pruned criteria delete: `orders` copied into a Hive
+    * layout partitioned by `o_orderstatus`; a criteria on the
+    * partition column executes as a directory drop, never touching
+    * survivors. The gate captures the surviving partitions' file
+    * inventory (relative path, length, mtime) before the purge and
+    * proves it is identical after — the survivors were pruned, not
+    * rewritten — and that the matching partition directory is gone.
+    * Oracle: per-status aggregate of the surviving rows plus the two
+    * constant assertions. */
+  def purgePartitionDrop(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "purge_partdrop")
+    val path = s"$root/orders"
+    graft.Scaffold.setup {
+      ParquetSink.writePartitioned(Tables.orders(s, dir), path,
+        Seq("o_orderstatus"))
+    }
+    def survivorInventory(): Map[String, (Long, Long)] = {
+      val base = java.nio.file.Paths.get(path)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .filterNot(_.toString.contains("o_orderstatus=F"))
+        .map(p => base.relativize(p).toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    }
+    val before = survivorInventory()
+    new Purge.Engine(s, Purge.DirResolver(root)).run(
+      Seq(Purge.PurgeConfig("graft", "orders", "CRITERIA",
+        "o_orderstatus = 'F'", maxRecordCount = Long.MaxValue)))
+    val intact = before.nonEmpty && survivorInventory() == before
+    val dropped = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "o_orderstatus=F"))
+    s.read.parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .withColumn("survivors_intact", lit(intact))
+      .withColumn("partition_dropped", lit(dropped))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val purgePartitionDropSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(1 AS BOOLEAN) AS survivors_intact,
+      |  CAST(1 AS BOOLEAN) AS partition_dropped
+      |FROM orders WHERE o_orderstatus <> 'F'
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Missing-table validation (Q2): the engine skips-with-audit; the
     * real table is untouched. Surfaced as the audit row count for the
     * missing table (always exactly one skip event). */
@@ -244,6 +297,7 @@ object ParityQueries {
     "purge_guard_abort"     -> (purgeGuardAbort _),
     "purge_dryrun"          -> (purgeDryRun _),
     "purge_truncate"        -> (purgeTruncate _),
+    "purge_partition_drop"  -> (purgePartitionDrop _),
     "purge_missing_table"   -> (purgeMissingTable _))
 
   def oracle: Map[String, String] = Map(
@@ -254,5 +308,6 @@ object ParityQueries {
     "purge_guard_abort"     -> purgeGuardAbortSql,
     "purge_dryrun"          -> purgeDryRunSql,
     "purge_truncate"        -> purgeTruncateSql,
+    "purge_partition_drop"  -> purgePartitionDropSql,
     "purge_missing_table"   -> purgeMissingTableSql)
 }

@@ -4,9 +4,13 @@ import java.sql.Timestamp
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.hadoop.fs.{FileStatus, Path => HadoopPath}
+
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 import graft.sources.ParquetSink
 
@@ -166,9 +170,17 @@ object Purge extends Logging {
               Option(whereOrNull) match {
                 case Some(cond) =>
                   val n = df.filter(expr(cond)).count()
-                  replaceTable(p, df.filter(!expr(cond)))
-                  audit(s"SQL DELETE: removed $n rows matching '$cond'",
-                    c.userName, c.tableName)
+                  partitionPrunedDelete(p, cond) match {
+                    case Some((dropped, total)) =>
+                      audit(s"SQL DELETE (partition-pruned): dropped " +
+                        s"$dropped of $total partitions ($n rows); " +
+                        s"surviving partitions not rewritten",
+                        c.userName, c.tableName)
+                    case None =>
+                      replaceTable(p, df.filter(!expr(cond)))
+                      audit(s"SQL DELETE: removed $n rows matching " +
+                        s"'$cond'", c.userName, c.tableName)
+                  }
                 case None =>
                   val n = df.count()
                   replaceTable(p, df.limit(0))
@@ -204,10 +216,100 @@ object Purge extends Logging {
         audit(s"DRY RUN: would delete $toDelete rows", c.userName,
           c.tableName)
       } else {
-        val remaining = df.filter(!expr(criteria))
-        replaceTable(path, remaining)
-        audit(s"deleted $toDelete rows", c.userName, c.tableName)
+        partitionPrunedDelete(path, criteria) match {
+          case Some((dropped, total)) =>
+            audit(s"partition-pruned delete: dropped $dropped of $total " +
+              s"partitions ($toDelete rows); surviving partitions not " +
+              s"rewritten", c.userName, c.tableName)
+          case None =>
+            val remaining = df.filter(!expr(criteria))
+            replaceTable(path, remaining)
+            audit(s"deleted $toDelete rows", c.userName, c.tableName)
+        }
       }
+    }
+
+    private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
+    /** Decode Hive's %XX path escaping in a partition value. */
+    private def unescapeHive(v: String): String = {
+      val sb = new StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        val ch = v.charAt(i)
+        if (ch == '%' && i + 2 < v.length) {
+          sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.toString
+    }
+
+    /** Partition-pruned criteria delete: when the table is stored in a
+      * Hive layout (`col=value/` directories, e.g. from
+      * [[ParquetSink.writePartitioned]]) and the criteria references
+      * ONLY partition columns, the delete executes as directory drops —
+      * matching partitions are removed wholesale and the surviving
+      * partitions' data files are never read or rewritten. The
+      * reference's TRUNCATE fast path (`AutoPurge.sql:132-135`) at
+      * partition granularity; at 100 TB this turns a full-table
+      * rewrite into O(matching partitions) metadata operations.
+      *
+      * The criteria is evaluated over the partition VALUES with
+      * Spark's own expression semantics: directory names are parsed
+      * into a one-row-per-partition frame, cast to the types the
+      * partitioned read infers, and filtered by the same `expr` the
+      * row-level path would use — so the pruned and anti-rewrite paths
+      * delete exactly the same rows whenever both apply.
+      *
+      * Returns Some((dropped, totalPartitions)) when the pruned path
+      * applied, None to fall back to the anti-rewrite. */
+    private def partitionPrunedDelete(path: String, criteria: String)
+        : Option[(Int, Int)] = {
+      val root = new HadoopPath(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+      def isPartDir(st: FileStatus): Boolean =
+        st.isDirectory && st.getPath.getName.matches("[^=]+=.*")
+
+      def walk(p: HadoopPath, spec: Vector[(String, String)])
+          : Vector[(Vector[(String, String)], HadoopPath)] = {
+        val parts = fs.listStatus(p).filter(isPartDir)
+        if (parts.isEmpty) Vector((spec, p))
+        else parts.toVector.flatMap { st =>
+          val Array(k, v) = st.getPath.getName.split("=", 2)
+          walk(st.getPath, spec :+ (k -> v))
+        }
+      }
+
+      val leaves = walk(root, Vector.empty).filter(_._1.nonEmpty)
+      if (leaves.isEmpty) return None
+      val partCols = leaves.head._1.map(_._1)
+      if (!leaves.forall(_._1.map(_._1) == partCols)) return None
+
+      val refs = spark.sessionState.sqlParser.parseExpression(criteria)
+        .collect { case a: UnresolvedAttribute => a.nameParts.last.toLowerCase }
+        .toSet
+      if (refs.isEmpty ||
+          !refs.subsetOf(partCols.map(_.toLowerCase).toSet)) return None
+
+      val inferred = spark.read.parquet(path).schema
+      import spark.implicits._
+      val valuesDf = leaves.map { case (spec, p) =>
+        (p.toString, spec.map { case (_, v) => unescapeHive(v) })
+      }.toDF("_dir", "_vals")
+      val typed = partCols.zipWithIndex.foldLeft(valuesDf) {
+        case (acc, (c, i)) =>
+          val t = inferred.find(_.name.equalsIgnoreCase(c))
+            .map(_.dataType).getOrElse(StringType)
+          acc.withColumn(c,
+            when(col("_vals")(i) === HiveNullPart, lit(null))
+              .otherwise(col("_vals")(i)).cast(t))
+      }
+      val doomed = typed.filter(expr(criteria))
+        .select(col("_dir")).collect().map(_.getString(0))
+      doomed.foreach(d => fs.delete(new HadoopPath(d), true))
+      Some((doomed.length, leaves.size))
     }
 
     /** Anti-rewrite swap: write survivors to a staging dir, then move

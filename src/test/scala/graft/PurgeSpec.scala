@@ -80,6 +80,63 @@ class PurgeSpec extends SparkSpec {
     assert(spark.read.parquet(p2).count() == 50)
   }
 
+  /** Partitioned copy: 100 rows across status=ACTIVE/EXPIRED dirs. */
+  private def mkPartitioned(root: String, name: String = "t"): String = {
+    val df = (1 to 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "EXPIRED" else "ACTIVE"))
+      .toDF("id", "status")
+    ParquetSink.writePartitioned(df, s"$root/$name", Seq("status"))
+    s"$root/$name"
+  }
+
+  test("criteria on a partition column drops directories, not rewrites") {
+    val root = tmpDir("purge")
+    val path = mkPartitioned(root)
+    val survivor = java.nio.file.Paths.get(path, "status=ACTIVE")
+    import scala.jdk.CollectionConverters._
+    def files() = java.nio.file.Files.list(survivor).iterator().asScala
+      .map(p => (p.getFileName.toString,
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    val before = files()
+    val log = engine(root).run(Seq(cfg("status = 'EXPIRED'")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "status=EXPIRED")))
+    assert(files() == before, "surviving partition was rewritten")
+    assert(log.exists(_.logMessage.contains("partition-pruned")))
+    val left = spark.read.parquet(path)
+    assert(left.count() == 50)
+    assert(left.filter($"status" === "EXPIRED").count() == 0)
+  }
+
+  test("criteria on a non-partition column falls back to anti-rewrite") {
+    val root = tmpDir("purge")
+    val path = mkPartitioned(root)
+    val log = engine(root).run(Seq(cfg("id <= 10")))
+    assert(!log.exists(_.logMessage.contains("partition-pruned")))
+    assert(spark.read.parquet(path).count() == 90)
+  }
+
+  test("mixed partition/data criteria is NOT partition-pruned") {
+    val root = tmpDir("purge")
+    val path = mkPartitioned(root)
+    // half of EXPIRED — dropping the whole directory would over-delete
+    val log = engine(root).run(
+      Seq(cfg("status = 'EXPIRED' AND id <= 50")))
+    assert(!log.exists(_.logMessage.contains("partition-pruned")))
+    val left = spark.read.parquet(path)
+    assert(left.count() == 75)
+    assert(left.filter($"status" === "EXPIRED").count() == 25)
+  }
+
+  test("SQL DELETE on a partition column is partition-pruned too (Q3)") {
+    val root = tmpDir("purge")
+    val path = mkPartitioned(root)
+    val log = engine(root).run(Seq(
+      cfg("DELETE FROM t WHERE status = 'EXPIRED'", action = "SQL")))
+    assert(log.exists(_.logMessage.contains("partition-pruned")))
+    assert(spark.read.parquet(path).count() == 50)
+  }
+
   test("audit sink appends Purge_Audit-shaped rows (Q9)") {
     val root = tmpDir("purge")
     mkTable(root)
