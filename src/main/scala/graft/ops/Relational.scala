@@ -547,13 +547,17 @@ object Relational {
       |WHERE l_orderkey <= 100
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  /** Exact percentiles (sorted-data interpolation — `percentile`, not
-    * the approximate sketch) per return flag. At 100 TB prefer
-    * `percentile_approx` (mergeable KLL-ish sketch, no global sort);
-    * the exact form is the oracle-checkable baseline. Both engines
-    * use the same (1-d)·lower + d·upper interpolation; results are
-    * rounded to 4 decimals on both sides to absorb the one
-    * floating-point interpolation step. */
+  /** Exact percentiles — the OPT-IN variant. `percentile` buffers
+    * every group's values in the aggregation buffer, so as a global
+    * or low-cardinality-group percentile at 100 TB it is an
+    * executor-memory scale-killer. The DEFAULT for this shape of ask
+    * is [[q23PercentilesApprox]] (`percentile_approx`: a mergeable
+    * sketch, bounded memory, map-side combinable — same quantiles,
+    * tolerance-gated); reach for the exact form only when the
+    * groups are known to fit (it is the oracle-checkable baseline
+    * here). Both engines use the same (1-d)·lower + d·upper
+    * interpolation; results are rounded to 4 decimals on both sides
+    * to absorb the one floating-point interpolation step. */
   def q23Percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -572,6 +576,39 @@ object Relational {
       |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
       |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
       |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate percentiles — the 100 TB DEFAULT for q23's ask.
+    * `percentile_approx` keeps a bounded mergeable sketch per group
+    * (accuracy 10000 ≈ 0.01% rank error) instead of buffering every
+    * value, so memory is O(sketch) regardless of group size and the
+    * aggregation combines map-side. The gate computes the same three
+    * quantiles both ways and emits per-group relative-error booleans
+    * (tolerance 1%) — hash-checkable constants for the oracle, same
+    * discipline as q37's sketch gates. */
+  def q23PercentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr(
+        "percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        .as("aps"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+        .as("eps"))
+    def ok(i: Int) = (abs(element_at(col("aps"), i).cast(DoubleType)
+        - element_at(col("eps"), i))
+      / element_at(col("eps"), i) <= 0.01)
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        ok(1).as("p50_ok"), ok(2).as("p90_ok"), ok(3).as("p99_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q23ApproxSql: String =
+    """SELECT l_returnflag,
+      |  true AS p50_ok, true AS p90_ok, true AS p99_ok
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
@@ -1033,6 +1070,7 @@ object Relational {
     "q21_null_handling"  -> (q21NullHandling _),
     "q22_scalar_math"    -> (q22ScalarMath _),
     "q23_percentiles"    -> (q23Percentiles _),
+    "q23_percentiles_approx" -> (q23PercentilesApprox _),
     "q24_pivot"          -> (q24Pivot _),
     "q25_cohort"         -> (q25CohortRetention _),
     "q26_window_funcs"   -> (q26WindowFuncs _),
@@ -1072,6 +1110,7 @@ object Relational {
     "q21_null_handling"  -> q21Sql,
     "q22_scalar_math"    -> q22Sql,
     "q23_percentiles"    -> q23Sql,
+    "q23_percentiles_approx" -> q23ApproxSql,
     "q24_pivot"          -> q24Sql,
     "q25_cohort"         -> q25Sql,
     "q26_window_funcs"   -> q26Sql,
