@@ -219,9 +219,9 @@ object Dedup {
     * min-label propagation: label(n) ← min(label(n), labels of
     * neighbors), repeated to fixpoint. Iterations = cluster diameter
     * (dup clusters are shallow — 2 here, bounded small in practice;
-    * at extreme scale swap in the large-star/small-star contraction,
-    * same DataFrame shape). Each iteration is one join + one
-    * aggregate; the driver only checks the convergence count. */
+    * for deep chains use [[componentsByStarContraction]], which is
+    * log-bounded). Each iteration is one join + one aggregate; the
+    * driver only checks the convergence count. */
   def components(s: SparkSession, dir: String): DataFrame =
     componentsOver(
       DocCorpus.withDuplicates(s, dir)
@@ -263,6 +263,103 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
   }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round rewires every node toward the
+    * minimum of its neighborhood, so tree heights roughly halve per
+    * round and the iteration count is O(log n) in component size —
+    * unlike [[componentsOver]]'s min-label propagation, which pays one
+    * round per hop of cluster DIAMETER (a 1000-deep duplicate chain =
+    * 1000 shuffles; here ~10).
+    *
+    *   - large-star: for node u with neighbors N(u) and
+    *     m = min(N(u) ∪ {u}), connect every v ∈ N(u), v > u to m.
+    *   - small-star: over edges directed larger→smaller, connect every
+    *     smaller neighbor (and u itself) to m = min of them.
+    *
+    * Both steps are one groupBy-min plus one re-join over the edge
+    * set; every intermediate is localCheckpoint'd to truncate lineage.
+    * Convergence = the canonical edge set reaches a fixpoint (exact
+    * check: equal counts + empty exceptAll — two cheap actions over
+    * the checkpointed, deduped edge frame). At fixpoint the edges form
+    * stars rooted at component minima.
+    *
+    * Returns (labels, rounds): (id, component) for every node, plus
+    * the number of contraction rounds actually run. */
+  def componentsByStarContraction(nodes: DataFrame, pairs: DataFrame)
+      : (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst"), col("src")))
+      val mins = sym.groupBy(col("src"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val canon = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = canon.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      canon.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 30) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges.unpersist(blocking = false)
+      edges = next
+      rounds += 1
+    }
+    val labels = nodes
+      .join(edges.select(col("src").as("id"), col("dst").as("lbl")),
+        Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(coalesce(min(col("lbl")), first(col("id"))).as("label"))
+    (labels, rounds)
+  }
+
+  /** Deep-chain components gate: duplicate CHAINS 16 long (a~b~c~…,
+    * adjacent pairs near-dup, endpoints unrelated — the worst case for
+    * diameter-bound propagation). Edges are consecutive doc_id pairs
+    * within 16-blocks of the documents table, so each block's
+    * component is its smallest id — SQL-expressible — while the
+    * contraction must actually traverse a diameter-15 path. The gate
+    * emits the label set plus `log_bounded`: rounds strictly below the
+    * 15-hop diameter (label propagation would need all 15). */
+  def componentsDeep(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 64)
+    val pairs = d.toDF("id_a")
+      .join(d.toDF("id_b"), col("id_b") === col("id_a") + 1)
+      .filter(col("id_a") % 16 =!= 15)
+    val (labels, rounds) =
+      componentsByStarContraction(d.toDF("id"), pairs)
+    labels
+      .select(col("id").as("doc_id"), col("label").as("component"))
+      .withColumn("log_bounded", lit(rounds < 15))
+      .orderBy(col("doc_id"))
+  }
+
+  val componentsDeepSql: String =
+    """SELECT doc_id, (doc_id // 16) * 16 AS component,
+      |  true AS log_bounded
+      |FROM documents WHERE doc_id < 64
+      |ORDER BY doc_id""".stripMargin
 
   /** Recursive-CTE oracle: component(id) = min label reachable over
     * the symmetric near-dup edge set. */
@@ -452,6 +549,7 @@ object Dedup {
     "dedup_simhash"       -> (simhash _),
     "dedup_fuzzy"         -> (fuzzy _),
     "dedup_components"    -> (components _),
+    "dedup_components_deep" -> (componentsDeep _),
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
@@ -462,5 +560,6 @@ object Dedup {
     "dedup_simhash"       -> simhashSql,
     "dedup_fuzzy"         -> fuzzySql,
     "dedup_components"    -> componentsSql,
+    "dedup_components_deep" -> componentsDeepSql,
     "dedup_incremental"   -> incrementalSql)
 }

@@ -164,6 +164,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("star contraction: log-bounded rounds on a deep chain, labels " +
+      "match propagation") {
+    import spark.implicits._
+    // one 64-deep chain + one 3-cycle + two isolated nodes
+    val nodes = ((0L to 63L) ++ Seq(100L, 101L, 102L, 200L, 201L))
+      .toDF("id")
+    val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L)))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Dedup.componentsByStarContraction(nodes, pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 63L).foreach(i => assert(got(i) == 0L, s"node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L))
+    assert(got(200L) == 200L && got(201L) == 201L)
+    // diameter 63; contraction must be far under it (log-ish).
+    // (min-label propagation would need 63 rounds here — past its
+    // iteration cap; that is exactly the case this variant exists for)
+    assert(rounds < 16, s"took $rounds rounds on a 63-diameter chain")
+  }
+
   test("exact dedup: survivors count matches corpus minus dup groups") {
     val survivors = Dedup.exact(spark, dir)
     val corpus = DocCorpus.withDuplicates(spark, dir)
