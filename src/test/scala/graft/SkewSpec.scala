@@ -38,6 +38,64 @@ class SkewSpec extends SparkSpec {
     assert(salts == 8)
   }
 
+  test("AQE runtime skew-join split fires on a skewed sort-merge join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // Documented production path: AQE's skewJoin splits oversized
+    // shuffle partitions at runtime — salting (above) is only for the
+    // shapes AQE can't touch. This asserts the split actually FIRES:
+    // the executed adaptive plan must contain a join with
+    // isSkewJoin=true. Thresholds are lowered so a ~10 MB hot
+    // partition counts as skewed in a test-sized shuffle.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k rows, 75% on one key, ~64B incompressible payload each —
+      // the hot key's shuffle partition dwarfs the median
+      val left = spark.range(200000)
+        .select(
+          when($"id" < 150000, 0L).otherwise($"id" % 199 + 1).as("k"),
+          concat(md5($"id".cast("string")),
+            md5(($"id" + 1).cast("string"))).as("pay"))
+      val right = spark.range(0, 200).toDF("k")
+        .withColumn("name", md5($"k".cast("string")))
+      // sum(length(pay)) keeps the payload alive through the shuffle
+      // (a bare count would let column pruning shrink the hot side)
+      val acted = left.join(right, "k")
+        .select(sum(length($"pay")).as("bytes"))
+      // collect(), NOT head(): head() executes a separate limit(1)
+      // QueryExecution, leaving THIS adaptive plan un-finalized
+      assert(acted.collect()(0).getLong(0) == 200000L * 64)
+      val adaptive = acted.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }
+      assert(adaptive.isDefined, "expected an adaptive plan")
+      // query stages are leaf nodes — descend into them explicitly
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case q: QueryStageExec => allNodes(q.plan)
+        case _                 => p.children.flatMap(allNodes)
+      })
+      val skewed = allNodes(adaptive.get.executedPlan).collect {
+        case j: SortMergeJoinExec if j.isSkewJoin => j
+        case j: ShuffledHashJoinExec if j.isSkewJoin => j
+      }
+      assert(skewed.nonEmpty,
+        s"AQE skew-join did not fire; executed plan:\n${adaptive.get.executedPlan}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("two-phase salted aggregation equals direct groupBy") {
     // decimal value → addition is associative, equality is exact
     val events = Tables.events(spark, dir).withColumn("value",
