@@ -75,8 +75,14 @@ object Purge extends Logging {
     }
   }
 
+  /** @param retainBackups keep-last-N savepoint ring for every table
+    *   rewrite (0 = off): each swap retains the displaced contents as
+    *   `<path>.bak0..N-1`, restorable via [[TableSwap.rollback]] —
+    *   the reference's savepoint/ROLLBACK parity
+    *   (`AutoPurge.sql:81-92`). */
   class Engine(spark: SparkSession, resolver: TableResolver,
-      dryRun: Boolean = false, auditPath: Option[String] = None) {
+      dryRun: Boolean = false, auditPath: Option[String] = None,
+      retainBackups: Int = 0) {
 
     private val events = ArrayBuffer.empty[AuditEvent]
 
@@ -317,7 +323,7 @@ object Purge extends Logging {
     private def replaceTable(path: String, replacement: DataFrame): Unit = {
       val staging = path + ".staging"
       ParquetSink.write(replacement, staging)
-      TableSwap.swapIn(spark, path, staging)
+      TableSwap.swapIn(spark, path, staging, retain = retainBackups)
     }
   }
 }

@@ -111,6 +111,55 @@ class MaintenanceSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
   }
 
+  test("swap retention ring + rollback restores the pre-purge table") {
+    import spark.implicits._
+    import graft.ops.TableSwap
+    val target = tmpDir("swap_ring") + "/t"
+    def stage(v: String): String = {
+      val staging = target + ".staging"
+      Seq((1L, v)).toDF("k", "v").write.mode("overwrite").parquet(staging)
+      staging
+    }
+    def current(): String =
+      spark.read.parquet(target).as[(Long, String)].head()._2
+    Seq((1L, "v1")).toDF("k", "v").write.parquet(target)
+    TableSwap.swapIn(spark, target, stage("v2"), retain = 2)
+    TableSwap.swapIn(spark, target, stage("v3"), retain = 2)
+    TableSwap.swapIn(spark, target, stage("v4"), retain = 2)
+    assert(current() == "v4")
+    // ring holds the last 2 generations: v3 (bak0), v2 (bak1); v1 pruned
+    assert(spark.read.parquet(target + ".bak0")
+      .as[(Long, String)].head()._2 == "v3")
+    assert(spark.read.parquet(target + ".bak1")
+      .as[(Long, String)].head()._2 == "v2")
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + ".bak2")))
+    // rollbacks walk back v4 → v3 → v2, then report nothing to restore
+    assert(TableSwap.rollback(spark, target) && current() == "v3")
+    assert(TableSwap.rollback(spark, target) && current() == "v2")
+    assert(!TableSwap.rollback(spark, target))
+    assert(current() == "v2")
+  }
+
+  test("a retained purge is reversible: rollback restores deleted rows") {
+    import graft.ops.{Purge, TableSwap}
+    val root = tmpDir("purge_rollback")
+    val df = spark.range(100).toDF("id")
+      .withColumn("status",
+        when(col("id") % 2 === 0, "EXPIRED").otherwise("ACTIVE"))
+    graft.sources.ParquetSink.write(df, s"$root/t")
+    new Purge.Engine(spark, Purge.DirResolver(root), retainBackups = 1)
+      .run(Seq(Purge.PurgeConfig("tester", "t", "CRITERIA",
+        "status = 'EXPIRED'", Long.MaxValue)))
+    assert(spark.read.parquet(s"$root/t").count() == 50)
+    // the bad-purge escape hatch: restore the pre-purge generation
+    assert(TableSwap.rollback(spark, s"$root/t"))
+    val restored = spark.read.parquet(s"$root/t")
+    assert(restored.count() == 100)
+    assert(restored.filter(col("status") === "EXPIRED").count() == 50)
+  }
+
   test("TableSwap on a fresh path (no existing target)") {
     import spark.implicits._
     import graft.ops.TableSwap
