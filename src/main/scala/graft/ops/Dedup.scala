@@ -361,9 +361,10 @@ object Dedup {
       |FROM documents WHERE doc_id < 64
       |ORDER BY doc_id""".stripMargin
 
-  /** Recursive-CTE oracle: component(id) = min label reachable over
-    * the symmetric near-dup edge set. */
-  val componentsSql: String =
+  /** Shared recursive-CTE prefix: corpus → shingles → near-dup pairs
+    * → symmetric edges → min-label reachability. Used by the
+    * components gate and the keep-best survivor gate. */
+  private val ComponentsCteSql: String =
     s"""WITH RECURSIVE ${DocCorpus.CorpusSql},
        |${ShingleSetsSql},
        |pairs AS (
@@ -378,10 +379,67 @@ object Dedup {
        |reach(id, label) AS (
        |  SELECT doc_id, doc_id FROM shingled
        |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+
+  /** Recursive-CTE oracle: component(id) = min label reachable over
+    * the symmetric near-dup edge set. */
+  val componentsSql: String =
+    s"""$ComponentsCteSql
        |SELECT id AS doc_id, MIN(label) AS component
        |FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  /** Cluster dedup with a KEEP-BEST survivor policy: within each
+    * near-dup component keep the document with the highest quality
+    * score (ties to the smallest doc_id) — the curation-grade rule
+    * (keep the cleanest copy), vs [[exact]]'s keep-min-id. Emits one
+    * row per cluster with the survivor, its quality, and the cluster
+    * size.
+    *
+    * Scale: components come from [[componentsOver]] (iterative
+    * contraction over LSH pairs — never all-pairs); the quality score
+    * is a codegen'd projection; survivor choice is one row_number
+    * window partitioned BY COMPONENT (key-partitioned shuffle, no
+    * global sort). */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    val corpus = DocCorpus.withDuplicates(s, dir)
+      .filter(col("doc_id") % 10000 < 100)
+    val comp = componentsOver(
+      corpus.select(col("doc_id").as("id")),
+      ngramJaccard(s, dir).select(col("id_a"), col("id_b")))
+    val scored = corpus.select(col("doc_id"),
+      qualityScore(col("text")).as("quality"))
+    val byComp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    val pick = byComp.orderBy(col("quality").desc, col("doc_id"))
+    comp.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("survivor_id"),
+        col("n_members"), col("quality"))
+      .orderBy(col("component"))
+  }
+
+  val keepBestSql: String =
+    s"""$ComponentsCteSql,
+       |comp AS (
+       |  SELECT id AS doc_id, MIN(label) AS component
+       |  FROM reach GROUP BY id),
+       |qual AS (
+       |${TextAnalysis.qualitySelectSql(
+           "(SELECT doc_id, text FROM corpus WHERE doc_id % 10000 < 100)")})
+       |SELECT component, doc_id AS survivor_id, n_members, quality
+       |FROM (
+       |  SELECT c.component, c.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY q.quality DESC, c.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c.component) AS n_members
+       |  FROM comp c JOIN qual q USING (doc_id))
+       |WHERE rn = 1
+       |ORDER BY component""".stripMargin
 
   /** Full-corpus shingle sets for the LSH oracle. */
   private val FullShingleSetsSql: String =
@@ -550,6 +608,7 @@ object Dedup {
     "dedup_fuzzy"         -> (fuzzy _),
     "dedup_components"    -> (components _),
     "dedup_components_deep" -> (componentsDeep _),
+    "dedup_keep_best"     -> (keepBest _),
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
@@ -560,6 +619,7 @@ object Dedup {
     "dedup_simhash"       -> simhashSql,
     "dedup_fuzzy"         -> fuzzySql,
     "dedup_components"    -> componentsSql,
+    "dedup_keep_best"     -> keepBestSql,
     "dedup_components_deep" -> componentsDeepSql,
     "dedup_incremental"   -> incrementalSql)
 }

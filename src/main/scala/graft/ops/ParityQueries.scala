@@ -80,6 +80,44 @@ object ParityQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** JSONL round-trip: export lineitem as newline-delimited JSON,
+    * re-ingest through the schema-declared [[JsonlIngest]] path (same
+    * cast contract as CSV, name-bound), aggregate along a DIFFERENT
+    * axis than the CSV gate so the two prove fidelity independently.
+    * The oracle reads the original parquet — equality proves the
+    * JSONL path is value-preserving end to end (decimals, micros
+    * timestamps, nulls). */
+  def convJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val jsonDir = scratch(dir, "conv_roundtrip_jsonl")
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir).write
+        .mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(jsonDir)
+    }
+    val schema = SchemaLoader.fromJson(LineitemSchemaJson)
+    val back = graft.sources.JsonlIngest.read(s, jsonDir, schema)
+    back.groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice")).cast(DoubleType).as("sum_price"),
+        sum(col("l_discount")).cast(DoubleType).as("sum_disc"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val convJsonlRoundtripSql: String =
+    """SELECT l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+      |  MIN(l_shipdate) AS min_ship,
+      |  MAX(l_shipdate) AS max_ship
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   /** Quarantine gate (reference file-abort semantics,
     * `CsvToParquetConverter.java:204-213`, re-expressed as row-level
     * isolation): export lineitem to CSV with l_linenumber deliberately
@@ -291,6 +329,7 @@ object ParityQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_csv_roundtrip"    -> (convCsvRoundtrip _),
+    "conv_jsonl_roundtrip"  -> (convJsonlRoundtrip _),
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_sql_delete"      -> (purgeSqlDelete _),
@@ -302,6 +341,7 @@ object ParityQueries {
 
   def oracle: Map[String, String] = Map(
     "conv_csv_roundtrip"    -> convCsvRoundtripSql,
+    "conv_jsonl_roundtrip"  -> convJsonlRoundtripSql,
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_sql_delete"      -> purgeSqlDeleteSql,

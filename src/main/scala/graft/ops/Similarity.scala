@@ -441,7 +441,72 @@ object Similarity {
       |  CAST(1 AS BOOLEAN) AS recall_ok,
       |  CAST(1 AS BOOLEAN) AS pairs_valid""".stripMargin
 
+  // ---------------------------------------------------------------- //
+
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * path for ANN at 100 TB: 4× smaller than float32 (and int8 dot
+    * kernels are what a production index scores with). Per vector:
+    * `scale = max |v_i|`, `q_i = floor(v_i / scale * 127 + 0.5)` ∈
+    * [-127, 127]. `floor(x + 0.5)` is used instead of `round` so both
+    * engines share one pinned IEEE semantics (double division and
+    * multiply are bit-deterministic; banker's-vs-half-up never
+    * enters). Pure projection — zero shuffles, embarrassingly
+    * parallel.
+    */
+  def quantizeInt8(df: DataFrame): DataFrame =
+    df
+      .withColumn("scale",
+        greatest(aggregate(col("v"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x))), lit(1e-30)))
+      .withColumn("q", transform(col("v"),
+        x => floor(x / col("scale") * 127.0 + 0.5).cast(IntegerType)))
+
+  /** Gate: quantize vec_id < 50 and emit exact integer invariants of
+    * the codes (first code, sum, max |code|) plus the max dequant
+    * error rounded to 1e-6 — scalar columns so the hash compare never
+    * sees an array, while any disagreement in ANY code perturbs
+    * q_sum. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    quantizeInt8(vecs(s, dir).filter(col("vec_id") < 50))
+      .select(
+        col("vec_id"),
+        element_at(col("q"), 1).cast(LongType).as("q0"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("q"), lit(0L),
+          (a, x) => greatest(a, abs(x.cast(LongType)))).as("q_absmax"),
+        round(aggregate(
+            zip_with(col("q"), col("v"),
+              (qi, xi) => abs(qi * col("scale") / 127.0 - xi)),
+            lit(0.0), (a, x) => greatest(a, x)), 6).as("err6"))
+      .orderBy(col("vec_id"))
+
+  val embedQuantizeSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 50),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+      |      AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id, v, scale,
+      |    list_transform(v,
+      |      x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT)) AS q
+      |  FROM s)
+      |SELECT vec_id,
+      |  q[1] AS q0,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT)
+      |    AS q_absmax,
+      |  round(list_max(list_transform(generate_series(1, len(q)),
+      |    i -> abs(q[i] * scale / 127.0 - v[i]))), 6) AS err6
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_quantize"      -> (embedQuantize _),
     "sim_topk_bruteforce" -> (topK _),
     "sim_topk_l2"         -> (topKL2 _),
     "sim_topk_agg"        -> (topKAgg _),
@@ -452,6 +517,7 @@ object Similarity {
     "sim_ann_ivf_recall"  -> (annIvfRecall _))
 
   def oracle: Map[String, String] = Map(
+    "embed_quantize"      -> embedQuantizeSql,
     "sim_topk_bruteforce" -> topKSql,
     "sim_topk_l2"         -> topKL2Sql,
     "sim_topk_agg"        -> topKSql,

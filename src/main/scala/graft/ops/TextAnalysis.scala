@@ -59,7 +59,11 @@ object TextAnalysis {
 
   private val stopList = EnStopwords.map(w => s"'$w'").mkString(", ")
 
-  val textQualitySql: String =
+  /** Quality-score SQL over any (doc_id, text) relation — shared by
+    * the text_quality gate (over `documents`) and
+    * [[Dedup.keepBestSql]] (over the mutated dedup corpus). Mirrors
+    * [[graft.functions.TextFunctions.qualityScore]] term for term. */
+  def qualitySelectSql(from: String): String =
     s"""SELECT doc_id, stopword_ratio,
        |  least(n_char / 200.0, 1.0) * 0.4
        |    + least(stopword_ratio * 4.0, 1.0) * 0.4
@@ -76,7 +80,10 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, text,
        |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |                      t -> len(t) > 0) AS toks
-       |        FROM documents))
+       |        FROM $from))""".stripMargin
+
+  val textQualitySql: String =
+    s"""${qualitySelectSql("documents")}
        |ORDER BY doc_id""".stripMargin
 
   /** Language-ID confusion counts: heuristic prediction vs the
@@ -208,7 +215,109 @@ object TextAnalysis {
       |QUALIFY row_number() OVER w <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones, k1=1.2, b=0.75)
+    * for a fixed conjunctive term query — the classic quality-weighted
+    * text search an LLM curation pipeline uses for targeted corpus
+    * pulls.
+    *
+    * Determinism across engines: per-term tf/df/dl are exact integers;
+    * the floating score is assembled in ONE projection with a fixed
+    * syntactic order (contrib(t1) + contrib(t2) + contrib(t3)), never
+    * a float SUM aggregate whose addend order Spark doesn't pin.
+    * avgdl is exact-int sum(dl)/N — one division. ln() rounded to 1e-6
+    * (same tolerance the tfidf gate uses).
+    *
+    * Scale shape: the token explode feeds one groupBy(doc_id) with the
+    * query terms filtered BEFORE the shuffle (an `isin` over a literal
+    * set — pushed into the scan side); corpus stats (N, avgdl, per-term
+    * df) are a single tiny aggregate broadcast into the scoring
+    * projection; the top-k is `orderBy().limit()` — Spark plans
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    * NOT a single-partition global window sort.
+    */
+  def bm25TopK(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("vector", "stream", "merge"),
+      k: Int = 20): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+    val exploded = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i") }
+    val perDoc = exploded.groupBy(col("doc_id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    // N + avgdl from the doc-length projection, per-term df from the
+    // filtered explode — two small aggregates, one broadcast row.
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      countDistinct(when(col("term") === t, col("doc_id"))).as(s"df_$i") }
+    val stats = docs.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .crossJoin(exploded.agg(dfCols.head, dfCols.tail: _*))
+      .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs"))
+    val contribs: org.apache.spark.sql.Column = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast(DoubleType)
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      when(col(s"tf_$i") > 0,
+        idf * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score6", round(contribs, 6))
+      .select(col("doc_id"), col("score6"))
+      .orderBy(col("score6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val bm25TopKSql: String = {
+    val terms = Seq("vector", "stream", "merge")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val tfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$i" }
+      .mkString(",\n    ")
+    val dfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"COUNT(DISTINCT CASE WHEN term = '$t' THEN doc_id END) AS df_$i" }
+      .mkString(",\n    ")
+    val contrib = terms.indices.map { i =>
+      s"""(CASE WHEN tf_$i > 0 THEN
+         |      ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+         |        * tf_$i * 2.2
+         |        / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |      ELSE 0.0 END)""".stripMargin }
+      .mkString("\n    + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+       |exploded AS (
+       |  SELECT d.doc_id, l.dl, unnest(d.toks) AS term
+       |  FROM docs d JOIN lens l USING (doc_id)),
+       |hits AS (SELECT * FROM exploded WHERE term IN ($inList)),
+       |per_doc AS (
+       |  SELECT doc_id, dl,
+       |    $tfSel
+       |  FROM hits GROUP BY doc_id, dl),
+       |stats AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM lens) AS n_docs,
+       |    (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM lens) AS avgdl,
+       |    $dfSel
+       |  FROM hits)
+       |SELECT doc_id,
+       |  round($contrib, 6) AS score6
+       |FROM per_doc CROSS JOIN stats
+       |ORDER BY score6 DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25"    -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "text_stats"   -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langIdConfusion _),
@@ -216,6 +325,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_bm25"    -> bm25TopKSql,
     "text_stats"   -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdConfusionSql,

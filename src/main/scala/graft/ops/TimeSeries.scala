@@ -87,8 +87,78 @@ object TimeSeries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- //
+
+  /** Batch sessionization: split each user's event stream into
+    * sessions at idle gaps > `gapSec` (the batch analog of
+    * `EventStreams`' `session_window`, for the backfill/replay case
+    * where the data is already at rest).
+    *
+    * Scale: one hash shuffle on user_id feeds BOTH windows (lag for
+    * the boundary flag, running sum for the session index) — Spark
+    * reuses the single Exchange because the partitioning and ordering
+    * match; the final per-session aggregate is a partial-agg groupBy
+    * on the same key. No spine, no self-join, no global window.
+    */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    // Micros-exact gap (timestamps carry sub-second precision; a
+    // seconds cast would truncate and disagree with the oracle at
+    // the boundary).
+    events
+      .withColumn("_gap",
+        unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("_new",
+        when(col("_gap").isNull || col("_gap") > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("_new")).over(running))
+  }
+
+  /** Gate: 30-minute-gap sessions per user over `events`, rolled up
+    * to (user, session) with span, size, and decimal-exact value sum.
+    */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(s, dir), gapSec = 1800L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+
+  val sessionizeBatchSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+      |              > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sessions
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ts_resample_ffill" -> (tsResample _))
+    Map("ts_resample_ffill" -> (tsResample _),
+        "ts_sessionize"     -> (sessionizeBatch _))
   def oracle: Map[String, String] =
-    Map("ts_resample_ffill" -> tsResampleSql)
+    Map("ts_resample_ffill" -> tsResampleSql,
+        "ts_sessionize"     -> sessionizeBatchSql)
 }
