@@ -118,6 +118,39 @@ object ParityQueries {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** ORC round-trip: the third columnar interchange format Spark
+    * serves natively (after parquet and the CSV/JSONL text paths).
+    * Types survive ORC natively (no string re-cast needed — unlike
+    * CSV/JSONL the format is self-describing and typed), so this gate
+    * proves the writer/reader pair preserves decimals, micros
+    * timestamps, and nulls bit-for-bit. Aggregates along the line-number
+    * axis so the three conv gates are mutually independent. */
+  def convOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val orcDir = scratch(dir, "conv_roundtrip_orc")
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir).write
+        .mode("overwrite")
+        .option("compression", "snappy")
+        .orc(orcDir)
+    }
+    s.read.orc(orcDir)
+      .groupBy(col("l_linenumber"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_linenumber"))
+  }
+
+  val convOrcRoundtripSql: String =
+    """SELECT l_linenumber, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_linenumber
+      |ORDER BY l_linenumber""".stripMargin
+
   /** Quarantine gate (reference file-abort semantics,
     * `CsvToParquetConverter.java:204-213`, re-expressed as row-level
     * isolation): export lineitem to CSV with l_linenumber deliberately
@@ -330,6 +363,7 @@ object ParityQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_csv_roundtrip"    -> (convCsvRoundtrip _),
     "conv_jsonl_roundtrip"  -> (convJsonlRoundtrip _),
+    "conv_orc_roundtrip"    -> (convOrcRoundtrip _),
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_sql_delete"      -> (purgeSqlDelete _),
@@ -342,6 +376,7 @@ object ParityQueries {
   def oracle: Map[String, String] = Map(
     "conv_csv_roundtrip"    -> convCsvRoundtripSql,
     "conv_jsonl_roundtrip"  -> convJsonlRoundtripSql,
+    "conv_orc_roundtrip"    -> convOrcRoundtripSql,
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_sql_delete"      -> purgeSqlDeleteSql,

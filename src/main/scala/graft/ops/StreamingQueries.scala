@@ -111,7 +111,45 @@ object StreamingQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Custom keyed state (flatMapGroupsWithState) driven through a
+    * REAL streaming query: events parquet → file stream → per-user
+    * running (count, exact-scaled value total) state → memory sink,
+    * processed to completion. The final state per user (the emitted
+    * row with the highest n_events — Append mode emits one row per
+    * user per micro-batch) must equal the batch totals, which is the
+    * oracle's plain GROUP BY. Exact-long accumulation makes the
+    * value total order-independent, so the gate is hash-checkable. */
+  def running(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcDir = s"/tmp/graft_scratch/$tag/stream_running_src"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.Scaffold.setup {
+      ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    }
+    // memory-sink query names are SQL identifiers — no dots
+    val out = EventStreams.runAsStream(s, srcDir, ev.schema,
+      "stream_running_" + tag.replace(".", "_"),
+      df => EventStreams.runningUserTotalsExact(df).toDF)
+    out.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_v4"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        (col("m.total_v4").cast(org.apache.spark.sql.types.DoubleType)
+          / 10000.0).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val runningSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 10000.0 AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_running"  -> (running _),
     "stream_tumbling" -> (tumbling _),
     "stream_sliding"  -> (sliding _),
     "stream_session"  -> (session _),
@@ -120,6 +158,7 @@ object StreamingQueries {
     "stream_enrich"   -> (enrich _))
 
   def oracle: Map[String, String] = Map(
+    "stream_running"  -> runningSql,
     "stream_tumbling" -> tumblingSql,
     "stream_sliding"  -> slidingSql,
     "stream_session"  -> sessionSql,

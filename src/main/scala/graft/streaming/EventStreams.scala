@@ -144,6 +144,36 @@ object EventStreams {
       }
   }
 
+  case class UserRunningExact(user_id: Long, n_events: Long,
+      total_v4: Long)
+
+  /** Deterministic variant of [[runningUserTotals]] for the oracle
+    * gate: the running value total accumulates in exact 1e-4-scaled
+    * longs (`floor(v·10⁴ + 0.5)` per event), so the final state is
+    * independent of row and micro-batch order — long addition
+    * commutes, double addition does not. Same state shape: one small
+    * record per user, watermark-independent. */
+  def runningUserTotalsExact(events: DataFrame)
+      : Dataset[UserRunningExact] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunningExact, UserRunningExact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[UserRunningExact]) =>
+          val prev = state.getOption
+            .getOrElse(UserRunningExact(uid, 0L, 0L))
+          var n = prev.n_events
+          var t = prev.total_v4
+          rows.foreach { case (_, v) =>
+            n += 1; t += math.floor(v * 10000.0 + 0.5).toLong }
+          val next = UserRunningExact(uid, n, t)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
   // ---------------------------------------------------------------- //
 
   /** Drive a windowed transform through a real Structured Streaming

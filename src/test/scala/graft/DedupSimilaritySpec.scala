@@ -193,4 +193,43 @@ class DedupSimilaritySpec extends SparkSpec {
       corpus.count())
     assert(survivors.filter(col("n_dups") >= 2).count() >= 100)
   }
+
+  test("keep-best survivors: one per component, member counts add up") {
+    val out = Dedup.keepBest(spark, dir).collect()
+    // components are keyed by their min doc_id; survivors are unique
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // members across clusters = bounded corpus size (100 originals
+    // + 100 ws/case mutants + 100 drop-last mutants)
+    assert(out.map(_.getLong(2)).sum == 300L)
+    // a multi-member cluster's survivor must not be forced to min id:
+    // quality decides (drop-last mutants are shorter => usually lower
+    // length score). At minimum, every survivor belongs to [0, 30100).
+    assert(out.forall(r => r.getLong(1) >= 0))
+  }
+
+  test("int8 quantization: codes bounded, zero vector safe, error small") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25)),
+      (2L, Seq(0.0, 0.0, 0.0)), // all-zero: scale floor keeps q = 0
+      (3L, Seq(1e-8, -1e-8, 0.0)))
+      .toDF("vec_id", "v")
+      .select($"vec_id", transform($"v", _.cast(DoubleType)).as("v"))
+    val q = Similarity.quantizeInt8(df)
+      .select($"vec_id", $"q", $"scale").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getDouble(2))).toMap
+    assert(q(1L)._1 == Seq(64, -127, 32)) // 0.5/1.0*127+0.5 floor = 64
+    assert(q(2L)._1 == Seq(0, 0, 0))
+    assert(q(3L)._1.forall(c => c.abs <= 127))
+    // dequant error bounded by scale/254 (half a code step)
+    val err = Similarity.quantizeInt8(df)
+      .select(aggregate(
+        zip_with($"q", $"v", (qi, xi) =>
+          abs(qi * $"scale" / 127.0 - xi)),
+        lit(0.0), (a, x) => greatest(a, x)).as("e"))
+      .agg(max($"e")).collect()(0).getDouble(0)
+    assert(err <= 1.0 / 254.0 + 1e-12)
+  }
 }

@@ -96,6 +96,45 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    // The 100 TB shuffle-join shape: a huge fact scan joined to a dim
+    // with a selective predicate. Spark's InjectRuntimeFilter can
+    // build a bloom filter from the dim side and apply it to the fact
+    // side BEFORE the join shuffle, cutting the exchanged bytes by the
+    // dim's selectivity. This asserts the rewrite actually fires on
+    // that shape (thresholds lowered to test scale) and that it is
+    // semantics-preserving.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 500000.0) // selective
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val hasBloom = joined.queryExecution.optimizedPlan.collectFirst {
+        case p if p.expressions.exists(_.exists(
+          _.isInstanceOf[BloomFilterMightContain])) => p
+      }
+      assert(hasBloom.isDefined,
+        s"no bloom filter injected:\n${joined.queryExecution.optimizedPlan}")
+      // rewrite is semantics-preserving
+      val expected = fact.join(dim.hint("broadcast"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("two-phase salted aggregation equals direct groupBy") {
     // decimal value → addition is associative, equality is exact
     val events = Tables.events(spark, dir).withColumn("value",

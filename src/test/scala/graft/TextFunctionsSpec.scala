@@ -55,4 +55,18 @@ class TextFunctionsSpec extends SparkSpec {
       == Seq("a b c", "b c d"))
     assert(one[scala.collection.Seq[String]](shingles(col("text"), 3), "a b") == Seq("a b"))
   }
+
+  test("bm25: ranked, bounded to k, and planned as a distributed top-k") {
+    val df = graft.ops.TextAnalysis.bm25TopK(spark,
+      "/root/testdata/sf0.001", k = 10)
+    val rows = df.collect()
+    assert(rows.length <= 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), "descending order")
+    assert(scores.forall(_ > 0.0), "query-term hits only")
+    // the top-k must be TakeOrderedAndProject (per-partition heaps),
+    // never a single-partition global window sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -41,6 +41,49 @@ class TimeSeriesSpec extends SparkSpec {
       (5, None, Some(5.0))))
   }
 
+  test("sessionize: gap > threshold starts a new session, ties stay") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: two events 10 min apart (one session), then a 2 h gap
+      (1L, 1L, "2024-01-01 00:00:00.000001", 1.0),
+      (2L, 1L, "2024-01-01 00:10:00.000001", 2.0),
+      (3L, 1L, "2024-01-01 02:10:00.000001", 3.0),
+      // user 2: a single event
+      (4L, 2L, "2024-01-01 01:00:00.000001", 4.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = TimeSeries.sessionize(events, gapSec = 1800L)
+      .select("event_id", "session_idx").as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("sessionize: exactly-at-gap boundary stays in the session") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 1.0),
+      (2L, 1L, "2024-01-01 00:30:00", 2.0)) // gap == 1800s, not >
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val sessions = TimeSeries.sessionize(events, gapSec = 1800L)
+      .select("session_idx").distinct().count()
+    assert(sessions == 1)
+  }
+
+  test("sessionize plans ONE exchange for both windows") {
+    import spark.implicits._
+    val events = Seq((1L, 1L, "2024-01-01 00:00:00", 1.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    // AdaptiveSparkPlanExec hides its subtree from collect() — assert
+    // on the rendered tree instead.
+    val plan = TimeSeries.sessionize(events, 1800L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"lag + running-sum windows must share one user_id shuffle:\n$plan")
+  }
+
   test("spine covers every user × grid hour") {
     import spark.implicits._
     val events = Seq((1L, "2024-01-01 00:00:00", 1.0),
