@@ -505,7 +505,41 @@ object Similarity {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  /** Per-label embedding centroids — the training step of every
+    * clustering-based index (IVF cell centers, k-means topic
+    * clusters, class prototypes for nearest-centroid dedup). One
+    * posexplode + one groupBy(label, pos): the shuffle carries
+    * (label, pos, scaled-long component), never whole vectors, and
+    * partial aggregation combines map-side — the canonical
+    * 100 TB mean-vector shape.
+    *
+    * Determinism: components snap to 1e-9-scaled longs before the
+    * sum (commutative), mean is one double division at the end.
+    * The long accumulator holds |x| ≤ 1 components for up to ~9·10⁹
+    * rows per label; beyond that, widen to decimal. */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast(LongType).as("pos"),
+        floor(col("col").cast(DoubleType) * 1000000000.0 + 0.5)
+          .cast(LongType).as("sv"))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("sv")).cast(DoubleType) /
+        (count(lit(1)) * 1000000000.0)).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
+  val centroidsSql: String =
+    """SELECT label, i AS pos,
+      |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+      |      * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / (COUNT(*) * 1000000000.0) AS centroid
+      |FROM embeddings,
+      |  unnest(generate_series(1, len(embedding))) AS u(i)
+      |GROUP BY label, i
+      |ORDER BY label, pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_centroids"     -> (centroids _),
     "embed_quantize"      -> (embedQuantize _),
     "sim_topk_bruteforce" -> (topK _),
     "sim_topk_l2"         -> (topKL2 _),
@@ -517,6 +551,7 @@ object Similarity {
     "sim_ann_ivf_recall"  -> (annIvfRecall _))
 
   def oracle: Map[String, String] = Map(
+    "embed_centroids"     -> centroidsSql,
     "embed_quantize"      -> embedQuantizeSql,
     "sim_topk_bruteforce" -> topKSql,
     "sim_topk_l2"         -> topKL2Sql,

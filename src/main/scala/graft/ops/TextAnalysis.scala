@@ -316,8 +316,110 @@ object TextAnalysis {
        |LIMIT 20""".stripMargin
   }
 
+  /** Unigram surprisal — the cheap, deterministic stand-in for
+    * perplexity filtering (the curation step that drops gibberish and
+    * boilerplate): per document, the mean negative log-probability of
+    * its tokens under the corpus's own unigram distribution,
+    * `mean(ln(T / count(token)))`. High = rare-token noise; low =
+    * repetitive boilerplate.
+    *
+    * Determinism: each token's surprisal is snapped to a 1e-6-scaled
+    * LONG before the per-doc mean (long sums commute; double sums
+    * don't), so the result is independent of row order. Scale shape:
+    * the unigram table is O(vocabulary) — broadcast; the explode
+    * feeds one groupBy(doc_id); no other shuffle. */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    toks.join(broadcast(cnt), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("s",
+        floor(log(col("t").cast(DoubleType) / col("c")) * 1000000.0 + 0.5)
+          .cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(col("s")).cast(DoubleType) /
+          (count(lit(1)) * 1000000.0)).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramSurprisalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    t -> len(t) > 0)) AS term
+      |  FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+      |tot AS (SELECT COUNT(*) AS t FROM toks),
+      |scored AS (
+      |  SELECT toks.doc_id,
+      |    CAST(floor(ln(CAST(tot.t AS DOUBLE) / cnt.c) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS s
+      |  FROM toks JOIN cnt USING (term) CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_tok,
+      |  CAST(SUM(s) AS DOUBLE) / (COUNT(*) * 1000000.0) AS surprisal
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Context-window chunking — the training-prep step that splits
+    * documents into overlapping token windows (window `w`, stride
+    * `s`, overlap `w - s`): chunk i covers tokens
+    * [i·s + 1, i·s + w], and every document yields at least one
+    * (possibly short) chunk. Pure per-row explode — embarrassingly
+    * parallel, no shuffle at all (the gate's ORDER BY is the only
+    * exchange); at 100 TB this runs at scan speed and the chunk
+    * count is exactly what a token-budget packer downstream needs.
+    */
+  def chunk(docs: DataFrame, w: Int, s: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      // extra full-stride chunks past the first window; integer
+      // `div` truncates and DuckDB's // floors — they disagree only
+      // below zero, which greatest(0, _) clamps away on both sides
+      .withColumn("nc", lit(1) +
+        greatest(lit(0), expr(s"(n - ${w - s + 1}) div $s")))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("nc").cast(LongType) - 1L)))
+      .withColumn("ck",
+        slice(col("toks"), (col("chunk_idx") * s + 1).cast("int"), lit(w)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ck")).cast(LongType).as("n_tok"),
+        // guarded: element_at(_, 0) throws under ANSI; an empty doc
+        // yields one empty chunk with NULL head/tail instead
+        when(size(col("ck")) > 0, element_at(col("ck"), 1)).as("head"),
+        when(size(col("ck")) > 0,
+          element_at(col("ck"), size(col("ck")))).as("tail"))
+
+  /** Gate: 50-token windows, stride 40 (overlap 10). */
+  def chunkGate(s: SparkSession, dir: String): DataFrame =
+    chunk(Tables.documents(s, dir), w = 50, s = 40)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val chunkSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |        1 + greatest(0, (len(toks) - 11) // 40) AS nc FROM d),
+      |ch AS (SELECT doc_id, i - 1 AS chunk_idx,
+      |         list_slice(toks, (i-1)*40 + 1, (i-1)*40 + 50) AS ck
+      |       FROM c, unnest(generate_series(1, nc)) AS u(i))
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(ck) AS BIGINT) AS n_tok,
+      |  ck[1] AS head, ck[len(ck)] AS tail
+      |FROM ch
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25"    -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
+    "text_chunk"   -> (chunkGate _),
+    "text_surprisal" -> (unigramSurprisal _),
     "text_stats"   -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langIdConfusion _),
@@ -326,6 +428,8 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "text_bm25"    -> bm25TopKSql,
+    "text_chunk"   -> chunkSql,
+    "text_surprisal" -> unigramSurprisalSql,
     "text_stats"   -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdConfusionSql,
