@@ -49,6 +49,12 @@ object GraftExtensions {
     (VectorExpressions.L2FnName,
       "graft_vector_l2sq(a, b) - codegen'd squared L2 distance",
       (es: Seq[Expression]) => VectorL2Sq(es(0), es(1))),
+    (VectorExpressions.MaxAbsFnName,
+      "graft_vector_max_abs(a) - codegen'd max |element| (int8 quantization scale)",
+      (es: Seq[Expression]) => graft.plans.VectorMaxAbs(es(0))),
+    (VectorExpressions.QuantizeFnName,
+      "graft_vector_quantize_int8(a, scale) - codegen'd symmetric int8 codes",
+      (es: Seq[Expression]) => graft.plans.VectorQuantizeInt8(es(0), es(1))),
     (TextExpressions.NGramsFnName,
       "graft_token_ngrams(tokens, n, emitWholeShortDoc) - word n-grams",
       (es: Seq[Expression]) => TokenNGrams(

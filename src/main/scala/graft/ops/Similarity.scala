@@ -453,13 +453,13 @@ object Similarity {
     * enters). Pure projection — zero shuffles, embarrassingly
     * parallel.
     */
-  def quantizeInt8(df: DataFrame): DataFrame =
+  def quantizeInt8(df: DataFrame): DataFrame = {
+    graft.plans.VectorExpressions.register(df.sparkSession)
+    import graft.plans.VectorExpressions.{vectorMaxAbs, vectorQuantizeInt8}
     df
-      .withColumn("scale",
-        greatest(aggregate(col("v"), lit(0.0),
-          (acc, x) => greatest(acc, abs(x))), lit(1e-30)))
-      .withColumn("q", transform(col("v"),
-        x => floor(x / col("scale") * 127.0 + 0.5).cast(IntegerType)))
+      .withColumn("scale", greatest(vectorMaxAbs(col("v")), lit(1e-30)))
+      .withColumn("q", vectorQuantizeInt8(col("v"), col("scale")))
+  }
 
   /** Gate: quantize vec_id < 50 and emit exact integer invariants of
     * the codes (first code, sum, max |code|) plus the max dequant

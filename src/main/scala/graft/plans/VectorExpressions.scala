@@ -130,10 +130,107 @@ case class VectorL2Sq(left: Expression, right: Expression)
       newRight: Expression): VectorL2Sq = copy(newLeft, newRight)
 }
 
+/** max |v_i| — the per-vector scale of symmetric int8 quantization.
+  * Same compiled-loop rationale as [[VectorDot]]. */
+case class VectorMaxAbs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vector_max_abs expects array<double>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    var m = 0.0
+    var i = 0
+    while (i < xs.numElements()) {
+      val v = math.abs(xs.getDouble(i)); if (v > m) m = v; i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      s"""
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = java.lang.Math.abs($a.getDouble($i));
+         |  if ($v > $m) $m = $v;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : VectorMaxAbs = copy(newChild)
+}
+
+/** Symmetric int8 codes: `q_i = (int) floor(v_i / scale * 127 + 0.5)`
+  * — the storage kernel of a quantized ANN index. `floor(x + 0.5)`
+  * is the pinned rounding shared with the DuckDB oracle. One compiled
+  * loop emitting a primitive int array; the HOF formulation
+  * (`transform` + lambda) evaluates interpreted per element. */
+case class VectorQuantizeInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_quantize_int8 expects (array<double>, double), got " +
+          s"${l.sql} / ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val scale = b.asInstanceOf[Double]
+    val out = new Array[Int](xs.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = math.floor(xs.getDouble(i) / scale * 127.0 + 0.5).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $out = new int[$a.numElements()];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  $out[$i] = (int) java.lang.Math.floor(
+         |    $a.getDouble($i) / $s * 127.0 + 0.5);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorQuantizeInt8 = copy(newLeft, newRight)
+}
+
 object VectorExpressions {
 
   val FnName = "graft_vector_dot"
   val L2FnName = "graft_vector_l2sq"
+  val MaxAbsFnName = "graft_vector_max_abs"
+  val QuantizeFnName = "graft_vector_quantize_int8"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -141,6 +238,11 @@ object VectorExpressions {
       FnName, exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       L2FnName, exprs => VectorL2Sq(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MaxAbsFnName, exprs => VectorMaxAbs(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      QuantizeFnName,
+      exprs => VectorQuantizeInt8(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Codegen'd dot product over array<double> columns. The session
@@ -151,4 +253,12 @@ object VectorExpressions {
   /** Codegen'd squared euclidean distance over array<double>. */
   def vectorL2Sq(a: Column, b: Column): Column =
     call_function(L2FnName, a, b)
+
+  /** Codegen'd max |element| over array<double>. */
+  def vectorMaxAbs(a: Column): Column =
+    call_function(MaxAbsFnName, a)
+
+  /** Codegen'd symmetric int8 quantization codes. */
+  def vectorQuantizeInt8(a: Column, scale: Column): Column =
+    call_function(QuantizeFnName, a, scale)
 }

@@ -41,6 +41,16 @@ class GraftExtensionsSpec extends SparkSpec {
       // majority vote of two hashes where 'a' appears twice: 2/3 > 1/2
       // on every bit of hash('a'), so the simhash IS hash('a').
       assert(sh == builtinHash(s2, "a"))
+
+      val maxAbs = s2.sql(
+        "SELECT graft_vector_max_abs(array(0.5d, -2.0d, 1.0d))")
+        .head().getDouble(0)
+      assert(maxAbs == 2.0)
+
+      val q = s2.sql(
+        "SELECT graft_vector_quantize_int8(array(1.0d, -0.5d), 1.0d)")
+        .head().getSeq[Int](0)
+      assert(q == Seq(127, -63)) // floor(-63.5 + 0.5) = -63
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
