@@ -98,6 +98,26 @@ object StreamingQueries {
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '4 hours'
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Left-outer funnel join: every view, with its purchases within
+    * 4 h OR one null row when none happened — the attribution-with-
+    * misses shape (streaming mode emits the miss when the watermark
+    * passes the window end; the batch gate replays the same plan).
+    * Nullable sort key ⇒ oracle says NULLS FIRST (Spark's ASC
+    * default). */
+  def intervalOuter(s: SparkSession, dir: String): DataFrame =
+    EventStreams.intervalJoin(Tables.events(s, dir), "view", "purchase",
+        joinType = "left_outer")
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+
+  val intervalOuterSql: String =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  a.ts AS a_ts, b.ts AS b_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'view') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '4 hours'
+      |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
+
   /** Stream-static enrichment (broadcast dim join + aggregation). */
   def enrich(s: SparkSession, dir: String): DataFrame =
     EventStreams.enrichedSegmentTotals(
@@ -155,6 +175,7 @@ object StreamingQueries {
     "stream_session"  -> (session _),
     "stream_dedup"    -> (dedup _),
     "stream_interval_join" -> (interval _),
+    "stream_interval_join_outer" -> (intervalOuter _),
     "stream_enrich"   -> (enrich _))
 
   def oracle: Map[String, String] = Map(
@@ -164,5 +185,6 @@ object StreamingQueries {
     "stream_session"  -> sessionSql,
     "stream_dedup"    -> dedupSql,
     "stream_interval_join" -> intervalSql,
+    "stream_interval_join_outer" -> intervalOuterSql,
     "stream_enrich"   -> enrichSql)
 }

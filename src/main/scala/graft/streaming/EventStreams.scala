@@ -84,8 +84,8 @@ object EventStreams {
     * shape (view→purchase attribution). The batch gate replays the
     * identical plan (watermarks eliminate). */
   def intervalJoin(events: DataFrame, fromType: String, toType: String,
-      maxDelay: String = "4 hours", watermark: String = "10 minutes")
-      : DataFrame = {
+      maxDelay: String = "4 hours", watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val a = events.filter(col("event_type") === fromType)
       .select(col("event_id").as("a_id"), col("user_id"),
         col("ts").as("a_ts"))
@@ -94,9 +94,14 @@ object EventStreams {
       .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
         col("ts").as("b_ts"))
       .withWatermark("b_ts", watermark)
+    // joinType "left_outer" is the attribution-with-misses variant: a
+    // `fromType` event with no `toType` inside the window emits once
+    // with nulls — in streaming mode Spark holds it in state until the
+    // watermark passes a_ts + maxDelay, then emits the null row; the
+    // event-time bound keeps that state finite.
     a.join(b, expr(
         s"user_id = b_user AND b_ts >= a_ts AND " +
-        s"b_ts <= a_ts + interval $maxDelay"))
+        s"b_ts <= a_ts + interval $maxDelay"), joinType)
       .select(col("user_id"), col("a_id"), col("b_id"),
         col("a_ts"), col("b_ts"))
   }

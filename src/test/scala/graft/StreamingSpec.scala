@@ -97,6 +97,49 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("left-outer interval join emits the miss once the watermark passes") {
+    import spark.implicits._
+    val src = tmpDir("outer_join_src")
+    def write(rows: Seq[(Long, String, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    // batch 1: one matched view (user 2) and one that will never match
+    write(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 00:00:00", 2L, "view", 1.0),
+      (3L, "2024-01-01 01:00:00", 2L, "purchase", 5.0)))
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = EventStreams.intervalJoin(stream, "view", "purchase",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("t_outer")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // later batches push the watermark far past a_ts + 4h + 10min;
+      // the watermark visible to batch N is computed from batch N-1,
+      // so two advancing batches guarantee the miss row flushes
+      // the advancing rows must SURVIVE the event_type filters (the
+      // watermark node sits behind them), and both sides' watermarks
+      // must move — so each batch carries a view AND a purchase on
+      // disjoint users
+      Seq("2024-01-02 00:00:00", "2024-01-02 00:30:00")
+        .zipWithIndex.foreach { case (ts, i) =>
+          write(Seq(
+            (20L + 2 * i, ts, 40L + i, "view", 0.0),
+            (21L + 2 * i, ts, 50L + i, "purchase", 0.0)))
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+    val out = spark.table("t_outer")
+    assert(out.filter($"a_id" === 2L && $"b_id" === 3L).count() == 1,
+      "matched pair present")
+    assert(out.filter($"a_id" === 1L && $"b_id".isNull).count() == 1,
+      s"unmatched view must emit one null row:\n${out.collect().mkString("\n")}")
+  }
+
   test("flatMapGroupsWithState: running per-user totals reach batch totals") {
     import spark.implicits._
     val schema = spark.read.parquet(eventsPath).schema
