@@ -280,10 +280,12 @@ object Dedup {
     *
     * Both steps are one groupBy-min plus one re-join over the edge
     * set; every intermediate is localCheckpoint'd to truncate lineage.
-    * Convergence = the canonical edge set reaches a fixpoint (exact
-    * check: equal counts + empty exceptAll — two cheap actions over
-    * the checkpointed, deduped edge frame). At fixpoint the edges form
-    * stars rooted at component minima.
+    * Convergence = the edges form a star forest — no edge's src
+    * appears as any edge's dst (srcs are non-minima, dsts are
+    * component minima, so depth > 1 would need a src that is also a
+    * dst). One left-semi-join action per round, and it detects the
+    * fixpoint DIRECTLY instead of paying an extra no-change round the
+    * count+exceptAll comparison needs.
     *
     * Returns (labels, rounds): (id, component) for every node, plus
     * the number of contraction rounds actually run. */
@@ -315,12 +317,14 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    def isStarForest(e: DataFrame): Boolean =
+      e.as("a").join(e.as("b"), col("a.src") === col("b.dst"),
+        "left_semi").isEmpty
     var rounds = 0
-    var converged = false
+    var converged = isStarForest(edges) // input may already be flat
     while (!converged && rounds < 30) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      converged = isStarForest(next)
       edges.unpersist(blocking = false)
       edges = next
       rounds += 1
