@@ -236,6 +236,13 @@ object Dedup {
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    // Min-label propagation only ever DECREASES labels, so an
+    // unchanged label SUM is an exact fixpoint test — one aggregate
+    // per round on the already-checkpointed frame, instead of a
+    // join + count against the previous labels.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -253,8 +260,9 @@ object Dedup {
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = prop.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val newSum = labelSum(prop)
+      changed = if (newSum == prevSum) 0L else 1L
+      prevSum = newSum
       labels.unpersist(blocking = false) // superseded — drop its storage
       labels = prop
       iter += 1
