@@ -103,12 +103,64 @@ object DataQuality {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** Per-group z-score anomaly counts: population mean/stddev from
+    * exact decimal power sums (the q32 idiom — one map-combinable
+    * aggregate, deterministic doubles), then a second pass counting
+    * |value − mean| > 3σ per group with the tiny stats frame
+    * broadcast back. Two scans total; both shuffles are O(groups).
+    * The standard outlier screen a DQ pipeline runs per batch. */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      sigmas: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 4))
+    val mean = col("sv") / col("n")
+    val sd = sqrt(greatest(
+      col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")),
+      lit(0.0)))
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast(DoubleType).as("sv"),
+        sum(v * v).cast(DoubleType).as("svv"))
+      .select(col(groupCol), col("n"), mean.as("mean"), sd.as("sd"))
+    df.join(broadcast(stats), groupCol)
+      .groupBy(col(groupCol), col("n"), col("mean"), col("sd"))
+      .agg(sum(when(abs(col(valueCol) - col("mean")) > lit(sigmas) * col("sd"),
+        1L).otherwise(0L)).as("outliers"))
+      .select(col(groupCol), col("n"), col("outliers"),
+        round(col("mean"), 6).as("mean6"), round(col("sd"), 6).as("sd6"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Gate: 3σ outlier screen of event values per event type. */
+  def dqAnomaly(s: SparkSession, dir: String): DataFrame =
+    zScoreOutliers(Tables.events(s, dir), "event_type", "value")
+
+  val dqAnomalySql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))
+      |      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS svv
+      |  FROM events GROUP BY event_type),
+      |st AS (
+      |  SELECT event_type, n, sv / n AS mean,
+      |    sqrt(greatest(svv / n - (sv / n) * (sv / n), 0.0)) AS sd
+      |  FROM s)
+      |SELECT st.event_type, st.n,
+      |  CAST(SUM(CASE WHEN abs(e.value - st.mean) > 3.0 * st.sd
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+      |  round(st.mean, 6) AS mean6, round(st.sd, 6) AS sd6
+      |FROM events e JOIN st USING (event_type)
+      |GROUP BY st.event_type, st.n, st.mean, st.sd
+      |ORDER BY st.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> (dqProfile _),
     "dq_orphans" -> (dqOrphans _),
+    "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
     "dq_profile" -> dqProfileSql,
     "dq_orphans" -> dqOrphansSql,
+    "dq_anomaly" -> dqAnomalySql,
     "dq_histogram" -> dqHistogramSql)
 }
