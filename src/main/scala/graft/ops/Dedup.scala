@@ -373,6 +373,48 @@ object Dedup {
       |FROM documents WHERE doc_id < 64
       |ORDER BY doc_id""".stripMargin
 
+  /** Containment dedup: a document whose normalized text appears
+    * verbatim INSIDE another (quote inclusions, truncated re-crawls,
+    * prefix snapshots) is redundant even when its Jaccard similarity
+    * is low — the screen RefinedWeb-style curation runs after exact
+    * dedup. Candidates are length-pruned (contained ⇒ not longer)
+    * before the containment test; the bounded brute-force pairing is
+    * the oracle baseline, and at 100 TB candidates come from shared
+    * winnowing-fingerprint buckets ([[graft.functions.TextFunctions
+    * .winnowFingerprints]] — a contained substring shares its
+    * fingerprints) instead of the cross join.
+    *
+    * On the mutated corpus the drop-last-token mutants are normalized
+    * PREFIXES of their originals, so containment must find exactly
+    * those plus any natural inclusions — SQL-expressible. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val docs = DocCorpus.withDuplicates(s, dir)
+      .filter(col("doc_id") % 10000 < 100)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+    val big = docs.toDF("id_big", "t_big").repartition(par)
+    val small = broadcast(docs.toDF("id_small", "t_small"))
+    big.crossJoin(small)
+      .filter(col("id_big") =!= col("id_small"))
+      .filter(length(col("t_small")) < length(col("t_big")))
+      .filter(col("t_big").contains(col("t_small")))
+      .select(col("id_big"), col("id_small"))
+      .orderBy(col("id_big"), col("id_small"))
+  }
+
+  val containmentSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |norm AS (
+       |  SELECT doc_id, ${DocCorpus.NormalizeSql} AS t
+       |  FROM corpus WHERE doc_id % 10000 < 100)
+       |SELECT a.doc_id AS id_big, b.doc_id AS id_small
+       |FROM norm a JOIN norm b
+       |  ON a.doc_id <> b.doc_id
+       | AND len(b.t) < len(a.t)
+       | AND contains(a.t, b.t)
+       |ORDER BY id_big, id_small""".stripMargin
+
   /** Shared recursive-CTE prefix: corpus → shingles → near-dup pairs
     * → symmetric edges → min-label reachability. Used by the
     * components gate and the keep-best survivor gate. */
@@ -621,6 +663,7 @@ object Dedup {
     "dedup_components"    -> (components _),
     "dedup_components_deep" -> (componentsDeep _),
     "dedup_keep_best"     -> (keepBest _),
+    "dedup_containment"   -> (containment _),
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
@@ -632,6 +675,7 @@ object Dedup {
     "dedup_fuzzy"         -> fuzzySql,
     "dedup_components"    -> componentsSql,
     "dedup_keep_best"     -> keepBestSql,
+    "dedup_containment"   -> containmentSql,
     "dedup_components_deep" -> componentsDeepSql,
     "dedup_incremental"   -> incrementalSql)
 }
