@@ -118,6 +118,50 @@ object ParityQueries {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** JSONL quarantine: the row-isolation contract on the second
+    * source format. l_suppkey is corrupted to a non-integer string on
+    * a deterministic key subset before export; [[graft.sources
+    * .JsonlIngest.readChecked]] must quarantine exactly those rows
+    * (counted under `_quarantined`) while the good rows aggregate
+    * like the table minus the corrupted keys. */
+  def convJsonlQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val jsonDir = scratch(dir, "conv_jsonl_quarantine")
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir)
+        .withColumn("l_suppkey",
+          when(col("l_orderkey") % 101 === 0, lit("not_a_long"))
+            .otherwise(col("l_suppkey").cast(StringType)))
+        .write
+        .mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(jsonDir)
+    }
+    val schema = SchemaLoader.fromJson(LineitemSchemaJson)
+    val checked = graft.sources.JsonlIngest.readChecked(
+      s, Seq(jsonDir), schema)
+    val good = CsvIngest.goodRows(checked, schema)
+      .groupBy(col("l_linestatus").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice")).cast(DoubleType).as("sum_price"))
+    val bad = CsvIngest.badRows(checked, schema)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("_quarantined").as("bucket"), col("n"),
+        lit(null).cast(DoubleType).as("sum_price"))
+    good.unionAll(bad).orderBy(col("bucket"))
+  }
+
+  val convJsonlQuarantineSql: String =
+    """SELECT l_linestatus AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem WHERE l_orderkey % 101 <> 0
+      |GROUP BY l_linestatus
+      |UNION ALL
+      |SELECT '_quarantined', COUNT(*), NULL
+      |FROM lineitem WHERE l_orderkey % 101 = 0
+      |ORDER BY bucket""".stripMargin
+
   /** ORC round-trip: the third columnar interchange format Spark
     * serves natively (after parquet and the CSV/JSONL text paths).
     * Types survive ORC natively (no string re-cast needed — unlike
@@ -363,6 +407,7 @@ object ParityQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_csv_roundtrip"    -> (convCsvRoundtrip _),
     "conv_jsonl_roundtrip"  -> (convJsonlRoundtrip _),
+    "conv_jsonl_quarantine" -> (convJsonlQuarantine _),
     "conv_orc_roundtrip"    -> (convOrcRoundtrip _),
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
@@ -376,6 +421,7 @@ object ParityQueries {
   def oracle: Map[String, String] = Map(
     "conv_csv_roundtrip"    -> convCsvRoundtripSql,
     "conv_jsonl_roundtrip"  -> convJsonlRoundtripSql,
+    "conv_jsonl_quarantine" -> convJsonlQuarantineSql,
     "conv_orc_roundtrip"    -> convOrcRoundtripSql,
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,

@@ -116,8 +116,9 @@ object CsvIngest {
   def rawName(field: String): String = s"_raw_$field"
 
   /** Types whose unparseable values abort a file in the reference
-    * (P2–P5). DECIMAL stays lenient (warn + NULL) there too (P6). */
-  private def strictType(dt: DataType): Boolean = dt match {
+    * (P2–P5). DECIMAL stays lenient (warn + NULL) there too (P6).
+    * Shared with [[JsonlIngest.readChecked]]. */
+  private[sources] def strictCastType(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DateType | TimestampType |
          TimestampNTZType => true
     case _ => false
@@ -165,7 +166,7 @@ object CsvIngest {
     // value. Catalyst's common-subexpression elimination shares the
     // cast between the value column and its check.
     val badMarks = schema.fields.zipWithIndex.collect {
-      case (f, i) if strictType(f.dataType) =>
+      case (f, i) if strictCastType(f.dataType) =>
         s"""CASE WHEN TRIM(COALESCE(_c$i, '')) <> ''
            |  AND (${castSql(s"_c$i", f.dataType)}) IS NULL
            |  THEN '${f.name}' END""".stripMargin

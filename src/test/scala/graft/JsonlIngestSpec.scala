@@ -52,4 +52,23 @@ class JsonlIngestSpec extends SparkSpec {
     val row = JsonlIngest.read(spark, dir, schema).collect()(0)
     assert(row.isNullAt(1) && row.isNullAt(3))
   }
+
+  test("readChecked quarantines malformed lines and bad strict casts") {
+    import graft.sources.CsvIngest
+    import org.apache.spark.sql.functions.col
+    val dir = write(Seq(
+      """{"id": 1, "name": "good"}""",
+      """{"id": "oops", "name": "bad_cast"}""",
+      """this is not json at all""",
+      """{"id": 4, "born": "not-a-date"}"""))
+    val checked = JsonlIngest.readChecked(spark, Seq(dir), schema)
+    val good = CsvIngest.goodRows(checked, schema).collect()
+    assert(good.map(_.getLong(0)).toSet == Set(1L))
+    val bad = CsvIngest.badRows(checked, schema)
+      .select(col(CsvIngest.ReasonCol)).collect().map(_.getString(0))
+    assert(bad.count(_ == "malformed_line") == 1)
+    assert(bad.count(_.startsWith("bad_cast:")) == 2)
+    assert(bad.exists(_ == "bad_cast:id"))
+    assert(bad.exists(_ == "bad_cast:born"))
+  }
 }
