@@ -416,7 +416,71 @@ object TextAnalysis {
       |FROM ch
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Count-min-sketch heavy hitters: the word 2-grams whose corpus
+    * frequency is at least `phi` of all 2-gram occurrences, with
+    * EXACT counts.
+    *
+    * Two-pass sketch-then-verify — the canonical 100 TB frequent-
+    * items shape (Cormode & Muthukrishnan, J. Algorithms '05):
+    *
+    *   1. Sketch pass: one scan folding every gram occurrence into a
+    *      d×w count-min array via `groupBy(row, bucket)` — map-side
+    *      partial aggregation caps the shuffle at d·w (=4096) cells
+    *      per task regardless of corpus size; the merged sketch
+    *      (≤32 KB) is collected once, exactly like the IVF centroid
+    *      pull in [[Similarity.annIvf]].
+    *   2. Probe pass: the sketch ships back as `typedlit` lookup maps
+    *      so the candidate filter is a pure codegen projection — no
+    *      join, no shuffle. Only occurrences of candidate grams
+    *      (est ≥ ⌈phi·N⌉) reach the exact `groupBy(gram)` count.
+    *
+    * CMS estimates never undercount, so the candidate set is a
+    * superset of the true heavy hitters and the exact phase makes the
+    * final answer sketch-independent — which is why a plain
+    * `GROUP BY gram HAVING cnt ≥ ⌈phi·N⌉` oracle hash-matches it.
+    * xxhash64 row seeds make the sketch deterministic.
+    */
+  def heavyHitters(s: SparkSession, dir: String,
+      phi: Double = 0.0015, depth: Int = 4, width: Int = 1024): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    def grams =
+      Tables.documents(s, dir).select(explode(
+        graft.plans.TextExpressions.tokenNGrams(
+          split(col("text"), " "), 2, emitWholeShortDoc = false)).as("gram"))
+    def bucket(r: Int) = pmod(xxhash64(lit(r), col("gram")), lit(width))
+    val cells = grams
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val rows = Array.fill(depth)(Map.newBuilder[Long, Long])
+    cells.foreach(c => rows(c.getInt(0)) += (c.getLong(1) -> c.getLong(2)))
+    val sketch = rows.map(_.result())
+    val total = sketch(0).valuesIterator.sum
+    val thr = math.ceil(phi * total).toLong
+    val est = least((0 until depth).map(r =>
+      coalesce(element_at(typedlit(sketch(r)), bucket(r)), lit(0L))): _*)
+    grams
+      .filter(est >= thr)
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i
+      |        FROM tok),
+      |g AS (SELECT array_to_string(t[i:i+1], ' ') AS gram FROM pos),
+      |c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+      |n AS (SELECT SUM(cnt) AS total FROM c)
+      |SELECT gram, cnt FROM c, n
+      |WHERE cnt >= CAST(ceil(0.0015 * total) AS BIGINT)
+      |ORDER BY cnt DESC, gram""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "text_bm25"    -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "text_chunk"   -> (chunkGate _),
     "text_surprisal" -> (unigramSurprisal _),
@@ -427,6 +491,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_heavy_hitters" -> heavyHittersSql,
     "text_bm25"    -> bm25TopKSql,
     "text_chunk"   -> chunkSql,
     "text_surprisal" -> unigramSurprisalSql,

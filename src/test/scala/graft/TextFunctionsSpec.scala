@@ -69,4 +69,30 @@ class TextFunctionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("heavy hitters: sketch-independent exactness and joinless probe") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val sf = "/root/testdata/sf0.001"
+    graft.plans.TextExpressions.register(spark)
+    val exact = {
+      val grams = Tables.documents(spark, sf).select(explode(
+        graft.plans.TextExpressions.tokenNGrams(
+          split(col("text"), " "), 2, emitWholeShortDoc = false)).as("g"))
+        .groupBy("g").agg(fcount(lit(1)).as("c")).collect()
+      val total = grams.map(_.getLong(1)).sum
+      val thr = math.ceil(0.0015 * total).toLong
+      grams.filter(_.getLong(1) >= thr)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // A width this narrow (8 buckets for ~900 grams) forces heavy CMS
+    // collisions; the exact verify phase must erase them all.
+    for (width <- Seq(1024, 8)) {
+      val df = graft.ops.TextAnalysis.heavyHitters(spark, sf, width = width)
+      val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"width=$width")
+      // probe phase is a pure projection: sketch rides in as literal
+      // maps, so the plan must contain no join of any kind
+      assert(!df.queryExecution.executedPlan.toString.contains("Join"))
+    }
+  }
 }
