@@ -538,7 +538,44 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, pos""".stripMargin
 
+  /** End-to-end semantic dedup: embedding-cosine near-duplicate pairs
+    * → connected components (log-bounded star contraction) → cluster
+    * summary (component = surviving min id, member count, max id).
+    * Composes the gated detectors instead of re-deriving them: the
+    * pair stage is [[nearDupPairs]] (bounded exact baseline here; the
+    * 100 TB candidate source is [[annLsh]] bucketing) and the cluster
+    * stage is [[graft.ops.Dedup.componentsByStarContraction]], so the
+    * only new work is the final O(components) aggregate. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val nodes = withNearDuplicates(s, dir).select(col("vec_id").as("id"))
+    val pairs = nearDupPairs(s, dir).select(col("id_a"), col("id_b"))
+    val (labels, _) = graft.ops.Dedup.componentsByStarContraction(nodes, pairs)
+    labels.groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+      .orderBy(col("component"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE ${VecCorpusSql},
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM vecs a, vecs b
+       |  WHERE a.vec_id < b.vec_id AND ${CosineSql} >= 0.99),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT vec_id, vec_id FROM vecs
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |lab AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+       |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |       MAX(id) AS max_id
+       |FROM lab GROUP BY component
+       |ORDER BY component""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semantic_dedup"  -> (semanticDedup _),
     "embed_centroids"     -> (centroids _),
     "embed_quantize"      -> (embedQuantize _),
     "sim_topk_bruteforce" -> (topK _),
@@ -551,6 +588,7 @@ object Similarity {
     "sim_ann_ivf_recall"  -> (annIvfRecall _))
 
   def oracle: Map[String, String] = Map(
+    "sim_semantic_dedup"  -> semanticDedupSql,
     "embed_centroids"     -> centroidsSql,
     "embed_quantize"      -> embedQuantizeSql,
     "sim_topk_bruteforce" -> topKSql,
