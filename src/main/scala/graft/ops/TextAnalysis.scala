@@ -479,7 +479,35 @@ object TextAnalysis {
       |WHERE cnt >= CAST(ceil(0.0015 * total) AS BIGINT)
       |ORDER BY cnt DESC, gram""".stripMargin
 
+  /** Unicode-normalization gate: the ASCII corpus is mangled IN-QUERY
+    * with accented uppercase substitutions and doubled spaces (the
+    * same literal `replace`/`upper` chain on both engines), then the
+    * [[graft.plans.TextNormalize]] kernel must restore it — so the
+    * hash check exercises real NFD/mark-strip/NFC/lower/collapse
+    * parity between the JVM and DuckDB's utf8proc, not a no-op pass
+    * over ASCII. Pure codegen projection, zero shuffles. */
+  def textNormalizeGate(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val mangled = Seq(("A", "Á"), ("E", "Ë"), ("O", "Ö"),
+      (" ", "  ")).foldLeft(upper(col("text"))) {
+        case (c, (from, to)) => regexp_replace(c, from, to)
+      }
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.plans.TextExpressions.textNormalize(mangled).as("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(lower(strip_accents(nfc_normalize(
+      |    replace(replace(replace(replace(upper(text),
+      |      'A', 'Á'), 'E', 'Ë'), 'O', 'Ö'), ' ', '  ')
+      |  ))), '\s+', ' ', 'g')) AS norm_text
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (textNormalizeGate _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "text_bm25"    -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "text_chunk"   -> (chunkGate _),
@@ -491,6 +519,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_normalize" -> textNormalizeSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_bm25"    -> bm25TopKSql,
     "text_chunk"   -> chunkSql,

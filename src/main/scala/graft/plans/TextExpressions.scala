@@ -304,9 +304,64 @@ case class TokenCountInSet(child: Expression, values: Seq[String])
       newChild: Expression): TokenCountInSet = copy(child = newChild)
 }
 
+/** Shared normalization routine for [[TextNormalize]] — kept as an
+  * object so generated code and interpreted eval run the identical
+  * byte path. Mark-stripping happens BEFORE lowercasing: `İ` (I +
+  * dot above after NFD) loses its mark first and lowercases to plain
+  * `i` on both the JVM and utf8proc — lowercasing first would leave
+  * the JVM's `i` + combining dot vs DuckDB's `i` and break parity. */
+object TextNormalizeKernel extends Serializable {
+  private val Marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def apply(s: UTF8String): UTF8String = {
+    import java.text.Normalizer
+    var t = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
+    t = Marks.matcher(t).replaceAll("")
+    t = Normalizer.normalize(t, Normalizer.Form.NFC)
+    t = t.toLowerCase(java.util.Locale.ROOT)
+    t = Ws.matcher(t.trim).replaceAll(" ")
+    UTF8String.fromString(t)
+  }
+}
+
+/** Unicode canonicalization for dedup/fingerprint pipelines: NFD →
+  * strip combining marks (accent removal) → NFC recompose → ROOT
+  * lowercase → trim + whitespace collapse. The DuckDB-parity contract
+  * (gated by `text_normalize`) is
+  * `trim(regexp_replace(lower(strip_accents(nfc_normalize(x))), '\s+', ' ', 'g'))`.
+  * The multilingual-corpus front door of [[graft.ops.Dedup]]: exact
+  * and near dedup both fingerprint *normalized* text, and without
+  * this step visually-identical accented/composed variants survive
+  * dedup as distinct documents. */
+case class TextNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"text_normalize expects string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    TextNormalizeKernel(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("graftTextNormalizeKernel",
+      TextNormalizeKernel, TextNormalizeKernel.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$kernel.apply($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TextNormalize = copy(child = newChild)
+}
+
 object TextExpressions {
 
   val NGramsFnName = "graft_token_ngrams"
+  val NormalizeFnName = "graft_text_normalize"
   val HashArrayFnName = "graft_xxhash_array"
   val SimHashFnName = "graft_simhash64"
   val CountInSetFnName = "graft_count_in_set"
@@ -334,6 +389,10 @@ object TextExpressions {
       exprs => SimHash64FromTokens(exprs(0)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NormalizeFnName,
+      exprs => TextNormalize(exprs(0)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CountInSetFnName,
       exprs => TokenCountInSet(exprs(0),
         exprs(1).eval().asInstanceOf[
@@ -341,6 +400,11 @@ object TextExpressions {
           .toArray[UTF8String](StringType).toSeq.map(_.toString)),
       "scala_udf")
   }
+
+  /** Codegen'd Unicode canonicalization (see [[TextNormalize]]). The
+    * session must have called [[register]] (query builders do). */
+  def textNormalize(text: Column): Column =
+    call_function(NormalizeFnName, text)
 
   /** Codegen'd word n-grams over a token-array column. The session
     * must have called [[register]] (query builders do). */

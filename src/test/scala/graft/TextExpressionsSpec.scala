@@ -119,4 +119,32 @@ class TextExpressionsSpec extends SparkSpec {
     }
     assert(viaCodegen.toSeq == viaEval)
   }
+
+  test("textNormalize: accents, composition forms, case, whitespace, null") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val cases = Seq(
+      "H\u00e9llo  W\u00f6rld",            // composed accents + double space
+      "He\u0301llo Wo\u0308rld",           // decomposed base + combining mark
+      "  \tCaf\u00e9\nCafe\u0301  ",     // NFC/NFD variants must collide
+      "\u0130stanbul",                      // Turkish dotted I: mark stripped pre-lower
+      "plain ascii stays put",
+      "")
+    val got = cases.toDF("text")
+      .select(TextExpressions.textNormalize(col("text"))).as[String]
+      .collect().toSeq
+    assert(got == Seq(
+      "hello world",
+      "hello world",
+      "cafe cafe",
+      "istanbul",
+      "plain ascii stays put",
+      ""))
+    // composed and decomposed inputs canonicalize identically — the
+    // property exact-dedup fingerprinting needs
+    assert(got(0) == got(1))
+    val nullRow = Seq[String](null).toDF("text")
+      .select(TextExpressions.textNormalize(col("text"))).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
 }
