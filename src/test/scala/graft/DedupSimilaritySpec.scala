@@ -232,4 +232,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .agg(max($"e")).collect()(0).getDouble(0)
     assert(err <= 1.0 / 254.0 + 1e-12)
   }
+
+  test("persisted IVF index: pruned probe, deterministic, well-formed") {
+    val sf = "/root/testdata/sf0.001"
+    val indexDir = tmpDir("ann_index")
+    Similarity.annIvfBuildIndex(spark, sf, indexDir)
+    // the lists really are laid out as one directory per cell
+    val cellDirs = new java.io.File(s"$indexDir/lists")
+      .listFiles().filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length > 1, cellDirs.mkString(","))
+    val probe = Similarity.annIvfProbeIndex(spark, sf, indexDir)
+    // probing a FIXED index is fully deterministic
+    val r1 = probe.collect().toSeq
+    val r2 = Similarity.annIvfProbeIndex(spark, sf, indexDir).collect().toSeq
+    assert(r1 == r2)
+    // well-formed: ≤ k per query, descending sim, no self-pairs
+    val byQ = r1.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.size <= 5))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    assert(r1.forall(r => r.getLong(0) != r.getLong(1)))
+    // the list scan is partition-pruned to the probed cells
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell"))
+    assert(scanLine.isDefined, plan)
+  }
 }
