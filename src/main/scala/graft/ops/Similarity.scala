@@ -501,6 +501,57 @@ object Similarity {
       threshold = 0.3)
   }
 
+  /** Incremental index maintenance: assign a NEW vector batch to the
+    * EXISTING centroids and append it to the partitioned lists —
+    * centroids are frozen (the standard IVF serving practice: retrain
+    * is a scheduled rebuild, not a per-batch event), so ingest cost is
+    * one broadcast-argmax pass over the batch plus an append of only
+    * the touched cell directories. The standing index is never
+    * rewritten or re-shuffled — same discipline as
+    * [[graft.ops.Dedup.incrementalExactPairs]]. */
+  def annIvfIndexAppend(s: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    nearestCells(batch, cents, 1, "v")
+      .select(col("vec_id").as("target_id"), col("v").as("tv"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/lists")
+  }
+
+  /** Gate: build the index WITHOUT the perturbed twins, append them
+    * as an incremental batch, probe — each query's appended twin
+    * (vec_id + 10000, cosine ≥ 0.9999 vs natural pairs ≤ ~0.51) must
+    * surface as its rank-1 neighbor with near-unit similarity. True
+    * regardless of floating-point centroid assembly order, so the
+    * oracle states it as constants. */
+  def annIndexAppendGate(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/ann_ivf_index_append"
+    graft.Scaffold.setup {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    }
+    annIvfBuildIndex(s, dir, indexDir)
+    val batch = withNearDuplicates(s, dir).filter(col("vec_id") >= 10000)
+    annIvfIndexAppend(s, batch, indexDir)
+    import s.implicits._
+    val top1 = annIvfProbeIndex(s, dir, indexDir)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("target_id"), col("sim"))
+      .collect()
+    top1.toSeq.map(r => (r.getLong(0),
+        r.getLong(1) == r.getLong(0) + 10000L,
+        r.getDouble(2) >= 0.999))
+      .toDF("query_id", "twin_is_top1", "twin_sim_high")
+      .orderBy(col("query_id"))
+  }
+
+  val annIndexAppendSql: String =
+    """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS twin_is_top1,
+      |  CAST(1 AS BOOLEAN) AS twin_sim_high
+      |FROM embeddings WHERE vec_id < 5
+      |ORDER BY query_id""".stripMargin
+
   def annLshRecall(s: SparkSession, dir: String): DataFrame =
     annRecallGate(s, dir, annLsh(s, dir), threshold = 0.4)
 
@@ -657,7 +708,8 @@ object Similarity {
     "sim_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "sim_ann_lsh_recall"  -> (annLshRecall _),
     "sim_ann_ivf_recall"  -> (annIvfRecall _),
-    "sim_ann_index_recall" -> (annIndexRecall _))
+    "sim_ann_index_recall" -> (annIndexRecall _),
+    "sim_ann_index_append" -> (annIndexAppendGate _))
 
   def oracle: Map[String, String] = Map(
     "sim_semantic_dedup"  -> semanticDedupSql,
@@ -669,7 +721,8 @@ object Similarity {
     "sim_near_dup"        -> nearDupPairsSql,
     "sim_ann_lsh_recall"  -> annRecallSql,
     "sim_ann_ivf_recall"  -> annRecallSql,
-    "sim_ann_index_recall" -> annRecallSql)
+    "sim_ann_index_recall" -> annRecallSql,
+    "sim_ann_index_append" -> annIndexAppendSql)
     // sim_ann_lsh / sim_ann_ivf raw neighbor lists stay rows-only
     // (approximate by construction); their *_recall gates hash-check
     // the quality bound instead.
