@@ -265,12 +265,77 @@ object Maintenance {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin
 
+  /** Row-level diff of two table snapshots by primary key: `added`
+    * (key only in new), `deleted` (key only in old), `changed` (key
+    * in both, any non-key column differs). Each side is first reduced
+    * to (key, xxhash64 of the non-key struct), so the full-outer join
+    * that classifies every key shuffles ~24 B/row instead of full
+    * payloads — at 100 TB, diffing two generations (e.g. the
+    * [[graft.ops.TableSwap]] retention ring's `.bak0` vs current)
+    * moves keys and hashes, never rows. Unchanged keys are dropped
+    * before the result leaves the join. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    def sig(df: DataFrame, hName: String) = {
+      val nonKey = df.columns.filterNot(keys.contains).map(col).toSeq
+      df.select(keys.map(col) :+ xxhash64(struct(nonKey: _*)).as(hName): _*)
+    }
+    sig(old, "_ho").join(sig(neu, "_hn"), keys, "full_outer")
+      .withColumn("change",
+        when(col("_ho").isNull, lit("added"))
+          .when(col("_hn").isNull, lit("deleted"))
+          .when(col("_ho") =!= col("_hn"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
+  /** Gate: mint a second lineitem generation on disk — every 31st
+    * order deleted, every remaining 17th re-quantified, every 29th
+    * re-inserted under a shifted key — then diff the two parquet
+    * snapshots. The oracle re-derives the classification from the
+    * mutation predicates alone. */
+  def snapshotDiffGate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val newSnap = scratch(dir, "snapshot_new")
+    graft.Scaffold.setup {
+      li.filter(col("l_orderkey") % 31 =!= 0)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 17 === 0, col("l_quantity") + 1)
+            .otherwise(col("l_quantity")))
+        .unionByName(li.filter(col("l_orderkey") % 29 === 0)
+          .withColumn("l_orderkey", col("l_orderkey") + 1000000000L))
+        .write.mode("overwrite").parquet(newSnap)
+    }
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus; the
+    // 4-column tuple is the minimal proven primary key.
+    snapshotDiff(li, s.read.parquet(newSnap),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+      .orderBy(col("change"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+  }
+
+  val snapshotDiffSql: String =
+    """SELECT * FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |         'deleted' AS change
+      |  FROM lineitem WHERE l_orderkey % 31 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'changed'
+      |  FROM lineitem WHERE l_orderkey % 31 <> 0 AND l_orderkey % 17 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey + 1000000000, l_linenumber, l_partkey,
+      |         l_suppkey, 'added'
+      |  FROM lineitem WHERE l_orderkey % 29 = 0)
+      |ORDER BY change, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_snapshot_diff" -> (snapshotDiffGate _),
     "merge_upsert" -> (mergeUpsert _),
     "compact_roundtrip" -> (compactRoundtrip _),
     "scd2_build" -> (scd2Build _),
     "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
+    "maint_snapshot_diff" -> snapshotDiffSql,
     "merge_upsert" -> mergeUpsertSql,
     "compact_roundtrip" -> compactRoundtripSql,
     "scd2_build" -> scd2BuildSql,
