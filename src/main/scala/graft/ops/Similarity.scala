@@ -552,6 +552,67 @@ object Similarity {
       |FROM embeddings WHERE vec_id < 5
       |ORDER BY query_id""".stripMargin
 
+  /** Contrastive negative sampling: for each query, `kNeg` corpus
+    * vectors that are NOT among its true top-k neighbors, chosen by a
+    * deterministic multiplicative-hash ranking (Knuth constant) — the
+    * "random negatives" half of an embedding-training pair set, made
+    * bit-reproducible so epochs and reruns agree (same rationale as
+    * [[TrainingData.packShuffle]]'s seeded permutation).
+    *
+    * Scale: negatives cost NO vector math — the candidate stream is a
+    * broadcast of Q query ids against the corpus id column (the
+    * vectors themselves are never read past the id projection, so the
+    * scan prunes to one column), an anti-join against the positive
+    * set (Q·k rows, broadcast), and a per-query top-kNeg — map-side
+    * truncatable exactly like [[topKAgg]]. */
+  def negativeSample(s: SparkSession, dir: String,
+      kNeg: Int = 8): DataFrame = {
+    val q = vecs(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"))
+    val t = vecs(s, dir).select(col("vec_id").as("target_id"))
+    val pos = topK(s, dir).select(col("query_id"), col("target_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("h"), col("target_id"))
+    t.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("target_id"))
+      .join(broadcast(pos), Seq("query_id", "target_id"), "left_anti")
+      .withColumn("h", pmod(
+        col("target_id") * lit(2654435761L) + col("query_id") * lit(40503L),
+        lit(999983L)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeg)
+      .select(col("query_id"), col("target_id").as("neg_id"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val negativeSampleSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |pos AS (
+       |  SELECT query_id, target_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS target_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${CosineSql} DESC, b.vec_id) AS rank
+       |    FROM vecs a, vecs b
+       |    WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= 5),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+       |    (t.vec_id * 2654435761 + q.vec_id * 40503) % 999983 AS h
+       |  FROM vecs q, vecs t
+       |  WHERE q.vec_id < 5 AND q.vec_id <> t.vec_id
+       |    AND NOT EXISTS (SELECT 1 FROM pos p
+       |      WHERE p.query_id = q.vec_id AND p.target_id = t.vec_id))
+       |SELECT query_id, neg_id, rank FROM (
+       |  SELECT query_id, target_id AS neg_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY h, target_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 8
+       |ORDER BY query_id, rank""".stripMargin
+
   def annLshRecall(s: SparkSession, dir: String): DataFrame =
     annRecallGate(s, dir, annLsh(s, dir), threshold = 0.4)
 
@@ -709,7 +770,8 @@ object Similarity {
     "sim_ann_lsh_recall"  -> (annLshRecall _),
     "sim_ann_ivf_recall"  -> (annIvfRecall _),
     "sim_ann_index_recall" -> (annIndexRecall _),
-    "sim_ann_index_append" -> (annIndexAppendGate _))
+    "sim_ann_index_append" -> (annIndexAppendGate _),
+    "sim_negative_sample" -> ((s: SparkSession, d: String) => negativeSample(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_semantic_dedup"  -> semanticDedupSql,
@@ -722,7 +784,8 @@ object Similarity {
     "sim_ann_lsh_recall"  -> annRecallSql,
     "sim_ann_ivf_recall"  -> annRecallSql,
     "sim_ann_index_recall" -> annRecallSql,
-    "sim_ann_index_append" -> annIndexAppendSql)
+    "sim_ann_index_append" -> annIndexAppendSql,
+    "sim_negative_sample" -> negativeSampleSql)
     // sim_ann_lsh / sim_ann_ivf raw neighbor lists stay rows-only
     // (approximate by construction); their *_recall gates hash-check
     // the quality bound instead.
