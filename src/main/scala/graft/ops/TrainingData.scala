@@ -137,7 +137,19 @@ object TrainingData {
     * per-bucket windows stay thousands of independent partitions.
     */
   def packShards(s: SparkSession, dir: String, budget: Long = 2000L,
-      bucketWidth: Long = 64L): DataFrame = {
+      bucketWidth: Long = 64L): DataFrame =
+    shardAssignments(s, dir, budget, bucketWidth)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+
+  /** Per-document shard assignment (doc_id, n_tok, shard_id) — the
+    * two-phase prefix sum described on [[packShards]]. */
+  def shardAssignments(s: SparkSession, dir: String, budget: Long,
+      bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -152,7 +164,7 @@ object TrainingData {
             .rowsBetween(Window.unboundedPreceding, -1))
           .as("bucket_before"))
       .na.fill(0L, Seq("bucket_before"))
-    val cumBefore = docs
+    docs
       .join(broadcast(offsets), "bucket")
       .select(col("doc_id"), col("n_tok"),
         (col("bucket_before") +
@@ -160,15 +172,8 @@ object TrainingData {
             Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .as("cum_before"))
-    cumBefore
       .select(col("doc_id"), col("n_tok"),
         floor(col("cum_before") / lit(budget)).as("shard_id"))
-      .groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_tok")).as("tokens"),
-           min(col("doc_id")).as("first_doc"),
-           max(col("doc_id")).as("last_doc"))
-      .orderBy(col("shard_id"))
   }
 
   val packShardsSql: String =
@@ -363,7 +368,65 @@ object TrainingData {
 
   // ---------------------------------------------------------------- //
 
+  /** Export the corpus as shard-addressed JSONL — the interchange
+    * format training jobs actually consume. Documents go to
+    * `outDir/shard_id=N/` text files via `to_json` +
+    * `partitionBy`, with one `repartition(shard_id)` so each shard's
+    * lines are written by one task (bounded file count); a `_manifest`
+    * directory records per-shard doc/token counts computed from the
+    * data. Scale: the shard assignment is [[shardAssignments]]'s
+    * two-phase prefix sum; the export itself is one shuffle on
+    * shard_id and a streaming text write — no driver materialization
+    * anywhere. */
+  def exportJsonlShards(s: SparkSession, dir: String, outDir: String,
+      budget: Long = 2000L): Unit = {
+    val docs = Tables.documents(s, dir)
+    val lines = docs
+      .join(shardAssignments(s, dir, budget, 64L)
+        .select(col("doc_id"), col("shard_id")), "doc_id")
+      .select(col("shard_id"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+    lines.repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").text(outDir)
+    s.read.text(outDir)
+      .select(input_file_name().as("f"), col("value"))
+      .selectExpr("regexp_extract(f, 'shard_id=(\\\\d+)', 1) as shard_id",
+        "length(value) as bytes")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("json_bytes"))
+      .write.mode("overwrite").json(s"$outDir/_manifest")
+  }
+
+  /** Gate: export to scratch, then re-derive the shard summary FROM
+    * THE EXPORTED JSONL ALONE (shard id from the directory name, text
+    * re-parsed from the JSON lines) — proving escaping, partition
+    * layout, and content all survive the round trip. Oracle =
+    * [[packShardsSql]]: byte-identical to summarizing the source. */
+  def exportJsonlGate(s: SparkSession, dir: String): DataFrame = {
+    val outDir =
+      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/jsonl_export"
+    exportJsonlShards(s, dir, outDir)
+    val schema = "doc_id BIGINT, text STRING"
+    s.read.text(outDir)
+      .withColumn("f", input_file_name())
+      .filter(!col("f").contains("_manifest"))
+      .select(
+        regexp_extract(col("f"), "shard_id=(\\d+)", 1)
+          .cast("long").as("shard_id"),
+        from_json(col("value"), schema, Map.empty[String, String]).as("j"))
+      .select(col("shard_id"), col("j.doc_id").as("doc_id"),
+        size(split(col("j.text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_export_jsonl"  -> ((s, d) => exportJsonlGate(s, d)),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "text_repetition"    -> ((s, d) => repetition(s, d)),
     "pack_shards"        -> ((s, d) => packShards(s, d)),
@@ -372,6 +435,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_export_jsonl"  -> packShardsSql,
     "text_decontaminate" -> decontaminateSql,
     "text_repetition"    -> repetitionSql,
     "pack_shards"        -> packShardsSql,
