@@ -337,16 +337,22 @@ object Similarity {
   /** Deterministically-seeded, one-Lloyd-iteration IVF centroids as
     * (cell, cv) — shared by the inline [[annIvf]] and the persisted
     * [[annIvfBuildIndex]]. */
-  private def ivfCentroids(base: DataFrame, nCells: Int): DataFrame = {
-    // Seed pick = distributed top-N (TakeOrderedAndProject), NOT a
-    // global window over the corpus; the single-partition row_number
-    // only ever sees the nCells surviving rows.
+  /** Deterministic seed centroids: the `nCells` corpus vectors with
+    * the smallest xxhash64 of their id. Seed pick = distributed top-N
+    * (TakeOrderedAndProject), NOT a global window over the corpus;
+    * the single-partition row_number only ever sees the nCells
+    * surviving rows. */
+  private def ivfSeeds(base: DataFrame, nCells: Int): DataFrame = {
     val w0 = Window.orderBy(col("h"), col("vec_id"))
-    val seeds = base
+    base
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(nCells)
       .withColumn("cell", row_number().over(w0) - 1)
       .select(col("cell"), col("v").as("cv"))
+  }
+
+  private def ivfCentroids(base: DataFrame, nCells: Int): DataFrame = {
+    val seeds = ivfSeeds(base, nCells)
     // One Lloyd iteration: assign → per-cell mean, positions
     // re-assembled in order (collect_list is unordered; sort by pos).
     nearestCells(base, seeds, 1, "v")
@@ -551,6 +557,50 @@ object Similarity {
       |  CAST(1 AS BOOLEAN) AS twin_sim_high
       |FROM embeddings WHERE vec_id < 5
       |ORDER BY query_id""".stripMargin
+
+  /** Full multi-iteration spherical k-means (cosine objective) — the
+    * clustering [[annIvf]]'s single Lloyd step is a special case of.
+    * Each round: assign every vector to its argmax-cosine centroid
+    * (broadcast argmax — corpus untouched by any shuffle), recompute
+    * centroids as per-cell means via the posexplode/(cell,pos) scheme
+    * (shuffle carries scalars, map-side combinable), localCheckpoint
+    * the k×dim centroid frame so lineage stays flat. The per-round
+    * objective Σ cos(x, c(x)) is collected (one double per round —
+    * metadata, like the IVF centroid pull).
+    *
+    * Gate: Lloyd's theorem — both the assignment and the update step
+    * can only increase the spherical objective — stated as a
+    * constant-true `improved` flag per round (1e-9 slack for IEEE
+    * reassociation). Hash-checkable without the oracle re-running
+    * k-means. */
+  def kmeans(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 4): DataFrame = {
+    val base = vecs(s, dir)
+    var cents = ivfSeeds(base, k).localCheckpoint()
+    val objs = (1 to iters).map { _ =>
+      val assigned = nearestCells(base, cents, 1, "v")
+      val obj = assigned.join(broadcast(cents), "cell")
+        .agg(sum(cosine(col("v"), col("cv")))).head().getDouble(0)
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cell"), transform(col("pc"), p => p("c")).as("cv"))
+        .localCheckpoint()
+      obj
+    }
+    import s.implicits._
+    objs.zipWithIndex.map { case (o, i) =>
+      (i.toLong + 1L,
+        i == 0 || o >= objs(i - 1) - 1e-9)
+    }.toDF("iter", "improved").orderBy(col("iter"))
+  }
+
+  val kmeansSql: String =
+    """SELECT CAST(i AS BIGINT) AS iter, CAST(1 AS BOOLEAN) AS improved
+      |FROM range(1, 5) r(i)
+      |ORDER BY iter""".stripMargin
 
   /** Contrastive negative sampling: for each query, `kNeg` corpus
     * vectors that are NOT among its true top-k neighbors, chosen by a
@@ -771,7 +821,8 @@ object Similarity {
     "sim_ann_ivf_recall"  -> (annIvfRecall _),
     "sim_ann_index_recall" -> (annIndexRecall _),
     "sim_ann_index_append" -> (annIndexAppendGate _),
-    "sim_negative_sample" -> ((s: SparkSession, d: String) => negativeSample(s, d)))
+    "sim_negative_sample" -> ((s: SparkSession, d: String) => negativeSample(s, d)),
+    "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_semantic_dedup"  -> semanticDedupSql,
@@ -785,7 +836,8 @@ object Similarity {
     "sim_ann_ivf_recall"  -> annRecallSql,
     "sim_ann_index_recall" -> annRecallSql,
     "sim_ann_index_append" -> annIndexAppendSql,
-    "sim_negative_sample" -> negativeSampleSql)
+    "sim_negative_sample" -> negativeSampleSql,
+    "embed_kmeans" -> kmeansSql)
     // sim_ann_lsh / sim_ann_ivf raw neighbor lists stay rows-only
     // (approximate by construction); their *_recall gates hash-check
     // the quality bound instead.
