@@ -425,7 +425,47 @@ object TrainingData {
       .orderBy(col("shard_id"))
   }
 
+  /** Dataset card: the per-(source, lang) summary a curation run
+    * publishes — doc/token/char counts plus a corpus quality total.
+    * The quality sum is accumulated as scaled longs
+    * (`floor(q·10⁹ + 0.5)`) so the aggregate is order-independent
+    * and hash-exact despite being float-valued per document (the
+    * repo-wide determinism policy). One map-combinable aggregate —
+    * a 100-rule profile costs the same single scan. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        tokenCount(col("text")).as("n_tok"),
+        charCount(col("text")).as("n_char"),
+        floor(qualityScore(col("text")) * 1e9 + 0.5)
+          .cast("long").as("q9"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("tokens"),
+           sum(col("n_char")).as("chars"),
+           sum(col("q9")).as("quality_e9"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH q AS (${TextAnalysis.qualitySelectSql("documents")}),
+       |d AS (SELECT doc_id, source, lang,
+       |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      t -> len(t) > 0)) AS BIGINT) AS n_tok,
+       |  CAST(length(text) AS BIGINT) AS n_char
+       |  FROM documents)
+       |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       |  CAST(SUM(n_char) AS BIGINT) AS chars,
+       |  CAST(SUM(CAST(FLOOR(quality * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+       |    AS quality_e9
+       |FROM d JOIN q USING (doc_id)
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "report_dataset_card" -> ((s, d) => datasetCard(s, d)),
     "pack_export_jsonl"  -> ((s, d) => exportJsonlGate(s, d)),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "text_repetition"    -> ((s, d) => repetition(s, d)),
@@ -435,6 +475,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "report_dataset_card" -> datasetCardSql,
     "pack_export_jsonl"  -> packShardsSql,
     "text_decontaminate" -> decontaminateSql,
     "text_repetition"    -> repetitionSql,
