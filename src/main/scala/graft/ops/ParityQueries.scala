@@ -274,6 +274,40 @@ object ParityQueries {
       |WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1997-01-01')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Time-travel read over the keep-last-N savepoint ring (Q7 /
+    * reference `AutoPurge.sql:81-92` ROLLBACK parity, exposed as a
+    * QUERYABLE generation instead of only a restore): purge with
+    * `retainBackups=1`, then read generation -1 (`<path>.bak0`) —
+    * it must equal the pre-purge table exactly while the current
+    * generation holds only survivors. Emits both generations'
+    * fingerprints so one hash gate pins old = full table AND
+    * new = survivors. */
+  def purgeTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val (path, resolver) = copyOrders(s, dir, "purge_time_travel")
+    new Purge.Engine(s, resolver, retainBackups = 1).run(
+      Seq(Purge.PurgeConfig("graft", "orders", "CRITERIA", Criteria,
+        maxRecordCount = Long.MaxValue)))
+    def gen(p: String, label: String) = s.read.parquet(p)
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+        count_distinct(col("o_orderstatus")).as("n_status"))
+      .select(lit(label).as("generation"), col("n"), col("key_sum"),
+        col("n_status"))
+    gen(s"$path.bak0", "previous").unionAll(gen(path, "current"))
+      .orderBy(col("generation"))
+  }
+
+  val purgeTimeTravelSql: String =
+    """SELECT 'current' AS generation, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1997-01-01')
+      |UNION ALL
+      |SELECT 'previous', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+      |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+      |FROM orders
+      |ORDER BY generation""".stripMargin
+
   /** Mutating `action='SQL'` (Q3, reference `AutoPurge.sql:129-138`):
     * a raw `DELETE FROM t WHERE c` config statement actually mutates
     * the parquet table (routed through the anti-rewrite), unlike a
@@ -411,6 +445,7 @@ object ParityQueries {
     "conv_orc_roundtrip"    -> (convOrcRoundtrip _),
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
+    "purge_time_travel"     -> (purgeTimeTravel _),
     "purge_sql_delete"      -> (purgeSqlDelete _),
     "purge_guard_abort"     -> (purgeGuardAbort _),
     "purge_dryrun"          -> (purgeDryRun _),
@@ -425,6 +460,7 @@ object ParityQueries {
     "conv_orc_roundtrip"    -> convOrcRoundtripSql,
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
+    "purge_time_travel"     -> purgeTimeTravelSql,
     "purge_sql_delete"      -> purgeSqlDeleteSql,
     "purge_guard_abort"     -> purgeGuardAbortSql,
     "purge_dryrun"          -> purgeDryRunSql,
