@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics beyond connected components
+  * ([[Dedup.componentsOver]] / star contraction): PageRank over the
+  * event-type transition graph — per user, consecutive events form a
+  * directed (type → next type) edge; weights are transition counts.
+  *
+  * Scale shape: the edge list is built with ONE windowed pass over
+  * events (partitioned by user — thousands of independent partitions)
+  * and aggregated map-side to O(types²) weighted edges. Each PageRank
+  * round joins the distributed edge list against the rank vector —
+  * broadcast here (O(nodes)); for graphs whose node set outgrows a
+  * broadcast, the same plan becomes a shuffle join on `src` with the
+  * edge list pre-partitioned by src so only the rank vector moves.
+  * Every intermediate rank frame is localCheckpoint'd so lineage
+  * stays flat across rounds.
+  *
+  * Determinism: ranks live as SCALED LONGS (r = rank × 10¹²) and all
+  * updates are integer ops — per-edge contribution `(r·w) div out_w`,
+  * damping `(85·Σcontrib) div 100`, teleport `⌊0.15·10¹²/N⌋` — so the
+  * fixpoint values are bit-exact and hash-gateable; the oracle
+  * unrolls the same integer recurrence (floor vs truncate never
+  * diverges: every operand is non-negative). Dangling-node mass is
+  * dropped (the plain Brin–Page variant); documents the choice so
+  * both engines agree by construction.
+  */
+object Graph {
+
+  private val One = 1000000000000L // rank scale: 10^12
+
+  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node"))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("r", lit(One / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(broadcast(outw), "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((One * 15 / 100) / n) +
+            coalesce(expr("(85 * c) div 100"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("node"))
+  }
+
+  /** The same integer recurrence unrolled as chained CTEs (standard
+    * SQL forbids aggregation in a recursive term, so the fixed
+    * iteration count is written out). */
+  def pageRankSql(iters: Int = 5): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT src, dst, COUNT(*) AS w FROM ord
+        |          WHERE dst IS NOT NULL GROUP BY src, dst),
+        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |it0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+        |        FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT nd.node,
+         |    150000000000 // (SELECT n FROM nn)
+         |      + COALESCE((85 * s.c) // 100, 0) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((p.r * e.w) // o.ow) AS c
+         |    FROM edges e
+         |    JOIN it${i - 1} p ON p.node = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(r AS BIGINT) AS r FROM it$iters ORDER BY node"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, d) => pageRank(s, d)))
+
+  def oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql())
+}
