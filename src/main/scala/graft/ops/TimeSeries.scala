@@ -155,10 +155,56 @@ object TimeSeries {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Ordered funnel analysis (view → click → purchase): stage k
+    * counts users whose FIRST stage-k event strictly follows their
+    * entry into stage k-1 — the standard first-touch funnel. Three
+    * map-combinable min-aggregates chained by equi-joins on user_id;
+    * each stage's input is type-filtered at the scan (pushdown), so
+    * at 100 TB every stage reads only its event type's row group
+    * stripes and shuffles one (user, ts) pair per qualifying user.
+    * Timestamp comparisons are micros-exact on both engines (see
+    * [[graft.Tables.events]] nanos truncation). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(label).as("stage"), col("users"))
+    stage(t1, "1_view").unionAll(stage(t2, "2_click"))
+      .unionAll(stage(t3, "3_purchase"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelSql: String =
+    """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN t1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+      |       GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN t2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      |       GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, COUNT(*) AS users FROM t1
+      |UNION ALL SELECT '2_click', COUNT(*) FROM t2
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM t3
+      |ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_resample_ffill" -> (tsResample _),
-        "ts_sessionize"     -> (sessionizeBatch _))
+        "ts_sessionize"     -> (sessionizeBatch _),
+        "ts_funnel"         -> (funnel _))
   def oracle: Map[String, String] =
     Map("ts_resample_ffill" -> tsResampleSql,
-        "ts_sessionize"     -> sessionizeBatchSql)
+        "ts_sessionize"     -> sessionizeBatchSql,
+        "ts_funnel"         -> funnelSql)
 }
