@@ -170,4 +170,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(target)
       .as[(Long, String)].collect().toSeq == Seq((7L, "x")))
   }
+
+  test("snapshotDiff classifies added/deleted/changed; unchanged silent") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "v", "x")
+    val neu = Seq((2L, "B", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("k", "v", "x")
+    val out = Maintenance.snapshotDiff(old, neu, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "deleted", 2L -> "changed", 4L -> "added"))
+    // the classifying join's inputs are (key, hash) projections — no
+    // payload column survives to the exchange
+    val plan = Maintenance.snapshotDiff(old, neu, Seq("k"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("v#") ||
+      plan.indexOf("xxhash64") < plan.indexOf("Join"), plan)
+  }
 }

@@ -94,4 +94,25 @@ class TimeSeriesSpec extends SparkSpec {
       "2024-01-01 00:00:00", "2024-01-01 23:00:00").count()
     assert(n == 2 * 24)
   }
+
+  test("funnel stages are monotone non-increasing and ordered") {
+    val out = TimeSeries.funnel(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val counts = out.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.head > 0)
+  }
+
+  test("pageRank: deterministic reruns, positive ranks, bounded mass") {
+    val r1 = graft.ops.Graph.pageRank(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val r2 = graft.ops.Graph.pageRank(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(r1 == r2)
+    assert(r1.forall(_._2 > 0))
+    // floors only ever lose mass; dangling mass is dropped — total
+    // can never exceed the scaled unit
+    assert(r1.map(_._2).sum <= 1000000000000L)
+  }
 }
