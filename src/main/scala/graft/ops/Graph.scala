@@ -98,9 +98,48 @@ object Graph {
       s"\nSELECT node, CAST(r AS BIGINT) AS r FROM it$iters ORDER BY node"
   }
 
+  /** First-order Markov transition matrix of the same event graph:
+    * P(dst | src) as integer parts-per-million (`(w·10⁶) div out_w` —
+    * scaled-long discipline, hash-exact). The edge/out-weight
+    * aggregates are shared shapes with [[pageRank]]; the probability
+    * projection is pure codegen. The "what happens next" model a
+    * product-analytics engine serves directly, and the input to any
+    * sequence-model pre-training filter on behavioral data. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    edges.join(broadcast(outw), "src")
+      .select(col("src"), col("dst"), col("w"),
+        expr("(w * 1000000) div ow").as("p_ppm"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val transitionsSql: String =
+    """WITH ord AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |edges AS (SELECT src, dst, COUNT(*) AS w FROM ord
+      |          WHERE dst IS NOT NULL GROUP BY src, dst),
+      |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src)
+      |SELECT e.src, e.dst, e.w,
+      |  CAST((e.w * 1000000) // o.ow AS BIGINT) AS p_ppm
+      |FROM edges e JOIN outw o ON o.src = e.src
+      |ORDER BY e.src, e.dst""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> ((s, d) => pageRank(s, d)))
+    "graph_pagerank"    -> ((s, d) => pageRank(s, d)),
+    "graph_transitions" -> (transitions _))
 
   def oracle: Map[String, String] = Map(
-    "graph_pagerank" -> pageRankSql())
+    "graph_pagerank"    -> pageRankSql(),
+    "graph_transitions" -> transitionsSql)
 }
