@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Tables
 import graft.functions.TextFunctions._
 
 /** Deduplication operators over the documents corpus (SURVEY §2.9):
@@ -651,9 +652,52 @@ object Dedup {
        |WHERE b.doc_id >= 10000 AND c.doc_id < 10000
        |ORDER BY new_id, dup_of""".stripMargin
 
+  /** Unicode-equivalence dedup: the [[graft.plans.TextNormalize]]
+    * kernel as the load-bearing canonicalization step of exact dedup,
+    * not a standalone demo. The corpus is doubled in-query with
+    * accent-mangled uppercase copies (doc_id + 50000, the same
+    * literal substitutions the `text_normalize` parity gate proves
+    * restorable); grouping the doubled corpus by NORMALIZED text must
+    * collapse every mangled copy onto its original — groups here key
+    * on the normalized text itself (collision-free); at 100 TB the
+    * key would be xxhash64(normalized) with a verify join, exactly
+    * like [[exact]]. Output is derived accounting (group/doc/pair
+    * counts), so the invariant holds at any scale factor even when
+    * the base corpus itself contains duplicate texts. */
+  def unicodeDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mangled = docs.select((col("doc_id") + 50000L).as("doc_id"),
+      Seq(("A", "Á"), ("E", "Ë"), ("O", "Ö"), (" ", "  "))
+        .foldLeft(upper(col("text"))) { case (c, (from, to)) =>
+          regexp_replace(c, from, to)
+        }.as("text"))
+    val groups = docs.union(mangled)
+      .groupBy(graft.plans.TextExpressions.textNormalize(col("text"))
+        .as("tn"))
+      .agg(count(lit(1)).as("c"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("c")).as("n_docs"),
+      sum(when(col("c") === 2 && col("hi") === col("lo") + 50000L, 1L)
+        .otherwise(0L)).as("n_exact_pairs"))
+  }
+
+  val unicodeDedupSql: String =
+    """WITH t AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      |             AS tn FROM documents),
+      |g AS (SELECT tn, COUNT(*) AS c FROM t GROUP BY tn)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(2 * SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_exact_pairs
+      |FROM g""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_unicode"       -> (unicodeDedup _),
     "dedup_latest"        -> (latest _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -668,6 +712,7 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "dedup_latest"        -> latestSql,
+    "dedup_unicode"       -> unicodeDedupSql,
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh"   -> minhashLshSql,
