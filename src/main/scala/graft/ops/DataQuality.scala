@@ -153,12 +153,58 @@ object DataQuality {
       |GROUP BY st.event_type, st.n, st.mean, st.sd
       |ORDER BY st.event_type""".stripMargin
 
+  /** Equi-depth quantile binning (feature bucketizer): quartile
+    * boundaries from ONE percentile aggregate (array argument — the
+    * values buffer once), rounded to 4 dp for cross-engine parity
+    * (the q23 contract), broadcast as a single row, and applied as a
+    * pure codegen CASE projection — so the binning pass itself is
+    * shuffle-free. Exact percentile is the OPT-IN boundary source
+    * exactly as in q23; at 100 TB the default swaps in
+    * `percentile_approx` (mergeable sketch) with the same downstream
+    * plan. */
+  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, dir)
+      .select(col("l_extendedprice").as("v"))
+    val b = li.agg(
+      expr("percentile(v, array(0.25, 0.5, 0.75))").as("bs"))
+      .select(round(element_at(col("bs"), 1), 4).as("b1"),
+        round(element_at(col("bs"), 2), 4).as("b2"),
+        round(element_at(col("bs"), 3), 4).as("b3"))
+    li.crossJoin(broadcast(b))
+      .select(when(col("v") <= col("b1"), 0L)
+        .when(col("v") <= col("b2"), 1L)
+        .when(col("v") <= col("b3"), 2L)
+        .otherwise(3L).as("bucket"), col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val quantileBinsSql: String =
+    """WITH b AS (SELECT
+      |    ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS b1,
+      |    ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS b2,
+      |    ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS b3
+      |  FROM lineitem)
+      |SELECT CAST(CASE WHEN l_extendedprice <= b1 THEN 0
+      |            WHEN l_extendedprice <= b2 THEN 1
+      |            WHEN l_extendedprice <= b3 THEN 2
+      |            ELSE 3 END AS BIGINT) AS bucket,
+      |  COUNT(*) AS n, MIN(l_extendedprice) AS lo,
+      |  MAX(l_extendedprice) AS hi
+      |FROM lineitem, b
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_quantile_bins" -> (quantileBins _),
     "dq_profile" -> (dqProfile _),
     "dq_orphans" -> (dqOrphans _),
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_quantile_bins" -> quantileBinsSql,
     "dq_profile" -> dqProfileSql,
     "dq_orphans" -> dqOrphansSql,
     "dq_anomaly" -> dqAnomalySql,
