@@ -197,13 +197,63 @@ object DataQuality {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** Robust outlier screen via median absolute deviation — the
+    * mean/σ screen ([[zScoreOutliers]]) breaks down exactly when the
+    * data is dirty, since outliers inflate σ; MAD's 50% breakdown
+    * point is the DQ-pipeline standard for skewed batches. Flags
+    * |v − median| > 3·1.4826·MAD (the normal-consistency constant,
+    * pinned as the literal 4.4478 on both engines). Two grouped
+    * exact-percentile aggregates (opt-in exact, the q23 contract —
+    * `percentile_approx` is the 100 TB default) with the tiny stats
+    * frames broadcast back; both shuffles are O(groups). */
+  def madOutliers(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(max(col("med")).as("med"),
+        expr("percentile(adev, 0.5)").as("mad"))
+    dev.drop("med").join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
+          .otherwise(0L)).as("outliers"))
+      .select(col(groupCol), col("n"), col("outliers"),
+        round(col("med"), 6).as("med6"), round(col("mad"), 6).as("mad6"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Gate: MAD screen of event values per event type. */
+  def dqMad(s: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.events(s, dir), "event_type", "value")
+
+  val dqMadSql: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |           FROM events GROUP BY event_type),
+      |d AS (SELECT e.event_type, abs(e.value - m.med) AS adev
+      |      FROM events e JOIN m USING (event_type)),
+      |md AS (SELECT d.event_type, max(m.med) AS med,
+      |         quantile_cont(d.adev, 0.5) AS mad
+      |       FROM d JOIN m USING (event_type) GROUP BY d.event_type)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN d.adev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS outliers,
+      |  round(md.med, 6) AS med6, round(md.mad, 6) AS mad6
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY d.event_type, md.med, md.mad
+      |ORDER BY d.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_mad_outliers" -> (dqMad _),
     "dq_quantile_bins" -> (quantileBins _),
     "dq_profile" -> (dqProfile _),
     "dq_orphans" -> (dqOrphans _),
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_mad_outliers" -> dqMadSql,
     "dq_quantile_bins" -> quantileBinsSql,
     "dq_profile" -> dqProfileSql,
     "dq_orphans" -> dqOrphansSql,
