@@ -26,6 +26,25 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  def trending(s: SparkSession, dir: String): DataFrame =
+    EventStreams.trendingTopK(Tables.events(s, dir))
+      .orderBy(col("window_start"), col("rank"))
+
+  val trendingSql: String =
+    """WITH c AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT window_start,
+      |    ROW_NUMBER() OVER (PARTITION BY window_start
+      |      ORDER BY n DESC, event_type) AS rank,
+      |    event_type, n
+      |  FROM c)
+      |SELECT window_start, CAST(rank AS BIGINT) AS rank, event_type, n
+      |FROM r WHERE rank <= 2
+      |ORDER BY window_start, rank""".stripMargin
+
   def sliding(s: SparkSession, dir: String): DataFrame =
     EventStreams.slidingCounts(Tables.events(s, dir))
       .orderBy(col("window_start"), col("event_type"))
@@ -171,6 +190,7 @@ object StreamingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_running"  -> (running _),
     "stream_tumbling" -> (tumbling _),
+    "stream_trending" -> (trending _),
     "stream_sliding"  -> (sliding _),
     "stream_session"  -> (session _),
     "stream_dedup"    -> (dedup _),
@@ -181,6 +201,7 @@ object StreamingQueries {
   def oracle: Map[String, String] = Map(
     "stream_running"  -> runningSql,
     "stream_tumbling" -> tumblingSql,
+    "stream_trending" -> trendingSql,
     "stream_sliding"  -> slidingSql,
     "stream_session"  -> sessionSql,
     "stream_dedup"    -> dedupSql,

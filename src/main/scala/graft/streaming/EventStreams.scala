@@ -39,6 +39,31 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Trending top-k: the k most frequent event types per tumbling
+    * window, rank-tied deterministically. The rank is a per-window
+    * view OVER the windowed aggregate — in a live deployment the
+    * stream maintains [[tumblingCounts]] (complete/update mode into
+    * the serving sink; window functions aren't streamable) and this
+    * ranking runs on the sink table at read time; StreamingSpec
+    * drives exactly that wiring end to end. Batch-unified here so the
+    * oracle can state it. The window is tiny (≤ distinct types per
+    * window) — the rank shuffle is O(windows·types). */
+  def trendingTopK(events: DataFrame, k: Int = 2): DataFrame =
+    rankWindows(tumblingCounts(events), k)
+
+  /** The serving-side ranking over a (window_start, event_type, n)
+    * counts table — applied to the streaming sink in production. */
+  def rankWindows(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("window_start"), col("rank").cast("long").as("rank"),
+        col("event_type"), col("n"))
+  }
+
   /** Sliding windows: 10-minute span, 5-minute slide. */
   def slidingCounts(events: DataFrame, size: String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "10 minutes")

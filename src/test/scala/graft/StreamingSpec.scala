@@ -43,6 +43,18 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty)
   }
 
+  test("trending top-k: rank over the live sink == batch trending") {
+    // production wiring: the STREAM maintains the windowed counts
+    // (complete mode into the serving sink); the top-k rank is a view
+    // applied to the sink at read time
+    val sink = streamed("t_trending", EventStreams.tumblingCounts(_))
+    val served = EventStreams.rankWindows(
+      sink.select("window_start", "event_type", "n"), k = 2)
+    val batch = EventStreams.trendingTopK(batchEvents, k = 2)
+    assert(served.count() == batch.count())
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty)
+  }
+
   test("stream-static enrichment join: stream == batch") {
     val customers = Tables.customer(spark, dir)
     val stream = streamed("t_enrich",
