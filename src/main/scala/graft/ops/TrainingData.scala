@@ -464,7 +464,38 @@ object TrainingData {
        |GROUP BY source, lang
        |ORDER BY source, lang""".stripMargin
 
+  /** Deterministic train/val/test split: bucket =
+    * `(doc_id · Knuth) mod 1000` → 80/10/10. Hash-threshold selection
+    * — bit-reproducible across runs, engines, and repartitions (same
+    * rationale as [[mixtureSample]]), each row decides independently
+    * so the split is a pure projection with NO shuffle; the gate
+    * reports per-(source, split) counts. Splitting on a hash of the
+    * STABLE id (not position) keeps membership stable as the corpus
+    * grows — the property that stops eval contamination when shards
+    * are re-cut. */
+  def trainValTestSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    Tables.documents(s, dir)
+      .select(col("source"),
+        when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val trainValTestSplitSql: String =
+    """SELECT source,
+      |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+      |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY source, split""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_split" -> ((s, d) => trainValTestSplit(s, d)),
     "report_dataset_card" -> ((s, d) => datasetCard(s, d)),
     "pack_export_jsonl"  -> ((s, d) => exportJsonlGate(s, d)),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -475,6 +506,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_split" -> trainValTestSplitSql,
     "report_dataset_card" -> datasetCardSql,
     "pack_export_jsonl"  -> packShardsSql,
     "text_decontaminate" -> decontaminateSql,
