@@ -245,7 +245,65 @@ object DataQuality {
       |GROUP BY d.event_type, md.med, md.mad
       |ORDER BY d.event_type""".stripMargin
 
+  /** Full correlation matrix of k numeric columns in ONE scan: every
+    * sum, square and cross product (k + k(k+1)/2 accumulators) rides
+    * a single map-combinable aggregate — profiling 4 columns or 40
+    * costs one pass either way, vs one `corr()` job per pair. Sums
+    * are exact decimals cast to double at the end (the q32 moment
+    * idiom), correlations rounded to 6 dp for cross-engine parity.
+    * Output in long form (col_a < col_b). */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def d(c: String) = col(c).cast(DecimalType(18, 2))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(d(c)).cast(DoubleType).as(s"s_$c")) ++
+      cols.map(c => sum(d(c) * d(c)).cast(DoubleType).as(s"ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(d(a) * d(b)).cast(DoubleType).as(s"sp_${a}_$b") }
+    def mean(c: String) = col(s"s_$c") / col("n")
+    def sd(c: String) =
+      sqrt(col(s"ss_$c") / col("n") - mean(c) * mean(c))
+    val base = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round((col(s"sp_${a}_$b") / col("n") - mean(a) * mean(b)) /
+          (sd(a) * sd(b)), 6).as("corr6"))
+    }
+    base.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.corr6"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  val corrMatrixSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def d(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val sums =
+      cols.map(c => s"CAST(SUM(${d(c)}) AS DOUBLE) AS s_$c") ++
+      cols.map(c => s"CAST(SUM(${d(c)} * ${d(c)}) AS DOUBLE) AS ss_$c") ++
+      pairs.map { case (a, b) =>
+        s"CAST(SUM(${d(a)} * ${d(b)}) AS DOUBLE) AS sp_${a}_$b" }
+    def mean(c: String) = s"(s_$c / n)"
+    def sd(c: String) = s"sqrt(ss_$c / n - ${mean(c)} * ${mean(c)})"
+    val rows = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+      s"round((sp_${a}_$b / n - ${mean(a)} * ${mean(b)}) / " +
+      s"(${sd(a)} * ${sd(b)}), 6) AS corr6 FROM m"
+    }
+    s"""WITH m AS (SELECT COUNT(*) AS n, ${sums.mkString(", ")}
+       |  FROM lineitem)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_corr_matrix" -> (corrMatrix _),
     "dq_mad_outliers" -> (dqMad _),
     "dq_quantile_bins" -> (quantileBins _),
     "dq_profile" -> (dqProfile _),
@@ -253,6 +311,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_corr_matrix" -> corrMatrixSql,
     "dq_mad_outliers" -> dqMadSql,
     "dq_quantile_bins" -> quantileBinsSql,
     "dq_profile" -> dqProfileSql,
