@@ -328,13 +328,54 @@ object Maintenance {
       |  FROM lineitem WHERE l_orderkey % 29 = 0)
       |ORDER BY change, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
+  /** Point-in-time dimension snapshot: the version of every key that
+    * was valid AT `ts` — `effective_from ≤ ts < effective_to` (open
+    * current rows qualify via NULL). SCD2 intervals partition each
+    * key's timeline, so each key yields at most one row and the
+    * lookup is a pure FILTER over the versioned dimension — no join,
+    * no shuffle, prunable by `effective_from` at the scan. Together
+    * with [[AsofJoin]] (per-event version resolution) this is the
+    * feature-store leakage guard: training joins read the dimension
+    * as it WAS, never as it is. */
+  def scd2SnapshotAt(dim: DataFrame, ts: String): DataFrame =
+    dim.filter(col("effective_from") <= lit(ts).cast(TimestampType) &&
+      (col("effective_to").isNull ||
+        col("effective_to") > lit(ts).cast(TimestampType)))
+
+  /** Gate: rebuild the customer-priority dimension as it stood on
+    * 1995-06-01. */
+  def scd2Snapshot(s: SparkSession, dir: String): DataFrame =
+    scd2SnapshotAt(
+      scd2FromLog(Tables.orders(s, dir),
+        key = "o_custkey", ts = "o_orderdate", tieBreak = "o_orderkey"),
+      "1995-06-01 00:00:00")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("effective_from"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
+  val scd2SnapshotSql: String =
+    """WITH dim AS (
+      |  SELECT o_custkey, o_orderkey, o_orderpriority,
+      |    o_orderdate AS effective_from,
+      |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS effective_to
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_orderpriority, effective_from
+      |FROM dim
+      |WHERE effective_from <= TIMESTAMP '1995-06-01 00:00:00'
+      |  AND (effective_to IS NULL
+      |       OR effective_to > TIMESTAMP '1995-06-01 00:00:00')
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_snapshot" -> (scd2Snapshot _),
     "maint_snapshot_diff" -> (snapshotDiffGate _),
     "merge_upsert" -> (mergeUpsert _),
     "compact_roundtrip" -> (compactRoundtrip _),
     "scd2_build" -> (scd2Build _),
     "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
+    "scd2_snapshot" -> scd2SnapshotSql,
     "maint_snapshot_diff" -> snapshotDiffSql,
     "merge_upsert" -> mergeUpsertSql,
     "compact_roundtrip" -> compactRoundtripSql,
