@@ -62,15 +62,8 @@ object ConvertPipeline extends Logging {
 
   def configFrom(props: Properties, schemaJsonPath: String): Config = {
     val s3 =
-      Option(props.getProperty("bucketName")).filter(_.nonEmpty).map { b =>
-        S3Conf.S3Settings(
-          bucket = b,
-          prefix = Option(props.getProperty("prefix")).getOrElse(""),
-          endpoint = Option(props.getProperty("s3.endpoint")),
-          region = Option(props.getProperty("s3.region")),
-          accessKey = Option(props.getProperty("s3.accessKey")),
-          secretKey = Option(props.getProperty("s3.secretKey")))
-      }
+      Option(props.getProperty("bucketName")).filter(_.nonEmpty)
+        .map(_ => S3Conf.fromProperties(props))
     Config(
       sourceDir = props.getProperty("SourceFilePath"),
       parquetDir = props.getProperty("ParquetFilePath"),

@@ -30,14 +30,32 @@ object S3Conf {
       if (prefix.isEmpty) s"s3a://$bucket" else s"s3a://$bucket/$prefix"
   }
 
-  /** Reference property keys (application.properties:1-8). */
+  /** The reference's exact property keys (`application.properties:
+    * 1-8`, read by `Main.java:63-66` and `S3Uploader.java:33-40`):
+    * `bucketName`, `prefix`, `s3.accessKey`, `s3.secretKey`,
+    * `s3.endpoint`, `s3.region`. */
   def fromProperties(p: Properties): S3Settings = S3Settings(
-    bucket = p.getProperty("S3Bucket", ""),
-    prefix = Option(p.getProperty("S3Prefix")).getOrElse(""),
-    endpoint = Option(p.getProperty("S3Endpoint")),
-    region = Option(p.getProperty("S3Region")),
-    accessKey = Option(p.getProperty("S3AccessKey")),
-    secretKey = Option(p.getProperty("S3SecretKey")))
+    bucket = p.getProperty("bucketName", ""),
+    prefix = Option(p.getProperty("prefix")).getOrElse(""),
+    endpoint = Option(p.getProperty("s3.endpoint")),
+    region = Option(p.getProperty("s3.region")),
+    accessKey = Option(p.getProperty("s3.accessKey")),
+    secretKey = Option(p.getProperty("s3.secretKey")))
+
+  /** The reference's fail-fast contract: `S3Uploader.java:38-40`
+    * throws IllegalStateException when any of credentials, endpoint,
+    * or region is unset; `Main.java:65-66` errors on a missing
+    * bucket/prefix. */
+  def validated(s: S3Settings): S3Settings = {
+    if (s.accessKey.isEmpty || s.secretKey.isEmpty ||
+        s.endpoint.isEmpty || s.region.isEmpty)
+      throw new IllegalStateException(
+        "S3 credentials, endpoint, or region not set in application.properties")
+    if (s.bucket.isEmpty)
+      throw new IllegalStateException(
+        "Missing bucketName or prefix in application.properties")
+    s
+  }
 
   /** Apply to the session's Hadoop configuration. */
   def configure(spark: SparkSession, s: S3Settings): Unit = {

@@ -78,4 +78,23 @@ class ReferenceFixtureSpec extends SparkSpec {
       refSchema.map(f => (f.name, f.dataType)))
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
+
+  test("the reference's own application.properties parses completely") {
+    import graft.sources.S3Conf
+    val p = ConvertPipeline.loadProperties(
+      s"/root/reference/src/main/resources/application.properties")
+    val s3 = S3Conf.validated(S3Conf.fromProperties(p))
+    assert(s3.bucket == "swcsample-bucket-name")
+    assert(s3.prefix == "swcca")
+    assert(s3.endpoint.exists(_.startsWith("https://")))
+    assert(s3.region.contains("custom"))
+    assert(s3.accessKey.isDefined && s3.secretKey.isDefined)
+    assert(s3.uri == "s3a://swcsample-bucket-name/swcca")
+    // fail-fast parity (S3Uploader.java:38-40) when credentials drop
+    val broken = new java.util.Properties(); broken.putAll(p)
+    broken.remove("s3.accessKey")
+    intercept[IllegalStateException] {
+      S3Conf.validated(S3Conf.fromProperties(broken))
+    }
+  }
 }
