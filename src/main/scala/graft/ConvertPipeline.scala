@@ -64,9 +64,15 @@ object ConvertPipeline extends Logging {
     val s3 =
       Option(props.getProperty("bucketName")).filter(_.nonEmpty)
         .map(_ => S3Conf.fromProperties(props))
+    // Reference fail-fast parity (`Main.java:30-32, 46-48`): a
+    // missing path key is a configuration error, not a late NPE.
+    def required(key: String): String =
+      Option(props.getProperty(key)).getOrElse(
+        throw new java.io.IOException(
+          s"Missing $key in application.properties"))
     Config(
-      sourceDir = props.getProperty("SourceFilePath"),
-      parquetDir = props.getProperty("ParquetFilePath"),
+      sourceDir = required("SourceFilePath"),
+      parquetDir = required("ParquetFilePath"),
       schema = SchemaLoader.fromJsonFile(schemaJsonPath),
       s3 = s3)
   }

@@ -83,6 +83,13 @@ class ConvertPipelineSpec extends SparkSpec {
     val s3 = cfg.s3.get
     assert(s3.uri == "s3a://bkt/pre")
     assert(s3.endpoint.contains("https://s3.example.com:9021"))
+    // fail-fast parity (Main.java:30-32): missing path keys error out
+    val missing = new Properties()
+    missing.setProperty("ParquetFilePath", "/out")
+    val ex = intercept[java.io.IOException] {
+      ConvertPipeline.configFrom(missing, schemaFile.toString)
+    }
+    assert(ex.getMessage.contains("SourceFilePath"))
   }
 
   test("convertChecked diverts bad rows to quarantine with per-file report") {
