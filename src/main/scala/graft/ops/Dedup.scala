@@ -694,9 +694,75 @@ object Dedup {
       |    AS n_exact_pairs
       |FROM g""".stripMargin
 
+  /** Paragraph-level dedup (the C4/FineWeb span rule): split every
+    * document into fixed 10-token spans, keep only the FIRST corpus
+    * occurrence of each span text (ordered by doc_id, then position),
+    * and rebuild documents from their surviving spans. Unlike
+    * document-level dedup this removes boilerplate that repeats
+    * ACROSS distinct pages.
+    *
+    * Scale: the span explode is per-row work; first-occurrence pick
+    * is one window over the span key — at 100 TB the key is
+    * xxhash64(span) (8 B on the shuffle, re-join the kept positions
+    * like [[minhashLsh]]), kept as text here so the oracle can state
+    * it. Rebuild is a per-doc sort_array/array_join — grouped by the
+    * doc key, no global order. */
+  def paragraphDedup(s: SparkSession, dir: String, w: Int = 10)
+      : DataFrame = {
+    val spans = DocCorpus.withDuplicates(s, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), greatest(
+          floor((size(col("toks")) - 1).cast(DoubleType) / w)
+            .cast(IntegerType), lit(0))),
+        i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col").as("span"))
+      .filter(length(col("span")) > 0)
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    spans
+      .withColumn("rn", row_number().over(wFirst))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1,
+              struct(col("chunk_idx"), col("span"))))),
+          p => p("span")), " ").as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+      |d AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |    t -> len(t) > 0) AS toks
+      |  FROM corpus),
+      |sp AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |    array_to_string(toks[i*10+1 : i*10+10], ' ') AS span
+      |  FROM d, unnest(generate_series(0,
+      |    greatest((len(toks)-1) // 10, 0))) AS u(i)
+      |  WHERE len(array_to_string(toks[i*10+1 : i*10+10], ' ')) > 0),
+      |r AS (
+      |  SELECT doc_id, chunk_idx, span,
+      |    ROW_NUMBER() OVER (PARTITION BY span
+      |      ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM sp)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+      |    ORDER BY chunk_idx), '') AS new_text
+      |FROM r GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph"     -> ((s: SparkSession, d: String) => paragraphDedup(s, d)),
     "dedup_unicode"       -> (unicodeDedup _),
     "dedup_latest"        -> (latest _),
     "dedup_exact"         -> (exact _),
@@ -712,6 +778,7 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "dedup_latest"        -> latestSql,
+    "dedup_paragraph"     -> paragraphDedupSql,
     "dedup_unicode"       -> unicodeDedupSql,
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
