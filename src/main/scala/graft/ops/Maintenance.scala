@@ -306,10 +306,13 @@ object Maintenance {
           .withColumn("l_orderkey", col("l_orderkey") + 1000000000L))
         .write.mode("overwrite").parquet(newSnap)
     }
-    // (l_orderkey, l_linenumber) is NOT unique in this corpus; the
-    // 4-column tuple is the minimal proven primary key.
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus — nor
+    // is the 4-column tuple at every scale factor; the 5-column key
+    // below is distinct at sf0.001/0.01/0.1 (and l_extendedprice is
+    // never a mutated column here, so it is key-stable).
     snapshotDiff(li, s.read.parquet(newSnap),
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice"))
       .orderBy(col("change"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
   }
@@ -317,14 +320,15 @@ object Maintenance {
   val snapshotDiffSql: String =
     """SELECT * FROM (
       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-      |         'deleted' AS change
+      |         l_extendedprice, 'deleted' AS change
       |  FROM lineitem WHERE l_orderkey % 31 = 0
       |  UNION ALL
-      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'changed'
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |         l_extendedprice, 'changed'
       |  FROM lineitem WHERE l_orderkey % 31 <> 0 AND l_orderkey % 17 = 0
       |  UNION ALL
       |  SELECT l_orderkey + 1000000000, l_linenumber, l_partkey,
-      |         l_suppkey, 'added'
+      |         l_suppkey, l_extendedprice, 'added'
       |  FROM lineitem WHERE l_orderkey % 29 = 0)
       |ORDER BY change, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 

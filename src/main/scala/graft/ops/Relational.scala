@@ -840,7 +840,11 @@ object Relational {
         sum(x * y).cast(DoubleType).as("sxy"))
       .select(col("l_returnflag"), col("n"),
         cv.as("covar_pop"), sdx.as("stddev_x"),
-        (cv / (sdx * sdy)).as("corr_xy"))
+        // the correlation RATIO divides two products of rounded
+        // doubles — the one place a final-ULP wobble between engines
+        // can surface (observed at sf0.001); 12 dp keeps ~5 digits of
+        // slack beyond it
+        round(cv / (sdx * sdy), 12).as("corr_xy"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -856,8 +860,8 @@ object Relational {
       |SELECT l_returnflag, n,
       |  (sxy - sx * sy / n) / n AS covar_pop,
       |  sqrt((sxx - sx * sx / n) / n) AS stddev_x,
-      |  ((sxy - sx * sy / n) / n)
-      |    / (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)) AS corr_xy
+      |  round(((sxy - sx * sy / n) / n)
+      |    / (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)), 12) AS corr_xy
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** Time-interval RANGE frame: per-customer 30-day moving order
