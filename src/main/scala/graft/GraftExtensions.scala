@@ -74,5 +74,8 @@ object GraftExtensions {
       "graft_count_in_set(tokens, set) - tokens contained in a fixed set",
       (es: Seq[Expression]) => TokenCountInSet(es(0),
         es(1).eval().asInstanceOf[ArrayData]
-          .toArray[UTF8String](StringType).toSeq.map(_.toString))))
+          .toArray[UTF8String](StringType).toSeq.map(_.toString))),
+    (TextExpressions.NormalizeFnName,
+      "graft_text_normalize(s) - Unicode canonicalization (NFD mark-strip, NFC, lower, ws-collapse)",
+      (es: Seq[Expression]) => graft.plans.TextNormalize(es(0))))
 }

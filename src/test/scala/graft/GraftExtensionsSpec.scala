@@ -51,6 +51,11 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT graft_vector_quantize_int8(array(1.0d, -0.5d), 1.0d)")
         .head().getSeq[Int](0)
       assert(q == Seq(127, -63)) // floor(-63.5 + 0.5) = -63
+
+      val norm = s2.sql(
+        "SELECT graft_text_normalize('Héllo  Wörld')")
+        .head().getString(0)
+      assert(norm == "hello world")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
