@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Scan-level contracts the 100 TB design depends on, asserted as
+  * tests instead of eyeballed explains: filters REACH the parquet
+  * scan (`PushedFilters`) and the read schema is PRUNED to the
+  * referenced columns — a scan that reads 11 columns for a 4-column
+  * projection pays ~3× the I/O at any scale.
+  *
+  * Assertions parse the executed-plan STRING: AdaptiveSparkPlanExec
+  * hides its subtree from `plan.collect`, but the rendered plan
+  * always shows every FileScan's PushedFilters/ReadSchema. */
+class PushdownSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def scanLines(plan: String, tag: String): Seq[String] =
+    plan.linesIterator.flatMap { l =>
+      val i = l.indexOf(tag + ": ")
+      if (i >= 0) Some(l.substring(i)) else None
+    }.toSeq
+
+  test("q2 filter+project: predicates pushed, read schema pruned") {
+    val plan = planOf(Relational.q2FilterProject(spark, sf))
+    val pushed = scanLines(plan, "PushedFilters").mkString
+    assert(pushed.contains("l_quantity") && pushed.contains("l_discount"),
+      pushed)
+    val read = scanLines(plan, "ReadSchema").mkString
+    // only the referenced columns — notably NOT l_shipdate/l_tax/...
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_tax"), read)
+  }
+
+  test("q1 date filter is pushed into the lineitem scan") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sf))
+    assert(scanLines(plan, "PushedFilters").mkString.contains("l_shipdate"),
+      plan)
+  }
+
+  test("text stats read only doc_id + text from documents") {
+    val plan = planOf(graft.ops.TextAnalysis.textStats(spark, sf))
+    val read = scanLines(plan, "ReadSchema").mkString
+    assert(read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("negative sampling prunes the corpus scan to ids only") {
+    val plan = planOf(graft.ops.Similarity.negativeSample(spark, sf))
+    val reads = scanLines(plan, "ReadSchema")
+    assert(reads.nonEmpty, plan)
+    // at least one embeddings scan reads ONLY vec_id (the candidate
+    // stream); any scan that does read the vector column must be the
+    // bounded query side (vec_id < 5 pushed down)
+    assert(reads.exists(r => r.contains("vec_id") &&
+      !r.contains("embedding")), reads.mkString("\n"))
+    val pushed = scanLines(plan, "PushedFilters")
+    assert(pushed.exists(_.contains("LessThan(vec_id,5)")),
+      pushed.mkString("\n"))
+  }
+}
