@@ -274,6 +274,49 @@ object ParityQueries {
       |WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1997-01-01')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Fixed-width round-trip: the fourth text source format
+    * (offset-bound — see [[graft.sources.FixedWidthIngest]]). The
+    * table is exported as padded fixed-width lines, re-ingested under
+    * the declared widths, and aggregated; the oracle computes the
+    * same aggregate over the original parquet, proving the slicing
+    * arithmetic and the shared cast contract are value-preserving. */
+  def convFixedWidthRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val fwDir = scratch(dir, "conv_fixedwidth")
+    val src = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+      col("l_returnflag"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .as("l_shipdate"))
+    val widths = Seq(12, 10, 14, 2, 27)
+    graft.Scaffold.setup {
+      graft.sources.FixedWidthIngest.write(src, widths, fwDir)
+    }
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_quantity", DecimalType(18, 2)),
+      StructField("l_extendedprice", DecimalType(18, 2)),
+      StructField("l_returnflag", StringType),
+      StructField("l_shipdate", TimestampNTZType)))
+    graft.sources.FixedWidthIngest.read(s, fwDir, schema, widths)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice")).cast(DoubleType).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val convFixedWidthRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  MIN(l_shipdate) AS min_ship,
+      |  MAX(l_shipdate) AS max_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Time-travel read over the keep-last-N savepoint ring (Q7 /
     * reference `AutoPurge.sql:81-92` ROLLBACK parity, exposed as a
     * QUERYABLE generation instead of only a restore): purge with
@@ -446,6 +489,7 @@ object ParityQueries {
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_time_travel"     -> (purgeTimeTravel _),
+    "conv_fixedwidth_roundtrip" -> (convFixedWidthRoundtrip _),
     "purge_sql_delete"      -> (purgeSqlDelete _),
     "purge_guard_abort"     -> (purgeGuardAbort _),
     "purge_dryrun"          -> (purgeDryRun _),
@@ -461,6 +505,7 @@ object ParityQueries {
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_time_travel"     -> purgeTimeTravelSql,
+    "conv_fixedwidth_roundtrip" -> convFixedWidthRoundtripSql,
     "purge_sql_delete"      -> purgeSqlDeleteSql,
     "purge_guard_abort"     -> purgeGuardAbortSql,
     "purge_dryrun"          -> purgeDryRunSql,
