@@ -25,6 +25,19 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(tokens(text)).cast(LongType)
 
+  /** GPT-2-style pre-tokenizer count: matches of the byte-pair
+    * pre-tokenization regex (contraction suffixes, letter runs, digit
+    * runs, punctuation runs, whitespace runs — the lookahead-free
+    * subset, so Java regex and RE2 agree match-for-match). The count a
+    * token-budget estimator uses when "tokens" must mean BPE
+    * pre-tokens rather than whitespace words. */
+  val PretokenPattern: String =
+    """'[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  def pretokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PretokenPattern), lit(0)))
+      .cast(LongType)
+
   /** BPE-ish subword count: word-boundary pieces plus length-driven
     * extra tokens for long words (a cheap, deterministic stand-in for
     * a real tokenizer's token count: ~1 token per 4 chars of word). */

@@ -506,7 +506,28 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** GPT-2 pre-tokenizer counts per document (the "BPE-ish regex"
+    * token estimate): pure codegen'd regexp projection, zero
+    * shuffles; the oracle evaluates the same RE2-safe pattern. */
+  def pretokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      pretokenCount(col("text")).as("n_pretok"))
+      .orderBy(col("doc_id"))
+
+  val pretokenizeSql: String = {
+    // SQL string literal: only the pattern's leading quote doubles
+    // (DuckDB single-quoted strings keep backslashes literal)
+    val pat = graft.functions.TextFunctions.PretokenPattern
+      .replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)
+       |    AS n_pretok
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pretokenize" -> (pretokenize _),
     "text_normalize" -> (textNormalizeGate _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "text_bm25"    -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
@@ -519,6 +540,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_pretokenize" -> pretokenizeSql,
     "text_normalize" -> textNormalizeSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_bm25"    -> bm25TopKSql,
