@@ -30,8 +30,10 @@ object FixedWidthIngest {
 
   /** Write `df` as fixed-width lines: every column stringified with
     * the caller's formats (caller casts beforehand) and right-padded
-    * to its width. Returns the widths actually used (max value length
-    * + 1 pad) so a manifest can declare them for the reader. */
+    * to its width. Inherent to the format: a value LONGER than its
+    * declared width is truncated by `rpad` — size widths from the
+    * domain's maximum (as any fixed-width feed spec does); there is
+    * no escape mechanism by definition. */
   def write(df: DataFrame, widths: Seq[Int], outDir: String): Unit = {
     val line = concat(df.columns.toSeq.zip(widths).map {
       case (c, w) => rpad(coalesce(col(c).cast(StringType), lit("")), w, " ")

@@ -43,6 +43,17 @@ class FixedWidthIngestSpec extends SparkSpec {
     assert(r.getLong(0) == 7L && r.isNullAt(2))
   }
 
+  test("over-width values truncate on write — the format's contract") {
+    import spark.implicits._
+    val df = Seq((1L, "name-longer-than-8", "2001-01-01")).toDF(
+      "id", "name", "born")
+    val out = tmpDir("fw_trunc")
+    FixedWidthIngest.write(df, widths, out)
+    val r = FixedWidthIngest.read(spark, out, schema, widths).collect()(0)
+    assert(r.getString(1) == "name-lon") // truncated at width 8
+    assert(r.getDate(2) == null || r.getDate(2).toString == "2001-01-01")
+  }
+
   test("write → read round-trips values including the pad widths") {
     import spark.implicits._
     val df = Seq((10L, "zed", "1999-12-31"), (11L, "", "2000-01-01"))
