@@ -277,7 +277,9 @@ object Maintenance {
   def snapshotDiff(old: DataFrame, neu: DataFrame,
       keys: Seq[String]): DataFrame = {
     def sig(df: DataFrame, hName: String) = {
-      val nonKey = df.columns.filterNot(keys.contains).map(col).toSeq
+      // non-key columns hashed in NAME order, so two generations that
+      // merely reordered columns do not classify every row as changed
+      val nonKey = df.columns.filterNot(keys.contains).sorted.map(col).toSeq
       df.select(keys.map(col) :+ xxhash64(struct(nonKey: _*)).as(hName): _*)
     }
     sig(old, "_ho").join(sig(neu, "_hn"), keys, "full_outer")
