@@ -199,12 +199,64 @@ object TimeSeries {
       |UNION ALL SELECT '3_purchase', COUNT(*) FROM t3
       |ORDER BY stage""".stripMargin
 
+  /** Behavioral-sequence similarity (the trajectory-similarity
+    * modality — REPOSE/ICDE'21 family): each user's event-type
+    * sequence, ordered by (ts, event_id), becomes a string; the k
+    * most-similar users are ranked by EDIT distance, which respects
+    * order and insertions the way bag-of-events cosine cannot
+    * (signup→view→purchase is NOT purchase→view→signup). Exact
+    * all-pairs `levenshtein` here (bounded: one row per user, the
+    * oracle-checkable baseline); at 100 TB users the candidate source
+    * is [[Dedup.minhashLshPairs]] over k-gram shingles of the same
+    * behavior strings — the existing banded machinery applied to a
+    * new modality — with edit distance scored only inside buckets. */
+  def behaviorTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val beh = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+          col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        p => p("c")), "").as("beh"))
+    val a = beh.toDF("user_a", "beh_a").repartition(par)
+    val b = broadcast(beh.toDF("user_b", "beh_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_a")).orderBy(col("dist"), col("user_b"))
+    a.crossJoin(b).filter(col("user_a") =!= col("user_b"))
+      .withColumn("dist", levenshtein(col("beh_a"), col("beh_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("user_a"), col("user_b"),
+        col("rank").cast("long").as("rank"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("user_a"), col("rank"))
+  }
+
+  val behaviorTopKSql: String =
+    """WITH beh AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+      |      AS beh
+      |  FROM events GROUP BY user_id),
+      |p AS (
+      |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |    levenshtein(a.beh, b.beh) AS dist,
+      |    ROW_NUMBER() OVER (PARTITION BY a.user_id
+      |      ORDER BY levenshtein(a.beh, b.beh), b.user_id) AS rank
+      |  FROM beh a, beh b WHERE a.user_id <> b.user_id)
+      |SELECT user_a, user_b, CAST(rank AS BIGINT) AS rank,
+      |  CAST(dist AS BIGINT) AS dist
+      |FROM p WHERE rank <= 3
+      |ORDER BY user_a, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_resample_ffill" -> (tsResample _),
         "ts_sessionize"     -> (sessionizeBatch _),
-        "ts_funnel"         -> (funnel _))
+        "ts_funnel"         -> (funnel _),
+        "ts_behavior_topk"  -> ((s, d) => behaviorTopK(s, d)))
   def oracle: Map[String, String] =
     Map("ts_resample_ffill" -> tsResampleSql,
         "ts_sessionize"     -> sessionizeBatchSql,
-        "ts_funnel"         -> funnelSql)
+        "ts_funnel"         -> funnelSql,
+        "ts_behavior_topk"  -> behaviorTopKSql)
 }
