@@ -218,7 +218,11 @@ object TimeSeries {
           col("ts"), col("event_id"),
           substring(col("event_type"), 1, 1).as("c")))),
         p => p("c")), "").as("beh"))
-    val a = beh.toDF("user_a", "beh_a").repartition(par)
+    // bounded query side (user_id < 50) — the same convention as the
+    // vector top-k baselines: the exact all-pairs pass is the ORACLE
+    // baseline, not the scale path, so its quadratic term is pinned
+    val a = beh.filter(col("user_id") < 50)
+      .toDF("user_a", "beh_a").repartition(par)
     val b = broadcast(beh.toDF("user_b", "beh_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_a")).orderBy(col("dist"), col("user_b"))
@@ -243,7 +247,8 @@ object TimeSeries {
       |    levenshtein(a.beh, b.beh) AS dist,
       |    ROW_NUMBER() OVER (PARTITION BY a.user_id
       |      ORDER BY levenshtein(a.beh, b.beh), b.user_id) AS rank
-      |  FROM beh a, beh b WHERE a.user_id <> b.user_id)
+      |  FROM beh a, beh b
+      |  WHERE a.user_id < 50 AND a.user_id <> b.user_id)
       |SELECT user_a, user_b, CAST(rank AS BIGINT) AS rank,
       |  CAST(dist AS BIGINT) AS dist
       |FROM p WHERE rank <= 3
