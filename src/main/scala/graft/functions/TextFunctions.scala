@@ -30,9 +30,15 @@ object TextFunctions {
     * runs, punctuation runs, whitespace runs — the lookahead-free
     * subset, so Java regex and RE2 agree match-for-match). The count a
     * token-budget estimator uses when "tokens" must mean BPE
-    * pre-tokens rather than whitespace words. */
+    * pre-tokens rather than whitespace words.
+    *
+    * Whitespace is the EXPLICIT class `[ \t\n\f\r]`, never `\s`:
+    * Java's `\s` includes U+000B (vertical tab) while RE2's does not,
+    * so the shorthand silently breaks match-for-match parity on any
+    * document containing a VT (which here falls to the punctuation
+    * branch — identically in both engines). */
   val PretokenPattern: String =
-    """'[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+    """'[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+"""
 
   def pretokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PretokenPattern), lit(0)))

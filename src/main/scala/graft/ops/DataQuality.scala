@@ -111,22 +111,30 @@ object DataQuality {
     * The standard outlier screen a DQ pipeline runs per batch. */
   def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
       sigmas: Double = 3.0): DataFrame = {
+    // Internal columns carry a `_zs_` prefix: these helpers are a
+    // general API, and a caller frame that already owns a column named
+    // `n`/`mean`/`sd` would otherwise collide with (or silently
+    // shadow) the stats introduced by the join below.
     val v = col(valueCol).cast(DecimalType(18, 4))
-    val mean = col("sv") / col("n")
+    val mean = col("_zs_sv") / col("_zs_n")
     val sd = sqrt(greatest(
-      col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")),
+      col("_zs_svv") / col("_zs_n")
+        - (col("_zs_sv") / col("_zs_n")) * (col("_zs_sv") / col("_zs_n")),
       lit(0.0)))
     val stats = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
-        sum(v).cast(DoubleType).as("sv"),
-        sum(v * v).cast(DoubleType).as("svv"))
-      .select(col(groupCol), col("n"), mean.as("mean"), sd.as("sd"))
+      .agg(count(lit(1)).as("_zs_n"),
+        sum(v).cast(DoubleType).as("_zs_sv"),
+        sum(v * v).cast(DoubleType).as("_zs_svv"))
+      .select(col(groupCol), col("_zs_n"),
+        mean.as("_zs_mean"), sd.as("_zs_sd"))
     df.join(broadcast(stats), groupCol)
-      .groupBy(col(groupCol), col("n"), col("mean"), col("sd"))
-      .agg(sum(when(abs(col(valueCol) - col("mean")) > lit(sigmas) * col("sd"),
+      .groupBy(col(groupCol), col("_zs_n"), col("_zs_mean"), col("_zs_sd"))
+      .agg(sum(when(
+        abs(col(valueCol) - col("_zs_mean")) > lit(sigmas) * col("_zs_sd"),
         1L).otherwise(0L)).as("outliers"))
-      .select(col(groupCol), col("n"), col("outliers"),
-        round(col("mean"), 6).as("mean6"), round(col("sd"), 6).as("sd6"))
+      .select(col(groupCol), col("_zs_n").as("n"), col("outliers"),
+        round(col("_zs_mean"), 6).as("mean6"),
+        round(col("_zs_sd"), 6).as("sd6"))
       .orderBy(col(groupCol))
   }
 
@@ -208,20 +216,24 @@ object DataQuality {
     * frames broadcast back; both shuffles are O(groups). */
   def madOutliers(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
+    // `_mad_` prefix on internals for the same reason as
+    // [[zScoreOutliers]]: a caller column named `med`/`mad`/`adev`
+    // must not collide with the stats this helper introduces.
     val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_mad_med"))
     val dev = df.join(broadcast(med), groupCol)
-      .withColumn("adev", abs(col(valueCol) - col("med")))
+      .withColumn("_mad_adev", abs(col(valueCol) - col("_mad_med")))
     val mad = dev.groupBy(col(groupCol))
-      .agg(max(col("med")).as("med"),
-        expr("percentile(adev, 0.5)").as("mad"))
-    dev.drop("med").join(broadcast(mad), groupCol)
-      .groupBy(col(groupCol), col("med"), col("mad"))
+      .agg(max(col("_mad_med")).as("_mad_med"),
+        expr("percentile(_mad_adev, 0.5)").as("_mad_mad"))
+    dev.drop("_mad_med").join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol), col("_mad_med"), col("_mad_mad"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
+        sum(when(col("_mad_adev") > lit(4.4478) * col("_mad_mad"), 1L)
           .otherwise(0L)).as("outliers"))
       .select(col(groupCol), col("n"), col("outliers"),
-        round(col("med"), 6).as("med6"), round(col("mad"), 6).as("mad6"))
+        round(col("_mad_med"), 6).as("med6"),
+        round(col("_mad_mad"), 6).as("mad6"))
       .orderBy(col(groupCol))
   }
 

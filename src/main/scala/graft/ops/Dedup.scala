@@ -114,7 +114,8 @@ object Dedup {
     * carries one 32-long row per doc per mapper, not the shingles.
     * The bucket shuffle then carries only (doc_id, band, bucket) —
     * the shingle hash arrays stay behind and re-join per candidate. */
-  private def hashedAndBands(corpus: DataFrame): (DataFrame, DataFrame) = {
+  private def hashedAndBands(corpus: DataFrame, bands: Int = 8,
+      rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val hashed = corpus
       .repartition(par)
@@ -130,10 +131,33 @@ object Dedup {
       .select(col("doc_id"),
         array((0 until 32).map(i => col(s"_m$i")): _*).as("sig"))
     val banded = docs.select(col("doc_id"),
-        posexplode(minhashBands(col("sig"), bands = 8, rowsPerBand = 4)))
+        posexplode(minhashBands(col("sig"), bands, rowsPerBand)))
       .select(col("doc_id"),
         col("col.band").as("band"), col("col.bucket").as("bucket"))
     (hashed, banded)
+  }
+
+  /** Raw LSH bucket-collision candidates (id_a < id_b, deduped),
+    * WITHOUT the Jaccard verification [[minhashLshPairs]] applies —
+    * the candidate source for modalities whose downstream score is
+    * NOT set Jaccard (edit distance over behavior sequences, cosine
+    * over embeddings of the shingled text). The band geometry is the
+    * recall/candidate-count knob: 8×4 (the dedup default) targets
+    * s ≳ 0.6 near-duplicates; 16×2 pulls the S-curve left for
+    * mid-similarity top-k retrieval (P[collide] ≈ 0.78 at s = 0.3
+    * vs ≈ 0.06 under 8×4). `bands · rowsPerBand` must be ≤ the
+    * 32-hash signature. */
+  def minhashLshCandidates(corpus: DataFrame, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand <= 32,
+      s"band geometry $bands x $rowsPerBand exceeds the 32-hash signature")
+    val (_, banded) = hashedAndBands(corpus, bands, rowsPerBand)
+    val a = banded.toDF("id_a", "band", "bucket")
+    val b = banded.toDF("id_b", "band", "bucket")
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** MinHash + LSH near-dup detection over the FULL corpus — the
@@ -213,6 +237,35 @@ object Dedup {
        |WHERE abs(len(a.t) - len(b.t)) <= greatest(len(a.t), len(b.t)) * 0.1
        |  AND levenshtein(a.t, b.t) <= greatest(len(a.t), len(b.t)) * 0.1
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** SCALE path for fuzzy dedup: candidates from [[minhashLshPairs]]
+    * buckets (the gated LSH machinery), the length guard and the
+    * O(n·m) `levenshtein` applied ONLY inside candidate pairs — the
+    * plan [[fuzzy]]'s docstring promises at 100 TB, instantiated and
+    * gated. The oracle is the SAME brute-force truth as `dedup_fuzzy`:
+    * on the mutated neighborhood every qualifying pair has shingle
+    * Jaccard ≈ 1 (mutants are normalization-equivalent or one-token
+    * prefixes), so the bucketed candidate set provably covers the
+    * exact answer and the two plans must agree row-for-row. */
+  def fuzzyLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = DocCorpus.withDuplicates(s, dir)
+      .filter(col("doc_id") % 10000 < 30)
+    val cand = minhashLshPairs(docs).select(col("id_a"), col("id_b"))
+    val norm = docs.select(col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+    cand
+      .join(norm.toDF("id_a", "t_a"), "id_a")
+      .join(norm.toDF("id_b", "t_b"), "id_b")
+      .withColumn("len_max",
+        greatest(length(col("t_a")), length(col("t_b"))))
+      .filter(abs(length(col("t_a")) - length(col("t_b")))
+        <= col("len_max") * 0.1)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= col("len_max") * 0.1)
+      .select(col("id_a"), col("id_b"),
+        col("dist").cast(LongType).as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Connected components over near-dup pairs — the step that turns
     * pairwise dedup output into survivor GROUPS (a pair list alone
@@ -415,6 +468,42 @@ object Dedup {
        | AND len(b.t) < len(a.t)
        | AND contains(a.t, b.t)
        |ORDER BY id_big, id_small""".stripMargin
+
+  /** SCALE path for containment dedup: candidates from SHARED
+    * WINNOWING FINGERPRINTS ([[graft.functions.TextFunctions
+    * .winnowDf]]) — the guarantee (Schleimer et al., SIGMOD '03) that
+    * any common run of ≥ w+k-1 tokens shares a fingerprint means a
+    * contained document ALWAYS collides with its container, so the
+    * fingerprint self-join replaces the cross join and the
+    * `contains` test runs only inside buckets. Same brute-force
+    * oracle as `dedup_containment`: candidate coverage is exact on
+    * this corpus, so the plans must agree row-for-row.
+    *
+    * Scale shape: the self-join shuffles (fingerprint, doc_id) pairs
+    * (~16 B/row at ~2/(w+1) sample rate), candidate ids are deduped
+    * BEFORE texts are re-joined — the id-only discipline of
+    * [[minhashLshPairs]] applied to the containment modality. */
+  def containmentFp(s: SparkSession, dir: String): DataFrame = {
+    val docs = DocCorpus.withDuplicates(s, dir)
+      .filter(col("doc_id") % 10000 < 100)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+    val keys = graft.functions.TextFunctions
+      .winnowDf(docs, "doc_id", "t")
+      .select(col("doc_id"), explode(col("fp")).as("f"))
+    val cand = keys.toDF("id_big", "f")
+      .join(keys.toDF("id_small", "f"), "f")
+      .filter(col("id_big") =!= col("id_small"))
+      .select(col("id_big"), col("id_small"))
+      .distinct()
+    cand
+      .join(docs.toDF("id_big", "t_big"), "id_big")
+      .join(docs.toDF("id_small", "t_small"), "id_small")
+      .filter(length(col("t_small")) < length(col("t_big")))
+      .filter(col("t_big").contains(col("t_small")))
+      .select(col("id_big"), col("id_small"))
+      .orderBy(col("id_big"), col("id_small"))
+  }
 
   /** Shared recursive-CTE prefix: corpus → shingles → near-dup pairs
     * → symmetric edges → min-label reachability. Used by the
@@ -770,6 +859,8 @@ object Dedup {
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_fuzzy"         -> (fuzzy _),
+    "dedup_fuzzy_lsh"     -> (fuzzyLsh _),
+    "dedup_containment_fp" -> (containmentFp _),
     "dedup_components"    -> (components _),
     "dedup_components_deep" -> (componentsDeep _),
     "dedup_keep_best"     -> (keepBest _),
@@ -785,6 +876,8 @@ object Dedup {
     "dedup_minhash_lsh"   -> minhashLshSql,
     "dedup_simhash"       -> simhashSql,
     "dedup_fuzzy"         -> fuzzySql,
+    "dedup_fuzzy_lsh"     -> fuzzySql,
+    "dedup_containment_fp" -> containmentSql,
     "dedup_components"    -> componentsSql,
     "dedup_keep_best"     -> keepBestSql,
     "dedup_containment"   -> containmentSql,

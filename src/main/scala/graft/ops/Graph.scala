@@ -34,15 +34,60 @@ object Graph {
 
   private val One = 1000000000000L // rank scale: 10^12
 
-  def pageRank(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  /** One PageRank round: rank mass flows along the (weighted) edges,
+    * is damped, and re-assembles over the node set. Two physical
+    * shapes behind the `broadcastRanks` knob:
+    *
+    *   - `true` (default): the rank vector and out-weight table are
+    *     BROADCAST against the distributed edge list — right while
+    *     O(nodes) fits an executor (here: event types);
+    *   - `false`: the SHUFFLE-JOIN fallback for node sets that
+    *     outgrow a broadcast (user graphs, doc-link graphs): the
+    *     edge list arrives pre-partitioned by `src`, the joins are
+    *     hinted `shuffle_hash`, so each round re-shuffles ONLY the
+    *     O(nodes) rank vector to the edges' existing partitioning —
+    *     the edge list (the 100 TB side) never moves after its one
+    *     up-front partition. Same integer arithmetic, bit-identical
+    *     fixpoint; JoinStrategySpec pins the no-broadcast plan.
+    */
+  private[graft] def rankStep(edges: DataFrame, outw: DataFrame,
+      nodes: DataFrame, ranks: DataFrame, n: Long,
+      broadcastRanks: Boolean): DataFrame = {
+    val rankSrc = ranks.withColumnRenamed("node", "src")
+    val joined =
+      if (broadcastRanks)
+        edges.join(broadcast(outw), "src").join(broadcast(rankSrc), "src")
+      else
+        edges.join(outw.hint("shuffle_hash"), "src")
+          .join(rankSrc.hint("shuffle_hash"), "src")
+    val contrib = joined
+      .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("c"))
+    // In shuffle mode the node set is as big as the rank vector —
+    // the re-assembly join must not broadcast either.
+    val assembled =
+      if (broadcastRanks) nodes.join(contrib, Seq("node"), "left")
+      else nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+    assembled
+      .select(col("node"),
+        (lit((One * 15 / 100) / n) +
+          coalesce(expr("(85 * c) div 100"), lit(0L))).as("r"))
+  }
+
+  def pageRank(s: SparkSession, dir: String, iters: Int = 5,
+      broadcastRanks: Boolean = true): DataFrame = {
     val ev = Tables.events(s, dir)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val edges = ev
+    val edgesRaw = ev
       .select(col("event_type").as("src"),
         lead(col("event_type"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    // Shuffle-join mode pays ONE up-front hash partition of the edge
+    // list on the join key; every later round reuses that layout.
+    val edges = (if (broadcastRanks) edgesRaw
+                 else edgesRaw.repartition(col("src")))
       .localCheckpoint()
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       .localCheckpoint()
@@ -51,15 +96,7 @@ object Graph {
     val n = nodes.count()
     var ranks = nodes.withColumn("r", lit(One / n))
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(broadcast(outw), "src")
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("c"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit((One * 15 / 100) / n) +
-            coalesce(expr("(85 * c) div 100"), lit(0L))).as("r"))
+      ranks = rankStep(edges, outw, nodes, ranks, n, broadcastRanks)
         .localCheckpoint()
     }
     ranks.orderBy(col("node"))
@@ -137,9 +174,13 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"    -> ((s, d) => pageRank(s, d)),
+    "graph_pagerank_shuffle" ->
+      ((s, d) => pageRank(s, d, broadcastRanks = false)),
     "graph_transitions" -> (transitions _))
 
   def oracle: Map[String, String] = Map(
     "graph_pagerank"    -> pageRankSql(),
+    // bit-identical integer fixpoint through the shuffle-join plan
+    "graph_pagerank_shuffle" -> pageRankSql(),
     "graph_transitions" -> transitionsSql)
 }

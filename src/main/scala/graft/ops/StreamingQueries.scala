@@ -187,8 +187,74 @@ object StreamingQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Watermark-EVICTION gate: a real two-micro-batch replay proving a
+    * too-late event is DROPPED, not silently aggregated. Batch 1
+    * plays every event from 02:00 on (so the watermark advances to
+    * max(ts) − 10 min ≈ Jan 30); batch 2 then replays the first two
+    * hours of Jan 1 — weeks behind the watermark, so the 5-minute
+    * windows those rows belong to were already finalized and their
+    * state evicted, and Structured Streaming must discard them.
+    *
+    * The sink (append mode) therefore holds EXACTLY the windows of
+    * the on-time rows whose end the watermark passed — the batch
+    * oracle states that kept set declaratively. Failure modes this
+    * pins: late rows resurrecting evicted windows (extra sink rows →
+    * hash mismatch) and premature finalization (missing windows).
+    * The un-emitted tail (windows still open at shutdown) is part of
+    * the stated set: `window_end ≤ max(ts) − 10 min`. */
+  def lateDrop(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcDir = s"/tmp/graft_scratch/$tag/stream_late_src"
+    val cut = "2024-01-01 02:00:00"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    graft.Scaffold.setup {
+      rm(srcDir)
+      ev.filter(col("ts") >= lit(cut).cast("timestamp"))
+        .repartition(2).write.mode("overwrite").parquet(srcDir)
+    }
+    val stream = s.readStream.schema(ev.schema).parquet(srcDir)
+    val q = EventStreams.tumblingCounts(stream).writeStream
+      .format("memory")
+      .queryName("stream_late_" + tag.replace(".", "_"))
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.Scaffold.setup {
+        ev.filter(col("ts") < lit(cut).cast("timestamp"))
+          .write.mode("append").parquet(srcDir)
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("stream_late_" + tag.replace(".", "_"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val lateDropSql: String =
+    """WITH ontime AS (
+      |  SELECT * FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01 02:00:00'),
+      |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ontime),
+      |agg AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |    event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM ontime GROUP BY 1, 2)
+      |SELECT window_start, event_type, n, total_value
+      |FROM agg, wm
+      |WHERE window_start + INTERVAL 5 MINUTE <= wm.w
+      |ORDER BY window_start, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_running"  -> (running _),
+    "stream_late_drop" -> (lateDrop _),
     "stream_tumbling" -> (tumbling _),
     "stream_trending" -> (trending _),
     "stream_sliding"  -> (sliding _),
@@ -200,6 +266,7 @@ object StreamingQueries {
 
   def oracle: Map[String, String] = Map(
     "stream_running"  -> runningSql,
+    "stream_late_drop" -> lateDropSql,
     "stream_tumbling" -> tumblingSql,
     "stream_trending" -> trendingSql,
     "stream_sliding"  -> slidingSql,

@@ -199,6 +199,26 @@ object TimeSeries {
       |UNION ALL SELECT '3_purchase', COUNT(*) FROM t3
       |ORDER BY stage""".stripMargin
 
+  /** Per-user behavior corpus: the event sequence ordered by
+    * (ts, event_id) rendered two ways — `beh`, the event-type-initial
+    * string edit distance scores on (one char per event, so
+    * `levenshtein` counts SEQUENCE edits), and `beh_words`, the
+    * space-joined full event-type names the shingle/LSH machinery
+    * buckets on (tokens = events, so word n-grams = event n-grams,
+    * over the real event-type vocabulary). One groupBy, one sorted
+    * collect; both renderings derive from the same array. */
+  def behaviorCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type").as("t"))))
+        .as("seq"))
+      .select(col("user_id"),
+        array_join(transform(col("seq"),
+          p => substring(p("t"), 1, 1)), "").as("beh"),
+        array_join(transform(col("seq"), p => p("t")), " ")
+          .as("beh_words"))
+
   /** Behavioral-sequence similarity (the trajectory-similarity
     * modality — REPOSE/ICDE'21 family): each user's event-type
     * sequence, ordered by (ts, event_id), becomes a string; the k
@@ -206,18 +226,13 @@ object TimeSeries {
     * order and insertions the way bag-of-events cosine cannot
     * (signup→view→purchase is NOT purchase→view→signup). Exact
     * all-pairs `levenshtein` here (bounded: one row per user, the
-    * oracle-checkable baseline); at 100 TB users the candidate source
-    * is [[Dedup.minhashLshPairs]] over k-gram shingles of the same
-    * behavior strings — the existing banded machinery applied to a
-    * new modality — with edit distance scored only inside buckets. */
+    * oracle-checkable baseline); the 100 TB path is
+    * [[behaviorTopKLshOver]], which draws candidates from
+    * [[Dedup.minhashLshPairs]] buckets and never broadcasts or
+    * cross-joins the corpus. */
   def behaviorTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    val beh = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(array_join(transform(array_sort(collect_list(struct(
-          col("ts"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("c")))),
-        p => p("c")), "").as("beh"))
+    val beh = behaviorCorpus(s, dir).select(col("user_id"), col("beh"))
     // bounded query side (user_id < 50) — the same convention as the
     // vector top-k baselines: the exact all-pairs pass is the ORACLE
     // baseline, not the scale path, so its quadratic term is pinned
@@ -254,14 +269,94 @@ object TimeSeries {
       |FROM p WHERE rank <= 3
       |ORDER BY user_a, rank""".stripMargin
 
+  /** SCALE path for behavior similarity: candidates come from
+    * [[Dedup.minhashLshCandidates]] buckets over the `beh_words`
+    * rendering (word 3-grams = event trigrams), and `levenshtein`
+    * scores ONLY inside candidate buckets — the same bucket-then-
+    * verify discipline as the document dedup scale paths, applied to
+    * the behavioral modality. The band geometry is 16×2 (not the
+    * dedup default 8×4): top-k retrieval must surface MID-similarity
+    * neighbors, so the collision S-curve is pulled left, trading more
+    * candidates for recall — the standard LSH tuning axis.
+    *
+    * No corpus broadcast, no cross join anywhere: the band/bucket
+    * self-join and every re-join of the behavior strings are keyed
+    * equi-joins, so at 100× users the shuffles carry (user_id, band,
+    * bucket) keys and candidate id pairs, never the full behavior
+    * table (the quadratic exact pass in [[behaviorTopK]] stays what it
+    * is — the bounded oracle baseline).
+    *
+    * Input corpus columns: (user_id, beh, beh_words, is_query).
+    * Output: per query user, its top-k candidates by (edit distance,
+    * user_b). Recall vs the exact baseline is a property of the
+    * bucketing parameters; TimeSeriesSpec asserts it like the ANN
+    * recall specs. */
+  def behaviorTopKLshOver(corpus: DataFrame, k: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashLshCandidates(
+        corpus.select(col("user_id").as("doc_id"),
+          col("beh_words").as("text")),
+        bands = 16, rowsPerBand = 2)
+    val sym = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("user_a", "user_b")
+    val beh = corpus.select(col("user_id"), col("beh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_a")).orderBy(col("dist"), col("user_b"))
+    sym
+      .join(corpus.filter(col("is_query"))
+        .select(col("user_id").as("user_a"), col("beh").as("beh_a")),
+        "user_a")
+      .join(beh.toDF("user_b", "beh_b"), "user_b")
+      .withColumn("dist", levenshtein(col("beh_a"), col("beh_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("user_a"), col("user_b"),
+        col("rank").cast("long").as("rank"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("user_a"), col("rank"))
+  }
+
+  /** Gate for the LSH scale path: inject a TWIN for every query user
+    * (user_id + 100000, first event dropped — edit distance exactly 1,
+    * event-trigram Jaccard ≈ 1 so its band collision is certain),
+    * then require the twin to surface as the rank-1 candidate. The
+    * fixture corpus has no natural pair within distance 2 (verified at
+    * every shipped scale factor), and a twin of ANOTHER user is ≥
+    * distance 2 from this query by the triangle inequality — so
+    * "twin is top-1 at distance 1" is an exact, SQL-statable constant
+    * while the candidates flow through the REAL bucketed machinery. */
+  def behaviorLshGate(s: SparkSession, dir: String): DataFrame = {
+    val base = behaviorCorpus(s, dir)
+    val twins = base.filter(col("user_id") < 50).select(
+      (col("user_id") + 100000L).as("user_id"),
+      expr("substring(beh, 2)").as("beh"),
+      regexp_replace(col("beh_words"), "^\\S+ ?", "").as("beh_words"))
+    val corpus = base.withColumn("is_query", col("user_id") < 50)
+      .union(twins.withColumn("is_query", lit(false)))
+    behaviorTopKLshOver(corpus, k = 3)
+      .filter(col("rank") === 1)
+      .select(col("user_a").as("user_id"),
+        (col("user_b") === col("user_a") + 100000L).as("twin_is_top1"),
+        (col("dist") === 1L).as("twin_dist_1"))
+      .orderBy(col("user_id"))
+  }
+
+  val behaviorLshSql: String =
+    """SELECT user_id, CAST(1 AS BOOLEAN) AS twin_is_top1,
+      |  CAST(1 AS BOOLEAN) AS twin_dist_1
+      |FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50)
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_resample_ffill" -> (tsResample _),
         "ts_sessionize"     -> (sessionizeBatch _),
         "ts_funnel"         -> (funnel _),
-        "ts_behavior_topk"  -> ((s, d) => behaviorTopK(s, d)))
+        "ts_behavior_topk"  -> ((s, d) => behaviorTopK(s, d)),
+        "ts_behavior_topk_lsh" -> (behaviorLshGate _))
   def oracle: Map[String, String] =
     Map("ts_resample_ffill" -> tsResampleSql,
         "ts_sessionize"     -> sessionizeBatchSql,
         "ts_funnel"         -> funnelSql,
-        "ts_behavior_topk"  -> behaviorTopKSql)
+        "ts_behavior_topk"  -> behaviorTopKSql,
+        "ts_behavior_topk_lsh" -> behaviorLshSql)
 }

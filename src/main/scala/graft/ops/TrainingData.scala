@@ -465,16 +465,25 @@ object TrainingData {
        |ORDER BY source, lang""".stripMargin
 
   /** Deterministic train/val/test split: bucket =
-    * `(doc_id · Knuth) mod 1000` → 80/10/10. Hash-threshold selection
-    * — bit-reproducible across runs, engines, and repartitions (same
-    * rationale as [[mixtureSample]]), each row decides independently
-    * so the split is a pure projection with NO shuffle; the gate
-    * reports per-(source, split) counts. Splitting on a hash of the
-    * STABLE id (not position) keeps membership stable as the corpus
-    * grows — the property that stops eval contamination when shards
-    * are re-cut. */
+    * `((doc_id mod 1000003) · Knuth + 40503) mod 1000` → 80/10/10.
+    * Hash-threshold selection — bit-reproducible across runs,
+    * engines, and repartitions (same rationale as [[mixtureSample]]),
+    * each row decides independently so the split is a pure projection
+    * with NO shuffle; the gate reports per-(source, split) counts.
+    * Splitting on a hash of the STABLE id (not position) keeps
+    * membership stable as the corpus grows — the property that stops
+    * eval contamination when shards are re-cut.
+    *
+    * The pre-reduction `mod 1000003` keeps the multiply inside 2⁶³
+    * for ANY 64-bit id: a bare `id · 2654435761` wraps silently in
+    * Spark but errors in DuckDB (and wrapped negatives make `pmod`
+    * vs `%` diverge), so the naive mix stops being engine-portable
+    * once ids pass ~3.5·10⁹. Both `pmod` steps keep the Scala API
+    * total for negative ids as well. */
   def trainValTestSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val bucket = pmod(
+      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(40503L),
+      lit(1000L))
     Tables.documents(s, dir)
       .select(col("source"),
         when(bucket < 800, "train").when(bucket < 900, "val")
@@ -485,12 +494,16 @@ object TrainingData {
   }
 
   val trainValTestSplitSql: String =
-    """SELECT source,
-      |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-      |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+    """WITH b AS (
+      |  SELECT source,
+      |    ((doc_id % 1000003) * 2654435761 + 40503) % 1000 AS bucket
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN bucket < 800 THEN 'train'
+      |       WHEN bucket < 900 THEN 'val'
       |       ELSE 'test' END AS split,
       |  COUNT(*) AS n
-      |FROM documents
+      |FROM b
       |GROUP BY 1, 2
       |ORDER BY source, split""".stripMargin
 

@@ -43,4 +43,39 @@ class JoinStrategySpec extends SparkSpec {
     // no nested-loop anywhere in the component/summary stages
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("behavior LSH top-k: corpus is never broadcast, no all-pairs join") {
+    import org.apache.spark.sql.functions.col
+    // threshold -1 disables every SIZE-chosen broadcast, so any
+    // BroadcastExchange left in the plan would be a FORCED one — the
+    // full-corpus broadcast this scale path exists to eliminate
+    // (the round-3 ts_behavior_topk baseline's cross join).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = graft.ops.TimeSeries.behaviorCorpus(spark, sf)
+        .withColumn("is_query", col("user_id") < 50)
+      val plan = planOf(graft.ops.TimeSeries.behaviorTopKLshOver(corpus))
+      assert(!plan.contains("BroadcastExchange"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pagerank shuffle mode: rank joins shuffle, never broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L))
+      .toDF("src", "dst", "w").repartition(col("src"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val ranks = nodes.withColumn("r", lit(100L))
+    val plan = planOf(graft.ops.Graph.rankStep(
+      edges, outw, nodes, ranks, 3L, broadcastRanks = false))
+    // the contract of the knob: per-round joins move only the rank
+    // vector to the edges' standing partitioning — tiny-side size
+    // must NOT flip them to broadcast (that is the other mode)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastExchange"), plan)
+  }
 }

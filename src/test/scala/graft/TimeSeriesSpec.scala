@@ -115,4 +115,32 @@ class TimeSeriesSpec extends SparkSpec {
     // can never exceed the scaled unit
     assert(r1.map(_._2).sum <= 1000000000000L)
   }
+
+  test("pageRank shuffle-join mode: bit-identical to the broadcast mode") {
+    val bc = graft.ops.Graph.pageRank(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val sh = graft.ops.Graph.pageRank(spark, "/root/testdata/sf0.001",
+        broadcastRanks = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // integer arithmetic → the physical join strategy cannot perturb
+    // the fixpoint by even one scaled unit
+    assert(bc == sh)
+  }
+
+  test("behavior LSH top-k: recall >= 0.5 against the exact baseline") {
+    // The same discipline as the ANN recall specs: the bucketed path
+    // is deterministic (xxhash planes, no RNG), so its recall against
+    // the exact edit-distance top-3 is a fixed, assertable number
+    // (0.73 at sf0.001 under the 16x2 band geometry).
+    val corpus = TimeSeries.behaviorCorpus(spark, "/root/testdata/sf0.001")
+      .withColumn("is_query", col("user_id") < 50)
+    val lsh = TimeSeries.behaviorTopKLshOver(corpus, 3)
+      .select(col("user_a"), col("user_b"))
+    val exact = TimeSeries.behaviorTopK(spark, "/root/testdata/sf0.001")
+      .select(col("user_a"), col("user_b"))
+    val total = exact.count()
+    val hits = lsh.intersect(exact).count()
+    assert(total > 0)
+    assert(hits.toDouble / total >= 0.5, s"recall $hits/$total")
+  }
 }
