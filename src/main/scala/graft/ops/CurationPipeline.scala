@@ -116,12 +116,61 @@ object CurationPipeline {
       |WHERE (rn - 1) % 10 = 0
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** Per-source cap (the C4/FineWeb domain-capping rule): keep at
+    * most `cap` documents per source, best quality first (ties to the
+    * smallest doc_id) — the curation step that stops one hot domain
+    * from dominating a web-scale corpus.
+    *
+    * Scale: a single window per source would funnel every document of
+    * the hottest domain through ONE task, so the pick runs in TWO
+    * phases — a salted pre-rank over (source, doc_id mod `salts`)
+    * truncates each salt lane to `cap` rows (the global per-source
+    * top-`cap` always survives: each lane keeps its own best `cap`),
+    * then the final rank sees at most `cap`·`salts` rows per source.
+    * Both windows carry map-side `WindowGroupLimit` truncation; the
+    * quality score is a scan-side codegen projection. */
+  def domainCap(docs: DataFrame, cap: Int, salts: Int = 16): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      qualityScore(col("text")).as("quality"))
+    val pre = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val fin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("_rs", row_number().over(pre))
+      .filter(col("_rs") <= cap)
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= cap)
+      .select(col("source"), col("doc_id"),
+        col("rank").cast(LongType).as("rank"))
+  }
+
+  /** Gate: cap every source at its 10 best-quality documents. */
+  def domainCapGate(s: SparkSession, dir: String): DataFrame =
+    domainCap(Tables.documents(s, dir), cap = 10)
+      .orderBy(col("source"), col("rank"))
+
+  val domainCapSql: String =
+    s"""WITH q AS (
+       |${TextAnalysis.qualitySelectSql("documents")})
+       |SELECT source, doc_id, rank FROM (
+       |  SELECT d.source, d.doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY d.source
+       |      ORDER BY q.quality DESC, d.doc_id) AS rank
+       |  FROM documents d JOIN q USING (doc_id))
+       |WHERE rank <= 10
+       |ORDER BY source, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (summary _),
+    "pipeline_domain_cap" -> (domainCapGate _),
     "pipeline_sample" -> ((s: SparkSession, d: String) =>
       stratifiedSample(s, d)))
 
   def oracle: Map[String, String] = Map(
     "pipeline_curate" -> summarySql,
+    "pipeline_domain_cap" -> domainCapSql,
     "pipeline_sample" -> stratifiedSampleSql)
 }

@@ -114,14 +114,8 @@ object Dedup {
     * carries one 32-long row per doc per mapper, not the shingles.
     * The bucket shuffle then carries only (doc_id, band, bucket) —
     * the shingle hash arrays stay behind and re-join per candidate. */
-  private def hashedAndBands(corpus: DataFrame, bands: Int = 8,
-      rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val hashed = corpus
-      .repartition(par)
-      .select(col("doc_id"),
-        shingleHashes(lower(col("text")), 3).as("hashes"))
-      .cache()
+  private def bandKeysOf(hashed: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val minCols = (0 until 32).map(seed =>
       min(xxhash64(col("h"), lit(seed))).as(s"_m$seed"))
     val docs = hashed
@@ -130,11 +124,39 @@ object Dedup {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until 32).map(i => col(s"_m$i")): _*).as("sig"))
-    val banded = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
         posexplode(minhashBands(col("sig"), bands, rowsPerBand)))
       .select(col("doc_id"),
         col("col.band").as("band"), col("col.bucket").as("bucket"))
-    (hashed, banded)
+  }
+
+  private def hashedAndBands(corpus: DataFrame, bands: Int = 8,
+      rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val hashed = corpus
+      .repartition(par)
+      .select(col("doc_id"),
+        shingleHashes(lower(col("text")), 3).as("hashes"))
+      .cache()
+    (hashed, bandKeysOf(hashed, bands, rowsPerBand))
+  }
+
+  /** Exploded (doc_id, band, bucket) LSH keys for ANY (doc_id, text)
+    * corpus — the probe-side building block: a top-k retrieval joins
+    * the QUERY rows' keys against the corpus keys (the [[graft.ops
+    * .Similarity.annLsh]] shape, |queries|·bands rows on the small
+    * side) instead of paying the full self-join that pair MINING
+    * ([[minhashLshCandidates]]) does. No caching — callers that walk
+    * the keys once shouldn't pin the shingle hashes in storage. */
+  def minhashBandKeys(corpus: DataFrame, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand <= 32,
+      s"band geometry $bands x $rowsPerBand exceeds the 32-hash signature")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    bandKeysOf(
+      corpus.repartition(par).select(col("doc_id"),
+        shingleHashes(lower(col("text")), 3).as("hashes")),
+      bands, rowsPerBand)
   }
 
   /** Raw LSH bucket-collision candidates (id_a < id_b, deduped),

@@ -801,6 +801,79 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, pos""".stripMargin
 
+  /** Nearest-centroid classification (Rocchio / class-prototype): each
+    * embedding is assigned the label of its argmax-cosine per-label
+    * centroid, and the gate emits the confusion matrix against the
+    * table's true labels — the cheap embedding-space classifier a
+    * curation pipeline uses for topic routing and label QA before any
+    * trained model exists.
+    *
+    * Scale: centroids come from [[centroids]] (one posexplode +
+    * (label, pos) aggregate — scalars on the shuffle, map-combinable),
+    * are reassembled position-sorted into O(labels·dim) vectors, and
+    * BROADCAST; assignment is a per-row argmax over that broadcast (a
+    * keyed window over labels per vec), so the corpus is touched in
+    * one linear codegen pass and the only post-scan shuffle is the
+    * O(labels²) confusion aggregate. Determinism: centroid components
+    * are exact scaled-long means, the cosine folds are the pinned
+    * sequential IEEE order — bit-identical across engines, so argmax
+    * and the full matrix are hash-exact. */
+  def classifyByCentroid(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val cents = centroids(s, dir)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("pc"))
+      .select(col("label").as("clabel"),
+        transform(col("pc"), p => p("centroid")).as("cv"))
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+    val wc = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("clabel"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label"), col("clabel").as("pred"), col("n"))
+      .orderBy(col("label"), col("pred"))
+  }
+
+  val classifyByCentroidSql: String =
+    """WITH c AS (
+      |  SELECT label AS clabel, i AS pos,
+      |    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+      |        * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / (COUNT(*) * 1000000000.0) AS c
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS u(i)
+      |  GROUP BY label, i),
+      |cvs AS (SELECT clabel, list(c ORDER BY pos) AS cv
+      |        FROM c GROUP BY clabel),
+      |v AS (SELECT vec_id, label,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT v.vec_id, v.label, cvs.clabel,
+      |    list_reduce(list_transform(generate_series(1, len(v.v)),
+      |        i -> v.v[i] * cvs.cv[i]), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_transform(generate_series(1, len(v.v)),
+      |            i -> v.v[i] * v.v[i]), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(generate_series(1, len(cvs.cv)),
+      |            i -> cvs.cv[i] * cvs.cv[i]), (x, y) -> x + y))) AS csim
+      |  FROM v, cvs),
+      |pick AS (
+      |  SELECT vec_id, label, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, clabel) AS rn
+      |  FROM scored)
+      |SELECT label, clabel AS pred, COUNT(*) AS n
+      |FROM pick WHERE rn = 1
+      |GROUP BY label, clabel
+      |ORDER BY label, pred""".stripMargin
+
   /** End-to-end semantic dedup: embedding-cosine near-duplicate pairs
     * → connected components (log-bounded star contraction) → cluster
     * summary (component = surviving min id, member count, max id).
@@ -840,6 +913,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_semantic_dedup"  -> (semanticDedup _),
     "embed_centroids"     -> (centroids _),
+    "embed_classify"      -> (classifyByCentroid _),
     "embed_quantize"      -> (embedQuantize _),
     "sim_topk_bruteforce" -> (topK _),
     "sim_topk_l2"         -> (topKL2 _),
@@ -857,6 +931,7 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "sim_semantic_dedup"  -> semanticDedupSql,
     "embed_centroids"     -> centroidsSql,
+    "embed_classify"      -> classifyByCentroidSql,
     "embed_quantize"      -> embedQuantizeSql,
     "sim_topk_bruteforce" -> topKSql,
     "sim_topk_l2"         -> topKL2Sql,

@@ -220,11 +220,19 @@ object StreamingQueries {
         .repartition(2).write.mode("overwrite").parquet(srcDir)
     }
     val stream = s.readStream.schema(ev.schema).parquet(srcDir)
-    val q = EventStreams.tumblingCounts(stream).writeStream
-      .format("memory")
-      .queryName("stream_late_" + tag.replace(".", "_"))
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .start()
+    // The aggregate holds O(windows·types) state — 8 state partitions
+    // ample; the session default (sized for corpus shuffles) would pay
+    // per-partition state-store setup ×4 in EVERY micro-batch. The
+    // conf is captured at query start, then restored.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try EventStreams.tumblingCounts(stream).writeStream
+        .format("memory")
+        .queryName("stream_late_" + tag.replace(".", "_"))
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
       graft.Scaffold.setup {

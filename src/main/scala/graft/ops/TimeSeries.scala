@@ -291,22 +291,39 @@ object TimeSeries {
     * user_b). Recall vs the exact baseline is a property of the
     * bucketing parameters; TimeSeriesSpec asserts it like the ANN
     * recall specs. */
-  def behaviorTopKLshOver(corpus: DataFrame, k: Int = 3): DataFrame = {
-    val pairs = Dedup.minhashLshCandidates(
-        corpus.select(col("user_id").as("doc_id"),
-          col("beh_words").as("text")),
-        bands = 16, rowsPerBand = 2)
-    val sym = pairs
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("user_a", "user_b")
-    val beh = corpus.select(col("user_id"), col("beh"))
+  def behaviorTopKLshOver(corpusIn: DataFrame, k: Int = 3): DataFrame = {
+    // Probe shape, not pair-mining shape: the query rows' band keys
+    // join against the corpus keys (|queries|·bands rows on the
+    // small side — the [[graft.ops.Similarity.annLsh]] discipline),
+    // instead of the all-corpus band self-join, whose candidate
+    // volume explodes when the shingle alphabet is small. Candidates
+    // are deduped as ID PAIRS before any behavior string re-joins.
+    // The corpus feeds four plan branches (band keys, query filter,
+    // both string re-joins) — cached so the upstream per-user
+    // aggregation runs once, not once per branch.
+    val corpus = corpusIn.cache()
+    // referenced by both join sides — computed once, kept (doc_id,
+    // band, bucket) wide only
+    val banded = Dedup.minhashBandKeys(
+      corpus.select(col("user_id").as("doc_id"),
+        col("beh_words").as("text")),
+      bands = 16, rowsPerBand = 2).cache()
+    val qKeys = banded
+      .join(corpus.filter(col("is_query"))
+        .select(col("user_id").as("doc_id")), "doc_id")
+      .toDF("user_a", "band", "bucket")
+    val cand = qKeys
+      .join(banded.toDF("user_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("user_a") =!= col("user_b"))
+      .select(col("user_a"), col("user_b"))
+      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_a")).orderBy(col("dist"), col("user_b"))
-    sym
-      .join(corpus.filter(col("is_query"))
-        .select(col("user_id").as("user_a"), col("beh").as("beh_a")),
-        "user_a")
-      .join(beh.toDF("user_b", "beh_b"), "user_b")
+    cand
+      .join(corpus.select(col("user_id").as("user_a"),
+        col("beh").as("beh_a")), "user_a")
+      .join(corpus.select(col("user_id").as("user_b"),
+        col("beh").as("beh_b")), "user_b")
       .withColumn("dist", levenshtein(col("beh_a"), col("beh_b")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -49,4 +49,22 @@ class DedupStressSpec extends SparkSpec {
     assert(pairs == expected,
       s"${pairs.diff(expected).size} unexpected pairs (cross-replica FPs?)")
   }
+
+  test("band-geometry refinement: 16x2 candidates contain every 8x4 candidate") {
+    // A 4-row band collision means 4 consecutive minhashes agree,
+    // which implies both of its 2-row halves agree — so halving the
+    // band rows (and doubling the band count over the same signature)
+    // can only ADD candidates. This is the monotonicity that makes
+    // the geometry a pure recall knob: pulling the S-curve left never
+    // loses a pair the stricter geometry had.
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def pairSet(bands: Int, rows: Int) =
+      Dedup.minhashLshCandidates(corpus, bands, rows)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coarse = pairSet(8, 4)
+    val fine = pairSet(16, 2)
+    assert(coarse.subsetOf(fine),
+      s"${coarse.diff(fine).size} pairs lost by the finer geometry")
+  }
 }
