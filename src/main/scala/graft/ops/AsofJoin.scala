@@ -103,6 +103,70 @@ object AsofJoin {
       (leftPayload.map(col) ++ rightCols): _*)
   }
 
+  /** Nearest as-of join (pandas `merge_asof(direction="nearest")`):
+    * for each left row, the right row with the smallest |Δts| on the
+    * same key — ties between directions go BACKWARD, ties within a
+    * direction resolve like [[asof]]/[[asofForward]] (greatest
+    * `tieBreak` backward, smallest forward).
+    *
+    * ONE shuffle, one sort — not "run both directions and join": the
+    * right side enters the union twice (sorted before the left row
+    * for the backward frame, after it for the forward frame, each
+    * carrying its payload in its own column), so a single window sort
+    * serves both a running `last` and a forward `first`, and the
+    * direction pick is a pure projection. 2|R|+|L| sorted rows buys
+    * the second direction without a second shuffle or a re-join on
+    * left identity. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, tieBreak: String, leftPayload: Seq[String],
+      rightPayload: Seq[String], outPrefix: String = "asof_",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val rStruct = struct(col(ts) +: (tieBreak +: rightPayload)
+      .distinct.map(col): _*)
+    val rPre0 = right.select(col(key), col(ts),
+      col(tieBreak).cast(LongType).as("_tb"),
+      lit(-1).as("_side"), rStruct.as("_rb"))
+    val rT = rPre0.schema("_rb").dataType
+    val rPre = rPre0.withColumn("_rf", lit(null).cast(rT))
+    val rPost = right.select(col(key), col(ts),
+      col(tieBreak).cast(LongType).as("_tb"),
+      lit(2).as("_side"), lit(null).cast(rT).as("_rb"),
+      rStruct.as("_rf"))
+    val l = left.select(Seq(col(key), col(ts),
+      lit(0L).as("_tb"), lit(0).as("_side"),
+      lit(null).cast(rT).as("_rb"), lit(null).cast(rT).as("_rf")) ++
+      leftPayload.map(col): _*)
+    val order = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_side"), col("_tb"))
+    val back = order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    def bound(m: Column, cmp: Column => Column): Column =
+      toleranceSeconds.fold(m)(tol => when(m.isNotNull &&
+        cmp(m.getField(ts)), m))
+    val picked = l.unionByName(rPre.unionByName(rPost),
+        allowMissingColumns = true)
+      .withColumn("_b", last(col("_rb"), ignoreNulls = true).over(back))
+      .withColumn("_f", first(col("_rf"), ignoreNulls = true).over(fwd))
+      .filter(col("_side") === 0)
+      .withColumn("_b", bound(col("_b"), bts =>
+        bts >= col(ts) - expr(s"INTERVAL ${toleranceSeconds.getOrElse(0L)} SECONDS")))
+      .withColumn("_f", bound(col("_f"), fts =>
+        fts <= col(ts) + expr(s"INTERVAL ${toleranceSeconds.getOrElse(0L)} SECONDS")))
+      .withColumn("_m",
+        when(col("_b").isNull, col("_f"))
+          .when(col("_f").isNull, col("_b"))
+          .when(unix_micros(col(ts)) - unix_micros(col("_b").getField(ts))
+            <= unix_micros(col("_f").getField(ts)) - unix_micros(col(ts)),
+            col("_b"))
+          .otherwise(col("_f")))
+    val rightCols = (ts +: rightPayload.filterNot(_ == ts)).map(p =>
+      col("_m").getField(p).as(s"$outPrefix$p"))
+    picked.select(col(key) +: col(ts) +:
+      (leftPayload.map(col) ++ rightCols): _*)
+  }
+
   // ---------------------------------------------------------------- //
 
   /** Gate query: each purchase as-of joined to the same user's latest
@@ -160,11 +224,48 @@ object AsofJoin {
       |  ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) v ON true
       |ORDER BY purchase_id""".stripMargin
 
+  /** Gate query: each purchase joined to the temporally NEAREST view
+    * in either direction (distance ties go backward — the pandas
+    * convention). */
+  def purchaseNearestView(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asofNearest(purchases, views, "user_id", "ts", "event_id",
+      leftPayload = Seq("event_id"), rightPayload = Seq("event_id"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts"), col("asof_event_id").as("view_id"),
+        col("asof_ts").as("view_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** LATERAL oracle: distance ascending, backward preferred on ties,
+    * in-direction ties mirror the engine's (greatest id backward,
+    * smallest forward) via the sign-flipped id key. */
+  val purchaseNearestViewSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, p.ts,
+      |  v.event_id AS view_id, v.ts AS view_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT event_id, ts FROM events v
+      |  WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      |  ORDER BY
+      |    CASE WHEN v.ts <= p.ts THEN epoch_us(p.ts) - epoch_us(v.ts)
+      |         ELSE epoch_us(v.ts) - epoch_us(p.ts) END ASC,
+      |    (v.ts > p.ts) ASC,
+      |    CASE WHEN v.ts <= p.ts THEN -v.event_id ELSE v.event_id END ASC
+      |  LIMIT 1) v ON true
+      |ORDER BY purchase_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (purchaseAsofView _),
-    "asof_join_forward" -> (purchaseNextView _))
+    "asof_join_forward" -> (purchaseNextView _),
+    "asof_join_nearest" -> (purchaseNearestView _))
 
   def oracle: Map[String, String] = Map(
     "asof_join" -> purchaseAsofViewSql,
-    "asof_join_forward" -> purchaseNextViewSql)
+    "asof_join_forward" -> purchaseNextViewSql,
+    "asof_join_nearest" -> purchaseNearestViewSql)
 }

@@ -72,4 +72,36 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(902L) == -1L)
     assert(out(903L) == -1L)  // beyond the 1h tolerance
   }
+
+  test("asofNearest: closer side wins, distance ties go backward, tolerance") {
+    import spark.implicits._
+    val views = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 200L),
+      (2L, ts("2024-01-01 11:00:00"), 201L)
+    ).toDF("user_id", "ts", "event_id")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 900L), // 30m back vs 90m fwd → 100
+      (1L, ts("2024-01-01 11:45:00"), 901L), // 105m back vs 15m fwd → 101
+      (2L, ts("2024-01-01 10:00:00"), 902L), // 60m back vs 60m fwd → TIE → backward 200
+      (2L, ts("2024-01-01 23:00:00"), 903L)  // only backward, 12h away
+    ).toDF("user_id", "ts", "event_id")
+    val out = AsofJoin.asofNearest(purchases, views, "user_id", "ts",
+      "event_id", Seq("event_id"), Seq("event_id"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out(900L) == 100L)
+    assert(out(901L) == 101L)
+    assert(out(902L) == 200L) // exact distance tie prefers backward
+    assert(out(903L) == 201L)
+
+    val bounded = AsofJoin.asofNearest(purchases, views, "user_id", "ts",
+      "event_id", Seq("event_id"), Seq("event_id"),
+      toleranceSeconds = Some(3600L))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(bounded(903L) == -1L) // 12h match dies under a 1h tolerance
+    assert(bounded(900L) == 100L)
+  }
 }
