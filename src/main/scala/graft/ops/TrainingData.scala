@@ -507,7 +507,68 @@ object TrainingData {
       |GROUP BY 1, 2
       |ORDER BY source, split""".stripMargin
 
+  /** Fill-in-middle transform (Bavarian et al. 2022, the infilling
+    * pre-training objective): each selected document is split at two
+    * deterministic character cuts into (prefix, middle, suffix) and
+    * re-emitted in PSM order — `<|fim_pre|>P<|fim_suf|>S<|fim_mid|>M`
+    * — so the model learns to generate the middle from both sides;
+    * unselected documents pass through unchanged (the standard ~50%
+    * FIM rate).
+    *
+    * Cuts and the apply decision come from independent overflow-safe
+    * multiplicative hashes of the STABLE doc id (the [[
+    * trainValTestSplit]] mix), so the transform is a pure shuffle-free
+    * projection, bit-reproducible across engines, reruns, and
+    * re-shards — reassembling the three spans always recovers the
+    * original text exactly. */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    def mix(k: Long, c: Long): Column =
+      pmod(pmod(col("doc_id"), lit(1000003L)) * lit(k) + lit(c),
+        length(col("text")).cast("long") + 1L)
+    docs
+      .withColumn("_pa", mix(2654435761L, 40503L))
+      .withColumn("_pb", mix(2246822519L, 104729L))
+      .withColumn("lo", least(col("_pa"), col("_pb")))
+      .withColumn("hi", greatest(col("_pa"), col("_pb")))
+      .withColumn("fim",
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(3266489917L)
+          + lit(11L), lit(2L)) === 0L)
+      .withColumn("text_out", when(col("fim"),
+          concat(lit("<|fim_pre|>"), expr("substring(text, 1, lo)"),
+            lit("<|fim_suf|>"), expr("substring(text, hi + 1)"),
+            lit("<|fim_mid|>"),
+            expr("substring(text, lo + 1, hi - lo)")))
+        .otherwise(col("text")))
+      .select(col("doc_id"), col("fim"), col("text_out"))
+  }
+
+  def fimGate(s: SparkSession, dir: String): DataFrame =
+    fimTransform(Tables.documents(s, dir).select(col("doc_id"),
+        col("text")))
+      .orderBy(col("doc_id"))
+
+  val fimSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    ((doc_id % 1000003) * 2654435761 + 40503)
+      |      % (length(text) + 1) AS pa,
+      |    ((doc_id % 1000003) * 2246822519 + 104729)
+      |      % (length(text) + 1) AS pb,
+      |    ((doc_id % 1000003) * 3266489917 + 11) % 2 = 0 AS fim
+      |  FROM documents),
+      |s AS (SELECT doc_id, fim, least(pa, pb) AS lo,
+      |        greatest(pa, pb) AS hi, text FROM m)
+      |SELECT doc_id, fim,
+      |  CASE WHEN fim THEN '<|fim_pre|>' || substr(text, 1, CAST(lo AS INTEGER))
+      |    || '<|fim_suf|>' || substr(text, CAST(hi + 1 AS INTEGER))
+      |    || '<|fim_mid|>' || substr(text, CAST(lo + 1 AS INTEGER),
+      |         CAST(hi - lo AS INTEGER))
+      |  ELSE text END AS text_out
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_fim" -> (fimGate _),
     "pack_split" -> ((s, d) => trainValTestSplit(s, d)),
     "report_dataset_card" -> ((s, d) => datasetCard(s, d)),
     "pack_export_jsonl"  -> ((s, d) => exportJsonlGate(s, d)),
@@ -519,6 +580,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_fim" -> fimSql,
     "pack_split" -> trainValTestSplitSql,
     "report_dataset_card" -> datasetCardSql,
     "pack_export_jsonl"  -> packShardsSql,

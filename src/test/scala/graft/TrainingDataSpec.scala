@@ -132,6 +132,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("fimTransform: reassembling the three spans recovers the original") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val out = TrainingData.fimTransform(docs)
+      .join(docs, "doc_id").cache()
+    try {
+      assert(out.count() == docs.count())
+      // Unselected docs pass through byte-identical.
+      assert(out.filter(!col("fim") && col("text_out") =!= col("text"))
+        .count() == 0)
+      // Selected docs: P+M+S (stripped of sentinels, reordered) == text.
+      val rebuilt = out.filter(col("fim"))
+        .withColumn("pre", regexp_extract(col("text_out"),
+          "(?s)^<\\|fim_pre\\|>(.*?)<\\|fim_suf\\|>", 1))
+        .withColumn("suf", regexp_extract(col("text_out"),
+          "(?s)<\\|fim_suf\\|>(.*?)<\\|fim_mid\\|>", 1))
+        .withColumn("mid", regexp_extract(col("text_out"),
+          "(?s)<\\|fim_mid\\|>(.*)$", 1))
+      assert(rebuilt.count() > 0, "some docs must be FIM-selected")
+      assert(rebuilt.filter(
+        concat(col("pre"), col("mid"), col("suf")) =!= col("text"))
+        .count() == 0)
+      // The hash gate selects roughly half the corpus.
+      val frac = out.filter(col("fim")).count().toDouble / docs.count()
+      assert(frac > 0.3 && frac < 0.7, s"FIM rate $frac outside [0.3,0.7]")
+    } finally out.unpersist()
+  }
+
   test("wordGrams handles documents shorter than n") {
     import spark.implicits._
     val df = Seq((1L, "solo"), (2L, "two words"), (3L, "a b c d"))
