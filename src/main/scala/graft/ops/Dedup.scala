@@ -102,6 +102,115 @@ object Dedup {
 
   // ---------------------------------------------------------------- //
 
+  /** Prefix-filtered EXACT set-similarity self-join (the PPJoin /
+    * prefix-filtering principle, Xiao et al. WWW'08; Chaudhuri et al.
+    * ICDE'06): unlike MinHash LSH this path has ZERO false negatives —
+    * its output provably equals the brute-force all-pairs join — while
+    * still never comparing sets that cannot reach the threshold.
+    *
+    * Stages, all linear or candidate-bounded:
+    *   1. per-doc distinct word-3-gram shingle set (codegen kernel);
+    *   2. global document frequency per shingle — ONE map-side-combined
+    *      shuffle keyed on the shingle;
+    *   3. each shingle becomes the sortable key `lpad(df)‖shingle`, so
+    *      every doc's set is totally ordered RAREST-FIRST under one
+    *      corpus-wide order (injective: Jaccard over keys ≡ Jaccard
+    *      over shingles);
+    *   4. prefix filter: a doc of set size m only indexes its first
+    *      p = m − ⌈t·m⌉ + 1 keys. Two sets with J ≥ t must share a
+    *      prefix key, so joining ONLY the prefixes on the key loses
+    *      nothing; candidate volume is Σ_key cnt(key)² over the RARE
+    *      keys docs chose to index — the frequent shingles that make a
+    *      naive token join quadratic are exactly the ones the prefix
+    *      drops;
+    *   5. PPJoin length filter at the join (t·max ≤ min kills pairs
+    *      whose sizes alone cap Jaccard below t);
+    *   6. exact Jaccard verification on the full key arrays, only for
+    *      surviving candidates.
+    *
+    * The ⌈·⌉ and t·m guards subtract 1e-9 before rounding so floating
+    * error can only ever WIDEN the prefix / candidate set (more work,
+    * never a missed pair); the final `jaccard >= t` predicate is the
+    * same integer-count division the oracle computes, so acceptance is
+    * bit-identical. At 100 TB: the df table and prefix index shuffle
+    * (doc_id, key) pairs, never document text; the verify join moves
+    * key arrays only for candidates. */
+  def jaccardPrefixPairs(corpus: DataFrame, threshold: Double = 0.6)
+      : DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val sets = corpus.repartition(par)
+      .select(col("doc_id"),
+        array_distinct(shingles(lower(col("text")), 3)).as("sh"))
+      .cache()
+    val toks = sets.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val keyed = toks.join(dfreq, "tok")
+      .select(col("doc_id"),
+        concat(lpad(col("df").cast(StringType), 10, "0"), lit("|"),
+          col("tok")).as("k"))
+    val docKeys = keyed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+      .select(col("doc_id"), col("ks"), size(col("ks")).as("m"))
+      .withColumn("p",
+        (col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)) + 1)
+          .cast(IntegerType))
+      .cache()
+    val prefix = docKeys.select(col("doc_id"), col("m"),
+      explode(expr("slice(ks, 1, p)")).as("k"))
+    val a = prefix.toDF("id_a", "m_a", "k")
+    val b = prefix.toDF("id_b", "m_b", "k")
+    val cand = a.join(b, Seq("k"))
+      .filter(col("id_a") < col("id_b") &&
+        col("m_b") >= col("m_a") * lit(threshold) - lit(1e-9) &&
+        col("m_a") >= col("m_b") * lit(threshold) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val full = docKeys.select(col("doc_id"), col("ks"))
+    cand
+      .join(full.toDF("id_a", "ks_a"), "id_a")
+      .join(full.toDF("id_b", "ks_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ks_a"), col("ks_b"))).cast(DoubleType) /
+        size(array_union(col("ks_a"), col("ks_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Gate: prefix-filtered exact Jaccard pairs over a 400-doc slice of
+    * the mutated corpus (4× the brute-force baseline's subset — wide
+    * enough that the prefix index does real pruning, bounded so the
+    * all-pairs ORACLE stays cheap). The spec pins full-corpus equality
+    * against brute force; this gate pins the values against DuckDB. */
+  def jaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    jaccardPrefixPairs(
+      DocCorpus.withDuplicates(s, dir).filter(col("doc_id") % 10000 < 200))
+
+  val jaccardPrefixSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |shingled AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3
+       |    THEN [array_to_string(toks, ' ')]
+       |    ELSE list_distinct(list_transform(
+       |           generate_series(1, len(toks) - 2),
+       |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+       |    END AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                      t -> len(t) > 0) AS toks
+       |        FROM corpus WHERE doc_id % 10000 < 200)
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM shingled a, shingled b
+       |WHERE a.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
   /** Shared LSH machinery: per-doc shingle-hash sets (cached — both
     * the banding and the verification join read them) and the
     * exploded (doc_id, band, bucket) keys.
@@ -878,6 +987,7 @@ object Dedup {
     "dedup_latest"        -> (latest _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_jaccard_prefix" -> (jaccardPrefix _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_fuzzy"         -> (fuzzy _),
@@ -895,6 +1005,7 @@ object Dedup {
     "dedup_unicode"       -> unicodeDedupSql,
     "dedup_exact"         -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_jaccard_prefix" -> jaccardPrefixSql,
     "dedup_minhash_lsh"   -> minhashLshSql,
     "dedup_simhash"       -> simhashSql,
     "dedup_fuzzy"         -> fuzzySql,

@@ -260,4 +260,28 @@ class DedupSimilaritySpec extends SparkSpec {
       .find(l => l.contains("PartitionFilters") && l.contains("cell"))
     assert(scanLine.isDefined, plan)
   }
+
+  test("prefix-filtered jaccard join equals brute force on the full corpus") {
+    val corpus = DocCorpus.withDuplicates(spark, dir)
+    val prefix = Dedup.jaccardPrefixPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Brute-force truth over the same shingle sets — quadratic, but the
+    // sf0.001 corpus is ~90 docs.
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(shingles(lower(col("text")), 3)).as("sh"))
+    val a = sets.toDF("id_a", "sh_a")
+    val b = sets.toDF("id_b", "sh_b")
+    val brute = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture must contain near-dup pairs")
+    // EXACT equality — prefix filtering is lossless, not probabilistic.
+    assert(prefix == brute,
+      s"missing=${brute.diff(prefix).take(5)} extra=${prefix.diff(brute).take(5)}")
+  }
 }
