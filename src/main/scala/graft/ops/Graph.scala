@@ -172,13 +172,93 @@ object Graph {
       |FROM edges e JOIN outw o ON o.src = e.src
       |ORDER BY e.src, e.dst""".stripMargin
 
+  /** Distributed triangle counting via degree orientation (the
+    * MapReduce-curse-breaking formulation, Suri & Vassilvitskii
+    * WWW'11): every undirected edge is pointed from its (degree, id)-
+    * smaller endpoint to the larger, making the graph acyclic with
+    * per-node out-degree O(√m) on any graph of arboricity O(√m) — so
+    * the wedge self-join (the quadratic hazard: a celebrity node's
+    * neighborhood) is bounded by Σ outdeg² instead of Σ deg².
+    * Each triangle has exactly ONE vertex with two out-edges under
+    * this orientation, so the wedge→closing-edge join counts every
+    * triangle exactly once, no /3 correction, no duplicates.
+    *
+    * Shuffles carry only node-id pairs: degrees are one map-side-
+    * combined aggregation; the wedge join and the closing-edge join
+    * are equi hash joins on node ids. Returns per-node triangle
+    * participation counts. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("u", "v")
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val low = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.toDF("u", "du"), "u")
+      .join(deg.toDF("v", "dv"), "v")
+      .select(when(low, col("u")).otherwise(col("v")).as("s"),
+              when(low, col("v")).otherwise(col("u")).as("t"))
+    val wedges = oriented.toDF("s", "b")
+      .join(oriented.toDF("s", "c"), "s")
+      .filter(col("b") < col("c"))
+    val tri = wedges.join(und.toDF("b", "c"), Seq("b", "c"))
+      .select(col("s").as("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
+  /** Gate: triangles of the near-duplicate pair graph over the
+    * bounded mutated corpus — each {original, whitespace-mutant,
+    * drop-token-mutant} group whose three pairwise Jaccards clear the
+    * 0.6 threshold closes into one triangle. Edges are the (already
+    * hash-gated) [[Dedup.ngramJaccard]] pairs; the oracle re-derives
+    * the same pairs brute-force and closes triangles with a 3-way
+    * self-join. */
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(Dedup.ngramJaccard(s, dir).select(col("id_a"), col("id_b")))
+
+  val trianglesSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |shingled AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3
+       |    THEN [array_to_string(toks, ' ')]
+       |    ELSE list_distinct(list_transform(
+       |           generate_series(1, len(toks) - 2),
+       |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+       |    END AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                      t -> len(t) > 0) AS toks
+       |        FROM corpus WHERE doc_id % 10000 < 100)
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shingled a, shingled b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+       |tri AS (
+       |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.id_a = e1.id_b
+       |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+       |SELECT node, count(*) AS n_tri FROM (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |GROUP BY node
+       |ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles"   -> (triangles _),
     "graph_pagerank"    -> ((s, d) => pageRank(s, d)),
     "graph_pagerank_shuffle" ->
       ((s, d) => pageRank(s, d, broadcastRanks = false)),
     "graph_transitions" -> (transitions _))
 
   def oracle: Map[String, String] = Map(
+    "graph_triangles"   -> trianglesSql,
     "graph_pagerank"    -> pageRankSql(),
     // bit-identical integer fixpoint through the shuffle-join plan
     "graph_pagerank_shuffle" -> pageRankSql(),

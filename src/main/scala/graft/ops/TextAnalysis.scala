@@ -526,7 +526,72 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Distributed inverted-index build — the search-engine shard shape:
+    * per term, document frequency, corpus-wide term frequency, and a
+    * CAPPED postings list (top-`topN` docs by tf, doc_id tiebreak)
+    * serialized `doc:tf|doc:tf` in rank order.
+    *
+    * Scale shape: the (term, doc_id) tf table is ONE shuffle with
+    * map-side combine; df/total_tf partial-aggregate over it; postings
+    * are rank-THEN-aggregate (row_number over the term partition,
+    * filter ≤ topN, only then collect), so per-term state is bounded
+    * by topN — an uncapped collect_list over a 100 TB corpus's "the"
+    * posting would OOM. Everything downstream of tf is keyed on term,
+    * so the aggregates and the final join reuse one partitioning —
+    * exactly how an index shard would be laid out (partitionBy(term)
+    * on write). Rank order (tf desc, doc_id asc) is total, so the
+    * serialized postings string is deterministic and hash-gateable. */
+  def invertedIndex(docs: DataFrame, topN: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val idx = tf.groupBy(col("term")).agg(
+      count(lit(1)).as("df"),
+      sum(col("tf")).as("total_tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val postings = tf
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rn"), col("doc_id"), col("tf")))),
+          e => concat(e.getField("doc_id").cast(StringType), lit(":"),
+                      e.getField("tf").cast(StringType))),
+        "|").as("postings"))
+    idx.join(postings, "term")
+      .select(col("term"), col("df"), col("total_tf"), col("postings"))
+      .orderBy(col("term"))
+  }
+
+  def invertedIndexGate(s: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.documents(s, dir))
+
+  val invertedIndexSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |             t -> len(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |idx AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+      |        FROM tf GROUP BY 1),
+      |top AS (SELECT term, doc_id, tf,
+      |          row_number() OVER (PARTITION BY term
+      |                             ORDER BY tf DESC, doc_id) AS rn
+      |        FROM tf),
+      |post AS (SELECT term,
+      |           string_agg(doc_id || ':' || tf, '|' ORDER BY rn) AS postings
+      |         FROM top WHERE rn <= 5 GROUP BY term)
+      |SELECT i.term, i.df, i.total_tf, p.postings
+      |FROM idx i JOIN post p USING (term)
+      |ORDER BY term""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> (invertedIndexGate _),
     "text_pretokenize" -> (pretokenize _),
     "text_normalize" -> (textNormalizeGate _),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
@@ -540,6 +605,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_inverted_index" -> invertedIndexSql,
     "text_pretokenize" -> pretokenizeSql,
     "text_normalize" -> textNormalizeSql,
     "text_heavy_hitters" -> heavyHittersSql,

@@ -364,14 +364,64 @@ object TimeSeries {
       |FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50)
       |ORDER BY user_id""".stripMargin
 
+  /** Rolling-window feature table — the standard time-series feature
+    * engineering pass (trailing statistics per entity): for every
+    * event, count / decimal-exact sum / min / max of `value` over the
+    * last `k` events of the same user.
+    *
+    * Scale shape: ONE window pass partitioned by user_id — thousands
+    * of independent partitions, no self-join, no spine. The naive
+    * formulation ("join each row to its k predecessors") is a range
+    * self-join that multiplies the table by k; a rows-frame window
+    * computes the same features in a single sort per partition, and
+    * the sort key (user_id, ts, event_id) is the same one sessionize
+    * and resample use, so a multi-feature pipeline reuses one shuffle
+    * across all of them.
+    *
+    * Determinism: the (ts, event_id) order key is total; the sum runs
+    * over DECIMAL(18,4) casts (bit-exact in any accumulation order)
+    * and returns to DOUBLE only at the end; min/max are selections,
+    * not accumulations — all hash-safe cross-engine. */
+  def rollingFeatures(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    events.select(
+        col("user_id"), col("event_id"), col("value"),
+        count(lit(1)).over(w).as("roll_n"),
+        sum(col("value").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("roll_sum"),
+        min(col("value")).over(w).as("roll_min"),
+        max(col("value")).over(w).as("roll_max"))
+      .drop("value")
+  }
+
+  /** Gate: 10-event trailing features over the full event stream. */
+  def rollingGate(s: SparkSession, dir: String): DataFrame =
+    rollingFeatures(Tables.events(s, dir), k = 10)
+      .orderBy(col("user_id"), col("event_id"))
+
+  val rollingSql: String =
+    """SELECT user_id, event_id,
+      |  count(*) OVER w AS roll_n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum,
+      |  min(value) OVER w AS roll_min,
+      |  max(value) OVER w AS roll_max
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ts_resample_ffill" -> (tsResample _),
+    Map("ts_rolling"        -> (rollingGate _),
+        "ts_resample_ffill" -> (tsResample _),
         "ts_sessionize"     -> (sessionizeBatch _),
         "ts_funnel"         -> (funnel _),
         "ts_behavior_topk"  -> ((s, d) => behaviorTopK(s, d)),
         "ts_behavior_topk_lsh" -> (behaviorLshGate _))
   def oracle: Map[String, String] =
-    Map("ts_resample_ffill" -> tsResampleSql,
+    Map("ts_rolling"        -> rollingSql,
+        "ts_resample_ffill" -> tsResampleSql,
         "ts_sessionize"     -> sessionizeBatchSql,
         "ts_funnel"         -> funnelSql,
         "ts_behavior_topk"  -> behaviorTopKSql,
