@@ -14,7 +14,7 @@ object SparkEntry {
     ops.AsofJoin.queries ++ ops.CurationPipeline.queries ++
     ops.ZOrder.queries ++ ops.Maintenance.queries ++
     ops.DataQuality.queries ++ ops.TimeSeries.queries ++
-    ops.TrainingData.queries ++ ops.Graph.queries
+    ops.TrainingData.queries ++ ops.Graph.queries ++ ops.Linkage.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +25,5 @@ object SparkEntry {
     ops.AsofJoin.oracle ++ ops.CurationPipeline.oracle ++
     ops.ZOrder.oracle ++ ops.Maintenance.oracle ++
     ops.DataQuality.oracle ++ ops.TimeSeries.oracle ++
-    ops.TrainingData.oracle ++ ops.Graph.oracle
+    ops.TrainingData.oracle ++ ops.Graph.oracle ++ ops.Linkage.oracle
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Graph, TextAnalysis, TimeSeries}
+import graft.ops.{Graph, Linkage, TextAnalysis, TimeSeries}
 
 /** Unit fixtures for the round-4 additions whose gates run on corpus
   * data: hand-computable graphs / corpora where the expected output
@@ -62,5 +62,26 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(out(11L) == ((2L, 3.0, 1.0, 2.0)))
     assert(out(12L) == ((2L, 6.0, 2.0, 4.0))) // frame = rows 11,12 only
     assert(out(20L) == ((1L, 9.0, 9.0, 9.0))) // other user isolated
+  }
+
+  test("blockedLink: omission blocking equals brute force, never cross-joins") {
+    import spark.implicits._
+    // 8-char ids; edits confined to the last 2 chars → omit (7,1), (8,1).
+    val clean = Seq((1L, "AAAAAA01"), (2L, "AAAAAA02"), (3L, "AAAAAA13"),
+      (4L, "AAAAAA99")).toDF("id", "name")
+    val dirty = Seq((101L, "AAAAAA03"), (102L, "AAAAAA12"),
+      (103L, "AAAAAA99"), (104L, "BBBBBB01")).toDF("id", "name")
+    val out = Linkage.blockedLink(dirty, clean,
+        omit = Seq((7, 1), (8, 1)), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = dirty.toDF("did", "dname").crossJoin(clean.toDF("cid", "cname"))
+      .withColumn("lev", levenshtein(col("dname"), col("cname")).cast("long"))
+      .filter(col("lev") <= 1)
+      .select("did", "cid", "lev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brute)
+    assert(out.contains((101L, 1L, 1L)) && out.contains((101L, 2L, 1L)))
+    assert(out.contains((103L, 4L, 0L)))           // exact survives
+    assert(!out.exists(_._1 == 104L))              // far record: no match
   }
 }
