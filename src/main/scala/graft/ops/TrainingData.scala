@@ -254,6 +254,59 @@ object TrainingData {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  /** Temperature-flattened mixture (the multilingual/multi-domain
+    * rebalancing rule, T = 2): per-source keep rate
+    * min(1, c·√(n_total/n_src)) — rate ∝ share^(−1/2), so rare
+    * domains are upsampled relative to dominant ones without the
+    * explicit target weights [[mixtureSample]] takes. Deliberately
+    * UN-normalized (a fixed budget constant c instead of dividing by
+    * Σ√p): √ of a double ratio is IEEE-correctly-rounded in both
+    * engines, so the rate — and therefore every row's keep decision —
+    * is bit-identical cross-engine, where a cross-source float SUM
+    * would depend on accumulation order. Same overflow-safe
+    * multiplicative row hash as [[mixtureSample]]; the broadcast side
+    * is the per-source rate table (O(sources)). */
+  def mixtureTemperature(s: SparkSession, dir: String,
+      c: Double = 0.2): DataFrame = {
+    val m = 2654435761L
+    val mod = 4294967296L
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("n_total", sum(col("n_src")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val rates = counts.select(col("source"),
+      least(lit(1.0), lit(c) * sqrt(
+        col("n_total").cast("double") / col("n_src").cast("double")))
+        .as("rate"))
+    docs
+      .join(broadcast(rates), "source")
+      .filter(((col("doc_id") * lit(m)) % lit(mod)).cast("double")
+        < col("rate") * lit(mod.toDouble))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_chars")).as("chars_kept"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureTemperatureSql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_src,
+      |    SUM(COUNT(*)) OVER () AS n_total
+      |  FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source,
+      |    least(1.0, 0.2 * sqrt(CAST(n_total AS DOUBLE)
+      |                          / CAST(n_src AS DOUBLE))) AS rate
+      |  FROM counts)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+      |FROM documents d JOIN rates USING (source)
+      |WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+      |  < rate * 4294967296
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   /** PII redaction: mask emails and phone numbers with typed
@@ -577,6 +630,7 @@ object TrainingData {
     "pack_shards"        -> ((s, d) => packShards(s, d)),
     "pack_shuffle"       -> ((s, d) => packShuffle(s, d)),
     "pack_mixture"       -> ((s, d) => mixture(s, d)),
+    "pack_mixture_temp"  -> ((s, d) => mixtureTemperature(s, d)),
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -589,5 +643,6 @@ object TrainingData {
     "pack_shards"        -> packShardsSql,
     "pack_shuffle"       -> packShuffleSql,
     "pack_mixture"       -> mixtureSql,
+    "pack_mixture_temp"  -> mixtureTemperatureSql,
     "pii_scrub"          -> piiScrubSql)
 }
