@@ -14,7 +14,8 @@ object SparkEntry {
     ops.AsofJoin.queries ++ ops.CurationPipeline.queries ++
     ops.ZOrder.queries ++ ops.Maintenance.queries ++
     ops.DataQuality.queries ++ ops.TimeSeries.queries ++
-    ops.TrainingData.queries ++ ops.Graph.queries ++ ops.Linkage.queries
+    ops.TrainingData.queries ++ ops.Graph.queries ++ ops.Linkage.queries ++
+    ops.Mining.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
     ops.AsofJoin.oracle ++ ops.CurationPipeline.oracle ++
     ops.ZOrder.oracle ++ ops.Maintenance.oracle ++
     ops.DataQuality.oracle ++ ops.TimeSeries.oracle ++
-    ops.TrainingData.oracle ++ ops.Graph.oracle ++ ops.Linkage.oracle
+    ops.TrainingData.oracle ++ ops.Graph.oracle ++ ops.Linkage.oracle ++
+    ops.Mining.oracle
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Pattern mining: frequent co-occurrence pairs (market-basket
+  * association analysis) over the order → part bipartite relation.
+  *
+  * Scale shape: the pair generator is an equi self-join on the basket
+  * key (l_orderkey) — NOT a cross join — so its output is Σ k² over
+  * per-basket item counts k, which retail-shaped data bounds by a
+  * small constant; at 100 TB the one guard a pipeline adds is a cap
+  * on pathological basket sizes (a `count ≤ K` filter per basket)
+  * before the join. Support counting is a map-side-combined groupBy
+  * on the pair; the per-item and total-order counts it joins for the
+  * lift metric are metadata-sized (|parts| rows, 1 row).
+  *
+  * Determinism: support counts are integers; lift is computed as ONE
+  * fixed-shape double expression over those integers
+  * ((n_pair·n_orders)/(n_a·n_b)) — identical operand order in the
+  * oracle, so the doubles are bit-identical cross-engine.
+  */
+object Mining {
+
+  def copurchasePairs(lineitem: DataFrame, minSup: Long): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val totals = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_pk"))
+    val pairs = items.toDF("ok", "pa").join(items.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSup)
+    pairs
+      .crossJoin(broadcast(totals))
+      .join(cnt.toDF("pa", "n_a"), "pa")
+      .join(cnt.toDF("pb", "n_b"), "pb")
+      .select(col("pa"), col("pb"), col("n_pair"),
+        ((col("n_pair").cast(DoubleType) * col("n_orders").cast(DoubleType))
+          / (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+          .as("lift"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
+  def copurchaseGate(s: SparkSession, dir: String): DataFrame =
+    copurchasePairs(Tables.lineitem(s, dir), minSup = 2L)
+
+  val copurchaseSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+      |cnt AS (SELECT pk, count(*) AS n_pk FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_pair
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p.pa, p.pb, p.n_pair,
+      |  (CAST(p.n_pair AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+      |    / (CAST(ca.n_pk AS DOUBLE) * CAST(cb.n_pk AS DOUBLE)) AS lift
+      |FROM pairs p
+      |CROSS JOIN tot t
+      |JOIN cnt ca ON ca.pk = p.pa
+      |JOIN cnt cb ON cb.pk = p.pb
+      |ORDER BY pa, pb""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mine_copurchase" -> (copurchaseGate _))
+
+  def oracle: Map[String, String] = Map(
+    "mine_copurchase" -> copurchaseSql)
+}
