@@ -72,6 +72,65 @@ object TrainingData {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination — same answer as
+    * [[decontaminate]], different (bigger-scale) join machinery.
+    *
+    * [[decontaminate]] broadcasts the benchmark's *gram strings*:
+    * O(bench bytes) per executor, fine for an eval suite, but at a
+    * 100 TB corpus vs a multi-GB held-out set the string broadcast
+    * stops fitting. This variant broadcasts a fixed-size Bloom filter
+    * instead — `mBits/8` bytes (16 KiB here) regardless of bench
+    * size — as a plain `typedlit` Array[Long] so the probe is three
+    * codegen'd xxhash64/shift/AND ops inside the scan task, no UDF.
+    *
+    * Shape: corpus grams stream through the bloom as a pure map-side
+    * filter (zero shuffle, no false negatives by construction), and
+    * only the surviving sliver reaches the exact equi-join that kills
+    * the bloom's false positives. The only corpus-wide exchange is on
+    * bloom survivors, so output — and the oracle — is identical to
+    * the exact path: [[decontaminateSql]] gates both.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String,
+                         mBits: Int = 1 << 17, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(wordGrams(col("text"), 3)).as("grams"))
+    val corpus = docs.filter(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val bench = docs.filter(col("doc_id") % 101 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+
+    // k bit positions per gram; identical arithmetic builds and probes.
+    def positions(g: Column): Column = array((0 until k).map(seed =>
+      pmod(xxhash64(lit(seed), g), lit(mBits.toLong)).cast("int")): _*)
+
+    // Build: distinct SET BIT positions (bounded by mBits, NOT by bench
+    // cardinality) come back to the driver; at 1000 executors this is a
+    // <=16 KiB collect no matter how large the benchmark grows.
+    val words = new Array[Long](mBits / 64)
+    bench.select(explode(positions(col("gram"))).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getInt(0); words(p >>> 6) |= (1L << (p & 63))
+      }
+    val bits = typedlit(words.toSeq)
+
+    val probe = (0 until k).map { seed =>
+      val p = pmod(xxhash64(lit(seed), col("gram")), lit(mBits.toLong))
+        .cast("int")
+      element_at(bits, (call_function("shiftright", p, lit(6)) + 1)
+          .cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          p.bitwiseAND(lit(63)))) =!= lit(0L)
+    }.reduce(_ && _)
+
+    // Exact verify on the post-bloom sliver: both sides are now small,
+    // a plain shuffled equi-join AQE can size on its own.
+    corpus.filter(probe).join(bench, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Repetition-quality metrics (Gopher-style): per document, the
     * duplicate word-2-gram fraction (1 − distinct/total) and the
     * most-frequent-2-gram fraction. High values mark boilerplate /
@@ -626,6 +685,7 @@ object TrainingData {
     "report_dataset_card" -> ((s, d) => datasetCard(s, d)),
     "pack_export_jsonl"  -> ((s, d) => exportJsonlGate(s, d)),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "text_decontam_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "text_repetition"    -> ((s, d) => repetition(s, d)),
     "pack_shards"        -> ((s, d) => packShards(s, d)),
     "pack_shuffle"       -> ((s, d) => packShuffle(s, d)),
@@ -639,6 +699,7 @@ object TrainingData {
     "report_dataset_card" -> datasetCardSql,
     "pack_export_jsonl"  -> packShardsSql,
     "text_decontaminate" -> decontaminateSql,
+    "text_decontam_bloom" -> decontaminateSql,
     "text_repetition"    -> repetitionSql,
     "pack_shards"        -> packShardsSql,
     "pack_shuffle"       -> packShuffleSql,

@@ -19,6 +19,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.count() > 0, "synthetic corpus should show some overlap")
   }
 
+  test("bloom-prefiltered decontamination is exact, even when the bloom saturates") {
+    val exact = TrainingData.decontaminate(spark, sf).collect().toSet
+    // Default geometry (16 KiB, k=3): low false-positive rate.
+    val bloom = TrainingData.decontaminateBloom(spark, sf).collect().toSet
+    assert(bloom == exact)
+    // Degenerate 256-bit filter: nearly every probe is a false
+    // positive, so this passes only if the verify join is doing its
+    // job — the bloom may only ever shrink candidates, never answers.
+    val saturated = TrainingData.decontaminateBloom(spark, sf, mBits = 256, k = 2)
+      .collect().toSet
+    assert(saturated == exact)
+  }
+
   test("repetition fractions are consistent per-document metrics") {
     val out = TrainingData.repetition(spark, sf).cache()
     try {
