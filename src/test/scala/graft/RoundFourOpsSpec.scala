@@ -84,4 +84,24 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(out.contains((103L, 4L, 0L)))           // exact survives
     assert(!out.exists(_._1 == 104L))              // far record: no match
   }
+
+  test("LM scoring invariants: bigram lp < 0, DSIR excludes target, OOV bounded") {
+    val sf = "/root/testdata/sf0.001"
+    val lm = ops.LanguageModel.bigramLm(spark, sf)
+    assert(lm.filter(col("lp_mean") >= 0).count() == 0,
+      "smoothed log-probs are strictly negative")
+    val dsir = ops.LanguageModel.dsirWeights(spark, sf)
+    assert(dsir.filter(col("doc_id") % 101 === 0).count() == 0,
+      "target slice must never score itself")
+    assert(dsir.count() > 0)
+    val oov = ops.LanguageModel.oovRate(spark, sf)
+    assert(oov.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+    // A tiny vocab must produce a strictly higher mean OOV rate than a
+    // huge one (monotone coverage).
+    val small = ops.LanguageModel.oovRate(spark, sf, n = 10)
+      .agg(avg("oov_rate")).head.getDouble(0)
+    val large = ops.LanguageModel.oovRate(spark, sf, n = 100000)
+      .agg(avg("oov_rate")).head.getDouble(0)
+    assert(small > large)
+  }
 }
