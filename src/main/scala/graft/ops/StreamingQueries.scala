@@ -260,9 +260,97 @@ object StreamingQueries {
       |WHERE window_start + INTERVAL 5 MINUTE <= wm.w
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Streaming left-outer join MISS emission, driven through a real
+    * two-micro-batch query (the streaming-semantics corner
+    * `stream_interval_join_outer`'s batch replay can NOT pin): a view
+    * with no purchase inside its 4 h window emits its null row only
+    * once the watermark passes `a_ts + 4 h` and join state is
+    * evicted — and late input arriving after that can never resurrect
+    * or re-match it.
+    *
+    * Batch 1 plays every on-time event (`ts >= cut`); its closing
+    * watermark is `least(max view ts, max purchase ts) − 10 min` —
+    * the GLOBAL watermark is the min across the two watermark
+    * operators (default `multipleWatermarkPolicy=min`), a semantics
+    * detail this gate deliberately encodes. Batch 2 appends only
+    * pre-`cut`
+    * (late) rows: they are dropped at the input watermark filter, so
+    * the only thing batch 2 can do is evict expired view-side state
+    * and emit the misses eligible under batch 1's watermark. The sink
+    * therefore holds EXACTLY: all matched on-time pairs (emitted as
+    * found) plus one null row per unmatched on-time view with
+    * `a_ts + 4 h < wm` — the set the oracle states declaratively.
+    * Failure modes pinned: premature miss emission (extra nulls),
+    * state outliving its event-time bound (missing nulls), and late
+    * rows re-entering the join (extra pairs). */
+  def outerMiss(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcDir = s"/tmp/graft_scratch/$tag/stream_outer_src"
+    val cut = "2024-01-01 02:00:00"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    graft.Scaffold.setup {
+      rm(srcDir)
+      ev.filter(col("ts") >= lit(cut).cast("timestamp"))
+        .repartition(2).write.mode("overwrite").parquet(srcDir)
+    }
+    val stream = s.readStream.schema(ev.schema).parquet(srcDir)
+    val name = "stream_outer_" + tag.replace(".", "_")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try EventStreams.intervalJoin(stream, "view", "purchase",
+          joinType = "left_outer").writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      q.processAllAvailable()
+      graft.Scaffold.setup {
+        ev.filter(col("ts") < lit(cut).cast("timestamp"))
+          .write.mode("append").parquet(srcDir)
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).orderBy(col("user_id"), col("a_id"), col("b_id"))
+  }
+
+  val outerMissSql: String =
+    """WITH ontime AS (
+      |  SELECT * FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01 02:00:00'),
+      |a AS (SELECT * FROM ontime WHERE event_type = 'view'),
+      |b AS (SELECT * FROM ontime WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(ts) FROM a),
+      |                    (SELECT max(ts) FROM b))
+      |         - INTERVAL 10 MINUTE AS w),
+      |m AS (
+      |  SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |         a.ts AS a_ts, b.ts AS b_ts
+      |  FROM a JOIN b ON a.user_id = b.user_id
+      |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '4 hours'),
+      |miss AS (
+      |  SELECT a.user_id, a.event_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
+      |         a.ts AS a_ts, CAST(NULL AS TIMESTAMP) AS b_ts
+      |  FROM a, wm
+      |  WHERE a.ts + INTERVAL '4 hours' < wm.w
+      |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.event_id))
+      |SELECT * FROM m
+      |UNION ALL SELECT * FROM miss
+      |ORDER BY user_id, a_id, b_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_running"  -> (running _),
     "stream_late_drop" -> (lateDrop _),
+    "stream_outer_miss" -> (outerMiss _),
     "stream_tumbling" -> (tumbling _),
     "stream_trending" -> (trending _),
     "stream_sliding"  -> (sliding _),
@@ -275,6 +363,7 @@ object StreamingQueries {
   def oracle: Map[String, String] = Map(
     "stream_running"  -> runningSql,
     "stream_late_drop" -> lateDropSql,
+    "stream_outer_miss" -> outerMissSql,
     "stream_tumbling" -> tumblingSql,
     "stream_trending" -> trendingSql,
     "stream_sliding"  -> slidingSql,
