@@ -314,7 +314,77 @@ object DataQuality {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** Population-stability-index drift between the first half of the
+    * event stream (reference window, `ts < 2024-01-16`) and the
+    * second (current window): `PSI = Σ_bins (p_cur − p_ref)·ln(p_cur
+    * / p_ref)` over 10 fixed-width value bins (width 10, top bin
+    * open). The monitoring op a production pipeline runs per batch
+    * to catch upstream distribution shifts; PSI > 0.2 is the usual
+    * retrain alarm.
+    *
+    * Scale: ONE map-side-combined groupBy over the stream computes
+    * both windows' bin counts (`sum(when(...))` twin aggregates) —
+    * 10 rows out regardless of input size; everything after is
+    * driver-trivial arithmetic kept distributed anyway. Laplace +1
+    * keeps empty bins finite. Each bin's PSI term is snapped to a
+    * 1e-9-scaled long (ln on identical doubles is bit-equal in both
+    * engines), so the total is an order-independent long sum.
+    */
+  def dqPsi(s: SparkSession, dir: String): DataFrame = {
+    val cutTs = "2024-01-16 00:00:00"
+    val binned = Tables.events(s, dir).select(
+      least(floor(col("value") / 10.0), lit(9.0)).cast(LongType).as("bin"),
+      (col("ts") < lit(cutTs).cast(TimestampType)).as("is_ref"))
+    val counts = binned.groupBy(col("bin")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    val terms = counts.crossJoin(broadcast(totals))
+      .withColumn("p_ref", (col("n_ref") + lit(1)).cast(DoubleType) /
+        (col("t_ref") + lit(10)).cast(DoubleType))
+      .withColumn("p_cur", (col("n_cur") + lit(1)).cast(DoubleType) /
+        (col("t_cur") + lit(10)).cast(DoubleType))
+      .withColumn("term9",
+        floor((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))
+          * 1e9 + 0.5).cast(LongType))
+    val total = terms.agg(sum(col("term9")).as("psi9"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (col("term9").cast(DoubleType) / 1e9).as("psi_term"),
+        (col("psi9").cast(DoubleType) / 1e9).as("psi_total"))
+      .orderBy(col("bin"))
+  }
+
+  val dqPsiSql: String =
+    """WITH binned AS (
+      |  SELECT CAST(least(floor(value / 10.0), 9.0) AS BIGINT) AS bin,
+      |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+      |  FROM events),
+      |counts AS (
+      |  SELECT bin,
+      |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+      |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      |  FROM binned GROUP BY bin),
+      |totals AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
+      |terms AS (
+      |  SELECT bin, n_ref, n_cur,
+      |    CAST(floor((CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10) -
+      |                CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10)) *
+      |      ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10)) /
+      |         (CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))) * 1e9 + 0.5)
+      |      AS BIGINT) AS term9
+      |  FROM counts CROSS JOIN totals),
+      |tot AS (SELECT SUM(term9) AS psi9 FROM terms)
+      |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+      |  CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(term9 AS DOUBLE) / 1e9 AS psi_term,
+      |  CAST(psi9 AS DOUBLE) / 1e9 AS psi_total
+      |FROM terms CROSS JOIN tot
+      |ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_psi" -> (dqPsi _),
     "dq_corr_matrix" -> (corrMatrix _),
     "dq_mad_outliers" -> (dqMad _),
     "dq_quantile_bins" -> (quantileBins _),
@@ -323,6 +393,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_psi" -> dqPsiSql,
     "dq_corr_matrix" -> corrMatrixSql,
     "dq_mad_outliers" -> dqMadSql,
     "dq_quantile_bins" -> quantileBinsSql,

@@ -412,8 +412,69 @@ object TimeSeries {
       |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Linear multi-touch attribution: every purchase's value is split
+    * equally across ALL of the user's view/click touches in the
+    * 3-day lookback before it, and credit is summed per touch
+    * channel. The marketing-analytics shape as-of join (single last
+    * touch) cannot express — fractional credit needs the full
+    * touch set per conversion.
+    *
+    * Scale: the touch↔purchase join is EQUI on `user_id` (the range
+    * bound is a post-join filter inside the hash join), so it
+    * shuffles each side once by user — the same key both sides are
+    * naturally clustered by. Per-purchase touch counts ride a window
+    * over the join output (purchase-local, no extra shuffle past the
+    * user partitioning), and the final per-channel reduce is 2 rows.
+    *
+    * Determinism: credit is integer micro-cents — `(value·10⁴) div
+    * n_touches` — so channel sums are order-independent longs, not
+    * float accumulation; the ÷10⁴ happens once at the end.
+    */
+  def attributionLinear(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"),
+        floor(col("value") * 10000.0 + 0.5).cast(LongType).as("v4"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts").as("t_ts"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") <= col("p_ts") &&
+        col("t_ts") > col("p_ts") - expr("interval 3 days"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+    joined
+      .withColumn("n_t", count(lit(1)).over(w))
+      .withColumn("credit4", expr("v4 div n_t"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        (sum(col("credit4")).cast(DoubleType) / 10000.0).as("credit"))
+      .orderBy(col("channel"))
+  }
+
+  val attributionLinearSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_type AS channel, ts AS t_ts
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT p.p_id, t.channel, p.v4,
+      |    COUNT(*) OVER (PARTITION BY p.p_id) AS n_t
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |   AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - INTERVAL '3 days')
+      |SELECT channel, COUNT(*) AS n_touches,
+      |  COUNT(DISTINCT p_id) AS n_purchases,
+      |  CAST(SUM(v4 // n_t) AS DOUBLE) / 10000.0 AS credit
+      |FROM j GROUP BY channel
+      |ORDER BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
+        "ts_attribution"    -> (attributionLinear _),
         "ts_resample_ffill" -> (tsResample _),
         "ts_sessionize"     -> (sessionizeBatch _),
         "ts_funnel"         -> (funnel _),
@@ -421,6 +482,7 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> (behaviorLshGate _))
   def oracle: Map[String, String] =
     Map("ts_rolling"        -> rollingSql,
+        "ts_attribution"    -> attributionLinearSql,
         "ts_resample_ffill" -> tsResampleSql,
         "ts_sessionize"     -> sessionizeBatchSql,
         "ts_funnel"         -> funnelSql,

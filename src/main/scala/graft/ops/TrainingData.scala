@@ -679,7 +679,132 @@ object TrainingData {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  /** Length-bucketed batch packing — the dynamic-batching prep step
+    * that keeps padding waste low when examples of similar length
+    * train together: documents are bucketed by length range (width
+    * `binW` chars), batches of `batchSize` are formed inside each
+    * bucket in (length, doc_id) order, and each batch reports its
+    * padding waste `n·max_len − Σlen`.
+    *
+    * Scale: batching inside a length bucket means the window is
+    * PARTITIONED by bucket — no global single-partition sort, and the
+    * padding bound (`binW` per row) is a design property, not an
+    * accident of the sort. One shuffle on the bucket key; batch rows
+    * out are `n_docs / batchSize`.
+    */
+  def lengthBuckets(s: SparkSession, dir: String,
+                    binW: Int = 200, batchSize: Int = 32): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"n_chars div $binW").as("bin"))
+      .withColumn("batch", expr(
+        s"(row_number() OVER (PARTITION BY bin ORDER BY n_chars, doc_id) - 1) div $batchSize"))
+      .groupBy(col("bin"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_len"),
+        max(col("n_chars")).as("max_len"),
+        sum(col("n_chars")).as("sum_len"))
+      .withColumn("waste", col("n_docs") * col("max_len") - col("sum_len"))
+      .orderBy(col("bin"), col("batch"))
+  }
+
+  val lengthBucketsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars, n_chars // 200 AS bin,
+      |    (row_number() OVER (PARTITION BY n_chars // 200
+      |       ORDER BY n_chars, doc_id) - 1) // 32 AS batch
+      |  FROM documents)
+      |SELECT bin, batch, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_len, MAX(n_chars) AS max_len,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+      |  CAST(COUNT(*) * MAX(n_chars) - SUM(n_chars) AS BIGINT) AS waste
+      |FROM b GROUP BY bin, batch
+      |ORDER BY bin, batch""".stripMargin
+
+  /** Largest-remainder (Hamilton) apportionment of a fixed sample
+    * budget `n` across sources: source `s` gets `⌊n·n_s/T⌋` slots,
+    * and the `n − Σ⌊·⌋` leftover slots go to the largest remainders
+    * (`(n·n_s) mod T` desc, source asc). The exact-integer way to
+    * turn mixture WEIGHTS into mixture COUNTS that sum to precisely
+    * `n` — seeded Bernoulli rates only hit the budget in expectation.
+    *
+    * Scale: the per-source count table is the only corpus-wide
+    * reduce; apportionment itself runs on that O(sources) frame
+    * (window over a dimension-sized set). Pure integer arithmetic —
+    * bit-identical everywhere.
+    */
+  def apportion(s: SparkSession, dir: String, n: Long = 1000): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(expr(s"($n * n_docs) % t").desc, col("source"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("fl", expr(s"($n * n_docs) div t"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("leftover",
+        lit(n) - sum(col("fl")).over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select(col("source"), col("n_docs"),
+        (col("fl") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val apportionSql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(n_docs) AS t FROM counts),
+      |r AS (
+      |  SELECT source, n_docs,
+      |    (1000 * n_docs) // t AS fl,
+      |    row_number() OVER (ORDER BY (1000 * n_docs) % t DESC, source)
+      |      AS rk,
+      |    1000 - SUM((1000 * n_docs) // t) OVER () AS leftover
+      |  FROM counts CROSS JOIN tot)
+      |SELECT source, n_docs,
+      |  fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+      |FROM r ORDER BY source""".stripMargin
+
+  /** Weighted sampling without replacement, Efraimidis–Spirakis
+    * (2006): each document draws a deterministic pseudo-uniform
+    * `u ∈ (0,1]` from an overflow-safe doc_id hash and ranks by
+    * `ln(u)/w` (the log of `u^(1/w)`); the global top-`k` IS an
+    * exact weighted sample without replacement, here with weight =
+    * document length. THE one-pass distributed algorithm for "sample
+    * k docs proportional to length from 100 TB": no global RNG
+    * state, no rejection loop, reproducible across reruns.
+    *
+    * Scale: the rank key is computed scan-side; top-k via
+    * `ORDER BY … LIMIT k` is Spark's TakeOrderedAndProject —
+    * per-partition heaps of k, single k-row reduce, no full sort.
+    * Keys are 1e-9-snapped longs so cross-engine ordering (and the
+    * doc_id tiebreak) is exact.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        floor(log((((col("doc_id") % 1000003L) * 2654435761L + 104729L)
+            % 1000003L + 1L).cast("double") / 1000003.0) /
+          col("n_chars").cast("double") * 1e9 + 0.5).cast("long")
+          .as("key9"))
+      .orderBy(col("key9").desc, col("doc_id"))
+      .limit(k)
+
+  val weightedSampleSql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(floor(ln(CAST(((doc_id % 1000003) * 2654435761 + 104729)
+      |        % 1000003 + 1 AS DOUBLE) / 1000003.0) /
+      |      CAST(n_chars AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS key9
+      |FROM documents
+      |ORDER BY key9 DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
+    "pack_apportion" -> ((s, d) => apportion(s, d)),
+    "pack_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "pack_fim" -> (fimGate _),
     "pack_split" -> ((s, d) => trainValTestSplit(s, d)),
     "report_dataset_card" -> ((s, d) => datasetCard(s, d)),
@@ -694,6 +819,9 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_length_buckets" -> lengthBucketsSql,
+    "pack_apportion" -> apportionSql,
+    "pack_weighted_sample" -> weightedSampleSql,
     "pack_fim" -> fimSql,
     "pack_split" -> trainValTestSplitSql,
     "report_dataset_card" -> datasetCardSql,
