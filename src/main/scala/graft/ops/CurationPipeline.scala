@@ -163,13 +163,81 @@ object CurationPipeline {
        |WHERE rank <= 10
        |ORDER BY source, rank""".stripMargin
 
+  /** Greedy token-budget selection: spend a token budget (30% of the
+    * corpus's whitespace tokens) on the documents with the highest
+    * lexical diversity (distinct-word count, ties to smallest
+    * doc_id) — the "best data first" cut a compute-bound pre-training
+    * run makes when it can't afford the whole corpus.
+    *
+    * Scale: the cut needs a GLOBAL running token total in quality
+    * order — naively one `SUM OVER (ORDER BY ...)` single-partition
+    * window. Like `TrainingData.shardAssignments`, it runs as a
+    * two-phase prefix sum instead, except the bucket key is the
+    * integer quality score itself: (1) per-score token subtotals
+    * (map-side combinable; O(distinct scores) rows), (2) exclusive
+    * running offsets over those subtotals (a window over the tiny
+    * subtotal frame), (3) broadcast the offsets back and finish with
+    * an intra-score window PARTITIONED by score — every partition
+    * independent, no data funnel. The budget scalar is one broadcast
+    * row.
+    *
+    * Determinism: score and token counts are integers; the budget is
+    * `floor(total*3/10)` — floor() spelled explicitly because Spark's
+    * double→long cast truncates while DuckDB's rounds.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("tokens"),
+      size(array_distinct(split(lower(col("text")), " ")))
+        .cast(LongType).as("n_uniq"))
+    val budget = scored.agg(
+      floor(sum(col("tokens")) * 3 / 10).cast(LongType).as("budget"))
+    val offsets = scored.groupBy(col("n_uniq"))
+      .agg(sum(col("tokens")).as("bucket_tok"))
+      .withColumn("offset", coalesce(
+        sum(col("bucket_tok")).over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("n_uniq").desc)
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("n_uniq"), col("offset"))
+    val intra = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_uniq")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    scored
+      .join(broadcast(offsets), "n_uniq")
+      .withColumn("cum_tokens", col("offset") + sum(col("tokens")).over(intra))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("tokens"), col("n_uniq"),
+        col("cum_tokens"))
+      .orderBy(col("n_uniq").desc, col("doc_id"))
+  }
+
+  val tokenBudgetSql: String =
+    """WITH sc AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+      |      AS BIGINT) AS n_uniq
+      |  FROM documents),
+      |b AS (SELECT CAST(floor(SUM(tokens) * 3 / 10) AS BIGINT)
+      |        AS budget FROM sc),
+      |c AS (SELECT doc_id, tokens, n_uniq,
+      |        CAST(SUM(tokens) OVER (ORDER BY n_uniq DESC, doc_id)
+      |          AS BIGINT) AS cum_tokens
+      |      FROM sc)
+      |SELECT doc_id, tokens, n_uniq, cum_tokens
+      |FROM c CROSS JOIN b WHERE cum_tokens <= budget
+      |ORDER BY n_uniq DESC, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_token_budget" -> (tokenBudget _),
     "pipeline_curate" -> (summary _),
     "pipeline_domain_cap" -> (domainCapGate _),
     "pipeline_sample" -> ((s: SparkSession, d: String) =>
       stratifiedSample(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "curate_token_budget" -> tokenBudgetSql,
     "pipeline_curate" -> summarySql,
     "pipeline_domain_cap" -> domainCapSql,
     "pipeline_sample" -> stratifiedSampleSql)

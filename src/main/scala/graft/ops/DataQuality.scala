@@ -383,7 +383,59 @@ object DataQuality {
       |FROM terms CROSS JOIN tot
       |ORDER BY bin""".stripMargin
 
+  /** Benford first-significant-digit screen over lineitem prices — a
+    * classic fraud / synthetic-data tell. One scan, map-side
+    * combinable groupBy on a 9-value key, O(9) result rows: the same
+    * single-aggregate shape as [[profile]], so a 100 TB screen is one
+    * pass with a 9-row shuffle.
+    *
+    * Determinism: the first significant digit is taken from the
+    * DECIMAL's exact cent count rendered as a string (integer → text
+    * is engine-identical; `log10`-based digit extraction is NOT — a
+    * price of 1000.00 can land on either side of the double log).
+    * Observed fractions are exact integer-scaled division; the
+    * Benford expectation log10(1+1/d) is ln-ratio rounded to 1e-6,
+    * the repo's pinned cross-engine ln contract.
+    */
+  def dqBenford(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val digits = l
+      .select(substring(
+        col("l_extendedprice").cast(DecimalType(18, 2))
+          .multiply(lit(100)).cast(LongType).cast(StringType),
+        1, 1).cast(IntegerType).as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("t"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (floor(col("n") * lit(1000000L) / col("t")).cast(LongType)
+          .cast(DoubleType) / 1e6).as("obs_frac"),
+        (floor(log(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+          / log(lit(10.0)) * 1e6 + 0.5).cast(DoubleType) / 1e6)
+          .as("benford_frac"))
+      .orderBy(col("digit"))
+  }
+
+  val dqBenfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS
+      |      DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+      |    AS INTEGER) AS digit
+      |  FROM lineitem),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d
+      |      WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+      |t AS (SELECT SUM(n) AS t FROM c)
+      |SELECT digit, n,
+      |  CAST(CAST(floor(n * 1000000 / t) AS BIGINT) AS DOUBLE) / 1e6
+      |    AS obs_frac,
+      |  CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1e6 + 0.5)
+      |    AS DOUBLE) / 1e6 AS benford_frac
+      |FROM c CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> (dqBenford _),
     "dq_psi" -> (dqPsi _),
     "dq_corr_matrix" -> (corrMatrix _),
     "dq_mad_outliers" -> (dqMad _),
@@ -393,6 +445,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_benford" -> dqBenfordSql,
     "dq_psi" -> dqPsiSql,
     "dq_corr_matrix" -> corrMatrixSql,
     "dq_mad_outliers" -> dqMadSql,

@@ -1048,6 +1048,51 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Trailing-window DISTINCT count — "distinct customers in the last
+    * 7 days, per order day" — WITHOUT the global unpartitioned window
+    * that `COUNT(DISTINCT) OVER (ORDER BY day RANGE ...)` would cost
+    * (Spark moves the whole table to one partition for a window with
+    * no PARTITION BY, and doesn't support DISTINCT in window frames
+    * anyway).
+    *
+    * Plan shape: pre-distinct to (day, customer) pairs (map-side
+    * combinable), fan each pair out to the w=7 trailing days it
+    * contributes to, then a day-keyed distinct count. Every shuffle is
+    * keyed by calendar day — thousands of keys regardless of table
+    * size — and the fan-out multiplies the DISTINCT pair count, not
+    * the row count. At 100 TB the same shape holds; for wide windows
+    * (w in the hundreds) swap the fan-out for per-day HLL sketches
+    * merged over the frame — q37 certifies that sketch path.
+    */
+  def q38RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val dayCust = Tables.orders(s, dir)
+      .select(to_date(col("o_orderdate")).as("d"),
+        col("o_custkey").as("c"))
+      .distinct()
+    val counts = dayCust
+      .withColumn("k", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("d"), col("k")).as("order_day"), col("c"))
+      .groupBy(col("order_day"))
+      .agg(countDistinct(col("c")).as("n_cust_7d"))
+    // Report only days that actually had orders (the fan-out also
+    // lands on up-to-6 trailing ghost days past each real day).
+    counts.join(dayCust.select(col("d").as("order_day")).distinct(),
+        "order_day")
+      .orderBy(col("order_day"))
+  }
+
+  val q38Sql: String =
+    """WITH dc AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d, o_custkey AS c
+      |  FROM orders),
+      |cov AS (SELECT d + CAST(k AS INTEGER) AS order_day, c
+      |        FROM dc, (SELECT unnest(range(0, 7)) AS k) r),
+      |cnt AS (SELECT order_day, COUNT(DISTINCT c) AS n_cust_7d
+      |        FROM cov GROUP BY order_day)
+      |SELECT cnt.order_day, cnt.n_cust_7d
+      |FROM cnt JOIN (SELECT DISTINCT d FROM dc) a ON cnt.order_day = a.d
+      |ORDER BY order_day""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1088,7 +1133,8 @@ object Relational {
     "q34_range_join"     -> (q34RangeJoinBinned _),
     "q35_unpivot"        -> (q35Unpivot _),
     "q36_variant"        -> (q36Variant _),
-    "q37_approx_distinct" -> (q37ApproxDistinct _))
+    "q37_approx_distinct" -> (q37ApproxDistinct _),
+    "q38_rolling_distinct" -> (q38RollingDistinct _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1128,5 +1174,6 @@ object Relational {
     "q34_range_join"     -> q34Sql,
     "q35_unpivot"        -> q35Sql,
     "q36_variant"        -> q36Sql,
-    "q37_approx_distinct" -> q37Sql)
+    "q37_approx_distinct" -> q37Sql,
+    "q38_rolling_distinct" -> q38Sql)
 }
