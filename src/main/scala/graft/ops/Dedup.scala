@@ -981,7 +981,86 @@ object Dedup {
 
   // ---------------------------------------------------------------- //
 
+  /** Cross-document repeated-substring coverage — the distributed
+    * stand-in for suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * slide 40-char windows at stride 10 over each document, and score
+    * each document by the fraction of its windows whose exact text
+    * also occurs in some OTHER document. High coverage = boilerplate
+    * / mirrored spans that exact and MinHash dedup both miss (they
+    * work at whole-document granularity).
+    *
+    * Scale: the only shuffle is keyed by the 40-char gram (≤ 40 B +
+    * doc_id per row, count-distinct-combinable); no pairwise join
+    * ever forms. A true suffix array needs global sorted adjacency —
+    * this stride-windowed form is the standard trade: it detects any
+    * duplicated span ≥ 49 chars (stride−1 + window) at 1/stride the
+    * gram volume. At 100 TB, key on xxhash64(gram) instead of the
+    * text to cut shuffle bytes 5× (collisions only perturb a score).
+    */
+  def spanCoverage(s: SparkSession, dir: String,
+      window: Int = 40, stride: Int = 10): DataFrame =
+    spanCoverageOf(Tables.documents(s, dir), window, stride)
+
+  /** [[spanCoverage]] over an arbitrary (doc_id, text, ...) frame. */
+  def spanCoverageOf(documents: DataFrame,
+      window: Int = 40, stride: Int = 10): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val grams = docs.filter(col("len") >= window)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor((col("len") - window) / stride)
+          .cast(IntegerType)),
+        i => col("text").substr(i * stride + 1, lit(window)))).as("gram"))
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), lit(1L).as("dup"))
+    val perDoc = grams.join(shared, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("dup")), lit(0L)).as("n_dup"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup"), lit(0L)).cast(DoubleType)
+            / col("n_grams").cast(DoubleType)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCoverageSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents),
+      |pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, (len - 40) // 10 + 1)) AS i
+      |  FROM d WHERE len >= 40),
+      |g AS (
+      |  SELECT doc_id,
+      |    substr(text, CAST(i * 10 + 1 AS INTEGER), 40) AS gram
+      |  FROM pos),
+      |shared AS (
+      |  SELECT gram FROM g GROUP BY gram
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |pd AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_grams,
+      |    SUM(CASE WHEN shared.gram IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS n_dup
+      |  FROM g LEFT JOIN shared ON g.gram = shared.gram
+      |  GROUP BY g.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup,
+      |  CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN 0.0
+      |       ELSE CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+      |  END AS dup_frac
+      |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_coverage" -> ((s: SparkSession, d: String) => spanCoverage(s, d)),
     "dedup_paragraph"     -> ((s: SparkSession, d: String) => paragraphDedup(s, d)),
     "dedup_unicode"       -> (unicodeDedup _),
     "dedup_latest"        -> (latest _),
@@ -1000,6 +1079,7 @@ object Dedup {
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_span_coverage" -> spanCoverageSql,
     "dedup_latest"        -> latestSql,
     "dedup_paragraph"     -> paragraphDedupSql,
     "dedup_unicode"       -> unicodeDedupSql,

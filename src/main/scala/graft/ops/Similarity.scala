@@ -910,7 +910,53 @@ object Similarity {
        |FROM lab GROUP BY component
        |ORDER BY component""".stripMargin
 
+  /** Signed random projection (Achlioptas-style ±1 matrix) from 64 to
+    * 8 dimensions — the dimensionality-reduction front end a 100 TB
+    * ANN build runs before indexing: dot products against 8 FIXED
+    * sign vectors, a pure codegen projection (one [[plans.VectorDot]]
+    * kernel per output dim, no shuffle at all; the "matrix" is 8
+    * literal arrays baked into the plan, not data).
+    *
+    * The sign matrix is derived from integer arithmetic both engines
+    * evaluate identically — `((i*1000003 + j*7919) % 97) % 2` — not
+    * from either engine's hash() (they differ). Outputs are
+    * 1e-6-snapped; the fold order matches DuckDB's `list_reduce`, the
+    * repo's pinned cross-engine dot-product contract.
+    */
+  def randomProjection(s: SparkSession, dir: String,
+      outDims: Int = 8, inDims: Int = 64): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val projCols = (0 until outDims).map { j =>
+      val signs = array((0 until inDims).map { i =>
+        lit(if (((i.toLong * 1000003L + j * 7919L) % 97) % 2 == 0) 1.0
+            else -1.0)
+      }: _*)
+      (floor(graft.plans.VectorExpressions.vectorDot(col("v"), signs)
+        * 1e6 + 0.5).cast(LongType).cast(DoubleType) / 1e6).as(s"p$j")
+    }
+    v.select(col("vec_id") +: projCols: _*).orderBy(col("vec_id"))
+  }
+
+  val randomProjectionSql: String = {
+    val dims = (0 until 8).map { j =>
+      s"""  CAST(CAST(floor(list_reduce(list_transform(
+         |    generate_series(1, 64),
+         |    i -> (CASE WHEN (((i-1)*1000003 + $j*7919) % 97) % 2 = 0
+         |          THEN 1.0 ELSE -1.0 END)
+         |         * CAST(embedding[i] AS DOUBLE)),
+         |    (x, y) -> x + y) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+         |    / 1e6 AS p$j""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT vec_id,
+       |$dims
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_project"       -> ((s: SparkSession, d: String) =>
+      randomProjection(s, d)),
     "sim_semantic_dedup"  -> (semanticDedup _),
     "embed_centroids"     -> (centroids _),
     "embed_classify"      -> (classifyByCentroid _),
@@ -929,6 +975,7 @@ object Similarity {
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "embed_project"       -> randomProjectionSql,
     "sim_semantic_dedup"  -> semanticDedupSql,
     "embed_centroids"     -> centroidsSql,
     "embed_classify"      -> classifyByCentroidSql,
