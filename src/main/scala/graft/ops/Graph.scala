@@ -250,7 +250,73 @@ object Graph {
        |GROUP BY node
        |ORDER BY node""".stripMargin
 
+  /** Multi-source frontier BFS: minimum hop distance from a seed set
+    * over an undirected edge list. Per round, ONLY the current
+    * frontier joins the (symmetrized, src-pre-partitioned) edge list;
+    * discovered nodes leave via an anti-join against the visited set.
+    * Each round's shuffle is O(frontier adjacency), not O(graph), the
+    * edge list never moves after its one up-front partition, and the
+    * loop exits as soon as a frontier comes back empty (one count()
+    * of a frame that was materializing anyway). For graphs whose
+    * DIAMETER (not size) is the problem, the same visited/frontier
+    * discipline applies to the doubling transform
+    * ([[Dedup.componentsByStarContraction]]'s log-round trick);
+    * plain frontier BFS is the right default when diameter ≪ rounds
+    * a 100 TB join budget allows.
+    */
+  def bfsDistances(nodes: DataFrame, edges: DataFrame,
+      sources: DataFrame, maxIters: Int = 64): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var visited = sources.select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select(col("id"))
+    var hop = 0L
+    while (hop < maxIters && frontier.count() > 0) {
+      hop += 1
+      frontier = sym
+        .join(frontier.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.hint("shuffle_hash"), Seq("id"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .union(frontier.withColumn("dist", lit(hop)))
+        .localCheckpoint()
+    }
+    visited
+  }
+
+  /** Gate: 8 sixteen-deep doc_id chains (edges i—i+1 within each),
+    * seeded at every chain head PLUS an off-center seed inside chain
+    * 2, so min-distance merging across seeds is exercised and the
+    * expected distances stay closed-form for the oracle. */
+  def bfsGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 128)
+    val edges = d.toDF("id_a")
+      .join(d.toDF("id_b"), col("id_b") === col("id_a") + 1)
+      .filter(col("id_a") % 16 =!= 15)
+    val sources = d.filter(col("doc_id") % 16 === 0 ||
+        col("doc_id") === 37)
+      .select(col("doc_id").as("id"))
+    bfsDistances(d.toDF("id"), edges, sources)
+      .select(col("id").as("doc_id"), col("dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bfsSql: String =
+    """SELECT doc_id,
+      |  CAST(LEAST(doc_id % 16,
+      |    CASE WHEN doc_id // 16 = 2 THEN abs(doc_id - 37)
+      |         ELSE 9999 END) AS BIGINT) AS dist
+      |FROM documents WHERE doc_id < 128
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs"         -> (bfsGate _),
     "graph_triangles"   -> (triangles _),
     "graph_pagerank"    -> ((s, d) => pageRank(s, d)),
     "graph_pagerank_shuffle" ->
@@ -258,6 +324,7 @@ object Graph {
     "graph_transitions" -> (transitions _))
 
   def oracle: Map[String, String] = Map(
+    "graph_bfs"         -> bfsSql,
     "graph_triangles"   -> trianglesSql,
     "graph_pagerank"    -> pageRankSql(),
     // bit-identical integer fixpoint through the shuffle-join plan

@@ -590,7 +590,64 @@ object TextAnalysis {
       |FROM idx i JOIN post p USING (term)
       |ORDER BY term""".stripMargin
 
+  /** Character-level Shannon entropy per document,
+    * `H = (1/n)·Σ c·ln(n/c)` over the doc's own character counts — a
+    * cheap degenerate-text screen (binary blobs and key-mash score
+    * high, repeated-fill boilerplate scores near 0) that complements
+    * the word-level [[repetition]] metrics.
+    *
+    * Scale: explode to (doc_id, char) — the heaviest but perfectly
+    * map-side-combinable shape; two combinable aggregations later the
+    * frame is O(docs). Characters come from positional `substr`, not
+    * regex split, so both engines segment identically (code points).
+    *
+    * Determinism: per-character terms `c·ln(n/c)` are snapped to
+    * 1e-9-scaled longs BEFORE the commutative long sum; one final
+    * division emits the double.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val chars = docs
+      .select(col("doc_id"), col("n"), explode(transform(
+        sequence(lit(1), col("n").cast(IntegerType)),
+        i => col("text").substr(i, lit(1)))).as("ch"))
+    chars.groupBy(col("doc_id"), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("term9",
+        floor(col("c") * log(col("n").cast(DoubleType) /
+          col("c").cast(DoubleType)) * 1e9 + 0.5).cast(LongType))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        (sum(col("term9")).cast(DoubleType) /
+          (col("n") * 1e9)).as("entropy_nats"))
+      .select(col("doc_id"), col("n").cast(LongType).as("n_chars_text"),
+        col("n_distinct_chars"), col("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charEntropySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents),
+      |pos AS (SELECT doc_id, n, text,
+      |          unnest(range(1, n + 1)) AS i FROM d),
+      |ch AS (SELECT doc_id, n,
+      |         substr(text, CAST(i AS INTEGER), 1) AS ch FROM pos),
+      |cnt AS (SELECT doc_id, n, ch, COUNT(*) AS c
+      |        FROM ch GROUP BY doc_id, n, ch),
+      |terms AS (SELECT doc_id, n,
+      |    CAST(floor(c * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS term9
+      |  FROM cnt)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_chars_text,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+      |  CAST(SUM(term9) AS DOUBLE) / (n * 1e9) AS entropy_nats
+      |FROM terms GROUP BY doc_id, n
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (charEntropy _),
     "text_inverted_index" -> (invertedIndexGate _),
     "text_pretokenize" -> (pretokenize _),
     "text_normalize" -> (textNormalizeGate _),
@@ -605,6 +662,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_entropy" -> charEntropySql,
     "text_inverted_index" -> invertedIndexSql,
     "text_pretokenize" -> pretokenizeSql,
     "text_normalize" -> textNormalizeSql,

@@ -801,7 +801,71 @@ object TrainingData {
       |ORDER BY key9 DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  /** Curriculum interleave: a global training order in which every
+    * source appears proportionally throughout — no "all of source A,
+    * then all of B" clumps (which turn into loss spikes mid-run).
+    * Each document's interleave key is its source-relative midpoint
+    * `(2·rn − 1) / (2·n_source)`; sorting by it merges the sources
+    * like evenly-spaced tick marks (source s with n docs lands at
+    * fractions 1/2n, 3/2n, …).
+    *
+    * Scale: the global RANK over that key is the same single-
+    * partition trap as any global window, so it runs as the repo's
+    * two-phase prefix: fixed-width key buckets → per-bucket counts →
+    * broadcast running offsets → intra-bucket `row_number`
+    * PARTITIONED by bucket. The per-source `rn` windows are
+    * independently parallel (one partition per source). The key is
+    * one double division of integers — identical IEEE ops in both
+    * engines, so bucket floors and sort orders agree exactly.
+    */
+  def curriculum(s: SparkSession, dir: String,
+      nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(perSource))
+      .withColumn("n_src", count(lit(1))
+        .over(Window.partitionBy(col("source"))))
+      .withColumn("ikey", (col("rn") * 2 - 1).cast("double") /
+        (col("n_src") * 2).cast("double"))
+      .withColumn("bucket", floor(col("ikey") * nBuckets).cast("long"))
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val intra = Window.partitionBy(col("bucket"))
+      .orderBy(col("ikey"), col("source"), col("doc_id"))
+    keyed.join(broadcast(offsets), "bucket")
+      .withColumn("train_pos", col("off") + row_number().over(intra))
+      .select(col("train_pos"), col("doc_id"), col("source"),
+        (floor(col("ikey") * 1e6 + 0.5).cast("long")
+          .cast("double") / 1e6).as("ikey"))
+      .orderBy(col("train_pos"))
+  }
+
+  val curriculumSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, source,
+      |    CAST(2 * ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY doc_id) - 1 AS DOUBLE) /
+      |    CAST(2 * COUNT(*) OVER (PARTITION BY source) AS DOUBLE)
+      |      AS ikey
+      |  FROM documents)
+      |SELECT
+      |  CAST(ROW_NUMBER() OVER (ORDER BY ikey, source, doc_id)
+      |    AS BIGINT) AS train_pos,
+      |  doc_id, source,
+      |  CAST(CAST(floor(ikey * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6
+      |    AS ikey
+      |FROM k
+      |ORDER BY train_pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_curriculum" -> ((s, d) => curriculum(s, d)),
     "pack_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "pack_apportion" -> ((s, d) => apportion(s, d)),
     "pack_weighted_sample" -> ((s, d) => weightedSample(s, d)),
@@ -819,6 +883,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_curriculum" -> curriculumSql,
     "pack_length_buckets" -> lengthBucketsSql,
     "pack_apportion" -> apportionSql,
     "pack_weighted_sample" -> weightedSampleSql,

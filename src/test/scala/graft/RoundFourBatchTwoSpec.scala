@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CurationPipeline, DataQuality, Dedup, Relational, Similarity}
+import graft.ops.{CurationPipeline, DataQuality, Dedup, Graph, Relational,
+  Similarity, TextAnalysis, TrainingData}
 
 /** Unit fixtures + brute-force cross-checks for the second round-4
   * operator batch (rolling distinct, Benford, token budget, span
@@ -84,6 +85,63 @@ class RoundFourBatchTwoSpec extends SparkSpec {
     val got = CurationPipeline.tokenBudget(spark, sf).collect()
     assert(got.map(_.getLong(0)).toSet == keep)
     assert(got.map(_.getLong(3)).max <= budget)
+  }
+
+  test("bfsDistances: path distances, min-merge across seeds, unreachable dropped") {
+    import spark.implicits._
+    // Path 1-2-3-4-5 plus isolated 9; seeds at both 1 and 5.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val out = Graph.bfsDistances(nodes, edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("charEntropy matches a sequential snapped computation") {
+    val doc = Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).select(col("doc_id"), col("text")).head()
+    val (id, text) = (doc.getLong(0), doc.getString(1))
+    val n = text.codePointCount(0, text.length)
+    val counts = text.codePoints().toArray.toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val sum9 = counts.values.map(c =>
+      math.floor(c * math.log(n.toDouble / c) * 1e9 + 0.5).toLong).sum
+    val expect = sum9.toDouble / (n * 1e9)
+    val got = TextAnalysis.charEntropy(spark, sf)
+      .filter(col("doc_id") === id).head()
+    assert(got.getLong(1) == n.toLong)
+    assert(got.getLong(2) == counts.size.toLong)
+    assert(got.getDouble(3) == expect)
+  }
+
+  test("curriculum: contiguous global positions matching the sequential sort") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = rows.groupBy(_._2)
+    val keyed = bySource.toSeq.flatMap { case (src, ds) =>
+      val sorted = ds.map(_._1).sorted
+      sorted.zipWithIndex.map { case (id, i) =>
+        (id, src, (2.0 * (i + 1) - 1) / (2.0 * sorted.length))
+      }
+    }
+    val expect = keyed.sortBy { case (id, src, k) => (k, src, id) }
+      .map(_._1)
+    val got = TrainingData.curriculum(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    assert(got.map(_.getLong(1)).toSeq == expect.toSeq)
+    // Interleave property: in any window of 50 consecutive positions,
+    // no single source occupies more than 60% once sources mix evenly.
+    val srcSeq = got.map(_.getString(2))
+    val windows = srcSeq.sliding(50).toSeq
+    val share = bySource.view.mapValues(_.size.toDouble / rows.length)
+    windows.foreach { w =>
+      w.groupBy(identity).foreach { case (s, hits) =>
+        assert(hits.length <= 50 * share(s) + 8,
+          s"source $s clumped: ${hits.length} of 50")
+      }
+    }
   }
 
   test("randomProjection matches a sequential signed fold, snapped") {
