@@ -252,17 +252,21 @@ object Graph {
 
   /** Multi-source frontier BFS: minimum hop distance from a seed set
     * over an undirected edge list. Per round, ONLY the current
-    * frontier joins the (symmetrized, src-pre-partitioned) edge list;
-    * discovered nodes leave via an anti-join against the visited set.
-    * Each round's shuffle is O(frontier adjacency), not O(graph), the
-    * edge list never moves after its one up-front partition, and the
-    * loop exits as soon as a frontier comes back empty (one count()
-    * of a frame that was materializing anyway). For graphs whose
-    * DIAMETER (not size) is the problem, the same visited/frontier
-    * discipline applies to the doubling transform
-    * ([[Dedup.componentsByStarContraction]]'s log-round trick);
-    * plain frontier BFS is the right default when diameter ≪ rounds
-    * a 100 TB join budget allows.
+    * frontier joins the (symmetrized, src-pre-partitioned) edge list.
+    * The BFS layer property bounds re-discovery: a neighbor of a
+    * distance-(h−1) node has distance in {h−2, h−1, h}, so the
+    * anti-join subtracts just the PREVIOUS TWO frontiers — never a
+    * consolidated visited set. Each round is therefore O(frontier
+    * adjacency) in shuffle AND in anti-join probe size no matter how
+    * many layers have accumulated, the edge list never moves after
+    * its one up-front partition, one `localCheckpoint` per round is
+    * the only materialization, and the loop exits when a frontier
+    * comes back empty. Distances assemble at the end as a union of
+    * the checkpointed layers. For graphs whose DIAMETER (not size)
+    * is the problem, the doubling transform
+    * ([[Dedup.componentsByStarContraction]]'s log-round trick)
+    * applies instead; plain frontier BFS is the right default when
+    * diameter ≪ rounds a 100 TB join budget allows.
     */
   def bfsDistances(nodes: DataFrame, edges: DataFrame,
       sources: DataFrame, maxIters: Int = 64): DataFrame = {
@@ -270,36 +274,41 @@ object Graph {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(col("src"))
       .localCheckpoint()
-    var visited = sources.select(col("id"), lit(0L).as("dist"))
-      .localCheckpoint()
-    var frontier = visited.select(col("id"))
+    var prev = nodes.select(col("id")).limit(0)
+    var frontier = sources.select(col("id")).distinct().localCheckpoint()
+    val layers = scala.collection.mutable.ArrayBuffer(
+      frontier.withColumn("dist", lit(0L)))
     var hop = 0L
     while (hop < maxIters && frontier.count() > 0) {
       hop += 1
-      frontier = sym
+      val next = sym
         .join(frontier.withColumnRenamed("id", "src")
           .hint("shuffle_hash"), "src")
         .select(col("dst").as("id")).distinct()
-        .join(visited.hint("shuffle_hash"), Seq("id"), "left_anti")
+        .join(prev.union(frontier).hint("shuffle_hash"),
+          Seq("id"), "left_anti")
         .localCheckpoint()
-      visited = visited
-        .union(frontier.withColumn("dist", lit(hop)))
-        .localCheckpoint()
+      prev = frontier
+      frontier = next
+      layers += frontier.withColumn("dist", lit(hop))
     }
-    visited
+    layers.reduce(_ union _)
   }
 
-  /** Gate: 8 sixteen-deep doc_id chains (edges i—i+1 within each),
-    * seeded at every chain head PLUS an off-center seed inside chain
-    * 2, so min-distance merging across seeds is exercised and the
-    * expected distances stay closed-form for the oracle. */
+  /** Gate: 16 eight-deep doc_id chains (edges i—i+1 within each),
+    * seeded at every chain head PLUS an off-center seed (doc 37)
+    * inside chain 4, so min-distance merging across seeds is
+    * exercised and the expected distances stay closed-form for the
+    * oracle. Depth 8 keeps the sequential round count at 7 — the
+    * gate exercises multi-hop layering without paying 2× the rounds
+    * for no extra coverage. */
   def bfsGate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id")).filter(col("doc_id") < 128)
     val edges = d.toDF("id_a")
       .join(d.toDF("id_b"), col("id_b") === col("id_a") + 1)
-      .filter(col("id_a") % 16 =!= 15)
-    val sources = d.filter(col("doc_id") % 16 === 0 ||
+      .filter(col("id_a") % 8 =!= 7)
+    val sources = d.filter(col("doc_id") % 8 === 0 ||
         col("doc_id") === 37)
       .select(col("doc_id").as("id"))
     bfsDistances(d.toDF("id"), edges, sources)
@@ -309,8 +318,8 @@ object Graph {
 
   val bfsSql: String =
     """SELECT doc_id,
-      |  CAST(LEAST(doc_id % 16,
-      |    CASE WHEN doc_id // 16 = 2 THEN abs(doc_id - 37)
+      |  CAST(LEAST(doc_id % 8,
+      |    CASE WHEN doc_id // 8 = 4 THEN abs(doc_id - 37)
       |         ELSE 9999 END) AS BIGINT) AS dist
       |FROM documents WHERE doc_id < 128
       |ORDER BY doc_id""".stripMargin
