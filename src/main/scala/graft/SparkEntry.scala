@@ -15,7 +15,8 @@ object SparkEntry {
     ops.ZOrder.queries ++ ops.Maintenance.queries ++
     ops.DataQuality.queries ++ ops.TimeSeries.queries ++
     ops.TrainingData.queries ++ ops.Graph.queries ++ ops.Linkage.queries ++
-    ops.Mining.queries ++ ops.LanguageModel.queries
+    ops.Mining.queries ++ ops.LanguageModel.queries ++
+    ops.Evaluation.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
     ops.ZOrder.oracle ++ ops.Maintenance.oracle ++
     ops.DataQuality.oracle ++ ops.TimeSeries.oracle ++
     ops.TrainingData.oracle ++ ops.Graph.oracle ++ ops.Linkage.oracle ++
-    ops.Mining.oracle ++ ops.LanguageModel.oracle
+    ops.Mining.oracle ++ ops.LanguageModel.oracle ++
+    ops.Evaluation.oracle
 }

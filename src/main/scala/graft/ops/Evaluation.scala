@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Retrieval-quality evaluation: nDCG@k, MRR@k, recall@k for a
+  * ranked candidate list against graded relevance — the metrics a
+  * training-data pipeline runs after every embedding/index change
+  * (reference scope: the engine's query surface; the reference ships
+  * no evaluation operators, so this extends §2.9's similarity-search
+  * family with its measurement half).
+  *
+  * Scale: the metric pass never materializes a qrels pair table.
+  * Relevance here is label-derived (same label = 3, adjacent = 1),
+  * so the ideal-DCG term needs only the per-label corpus HISTOGRAM —
+  * O(labels) rows broadcast — plus prefix sums of the discount table,
+  * which are compile-time literals. The per-hit pass is a projection
+  * over the system's top-k (Q·k rows); nothing else shuffles.
+  *
+  * Determinism: discounts 1/log2(r+1) are frozen as 1e9-scaled Scala
+  * literals injected into BOTH engines' plans, so no runtime log is
+  * ever compared across engines; DCG/IDCG accumulate as longs; the
+  * three emitted doubles are each ONE integer division.
+  */
+object Evaluation {
+
+  /** 1e9-scaled rank discounts disc9(r) = 1e9/log2(r+1), r = 1..10. */
+  private val Disc9: IndexedSeq[Long] = (1 to 10).map { r =>
+    math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong
+  }
+  /** Prefix9(k) = Σ_{r≤k} disc9(r), with Prefix9(0) = 0 at index 0. */
+  private val Prefix9: IndexedSeq[Long] = Disc9.scanLeft(0L)(_ + _)
+
+  private def asDouble(v: Column): Column =
+    transform(v, x => x.cast(DoubleType))
+
+  /** Cosine top-`k` per query (vec_id < `nQueries`) with each side's
+    * label carried through — the system ranking under evaluation.
+    * Same bounded plan shape as [[Similarity.topK]]: norms
+    * precomputed per side, queries broadcast, corpus repartitioned.
+    */
+  private def systemTopK(s: SparkSession, dir: String, nQueries: Int,
+      k: Int): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    graft.plans.VectorExpressions.register(s)
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), Similarity.norm(col("v")).as("qn"))
+    val t = vecs
+      .select(col("vec_id").as("target_id"), col("label").as("tlabel"),
+        col("v").as("tv"), Similarity.norm(col("v")).as("tn"))
+      .repartition(par)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    t.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("sim",
+        Similarity.dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qlabel"), col("target_id"),
+        col("tlabel"), col("rank"))
+  }
+
+  /** Per-query nDCG@10 / MRR@10 / recall@10 of the cosine top-10
+    * under label relevance (same label rel=3 → gain 7, adjacent label
+    * rel=1 → gain 1). MRR and recall count only rel-3 hits; recall's
+    * denominator is every same-label vector in the corpus.
+    */
+  def ndcgGate(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val sys = systemTopK(s, dir, nQueries = 8, k = k)
+    val disc = typedlit(Disc9.toSeq)
+    val prefix = typedlit(Prefix9.toSeq)
+    val gain = when(col("tlabel") === col("qlabel"), 7L)
+      .when(abs(col("tlabel") - col("qlabel")) === 1, 1L)
+      .otherwise(0L)
+    val perHit = sys
+      .withColumn("gain", gain)
+      .withColumn("term9", col("gain") * element_at(disc, col("rank")))
+    val agg = perHit.groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(col("term9")).as("dcg9"),
+        min(when(col("gain") === 7L, col("rank"))).as("first3"),
+        sum(when(col("gain") === 7L, 1L).otherwise(0L)).as("hits3"))
+    val hist = Tables.embeddings(s, dir).groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    // n3/n1: corpus-wide graded-relevant counts from the label
+    // histogram alone (query itself excluded from n3).
+    val n1 = hist.select((col("label") + 1).as("qlabel"), col("cnt"))
+      .union(hist.select((col("label") - 1).as("qlabel"), col("cnt")))
+      .groupBy(col("qlabel")).agg(sum(col("cnt")).as("n1"))
+    val withCounts = agg
+      .join(broadcast(hist.withColumnRenamed("label", "qlabel")), "qlabel")
+      .withColumn("n3", col("cnt") - 1)
+      .join(broadcast(n1), Seq("qlabel"), "left")
+      .withColumn("n1", coalesce(col("n1"), lit(0L)))
+    val i3 = least(lit(k.toLong), col("n3"))
+    val i31 = least(lit(k.toLong), col("n3") + col("n1"))
+    withCounts
+      .withColumn("idcg9",
+        lit(7L) * element_at(prefix, (i3 + 1).cast(IntegerType)) +
+          (element_at(prefix, (i31 + 1).cast(IntegerType)) -
+            element_at(prefix, (i3 + 1).cast(IntegerType))))
+      .select(col("query_id"),
+        (col("dcg9").cast(DoubleType) / col("idcg9")).as("ndcg10"),
+        coalesce(lit(1.0) / col("first3"), lit(0.0)).as("mrr10"),
+        when(col("n3") > 0,
+          col("hits3").cast(DoubleType) / col("n3"))
+          .otherwise(lit(0.0)).as("recall10"),
+        col("n3").as("n_rel"))
+      .orderBy(col("query_id"))
+  }
+
+  private val discList = Disc9.mkString("[", ", ", "]")
+  private val prefixList = Prefix9.mkString("[", ", ", "]")
+
+  val ndcgSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, a.label AS qlabel,
+       |    b.vec_id AS target_id, b.label AS tlabel,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, len(a.v)),
+       |          i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+       |        / (sqrt(list_reduce(list_transform(
+       |             generate_series(1, len(a.v)),
+       |             i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+       |         * sqrt(list_reduce(list_transform(
+       |             generate_series(1, len(b.v)),
+       |             i -> b.v[i] * b.v[i]), (x, y) -> x + y)))
+       |      DESC, b.vec_id) AS rank
+       |  FROM vecs a, vecs b
+       |  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id),
+       |hits AS (
+       |  SELECT query_id, qlabel,
+       |    SUM(CASE WHEN tlabel = qlabel THEN 7
+       |             WHEN abs(tlabel - qlabel) = 1 THEN 1
+       |             ELSE 0 END
+       |        * CAST(list_extract($discList, CAST(rank AS INTEGER))
+       |               AS BIGINT)) AS dcg9,
+       |    MIN(CASE WHEN tlabel = qlabel THEN rank END) AS first3,
+       |    SUM(CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END) AS hits3
+       |  FROM scored WHERE rank <= 10
+       |  GROUP BY query_id, qlabel),
+       |hist AS (SELECT label, COUNT(*) AS cnt FROM vecs GROUP BY label),
+       |counts AS (
+       |  SELECT h.query_id, h.qlabel, h.dcg9, h.first3, h.hits3,
+       |    g.cnt - 1 AS n3,
+       |    CAST(COALESCE((SELECT SUM(g2.cnt) FROM hist g2
+       |              WHERE abs(g2.label - h.qlabel) = 1), 0) AS BIGINT)
+       |      AS n1
+       |  FROM hits h JOIN hist g ON g.label = h.qlabel)
+       |SELECT query_id,
+       |  CAST(dcg9 AS DOUBLE) /
+       |    (7 * list_extract($prefixList,
+       |           CAST(LEAST(10, n3) + 1 AS INTEGER))
+       |     + (list_extract($prefixList,
+       |           CAST(LEAST(10, n3 + n1) + 1 AS INTEGER))
+       |        - list_extract($prefixList,
+       |           CAST(LEAST(10, n3) + 1 AS INTEGER)))) AS ndcg10,
+       |  COALESCE(CAST(1 AS DOUBLE) / first3, 0.0) AS mrr10,
+       |  CASE WHEN n3 > 0 THEN CAST(hits3 AS DOUBLE) / n3
+       |       ELSE 0.0 END AS recall10,
+       |  CAST(n3 AS BIGINT) AS n_rel
+       |FROM counts
+       |ORDER BY query_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_ndcg" -> (ndcgGate _))
+
+  def oracle: Map[String, String] = Map(
+    "eval_ndcg" -> ndcgSql)
+}

@@ -373,7 +373,46 @@ object Maintenance {
       |       OR effective_to > TIMESTAMP '1995-06-01 00:00:00')
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Incremental maintenance of a materialized aggregate: the
+    * standing per-(source, lang) rollup is REFRESHED by aggregating
+    * only the delta batch and merging — never by re-scanning the
+    * base corpus. Works because every kept statistic is algebraically
+    * mergeable (counts/sums merge by sum, min/max by min/max); at
+    * 100 TB the refresh cost is O(delta + groups), with the group
+    * frame itself broadcast-sized. Gate: base = docs with
+    * doc_id % 10 ≠ 0 materialized to scratch parquet (setup-timed),
+    * delta = the remaining tenth; the oracle recomputes the rollup
+    * from the FULL corpus — merged must equal recomputed exactly.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          min(col("n_chars")).as("c_min"), max(col("n_chars")).as("c_max"))
+    val baseDir = scratch(dir, "incragg/base")
+    graft.Scaffold.setup {
+      rollup(Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(baseDir)
+    }
+    val deltaAgg =
+      rollup(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
+    s.read.parquet(baseDir).union(deltaAgg)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n")).as("n"), sum(col("chars")).as("chars"),
+        min(col("c_min")).as("c_min"), max(col("c_max")).as("c_max"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val incrementalAggSql: String =
+    """SELECT source, lang, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  MIN(n_chars) AS c_min, MAX(n_chars) AS c_max
+      |FROM documents
+      |GROUP BY source, lang
+      |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_incremental_agg" -> (incrementalAgg _),
     "scd2_snapshot" -> (scd2Snapshot _),
     "maint_snapshot_diff" -> (snapshotDiffGate _),
     "merge_upsert" -> (mergeUpsert _),
@@ -381,6 +420,7 @@ object Maintenance {
     "scd2_build" -> (scd2Build _),
     "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
+    "maint_incremental_agg" -> incrementalAggSql,
     "scd2_snapshot" -> scd2SnapshotSql,
     "maint_snapshot_diff" -> snapshotDiffSql,
     "merge_upsert" -> mergeUpsertSql,

@@ -108,11 +108,52 @@ object Skew {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Skew doctor: the diagnostic you run BEFORE choosing a salt
+    * factor. Per-key row counts (one map-combinable groupBy), then
+    * the top-`topN` hottest keys each annotated with its corpus
+    * share (ppm) and the salt factor that would level it to the mean
+    * key — `ceil(c·n_keys/total)`, i.e. how many mean-sized keys this
+    * key equals. All integer arithmetic (`div`), the O(keys) count
+    * frame aggregates to ONE broadcast stats row, and only `topN`
+    * rows survive to the output — safe at any key cardinality.
+    */
+  def skewDiagnose(s: SparkSession, dir: String, topN: Int = 5)
+      : DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("c")).as("total"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("share_ppm", expr("c * 1000000 div total"))
+      .withColumn("salt_factor",
+        expr("(c * n_keys + total - 1) div total"))
+      .orderBy(col("c").desc, col("user_id"))
+      .limit(topN)
+      .select(col("user_id"), col("c").as("key_rows"), col("n_keys"),
+        col("total").as("total_rows"), col("share_ppm"),
+        col("salt_factor"))
+  }
+
+  val skewDiagnoseSql: String =
+    """WITH counts AS (
+      |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total
+      |  FROM counts)
+      |SELECT user_id, c AS key_rows, n_keys, total AS total_rows,
+      |  c * 1000000 // total AS share_ppm,
+      |  (c * n_keys + total - 1) // total AS salt_factor
+      |FROM counts, stats
+      |ORDER BY c DESC, user_id
+      |LIMIT 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_diagnose"    -> ((s: SparkSession, d: String) => skewDiagnose(s, d)),
     "skew_salted_join" -> (saltedJoinAgg _),
     "skew_salted_agg"  -> (saltedAggTotals _))
 
   def oracle: Map[String, String] = Map(
+    "skew_diagnose"    -> skewDiagnoseSql,
     "skew_salted_join" -> saltedJoinAggSql,
     "skew_salted_agg"  -> saltedAggTotalsSql)
 }
