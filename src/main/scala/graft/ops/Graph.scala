@@ -324,8 +324,70 @@ object Graph {
       |FROM documents WHERE doc_id < 128
       |ORDER BY doc_id""".stripMargin
 
+  /** k-core: iteratively peel nodes of degree < k until the residual
+    * graph is stable; returns surviving nodes with their in-core
+    * degree. Per round: one map-combinable degree count over the
+    * residual edge list, one anti-join to drop edges touching peeled
+    * nodes, one `localCheckpoint`. The loop exits when no node falls
+    * below k. Work per round is O(residual edges) and the residual
+    * only shrinks — the standard distributed peeling shape; the
+    * peeled-node frame driving each anti-join is O(newly peeled),
+    * not O(graph).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 32): DataFrame = {
+    var sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var it = 0
+    var stable = false
+    while (it < maxIters && !stable) {
+      it += 1
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val peel = deg.filter(col("deg") < k).select(col("src").as("id"))
+        .localCheckpoint()
+      if (peel.count() == 0) stable = true
+      else {
+        sym = sym
+          .join(peel.withColumnRenamed("id", "src")
+            .hint("shuffle_hash"), Seq("src"), "left_anti")
+          .join(peel.withColumnRenamed("id", "dst")
+            .hint("shuffle_hash"), Seq("dst"), "left_anti")
+          .localCheckpoint()
+      }
+    }
+    sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Gate: two K6 cliques (docs 0–5 and 10–15, all pairs) plus
+    * 6-long chains over docs 20–55 (i—i+1 within each decade,
+    * i%10 < 5). The 3-core is exactly the clique nodes at degree 5:
+    * every chain node has degree ≤ 2 and the whole chain layer peels
+    * in one round, so the loop converges in 2 rounds. */
+  def kCoreGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 56)
+    val cliq = d.toDF("id_a").join(d.toDF("id_b"),
+      col("id_a") < col("id_b") &&
+        ((col("id_a") < 6 && col("id_b") < 6) ||
+          (col("id_a").between(10, 15) && col("id_b").between(10, 15))))
+    val chains = d.toDF("id_a")
+      .join(d.toDF("id_b"), col("id_b") === col("id_a") + 1)
+      .filter(col("id_a") >= 20 && col("id_a") % 10 < 5)
+    kCore(cliq.union(chains), k = 3)
+      .select(col("id").as("doc_id"), col("deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  val kCoreSql: String =
+    """SELECT doc_id, CAST(5 AS BIGINT) AS deg
+      |FROM documents
+      |WHERE doc_id < 6 OR doc_id BETWEEN 10 AND 15
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs"         -> (bfsGate _),
+    "graph_kcore"       -> (kCoreGate _),
     "graph_triangles"   -> (triangles _),
     "graph_pagerank"    -> ((s, d) => pageRank(s, d)),
     "graph_pagerank_shuffle" ->
@@ -334,6 +396,7 @@ object Graph {
 
   def oracle: Map[String, String] = Map(
     "graph_bfs"         -> bfsSql,
+    "graph_kcore"       -> kCoreSql,
     "graph_triangles"   -> trianglesSql,
     "graph_pagerank"    -> pageRankSql(),
     // bit-identical integer fixpoint through the shuffle-join plan

@@ -472,8 +472,57 @@ object TimeSeries {
       |FROM j GROUP BY channel
       |ORDER BY channel""".stripMargin
 
+  /** EWMA weights α(1−α)^i for α=0.3, i=0..7, frozen as 1e9-scaled
+    * Scala literals injected into BOTH engines' plans — no runtime
+    * pow is ever compared cross-engine. */
+  private val EwmaW9: IndexedSeq[Long] = (0 until 8).map { i =>
+    math.floor(0.3 * math.pow(0.7, i) * 1e9 + 0.5).toLong
+  }
+  private val EwmaW9Sum: Long = EwmaW9.sum
+
+  /** Exponentially weighted moving average of `value` per user — the
+    * classic recency-weighted feature, here as its exact 8-term
+    * truncation so it is a pure rows-frame computation: 8 `lag`s with
+    * FROZEN literal weights ride ONE (user_id, ts) window sort (the
+    * same single shuffle rolling/sessionize share). Each weighted
+    * term snaps to a 1e9-scaled long before the commutative sum; the
+    * one closing division normalizes by the literal weight total.
+    * Rows without a full 8-event history are not emitted (null lag
+    * propagates through the long sum). */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val t9 = (0 until 8).map { i =>
+      floor(lag(col("value"), i).over(w) * lit(EwmaW9(i)) + 0.5)
+        .cast(LongType)
+    }.reduce(_ + _)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("t9", t9)
+      .filter(col("t9").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        (col("t9").cast(DoubleType) / lit(EwmaW9Sum.toDouble)).as("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val ewmaSql: String = {
+    val terms = (0 until 8).map { i =>
+      s"CAST(floor((lag(value, $i) OVER w) * ${EwmaW9(i)} + 0.5) AS BIGINT)"
+    }.mkString("\n      + ")
+    s"""SELECT user_id, event_id,
+       |  CAST(t9 AS DOUBLE) / $EwmaW9Sum AS ewma
+       |FROM (
+       |  SELECT user_id, event_id,
+       |    $terms AS t9
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |WHERE t9 IS NOT NULL
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
+        "ts_ewma"           -> (ewma _),
         "ts_attribution"    -> (attributionLinear _),
         "ts_resample_ffill" -> (tsResample _),
         "ts_sessionize"     -> (sessionizeBatch _),
@@ -482,6 +531,7 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> (behaviorLshGate _))
   def oracle: Map[String, String] =
     Map("ts_rolling"        -> rollingSql,
+        "ts_ewma"           -> ewmaSql,
         "ts_attribution"    -> attributionLinearSql,
         "ts_resample_ffill" -> tsResampleSql,
         "ts_sessionize"     -> sessionizeBatchSql,

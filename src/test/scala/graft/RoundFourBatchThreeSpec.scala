@@ -39,6 +39,58 @@ class RoundFourBatchThreeSpec extends SparkSpec {
     assert(merged.toSeq == full.toSeq)
   }
 
+  test("ewma: first full-history row matches a sequential snapped fold") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+      .collect()
+    val u0 = ev.head.getLong(0)
+    val series = ev.filter(_.getLong(0) == u0)
+    assert(series.length >= 8, "fixture user needs 8 events")
+    val w9 = (0 until 8).map(i =>
+      math.floor(0.3 * math.pow(0.7, i) * 1e9 + 0.5).toLong)
+    // EWMA at the 8th event: lags 0..7 reach back to the first event.
+    val window = (0 until 8).map(i => series(7 - i).getDouble(3))
+    val t9 = window.zip(w9).map { case (v, w) =>
+      math.floor(v * w + 0.5).toLong }.sum
+    val expect = t9.toDouble / w9.sum.toDouble
+    val got = ops.TimeSeries.ewma(spark, sf)
+      .filter(col("user_id") === u0)
+      .orderBy(col("event_id")).head()
+    assert(got.getLong(1) == series(7).getLong(1))
+    assert(got.getDouble(2) == expect)
+  }
+
+  test("kCore: cascading peel removes a whole path, triangle survives") {
+    import spark.implicits._
+    // Triangle 1-2-3 plus path 10-11-12-13 attached to nothing.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("id_a", "id_b")
+    val out = ops.Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Path ends have degree 1 -> peel; interior degrades -> cascade.
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("logregSteps: step-1 intercept equals snapped mean(y) - 0.5") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val docs = Tables.documents(spark, sf)
+      .select(when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .collect().map(_.getDouble(0))
+    val n = docs.length
+    val g0 = docs.map(y => math.floor((0.5 - y) * 1e9 + 0.5).toLong).sum
+    val expectB0 = -(g0.toDouble / (n.toDouble * 1e9))
+    val rows = ops.Learn.logregSteps(spark, sf).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(1) == expectB0)
+    // Step 2 must actually move the weights.
+    assert(rows(1).getDouble(1) != rows(0).getDouble(1))
+    rows.foreach { r =>
+      (1 to 3).foreach(i => assert(!r.getDouble(i).isNaN))
+    }
+  }
+
   test("skewDiagnose: hottest key, integer shares, salt factor bounds") {
     val got = Skew.skewDiagnose(spark, sf).collect()
     assert(got.length == 5)
