@@ -78,4 +78,21 @@ class JoinStrategySpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), plan)
     assert(!plan.contains("BroadcastExchange"), plan)
   }
+
+  test("ewma: one hash exchange feeds the window; no join anywhere") {
+    val df = graft.ops.TimeSeries.ewma(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), plan)
+    // one user_id hash exchange for the window; the only other
+    // exchange is the gate's output range-sort
+    val hashExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, plan)
+  }
+
+  test("eval_ndcg: histogram sides broadcast, no sort-merge join") {
+    val plan = planOf(graft.ops.Evaluation.ndcgGate(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
