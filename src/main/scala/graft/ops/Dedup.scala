@@ -1059,7 +1059,124 @@ object Dedup {
       |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Banded hamming self-join — the k-bit variant the [[simhash]]
+    * docstring names, as a first-class operator: pairs of 64-bit
+    * signatures within hamming distance ≤ `k`, found EXACTLY via the
+    * pigeonhole principle. The signature splits into `k+1` bands; any
+    * pair within distance k must agree on at least one whole band
+    * (k flipped bits cannot touch all k+1 bands), so the candidate
+    * join is an equi join on (band_index, band_value) — never a cross
+    * join, no false negatives. Candidates dedup as id pairs (16 B)
+    * before the verify pass computes `bit_count(sig_a XOR sig_b)`;
+    * the shuffle carries band keys + ids, signatures re-join after.
+    */
+  def hammingJoin(sigs: DataFrame, k: Int): DataFrame = {
+    val nBands = k + 1
+    val bandBits = 64 / nBands
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bv", expr(
+        s"shiftrightunsigned(sig, band * $bandBits) & ${(1L << bandBits) - 1}"))
+    val cands = banded.toDF("id_a", "sig_a", "band", "bv")
+      .join(banded.toDF("id_b", "sig_b", "band", "bv"), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(sigs.toDF("id_a", "sig_a"), "id_a")
+      .join(sigs.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= k)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast(LongType).as("hamming"))
+  }
+
+  /** SQL-derivable signature fixture: three bounded multiplicative
+    * hashes packed into disjoint bit ranges (26+26+10), overflow-safe
+    * in both engines, plus an engineered 1-bit-flipped twin
+    * (id+100000) for every 50th doc. The oracle brute-forces ALL
+    * pairs — the banded join must reproduce it exactly, engineered
+    * twins and accidental near-pairs alike. */
+  private def hammingSigs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      .withColumn("sig", expr(
+        """((id % 8191) * 2654435761 + 40503) % 67108864
+          | + (((id % 8191) * 2246822519 + 12345) % 67108864) * 67108864
+          | + (((id % 8191) * 3266489917 + 67890) % 1024)
+          |   * 67108864 * 67108864""".stripMargin))
+    val twins = base.filter(col("id") % 50 === 0)
+      .select((col("id") + 100000).as("id"),
+        expr("sig ^ shiftleft(CAST(1 AS BIGINT), CAST(id % 40 AS INT))")
+          .as("sig"))
+    base.union(twins)
+  }
+
+  def hammingBanded(s: SparkSession, dir: String): DataFrame =
+    hammingJoin(hammingSigs(s, dir), k = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val hammingBandedSql: String =
+    """WITH base AS (
+      |  SELECT doc_id AS id,
+      |    ((doc_id % 8191) * 2654435761 + 40503) % 67108864
+      |    + (((doc_id % 8191) * 2246822519 + 12345) % 67108864) * 67108864
+      |    + (((doc_id % 8191) * 3266489917 + 67890) % 1024)
+      |      * 67108864 * 67108864 AS sig
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT id, sig FROM base
+      |  UNION ALL
+      |  SELECT id + 100000 AS id,
+      |    xor(sig, CAST(1 AS BIGINT) << CAST(id % 40 AS INTEGER)) AS sig
+      |  FROM base WHERE id % 50 = 0)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sigs a, sigs b
+      |WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH band-geometry s-curve: P(candidate | similarity s) =
+    * 1 − (1 − s^rows)^bands for the geometries the repo's LSH paths
+    * actually use — the tuning table that justifies 8×4 (pair mining
+    * at high similarity) vs 16×2 (mid-similarity top-k). Pure
+    * projection over a generated grid; every power is an explicit
+    * fixed-order multiplication chain, so both engines produce
+    * bit-identical doubles with no runtime `pow`. */
+  def lshScurve(s: SparkSession, dir: String): DataFrame = {
+    val geoms = Seq((8, 4), (16, 2))
+    val frames = geoms.map { case (bands, rows) =>
+      val grid = s.range(1, 20).select(
+        (col("id").cast(DoubleType) / lit(20.0)).as("sim"))
+      val sPow = (1 until rows)
+        .foldLeft(col("sim"))((acc, _) => acc * col("sim"))
+      val miss1 = lit(1.0) - sPow
+      val missAll = (1 until bands).foldLeft(miss1)((acc, _) => acc * miss1)
+      grid.select(lit(bands.toLong).as("bands"), lit(rows.toLong).as("rows"),
+        col("sim"), (lit(1.0) - missAll).as("p_candidate"))
+    }
+    frames.reduce(_ union _)
+      .orderBy(col("bands"), col("sim"))
+  }
+
+  val lshScurveSql: String = {
+    def geomSql(bands: Int, rows: Int): String = {
+      val sPow = (1 until rows).foldLeft("s.sim")((acc, _) => s"($acc * s.sim)")
+      val miss1 = s"(1.0 - $sPow)"
+      val missAll = (1 until bands).foldLeft(miss1)((acc, _) => s"($acc * $miss1)")
+      s"""SELECT CAST($bands AS BIGINT) AS bands,
+         |  CAST($rows AS BIGINT) AS rows, s.sim,
+         |  1.0 - $missAll AS p_candidate
+         |FROM (SELECT CAST(i AS DOUBLE) / 20 AS sim
+         |      FROM generate_series(1, 19) t(i)) s""".stripMargin
+    }
+    s"""${geomSql(8, 4)}
+       |UNION ALL
+       |${geomSql(16, 2)}
+       |ORDER BY bands, sim""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_hamming_banded" -> (hammingBanded _),
+    "dedup_lsh_scurve"    -> (lshScurve _),
     "dedup_span_coverage" -> ((s: SparkSession, d: String) => spanCoverage(s, d)),
     "dedup_paragraph"     -> ((s: SparkSession, d: String) => paragraphDedup(s, d)),
     "dedup_unicode"       -> (unicodeDedup _),
@@ -1079,6 +1196,8 @@ object Dedup {
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_hamming_banded" -> hammingBandedSql,
+    "dedup_lsh_scurve"    -> lshScurveSql,
     "dedup_span_coverage" -> spanCoverageSql,
     "dedup_latest"        -> latestSql,
     "dedup_paragraph"     -> paragraphDedupSql,

@@ -91,6 +91,40 @@ class RoundFourBatchThreeSpec extends SparkSpec {
     }
   }
 
+  test("hammingJoin: exact at the k boundary, distance k+1 excluded") {
+    import spark.implicits._
+    val base = 0x123456789ABCL
+    // Distances from base: 1, 3 (kept at k=3) and 4 (excluded).
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ 1L),                     // d=1
+      (3L, base ^ ((1L << 63) | (1L << 20) | 2L)), // d=3, bits in 3 bands
+      (4L, base ^ 0xF0L)                   // d=4
+    ).toDF("id", "sig")
+    val got = ops.Dedup.hammingJoin(sigs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      a <- sigs.collect(); b <- sigs.collect()
+      if a.getLong(0) < b.getLong(0)
+      d = java.lang.Long.bitCount(a.getLong(1) ^ b.getLong(1))
+      if d <= 3
+    } yield (a.getLong(0), b.getLong(0), d.toLong)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 3L, 3L)) && !got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("lshScurve: monotone in s, 16x2 dominates 8x4 at low similarity") {
+    val rows = ops.Dedup.lshScurve(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getDouble(2)), r.getDouble(3))).toMap
+    Seq(8L, 16L).foreach { bands =>
+      (2 to 19).foreach { i =>
+        assert(rows((bands, i / 20.0)) >= rows((bands, (i - 1) / 20.0)))
+      }
+    }
+    // 16 bands x 2 rows catches mid-similarity pairs 8x4 misses.
+    assert(rows((16L, 0.5)) > rows((8L, 0.5)))
+  }
+
   test("skewDiagnose: hottest key, integer shares, salt factor bounds") {
     val got = Skew.skewDiagnose(spark, sf).collect()
     assert(got.length == 5)
