@@ -397,6 +397,59 @@ object DataQuality {
     * Benford expectation log10(1+1/d) is ln-ratio rounded to 1e-6,
     * the repo's pinned cross-engine ln contract.
     */
+  /** Schema drift between two table generations: columns added,
+    * removed, or type-changed — the contract check a daily pipeline
+    * runs BEFORE data-level diffs ([[Maintenance.snapshotDiff]]'s
+    * metadata complement). Pure catalog work: both sides' schemas are
+    * parquet footer metadata (no data scan at any size); the diff is
+    * computed on the O(columns) name set. Gate: a drifted copy of
+    * orders drops o_orderpriority, adds o_priority_rank, and retypes
+    * o_totalprice to string; the oracle states the expected
+    * classification closed-form. */
+  def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseDir = dqScratch(dir, "drift/base")
+    val newDir = dqScratch(dir, "drift/new")
+    graft.Scaffold.setup {
+      val o = Tables.orders(s, dir)
+      o.write.mode("overwrite").parquet(baseDir)
+      o.drop("o_orderpriority")
+        .withColumn("o_priority_rank",
+          (col("o_orderkey") % 5).cast(LongType))
+        .withColumn("o_totalprice", col("o_totalprice").cast(StringType))
+        .write.mode("overwrite").parquet(newDir)
+    }
+    val base = s.read.parquet(baseDir).schema
+      .map(f => f.name -> f.dataType.sql).toMap
+    val next = s.read.parquet(newDir).schema
+      .map(f => f.name -> f.dataType.sql).toMap
+    val rows = (base.keySet ++ next.keySet).toSeq.sorted.map { c =>
+      val status = (base.get(c), next.get(c)) match {
+        case (None, Some(_))              => "added"
+        case (Some(_), None)              => "removed"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _                            => "unchanged"
+      }
+      (c, status)
+    }
+    rows.toDF("column", "status").orderBy(col("column"))
+  }
+
+  val schemaDriftSql: String =
+    """SELECT * FROM (VALUES
+      |  ('o_custkey', 'unchanged'),
+      |  ('o_orderdate', 'unchanged'),
+      |  ('o_orderkey', 'unchanged'),
+      |  ('o_orderpriority', 'removed'),
+      |  ('o_orderstatus', 'unchanged'),
+      |  ('o_priority_rank', 'added'),
+      |  ('o_totalprice', 'type_changed')
+      |) AS t("column", status)
+      |ORDER BY "column"""".stripMargin
+
+  private def dqScratch(dir: String, name: String): String =
+    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/dq/$name"
+
   def dqBenford(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val digits = l
@@ -435,6 +488,7 @@ object DataQuality {
       |ORDER BY digit""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_schema_drift" -> (schemaDrift _),
     "dq_benford" -> (dqBenford _),
     "dq_psi" -> (dqPsi _),
     "dq_corr_matrix" -> (corrMatrix _),
@@ -445,6 +499,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_schema_drift" -> schemaDriftSql,
     "dq_benford" -> dqBenfordSql,
     "dq_psi" -> dqPsiSql,
     "dq_corr_matrix" -> corrMatrixSql,

@@ -118,6 +118,46 @@ object ParityQueries {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** Gzip-compressed CSV round-trip: the codec path of the convert
+    * pipeline (reference scope: the S3-bound CSV→parquet conversion
+    * regularly receives .csv.gz drops). Spark's text source
+    * decompresses by extension transparently, but gzip is
+    * NON-SPLITTABLE — at 100 TB one giant .gz is one task, so the
+    * ingest contract is many medium files (the export here produces
+    * one .gz per input partition, exactly that layout). Aggregates
+    * along a third axis (ship-year) so csv/jsonl/gzip prove fidelity
+    * independently. */
+  def convCsvGzipRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = scratch(dir, "conv_roundtrip_csv_gz")
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir).write
+        .mode("overwrite")
+        .option("header", "true")
+        .option("codec", "gzip")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(csvDir)
+    }
+    val schema = SchemaLoader.fromJson(LineitemSchemaJson)
+    val back = CsvIngest.read(s, csvDir, schema)
+    back.groupBy(year(col("l_shipdate")).cast(LongType).as("ship_year"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
+        sum(col("l_tax")).cast(DoubleType).as("sum_tax"),
+        max(col("l_linenumber").cast(LongType)).as("max_line"))
+      .orderBy(col("ship_year"))
+  }
+
+  val convCsvGzipRoundtripSql: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax,
+      |  CAST(MAX(l_linenumber) AS BIGINT) AS max_line
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY ship_year""".stripMargin
+
   /** JSONL quarantine: the row-isolation contract on the second
     * source format. l_suppkey is corrupted to a non-integer string on
     * a deterministic key subset before export; [[graft.sources
@@ -483,6 +523,7 @@ object ParityQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_csv_roundtrip"    -> (convCsvRoundtrip _),
+    "conv_csv_gzip_roundtrip" -> (convCsvGzipRoundtrip _),
     "conv_jsonl_roundtrip"  -> (convJsonlRoundtrip _),
     "conv_jsonl_quarantine" -> (convJsonlQuarantine _),
     "conv_orc_roundtrip"    -> (convOrcRoundtrip _),
@@ -499,6 +540,7 @@ object ParityQueries {
 
   def oracle: Map[String, String] = Map(
     "conv_csv_roundtrip"    -> convCsvRoundtripSql,
+    "conv_csv_gzip_roundtrip" -> convCsvGzipRoundtripSql,
     "conv_jsonl_roundtrip"  -> convJsonlRoundtripSql,
     "conv_jsonl_quarantine" -> convJsonlQuarantineSql,
     "conv_orc_roundtrip"    -> convOrcRoundtripSql,

@@ -125,6 +125,18 @@ class RoundFourBatchThreeSpec extends SparkSpec {
     assert(rows((16L, 0.5)) > rows((8L, 0.5)))
   }
 
+  test("gzip roundtrip: the export really is gzip files, and re-reads") {
+    val out = ops.ParityQueries.convCsvGzipRoundtrip(spark, sf).collect()
+    assert(out.nonEmpty)
+    val dir = new java.io.File(
+      s"/tmp/graft_scratch/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/conv_roundtrip_csv_gz")
+    val gz = dir.listFiles().filter(_.getName.endsWith(".csv.gz"))
+    assert(gz.nonEmpty, s"no .csv.gz files in $dir")
+    // row total survives the codec round-trip
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("skewDiagnose: hottest key, integer shares, salt factor bounds") {
     val got = Skew.skewDiagnose(spark, sf).collect()
     assert(got.length == 5)
