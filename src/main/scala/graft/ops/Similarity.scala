@@ -768,6 +768,91 @@ object Similarity {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  /** Two-stage retrieval: quantized first pass, exact rerank — the
+    * production serving pattern behind every PQ/int8 ANN deployment.
+    * Stage 1 ranks the corpus by INTEGER dot product of the int8
+    * codes (4× smaller scan, and the score is exact integer
+    * arithmetic — no float nondeterminism anywhere in the wide pass)
+    * and keeps top-`m` per query; stage 2 re-scores ONLY those m
+    * candidates with exact double cosine and keeps top-`k`. At
+    * 100 TB the full-width vectors are touched for m rows per query
+    * instead of the whole corpus — the rerank join is the only place
+    * the fat column is read.
+    *
+    * Both stages are deterministic (integer scores, then the
+    * established bit-identical cosine fold), so the gate is a full
+    * hash oracle — no recall bound needed.
+    */
+  def rerankQuantized(s: SparkSession, dir: String, m: Int = 50,
+      k: Int = 5): DataFrame = {
+    val base = vecs(s, dir)
+    val corpusQ = quantizeInt8(base)
+      .select(col("vec_id").as("target_id"),
+        transform(col("q"), _.cast(DoubleType)).as("tq"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val queriesQ = quantizeInt8(base.filter(col("vec_id") < 8))
+      .select(col("vec_id").as("query_id"),
+        transform(col("q"), _.cast(DoubleType)).as("qq"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("s1_score").desc, col("target_id"))
+    val stage1 = corpusQ.crossJoin(broadcast(queriesQ))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("s1_score", dot(col("qq"), col("tq")))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= m)
+      .select(col("query_id"), col("target_id"), col("s1_score"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    stage1
+      .join(base.toDF("target_id", "tv"), "target_id")
+      .join(broadcast(base.filter(col("vec_id") < 8)
+        .toDF("query_id", "qv")), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"), col("sim"),
+        col("s1_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val rerankQuantizedSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, v,
+       |    list_transform(v, x -> CAST(CAST(floor(
+       |      x / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30)
+       |        * 127.0 + 0.5) AS BIGINT) AS DOUBLE)) AS qc
+       |  FROM v),
+       |stage1 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS target_id,
+       |    list_reduce(list_transform(generate_series(1, len(a.qc)),
+       |      i -> a.qc[i] * b.qc[i]), (x, y) -> x + y) AS s1_score,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, len(a.qc)),
+       |        i -> a.qc[i] * b.qc[i]), (x, y) -> x + y) DESC,
+       |      b.vec_id) AS r1
+       |  FROM q a, q b
+       |  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id),
+       |rerank AS (
+       |  SELECT s.query_id, s.target_id, s.s1_score,
+       |    ${CosineSql.replace("a.v", "qa.v").replace("b.v", "qb.v")}
+       |      AS sim
+       |  FROM stage1 s
+       |  JOIN v qa ON qa.vec_id = s.query_id
+       |  JOIN v qb ON qb.vec_id = s.target_id
+       |  WHERE s.r1 <= 50)
+       |SELECT query_id, target_id, rank, sim, s1_score FROM (
+       |  SELECT query_id, target_id, sim, s1_score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, target_id) AS rank
+       |  FROM rerank)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Per-label embedding centroids — the training step of every
     * clustering-based index (IVF cell centers, k-means topic
     * clusters, class prototypes for nearest-centroid dedup). One
@@ -961,6 +1046,8 @@ object Similarity {
     "embed_centroids"     -> (centroids _),
     "embed_classify"      -> (classifyByCentroid _),
     "embed_quantize"      -> (embedQuantize _),
+    "sim_rerank_quantized" -> ((s: SparkSession, d: String) =>
+      rerankQuantized(s, d)),
     "sim_topk_bruteforce" -> (topK _),
     "sim_topk_l2"         -> (topKL2 _),
     "sim_topk_agg"        -> (topKAgg _),
@@ -980,6 +1067,7 @@ object Similarity {
     "embed_centroids"     -> centroidsSql,
     "embed_classify"      -> classifyByCentroidSql,
     "embed_quantize"      -> embedQuantizeSql,
+    "sim_rerank_quantized" -> rerankQuantizedSql,
     "sim_topk_bruteforce" -> topKSql,
     "sim_topk_l2"         -> topKL2Sql,
     "sim_topk_agg"        -> topKSql,
