@@ -265,8 +265,6 @@ object TrainingData {
     * global sort, no RNG state. */
   def mixtureSample(s: SparkSession, dir: String,
       weights: Map[String, Double]): DataFrame = {
-    val m = 2654435761L
-    val mod = 4294967296L
     val docs = Tables.documents(s, dir)
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"))
@@ -280,13 +278,25 @@ object TrainingData {
         weightCol * col("n_total") / col("n_src")).as("rate"))
     docs
       .join(broadcast(rates), "source")
-      .filter(((col("doc_id") * lit(m)) % lit(mod)).cast("double")
-        < col("rate") * lit(mod.toDouble))
+      .filter(rowHash32(col("doc_id")).cast("double")
+        < col("rate") * lit(4294967296.0))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
            sum(col("n_chars")).as("chars_kept"))
       .orderBy(col("source"))
   }
+
+  /** Overflow-safe multiplicative row hash in [0, 2^32): the
+    * `mod 1000003` pre-reduction keeps the multiply inside 2^63 for
+    * ANY 64-bit id (same idiom as [[trainValTestSplit]]) — a bare
+    * `id * 2654435761` wraps silently in Spark but errors in DuckDB
+    * once ids pass ~3.5e9, and the wrapped negatives make `pmod` vs
+    * `%` diverge between engines. */
+  private def rowHash32(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(4294967296L))
+
+  private val rowHash32Sql =
+    "((doc_id % 1000003) * 2654435761) % 4294967296"
 
   /** Gate: mix to 50% src0 / 30% src1 / 10% src2, dropping all other
     * sources (weight 0). */
@@ -295,7 +305,7 @@ object TrainingData {
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.1))
 
   val mixtureSql: String =
-    """WITH counts AS (
+    s"""WITH counts AS (
       |  SELECT source, COUNT(*) AS n_src,
       |    SUM(COUNT(*)) OVER () AS n_total
       |  FROM documents GROUP BY source),
@@ -308,7 +318,7 @@ object TrainingData {
       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
       |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
       |FROM documents d JOIN rates USING (source)
-      |WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+      |WHERE CAST($rowHash32Sql AS DOUBLE)
       |  < rate * 4294967296
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
