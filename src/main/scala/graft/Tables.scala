@@ -25,19 +25,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and convert to a micros timestamp —
-    * the same truncation DuckDB applies when it reads ns into its
-    * µs TIMESTAMP. */
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]) unless read as raw nanos via
+    * legacy.parquet.nanosAsLong — and plain TIMESTAMP(MICROS). Handle
+    * both by dispatching on the type the reader actually produced:
+    * a long is nanos → truncate to micros (the same truncation DuckDB
+    * applies reading ns into its µs TIMESTAMP); a native timestamp
+    * (incl. NTZ) is canonicalized to session-TZ TimestampType so every
+    * downstream operator sees one type regardless of the file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = apply(s, d, "events")
-    // integer `div`, NOT `/`: long/long in Spark is double division,
-    // which loses sub-microsecond bits past 2^53 nanoseconds.
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: long/long in Spark is double
+        // division, which loses sub-microsecond bits past 2^53 ns.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Session TZ is pinned to UTC everywhere (builder config), so
+        // this cast is wall-clock-preserving and keeps one ts type.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
