@@ -291,12 +291,22 @@ object TrainingData {
     * ANY 64-bit id (same idiom as [[trainValTestSplit]]) — a bare
     * `id * 2654435761` wraps silently in Spark but errors in DuckDB
     * once ids pass ~3.5e9, and the wrapped negatives make `pmod` vs
-    * `%` diverge between engines. */
+    * `%` diverge between engines. The SQL twin folds the residue
+    * non-negative by hand (`% + m) % m`) because DuckDB's `%` follows
+    * the dividend's sign while Spark's `pmod` never goes negative —
+    * so the two texts agree for negative ids too.
+    *
+    * Known limit: the hash depends only on `doc_id mod 1000003`, so
+    * ids that differ by a multiple of 1,000,003 share one keep
+    * decision. Sampled FRACTIONS stay accurate at any corpus size,
+    * but per-doc independence degrades past ~1e6 docs; a billion-doc
+    * corpus wanting independent per-doc draws should swap in a full
+    * 64-bit mix (split-multiply / xorshift) on both sides. */
   private def rowHash32(id: Column): Column =
     pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(4294967296L))
 
   private val rowHash32Sql =
-    "((doc_id % 1000003) * 2654435761) % 4294967296"
+    "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 4294967296"
 
   /** Gate: mix to 50% src0 / 30% src1 / 10% src2, dropping all other
     * sources (weight 0). */
@@ -337,8 +347,6 @@ object TrainingData {
     * is the per-source rate table (O(sources)). */
   def mixtureTemperature(s: SparkSession, dir: String,
       c: Double = 0.2): DataFrame = {
-    val m = 2654435761L
-    val mod = 4294967296L
     val docs = Tables.documents(s, dir)
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"))
@@ -350,8 +358,8 @@ object TrainingData {
         .as("rate"))
     docs
       .join(broadcast(rates), "source")
-      .filter(((col("doc_id") * lit(m)) % lit(mod)).cast("double")
-        < col("rate") * lit(mod.toDouble))
+      .filter(rowHash32(col("doc_id")).cast("double")
+        < col("rate") * lit(4294967296.0))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
            sum(col("n_chars")).as("chars_kept"))
@@ -359,7 +367,7 @@ object TrainingData {
   }
 
   val mixtureTemperatureSql: String =
-    """WITH counts AS (
+    s"""WITH counts AS (
       |  SELECT source, COUNT(*) AS n_src,
       |    SUM(COUNT(*)) OVER () AS n_total
       |  FROM documents GROUP BY source),
@@ -371,7 +379,7 @@ object TrainingData {
       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
       |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
       |FROM documents d JOIN rates USING (source)
-      |WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+      |WHERE CAST(${rowHash32Sql.replace("doc_id", "d.doc_id")} AS DOUBLE)
       |  < rate * 4294967296
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
@@ -762,19 +770,24 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  // DuckDB SUM(BIGINT) widens to HUGEINT, which pandas renders as
+  // float64 — without the BIGINT casts `alloc` hash-mismatches the
+  // int64 Spark column even when every value is identical.
   val apportionSql: String =
     """WITH counts AS (
       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-      |tot AS (SELECT SUM(n_docs) AS t FROM counts),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM counts),
       |r AS (
       |  SELECT source, n_docs,
       |    (1000 * n_docs) // t AS fl,
       |    row_number() OVER (ORDER BY (1000 * n_docs) % t DESC, source)
       |      AS rk,
-      |    1000 - SUM((1000 * n_docs) // t) OVER () AS leftover
+      |    1000 - CAST(SUM((1000 * n_docs) // t) OVER () AS BIGINT)
+      |      AS leftover
       |  FROM counts CROSS JOIN tot)
       |SELECT source, n_docs,
-      |  fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+      |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
       |FROM r ORDER BY source""".stripMargin
 
   /** Weighted sampling without replacement, Efraimidis–Spirakis
