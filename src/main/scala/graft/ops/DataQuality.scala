@@ -487,7 +487,62 @@ object DataQuality {
       |FROM c CROSS JOIN t
       |ORDER BY digit""".stripMargin
 
+  /** Primary-key uniqueness audit — the first expectation any
+    * warehouse DQ suite runs. Two probes in one gate: the clean
+    * `o_orderkey` PK on orders must show ZERO duplicate keys, and a
+    * deliberately corrupted orders corpus (every 251st key
+    * re-inserted) must show exactly the planted violations — proving
+    * the audit both passes clean data and catches dirty data, with
+    * multiplicity stats for triage. (The synthetic lineitem does NOT
+    * honor the TPC-H composite PK — its linenumbers repeat per order
+    * — so orders is the clean fixture here.)
+    *
+    * Scale: one hash-aggregate per probe on the key columns —
+    * map-side partial count means the shuffle carries one row per
+    * distinct key per partition, and the violation summary is a
+    * second metadata-sized reduce. No row data moves. */
+  def dqUniqueness(s: SparkSession, dir: String): DataFrame = {
+    def audit(g: DataFrame, label: String): DataFrame =
+      g.agg(count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          max(col("n")).as("max_multiplicity"))
+        .select(lit(label).as("probe"), col("n_keys"), col("n_rows"),
+          col("n_dup_keys"), col("max_multiplicity"))
+    val keys = Tables.orders(s, dir).select(col("o_orderkey"))
+    val clean = audit(
+      keys.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n")),
+      "orders_clean")
+    val corrupted = audit(
+      keys.unionAll(keys.filter(col("o_orderkey") % 251 === 0))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n")),
+      "orders_corrupted")
+    clean.unionAll(corrupted).orderBy(col("probe"))
+  }
+
+  val dqUniquenessSql: String =
+    """WITH oc AS (
+      |  SELECT COUNT(*) AS n FROM (
+      |    SELECT o_orderkey FROM orders
+      |    UNION ALL
+      |    SELECT o_orderkey FROM orders WHERE o_orderkey % 251 = 0)
+      |  GROUP BY o_orderkey)
+      |SELECT 'orders_clean' AS probe,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_dup_keys,
+      |  CAST(1 AS BIGINT) AS max_multiplicity
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_corrupted', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n) AS BIGINT),
+      |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(MAX(n) AS BIGINT)
+      |FROM oc
+      |ORDER BY probe""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_uniqueness" -> (dqUniqueness _),
     "dq_schema_drift" -> (schemaDrift _),
     "dq_benford" -> (dqBenford _),
     "dq_psi" -> (dqPsi _),
@@ -499,6 +554,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_uniqueness" -> dqUniquenessSql,
     "dq_schema_drift" -> schemaDriftSql,
     "dq_benford" -> dqBenfordSql,
     "dq_psi" -> dqPsiSql,

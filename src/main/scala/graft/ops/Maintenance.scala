@@ -411,7 +411,65 @@ object Maintenance {
       |GROUP BY source, lang
       |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
 
+  /** File-level data skipping — the Delta/Iceberg min-max stats
+    * mechanism on plain parquet. Orders is staged as a year-clustered
+    * layout (one file per `o_year` directory), a stats index (per-FILE
+    * min/max/count, keyed by `input_file_name()`) is built with one
+    * scan, and a point-in-time predicate is answered by consulting
+    * ONLY the index: files whose `[min,max]` range misses the cutoff
+    * are never opened. The gate re-reads just the surviving files and
+    * asserts the pruned scan returns exactly the full-scan answer
+    * (`prune_exact`) — skipping must be an optimization, never a
+    * wrong answer.
+    *
+    * Scale: this is THE 100 TB point-lookup pattern — a stats index
+    * is metadata (one row per file; ~1e5 rows for 100 TB of 1 GB
+    * files), consulting it is a driver-side prune identical to
+    * partition pruning, and the data read drops from the whole table
+    * to the intersecting files. The `collect()` ships file NAMES, not
+    * data — same justification as the IVF index's partition prune. */
+  def fileStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "maint_filestats")
+    graft.Scaffold.setup {
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
+        .repartition(col("o_year")) // all rows of a year in one task →
+        .write.partitionBy("o_year") // exactly one file per year dir
+        .mode("overwrite").parquet(root)
+    }
+    val cutoff = to_timestamp(lit("1997-06-01 00:00:00"))
+    // Read-back partition column is dir-name-inferred (int) — pin long.
+    val stats = s.read.parquet(root)
+      .groupBy(input_file_name().as("file"),
+        col("o_year").cast(LongType).as("o_year"))
+      .agg(min(col("o_orderdate")).as("min_d"),
+        max(col("o_orderdate")).as("max_d"),
+        count(lit(1)).as("n_rows"))
+    val keep = stats.filter(col("max_d") >= cutoff) // index consult:
+      .select(col("file")).collect().map(_.getString(0)) // names only
+    val prunedCount = s.read.option("basePath", root)
+      .parquet(keep.toIndexedSeq: _*)
+      .filter(col("o_orderdate") >= cutoff).count()
+    val fullCount = s.read.parquet(root)
+      .filter(col("o_orderdate") >= cutoff).count()
+    stats
+      .select(col("o_year"), col("n_rows"),
+        (col("max_d") >= cutoff).as("scanned"))
+      .withColumn("prune_exact", lit(prunedCount == fullCount))
+      .orderBy(col("o_year"))
+  }
+
+  val fileStatsPruneSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  COUNT(*) AS n_rows,
+      |  MAX(o_orderdate) >= TIMESTAMP '1997-06-01' AS scanned,
+      |  CAST(1 AS BOOLEAN) AS prune_exact
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_file_stats_prune" -> (fileStatsPrune _),
     "maint_incremental_agg" -> (incrementalAgg _),
     "scd2_snapshot" -> (scd2Snapshot _),
     "maint_snapshot_diff" -> (snapshotDiffGate _),
@@ -420,6 +478,7 @@ object Maintenance {
     "scd2_build" -> (scd2Build _),
     "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
+    "maint_file_stats_prune" -> fileStatsPruneSql,
     "maint_incremental_agg" -> incrementalAggSql,
     "scd2_snapshot" -> scd2SnapshotSql,
     "maint_snapshot_diff" -> snapshotDiffSql,

@@ -357,6 +357,114 @@ object ParityQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** XML round-trip: the fifth text source format, served by the XML
+    * datasource Spark 4 bundles in sql/core (SPARK-44751) — no
+    * external connector jar. Lineitem is exported one `<lineitem>`
+    * element per row, re-read under a declared schema (timestamps
+    * travel as formatted strings, the same micros-preserving contract
+    * as the fixed-width gate), and aggregated along the l_linestatus
+    * axis so the five conv gates stay mutually independent. The
+    * oracle reads the original parquet — equality proves the XML
+    * writer/parser pair is value-preserving for longs, decimals, and
+    * micros timestamps.
+    *
+    * Scale: the XML reader splits files like any text source, and the
+    * declared schema keeps parsing single-pass (no schema inference
+    * scan); at 100 TB the ingest parallelizes per-file exactly like
+    * the CSV path. */
+  def convXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val xmlDir = scratch(dir, "conv_roundtrip_xml")
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("l_shipdate"))
+        .write.mode("overwrite")
+        .format("xml").option("rowTag", "lineitem")
+        .save(xmlDir)
+    }
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DecimalType(18, 2)),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", StringType)))
+    s.read.format("xml").option("rowTag", "lineitem")
+      .schema(schema).load(xmlDir)
+      .withColumn("l_shipdate", to_timestamp_ntz(col("l_shipdate"),
+        lit("yyyy-MM-dd HH:mm:ss.SSSSSS")))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val convXmlRoundtripSql: String =
+    """SELECT l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  MIN(l_shipdate) AS min_ship,
+      |  MAX(l_shipdate) AS max_ship
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** binaryFile-source ingest: the front door for multimodal payloads
+    * (SURVEY §2.9) — opaque image/audio/video blobs land as files and
+    * enter the engine through `spark.read.format("binaryFile")`, which
+    * yields (path, modificationTime, length, content) with
+    * pathGlobFilter/length pushdown. The gate stages one `.bin` file
+    * per document (UTF-8 text bytes, so content is deterministic),
+    * reads them back, and fingerprints each file (byte length + md5).
+    * The oracle computes the same fingerprints straight from the
+    * `documents` table — md5 over a DuckDB VARCHAR hashes its UTF-8
+    * bytes, exactly what Spark's md5 sees from the file — so the gate
+    * needs no scratch-path knowledge on the oracle side.
+    *
+    * Scale: binaryFile is a standard FileScan — per-file tasks,
+    * column pruning (skip `content` when only metadata is selected),
+    * and glob/length filters pushed to the listing, the right shape
+    * for a 100 TB blob corpus. */
+  def convBinaryFiles(s: SparkSession, dir: String): DataFrame = {
+    val binDir = scratch(dir, "conv_binaryfiles")
+    graft.Scaffold.setup {
+      // Fixture staging: 40 metadata-sized rows written as loose files
+      // on the driver — the operator under test is the distributed
+      // binaryFile READ below, not this scaffolding.
+      val p = java.nio.file.Paths.get(binDir)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.createDirectories(p)
+      Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(p.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+      .load(binDir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("fname"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("fname"))
+  }
+
+  val convBinaryFilesSql: String =
+    """SELECT 'doc_' || doc_id || '.bin' AS fname,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents WHERE doc_id < 40
+      |ORDER BY fname""".stripMargin
+
   /** Time-travel read over the keep-last-N savepoint ring (Q7 /
     * reference `AutoPurge.sql:81-92` ROLLBACK parity, exposed as a
     * QUERYABLE generation instead of only a restore): purge with
@@ -531,6 +639,8 @@ object ParityQueries {
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_time_travel"     -> (purgeTimeTravel _),
     "conv_fixedwidth_roundtrip" -> (convFixedWidthRoundtrip _),
+    "conv_xml_roundtrip"    -> (convXmlRoundtrip _),
+    "conv_binaryfiles"      -> (convBinaryFiles _),
     "purge_sql_delete"      -> (purgeSqlDelete _),
     "purge_guard_abort"     -> (purgeGuardAbort _),
     "purge_dryrun"          -> (purgeDryRun _),
@@ -548,6 +658,8 @@ object ParityQueries {
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_time_travel"     -> purgeTimeTravelSql,
     "conv_fixedwidth_roundtrip" -> convFixedWidthRoundtripSql,
+    "conv_xml_roundtrip"    -> convXmlRoundtripSql,
+    "conv_binaryfiles"      -> convBinaryFilesSql,
     "purge_sql_delete"      -> purgeSqlDeleteSql,
     "purge_guard_abort"     -> purgeGuardAbortSql,
     "purge_dryrun"          -> purgeDryRunSql,

@@ -1039,7 +1039,104 @@ object Similarity {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  /** Product quantization (PQ) — the compression half of IVF-PQ, the
+    * standard billion-vector ANN layout (Jégou et al., TPAMI 2011):
+    * split each d-dim vector into `m` subspaces, learn a tiny
+    * per-subspace codebook, and store each vector as `m` byte codes
+    * (64 floats → 4 bytes here). Codebooks are deterministic (the
+    * first `k` vectors' sub-slices, the same seeding idiom as
+    * [[ivfSeeds]]) so the gate is exactly reproducible; encoding is
+    * argmin squared-L2 over the codebook with the expansion
+    * `‖a‖² − 2·a·b + ‖b‖²` on the codegen'd [[dot]] kernel. The gate
+    * reports per-label reconstruction error — per-vector residuals
+    * are snapped to DECIMAL(28,12) before any cross-vector SUM per
+    * the determinism policy, then floored to a 1e-6 grid.
+    *
+    * Scale: the codebook is m·k sub-vectors (KBs) → broadcast; every
+    * vector encodes independently in one projection pass (no
+    * shuffle), and the argmin window partitions by (vec_id, sub) —
+    * the same per-row grain as the scan, so no skew. At 100 TB the
+    * encoded corpus is 16× smaller than the float vectors; ADC
+    * probing then scans codes, not floats. */
+  def pqEncode(s: SparkSession, dir: String, m: Int = 4,
+      k: Int = 16): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        asDouble(col("embedding")).as("v"))
+    val subDim = 64 / m
+    def subSlices = array((0 until m).map(i =>
+      slice(col("v"), i * subDim + 1, subDim)): _*)
+    val cb = base.orderBy(col("vec_id")).limit(k)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("code"), posexplode(subSlices))
+      .select(col("code"), col("pos").as("sub"), col("col").as("cv"))
+    val vsub = base
+      .select(col("vec_id"), col("label"), posexplode(subSlices))
+      .select(col("vec_id"), col("label"), col("pos").as("sub"),
+        col("col").as("sv"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("code"))
+    val best = vsub.join(broadcast(cb), "sub")
+      .withColumn("dist",
+        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv"))
+          + dot(col("cv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    best
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("dist").cast(DecimalType(28, 12))).as("mse"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("mse")) * lit(1000000L)).cast(LongType)
+          .cast(DoubleType) / 1e6).as("pq_err6"))
+      .orderBy(col("label"))
+  }
+
+  val pqEncodeSql: String =
+    """WITH vecs AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+      |  FROM vecs ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT i AS sub FROM range(0, 4) t(i)),
+      |vsub AS (
+      |  SELECT vec_id, label, sub,
+      |    list_slice(v, sub * 16 + 1, sub * 16 + 16) AS sv
+      |  FROM vecs, subs),
+      |csub AS (
+      |  SELECT code, sub,
+      |    list_slice(v, sub * 16 + 1, sub * 16 + 16) AS cv
+      |  FROM cb, subs),
+      |d AS (
+      |  SELECT vec_id, label, sub, code,
+      |    list_reduce(list_transform(generate_series(1, 16),
+      |        i -> sv[i] * sv[i]), (x, y) -> x + y)
+      |    - 2.0 * list_reduce(list_transform(generate_series(1, 16),
+      |        i -> sv[i] * cv[i]), (x, y) -> x + y)
+      |    + list_reduce(list_transform(generate_series(1, 16),
+      |        i -> cv[i] * cv[i]), (x, y) -> x + y) AS dist
+      |  FROM vsub JOIN csub USING (sub)),
+      |best AS (
+      |  SELECT vec_id, label, sub, dist,
+      |    row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist, code) AS rn
+      |  FROM d),
+      |pv AS (
+      |  SELECT vec_id, label,
+      |    SUM(CAST(dist AS DECIMAL(28,12))) AS mse
+      |  FROM best WHERE rn = 1 GROUP BY vec_id, label)
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(CAST(floor(SUM(mse) * 1000000) AS BIGINT) AS DOUBLE) / 1e6
+      |    AS pq_err6
+      |FROM pv GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_encode"       -> ((s: SparkSession, d: String) =>
+      pqEncode(s, d)),
     "embed_project"       -> ((s: SparkSession, d: String) =>
       randomProjection(s, d)),
     "sim_semantic_dedup"  -> (semanticDedup _),
@@ -1063,6 +1160,7 @@ object Similarity {
 
   def oracle: Map[String, String] = Map(
     "embed_project"       -> randomProjectionSql,
+    "sim_pq_encode"       -> pqEncodeSql,
     "sim_semantic_dedup"  -> semanticDedupSql,
     "embed_centroids"     -> centroidsSql,
     "embed_classify"      -> classifyByCentroidSql,

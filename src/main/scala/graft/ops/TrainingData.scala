@@ -384,6 +384,69 @@ object TrainingData {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  /** Fractional-epoch upsampling ("data echoing"): where
+    * [[mixtureSample]] THINS dominant sources toward target weights,
+    * this REPLICATES under-represented ones — per-source epoch weight
+    * `w` gives every doc `⌊w⌋` full copies plus one more with
+    * probability `frac(w)` (decided by the same deterministic
+    * [[rowHash32]] Bernoulli, so reruns reproduce the sample). The
+    * standard way multi-epoch mixtures are materialized for training:
+    * "2.5 epochs of src0" = two full passes + a deterministic half.
+    * Output is the per-(source, epoch) census so the gate pins that
+    * epoch k holds exactly the docs with `n_copies ≥ k`.
+    *
+    * Scale: replication is `explode(sequence(1, n_copies))` — a
+    * per-row generator inside the scan projection, no shuffle and no
+    * driver involvement; output volume is Σw·|src| by design (that IS
+    * the requested corpus), and the census aggregate is map-side
+    * partial. */
+  def epochsSample(s: SparkSession, dir: String,
+      weights: Map[String, Double]): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val weightCol = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    docs
+      .withColumn("w", weightCol)
+      .withColumn("n_copies",
+        (floor(col("w")).cast("long") +
+          when(rowHash32(col("doc_id")).cast("double")
+            < (col("w") - floor(col("w"))) * lit(4294967296.0), 1L)
+            .otherwise(0L)))
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("n_chars"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("source"), col("epoch"))
+  }
+
+  /** Gate: 2.5 epochs of src0, 1 of src1, 0.3 of src2, drop the rest. */
+  def epochs(s: SparkSession, dir: String): DataFrame =
+    epochsSample(s, dir,
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.3))
+
+  val epochsSql: String =
+    s"""WITH d AS (
+      |  SELECT source, n_chars,
+      |    CAST(floor(w) AS BIGINT) + CASE
+      |      WHEN CAST($rowHash32Sql AS DOUBLE)
+      |           < (w - floor(w)) * 4294967296 THEN 1 ELSE 0 END
+      |      AS n_copies
+      |  FROM (SELECT doc_id, source, n_chars,
+      |          CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+      |               WHEN 'src2' THEN 0.3 ELSE 0.0 END AS w
+      |        FROM documents)),
+      |e AS (
+      |  SELECT source, n_chars,
+      |    unnest(generate_series(1, n_copies)) AS epoch
+      |  FROM d WHERE n_copies > 0)
+      |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM e
+      |GROUP BY source, epoch
+      |ORDER BY source, epoch""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   /** PII redaction: mask emails and phone numbers with typed
@@ -903,6 +966,7 @@ object TrainingData {
     "pack_shuffle"       -> ((s, d) => packShuffle(s, d)),
     "pack_mixture"       -> ((s, d) => mixture(s, d)),
     "pack_mixture_temp"  -> ((s, d) => mixtureTemperature(s, d)),
+    "pack_epochs"        -> ((s, d) => epochs(s, d)),
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -921,5 +985,6 @@ object TrainingData {
     "pack_shuffle"       -> packShuffleSql,
     "pack_mixture"       -> mixtureSql,
     "pack_mixture_temp"  -> mixtureTemperatureSql,
+    "pack_epochs"        -> epochsSql,
     "pii_scrub"          -> piiScrubSql)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DataQuality, Maintenance, Similarity, TrainingData}
+
+/** Unit fixtures for the round-5 additions: closed-form invariants
+  * the sf-corpus gates can't state (perfect-reconstruction PQ,
+  * integer-weight epochs, planted-duplicate detection). */
+class RoundFiveOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("epochsSample: integer weight w replicates every doc exactly w times") {
+    val out = TrainingData.epochsSample(spark, sf, Map("src0" -> 2.0))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Epoch 1 and epoch 2 must hold the identical doc census; no
+    // epoch 3, no other sources.
+    assert(out.keys.map(_._1).toSet == Set("src0"))
+    assert(out.keys.map(_._2).toSet == Set(1L, 2L))
+    assert(out(("src0", 1L)) == out(("src0", 2L)))
+  }
+
+  test("epochsSample: epoch k is a superset census of epoch k+1") {
+    val out = TrainingData.epochs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (((src, ep), n) <- out if out.contains((src, ep + 1)))
+      assert(n >= out((src, ep + 1)),
+        s"epoch $ep of $src smaller than epoch ${ep + 1}")
+    // Fractional tail: src0 w=2.5 → epoch 3 is a strict subset.
+    assert(out(("src0", 3L)) < out(("src0", 1L)))
+    assert(!out.keys.exists(_._2 > 3L))
+  }
+
+  test("pqEncode: codebook of the whole corpus reconstructs exactly") {
+    val out = Similarity.pqEncode(spark, sf, m = 4, k = 500).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(2) == 0.0,
+      s"label ${r.getLong(0)} has nonzero reconstruction error"))
+  }
+
+  test("pqEncode: coarser codebook strictly increases total error") {
+    def total(k: Int): Double =
+      Similarity.pqEncode(spark, sf, m = 4, k = k).collect()
+        .map(_.getDouble(2)).sum
+    val coarse = total(4)
+    val fine = total(64)
+    assert(fine < coarse, s"k=64 err $fine !< k=4 err $coarse")
+  }
+
+  test("dqUniqueness: clean PK shows zero dups, planted dups surface") {
+    val out = DataQuality.dqUniqueness(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (cKeys, cRows, cDups, cMax) = out("orders_clean")
+    assert(cDups == 0L && cMax == 1L && cKeys == cRows)
+    val (oKeys, oRows, oDups, oMax) = out("orders_corrupted")
+    assert(oDups > 0L && oMax == 2L)
+    assert(oRows == oKeys + oDups) // each dup key contributes one extra row
+  }
+
+  test("fileStatsPrune: pruned scan is exact and skips at least one file") {
+    val out = Maintenance.fileStatsPrune(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getBoolean(3), "pruned scan diverged"))
+    // The 1997-06-01 cutoff must actually skip the early years.
+    assert(out.exists(!_.getBoolean(2)), "no file was prunable")
+    assert(out.exists(_.getBoolean(2)), "no file survived the prune")
+  }
+}
