@@ -1093,6 +1093,64 @@ object Relational {
       |FROM cnt JOIN (SELECT DISTINCT d FROM dc) a ON cnt.order_day = a.d
       |ORDER BY order_day""".stripMargin
 
+  /** Null-aware anti join — ANSI `NOT IN (subquery)` three-valued
+    * semantics, the join variant a plain `left_anti` CANNOT express:
+    * one NULL in the subquery makes `x NOT IN S` unknown for every x,
+    * so the result collapses to empty. Two probes in one gate: a
+    * NULL-free subquery (ordinary anti-join answer) and the same
+    * subquery with NULLs planted (must return 0). Same SQL text runs
+    * on both engines.
+    *
+    * Scale: Catalyst plans this as a broadcast null-aware anti join
+    * (`spark.sql.optimizer.enableNullAwareAntiJoin`, on by default) —
+    * the subquery side broadcasts with a has-null flag, the probe
+    * stays a streamed hash lookup; without it the fallback is a
+    * nested-loop, which is why the gate pins the semantics the
+    * optimized path must preserve. */
+  def q39NullAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q39Sql)
+  }
+
+  val q39Sql: String =
+    """SELECT 'no_null' AS probe, COUNT(*) AS n
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT 'with_null' AS probe, COUNT(*) AS n
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+      |          ELSE o_custkey END
+      |   FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY probe""".stripMargin
+
+  /** Correlated LATERAL join (SQL:1999 lateral derived table, Spark 4
+    * `LATERAL` syntax): the inner aggregate re-evaluates per outer
+    * row, preserving nations with zero customers as (0, NULL) — the
+    * semantics a plain join+groupBy drops. Same SQL text runs on both
+    * engines.
+    *
+    * Scale: Catalyst decorrelates the lateral subquery
+    * (DecorrelateInnerQuery) into a left outer aggregate join — no
+    * per-row re-execution; one shuffle on the correlation key. */
+  def q40LateralJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(q40Sql)
+  }
+
+  val q40Sql: String =
+    """SELECT n.n_name, l.n_cust, l.total_bal
+      |FROM nation n, LATERAL (
+      |  SELECT COUNT(*) AS n_cust,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS total_bal
+      |  FROM customer c WHERE c.c_nationkey = n.n_nationkey) l
+      |ORDER BY n_name""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1134,7 +1192,9 @@ object Relational {
     "q35_unpivot"        -> (q35Unpivot _),
     "q36_variant"        -> (q36Variant _),
     "q37_approx_distinct" -> (q37ApproxDistinct _),
-    "q38_rolling_distinct" -> (q38RollingDistinct _))
+    "q38_rolling_distinct" -> (q38RollingDistinct _),
+    "q39_null_anti_join" -> (q39NullAntiJoin _),
+    "q40_lateral_join"   -> (q40LateralJoin _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1175,5 +1235,7 @@ object Relational {
     "q35_unpivot"        -> q35Sql,
     "q36_variant"        -> q36Sql,
     "q37_approx_distinct" -> q37Sql,
-    "q38_rolling_distinct" -> q38Sql)
+    "q38_rolling_distinct" -> q38Sql,
+    "q39_null_anti_join" -> q39Sql,
+    "q40_lateral_join"   -> q40Sql)
 }

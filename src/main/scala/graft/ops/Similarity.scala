@@ -1134,9 +1134,134 @@ object Similarity {
       |    AS pq_err6
       |FROM pv GROUP BY label ORDER BY label""".stripMargin
 
+  /** ADC probe over PQ codes — the query half of IVF-PQ: queries stay
+    * float, the corpus exists ONLY as m-byte code rows. Per query a
+    * distance TABLE (m×k doubles: squared L2 from each query
+    * sub-slice to each codeword) is built against the broadcast
+    * codebook; approximate distance to any corpus vector is then m
+    * table lookups summed — no float vector is ever read at probe
+    * time. Codes are kept WIDE (one `array<int>` per vector) so the
+    * probe is a pure projection over the code scan: distance tables
+    * broadcast, lookups via `element_at`, per-query top-k by window —
+    * zero shuffle before the k-bounded rank.
+    *
+    * The ADC pass is a SHORTLIST, refined by an exact-L2 rerank on
+    * the shortlist's float vectors (the standard IVF-PQ refine step:
+    * the corpus scan stays code-only; floats are fetched for
+    * `shortlist` ids per query, not for the corpus).
+    *
+    * Scale: this is the billion-scale serving shape — the scan reads
+    * m bytes/vector instead of 4·d, the broadcast is Q·m·k doubles
+    * (KBs), the refine join touches Q·shortlist vectors, and accuracy
+    * is bounded by quantization error, which [[pqEncode]]'s gate
+    * tracks. The fixed ascending fold keeps the lookup sum
+    * deterministic. */
+  def pqAdc(s: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+      shortlist: Int = 25, topk: Int = 5): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val subDim = 64 / m
+    def subSlices(v: Column) = array((0 until m).map(i =>
+      slice(v, i * subDim + 1, subDim)): _*)
+    val cb = base.orderBy(col("vec_id")).limit(k)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("code"), posexplode(subSlices(col("v"))))
+      .select(col("code"), col("pos").as("sub"), col("col").as("cv"))
+    // Encode the corpus to wide codes: one array<int> per vector.
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("code"))
+    val codes = base
+      .select(col("vec_id"), posexplode(subSlices(col("v"))))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("dist",
+        graft.plans.VectorExpressions.vectorL2Sq(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("sc"))
+      .select(col("vec_id").as("target_id"),
+        transform(col("sc"), p => p("code")).as("codes"))
+    // Per-query distance tables, nested [sub][code] for element_at.
+    val dt = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        posexplode(subSlices(col("v"))))
+      .select(col("query_id"), col("pos").as("sub"), col("col").as("qsv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("qd",
+        graft.plans.VectorExpressions.vectorL2Sq(col("qsv"), col("cv")))
+      .groupBy(col("query_id"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("code"), col("qd"))))
+        .as("cq"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("sub"),
+        col("cq")))).as("sq"))
+      .select(col("query_id"),
+        transform(col("sq"), p => transform(p("cq"), c => c("qd")))
+          .as("dt"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad"), col("target_id"))
+    val short = codes.crossJoin(broadcast(dt))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("ad", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, sIdx) => acc + element_at(element_at(col("dt"), sIdx + 1),
+          element_at(col("codes"), sIdx + 1) + 1)))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("target_id"))
+    // Refine: exact L2 on the Q·shortlist survivors only.
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("target_id"))
+    short
+      .join(base.select(col("vec_id").as("target_id"),
+        col("v").as("tv")), "target_id")
+      .join(broadcast(base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+        "query_id")
+      .withColumn("d2",
+        graft.plans.VectorExpressions.vectorL2Sq(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall of the ADC probe against this engine's exact L2 top-5 —
+    * same discipline as the LSH/IVF recall gates: deterministic
+    * codebooks make recall a hash-checkable constant. */
+  def pqAdcRecall(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val bf = topKL2(s, dir).select(col("query_id"), col("target_id"))
+      .withColumn("in_bf", lit(1))
+    val a = pqAdc(s, dir).select(col("query_id"), col("target_id"))
+      .withColumn("in_ann", lit(1))
+    val r = a.join(bf, Seq("query_id", "target_id"), "full_outer")
+      .agg(
+        sum(col("in_bf")).as("bf_n"),
+        sum(when(col("in_ann") === 1 && col("in_bf") === 1, 1L)
+          .otherwise(0L)).as("hits"),
+        sum(when(col("in_ann") === 1 &&
+            (col("query_id") === col("target_id") || col("query_id") >= 5),
+          1L).otherwise(0L)).as("invalid"),
+        countDistinct(when(col("in_bf") === 1, col("query_id")))
+          .as("n_queries"))
+      .head()
+    import s.implicits._
+    Seq((r.getAs[Long]("n_queries"),
+        r.getAs[Long]("hits").toDouble / r.getAs[Long]("bf_n") >= threshold,
+        r.getAs[Long]("invalid") == 0L))
+      .toDF("n_queries", "recall_ok", "pairs_valid")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_encode"       -> ((s: SparkSession, d: String) =>
       pqEncode(s, d)),
+    "sim_pq_adc_recall"   -> ((s: SparkSession, d: String) =>
+      pqAdcRecall(s, d)),
     "embed_project"       -> ((s: SparkSession, d: String) =>
       randomProjection(s, d)),
     "sim_semantic_dedup"  -> (semanticDedup _),
@@ -1161,6 +1286,7 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "embed_project"       -> randomProjectionSql,
     "sim_pq_encode"       -> pqEncodeSql,
+    "sim_pq_adc_recall"   -> annRecallSql,
     "sim_semantic_dedup"  -> semanticDedupSql,
     "embed_centroids"     -> centroidsSql,
     "embed_classify"      -> classifyByCentroidSql,

@@ -187,6 +187,46 @@ object StreamingQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** [[running]] executed under the RocksDB state-store provider —
+    * the 100 TB streaming answer to state that outgrows the JVM heap:
+    * the default HDFS-backed store keeps every key in executor memory
+    * (per-user state × 1e9 users OOMs), while RocksDB spills state to
+    * local SSD with changelog checkpointing. Identical results under
+    * both providers is exactly the contract this gate pins; the
+    * oracle is the same batch GROUP BY as `stream_running`.
+    *
+    * The provider conf is captured by the streaming query AT START,
+    * so setting and restoring it around the run scopes RocksDB to
+    * this gate only. */
+  def runningRocksDb(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcDir = s"/tmp/graft_scratch/$tag/stream_rocksdb_src"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.Scaffold.setup {
+      ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val out =
+      try EventStreams.runAsStream(s, srcDir, ev.schema,
+        "stream_rocksdb_" + tag.replace(".", "_"),
+        df => EventStreams.runningUserTotalsExact(df).toDF)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    out.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_v4"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        (col("m.total_v4").cast(org.apache.spark.sql.types.DoubleType)
+          / 10000.0).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Watermark-EVICTION gate: a real two-micro-batch replay proving a
     * too-late event is DROPPED, not silently aggregated. Batch 1
     * plays every event from 02:00 on (so the watermark advances to
@@ -349,6 +389,7 @@ object StreamingQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_running"  -> (running _),
+    "stream_rocksdb"  -> (runningRocksDb _),
     "stream_late_drop" -> (lateDrop _),
     "stream_outer_miss" -> (outerMiss _),
     "stream_tumbling" -> (tumbling _),
@@ -362,6 +403,7 @@ object StreamingQueries {
 
   def oracle: Map[String, String] = Map(
     "stream_running"  -> runningSql,
+    "stream_rocksdb"  -> runningSql,
     "stream_late_drop" -> lateDropSql,
     "stream_outer_miss" -> outerMissSql,
     "stream_tumbling" -> tumblingSql,

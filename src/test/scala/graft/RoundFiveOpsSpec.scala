@@ -49,6 +49,16 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(fine < coarse, s"k=64 err $fine !< k=4 err $coarse")
   }
 
+  test("pqAdc: five ranked neighbors per query, never the query itself") {
+    val out = Similarity.pqAdc(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(!rows.exists(_.getLong(1) == q), s"query $q returned itself")
+    }
+  }
+
   test("dqUniqueness: clean PK shows zero dups, planted dups surface") {
     val out = DataQuality.dqUniqueness(spark, sf).collect()
       .map(r => r.getString(0) ->
