@@ -26,13 +26,25 @@ import graft.Tables
 object Mining {
 
   def copurchasePairs(lineitem: DataFrame, minSup: Long): DataFrame = {
-    val items = lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val totals = items.agg(countDistinct(col("ok")).as("n_orders"))
-    val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_pk"))
-    val pairs = items.toDF("ok", "pa").join(items.toDF("ok", "pb"), "ok")
-      .filter(col("pa") < col("pb"))
+    // ONE shuffle builds the baskets (map-side partial collect_set —
+    // the old distinct + self-join re-shuffled the item table three
+    // times and materialized the join's row explosion through an
+    // exchange; here pair expansion happens scan-side from the sorted
+    // basket array, bounded by basket size, and never crosses a wire).
+    val baskets = lineitem
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .persist()
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val cnt = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_pk"))
+    val pairs = baskets
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+        "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+        .as("p"))
+      .select(col("p.pa"), col("p.pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSup)

@@ -605,24 +605,27 @@ object TextAnalysis {
     * 1e-9-scaled longs BEFORE the commutative long sum; one final
     * division emits the double.
     */
+  /** Shannon character entropy per document, computed entirely
+    * scan-side by the codegen'd [[graft.plans.CharEntropyStats]]
+    * kernel — one row per DOCUMENT flows through the plan, vs the
+    * explode formulation's one row per CHARACTER shuffled twice
+    * (≈10⁸ shuffle rows per GB of text; at 100 TB that shuffle IS
+    * the query). Values are bit-identical: the kernel accumulates
+    * the same `floor(c·ln(n/c)·1e9 + 0.5)` scaled-long terms the
+    * oracle states. */
   def charEntropy(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-    val chars = docs
-      .select(col("doc_id"), col("n"), explode(transform(
-        sequence(lit(1), col("n").cast(IntegerType)),
-        i => col("text").substr(i, lit(1)))).as("ch"))
-    chars.groupBy(col("doc_id"), col("n"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("term9",
-        floor(col("c") * log(col("n").cast(DoubleType) /
-          col("c").cast(DoubleType)) * 1e9 + 0.5).cast(LongType))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(count(lit(1)).as("n_distinct_chars"),
-        (sum(col("term9")).cast(DoubleType) /
-          (col("n") * 1e9)).as("entropy_nats"))
-      .select(col("doc_id"), col("n").cast(LongType).as("n_chars_text"),
-        col("n_distinct_chars"), col("entropy_nats"))
+    graft.plans.TextExpressions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.plans.TextExpressions.charEntropyStats(col("text")).as("st"))
+      // The explode formulation (and the oracle's unnest) emits no
+      // row for an empty document — preserve that.
+      .filter(element_at(col("st"), 1) > 0)
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_chars_text"),
+        element_at(col("st"), 2).as("n_distinct_chars"),
+        (element_at(col("st"), 3).cast(DoubleType) /
+          (element_at(col("st"), 1) * 1e9)).as("entropy_nats"))
       .orderBy(col("doc_id"))
   }
 

@@ -358,6 +358,66 @@ case class TextNormalize(child: Expression) extends UnaryExpression {
       newChild: Expression): TextNormalize = copy(child = newChild)
 }
 
+/** Shared routine for [[CharEntropyStats]] — one pass over the
+  * document's code points (sort + run-length, no hashing) producing
+  * `[n_chars, n_distinct, Σ term9]` where
+  * `term9 = floor(c · ln(n/c) · 1e9 + 0.5)` per distinct character,
+  * the exact scaled-long term the explode/groupBy formulation
+  * produced — so the DuckDB oracle is unchanged. */
+object CharEntropyKernel extends Serializable {
+  def apply(s: UTF8String): Array[Long] = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Array(0L, 0L, 0L)
+    java.util.Arrays.sort(cps)
+    var distinct = 0L
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && cps(j) == cps(i)) j += 1
+      val c = j - i
+      distinct += 1
+      sum += math.floor(
+        c * math.log(n.toDouble / c.toDouble) * 1e9 + 0.5).toLong
+      i = j
+    }
+    Array(n.toLong, distinct, sum)
+  }
+}
+
+/** Per-document character-entropy statistics as a single compiled
+  * scan-side pass — the replacement for `explode(per-char) →
+  * groupBy(doc, char) → groupBy(doc)`, which shuffles one row PER
+  * CHARACTER of the corpus (10⁸ rows per GB of text) twice. Output
+  * `array<long> [n_chars, n_distinct, term9_sum]`; values are
+  * bit-identical to the explode formulation. */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(CharEntropyKernel(a.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("graftCharEntropyKernel",
+      CharEntropyKernel, CharEntropyKernel.getClass.getName)
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"$kernel.apply($c))")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharEntropyStats = copy(child = newChild)
+}
+
 object TextExpressions {
 
   val NGramsFnName = "graft_token_ngrams"
@@ -365,6 +425,7 @@ object TextExpressions {
   val HashArrayFnName = "graft_xxhash_array"
   val SimHashFnName = "graft_simhash64"
   val CountInSetFnName = "graft_count_in_set"
+  val CharEntropyFnName = "graft_char_entropy"
 
   /** Idempotent per-session registration. n and the short-doc flag
     * must be literals — they parameterize the generated code. */
@@ -399,6 +460,10 @@ object TextExpressions {
           org.apache.spark.sql.catalyst.util.ArrayData]
           .toArray[UTF8String](StringType).toSeq.map(_.toString)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CharEntropyFnName,
+      exprs => CharEntropyStats(exprs(0)),
+      "scala_udf")
   }
 
   /** Codegen'd Unicode canonicalization (see [[TextNormalize]]). The
@@ -429,4 +494,9 @@ object TextExpressions {
     call_function(CountInSetFnName, tokens,
       org.apache.spark.sql.functions.array(
         values.map(org.apache.spark.sql.functions.lit): _*))
+
+  /** Codegen'd per-document char-entropy stats
+    * `[n_chars, n_distinct, term9_sum]`. */
+  def charEntropyStats(text: Column): Column =
+    call_function(CharEntropyFnName, text)
 }

@@ -147,4 +147,29 @@ class TextExpressionsSpec extends SparkSpec {
       .select(TextExpressions.textNormalize(col("text"))).collect()(0)
     assert(nullRow.isNullAt(0))
   }
+
+  test("charEntropyStats matches the closed form, counts code points") {
+    def term9(c: Long, n: Long): Long =
+      math.floor(c * math.log(n.toDouble / c.toDouble) * 1e9 + 0.5).toLong
+    // "aab": n=3, distinct {a:2, b:1}
+    assert(graft.plans.CharEntropyKernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aab")).toSeq
+      == Seq(3L, 2L, term9(2, 3) + term9(1, 3)))
+    // Empty doc → all-zero stats (the query layer filters these out).
+    assert(graft.plans.CharEntropyKernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString("")).toSeq
+      == Seq(0L, 0L, 0L))
+    // Astral-plane emoji is ONE code point (matches Spark length() and
+    // DuckDB length()), not two UTF-16 units.
+    assert(graft.plans.CharEntropyKernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a😀a"))
+      .toSeq == Seq(3L, 2L, term9(2, 3) + term9(1, 3)))
+    // Codegen path agrees with the kernel.
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val viaExpr = Seq("aab").toDF("text")
+      .select(TextExpressions.charEntropyStats(col("text")))
+      .as[Seq[Long]].collect()(0)
+    assert(viaExpr == Seq(3L, 2L, term9(2, 3) + term9(1, 3)))
+  }
 }
