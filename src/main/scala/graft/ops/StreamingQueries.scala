@@ -198,9 +198,22 @@ object StreamingQueries {
     * The provider conf is captured by the streaming query AT START,
     * so setting and restoring it around the run scopes RocksDB to
     * this gate only. */
-  def runningRocksDb(s: SparkSession, dir: String): DataFrame = {
+  def runningRocksDb(s: SparkSession, dir: String): DataFrame =
+    rocksDbRunning(s, dir, "stream_rocksdb",
+      df => EventStreams.runningUserTotalsExact(df).toDF)
+
+  /** [[running]] on the arbitrary-state v2 API (`transformWithState`
+    * — see [[EventStreams.RunningTotalsProcessor]]); v2 requires the
+    * RocksDB provider, so it shares the wrapper. Same batch oracle:
+    * identical final state is exactly the v1→v2 migration contract. */
+  def runningTws(s: SparkSession, dir: String): DataFrame =
+    rocksDbRunning(s, dir, "stream_tws",
+      df => EventStreams.runningUserTotalsTws(df).toDF)
+
+  private def rocksDbRunning(s: SparkSession, dir: String, name: String,
+      transform: DataFrame => DataFrame): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val srcDir = s"/tmp/graft_scratch/$tag/stream_rocksdb_src"
+    val srcDir = s"/tmp/graft_scratch/$tag/${name}_src"
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -213,8 +226,7 @@ object StreamingQueries {
       "state.RocksDBStateStoreProvider")
     val out =
       try EventStreams.runAsStream(s, srcDir, ev.schema,
-        "stream_rocksdb_" + tag.replace(".", "_"),
-        df => EventStreams.runningUserTotalsExact(df).toDF)
+        name + "_" + tag.replace(".", "_"), transform)
       finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
@@ -390,6 +402,7 @@ object StreamingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_running"  -> (running _),
     "stream_rocksdb"  -> (runningRocksDb _),
+    "stream_tws"      -> (runningTws _),
     "stream_late_drop" -> (lateDrop _),
     "stream_outer_miss" -> (outerMiss _),
     "stream_tumbling" -> (tumbling _),
@@ -404,6 +417,7 @@ object StreamingQueries {
   def oracle: Map[String, String] = Map(
     "stream_running"  -> runningSql,
     "stream_rocksdb"  -> runningSql,
+    "stream_tws"      -> runningSql,
     "stream_late_drop" -> lateDropSql,
     "stream_outer_miss" -> outerMissSql,
     "stream_tumbling" -> tumblingSql,

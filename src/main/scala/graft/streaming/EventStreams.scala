@@ -204,6 +204,54 @@ object EventStreams {
       }
   }
 
+  /** [[runningUserTotalsExact]] on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4): explicit named [[ValueState]]
+    * acquired in `init` from the processor handle, instead of the
+    * single implicit `GroupState` slot. The v2 API is the
+    * forward-looking surface for custom streaming state — typed
+    * state variables (value/list/map), per-state TTL, and timers —
+    * and it REQUIRES the RocksDB state-store provider, which is the
+    * 100 TB posture anyway (state on SSD, not heap). Accumulation is
+    * the same exact-scaled-long arithmetic, so the oracle is the
+    * same batch GROUP BY. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserRunningExact] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[UserRunningExact] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserRunningExact]("running",
+        org.apache.spark.sql.Encoders.product[UserRunningExact],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserRunningExact] = {
+      val prev =
+        if (state.exists()) state.get()
+        else UserRunningExact(key, 0L, 0L)
+      var n = prev.n_events
+      var t = prev.total_v4
+      rows.foreach { case (_, v) =>
+        n += 1; t += math.floor(v * 10000.0 + 0.5).toLong }
+      val next = UserRunningExact(key, n, t)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: DataFrame): Dataset[UserRunningExact] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   // ---------------------------------------------------------------- //
 
   /** Drive a windowed transform through a real Structured Streaming
