@@ -63,4 +63,28 @@ class PushdownSpec extends SparkSpec {
     assert(pushed.exists(_.contains("LessThan(vec_id,5)")),
       pushed.mkString("\n"))
   }
+
+  test("q39 NOT IN plans as a single null-aware broadcast anti join") {
+    val plan = planOf(Relational.q39NullAntiJoin(spark, sf))
+    // Catalyst's enableNullAwareAntiJoin rewrites the NOT IN into a
+    // broadcast hash anti join whose trailing flag (isNullAwareAntiJoin)
+    // renders as ", true" — NOT the O(n·m) nested-loop fallback the
+    // unoptimized form would take.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti") &&
+      l.trim.endsWith("true")), plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin")), plan)
+  }
+
+  test("binaryFile metadata projection never reads file contents") {
+    // Staging for the gate writes the .bin files; reuse them.
+    graft.ops.ParityQueries.convBinaryFiles(spark, sf)
+    val binDir = s"/tmp/graft_scratch/${sf.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      "/conv_binaryfiles"
+    val metaOnly = spark.read.format("binaryFile").load(binDir)
+      .select(col("path"), col("length"))
+    val read = scanLines(planOf(metaOnly), "ReadSchema").mkString
+    assert(!read.contains("content"), read)
+  }
 }
