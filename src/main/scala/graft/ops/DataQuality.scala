@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -541,7 +542,55 @@ object DataQuality {
       |FROM oc
       |ORDER BY probe""".stripMargin
 
+  /** Weighted median — the robust center when rows carry unequal
+    * mass (docs weighted by tokens, prices by quantity): smallest v
+    * whose cumulative weight reaches half the total. No built-in
+    * computes this in either engine; both run the identical
+    * sort + running-decimal-sum window formulation, so the gate is
+    * hash-exact (ties on v cross the threshold inside one equal-v
+    * block and resolve to that block's v in both engines).
+    *
+    * Scale: one partitioned window sort per group — the same
+    * (group, order) shuffle every per-group quantile needs; weights
+    * accumulate as decimals so partial order is irrelevant. */
+  def dqWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("v"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("wt"))
+    li
+      .withColumn("cum", sum(col("wt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("wt")).over(
+        Window.partitionBy(col("g"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).cast(DoubleType).as("wmedian"),
+        max(col("tot")).cast(DoubleType).as("total_weight"))
+      .orderBy(col("g"))
+  }
+
+  val dqWeightedMedianSql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS wt
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT g, v,
+      |    SUM(wt) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(wt) OVER (PARTITION BY g) AS tot
+      |  FROM t)
+      |SELECT g, CAST(MIN(v) AS DOUBLE) AS wmedian,
+      |  CAST(MAX(tot) AS DOUBLE) AS total_weight
+      |FROM c WHERE cum * 2 >= tot
+      |GROUP BY g
+      |ORDER BY g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_weighted_median" -> (dqWeightedMedian _),
     "dq_uniqueness" -> (dqUniqueness _),
     "dq_schema_drift" -> (schemaDrift _),
     "dq_benford" -> (dqBenford _),
@@ -554,6 +603,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_weighted_median" -> dqWeightedMedianSql,
     "dq_uniqueness" -> dqUniquenessSql,
     "dq_schema_drift" -> schemaDriftSql,
     "dq_benford" -> dqBenfordSql,

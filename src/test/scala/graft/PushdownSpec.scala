@@ -77,6 +77,16 @@ class PushdownSpec extends SparkSpec {
       l.contains("BroadcastNestedLoopJoin")), plan)
   }
 
+  test("window top-k runs under WindowGroupLimit (per-partition heaps)") {
+    // InferWindowGroupLimit turns rank-filter-over-window into a
+    // group-limit: each task keeps a k-heap per partition key instead
+    // of sorting whole partitions — the difference between O(n log k)
+    // and a full per-key sort at 100 TB. Pin that the rewrite fires
+    // for the repo's rank<=k idiom.
+    val plan = planOf(Relational.q8WindowRank(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("binaryFile metadata projection never reads file contents") {
     // Staging for the gate writes the .bin files; reuse them.
     graft.ops.ParityQueries.convBinaryFiles(spark, sf)
