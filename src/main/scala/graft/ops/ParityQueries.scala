@@ -380,6 +380,10 @@ object ParityQueries {
           col("l_linestatus"),
           date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("l_shipdate"))
+        // The parquet source arrives as ONE split; without this the
+        // export is a single XML file and the StAX parse below runs
+        // on one core (XML is not block-splittable like CSV).
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite")
         .format("xml").option("rowTag", "lineitem")
         .save(xmlDir)
