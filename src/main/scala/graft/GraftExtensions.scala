@@ -28,13 +28,19 @@ import graft.plans.{SimHash64FromTokens, TextExpressions, TokenCountInSet,
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
         builder))
     }
+    // The native ASOF JOIN planner strategy (graft.plans.AsofJoinPlan
+    // → AsofJoinExec); sessions built without extensions get it
+    // per-session via experimental.extraStrategies in
+    // AsofJoinNative.join.
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -259,13 +259,36 @@ object AsofJoin {
       |  LIMIT 1) v ON true
       |ORDER BY purchase_id""".stripMargin
 
+  /** [[purchaseAsofView]] through the NATIVE operator
+    * ([[graft.plans.AsofJoinPlan]] → AsofJoinExec): custom logical
+    * node, planner strategy, and a per-partition streaming merge
+    * with O(1) state instead of the union + running-window
+    * composition. Same oracle as `asof_join` — identical answers
+    * from both formulations is the operator's correctness contract. */
+  def purchaseAsofViewNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.plans.AsofJoinNative.join(purchases, views,
+      leftKey = "user_id", leftTime = "ts",
+      rightKey = "v_user_id", rightTime = "view_ts", rightTie = "view_id")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts"), col("view_id"), col("view_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (purchaseAsofView _),
+    "asof_join_native" -> (purchaseAsofViewNative _),
     "asof_join_forward" -> (purchaseNextView _),
     "asof_join_nearest" -> (purchaseNearestView _))
 
   def oracle: Map[String, String] = Map(
     "asof_join" -> purchaseAsofViewSql,
+    "asof_join_native" -> purchaseAsofViewSql,
     "asof_join_forward" -> purchaseNextViewSql,
     "asof_join_nearest" -> purchaseNearestViewSql)
 }

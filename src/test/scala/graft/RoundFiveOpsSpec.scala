@@ -70,6 +70,45 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(oRows == oKeys + oDups) // each dup key contributes one extra row
   }
 
+  test("native asof join: closed-form fixture incl. ties and misses") {
+    import spark.implicits._
+    val left = Seq( // (key, t, ltag)
+      (1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "ltag")
+    val right = Seq( // (key, t, id): key 1 has a tie at t=10; key 3 empty
+      (1L, 10L, 100L), (1L, 10L, 101L), (1L, 15L, 102L),
+      (2L, 6L, 200L)).toDF("rk", "rt", "rid")
+    val out = graft.plans.AsofJoinNative
+      .join(left, right, "k", "t", "rk", "rt", "rid")
+      .select(col("ltag"), col("rid")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(
+      "a" -> 101L, // tie at t=10 → greatest rid
+      "b" -> 102L, // latest at-or-before 20
+      "c" -> -1L, // right row exists but is in the future
+      "d" -> -1L)) // no right rows for key 3 at all
+  }
+
+  test("native asof join ≡ composed asof on the corpus") {
+    val native = graft.ops.AsofJoin.purchaseAsofViewNative(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val composed = graft.ops.AsofJoin.purchaseAsofView(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(native == composed)
+  }
+
+  test("native asof join plans AsofJoinExec with co-partitioned sorts") {
+    val plan = graft.ops.AsofJoin.purchaseAsofViewNative(spark, sf)
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in rendered plans.
+    assert(plan.contains("AsofJoin"), plan)
+    // EnsureRequirements must have inserted the key exchanges + sorts
+    // the operator declared — the merge depends on them.
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Sort ["), plan)
+  }
+
   test("fileStatsPrune: pruned scan is exact and skips at least one file") {
     val out = Maintenance.fileStatsPrune(spark, sf).collect()
     assert(out.nonEmpty)
