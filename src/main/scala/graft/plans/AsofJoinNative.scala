@@ -45,7 +45,9 @@ case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    rightTie: Attribute) extends BinaryNode {
+    rightTie: Attribute,
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -66,8 +68,9 @@ case class AsofJoinPlan(
   * point) or cluster-wide via `GraftExtensions`. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, lt, rk, rt, rtie) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rtie) :: Nil
+    case AsofJoinPlan(l, r, lk, lt, rk, rt, rtie, fwd, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rtie,
+        fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -76,7 +79,14 @@ case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    rightTie: Attribute) extends BinaryExecNode {
+    rightTie: Attribute,
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
+
+  require(toleranceMicros.isEmpty ||
+    leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]
+    || leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.LongType],
+    "tolerance requires a long-backed time column (timestamp or bigint)")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -108,6 +118,8 @@ case class AsofJoinExec(
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val nRight = right.output.size
+    val fwd = forward
+    val tol = toleranceMicros
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val nullRight = new GenericInternalRow(nRight)
@@ -115,11 +127,17 @@ case class AsofJoinExec(
         private var rHead: InternalRow = _ // lookahead, not yet consumed
         private var bestRow: InternalRow = _ // last qualifying right row
         private var bestKey: Any = _
+        private var bestTime: Any = _
 
-        /** Consume right rows up to (lk, lt); the last qualifying row
-          * on key lk becomes `bestRow`. O(1) state, each right row
-          * visited once across the whole partition. */
-        private def advance(lk: Any, lt: Any): Unit = {
+        /** Within-tolerance check — only reachable for long-backed
+          * time types (the exec's require), where eval yields Long. */
+        private def inTol(young: Any, old: Any): Boolean = tol.forall(t =>
+          young.asInstanceOf[Long] - old.asInstanceOf[Long] <= t)
+
+        /** BACKWARD: consume right rows up to (lk, lt); the last
+          * qualifying row on key lk becomes `bestRow`. O(1) state,
+          * each right row visited once across the whole partition. */
+        private def advanceBackward(lk: Any, lt: Any): Unit = {
           var done = false
           while (!done) {
             if (rHead == null) {
@@ -136,9 +154,35 @@ case class AsofJoinExec(
                   else if (timeOrd.compare(rt, lt) <= 0) {
                     bestRow = rHead.copy() // unsafe rows are reused
                     bestKey = rKeyB.eval(bestRow)
+                    bestTime = rTimeB.eval(bestRow)
                     rHead = null
                   } else done = true // future time: stop before it
                 } else done = true // next key: stop before it
+              }
+            }
+          }
+        }
+
+        /** FORWARD: discard right rows strictly before (lk, lt); the
+          * lookahead head is then the earliest at-or-after candidate
+          * (ties resolve to the smallest tie — first in sort order). */
+        private def advanceForward(lk: Any, lt: Any): Unit = {
+          var done = false
+          while (!done) {
+            if (rHead == null) {
+              if (rIter.hasNext) rHead = rIter.next() else done = true
+            } else {
+              val rk = rKeyB.eval(rHead)
+              if (rk == null) rHead = null
+              else {
+                val kc = keyOrd.compare(rk, lk)
+                if (kc < 0) rHead = null
+                else if (kc == 0) {
+                  val rt = rTimeB.eval(rHead)
+                  if (rt == null) rHead = null
+                  else if (timeOrd.compare(rt, lt) < 0) rHead = null
+                  else done = true // earliest at-or-after: keep as head
+                } else done = true
               }
             }
           }
@@ -151,10 +195,21 @@ case class AsofJoinExec(
           val lk = lKeyB.eval(l)
           val lt = lTimeB.eval(l)
           if (lk == null || lt == null) joined(l, nullRight)
-          else {
-            advance(lk, lt)
-            val matched = bestKey != null && keyOrd.compare(bestKey, lk) == 0
-            joined(l, if (matched) bestRow else nullRight)
+          else if (fwd) {
+            advanceForward(lk, lt)
+            val m = rHead != null && {
+              val rk = rKeyB.eval(rHead)
+              rk != null && keyOrd.compare(rk, lk) == 0 &&
+                inTol(rTimeB.eval(rHead), lt)
+            }
+            // Copy: the head stays buffered for later left rows while
+            // this joined row flows downstream.
+            joined(l, if (m) rHead.copy() else nullRight)
+          } else {
+            advanceBackward(lk, lt)
+            val m = bestKey != null && keyOrd.compare(bestKey, lk) == 0 &&
+              inTol(lt, bestTime)
+            joined(l, if (m) bestRow else nullRight)
           }
         }
       }
@@ -175,7 +230,9 @@ object AsofJoinNative {
     * back nullable. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String, rightTie: String): DataFrame = {
+      rightKey: String, rightTime: String, rightTie: String,
+      forward: Boolean = false,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
@@ -188,7 +245,7 @@ object AsofJoinNative {
     val node = AsofJoinPlan(lp, rp,
       attr(lp, leftKey, "left"), attr(lp, leftTime, "left"),
       attr(rp, rightKey, "right"), attr(rp, rightTime, "right"),
-      attr(rp, rightTie, "right"))
+      attr(rp, rightTie, "right"), forward, toleranceMicros)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -90,6 +90,26 @@ class RoundFiveOpsSpec extends SparkSpec {
       "d" -> -1L)) // no right rows for key 3 at all
   }
 
+  test("native forward asof: earliest at-or-after, tolerance bounds age") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 50L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "ltag")
+    val right = Seq( // key 1: tie at t=10 → smallest rid; 60 is beyond b+tol
+      (1L, 10L, 101L), (1L, 10L, 100L), (1L, 60L, 102L),
+      (2L, 4L, 200L)) // key 2: only a PAST row → no forward match
+      .toDF("rk", "rt", "rid")
+    val out = graft.plans.AsofJoinNative
+      .join(left, right, "k", "t", "rk", "rt", "rid",
+        forward = true, toleranceMicros = Some(5L))
+      .select(col("ltag"), col("rid")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(
+      "a" -> 100L, // tie at t=10 → smallest rid
+      "b" -> -1L, // next right is t=60, outside tolerance 5
+      "c" -> -1L)) // nothing at-or-after
+  }
+
   test("native asof join ≡ composed asof on the corpus") {
     val native = graft.ops.AsofJoin.purchaseAsofViewNative(spark, sf)
       .collect().map(_.toSeq).toSeq
