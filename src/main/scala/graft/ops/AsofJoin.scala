@@ -293,7 +293,26 @@ object AsofJoin {
     graft.plans.AsofJoinNative.join(purchases, views,
       leftKey = "user_id", leftTime = "ts",
       rightKey = "v_user_id", rightTime = "view_ts", rightTie = "view_id",
-      forward = true, toleranceMicros = Some(3600L * 1000000L))
+      direction = "forward", toleranceMicros = Some(3600L * 1000000L))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts"), col("view_id"), col("view_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** [[purchaseNearestView]] through the native operator — one merge
+    * pass yields BOTH candidates (backward best + the un-consumed
+    * forward lookahead); the direction pick is a two-long compare. */
+  def purchaseNearestViewNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.plans.AsofJoinNative.join(purchases, views,
+      leftKey = "user_id", leftTime = "ts",
+      rightKey = "v_user_id", rightTime = "view_ts", rightTie = "view_id",
+      direction = "nearest")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts"), col("view_id"), col("view_ts"))
       .orderBy(col("purchase_id"))
@@ -303,6 +322,7 @@ object AsofJoin {
     "asof_join" -> (purchaseAsofView _),
     "asof_join_native" -> (purchaseAsofViewNative _),
     "asof_join_forward_native" -> (purchaseNextViewNative _),
+    "asof_join_nearest_native" -> (purchaseNearestViewNative _),
     "asof_join_forward" -> (purchaseNextView _),
     "asof_join_nearest" -> (purchaseNearestView _))
 
@@ -310,6 +330,7 @@ object AsofJoin {
     "asof_join" -> purchaseAsofViewSql,
     "asof_join_native" -> purchaseAsofViewSql,
     "asof_join_forward_native" -> purchaseNextViewSql,
+    "asof_join_nearest_native" -> purchaseNearestViewSql,
     "asof_join_forward" -> purchaseNextViewSql,
     "asof_join_nearest" -> purchaseNearestViewSql)
 }

@@ -46,7 +46,7 @@ case class AsofJoinPlan(
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
     rightTie: Attribute,
-    forward: Boolean = false,
+    direction: String = "backward", // backward | forward | nearest
     toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -68,9 +68,9 @@ case class AsofJoinPlan(
   * point) or cluster-wide via `GraftExtensions`. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, lt, rk, rt, rtie, fwd, tol) =>
+    case AsofJoinPlan(l, r, lk, lt, rk, rt, rtie, dir, tol) =>
       AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rtie,
-        fwd, tol) :: Nil
+        dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -80,13 +80,14 @@ case class AsofJoinExec(
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
     rightTie: Attribute,
-    forward: Boolean = false,
+    direction: String = "backward",
     toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
-  require(toleranceMicros.isEmpty ||
+  require(Set("backward", "forward", "nearest")(direction), direction)
+  require((toleranceMicros.isEmpty && direction != "nearest") ||
     leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]
     || leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.LongType],
-    "tolerance requires a long-backed time column (timestamp or bigint)")
+    "tolerance/nearest require a long-backed time column (timestamp or bigint)")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -118,7 +119,7 @@ case class AsofJoinExec(
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val nRight = right.output.size
-    val fwd = forward
+    val dir = direction
     val tol = toleranceMicros
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
@@ -195,7 +196,7 @@ case class AsofJoinExec(
           val lk = lKeyB.eval(l)
           val lt = lTimeB.eval(l)
           if (lk == null || lt == null) joined(l, nullRight)
-          else if (fwd) {
+          else if (dir == "forward") {
             advanceForward(lk, lt)
             val m = rHead != null && {
               val rk = rKeyB.eval(rHead)
@@ -205,6 +206,30 @@ case class AsofJoinExec(
             // Copy: the head stays buffered for later left rows while
             // this joined row flows downstream.
             joined(l, if (m) rHead.copy() else nullRight)
+          } else if (dir == "nearest") {
+            // One pass serves both directions: after the backward
+            // advance, `bestRow` is the backward candidate and the
+            // un-consumed lookahead is the earliest future row on
+            // this key — the forward candidate. Distance ties go
+            // backward (the pandas convention and the oracle's).
+            advanceBackward(lk, lt)
+            val bOk = bestKey != null &&
+              keyOrd.compare(bestKey, lk) == 0 && inTol(lt, bestTime)
+            var fTime: Any = null
+            val fOk = rHead != null && {
+              val rk = rKeyB.eval(rHead)
+              rk != null && keyOrd.compare(rk, lk) == 0 && {
+                fTime = rTimeB.eval(rHead)
+                fTime != null && inTol(fTime, lt)
+              }
+            }
+            if (bOk && fOk) {
+              val dl = lt.asInstanceOf[Long] - bestTime.asInstanceOf[Long]
+              val df = fTime.asInstanceOf[Long] - lt.asInstanceOf[Long]
+              joined(l, if (dl <= df) bestRow else rHead.copy())
+            } else if (bOk) joined(l, bestRow)
+            else if (fOk) joined(l, rHead.copy())
+            else joined(l, nullRight)
           } else {
             advanceBackward(lk, lt)
             val m = bestKey != null && keyOrd.compare(bestKey, lk) == 0 &&
@@ -231,7 +256,7 @@ object AsofJoinNative {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String, rightTie: String,
-      forward: Boolean = false,
+      direction: String = "backward",
       toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
@@ -245,7 +270,7 @@ object AsofJoinNative {
     val node = AsofJoinPlan(lp, rp,
       attr(lp, leftKey, "left"), attr(lp, leftTime, "left"),
       attr(rp, rightKey, "right"), attr(rp, rightTime, "right"),
-      attr(rp, rightTie, "right"), forward, toleranceMicros)
+      attr(rp, rightTie, "right"), direction, toleranceMicros)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }

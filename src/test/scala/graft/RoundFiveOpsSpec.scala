@@ -100,7 +100,7 @@ class RoundFiveOpsSpec extends SparkSpec {
       .toDF("rk", "rt", "rid")
     val out = graft.plans.AsofJoinNative
       .join(left, right, "k", "t", "rk", "rt", "rid",
-        forward = true, toleranceMicros = Some(5L))
+        direction = "forward", toleranceMicros = Some(5L))
       .select(col("ltag"), col("rid")).collect()
       .map(r => r.getString(0) ->
         (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
@@ -108,6 +108,21 @@ class RoundFiveOpsSpec extends SparkSpec {
       "a" -> 100L, // tie at t=10 → smallest rid
       "b" -> -1L, // next right is t=60, outside tolerance 5
       "c" -> -1L)) // nothing at-or-after
+  }
+
+  test("native nearest asof: distance ties go backward") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 100L, "b")).toDF("k", "t", "ltag")
+    val right = Seq( // for t=10: back at 7 (d=3), fwd at 12 (d=2) → fwd
+      (1L, 7L, 100L), (1L, 12L, 101L),
+      // for t=100: back at 95 (d=5), fwd at 105 (d=5) → tie → backward
+      (1L, 95L, 102L), (1L, 105L, 103L)).toDF("rk", "rt", "rid")
+    val out = graft.plans.AsofJoinNative
+      .join(left, right, "k", "t", "rk", "rt", "rid",
+        direction = "nearest")
+      .select(col("ltag"), col("rid")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 101L, "b" -> 102L))
   }
 
   test("native asof join ≡ composed asof on the corpus") {
