@@ -158,6 +158,76 @@ object ParityQueries {
       |GROUP BY 1
       |ORDER BY ship_year""".stripMargin
 
+  /** LZ4 CSV round-trip — the second codec path (gzip gate above):
+    * lz4 trades ratio for decompression speed (GB/s-class), the right
+    * codec when ingest is CPU-bound rather than I/O-bound; zstd would
+    * be the third option but Hadoop's ZStandardCodec needs native
+    * libhadoop, which this environment lacks — the available-codec
+    * contract is part of what this gate pins. Same ingest path and
+    * cast contract; aggregation along a third axis (suppkey buckets)
+    * so the codec gates stay independent. */
+  def convCsvLz4Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = scratch(dir, "conv_roundtrip_csv_lz4")
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir).write
+        .mode("overwrite")
+        .option("header", "true")
+        .option("codec", "lz4")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(csvDir)
+    }
+    val schema = SchemaLoader.fromJson(LineitemSchemaJson)
+    CsvIngest.read(s, csvDir, schema)
+      .groupBy((col("l_suppkey") % 7).as("supp_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice")).cast(DoubleType).as("sum_price"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("supp_bucket"))
+  }
+
+  val convCsvLz4RoundtripSql: String =
+    """SELECT l_suppkey % 7 AS supp_bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  COUNT(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY supp_bucket""".stripMargin
+
+  /** Parquet bloom-filter point lookups: the writer property
+    * `parquet.bloom.filter.enabled#<col>` embeds a split-block bloom
+    * per row group, and a point predicate on that column skips row
+    * groups whose filter rules the key out — the high-cardinality
+    * complement to min/max stats ([[Maintenance.fileStatsPrune]]),
+    * which are useless on uniformly-spread keys. The gate writes
+    * orders bloom-indexed on `o_orderkey`, runs a multi-key point
+    * lookup through the bloom-filtered scan, and the oracle states
+    * the exact expected rows — blooms may only SKIP, never lose. */
+  def parquetBloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "parquet_bloom")
+    graft.Scaffold.setup {
+      Tables.orders(s, dir)
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "20000")
+        .parquet(root)
+    }
+    s.read.parquet(root)
+      .filter(col("o_orderkey").isin(1L, 7L, 777L, 4242L, 99991L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val parquetBloomLookupSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey IN (1, 7, 777, 4242, 99991)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** JSONL quarantine: the row-isolation contract on the second
     * source format. l_suppkey is corrupted to a non-integer string on
     * a deterministic key subset before export; [[graft.sources
@@ -645,6 +715,8 @@ object ParityQueries {
     "conv_fixedwidth_roundtrip" -> (convFixedWidthRoundtrip _),
     "conv_xml_roundtrip"    -> (convXmlRoundtrip _),
     "conv_binaryfiles"      -> (convBinaryFiles _),
+    "conv_csv_lz4_roundtrip" -> (convCsvLz4Roundtrip _),
+    "parquet_bloom_lookup"  -> (parquetBloomLookup _),
     "purge_sql_delete"      -> (purgeSqlDelete _),
     "purge_guard_abort"     -> (purgeGuardAbort _),
     "purge_dryrun"          -> (purgeDryRun _),
@@ -664,6 +736,8 @@ object ParityQueries {
     "conv_fixedwidth_roundtrip" -> convFixedWidthRoundtripSql,
     "conv_xml_roundtrip"    -> convXmlRoundtripSql,
     "conv_binaryfiles"      -> convBinaryFilesSql,
+    "conv_csv_lz4_roundtrip" -> convCsvLz4RoundtripSql,
+    "parquet_bloom_lookup"  -> parquetBloomLookupSql,
     "purge_sql_delete"      -> purgeSqlDeleteSql,
     "purge_guard_abort"     -> purgeGuardAbortSql,
     "purge_dryrun"          -> purgeDryRunSql,
