@@ -106,6 +106,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training complement to
+    * [[negativeSample]]'s RANDOM negatives: the most-similar corpus
+    * vectors that are NOT true neighbors (cosine ranks k+1..k+m),
+    * which produce far stronger gradients than random picks (the
+    * DPR/ANCE recipe). Pure rank-band selection over the same
+    * broadcast-query scan as [[topK]] — no second pass, no extra
+    * shuffle; at 100 TB the candidate generation can swap to the ANN
+    * probes while keeping this band filter. */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 5,
+      m: Int = 5): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val q = vecs(s, dir).filter(col("vec_id") < 5)
+      .withColumn("qn", norm(col("v"))).toDF("query_id", "qv", "qn")
+    val t = vecs(s, dir)
+      .withColumn("tn", norm(col("v"))).toDF("target_id", "tv", "tn")
+      .repartition(par)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    t.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("sim", dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") > k && col("rank") <= k + m)
+      .select(col("query_id"), col("target_id").as("neg_id"),
+        (col("rank") - k).cast(LongType).as("neg_rank"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+       |SELECT query_id, target_id AS neg_id,
+       |  CAST(rank - 5 AS BIGINT) AS neg_rank FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS target_id,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${CosineSql} DESC, b.vec_id) AS rank
+       |  FROM vecs a, vecs b
+       |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+       |WHERE rank > 5 AND rank <= 10
+       |ORDER BY query_id, neg_rank""".stripMargin
+
   val topKSql: String =
     s"""WITH vecs AS (
        |  SELECT vec_id, list_transform(embedding,
@@ -1281,6 +1323,8 @@ object Similarity {
     "sim_ann_index_recall" -> (annIndexRecall _),
     "sim_ann_index_append" -> (annIndexAppendGate _),
     "sim_negative_sample" -> ((s: SparkSession, d: String) => negativeSample(s, d)),
+    "sim_hard_negatives"  -> ((s: SparkSession, d: String) =>
+      hardNegatives(s, d)),
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -1301,6 +1345,7 @@ object Similarity {
     "sim_ann_index_recall" -> annRecallSql,
     "sim_ann_index_append" -> annIndexAppendSql,
     "sim_negative_sample" -> negativeSampleSql,
+    "sim_hard_negatives"  -> hardNegativesSql,
     "embed_kmeans" -> kmeansSql)
     // sim_ann_lsh / sim_ann_ivf raw neighbor lists stay rows-only
     // (approximate by construction); their *_recall gates hash-check
