@@ -228,6 +228,51 @@ object ParityQueries {
       |WHERE o_orderkey IN (1, 7, 777, 4242, 99991)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Parquet schema evolution: two file generations in one directory
+    * — generation 1 lacks `o_orderstatus`, generation 2 carries it —
+    * read back under `mergeSchema=true`. The reader must union the
+    * footers into one schema and null-fill the missing column for
+    * gen-1 rows, never dropping or misaligning columns: exactly the
+    * add-a-column migration every long-lived lake table goes
+    * through. The oracle rebuilds the same view from the original
+    * orders with a CASE on the generation split.
+    *
+    * Scale: schema merge reads FOOTERS (KBs per file), not data; the
+    * scan itself stays vectorized with a per-file projection map —
+    * the standard evolution path when rewriting 100 TB for one new
+    * column is not an option. */
+  def convSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "conv_schema_evolution")
+    graft.Scaffold.setup {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(root)
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("append").parquet(root)
+    }
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderstatus").asc_nulls_first)
+  }
+
+  val convSchemaEvolutionSql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  COUNT(DISTINCT o_custkey) AS n_cust
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
+
   /** JSONL quarantine: the row-isolation contract on the second
     * source format. l_suppkey is corrupted to a non-integer string on
     * a deterministic key subset before export; [[graft.sources
@@ -717,6 +762,7 @@ object ParityQueries {
     "conv_binaryfiles"      -> (convBinaryFiles _),
     "conv_csv_lz4_roundtrip" -> (convCsvLz4Roundtrip _),
     "parquet_bloom_lookup"  -> (parquetBloomLookup _),
+    "conv_schema_evolution" -> (convSchemaEvolution _),
     "purge_sql_delete"      -> (purgeSqlDelete _),
     "purge_guard_abort"     -> (purgeGuardAbort _),
     "purge_dryrun"          -> (purgeDryRun _),
@@ -738,6 +784,7 @@ object ParityQueries {
     "conv_binaryfiles"      -> convBinaryFilesSql,
     "conv_csv_lz4_roundtrip" -> convCsvLz4RoundtripSql,
     "parquet_bloom_lookup"  -> parquetBloomLookupSql,
+    "conv_schema_evolution" -> convSchemaEvolutionSql,
     "purge_sql_delete"      -> purgeSqlDeleteSql,
     "purge_guard_abort"     -> purgeGuardAbortSql,
     "purge_dryrun"          -> purgeDryRunSql,
