@@ -211,13 +211,127 @@ object LanguageModel {
       |  CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_rate
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** In-engine BPE merge learning (Sennrich et al. 2016) — learn the
+    * tokenizer ON the corpus, the step every LLM data pipeline runs
+    * before token counting means anything. Each round: count
+    * adjacent symbol pairs across the word vocabulary (weighted by
+    * word frequency), take the most frequent pair (ties: smallest
+    * (pa, pb)), and merge it greedily left-to-right in every word.
+    * The merge is a string-accumulator fold — `last token == pa ∧
+    * next == pb → replace last with pa‖pb` — written with the SAME
+    * fold semantics in both engines (Spark `aggregate`, DuckDB
+    * `list_reduce`), so the learned merge table is hash-exact.
+    *
+    * Scale: the corpus is touched ONCE (word census); every round
+    * then runs on the VOCABULARY (distinct words × short token
+    * arrays — ~1e5-row frames for a 100 TB corpus, since vocabulary
+    * grows ~log of corpus size), with one tiny top-1 reduce per
+    * round. Driver state per round is the single winning pair —
+    * metadata, like the IVF centroid pull. */
+  def bpeLearn(s: SparkSession, dir: String, rounds: Int = 4): DataFrame =
+    bpeLearnFrom(
+      Tables.documents(s, dir).filter(col("doc_id") < 500), rounds)
+
+  def bpeLearnFrom(docs: DataFrame, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    var words = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("toks"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = words.filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> " +
+          "struct(element_at(toks, i) AS pa, element_at(toks, i + 1) AS pb))"))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1).collect()(0)
+      val (pa, pb) = (top.getString(0), top.getString(1))
+      merges += ((r.toLong, pa, pb, top.getLong(2)))
+      // pa/pb are [a-z]+ by construction — safe to splice as literals.
+      words = words.select(expr(
+        s"""split(aggregate(slice(toks, 2, size(toks) - 1),
+           |  element_at(toks, 1),
+           |  (acc, x) -> CASE
+           |    WHEN element_at(split(acc, ' '), -1) = '$pa' AND x = '$pb'
+           |    THEN CASE
+           |      WHEN length(acc) = length(element_at(split(acc, ' '), -1))
+           |      THEN '$pa$pb'
+           |      ELSE concat(substring(acc, 1,
+           |        length(acc) - length(element_at(split(acc, ' '), -1))),
+           |        '$pa$pb') END
+           |    ELSE concat(acc, ' ', x) END), ' ')""".stripMargin)
+        .as("toks"), col("freq"))
+        .localCheckpoint()
+    }
+    import s.implicits._
+    merges.result().toDF("round", "pa", "pb", "cnt").orderBy(col("round"))
+  }
+
+  private def bpePairsSql(w: String): String =
+    s"""SELECT toks[i] AS pa, toks[i+1] AS pb, SUM(freq) AS cnt
+       |  FROM $w, UNNEST(generate_series(1, len(toks) - 1)) u(i)
+       |  GROUP BY 1, 2""".stripMargin
+  private def bpeTopSql(p: String): String =
+    s"SELECT pa, pb, cnt FROM $p ORDER BY cnt DESC, pa, pb LIMIT 1"
+  // NB: no continuation line may BEGIN with the SQL || operator —
+  // stripMargin would eat its first pipe as the margin character.
+  private def bpeMergeSql(w: String, t: String): String =
+    s"""SELECT string_split(
+       |    list_reduce(toks, (acc, x) -> CASE
+       |      WHEN string_split(acc, ' ')[-1] = $t.pa AND x = $t.pb
+       |      THEN CASE WHEN length(acc) = length(string_split(acc, ' ')[-1])
+       |           THEN concat($t.pa, $t.pb)
+       |           ELSE concat(left(acc, length(acc)
+       |                  - length(string_split(acc, ' ')[-1])),
+       |                $t.pa, $t.pb) END
+       |      ELSE concat(acc, ' ', x) END), ' ') AS toks, freq
+       |  FROM $w CROSS JOIN $t""".stripMargin
+
+  val bpeLearnSql: String =
+    s"""WITH words0 AS (
+       |  SELECT list_transform(generate_series(1, length(w)),
+       |           i -> substr(w, CAST(i AS INTEGER), 1)) AS toks,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |        FROM documents WHERE doc_id < 500) t
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
+       |  GROUP BY w),
+       |pairs1 AS (${bpePairsSql("words0")}),
+       |top1 AS (${bpeTopSql("pairs1")}),
+       |words1 AS (${bpeMergeSql("words0", "top1")}),
+       |pairs2 AS (${bpePairsSql("words1")}),
+       |top2 AS (${bpeTopSql("pairs2")}),
+       |words2 AS (${bpeMergeSql("words1", "top2")}),
+       |pairs3 AS (${bpePairsSql("words2")}),
+       |top3 AS (${bpeTopSql("pairs3")}),
+       |words3 AS (${bpeMergeSql("words2", "top3")}),
+       |pairs4 AS (${bpePairsSql("words3")}),
+       |top4 AS (${bpeTopSql("pairs4")})
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, pa, pb,
+       |         CAST(cnt AS BIGINT) AS cnt FROM top1
+       |  UNION ALL SELECT 2, pa, pb, CAST(cnt AS BIGINT) FROM top2
+       |  UNION ALL SELECT 3, pa, pb, CAST(cnt AS BIGINT) FROM top3
+       |  UNION ALL SELECT 4, pa, pb, CAST(cnt AS BIGINT) FROM top4)
+       |ORDER BY round""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bigram_lm" -> (bigramLm _),
     "curate_dsir" -> (dsirWeights _),
+    "text_bpe_learn" -> ((s, d) => bpeLearn(s, d)),
     "text_oov_rate" -> ((s, d) => oovRate(s, d)))
 
   def oracle: Map[String, String] = Map(
     "text_bigram_lm" -> bigramLmSql,
     "curate_dsir" -> dsirWeightsSql,
+    "text_bpe_learn" -> bpeLearnSql,
     "text_oov_rate" -> oovRateSql)
 }

@@ -144,6 +144,20 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(plan.contains("Sort ["), plan)
   }
 
+  test("bpeLearnFrom: hand-checkable merges, greedy non-overlap") {
+    import spark.implicits._
+    // 'aaaa' ×3 + 'ab' ×2: round 1 pair (a,a) count = 3·3 + 0 = 9.
+    // Greedy merge: aaaa → [aa, aa] (positions 1-2 and 3-4, NOT the
+    // overlapping 2-3). Round 2: pairs (aa,aa)=3, (a,b)=2 → (aa,aa).
+    val docs = Seq((1L, "aaaa aaaa aaaa ab ab")).toDF("doc_id", "text")
+    val out = graft.ops.LanguageModel.bpeLearnFrom(docs, rounds = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 9L),
+      (2L, "aa", "aa", 3L)))
+  }
+
   test("fileStatsPrune: pruned scan is exact and skips at least one file") {
     val out = Maintenance.fileStatsPrune(spark, sf).collect()
     assert(out.nonEmpty)
