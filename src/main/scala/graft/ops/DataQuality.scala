@@ -544,27 +544,50 @@ object DataQuality {
 
   /** Weighted median — the robust center when rows carry unequal
     * mass (docs weighted by tokens, prices by quantity): smallest v
-    * whose cumulative weight reaches half the total. No built-in
-    * computes this in either engine; both run the identical
-    * sort + running-decimal-sum window formulation, so the gate is
-    * hash-exact (ties on v cross the threshold inside one equal-v
-    * block and resolve to that block's v in both engines).
+    * whose cumulative weight reaches half the total.
     *
-    * Scale: one partitioned window sort per group — the same
-    * (group, order) shuffle every per-group quantile needs; weights
-    * accumulate as decimals so partial order is irrelevant. */
+    * Computed histogram-first: per-(group, bin) weight sums
+    * (map-side combinable, NO corpus sort), cumulate over the ≤1024
+    * bins per group (a metadata-sized window), locate the bin the
+    * half-total falls in, then sort ONLY that bin's rows for the
+    * exact crossing. A direct sort+running-sum window would have
+    * parallelism = #groups (three returnflags sort 200k rows each on
+    * one core); the refine sort here touches ~1/1024 of the data.
+    * Binning routes rows by a monotone double map, so the refined
+    * answer is EXACTLY the full-sort answer (equal values share a
+    * bin by construction) — the DuckDB oracle keeps the
+    * straightforward single-sort formulation and the hashes match. */
   def dqWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val nb = 1024
     val li = Tables.lineitem(s, dir).select(
       col("l_returnflag").as("g"),
       col("l_extendedprice").cast(DecimalType(18, 2)).as("v"),
       col("l_quantity").cast(DecimalType(18, 2)).as("wt"))
-    li
-      .withColumn("cum", sum(col("wt")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("wt")).over(
-        Window.partitionBy(col("g"))))
-      .filter(col("cum") * 2 >= col("tot"))
+    val stats = li.groupBy(col("g")).agg(
+      min(col("v")).as("mn"), max(col("v")).as("mx"),
+      sum(col("wt")).as("tot"))
+    val span = col("mx").cast(DoubleType) - col("mn").cast(DoubleType)
+    val binned = li.join(broadcast(stats), "g")
+      .withColumn("bin", when(span === 0.0, lit(0)).otherwise(
+        least(lit(nb - 1), greatest(lit(0),
+          floor((col("v").cast(DoubleType) - col("mn").cast(DoubleType))
+            / span * nb).cast(IntegerType)))))
+    val wBins = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val medianBin = binned
+      .groupBy(col("g"), col("bin")).agg(sum(col("wt")).as("bw"))
+      .withColumn("cum", sum(col("bw")).over(wBins))
+      .join(broadcast(stats.select(col("g"), col("tot"))), "g")
+      .withColumn("cum_before", col("cum") - col("bw"))
+      .filter(col("cum") * 2 >= col("tot") &&
+        col("cum_before") * 2 < col("tot"))
+      .select(col("g"), col("bin"), col("cum_before"), col("tot"))
+    val wIn = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.select(col("g"), col("bin"), col("v"), col("wt"))
+      .join(broadcast(medianBin), Seq("g", "bin"))
+      .withColumn("cum_in", sum(col("wt")).over(wIn))
+      .filter((col("cum_before") + col("cum_in")) * 2 >= col("tot"))
       .groupBy(col("g"))
       .agg(min(col("v")).cast(DoubleType).as("wmedian"),
         max(col("tot")).cast(DoubleType).as("total_weight"))
