@@ -520,8 +520,93 @@ object TimeSeries {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** Lag-1 autocorrelation of each user's hourly value series — the
+    * "is this metric momentum or noise" screen (near 1: trending,
+    * near 0: white noise, negative: mean-reverting). Only pairs of
+    * CONSECUTIVE hours enter (h = prev + 1h); gaps contribute
+    * nothing rather than fabricating a correlation across them.
+    * Decimal power sums (the q32 moments discipline) make the
+    * aggregate order-independent; the final Pearson formula is a
+    * fixed scalar expression snapped to 1e-6, identical both
+    * engines.
+    *
+    * Scale: one (user, hour) aggregate, one per-user lag window
+    * (same shuffle every per-entity feature shares), one
+    * map-combinable power-sum reduce. Nothing is corpus-wide. */
+  def tsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast(DecimalType(18, 4)))
+        .cast(DecimalType(18, 4)).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    val pairs = hourly
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("ph", lag(col("h"), 1).over(w))
+      .filter(col("ph").isNotNull &&
+        col("h") === col("ph") + expr("INTERVAL 1 HOUR"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 8))
+    val agg = pairs.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("v"))).as("sx"),
+      sum(d38(col("pv"))).as("sy"),
+      sum(d38(col("v") * col("v"))).as("sxx"),
+      sum(d38(col("pv") * col("pv"))).as("syy"),
+      sum(d38(col("v") * col("pv"))).as("sxy"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val n = dd(col("n"))
+    val varx = n * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    val vary = n * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+    val cov = n * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+    agg
+      .filter(col("n") >= 3)
+      .withColumn("corr6",
+        when(varx > 0.0 && vary > 0.0,
+          floor(cov / sqrt(varx * vary) * 1e6 + 0.5).cast(LongType)
+            .cast(DoubleType) / 1e6))
+      .select(col("user_id"), col("n").as("n_pairs"), col("corr6"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsAutocorrSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT user_id, h, v,
+      |    lag(v) OVER (PARTITION BY user_id ORDER BY h) AS pv,
+      |    lag(h) OVER (PARTITION BY user_id ORDER BY h) AS ph
+      |  FROM hourly),
+      |pairs AS (
+      |  SELECT * FROM lagged
+      |  WHERE ph IS NOT NULL AND h = ph + INTERVAL 1 HOUR),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    SUM(CAST(v AS DECIMAL(38,8))) AS sx,
+      |    SUM(CAST(pv AS DECIMAL(38,8))) AS sy,
+      |    SUM(CAST(v * v AS DECIMAL(38,8))) AS sxx,
+      |    SUM(CAST(pv * pv AS DECIMAL(38,8))) AS syy,
+      |    SUM(CAST(v * pv AS DECIMAL(38,8))) AS sxy
+      |  FROM pairs GROUP BY user_id)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |  THEN CAST(CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |      * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6
+      |  END AS corr6
+      |FROM agg WHERE n >= 3
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
+        "ts_autocorr"       -> (tsAutocorr _),
         "ts_ewma"           -> (ewma _),
         "ts_attribution"    -> (attributionLinear _),
         "ts_resample_ffill" -> (tsResample _),
@@ -531,6 +616,7 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> (behaviorLshGate _))
   def oracle: Map[String, String] =
     Map("ts_rolling"        -> rollingSql,
+        "ts_autocorr"       -> tsAutocorrSql,
         "ts_ewma"           -> ewmaSql,
         "ts_attribution"    -> attributionLinearSql,
         "ts_resample_ffill" -> tsResampleSql,
