@@ -106,6 +106,79 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Maximum inner-product search (MIPS) top-k — the retrieval mode
+    * recommenders and learned-sparse models need: rank by RAW dot
+    * product, where vector NORM carries signal (popularity, term
+    * weight) that cosine deliberately erases. Same broadcast-query
+    * scan shape as [[topK]].
+    *
+    * Scale path: MIPS reduces to cosine ANN by the norm augmentation
+    * (Shrivastava & Li 2014) — append `√(M² − ‖x‖²)` to each corpus
+    * vector and 0 to queries; the augmented cosine order equals the
+    * dot order, so the existing LSH/IVF/PQ indexes serve MIPS
+    * unchanged. The spec asserts that rank equivalence; this gate
+    * pins the exact answer. */
+  def topKMips(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val q = vecs(s, dir).filter(col("vec_id") < 5)
+      .toDF("query_id", "qv")
+    val t = vecs(s, dir).toDF("target_id", "tv").repartition(par)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("target_id"))
+    t.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("ip", dot(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"), col("ip"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Augmented-space ranking for the MIPS→cosine reduction (used by
+    * the spec to prove the equivalence on real vectors). */
+  def topKMipsAugmented(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val base = vecs(s, dir)
+    val mx = base.agg(max(norm(col("v")))).head().getDouble(0)
+    val aug = base.select(col("vec_id"),
+      concat(col("v"), array(sqrt(
+        greatest(lit(0.0), lit(mx * mx) - dot(col("v"), col("v"))))))
+        .as("v"))
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id"),
+        concat(col("v"), array(lit(0.0))).as("v"))
+      .toDF("query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    aug.toDF("target_id", "tv").crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val topKMipsSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+       |SELECT query_id, target_id, rank, ip FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS target_id,
+       |    list_reduce(list_transform(generate_series(1, len(a.v)),
+       |      i -> a.v[i] * b.v[i]), (x, y) -> x + y) AS ip,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_reduce(list_transform(
+       |        generate_series(1, len(a.v)),
+       |        i -> a.v[i] * b.v[i]), (x, y) -> x + y) DESC,
+       |        b.vec_id) AS rank
+       |  FROM vecs a, vecs b
+       |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Hard-negative mining — the contrastive-training complement to
     * [[negativeSample]]'s RANDOM negatives: the most-similar corpus
     * vectors that are NOT true neighbors (cosine ranks k+1..k+m),
@@ -1325,6 +1398,8 @@ object Similarity {
     "sim_negative_sample" -> ((s: SparkSession, d: String) => negativeSample(s, d)),
     "sim_hard_negatives"  -> ((s: SparkSession, d: String) =>
       hardNegatives(s, d)),
+    "sim_topk_mips"       -> ((s: SparkSession, d: String) =>
+      topKMips(s, d)),
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -1346,6 +1421,7 @@ object Similarity {
     "sim_ann_index_append" -> annIndexAppendSql,
     "sim_negative_sample" -> negativeSampleSql,
     "sim_hard_negatives"  -> hardNegativesSql,
+    "sim_topk_mips"       -> topKMipsSql,
     "embed_kmeans" -> kmeansSql)
     // sim_ann_lsh / sim_ann_ivf raw neighbor lists stay rows-only
     // (approximate by construction); their *_recall gates hash-check

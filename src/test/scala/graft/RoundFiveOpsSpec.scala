@@ -144,6 +144,15 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(plan.contains("Sort ["), plan)
   }
 
+  test("MIPS→cosine norm augmentation preserves the exact ranking") {
+    val mips = graft.ops.Similarity.topKMips(spark, sf)
+      .select(col("query_id"), col("target_id"), col("rank"))
+      .collect().map(_.toSeq).toSeq
+    val aug = graft.ops.Similarity.topKMipsAugmented(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(mips == aug)
+  }
+
   test("bpeLearnFrom: hand-checkable merges, greedy non-overlap") {
     import spark.implicits._
     // 'aaaa' ×3 + 'ab' ×2: round 1 pair (a,a) count = 3·3 + 0 = 9.
