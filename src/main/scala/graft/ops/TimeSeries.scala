@@ -604,9 +604,48 @@ object TimeSeries {
       |FROM agg WHERE n >= 3
       |ORDER BY user_id""".stripMargin
 
+  /** Hour-of-day seasonality profile per event type — the diurnal
+    * fingerprint batch pipelines use to schedule compaction windows
+    * and streaming jobs use to calibrate rate expectations. Share is
+    * computed on an integer ppm grid (count·1e6 div type total) so
+    * the division is exact in both engines. One map-combinable
+    * aggregate plus an O(types) broadcast back. */
+  def tsSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("total_value"))
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tot"))
+    hourly.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("hod").cast(LongType).as("hod"),
+        col("n"), col("total_value"),
+        (floor(col("n") * lit(1000000L) / col("tot")).cast(LongType)
+          .cast(DoubleType) / 1e6).as("share"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  val tsSeasonalitySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+      |      AS total_value
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+      |  FROM hourly GROUP BY 1)
+      |SELECT h.event_type, h.hod, h.n, h.total_value,
+      |  CAST(CAST(floor(h.n * 1000000 / t.tot) AS BIGINT) AS DOUBLE)
+      |    / 1e6 AS share
+      |FROM hourly h JOIN tot t USING (event_type)
+      |ORDER BY event_type, hod""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
         "ts_autocorr"       -> (tsAutocorr _),
+        "ts_seasonality"    -> (tsSeasonality _),
         "ts_ewma"           -> (ewma _),
         "ts_attribution"    -> (attributionLinear _),
         "ts_resample_ffill" -> (tsResample _),
@@ -617,6 +656,7 @@ object TimeSeries {
   def oracle: Map[String, String] =
     Map("ts_rolling"        -> rollingSql,
         "ts_autocorr"       -> tsAutocorrSql,
+        "ts_seasonality"    -> tsSeasonalitySql,
         "ts_ewma"           -> ewmaSql,
         "ts_attribution"    -> attributionLinearSql,
         "ts_resample_ffill" -> tsResampleSql,
