@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.schema.SchemaLoader
-import graft.sources.{CsvIngest, ParquetSink}
+import graft.sources.{AvroIngest, CsvIngest, ParquetSink}
 
 /** Reference-parity operators exposed through the correctness gate:
   * the CSV→Parquet conversion path (SchemaLoader + CsvIngest, SURVEY
@@ -349,6 +349,41 @@ object ParityQueries {
       |FROM lineitem
       |GROUP BY l_linenumber
       |ORDER BY l_linenumber""".stripMargin
+
+  /** Avro container roundtrip. Avro is the reference's internal IR
+    * (CSV row → `GenericRecord`, `CsvToParquetConverter.java:154`;
+    * all-nullable union schema, `CsvToParquetConverter.java:52-74`);
+    * here the same record model is a first-class FILE format: export
+    * lineitem as snappy `.avro` container files (decimal column added
+    * to exercise the bytes/decimal logical type, NTZ ship timestamp
+    * exercises local-timestamp-micros), scan it back through the
+    * sync-marker-splittable `AvroKeyInputFormat` path, and prove the
+    * values survived against the oracle over the ORIGINAL parquet. */
+  def convAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val avroDir = scratch(dir, "conv_roundtrip_avro")
+    graft.Scaffold.setup {
+      AvroIngest.write(
+        Tables.lineitem(s, dir).withColumn("l_quantity_dec",
+          col("l_quantity").cast(DecimalType(12, 2))), avroDir)
+    }
+    AvroIngest.read(s, avroDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity_dec")).cast(DoubleType).as("sum_qty"),
+        max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val convAvroRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  MAX(l_shipdate) AS max_ship,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** Quarantine gate (reference file-abort semantics,
     * `CsvToParquetConverter.java:204-213`, re-expressed as row-level
@@ -754,6 +789,7 @@ object ParityQueries {
     "conv_jsonl_roundtrip"  -> (convJsonlRoundtrip _),
     "conv_jsonl_quarantine" -> (convJsonlQuarantine _),
     "conv_orc_roundtrip"    -> (convOrcRoundtrip _),
+    "conv_avro_roundtrip"   -> (convAvroRoundtrip _),
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_time_travel"     -> (purgeTimeTravel _),
@@ -776,6 +812,7 @@ object ParityQueries {
     "conv_jsonl_roundtrip"  -> convJsonlRoundtripSql,
     "conv_jsonl_quarantine" -> convJsonlQuarantineSql,
     "conv_orc_roundtrip"    -> convOrcRoundtripSql,
+    "conv_avro_roundtrip"   -> convAvroRoundtripSql,
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_time_travel"     -> purgeTimeTravelSql,
