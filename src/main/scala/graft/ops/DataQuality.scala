@@ -612,7 +612,89 @@ object DataQuality {
       |GROUP BY g
       |ORDER BY g""".stripMargin
 
+  /** Config-string rule engine — the reference's criteria idiom
+    * (predicates arrive as TEXT in config, `AutoPurge.sql` criteria /
+    * `application.properties`) applied to validation: each rule is
+    * `(name, table, violationPredicateSql, severity)`, compiled with
+    * `expr` into the same one-scan-per-table conditional-sum plan as
+    * [[profile]] — N rules on a table cost ONE pass regardless of N —
+    * then unpivoted to a row per rule with an exact integer-ppm rate.
+    *
+    * Scale: rule evaluation is map-side-combined aggregation (one
+    * output row per table scan); the unpivot touches O(rules) rows.
+    * Adding a rule is a config edit, not a plan change. */
+  def ruleEngine(s: SparkSession, dir: String): DataFrame = {
+    val ruleSpec: Seq[(String, String, String, String)] = Seq(
+      ("o_price_nonneg", "orders", "o_totalprice < 0", "fail"),
+      ("o_status_domain", "orders",
+        "o_orderstatus NOT IN ('O','F','P')", "fail"),
+      ("o_priority_nonnull", "orders",
+        "o_orderpriority IS NULL", "warn"),
+      ("l_qty_range", "lineitem",
+        "l_quantity < 1 OR l_quantity > 50", "warn"),
+      ("l_discount_range", "lineitem",
+        "l_discount < 0 OR l_discount > 0.1", "warn"),
+      ("c_acctbal_floor", "customer", "c_acctbal < -1000", "warn"))
+    val perTable = ruleSpec.groupBy(_._2).toSeq.map {
+      case (table, rules) =>
+        val agg = Tables(s, dir, table).agg(
+          count(lit(1)).as("n_rows"),
+          rules.map { case (name, _, pred, _) =>
+            sum(when(expr(pred), 1L).otherwise(0L)).as(name)
+          }: _*)
+        val stacked = rules.map { case (name, _, _, severity) =>
+          s"'$name', '$table', '$severity', $name"
+        }.mkString(", ")
+        agg.selectExpr(
+          s"stack(${rules.size}, $stacked) AS " +
+            "(rule_name, table_name, severity, n_violations)",
+          "n_rows")
+    }
+    perTable.reduce(_ unionByName _)
+      .select(col("rule_name"), col("table_name"), col("severity"),
+        col("n_rows"), col("n_violations"),
+        expr("n_violations * 1000000L div n_rows").as("viol_ppm"))
+      .orderBy(col("rule_name"))
+  }
+
+  val ruleEngineSql: String =
+    """WITH o AS (SELECT COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS r1,
+      |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+      |        THEN 1 ELSE 0 END) AS r2,
+      |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+      |      AS r3
+      |  FROM orders),
+      |l AS (SELECT COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |        THEN 1 ELSE 0 END) AS r4,
+      |    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |        THEN 1 ELSE 0 END) AS r5
+      |  FROM lineitem),
+      |c AS (SELECT COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN c_acctbal < -1000 THEN 1 ELSE 0 END) AS r6
+      |  FROM customer),
+      |stacked AS (
+      |  SELECT 'o_price_nonneg' AS rule_name, 'orders' AS table_name,
+      |    'fail' AS severity, n_rows, r1 AS n_violations FROM o
+      |  UNION ALL SELECT 'o_status_domain', 'orders', 'fail',
+      |    n_rows, r2 FROM o
+      |  UNION ALL SELECT 'o_priority_nonnull', 'orders', 'warn',
+      |    n_rows, r3 FROM o
+      |  UNION ALL SELECT 'l_qty_range', 'lineitem', 'warn',
+      |    n_rows, r4 FROM l
+      |  UNION ALL SELECT 'l_discount_range', 'lineitem', 'warn',
+      |    n_rows, r5 FROM l
+      |  UNION ALL SELECT 'c_acctbal_floor', 'customer', 'warn',
+      |    n_rows, r6 FROM c)
+      |SELECT rule_name, table_name, severity,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_violations AS BIGINT) AS n_violations,
+      |  CAST(n_violations * 1000000 // n_rows AS BIGINT) AS viol_ppm
+      |FROM stacked ORDER BY rule_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_rule_engine" -> (ruleEngine _),
     "dq_weighted_median" -> (dqWeightedMedian _),
     "dq_uniqueness" -> (dqUniqueness _),
     "dq_schema_drift" -> (schemaDrift _),
@@ -626,6 +708,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_rule_engine" -> ruleEngineSql,
     "dq_weighted_median" -> dqWeightedMedianSql,
     "dq_uniqueness" -> dqUniquenessSql,
     "dq_schema_drift" -> schemaDriftSql,

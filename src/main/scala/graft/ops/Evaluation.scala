@@ -174,9 +174,108 @@ object Evaluation {
        |FROM counts
        |ORDER BY query_id""".stripMargin
 
+  /** ROC AUC of an integer score (`n_chars`) against a binary label
+    * (`lang = 'en'`), tie-aware, via the Mann-Whitney rank statistic
+    * computed on the per-score HISTOGRAM: group once by score, then
+    * a window over the O(distinct-scores) histogram accumulates
+    * `below(s)` = negatives with a strictly smaller score, and
+    *   2·U = Σ_s [ 2·n_pos(s)·below(s) + n_pos(s)·n_neg(s) ]
+    * counts each concordant pair twice and each tied pair once.
+    *
+    * Scale: ONE map-side-combined groupBy over the corpus; the window
+    * and final reduce see only the score histogram (dimension-sized —
+    * document lengths, not documents). The classic "sort all N
+    * predictions" AUC is a global sort; this is a groupBy + a
+    * metadata window. Determinism: every accumulation is integer;
+    * the single final division long/long is IEEE-identical in both
+    * engines. */
+  def aucGate(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(sum(col("pos")).as("np"),
+        sum(lit(1L) - col("pos")).as("nn"))
+    // Histogram-sized window: O(distinct document lengths) rows.
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(lit(2L) * col("np") * col("below") + col("np") * col("nn"))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("u2").cast(DoubleType) /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast(DoubleType))
+          .as("auc"))
+  }
+
+  val aucSql: String =
+    """WITH hist AS (
+      |  SELECT n_chars AS score,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+      |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+      |  FROM documents GROUP BY n_chars),
+      |cum AS (
+      |  SELECT np, nn,
+      |    COALESCE(SUM(nn) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS below
+      |  FROM hist)
+      |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+      |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |  CAST(SUM(2 * np * below + np * nn) AS DOUBLE)
+      |    / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE) AS auc
+      |FROM cum""".stripMargin
+
+  /** Calibration (reliability) table for a length-derived predicted
+    * probability p = min(n_chars, 4000)/4000 in ten equal-width bins:
+    * per bin, the count, the mean prediction, and the observed
+    * positive rate (`lang = 'en'`). The bin id and both numerators
+    * accumulate as integers (p's numerator is min(n_chars,4000));
+    * each emitted double is one long/long division, so both engines
+    * agree bit-for-bit.
+    *
+    * Scale: single map-side-combined groupBy on a 10-value key. */
+  def calibrationGate(s: SparkSession, dir: String): DataFrame = {
+    val num = least(col("n_chars"), lit(4000L)) // p = num / 4000
+    // integer `div`, not `/`: long/long in Spark is double division
+    val bin = expr("least(n_chars, 3999L) * 10L div 4000L")
+    Tables.documents(s, dir)
+      .select(bin.as("bin"), num.as("num"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("num")).as("sum_num"),
+        sum(col("pos")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        (col("sum_num").cast(DoubleType) /
+          (lit(4000L) * col("n")).cast(DoubleType)).as("mean_pred"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("obs_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val calibrationSql: String =
+    """WITH b AS (
+      |  SELECT LEAST(n_chars, 3999) * 10 // 4000 AS bin,
+      |    LEAST(n_chars, 4000) AS num,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents)
+      |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+      |  CAST(SUM(num) AS DOUBLE) / CAST(4000 * COUNT(*) AS DOUBLE)
+      |    AS mean_pred,
+      |  CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obs_rate
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "eval_ndcg" -> (ndcgGate _))
+    "eval_ndcg" -> (ndcgGate _),
+    "eval_auc" -> (aucGate _),
+    "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
-    "eval_ndcg" -> ndcgSql)
+    "eval_ndcg" -> ndcgSql,
+    "eval_auc" -> aucSql,
+    "eval_calibration" -> calibrationSql)
 }

@@ -1093,6 +1093,55 @@ object Relational {
       |FROM cnt JOIN (SELECT DISTINCT d FROM dc) a ON cnt.order_day = a.d
       |ORDER BY order_day""".stripMargin
 
+  /** Sketch-rollup table — THE 100 TB distinct-count architecture:
+    * materialize mergeable HLL sketches once at the finest grain
+    * (per event-type × day), then answer any coarser rollup
+    * (type-level here; weekly / all-time identically) by MERGING
+    * sketches — the raw corpus is never rescanned. Because an HLL
+    * union takes the register-wise max, merging the daily sketches
+    * is LOSSLESS: the gate proves `estimate(union(daily)) ==
+    * estimate(sketch(direct))` per type, and that the estimate lands
+    * within 5% of the exact count (Datasketches HLL, lgK=12 →
+    * ~1.6% RSE). Booleans + the exact anchor are what the oracle
+    * hash-checks — the property is deterministic, same discipline as
+    * the ANN recall gates.
+    *
+    * Scale: daily sketch build is one map-side-combined aggregate
+    * (sketches merge in the combiner); the rollup shuffles only
+    * types × days sketch BLOBS (≤4 KB each), not rows. countDistinct
+    * here is the sf-sized anchor only — at 100 TB you'd trust the
+    * sketch, which is the point. */
+  def q41SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("est_merged"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("est_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("est_merged") === col("est_direct"))
+          .as("merge_consistent"),
+        (abs(col("est_merged") - col("n_exact")) * lit(20L) <=
+          col("n_exact")).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val q41Sql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS n_exact,
+      |  TRUE AS merge_consistent,
+      |  TRUE AS within_5pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Null-aware anti join — ANSI `NOT IN (subquery)` three-valued
     * semantics, the join variant a plain `left_anti` CANNOT express:
     * one NULL in the subquery makes `x NOT IN S` unknown for every x,
@@ -1194,7 +1243,8 @@ object Relational {
     "q37_approx_distinct" -> (q37ApproxDistinct _),
     "q38_rolling_distinct" -> (q38RollingDistinct _),
     "q39_null_anti_join" -> (q39NullAntiJoin _),
-    "q40_lateral_join"   -> (q40LateralJoin _))
+    "q40_lateral_join"   -> (q40LateralJoin _),
+    "q41_sketch_rollup"  -> (q41SketchRollup _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1237,5 +1287,6 @@ object Relational {
     "q37_approx_distinct" -> q37Sql,
     "q38_rolling_distinct" -> q38Sql,
     "q39_null_anti_join" -> q39Sql,
-    "q40_lateral_join"   -> q40Sql)
+    "q40_lateral_join"   -> q40Sql,
+    "q41_sketch_rollup"  -> q41Sql)
 }

@@ -642,8 +642,83 @@ object TimeSeries {
       |FROM hourly h JOIN tot t USING (event_type)
       |ORDER BY event_type, hod""".stripMargin
 
+  /** CUSUM changepoint per event type over the daily value series:
+    * the split day k maximizing |N·prefix(k) − k·total| — the
+    * N-scaled cumulative deviation from the series mean (scaling by
+    * N clears the mean's division, so the score is EXACT decimal
+    * arithmetic end to end; doubles never accumulate). Emits the
+    * argmax day per type with its 1e6-ppm-normalized score.
+    *
+    * Scale: one map-side-combined daily aggregate (days × types
+    * rows), then windows partitioned BY TYPE over day-count-sized
+    * frames — nothing corpus-sized shuffles twice, no driver loop.
+    * Ties break on earliest day via (score desc, day asc) ordering.
+    */
+  def tsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("v"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("prefix",
+        sum(col("v")).over(ordered).cast(DecimalType(28, 4)))
+      .withColumn("k", row_number().over(byType.orderBy(col("day")))
+        .cast(LongType))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("total",
+        sum(col("v")).over(byType).cast(DecimalType(28, 4)))
+      // N·prefix − k·total: decimal × long stays exact
+      .withColumn("dev",
+        abs(col("n_days") * col("prefix") - col("k") * col("total"))
+          .cast(DecimalType(38, 4)))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev").desc, col("day"))
+    scored
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("k").as("cp_index"), col("n_days"),
+        col("dev").cast(DecimalType(38, 4)).as("cusum_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, day,
+      |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DECIMAL(28,4)) AS prefix,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY day) AS BIGINT) AS k,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS n_days,
+      |    CAST(SUM(v) OVER (PARTITION BY event_type)
+      |      AS DECIMAL(28,4)) AS total
+      |  FROM daily),
+      |dev AS (
+      |  SELECT event_type, day, k, n_days,
+      |    CAST(ABS(n_days * prefix - k * total) AS DECIMAL(38,4))
+      |      AS dev
+      |  FROM scored),
+      |pick AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY dev DESC, day) AS rk
+      |  FROM dev)
+      |SELECT event_type, day AS cp_day, k AS cp_index, n_days,
+      |  CAST(dev AS DECIMAL(38,4)) AS cusum_dev
+      |FROM pick WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
+        "ts_changepoint"    -> (tsChangepoint _),
         "ts_autocorr"       -> (tsAutocorr _),
         "ts_seasonality"    -> (tsSeasonality _),
         "ts_ewma"           -> (ewma _),
@@ -655,6 +730,7 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> (behaviorLshGate _))
   def oracle: Map[String, String] =
     Map("ts_rolling"        -> rollingSql,
+        "ts_changepoint"    -> tsChangepointSql,
         "ts_autocorr"       -> tsAutocorrSql,
         "ts_seasonality"    -> tsSeasonalitySql,
         "ts_ewma"           -> ewmaSql,

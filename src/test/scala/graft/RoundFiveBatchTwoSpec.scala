@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ops.{DataQuality, Evaluation, Relational, TimeSeries}
+
+/** Closed-form invariants for the round-5 batch-two operators:
+  * planted-signal checks the sf-corpus gates can't state (a known
+  * AUC on a separable fixture, a planted CUSUM level shift), plus
+  * bound/consistency invariants on the real corpus. */
+class RoundFiveBatchTwoSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** documents.parquet fixture dir with the given (lang, n_chars). */
+  private def docsDir(rows: Seq[(String, Long)]): String = {
+    val dir = tmpDir("b2_docs")
+    val data = rows.zipWithIndex.map { case ((lang, n), i) =>
+      Row(i.toLong, "t", lang, "src", n)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("eval_auc: perfectly separable fixture scores exactly 1.0") {
+    val dir = docsDir(
+      (1 to 10).map(i => ("en", 100L + i)) ++   // positives all longer
+      (1 to 10).map(i => ("de", i.toLong)))
+    val r = Evaluation.aucGate(spark, dir).head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 10)
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  test("eval_auc: all-tied scores give exactly 0.5; reversal gives 1-AUC") {
+    val tied = docsDir(Seq(("en", 7L), ("en", 7L), ("de", 7L), ("de", 7L)))
+    assert(Evaluation.aucGate(spark, tied).head.getDouble(2) == 0.5)
+    // Mirror the separable fixture: positives all SHORTER → AUC 0.
+    val rev = docsDir(
+      (1 to 10).map(i => ("en", i.toLong)) ++
+      (1 to 10).map(i => ("de", 100L + i)))
+    assert(Evaluation.aucGate(spark, rev).head.getDouble(2) == 0.0)
+  }
+
+  test("eval_calibration: bins partition the corpus; rates and preds in range") {
+    val out = Evaluation.calibrationGate(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    out.foreach { r =>
+      val bin = r.getLong(0)
+      assert(bin >= 0 && bin <= 9)
+      val pred = r.getDouble(2); val obs = r.getDouble(3)
+      assert(pred >= bin / 10.0 - 1e-9 && pred <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean_pred $pred outside bin bounds")
+      assert(obs >= 0.0 && obs <= 1.0)
+    }
+  }
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  test("ts_changepoint: planted level shift is found at the step") {
+    val dir = tmpDir("b2_events")
+    // 20 days: value 1.0/day for days 1..10, then 11.0/day for 11..20
+    // → CUSUM argmax must sit on day 10 (k = 10).
+    val rows = (1 to 20).map { d =>
+      Row(d.toLong,
+        Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"),
+        1L, "shift", if (d <= 10) 1.0 else 11.0, "{}")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), evSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TimeSeries.tsChangepoint(spark, dir).head
+    assert(r.getString(0) == "shift")
+    assert(r.getLong(2) == 10L, s"cp_index ${r.getLong(2)} != 10")
+    assert(r.getDate(1).toString == "2024-01-10")
+  }
+
+  test("dq_rule_engine: one row per rule, ppm bounded, counts consistent") {
+    val out = DataQuality.ruleEngine(spark, sf).collect()
+    assert(out.length == 6)
+    val byTable = out.groupBy(_.getString(1))
+    // every rule on the same table reports the same n_rows
+    byTable.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).distinct.length == 1)
+    }
+    out.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= r.getLong(3))
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
+      assert(Set("warn", "fail").contains(r.getString(2)))
+    }
+  }
+
+  test("q41_sketch_rollup: daily-sketch merge is lossless and within tolerance") {
+    val out = Relational.q41SketchRollup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: merge inconsistent")
+      assert(r.getBoolean(3), s"${r.getString(0)}: estimate off by >5%")
+    }
+  }
+}
