@@ -385,7 +385,102 @@ object Graph {
       |WHERE doc_id < 6 OR doc_id BETWEEN 10 AND 15
       |ORDER BY doc_id""".stripMargin
 
+  /** Synchronous label propagation (community detection): every node
+    * starts with a unique label (its rank in node order); each round,
+    * a node adopts the WEIGHTED MAJORITY label among its neighbors
+    * (edge weight = transition count, graph symmetrized), ties to the
+    * smallest label — the deterministic LPA variant, so a fixed
+    * iteration count gives a hash-gateable fixpoint (plain LPA's
+    * random tie-break/ordering is not reproducible across engines).
+    *
+    * Scale: identical physics to [[pageRank]] — the edge list
+    * partitions once, each round shuffles only the O(nodes) label
+    * vector; the majority vote is a groupBy on (dst, label) whose
+    * key count is bounded by the edge count, then a per-node top-1
+    * (`max_by` over the vote struct — map-side combinable, no
+    * window). Nodes without in-edges keep their label. */
+  def labelPropagation(s: SparkSession, dir: String,
+      iters: Int = 4): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val directed = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val edges = directed
+      .unionByName(directed.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    var labels = nodes
+      .withColumn("lab",
+        row_number().over(Window.orderBy(col("node"))).cast("long"))
+      .localCheckpoint() // O(types) window: metadata-sized
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("lab"))
+        .agg(sum(col("w")).as("vw"))
+        .groupBy(col("dst"))
+        // majority with min-label tie-break: max over (weight, -lab)
+        .agg(max_by(col("lab"),
+          struct(col("vw"), (-col("lab")).as("neg"))).as("new_lab"))
+      labels = labels
+        .join(votes.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_lab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.orderBy(col("node"))
+  }
+
+  /** The same synchronous recurrence unrolled as chained CTEs. */
+  def labelPropagationSql(iters: Int = 4): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |dedges AS (SELECT src, dst, COUNT(*) AS w FROM ord
+        |           WHERE dst IS NOT NULL AND dst <> src
+        |           GROUP BY src, dst),
+        |edges AS (
+        |  SELECT src, dst, SUM(w) AS w FROM (
+        |    SELECT src, dst, w FROM dedges
+        |    UNION ALL SELECT dst, src, w FROM dedges)
+        |  GROUP BY src, dst),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |it0 AS (SELECT node,
+        |          CAST(row_number() OVER (ORDER BY node) AS BIGINT)
+        |            AS lab
+        |        FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT n.node, COALESCE(v.new_lab, p0.lab) AS lab
+         |  FROM nodes n
+         |  JOIN it${i - 1} p0 ON p0.node = n.node
+         |  LEFT JOIN (
+         |    -- (vw, -lab) priority packed into one BIGINT: labels
+         |    -- are row_numbers over the node set, < 10^6 here
+         |    SELECT dst AS node,
+         |      arg_max(lab, CAST(vw AS BIGINT) * 1000000 - lab)
+         |        AS new_lab
+         |    FROM (
+         |      SELECT e.dst, p.lab, SUM(e.w) AS vw
+         |      FROM edges e JOIN it${i - 1} p ON p.node = e.src
+         |      GROUP BY e.dst, p.lab)
+         |    GROUP BY dst) v ON v.node = n.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, lab FROM it$iters ORDER BY node"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop"  -> ((s, d) => labelPropagation(s, d)),
     "graph_bfs"         -> (bfsGate _),
     "graph_kcore"       -> (kCoreGate _),
     "graph_triangles"   -> (triangles _),
@@ -395,6 +490,7 @@ object Graph {
     "graph_transitions" -> (transitions _))
 
   def oracle: Map[String, String] = Map(
+    "graph_label_prop"  -> labelPropagationSql(),
     "graph_bfs"         -> bfsSql,
     "graph_kcore"       -> kCoreSql,
     "graph_triangles"   -> trianglesSql,

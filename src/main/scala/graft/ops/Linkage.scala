@@ -104,9 +104,83 @@ object Linkage {
       |WHERE levenshtein(d.name, c.name) <= 1
       |ORDER BY dirty_id, clean_id""".stripMargin
 
+  /** Golden-record survivorship — the step AFTER linkage in an MDM
+    * pipeline: duplicate/update records for one entity collapse to a
+    * single best record, each field independently surviving from the
+    * LATEST generation where it is non-null.
+    *
+    * The update log is derived deterministically from `customer`:
+    * gen 1 is the full base record; gen 2 re-states only the market
+    * segment for `custkey % 3 = 0` (other fields null); gen 3
+    * re-states only the balance (+100) for `custkey % 5 = 0`. The
+    * golden record must therefore take gen-3 balance where it
+    * exists, gen-2 segment where it exists, gen-1 otherwise — per
+    * FIELD, not per record.
+    *
+    * Scale: survivorship is ONE map-side-combinable aggregate —
+    * `max_by(field, IF(field IS NOT NULL, gen))` skips null-keyed
+    * rows in both engines (DuckDB `arg_max` likewise ignores null
+    * keys), so there's no window, no distinct, no self-join; a
+    * 100 TB update log folds to one record per entity in a single
+    * shuffle on the entity key. */
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+    val g1 = base.select(col("c_custkey").as("id"), lit(1L).as("gen"),
+      col("c_name").as("name"),
+      col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+        .as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val g2 = base.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("id"), lit(2L).as("gen"),
+        lit(null).cast("string").as("name"),
+        lit(null).cast("decimal(12,2)").as("acctbal"),
+        concat(lit("UPD-"), col("c_mktsegment")).as("segment"))
+    val g3 = base.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("id"), lit(3L).as("gen"),
+        lit(null).cast("string").as("name"),
+        (col("c_acctbal") + lit(100.0))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("acctbal"),
+        lit(null).cast("string").as("segment"))
+    g1.unionByName(g2).unionByName(g3)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        max_by(col("name"), when(col("name").isNotNull, col("gen")))
+          .as("name"),
+        max_by(col("acctbal"), when(col("acctbal").isNotNull, col("gen")))
+          .as("acctbal"),
+        max_by(col("segment"), when(col("segment").isNotNull, col("gen")))
+          .as("segment"))
+      .orderBy(col("id"))
+  }
+
+  val goldenRecordSql: String =
+    """WITH updates AS (
+      |  SELECT c_custkey AS id, 1 AS gen, c_name AS name,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+      |    c_mktsegment AS segment
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, NULL,
+      |    CAST(NULL AS DECIMAL(12,2)), 'UPD-' || c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 3, NULL,
+      |    CAST(c_acctbal + 100.0 AS DECIMAL(12,2)), NULL
+      |  FROM customer WHERE c_custkey % 5 = 0)
+      |SELECT id, COUNT(*) AS n_versions,
+      |  arg_max(name, CASE WHEN name IS NOT NULL THEN gen END) AS name,
+      |  arg_max(acctbal, CASE WHEN acctbal IS NOT NULL THEN gen END)
+      |    AS acctbal,
+      |  arg_max(segment, CASE WHEN segment IS NOT NULL THEN gen END)
+      |    AS segment
+      |FROM updates GROUP BY id ORDER BY id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "link_blocked" -> (linkGate _))
+    "link_blocked" -> (linkGate _),
+    "link_golden_record" -> (goldenRecord _))
 
   def oracle: Map[String, String] = Map(
-    "link_blocked" -> linkSql)
+    "link_blocked" -> linkSql,
+    "link_golden_record" -> goldenRecordSql)
 }

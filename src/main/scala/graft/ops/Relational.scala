@@ -1142,6 +1142,47 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Array higher-order functions over the embedding column —
+    * `transform` / `filter` / `aggregate` (fold) / `zip_with` /
+    * `reverse` / `array_max`, the codegen'd lambda surface that keeps
+    * vector math INSIDE whole-stage codegen instead of a UDF (the
+    * same machinery [[Similarity]] builds its kernels from; this gate
+    * pins the HOF semantics directly). Values are quantized to
+    * integer thousandths FIRST (`floor(x·1000)` — identical in both
+    * engines), so every downstream fold is exact integer arithmetic
+    * with no float-association hazard.
+    *
+    * Scale: pure per-row projection — no shuffle at all beyond the
+    * final presentation sort. */
+  def q42ArrayHof(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 200)
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
+      .select(col("vec_id"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").as("norm2q"),
+        expr("size(filter(q, x -> x > 0))").cast(LongType).as("n_pos"),
+        expr("aggregate(zip_with(q, reverse(q), (a, b) -> a * b), " +
+          "0L, (acc, x) -> acc + x)").as("rev_dotq"),
+        expr("array_max(q)").as("maxq"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q42Sql: String =
+    """WITH t AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings WHERE vec_id < 200)
+      |SELECT vec_id,
+      |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+      |    AS norm2q,
+      |  CAST(len(list_filter(q, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  CAST(list_sum(list_transform(range(1, len(q) + 1),
+      |    i -> q[i] * q[len(q) - i + 1])) AS BIGINT) AS rev_dotq,
+      |  CAST(list_max(q) AS BIGINT) AS maxq
+      |FROM t ORDER BY vec_id""".stripMargin
+
   /** Null-aware anti join — ANSI `NOT IN (subquery)` three-valued
     * semantics, the join variant a plain `left_anti` CANNOT express:
     * one NULL in the subquery makes `x NOT IN S` unknown for every x,
@@ -1244,7 +1285,8 @@ object Relational {
     "q38_rolling_distinct" -> (q38RollingDistinct _),
     "q39_null_anti_join" -> (q39NullAntiJoin _),
     "q40_lateral_join"   -> (q40LateralJoin _),
-    "q41_sketch_rollup"  -> (q41SketchRollup _))
+    "q41_sketch_rollup"  -> (q41SketchRollup _),
+    "q42_array_hof"      -> (q42ArrayHof _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1288,5 +1330,6 @@ object Relational {
     "q38_rolling_distinct" -> q38Sql,
     "q39_null_anti_join" -> q39Sql,
     "q40_lateral_join"   -> q40Sql,
-    "q41_sketch_rollup"  -> q41Sql)
+    "q41_sketch_rollup"  -> q41Sql,
+    "q42_array_hof"      -> q42Sql)
 }

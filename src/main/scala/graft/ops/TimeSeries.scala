@@ -716,9 +716,65 @@ object TimeSeries {
       |FROM pick WHERE rk = 1
       |ORDER BY event_type""".stripMargin
 
+  /** Interval-union coverage per user — each event opens a 30-minute
+    * activity interval; overlaps must count once. The classic
+    * sweep-line: order a user's intervals by start, carry the running
+    * max of prior ends, and each interval contributes
+    * `max(0, end − max(start, prevMaxEnd))` — summing those gap
+    * contributions IS the measure of the union. "Actual engaged
+    * time" for billing/engagement, dwell time from beacons, speech
+    * coverage from utterance spans.
+    *
+    * Scale: one window partitioned by user (thousands of independent
+    * partitions, no global sort) + one map-side-combined groupBy.
+    * All arithmetic on integer epoch-micros — hash-exact. Equal-
+    * length intervals make tie order irrelevant: equal starts imply
+    * equal ends, so the running max is tie-insensitive. */
+  def tsIntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val lenUs = 30L * 60 * 1000000 // 30 min in micros
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s0"))
+      .withColumn("e0", col("s0") + lit(lenUs))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s0"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("prev_end", max(col("e0")).over(w))
+      .withColumn("add",
+        when(col("prev_end").isNull, col("e0") - col("s0"))
+          .otherwise(greatest(
+            col("e0") - greatest(col("prev_end"), col("s0")), lit(0L))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("add")).as("covered_us"))
+      .select(col("user_id"), col("n_intervals"), col("covered_us"),
+        expr("covered_us div 60000000").as("covered_min"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsIntervalUnionSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s0,
+      |    epoch_us(ts) + 1800000000 AS e0
+      |  FROM events),
+      |sweep AS (
+      |  SELECT user_id, s0, e0,
+      |    MAX(e0) OVER (PARTITION BY user_id ORDER BY s0
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_end
+      |  FROM iv)
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(SUM(CASE WHEN prev_end IS NULL THEN e0 - s0
+      |    ELSE GREATEST(e0 - GREATEST(prev_end, s0), 0) END)
+      |    AS BIGINT) AS covered_us,
+      |  CAST(SUM(CASE WHEN prev_end IS NULL THEN e0 - s0
+      |    ELSE GREATEST(e0 - GREATEST(prev_end, s0), 0) END)
+      |    // 60000000 AS BIGINT) AS covered_min
+      |FROM sweep GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
         "ts_changepoint"    -> (tsChangepoint _),
+        "ts_interval_union" -> (tsIntervalUnion _),
         "ts_autocorr"       -> (tsAutocorr _),
         "ts_seasonality"    -> (tsSeasonality _),
         "ts_ewma"           -> (ewma _),
@@ -731,6 +787,7 @@ object TimeSeries {
   def oracle: Map[String, String] =
     Map("ts_rolling"        -> rollingSql,
         "ts_changepoint"    -> tsChangepointSql,
+        "ts_interval_union" -> tsIntervalUnionSql,
         "ts_autocorr"       -> tsAutocorrSql,
         "ts_seasonality"    -> tsSeasonalitySql,
         "ts_ewma"           -> ewmaSql,

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-import graft.ops.{DataQuality, Evaluation, Relational, TimeSeries}
+import graft.ops.{DataQuality, Evaluation, Graph, Linkage, Relational, TimeSeries}
 
 /** Closed-form invariants for the round-5 batch-two operators:
   * planted-signal checks the sf-corpus gates can't state (a known
@@ -105,6 +105,90 @@ class RoundFiveBatchTwoSpec extends SparkSpec {
       assert(r.getLong(4) >= 0 && r.getLong(4) <= r.getLong(3))
       assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
       assert(Set("warn", "fail").contains(r.getString(2)))
+    }
+  }
+
+  test("ts_interval_union: overlapping intervals count once, gaps don't") {
+    val dir = tmpDir("b2_iv")
+    // user 1: [0,30m] ∪ [10m,40m] = 40m, then disjoint [2h,2h30m]
+    //   → 70 min covered from 3 intervals.
+    // user 2: two identical starts → one 30m interval's worth.
+    val rows = Seq(
+      (1L, "2024-03-01 00:00:00"), (2L, "2024-03-01 00:10:00"),
+      (3L, "2024-03-01 02:00:00"), (4L, "2024-03-02 09:00:00"),
+      (5L, "2024-03-02 09:00:00")).map { case (id, t) =>
+      Row(id, Timestamp.valueOf(t), if (id <= 3) 1L else 2L, "e", 0.0, "{}")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), evSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries.tsIntervalUnion(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 70L)), s"user 1 got ${out(1L)}")
+    assert(out(2L) == ((2L, 30L)), s"user 2 got ${out(2L)}")
+  }
+
+  test("link_golden_record: each field survives from its own latest generation") {
+    val golden = Linkage.goldenRecord(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getDecimal(3), r.getString(4)))
+      .toMap
+    val base = Tables.customer(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(3), r.getString(4))).toMap
+    assert(golden.keySet == base.keySet)
+    base.foreach { case (id, (name, bal, seg)) =>
+      val (nv, gName, gBal, gSeg) = golden(id)
+      val expectedVersions =
+        1L + (if (id % 3 == 0) 1L else 0L) + (if (id % 5 == 0) 1L else 0L)
+      assert(nv == expectedVersions, s"id $id versions")
+      assert(gName == name, s"id $id name must come from gen 1")
+      val expBal = new java.math.BigDecimal(
+        if (id % 5 == 0) bal + 100.0 else bal).setScale(2,
+        java.math.RoundingMode.HALF_UP)
+      assert(gBal.compareTo(expBal) == 0, s"id $id bal $gBal != $expBal")
+      val expSeg = if (id % 3 == 0) s"UPD-$seg" else seg
+      assert(gSeg == expSeg, s"id $id segment")
+    }
+  }
+
+  test("graph_label_prop: two planted triangles converge to two communities") {
+    val dir = tmpDir("b2_lpa")
+    // Two triangles {a1,a2,a3} and {b1,b2,b3}, each edge symmetric
+    // weight 2 (two users walking the cycle in opposite directions),
+    // one weight-1 bridge a1—b1.
+    val walks = Seq(
+      (1L, Seq("a1", "a2", "a3", "a1")),
+      (2L, Seq("a1", "a3", "a2", "a1")),
+      (3L, Seq("b1", "b2", "b3", "b1")),
+      (4L, Seq("b1", "b3", "b2", "b1")),
+      (5L, Seq("a1", "b1")))
+    val rows = for {
+      (u, seq) <- walks
+      (t, i) <- seq.zipWithIndex
+    } yield Row(u * 100 + i, Timestamp.valueOf(
+      f"2024-01-01 00:${i}%02d:00"), u, t, 0.0, "{}")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), evSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val labs = Graph.labelPropagation(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("a1", "a2", "a3").map(labs) == Set(1L),
+      s"A-triangle labels ${labs.view.filterKeys(_.startsWith("a")).toMap}")
+    assert(Set("b1", "b2", "b3").map(labs) == Set(4L),
+      s"B-triangle labels ${labs.view.filterKeys(_.startsWith("b")).toMap}")
+  }
+
+  test("q42_array_hof: Cauchy-Schwarz and count bounds hold on the corpus") {
+    val out = Relational.q42ArrayHof(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (norm2, nPos, revDot) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(norm2 >= 0)
+      assert(math.abs(revDot) <= norm2,
+        s"vec ${r.getLong(0)}: |q·rev(q)|=$revDot > ||q||²=$norm2")
+      assert(nPos >= 0)
     }
   }
 
