@@ -468,7 +468,67 @@ object Maintenance {
       |GROUP BY 1
       |ORDER BY o_year""".stripMargin
 
+  /** Materialized-view rewrite gate — proves the
+    * [[graft.plans.SummaryRewrite]] optimizer rule end to end: build
+    * a (returnflag, linestatus) summary of lineitem ONCE, register
+    * it, then run an ordinary `groupBy().agg()` DataFrame query over
+    * the RAW lineitem scan. The rule must answer it from the summary
+    * (MvRewriteSpec pins the plan swap: summary path present, fact
+    * path gone), and the DuckDB oracle — which always computes from
+    * raw lineitem — proves the rewritten answer is the true answer.
+    * Decimal-cast sums keep partial-then-merge aggregation exact, so
+    * the two-level summation cannot drift from the oracle's one
+    * level. */
+  def mvRewriteAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mvPath = scratch(dir, "mv_lineitem_rf_ls")
+    val factPath = s"$dir/lineitem.parquet"
+    graft.Scaffold.setup {
+      val keys = SummaryRewrite.buildMv(
+        Tables.lineitem(s, dir),
+        dims = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq(
+          ("sum", "l_quantity", "decimal(18,2)"),
+          ("min", "l_extendedprice", ""),
+          ("max", "l_extendedprice", "")),
+        mvPath = mvPath)
+      SummaryRewrite.register(SummaryRewrite.MvDef(
+        factPath, mvPath,
+        dims = Set("l_returnflag", "l_linestatus"),
+        measures = keys, countCol = "cnt"))
+      SummaryRewrite.install(s)
+    }
+    // Ordinary query over the RAW table; coarser grain than the MV
+    // (groups only by returnflag) to prove rollup, with a dimension
+    // filter to prove predicate remapping.
+    Tables.lineitem(s, dir)
+      .filter(col("l_linestatus") =!= "X")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .select(col("l_returnflag"),
+        col("sum_qty").cast(DoubleType).as("sum_qty"), col("n"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val mvRewriteAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty,
+      |  COUNT(*) AS n,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem
+      |WHERE l_linestatus <> 'X'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_rewrite_agg" -> (mvRewriteAgg _),
     "maint_file_stats_prune" -> (fileStatsPrune _),
     "maint_incremental_agg" -> (incrementalAgg _),
     "scd2_snapshot" -> (scd2Snapshot _),
@@ -478,6 +538,7 @@ object Maintenance {
     "scd2_build" -> (scd2Build _),
     "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
+    "mv_rewrite_agg" -> mvRewriteAggSql,
     "maint_file_stats_prune" -> fileStatsPruneSql,
     "maint_incremental_agg" -> incrementalAggSql,
     "scd2_snapshot" -> scd2SnapshotSql,
