@@ -16,7 +16,8 @@ object SparkEntry {
     ops.DataQuality.queries ++ ops.TimeSeries.queries ++
     ops.TrainingData.queries ++ ops.Graph.queries ++ ops.Linkage.queries ++
     ops.Mining.queries ++ ops.LanguageModel.queries ++
-    ops.Evaluation.queries ++ ops.Learn.queries
+    ops.Evaluation.queries ++ ops.Learn.queries ++
+    ops.RuntimeFilters.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
     ops.DataQuality.oracle ++ ops.TimeSeries.oracle ++
     ops.TrainingData.oracle ++ ops.Graph.oracle ++ ops.Linkage.oracle ++
     ops.Mining.oracle ++ ops.LanguageModel.oracle ++
-    ops.Evaluation.oracle ++ ops.Learn.oracle
+    ops.Evaluation.oracle ++ ops.Learn.oracle ++
+    ops.RuntimeFilters.oracle
 }
