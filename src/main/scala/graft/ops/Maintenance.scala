@@ -527,8 +527,62 @@ object Maintenance {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Point-in-time dimension join — the feature-store leakage guard
+    * made an OPERATOR: every probe row (custkey, probe_ts) joins the
+    * SCD2 version of its customer's priority that was valid AT
+    * probe_ts, never a later one. Probes are each order's key at
+    * `o_orderdate + 10 days`, so most probes resolve to a LATER
+    * version than their own row — a real temporal lookup, not a
+    * self-identity.
+    *
+    * Scale: the join is EQUI on the customer key with the interval
+    * bound as a residual filter — a plain hash join whose residual
+    * evaluates per matched pair (versions per key are bounded), not a
+    * range cross-blowup. SCD2 intervals partition time per key by
+    * construction, so each probe matches exactly one version; the
+    * zero-width intervals same-day updates produce can never match
+    * (from ≤ p < to is empty), which IS the desired last-update-wins
+    * semantics. */
+  def scd2EventJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2FromLog(Tables.orders(s, dir),
+        key = "o_custkey", ts = "o_orderdate", tieBreak = "o_orderkey")
+      .select(col("o_custkey").as("d_key"),
+        col("o_orderkey").as("version_key"),
+        col("o_orderpriority").as("priority_at"),
+        col("effective_from"), col("effective_to"))
+    val probes = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("probe_id"), col("o_custkey"),
+        (col("o_orderdate") + expr("INTERVAL 10 DAYS")).as("probe_ts"))
+    probes.join(dim,
+        col("o_custkey") === col("d_key") &&
+        col("probe_ts") >= col("effective_from") &&
+        (col("effective_to").isNull ||
+          col("probe_ts") < col("effective_to")))
+      .select(col("probe_id"), col("version_key"), col("priority_at"))
+      .orderBy(col("probe_id"))
+  }
+
+  val scd2EventJoinSql: String =
+    """WITH dim AS (
+      |  SELECT o_custkey AS d_key, o_orderkey AS version_key,
+      |    o_orderpriority AS priority_at,
+      |    o_orderdate AS effective_from,
+      |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS effective_to
+      |  FROM orders),
+      |probes AS (
+      |  SELECT o_orderkey AS probe_id, o_custkey,
+      |    o_orderdate + INTERVAL 10 DAY AS probe_ts
+      |  FROM orders)
+      |SELECT probe_id, version_key, priority_at
+      |FROM probes JOIN dim ON o_custkey = d_key
+      |  AND probe_ts >= effective_from
+      |  AND (effective_to IS NULL OR probe_ts < effective_to)
+      |ORDER BY probe_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rewrite_agg" -> (mvRewriteAgg _),
+    "scd2_event_join" -> (scd2EventJoin _),
     "maint_file_stats_prune" -> (fileStatsPrune _),
     "maint_incremental_agg" -> (incrementalAgg _),
     "scd2_snapshot" -> (scd2Snapshot _),
@@ -539,6 +593,7 @@ object Maintenance {
     "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
     "mv_rewrite_agg" -> mvRewriteAggSql,
+    "scd2_event_join" -> scd2EventJoinSql,
     "maint_file_stats_prune" -> fileStatsPruneSql,
     "maint_incremental_agg" -> incrementalAggSql,
     "scd2_snapshot" -> scd2SnapshotSql,

@@ -950,7 +950,80 @@ object TrainingData {
       |FROM k
       |ORDER BY train_pos""".stripMargin
 
+  /** Exact stratified sampling — [[apportion]] turned into an actual
+    * sample: Hamilton allocation fixes each source's EXACT slot count
+    * (Σ = budget precisely), then each source contributes its
+    * `alloc` lowest-hash documents ([[rowHash32]] order, doc_id
+    * tie-break). Hash-threshold samplers ([[mixtureSample]]) hit the
+    * budget only in expectation; this closes the gap for "exactly N
+    * docs, source-proportional" curation contracts.
+    *
+    * Scale: the allocation table is O(sources) and broadcast; the
+    * per-source rank is a window — for a hot source, pre-filter by a
+    * loose hash threshold first (rate ≈ 3·alloc/n_src keeps the
+    * windowed set tiny, same salted-trim discipline as
+    * [[CurationPipeline.domainCap]]); at gate scale the direct window
+    * is the oracle-exact choice. Emits per-source accounting plus an
+    * integer id-checksum of the selected set, so the gate pins the
+    * exact MEMBERSHIP, not just the counts.
+    *
+    * Precondition: `n ≤ corpus size` — then every per-source
+    * allocation is ≤ that source's document count (Hamilton floors
+    * cannot overshoot when n ≤ T), so `n_sampled == alloc` exactly. */
+  def stratifiedExact(s: SparkSession, dir: String,
+      n: Long = 1000): DataFrame = {
+    val alloc = apportion(s, dir, n).select(col("source"), col("alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(rowHash32(col("doc_id")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(alloc), "source")
+      .filter(col("rk") <= col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("id_checksum"))
+      .join(broadcast(alloc), "source")
+      .select(col("source"), col("alloc"), col("n_sampled"),
+        col("id_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val stratifiedExactSql: String =
+    s"""WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM counts),
+      |r AS (
+      |  SELECT source, n_docs,
+      |    (1000 * n_docs) // t AS fl,
+      |    row_number() OVER (ORDER BY (1000 * n_docs) % t DESC, source)
+      |      AS rk,
+      |    1000 - CAST(SUM((1000 * n_docs) // t) OVER () AS BIGINT)
+      |      AS leftover
+      |  FROM counts CROSS JOIN tot),
+      |alloc AS (
+      |  SELECT source,
+      |    CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |      AS alloc
+      |  FROM r),
+      |ranked AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY $rowHash32Sql, doc_id) AS rk
+      |  FROM documents),
+      |sampled AS (
+      |  SELECT ranked.source, ranked.doc_id, alloc.alloc
+      |  FROM ranked JOIN alloc ON ranked.source = alloc.source
+      |  WHERE ranked.rk <= alloc.alloc)
+      |SELECT source, CAST(MAX(alloc) AS BIGINT) AS alloc,
+      |  COUNT(*) AS n_sampled,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM sampled GROUP BY source
+      |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_stratified_exact" -> ((s, d) => stratifiedExact(s, d)),
     "pack_curriculum" -> ((s, d) => curriculum(s, d)),
     "pack_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "pack_apportion" -> ((s, d) => apportion(s, d)),
@@ -970,6 +1043,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_stratified_exact" -> stratifiedExactSql,
     "pack_curriculum" -> curriculumSql,
     "pack_length_buckets" -> lengthBucketsSql,
     "pack_apportion" -> apportionSql,

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-import graft.ops.{DataQuality, Evaluation, Graph, Linkage, Relational, TimeSeries}
+import graft.ops.{DataQuality, Evaluation, Graph, Linkage, Maintenance, Relational, TimeSeries, TrainingData}
 
 /** Closed-form invariants for the round-5 batch-two operators:
   * planted-signal checks the sf-corpus gates can't state (a known
@@ -190,6 +190,23 @@ class RoundFiveBatchTwoSpec extends SparkSpec {
         s"vec ${r.getLong(0)}: |q·rev(q)|=$revDot > ||q||²=$norm2")
       assert(nPos >= 0)
     }
+  }
+
+  test("pack_stratified_exact: allocations are met exactly and sum to the budget") {
+    // budget must not exceed the corpus (500 docs at sf0.001)
+    val out = TrainingData.stratifiedExact(spark, sf, n = 200).collect()
+    assert(out.map(_.getLong(1)).sum == 200L, "Σ alloc != budget")
+    assert(out.map(_.getLong(2)).sum == 200L, "Σ sampled != budget")
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"${r.getString(0)}: alloc ${r.getLong(1)} != sampled ${r.getLong(2)}"))
+  }
+
+  test("scd2_event_join: every probe resolves to exactly one valid version") {
+    val out = Maintenance.scd2EventJoin(spark, sf).collect()
+    val probes = Tables.orders(spark, sf).count()
+    assert(out.length.toLong == probes,
+      s"${out.length} join rows != $probes probes (not a partition)")
+    assert(out.map(_.getLong(0)).distinct.length.toLong == probes)
   }
 
   test("q41_sketch_rollup: daily-sketch merge is lossless and within tolerance") {
