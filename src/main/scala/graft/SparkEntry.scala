@@ -17,7 +17,7 @@ object SparkEntry {
     ops.TrainingData.queries ++ ops.Graph.queries ++ ops.Linkage.queries ++
     ops.Mining.queries ++ ops.LanguageModel.queries ++
     ops.Evaluation.queries ++ ops.Learn.queries ++
-    ops.RuntimeFilters.queries
+    ops.RuntimeFilters.queries ++ ops.Sketches.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -31,5 +31,5 @@ object SparkEntry {
     ops.TrainingData.oracle ++ ops.Graph.oracle ++ ops.Linkage.oracle ++
     ops.Mining.oracle ++ ops.LanguageModel.oracle ++
     ops.Evaluation.oracle ++ ops.Learn.oracle ++
-    ops.RuntimeFilters.oracle
+    ops.RuntimeFilters.oracle ++ ops.Sketches.oracle
 }

@@ -269,7 +269,86 @@ object Evaluation {
       |  CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obs_rate
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Poisson-bootstrap confidence interval — THE scalable bootstrap:
+    * classic resampling needs B full copies of the data; the Poisson
+    * trick gives each row an independent Poisson(1) multiplicity per
+    * replicate, so B=20 resampled estimates of mean(n_chars) come out
+    * of ONE scan fanned ×B with a map-combined groupBy(replicate).
+    * Multiplicities are derived from a seeded integer hash against
+    * frozen 2³²-scaled Poisson CDF thresholds (0/1/2/3/4-capped) —
+    * deterministic, engine-identical, rerun-reproducible.
+    *
+    * Determinism: per-replicate numerator/denominator are integer
+    * sums; each emitted mean is ONE long/long division; the order
+    * statistics picking the 90% CI (2nd and 19th of 20) sort a
+    * B-row metadata frame with the replicate id as tiebreak. */
+  def bootstrapCi(s: SparkSession, dir: String, b: Int = 20): DataFrame = {
+    val reps = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("b", explode(sequence(lit(1), lit(b))))
+      .withColumn("h", pmod(
+        pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
+          + col("b") * lit(2246822519L), lit(4294967296L)))
+      .withColumn("w",
+        when(col("h") < 1580030168L, 0L)
+          .when(col("h") < 3160060337L, 1L)
+          .when(col("h") < 3950075421L, 2L)
+          .when(col("h") < 4213413783L, 3L)
+          .otherwise(4L))
+      .groupBy(col("b"))
+      .agg((sum(col("w") * col("n_chars")).cast(DoubleType) /
+        sum(col("w")).cast(DoubleType)).as("mean_b"))
+    val ranked = reps.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("mean_b"), col("b")))) // B-row metadata window
+    val point = Tables.documents(s, dir)
+      .agg((sum(col("n_chars")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("point_mean"))
+    point.crossJoin(
+        ranked.filter(col("rk") === 2)
+          .select(col("mean_b").as("ci_lo")))
+      .crossJoin(
+        ranked.filter(col("rk") === b - 1)
+          .select(col("mean_b").as("ci_hi")))
+      .select(col("point_mean"), col("ci_lo"), col("ci_hi"),
+        lit(b.toLong).as("n_replicates"))
+  }
+
+  val bootstrapCiSql: String =
+    """WITH fan AS (
+      |  SELECT d.n_chars, r.b,
+      |    (((d.doc_id % 1000003 + 1000003) % 1000003) * 2654435761
+      |      + r.b * 2246822519) % 4294967296 AS h
+      |  FROM documents d, (SELECT unnest(range(1, 21)) AS b) r),
+      |weighted AS (
+      |  SELECT b, n_chars,
+      |    CASE WHEN h < 1580030168 THEN 0
+      |         WHEN h < 3160060337 THEN 1
+      |         WHEN h < 3950075421 THEN 2
+      |         WHEN h < 4213413783 THEN 3
+      |         ELSE 4 END AS w
+      |  FROM fan),
+      |reps AS (
+      |  SELECT b,
+      |    CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+      |      AS mean_b
+      |  FROM weighted GROUP BY b),
+      |ranked AS (
+      |  SELECT mean_b,
+      |    row_number() OVER (ORDER BY mean_b, b) AS rk
+      |  FROM reps),
+      |point AS (
+      |  SELECT CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS point_mean
+      |  FROM documents)
+      |SELECT point_mean,
+      |  (SELECT mean_b FROM ranked WHERE rk = 2) AS ci_lo,
+      |  (SELECT mean_b FROM ranked WHERE rk = 19) AS ci_hi,
+      |  CAST(20 AS BIGINT) AS n_replicates
+      |FROM point""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)),
     "eval_ndcg" -> (ndcgGate _),
     "eval_auc" -> (aucGate _),
     "eval_calibration" -> (calibrationGate _))
@@ -277,5 +356,6 @@ object Evaluation {
   def oracle: Map[String, String] = Map(
     "eval_ndcg" -> ndcgSql,
     "eval_auc" -> aucSql,
-    "eval_calibration" -> calibrationSql)
+    "eval_calibration" -> calibrationSql,
+    "eval_bootstrap_ci" -> bootstrapCiSql)
 }

@@ -385,6 +385,55 @@ object ParityQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** The reference's WHOLE pipeline shape with its real IR as the
+    * visible interchange: CSV export → schema-declared CSV read →
+    * Avro container files ([[AvroIngest]], the `GenericRecord` stage
+    * `CsvToParquetConverter.java:154` keeps in memory) → Parquet
+    * sink → scan. Values must survive the full three-format chain
+    * against the oracle over the ORIGINAL table. */
+  def convCsvViaAvro(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = scratch(dir, "via_avro_csv")
+    val avroDir = scratch(dir, "via_avro_avro")
+    val pqDir = scratch(dir, "via_avro_parquet")
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    graft.Scaffold.setup {
+      val base = Tables.orders(s, dir)
+      base.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", tsFmt)
+        .option("timestampNTZFormat", tsFmt)
+        .csv(csvDir)
+      val fromCsv = s.read
+        .schema(base.schema)
+        .option("header", "true")
+        .option("timestampFormat", tsFmt)
+        .option("timestampNTZFormat", tsFmt)
+        .csv(csvDir)
+      AvroIngest.write(fromCsv, avroDir)
+      AvroIngest.read(s, avroDir)
+        .write.mode("overwrite")
+        .option("compression", "snappy").parquet(pqDir)
+    }
+    s.read.parquet(pqDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"),
+        max(col("o_orderdate")).as("max_date"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val convCsvViaAvroSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  MAX(o_orderdate) AS max_date,
+      |  COUNT(DISTINCT o_custkey) AS n_cust
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Quarantine gate (reference file-abort semantics,
     * `CsvToParquetConverter.java:204-213`, re-expressed as row-level
     * isolation): export lineitem to CSV with l_linenumber deliberately
@@ -790,6 +839,7 @@ object ParityQueries {
     "conv_jsonl_quarantine" -> (convJsonlQuarantine _),
     "conv_orc_roundtrip"    -> (convOrcRoundtrip _),
     "conv_avro_roundtrip"   -> (convAvroRoundtrip _),
+    "conv_csv_via_avro"     -> (convCsvViaAvro _),
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_time_travel"     -> (purgeTimeTravel _),
@@ -813,6 +863,7 @@ object ParityQueries {
     "conv_jsonl_quarantine" -> convJsonlQuarantineSql,
     "conv_orc_roundtrip"    -> convOrcRoundtripSql,
     "conv_avro_roundtrip"   -> convAvroRoundtripSql,
+    "conv_csv_via_avro"     -> convCsvViaAvroSql,
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_time_travel"     -> purgeTimeTravelSql,

@@ -209,6 +209,30 @@ class RoundFiveBatchTwoSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).distinct.length.toLong == probes)
   }
 
+  test("sketch_theta_overlap: exact-mode intersection equals the true overlap") {
+    val r = graft.ops.Sketches.thetaOverlap(spark, sf).head
+    val ev = Tables.events(spark, sf)
+    import org.apache.spark.sql.functions.{col => c}
+    val view = ev.filter(c("event_type") === "view")
+      .select("user_id").distinct()
+    val buy = ev.filter(c("event_type") === "purchase")
+      .select("user_id").distinct()
+    val trueBoth = view.intersect(buy).count()
+    assert(r.getLong(0) == view.count() && r.getLong(1) == buy.count())
+    assert(r.getLong(2) == trueBoth,
+      s"theta intersection ${r.getLong(2)} != exact $trueBoth")
+    assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)))
+  }
+
+  test("eval_bootstrap_ci: interval is ordered and brackets the point estimate") {
+    val r = Evaluation.bootstrapCi(spark, sf).head
+    val (point, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(lo <= hi, s"ci [$lo, $hi] inverted")
+    assert(lo <= point && point <= hi,
+      s"point $point outside [$lo, $hi] — implausible for Poisson(1) means")
+    assert(r.getLong(3) == 20L)
+  }
+
   test("q41_sketch_rollup: daily-sketch merge is lossless and within tolerance") {
     val out = Relational.q41SketchRollup(spark, sf).collect()
     assert(out.nonEmpty)
