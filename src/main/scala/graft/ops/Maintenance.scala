@@ -580,8 +580,85 @@ object Maintenance {
       |  AND (effective_to IS NULL OR probe_ts < effective_to)
       |ORDER BY probe_id""".stripMargin
 
+  /** Streaming materialized-view maintenance — the missing half of
+    * [[graft.plans.SummaryRewrite]]: the summary a rewrite serves
+    * from must stay fresh as facts ARRIVE, without ever re-scanning
+    * the base. A real two-micro-batch file stream feeds foreachBatch;
+    * each batch contributes only its own partial aggregate
+    * (COUNT + decimal-exact SUM per priority), merged into the
+    * standing summary by re-aggregating `summary ∪ partial` —
+    * O(groups + batch), the incremental-agg algebra under streaming
+    * delivery — and swapped in atomically ([[graft.ops.TableSwap]]
+    * staging semantics via temp + rename).
+    *
+    * The gate reads the summary AFTER the stream stops: it must
+    * equal the oracle's one-shot aggregate over ALL the data — i.e.
+    * two incremental merges == full recompute, exactly (decimal
+    * partials make the merge associative). */
+  def streamMvMaintain(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = scratch(dir, "mvstream/src")
+    val mvDir = scratch(dir, "mvstream/mv")
+    val ck = scratch(dir, "mvstream/ck")
+    def rm(p: String): Unit = {
+      val path = new Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    }
+    val o = Tables.orders(s, dir)
+    graft.Scaffold.setup {
+      Seq(srcDir, mvDir, ck).foreach(rm)
+      o.filter(col("o_orderkey") % 2 === 0).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    val fs = new Path(mvDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val q = s.readStream.schema(o.schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val part = batch.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DecimalType(28, 2)).as("sum_price"))
+        val merged =
+          if (fs.exists(new Path(s"$mvDir/_SUCCESS")))
+            batch.sparkSession.read.parquet(mvDir).unionByName(part)
+              .groupBy(col("o_orderpriority"))
+              .agg(sum(col("cnt")).as("cnt"),
+                sum(col("sum_price")).cast(DecimalType(28, 2))
+                  .as("sum_price"))
+          else part
+        val staging = s"$mvDir.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        rm(mvDir)
+        fs.rename(new Path(staging), new Path(mvDir)): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.Scaffold.setup {
+        o.filter(col("o_orderkey") % 2 =!= 0).write
+          .mode("append").parquet(srcDir)
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(mvDir)
+      .select(col("o_orderpriority"), col("cnt"),
+        col("sum_price").cast(DoubleType).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val streamMvMaintainSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rewrite_agg" -> (mvRewriteAgg _),
+    "stream_mv_maintain" -> (streamMvMaintain _),
     "scd2_event_join" -> (scd2EventJoin _),
     "maint_file_stats_prune" -> (fileStatsPrune _),
     "maint_incremental_agg" -> (incrementalAgg _),
@@ -593,6 +670,7 @@ object Maintenance {
     "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
     "mv_rewrite_agg" -> mvRewriteAggSql,
+    "stream_mv_maintain" -> streamMvMaintainSql,
     "scd2_event_join" -> scd2EventJoinSql,
     "maint_file_stats_prune" -> fileStatsPruneSql,
     "maint_incremental_agg" -> incrementalAggSql,
