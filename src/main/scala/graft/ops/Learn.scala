@@ -131,9 +131,69 @@ object Learn {
       |SELECT CAST(2 AS BIGINT) AS step, b0, b1, b2 FROM w2
       |ORDER BY step""".stripMargin
 
+  /** Closed-form simple linear regression (OLS normal equations) —
+    * in-engine analytics without an iterative loop: ONE map-side-
+    * combinable aggregate collects the five power sums (n, Σx, Σy,
+    * Σx², Σxy, Σy²) as EXACT decimals, and slope/intercept/R² fall
+    * out of fixed scalar expressions over them. The 100 TB regression
+    * is one scan + a one-row reduce.
+    *
+    * Determinism: the power sums are decimal-exact (associativity-
+    * free); each is cast to double ONCE and the closed-form
+    * expressions are written with identical shape in both engines,
+    * so every emitted double is IEEE-identical. */
+  def linreg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d = graft.Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    val sums = d.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 4)))
+        .cast(DoubleType).as("sxx"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 4)))
+        .cast(DoubleType).as("sxy"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 4)))
+        .cast(DoubleType).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = cov / varx
+    sums.select(
+      col("n").cast("long").as("n"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+      ((cov * cov) / (varx * vary)).as("r2"))
+  }
+
+  val linregSql: String =
+    """WITH d AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM d)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+      |    AS intercept,
+      |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      |FROM sums""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "learn_logreg_steps" -> (logregSteps _))
+    "learn_logreg_steps" -> (logregSteps _),
+    "learn_linreg" -> (linreg _))
 
   def oracle: Map[String, String] = Map(
-    "learn_logreg_steps" -> logregSql)
+    "learn_logreg_steps" -> logregSql,
+    "learn_linreg" -> linregSql)
 }

@@ -649,7 +649,60 @@ object TextAnalysis {
       |FROM terms GROUP BY doc_id, n
       |ORDER BY doc_id""".stripMargin
 
+  /** Positional phrase search — the query class a bag-of-words index
+    * ([[invertedIndex]], [[bm25TopK]]) cannot answer: "table scan" as
+    * CONSECUTIVE tokens, resolved by joining each phrase term's
+    * positional postings on (doc_id, position + offset). Phrase terms
+    * are selective scans of the positional index (predicate pushes to
+    * the term filter), and the adjacency join is equi on
+    * (doc_id, pos) — per-doc match counts and first occurrence come
+    * out of one groupBy. The n-term phrase folds n−1 such joins; at
+    * 100 TB the postings would be the persisted term-partitioned
+    * index, so each join touches only the phrase terms' partitions.
+    */
+  def phraseSearch(s: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("table", "scan")): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(lower(col("text")))).as(Seq("pos", "term")))
+    val first = pos.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val hits = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(
+          pos.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("pos")) + 1).cast(LongType).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      t -> len(t) > 0) AS arr
+      |  FROM documents),
+      |fan AS (
+      |  SELECT doc_id, arr,
+      |    unnest(range(1, len(arr) + 1)) AS i
+      |  FROM toks),
+      |pos AS (SELECT doc_id, i, arr[i] AS term FROM fan),
+      |a AS (SELECT doc_id, i FROM pos WHERE term = 'table'),
+      |b AS (SELECT doc_id, i FROM pos WHERE term = 'scan'),
+      |hits AS (
+      |  SELECT a.doc_id, a.i
+      |  FROM a JOIN b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+      |SELECT doc_id, COUNT(*) AS n_hits,
+      |  CAST(MIN(i) AS BIGINT) AS first_pos
+      |FROM hits GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_phrase_search" -> ((s, d) => phraseSearch(s, d)),
     "text_entropy" -> (charEntropy _),
     "text_inverted_index" -> (invertedIndexGate _),
     "text_pretokenize" -> (pretokenize _),
@@ -665,6 +718,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_phrase_search" -> phraseSearchSql,
     "text_entropy" -> charEntropySql,
     "text_inverted_index" -> invertedIndexSql,
     "text_pretokenize" -> pretokenizeSql,

@@ -233,6 +233,37 @@ class RoundFiveBatchTwoSpec extends SparkSpec {
     assert(r.getLong(3) == 20L)
   }
 
+  test("learn_linreg: planted perfect line recovers slope/intercept, r2 = 1") {
+    val dir = tmpDir("b2_lin")
+    // y = 3x + 7 exactly
+    spark.range(1, 101)
+      .selectExpr("cast(id as double) as l_quantity",
+        "cast(3 * id + 7 as double) as l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.ops.Learn.linreg(spark, dir).head
+    assert(r.getLong(0) == 100L)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-9, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 7.0) < 1e-6,
+      s"intercept ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12, s"r2 ${r.getDouble(3)}")
+  }
+
+  test("text_phrase_search: counts consecutive occurrences only") {
+    val dir = tmpDir("b2_phrase")
+    val rows = Seq(
+      Row(1L, "table scan then a table scan again", "en", "s", 35L),
+      Row(2L, "scan table never table then scan", "en", "s", 32L), // reversed
+      Row(3L, "a table scan", "en", "s", 12L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextAnalysis.phraseSearch(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 1L)), s"doc 1 got ${out.get(1L)}")
+    assert(!out.contains(2L), "reversed-order doc must not match")
+    assert(out(3L) == ((1L, 2L)), s"doc 3 got ${out.get(3L)}")
+  }
+
   test("q41_sketch_rollup: daily-sketch merge is lossless and within tolerance") {
     val out = Relational.q41SketchRollup(spark, sf).collect()
     assert(out.nonEmpty)
