@@ -656,9 +656,77 @@ object Maintenance {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** VACUUM for the [[TableSwap]] savepoint ring: drop retained
+    * generations beyond `keep`, newest kept. Pure metadata renames/
+    * deletes — no data movement, like the ring itself. Returns the
+    * backup count before/after. */
+  def vacuumBackups(s: SparkSession, target: String, keep: Int): (Int, Int) = {
+    val fs = new Path(target)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def baks = Iterator.from(0)
+      .map(i => new Path(s"$target.bak$i"))
+      .takeWhile(fs.exists).toSeq
+    val before = baks.size
+    baks.drop(keep).foreach(p => fs.delete(p, true))
+    (before, math.min(before, keep))
+  }
+
+  /** Gate: two retained swaps build a 2-deep ring (bak0 = half table,
+    * bak1 = full table), VACUUM keep=1 drops the oldest, and the
+    * surviving generations are still QUERYABLE with exactly the row
+    * counts the swap history dictates — time travel retention as an
+    * auditable operator, the plain-parquet VACUUM. */
+  def vacuumGate(s: SparkSession, dir: String): DataFrame = {
+    val tgt = scratch(dir, "vacuum/orders")
+    def rm(p: String): Unit = {
+      val path = new Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    }
+    val o = Tables.orders(s, dir)
+    graft.Scaffold.setup {
+      Seq(tgt, s"$tgt.bak0", s"$tgt.bak1", s"$tgt.bak2").foreach(rm)
+      ParquetSink.write(o, tgt)
+      val st1 = s"$tgt.staging1"
+      ParquetSink.write(o.filter(col("o_orderkey") % 2 === 0), st1)
+      TableSwap.swapIn(s, tgt, st1, retain = 2) // bak0 = full
+      val st2 = s"$tgt.staging2"
+      ParquetSink.write(o.filter(col("o_orderkey") % 4 === 0), st2)
+      TableSwap.swapIn(s, tgt, st2, retain = 2) // bak0 = %2, bak1 = full
+    }
+    val (before, after) = vacuumBackups(s, tgt, keep = 1)
+    val counts = Seq(
+      ("current_mod4", s.read.parquet(tgt).count()),
+      ("bak0_mod2", s.read.parquet(s"$tgt.bak0").count()))
+    val fs = new Path(tgt)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    import s.implicits._
+    counts.toDF("generation", "n_rows")
+      .withColumn("baks_before", lit(before.toLong))
+      .withColumn("baks_after", lit(after.toLong))
+      .withColumn("bak1_gone",
+        lit(!fs.exists(new Path(s"$tgt.bak1"))))
+      .orderBy(col("generation"))
+  }
+
+  val vacuumGateSql: String =
+    """SELECT g.generation, g.n_rows,
+      |  CAST(2 AS BIGINT) AS baks_before,
+      |  CAST(1 AS BIGINT) AS baks_after,
+      |  TRUE AS bak1_gone
+      |FROM (
+      |  SELECT 'current_mod4' AS generation,
+      |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0)
+      |      AS n_rows
+      |  UNION ALL
+      |  SELECT 'bak0_mod2',
+      |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)) g
+      |ORDER BY generation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rewrite_agg" -> (mvRewriteAgg _),
     "stream_mv_maintain" -> (streamMvMaintain _),
+    "purge_vacuum" -> (vacuumGate _),
     "scd2_event_join" -> (scd2EventJoin _),
     "maint_file_stats_prune" -> (fileStatsPrune _),
     "maint_incremental_agg" -> (incrementalAgg _),
@@ -671,6 +739,7 @@ object Maintenance {
   def oracle: Map[String, String] = Map(
     "mv_rewrite_agg" -> mvRewriteAggSql,
     "stream_mv_maintain" -> streamMvMaintainSql,
+    "purge_vacuum" -> vacuumGateSql,
     "scd2_event_join" -> scd2EventJoinSql,
     "maint_file_stats_prune" -> fileStatsPruneSql,
     "maint_incremental_agg" -> incrementalAggSql,

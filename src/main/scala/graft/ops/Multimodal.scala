@@ -170,12 +170,52 @@ object Multimodal {
       |WHERE doc_id % 3 = 2
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Exact binary-content dedup — [[graft.ops.Dedup]]'s front door
+    * applied to the MEDIA table: payloads group by their
+    * cryptographic digest (`sha2` over the raw bytes — at 100 TB the
+    * shuffle carries 32-byte digests, never payloads), keep-lowest-id
+    * survivorship, per-kind accounting with a kept-set id checksum so
+    * the gate pins membership. The oracle hashes the same bytes from
+    * the text the payloads were derived from. */
+  def binaryDedup(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .groupBy(col("kind"), md5(col("payload")).as("digest"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("copies")).as("n_payloads"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L))
+          .as("n_dup_groups"),
+        sum(col("keep_id")).as("kept_checksum"))
+      .orderBy(col("kind"))
+
+  val binaryDedupSql: String =
+    """WITH media AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    md5(text) AS digest
+      |  FROM documents),
+      |groups AS (
+      |  SELECT kind, digest, COUNT(*) AS copies,
+      |    MIN(doc_id) AS keep_id
+      |  FROM media GROUP BY kind, digest)
+      |SELECT kind, COUNT(*) AS n_distinct,
+      |  CAST(SUM(copies) AS BIGINT) AS n_payloads,
+      |  CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_groups,
+      |  CAST(SUM(keep_id) AS BIGINT) AS kept_checksum
+      |FROM groups GROUP BY kind
+      |ORDER BY kind""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_dedup" -> (binaryDedup _),
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (featureSummary _),
     "multimodal_frames"   -> (frames _))
 
   def oracle: Map[String, String] = Map(
+    "multimodal_dedup"    -> binaryDedupSql,
     "multimodal_meta"     -> metaSql,
     "multimodal_features" -> featureSummarySql,
     "multimodal_frames"   -> framesSql)

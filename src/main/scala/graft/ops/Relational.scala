@@ -1183,6 +1183,45 @@ object Relational {
       |  CAST(list_max(q) AS BIGINT) AS maxq
       |FROM t ORDER BY vec_id""".stripMargin
 
+  /** Window-function family completion — the offset/positional
+    * functions q8/q9/q26/q33 don't touch: `nth_value` over the full
+    * frame, `last_value` with an explicit full frame (the classic
+    * default-frame trap — RANGE … CURRENT ROW would return the
+    * current row), `lag` with an offset of 2 and a non-null default,
+    * and `first_value(… IGNORE NULLS)` skipping planted NULLs. One
+    * per-customer window sort serves all five expressions.
+    */
+  def q43WindowFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        lag(col("o_orderkey"), 2, -1L).over(w).as("lag2_key"),
+        first(when(col("o_orderstatus") =!= "O", col("o_orderkey")),
+          ignoreNulls = true).over(full).as("first_closed"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q43Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+      |  last_value(o_orderkey) OVER wf AS last_key,
+      |  lag(o_orderkey, 2, -1) OVER w AS lag2_key,
+      |  first_value(CASE WHEN o_orderstatus <> 'O'
+      |    THEN o_orderkey END IGNORE NULLS) OVER wf AS first_closed
+      |FROM orders
+      |WHERE o_custkey < 200
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Null-aware anti join — ANSI `NOT IN (subquery)` three-valued
     * semantics, the join variant a plain `left_anti` CANNOT express:
     * one NULL in the subquery makes `x NOT IN S` unknown for every x,
@@ -1286,7 +1325,8 @@ object Relational {
     "q39_null_anti_join" -> (q39NullAntiJoin _),
     "q40_lateral_join"   -> (q40LateralJoin _),
     "q41_sketch_rollup"  -> (q41SketchRollup _),
-    "q42_array_hof"      -> (q42ArrayHof _))
+    "q42_array_hof"      -> (q42ArrayHof _),
+    "q43_window_family"  -> (q43WindowFamily _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1331,5 +1371,6 @@ object Relational {
     "q39_null_anti_join" -> q39Sql,
     "q40_lateral_join"   -> q40Sql,
     "q41_sketch_rollup"  -> q41Sql,
-    "q42_array_hof"      -> q42Sql)
+    "q42_array_hof"      -> q42Sql,
+    "q43_window_family"  -> q43Sql)
 }
