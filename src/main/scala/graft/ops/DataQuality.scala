@@ -693,8 +693,135 @@ object DataQuality {
       |  CAST(n_violations * 1000000 // n_rows AS BIGINT) AS viol_ppm
       |FROM stacked ORDER BY rule_name""".stripMargin
 
+  /** Chi-square independence screen: is `event_type` independent of
+    * hour-of-day? Per-type χ² contribution over the 24-hour margin,
+    * from ONE observed-count aggregate; expected counts come from the
+    * marginals of that same tiny grid (types × 24), so the raw table
+    * is scanned once. Per-cell terms are computed in an IDENTICAL
+    * expression tree in both engines ((O·N − rt·ct)² in exact longs,
+    * two IEEE divisions), then 1e-6-snapped to longs BEFORE the
+    * per-type sum — long sums commute, double sums don't (the
+    * [[LanguageModel]] determinism discipline).
+    *
+    * Scale: one map-side-combinable count over (type, hour); every
+    * subsequent op runs on the O(types×24) grid. The windows below
+    * are grid-sized, not data-sized. */
+  def dqChi2(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("o"))
+    val all = Window.partitionBy()
+    val byType = Window.partitionBy(col("event_type"))
+    val byHour = Window.partitionBy(col("h"))
+    grid
+      .withColumn("rt", sum(col("o")).over(byType))
+      .withColumn("ct", sum(col("o")).over(byHour))
+      .withColumn("n", sum(col("o")).over(all))
+      .withColumn("dev", col("o") * col("n") - col("rt") * col("ct"))
+      .withColumn("cell",
+        floor((col("dev") * col("dev")).cast(DoubleType)
+          / (col("rt") * col("ct")).cast(DoubleType)
+          / col("n").cast(DoubleType) * 1000000.0 + 0.5)
+          .cast(LongType))
+      .groupBy(col("event_type"))
+      .agg((sum(col("cell")).cast(DoubleType) / 1000000.0).as("chi2"),
+        count(lit(1)).as("n_cells"))
+      .orderBy(col("event_type"))
+  }
+
+  val dqChi2Sql: String =
+    """WITH grid AS (
+      |  SELECT event_type, hour(ts) AS h, COUNT(*) AS o
+      |  FROM events GROUP BY event_type, hour(ts)),
+      |m AS (
+      |  SELECT event_type, h, o,
+      |    SUM(o) OVER (PARTITION BY event_type) AS rt,
+      |    SUM(o) OVER (PARTITION BY h) AS ct,
+      |    SUM(o) OVER () AS n
+      |  FROM grid),
+      |cells AS (
+      |  SELECT event_type,
+      |    CAST(floor(
+      |      CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+      |        / CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * 1000000.0 + 0.5) AS BIGINT) AS cell
+      |  FROM m)
+      |SELECT event_type,
+      |  CAST(SUM(cell) AS DOUBLE) / 1000000.0 AS chi2,
+      |  COUNT(*) AS n_cells
+      |FROM cells GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `value`
+    * distributions of two event types, over a FIXED equi-width
+    * binning (5000 × 0.1-wide bins) — the histogram formulation: the
+    * KS statistic of the binned CDFs, exact w.r.t. the binning by
+    * integer cross-multiplication (`max |cum_a·n_b − cum_b·n_a|` —
+    * no per-row division, ONE double division at the end). The
+    * unbinned statistic needs a global sort of both samples; the
+    * binned one is a single map-combinable histogram + an
+    * O(bins) window — the 100 TB formulation, with resolution set by
+    * bin width, not data size.
+    *
+    * Emits the exact integer numerator alongside the double `ks_d`
+    * so the gate pins the integer path, not float luck. */
+  def dqKs(s: SparkSession, dir: String,
+      typeA: String = "click", typeB: String = "purchase"): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        floor(col("value") * 10.0).cast(LongType).as("bin"))
+    val hist = ev.groupBy(col("bin"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    hist
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .withColumn("na", sum(col("a")).over(all))
+      .withColumn("nb", sum(col("b")).over(all))
+      .select(abs(col("ca") * col("nb") - col("cb") * col("na"))
+          .as("dev"),
+        col("na"), col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("dev")).as("d_num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
+        (col("d_num").cast(DoubleType)
+          / (col("na") * col("nb")).cast(DoubleType)).as("ks_d"))
+  }
+
+  val dqKsSql: String =
+    """WITH binned AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 10.0) AS BIGINT) AS bin
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |hist AS (
+      |  SELECT bin,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      |  FROM binned GROUP BY bin),
+      |cum AS (
+      |  SELECT
+      |    SUM(a) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |    SUM(b) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+      |    SUM(a) OVER () AS na,
+      |    SUM(b) OVER () AS nb
+      |  FROM hist)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+      |  CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+      |    / CAST(na * nb AS DOUBLE) AS ks_d
+      |FROM cum GROUP BY na, nb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_rule_engine" -> (ruleEngine _),
+    "dq_chi2" -> (dqChi2 _),
+    "dq_ks" -> ((s, d) => dqKs(s, d)),
     "dq_weighted_median" -> (dqWeightedMedian _),
     "dq_uniqueness" -> (dqUniqueness _),
     "dq_schema_drift" -> (schemaDrift _),
@@ -709,6 +836,8 @@ object DataQuality {
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
     "dq_rule_engine" -> ruleEngineSql,
+    "dq_chi2" -> dqChi2Sql,
+    "dq_ks" -> dqKsSql,
     "dq_weighted_median" -> dqWeightedMedianSql,
     "dq_uniqueness" -> dqUniquenessSql,
     "dq_schema_drift" -> schemaDriftSql,

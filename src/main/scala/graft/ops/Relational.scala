@@ -1280,6 +1280,41 @@ object Relational {
       |  FROM customer c WHERE c.c_nationkey = n.n_nationkey) l
       |ORDER BY n_name""".stripMargin
 
+  /** Bitmap-index distinct count — the EXACT complement of
+    * [[q41SketchRollup]]: per (event_type, day) active-user counts
+    * computed through dense 64-bit bitmap words instead of
+    * `countDistinct`. Each row maps its user to (word = id div 64,
+    * bit = 1 << id mod 64); `bit_or` collapses a word's users
+    * map-side, then `bit_count` sums set bits per group. The shuffle
+    * carries O(groups × words) longs — for 1e9 users that's ~16 MB of
+    * bitmap per group REGARDLESS of row count, vs `countDistinct`'s
+    * per-distinct-id rows; and unlike HLL it is exact. The id space
+    * shards naturally on `word`, so a 100 TB run partitions by (key,
+    * word) with no hot key. Oracle: DuckDB computes the same counts
+    * with a plain COUNT(DISTINCT) — independent plan, same answer,
+    * which is the point of the gate.
+    *
+    * Scale: two map-side-combinable aggregates, both codegen
+    * (`bit_or`/`bit_count` are built-in); no row-level distinct
+    * shuffle anywhere. */
+  def q44BitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("user_id") / 64).cast(LongType).as("word"),
+        expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+      .groupBy(col("event_type"), col("day"), col("word"))
+      .agg(bit_or(col("bit")).as("bm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(bit_count(col("bm")).cast(LongType)).as("n_active"))
+      .orderBy(col("event_type"), col("day"))
+
+  val q44Sql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  COUNT(DISTINCT user_id) AS n_active
+      |FROM events
+      |GROUP BY event_type, CAST(ts AS DATE)
+      |ORDER BY event_type, day""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1326,7 +1361,8 @@ object Relational {
     "q40_lateral_join"   -> (q40LateralJoin _),
     "q41_sketch_rollup"  -> (q41SketchRollup _),
     "q42_array_hof"      -> (q42ArrayHof _),
-    "q43_window_family"  -> (q43WindowFamily _))
+    "q43_window_family"  -> (q43WindowFamily _),
+    "q44_bitmap_distinct" -> (q44BitmapDistinct _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1372,5 +1408,6 @@ object Relational {
     "q40_lateral_join"   -> q40Sql,
     "q41_sketch_rollup"  -> q41Sql,
     "q42_array_hof"      -> q42Sql,
-    "q43_window_family"  -> q43Sql)
+    "q43_window_family"  -> q43Sql,
+    "q44_bitmap_distinct" -> q44Sql)
 }

@@ -771,6 +771,56 @@ object TimeSeries {
       |FROM sweep GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    * user (the classic streak analysis — DAU streaks, retention
+    * "current streak ≥ N" cohorts). The island key is the standard
+    * constant-difference trick: within a user, `epoch_day −
+    * row_number()` is constant exactly along a gap-free run, so one
+    * per-user window sort labels every island without self-joins or
+    * iteration. Integer day arithmetic end to end — hash-exact.
+    *
+    * Scale: the (user, day) distinct is map-side combinable down to
+    * O(users × active days); the window partitions by user (millions
+    * of small independent partitions — no global sort); both
+    * follow-up aggregates reuse the same user-keyed shuffle under
+    * AQE. Nothing is quadratic in days: a 10-year streak is one
+    * group, not a 3650-wide frame re-scan. */
+  def tsGapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_run"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsGapsIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS len
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT user_id, COUNT(*) AS n_islands,
+      |  CAST(MAX(len) AS BIGINT) AS longest_run,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_days
+      |FROM runs GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
         "ts_changepoint"    -> (tsChangepoint _),
@@ -783,7 +833,8 @@ object TimeSeries {
         "ts_sessionize"     -> (sessionizeBatch _),
         "ts_funnel"         -> (funnel _),
         "ts_behavior_topk"  -> ((s, d) => behaviorTopK(s, d)),
-        "ts_behavior_topk_lsh" -> (behaviorLshGate _))
+        "ts_behavior_topk_lsh" -> (behaviorLshGate _),
+        "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_rolling"        -> rollingSql,
         "ts_changepoint"    -> tsChangepointSql,
@@ -796,5 +847,6 @@ object TimeSeries {
         "ts_sessionize"     -> sessionizeBatchSql,
         "ts_funnel"         -> funnelSql,
         "ts_behavior_topk"  -> behaviorTopKSql,
-        "ts_behavior_topk_lsh" -> behaviorLshSql)
+        "ts_behavior_topk_lsh" -> behaviorLshSql,
+        "ts_gaps_islands"   -> tsGapsIslandsSql)
 }
