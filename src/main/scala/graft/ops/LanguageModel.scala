@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -323,7 +324,141 @@ object LanguageModel {
        |  UNION ALL SELECT 4, pa, pb, CAST(cnt AS BIGINT) FROM top4)
        |ORDER BY round""".stripMargin
 
+  /** Collocation mining: top bigrams by pointwise mutual information
+    * `PMI(x,y) = ln(c(xy)·T² / (B·c(x)·c(y)))` with a minimum-count
+    * support filter — the keyword/phrase-extraction primitive (new
+    * terms of art, named entities, multiword expressions surface
+    * here first). The ln argument is assembled in ONE shared
+    * operation order (×T ÷B ×T ÷cx ÷cy — IEEE ops are deterministic
+    * given the tree) and the PMI is 1e-6-snapped, so ranking is
+    * integer-exact; ties break on the bigram string.
+    *
+    * Scale: bigram and unigram counts are map-side-combined; the
+    * unigram side (vocabulary) broadcasts twice (left/right word),
+    * the scalars T and B broadcast as single rows, and top-k is
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    * The support filter (`c ≥ 5`) prunes the long tail BEFORE the
+    * joins, so the joined frame is O(frequent bigrams). */
+  def collocations(s: SparkSession, dir: String,
+      minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(explode(words(col("text"))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    graft.plans.TextExpressions.register(s)
+    val big = docs.select(
+        explode(graft.plans.TextExpressions.tokenNGrams(
+          words(col("text")), 2, emitWholeShortDoc = false)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val btot = big.agg(sum(col("cxy")).as("b"))
+    big
+      .join(broadcast(uni.toDF("w1", "cx")), "w1")
+      .join(broadcast(uni.toDF("w2", "cy")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .withColumn("pmi6", snap(log(
+        col("cxy").cast(DoubleType) * col("t").cast(DoubleType)
+          / col("b").cast(DoubleType) * col("t").cast(DoubleType)
+          / col("cx").cast(DoubleType) / col("cy").cast(DoubleType))))
+      .select(col("bg"), col("cxy"),
+        (col("pmi6").cast(DoubleType) / 1000000.0).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(k)
+  }
+
+  val collocationsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |toks AS (SELECT unnest(t) AS w FROM tok),
+      |uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+      |tot AS (SELECT COUNT(*) AS t FROM toks),
+      |pos AS (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+      |bgc AS (
+      |  SELECT array_to_string(t[i:i+1], ' ') AS bg,
+      |         t[i] AS w1, t[i+1] AS w2, COUNT(*) AS cxy
+      |  FROM pos GROUP BY 1, 2, 3
+      |  HAVING COUNT(*) >= 5),
+      |btot AS (SELECT SUM(cxy) AS b FROM bgc),
+      |scored AS (
+      |  SELECT bg, cxy,
+      |    CAST(floor(ln(
+      |      CAST(cxy AS DOUBLE) * CAST(t AS DOUBLE)
+      |        / CAST(b AS DOUBLE) * CAST(t AS DOUBLE)
+      |        / CAST(ux.c AS DOUBLE) / CAST(uy.c AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS pmi6
+      |  FROM bgc JOIN uni ux ON bgc.w1 = ux.w
+      |           JOIN uni uy ON bgc.w2 = uy.w
+      |  CROSS JOIN tot CROSS JOIN btot)
+      |SELECT bg, CAST(cxy AS BIGINT) AS cxy,
+      |  CAST(pmi6 AS DOUBLE) / 1000000.0 AS pmi
+      |FROM scored
+      |ORDER BY pmi DESC, bg
+      |LIMIT 20""".stripMargin
+
+  /** Zipf rank–frequency fit: the OLS slope of ln(freq) on ln(rank)
+    * over the top-N vocabulary — natural text sits near −1, tables /
+    * boilerplate / generated spam drift off, making the slope a
+    * corpus-level quality screen ([[TextAnalysis.textQuality]] is
+    * the per-doc counterpart). Log terms are 1e-6-snapped BEFORE the
+    * closed-form OLS moment sums (the [[Learn.linreg]] algebra), so
+    * every moment is an exact long sum and the slope is one final
+    * double expression — hash-stable.
+    *
+    * Scale: vocabulary count is map-side-combined; ranking the top-N
+    * terms is TakeOrderedAndProject (N = 1000 — driver-sized), and
+    * the moment sums aggregate those N rows. The corpus is scanned
+    * once. */
+  def zipfFit(s: SparkSession, dir: String, topN: Int = 1000): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topN)
+    val w = Window.orderBy(col("c").desc, col("w"))
+    top
+      .withColumn("lr", snap(log(row_number().over(w)
+        .cast(DoubleType))))
+      .withColumn("lf", snap(log(col("c").cast(DoubleType))))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lr")).as("sx"), sum(col("lf")).as("sy"),
+        sum(col("lr") * col("lr")).as("sxx"),
+        sum(col("lr") * col("lf")).as("sxy"))
+      .select(col("n"),
+        (((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType))).as("slope"))
+  }
+
+  val zipfFitSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |top AS (
+      |  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+      |  ORDER BY c DESC, w LIMIT 1000),
+      |ranked AS (
+      |  SELECT
+      |    CAST(floor(ln(CAST(row_number()
+      |      OVER (ORDER BY c DESC, w) AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS lr,
+      |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS lf
+      |  FROM top),
+      |m AS (
+      |  SELECT COUNT(*) AS n, SUM(lr) AS sx, SUM(lf) AS sy,
+      |    SUM(lr * lr) AS sxx, SUM(lr * lf) AS sxy
+      |  FROM ranked)
+      |SELECT n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_collocations" -> ((s, d) => collocations(s, d)),
+    "text_zipf" -> ((s, d) => zipfFit(s, d)),
     "text_bigram_lm" -> (bigramLm _),
     "curate_dsir" -> (dsirWeights _),
     "text_bpe_learn" -> ((s, d) => bpeLearn(s, d)),
@@ -331,6 +466,8 @@ object LanguageModel {
 
   def oracle: Map[String, String] = Map(
     "text_bigram_lm" -> bigramLmSql,
+    "text_collocations" -> collocationsSql,
+    "text_zipf" -> zipfFitSql,
     "curate_dsir" -> dsirWeightsSql,
     "text_bpe_learn" -> bpeLearnSql,
     "text_oov_rate" -> oovRateSql)

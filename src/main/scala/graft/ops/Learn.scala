@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -189,11 +190,150 @@ object Learn {
       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
       |FROM sums""".stripMargin
 
+  /** Deterministic k-fold assignment (k = 5) with per-fold stratum
+    * diagnostics — the reproducible cross-validation split: fold =
+    * overflow-safe multiplicative hash of doc_id (the
+    * [[TrainingData]] rowHash discipline, reduced mod k), so any two
+    * runs — and any two ENGINES — assign identical folds with no RNG
+    * state. Output is the (fold × lang) census a CV harness checks
+    * before training: balanced sizes, strata represented everywhere.
+    *
+    * Scale: pure projection + one map-combinable groupBy; the fold
+    * key is computed scan-side, nothing moves but the census rows. */
+  def kfold(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(k.toLong)).as("fold"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("fold"), col("lang"))
+
+  val kfoldSql: String =
+    """SELECT ((doc_id % 1000003 + 1000003) % 1000003)
+      |    * 2654435761 % 5 AS fold,
+      |  lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY fold, lang""".stripMargin
+
+  /** Multinomial naive Bayes trained in-engine (add-one smoothing)
+    * and applied back to the corpus, emitting the language confusion
+    * matrix — train-where-the-data-lives for the highest-volume
+    * curation classifier there is (language ID; the same plan serves
+    * topic/quality/toxicity given labels). Every log term — priors
+    * and the FULL vocab × class likelihood grid (unseen pairs get
+    * the +1 floor) — is 1e-6-snapped to longs BEFORE the per-(doc,
+    * class) sum, so scores are exact integers; argmax breaks ties on
+    * class name. A doc's score row count is `tokens × classes` via
+    * the weight join, aggregated by key — never a cross join of the
+    * corpus.
+    *
+    * Scale: the likelihood grid is O(vocab × classes) built from a
+    * map-combined (class, term) count and broadcast; the corpus
+    * shuffles once on doc_id for the score sum and once (tiny) for
+    * the confusion census. The per-doc argmax window partitions by
+    * doc_id — millions of independent class-sized frames. */
+  def naiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(lower(col("text")), " ")).as("w"))
+    val classes = docs.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val priors = classes.crossJoin(broadcast(nAll))
+      .select(col("cls"),
+        floor(log(col("n_docs").cast(DoubleType)
+          / col("n_all").cast(DoubleType)) * 1000000.0 + 0.5)
+          .cast(LongType).as("lprior"))
+    val vocabCol = toks.select(col("w")).distinct()
+    val vSize = vocabCol.agg(count(lit(1)).as("v"))
+    val clsTok = toks.groupBy(col("lang").as("cls"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val clsTot = toks.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("ct"))
+    val grid = vocabCol.crossJoin(classes.select(col("cls")))
+      .join(clsTok, Seq("cls", "w"), "left")
+      .join(clsTot, "cls").crossJoin(broadcast(vSize))
+      .select(col("cls"), col("w"),
+        floor(log((coalesce(col("c"), lit(0L)) + lit(1L))
+            .cast(DoubleType)
+          / (col("ct") + col("v")).cast(DoubleType)) * 1000000.0
+          + 0.5).cast(LongType).as("lw"))
+    val tf = toks.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val scores = tf.join(broadcast(grid), "w")
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(sum(col("tf") * col("lw")).as("ll"))
+      .join(broadcast(priors), "cls")
+      .select(col("doc_id"), col("lang"), col("cls"),
+        (col("ll") + col("lprior")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang").as("true_lang"),
+        col("cls").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  val naiveBayesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |classes AS (SELECT lang AS cls, COUNT(*) AS n_docs
+      |            FROM documents GROUP BY lang),
+      |nall AS (SELECT COUNT(*) AS n_all FROM documents),
+      |priors AS (
+      |  SELECT cls, CAST(floor(ln(CAST(n_docs AS DOUBLE)
+      |    / CAST(n_all AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |    AS lprior
+      |  FROM classes CROSS JOIN nall),
+      |vocab AS (SELECT DISTINCT w FROM toks),
+      |vs AS (SELECT COUNT(*) AS v FROM vocab),
+      |clstok AS (SELECT lang AS cls, w, COUNT(*) AS c
+      |           FROM toks GROUP BY lang, w),
+      |clstot AS (SELECT lang AS cls, COUNT(*) AS ct
+      |           FROM toks GROUP BY lang),
+      |grid AS (
+      |  SELECT cl.cls, vocab.w,
+      |    CAST(floor(ln(CAST(COALESCE(clstok.c, 0) + 1 AS DOUBLE)
+      |      / CAST(clstot.ct + vs.v AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS lw
+      |  FROM vocab CROSS JOIN (SELECT cls FROM classes) cl
+      |  LEFT JOIN clstok ON clstok.cls = cl.cls AND clstok.w = vocab.w
+      |  JOIN clstot ON clstot.cls = cl.cls
+      |  CROSS JOIN vs),
+      |tf AS (SELECT doc_id, lang, w, COUNT(*) AS tf
+      |       FROM toks GROUP BY doc_id, lang, w),
+      |scores AS (
+      |  SELECT tf.doc_id, tf.lang, grid.cls,
+      |    SUM(tf.tf * grid.lw) + ANY_VALUE(priors.lprior) AS score
+      |  FROM tf JOIN grid USING (w)
+      |  JOIN priors ON priors.cls = grid.cls
+      |  GROUP BY tf.doc_id, tf.lang, grid.cls),
+      |pred AS (
+      |  SELECT doc_id, lang, cls,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, cls) AS rn
+      |  FROM scores)
+      |SELECT lang AS true_lang, cls AS pred_lang, COUNT(*) AS n
+      |FROM pred WHERE rn = 1
+      |GROUP BY lang, cls
+      |ORDER BY true_lang, pred_lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "learn_logreg_steps" -> (logregSteps _),
+    "learn_kfold" -> ((s, d) => kfold(s, d)),
+    "learn_naive_bayes" -> (naiveBayes _),
     "learn_linreg" -> (linreg _))
 
   def oracle: Map[String, String] = Map(
     "learn_logreg_steps" -> logregSql,
+    "learn_kfold" -> kfoldSql,
+    "learn_naive_bayes" -> naiveBayesSql,
     "learn_linreg" -> linregSql)
 }
