@@ -479,7 +479,97 @@ object Graph {
       s"\nSELECT node, lab FROM it$iters ORDER BY node"
   }
 
+  /** Common-neighbor link prediction: for every NON-adjacent pair
+    * with ≥1 shared neighbor, the neighbor-set Jaccard
+    * `|N(u)∩N(v)| / (deg(u)+deg(v)−|N(u)∩N(v)|)` — the classic
+    * who-to-connect score (friend-of-friend recommendation, knn-graph
+    * densification for [[Similarity]] clustering). Candidates come
+    * from a WEDGE join (two hops through a shared neighbor), so the
+    * pair space is Σ deg² — never nodes², and the same plan shape as
+    * [[triangleCounts]]; the direct-edge anti-join removes existing
+    * links. Integer counts all the way; the Jaccard is ONE double
+    * division, emitted alongside its exact numerator/denominator.
+    *
+    * Scale: degrees are a map-combined count; the wedge join and the
+    * anti-join are equi hash joins on node ids (the wedge hub is the
+    * join key, so hub skew responds to the standard salting); top-k
+    * is TakeOrderedAndProject. */
+  def linkPredict(edges: DataFrame, k: Int = 30): DataFrame = {
+    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val cand = sym.toDF("n", "a").join(sym.toDF("n", "b"), "n")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      .join(sym.toDF("a", "b"), Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .select(col("a"), col("b"), col("cn"),
+        (col("da") + col("db") - col("cn")).as("un"),
+        (col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Gate: chains of 8 (edges i—i+1) plus skip links i—i+2 from even
+    * offsets — the odd-offset (i, i+2) pairs share exactly one
+    * neighbor without being adjacent, and longer-range pairs arise
+    * through the skips, so the candidate set exercises both the
+    * wedge join and the direct-edge anti-join. Deterministic integer
+    * construction both engines rebuild exactly. */
+  def linkPredictGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 128)
+    val chain = d.toDF("id_a")
+      .join(d.toDF("id_b"), col("id_b") === col("id_a") + 1)
+      .filter(col("id_a") % 8 =!= 7)
+    val skip = d.toDF("id_a")
+      .join(d.toDF("id_b"), col("id_b") === col("id_a") + 2)
+      .filter(col("id_a") % 2 === 0 && col("id_a") % 8 < 6)
+    linkPredict(chain.union(skip))
+  }
+
+  val linkPredictSql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 128),
+      |edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 8 <> 7
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 2
+      |  WHERE a.doc_id % 2 = 0 AND a.doc_id % 8 < 6),
+      |sym AS (
+      |  SELECT DISTINCT u, v FROM (
+      |    SELECT id_a AS u, id_b AS v FROM edges
+      |    UNION ALL SELECT id_b, id_a FROM edges)),
+      |deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+      |cand AS (
+      |  SELECT s1.v AS a, s2.v AS b, COUNT(*) AS cn
+      |  FROM sym s1 JOIN sym s2 ON s1.u = s2.u
+      |  WHERE s1.v < s2.v
+      |  GROUP BY s1.v, s2.v),
+      |nonadj AS (
+      |  SELECT c.* FROM cand c
+      |  WHERE NOT EXISTS (SELECT 1 FROM sym
+      |    WHERE sym.u = c.a AND sym.v = c.b))
+      |SELECT a, b, cn,
+      |  CAST(da.deg + db.deg - cn AS BIGINT) AS un,
+      |  CAST(cn AS DOUBLE)
+      |    / CAST(da.deg + db.deg - cn AS DOUBLE) AS jaccard
+      |FROM nonadj
+      |JOIN deg da ON da.node = a
+      |JOIN deg db ON db.node = b
+      |ORDER BY jaccard DESC, a, b
+      |LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_predict" -> (linkPredictGate _),
     "graph_label_prop"  -> ((s, d) => labelPropagation(s, d)),
     "graph_bfs"         -> (bfsGate _),
     "graph_kcore"       -> (kCoreGate _),
@@ -490,6 +580,7 @@ object Graph {
     "graph_transitions" -> (transitions _))
 
   def oracle: Map[String, String] = Map(
+    "graph_link_predict" -> linkPredictSql,
     "graph_label_prop"  -> labelPropagationSql(),
     "graph_bfs"         -> bfsSql,
     "graph_kcore"       -> kCoreSql,

@@ -1372,7 +1372,58 @@ object Similarity {
       .toDF("n_queries", "recall_ok", "pairs_valid")
   }
 
+  /** Label-affinity matrix: pairwise cosine between the per-label
+    * centroids — the class-geometry audit run before trusting labels
+    * for contrastive sampling or nearest-centroid routing (two labels
+    * with affinity ≈ 1 are candidates for merging; a label far from
+    * all others is either clean signal or noise). Upper-triangle
+    * pairs only.
+    *
+    * Scale: centroids reduce the corpus to O(labels·dim) via the
+    * [[centroids]] scaled-long shape; the pairwise stage is a self
+    * cross join of that LABEL-sized frame (labels², not rows²) —
+    * broadcast, codegen cosine kernel, exact by the same argument as
+    * [[classifyByCentroid]] (deterministic centroid doubles + pinned
+    * fold order). */
+  def labelAffinity(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val cents = centroids(s, dir)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("pc"))
+      .select(col("label"), transform(col("pc"), p => p("centroid"))
+        .as("cv"))
+    cents.toDF("label_a", "va")
+      .crossJoin(broadcast(cents.toDF("label_b", "vb")))
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        cosine(col("va"), col("vb")).as("affinity"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val labelAffinitySql: String =
+    """WITH c AS (
+      |  SELECT label, i AS pos,
+      |    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+      |        * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / (COUNT(*) * 1000000000.0) AS c
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS u(i)
+      |  GROUP BY label, i),
+      |cvs AS (SELECT label, list(c ORDER BY pos) AS cv
+      |        FROM c GROUP BY label)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  list_reduce(list_transform(generate_series(1, len(a.cv)),
+      |      i -> a.cv[i] * b.cv[i]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(generate_series(1, len(a.cv)),
+      |          i -> a.cv[i] * a.cv[i]), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(generate_series(1, len(b.cv)),
+      |          i -> b.cv[i] * b.cv[i]), (x, y) -> x + y))) AS affinity
+      |FROM cvs a JOIN cvs b ON a.label < b.label
+      |ORDER BY label_a, label_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_label_affinity" -> (labelAffinity _),
     "sim_pq_encode"       -> ((s: SparkSession, d: String) =>
       pqEncode(s, d)),
     "sim_pq_adc_recall"   -> ((s: SparkSession, d: String) =>
@@ -1403,6 +1454,7 @@ object Similarity {
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "embed_label_affinity" -> labelAffinitySql,
     "embed_project"       -> randomProjectionSql,
     "sim_pq_encode"       -> pqEncodeSql,
     "sim_pq_adc_recall"   -> annRecallSql,
