@@ -399,7 +399,23 @@ object StreamingQueries {
       |UNION ALL SELECT * FROM miss
       |ORDER BY user_id, a_id, b_id NULLS FIRST""".stripMargin
 
+  /** Exact distinct users per tumbling window via the streamable
+    * dedup-before-aggregate rewrite (COUNT(DISTINCT) itself is not a
+    * streaming aggregate). Batch replay of the identical plan;
+    * StreamingSpec drives the two chained stateful operators live. */
+  def windowDistinct(s: SparkSession, dir: String): DataFrame =
+    EventStreams.windowDistinctUsers(Tables.events(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val windowDistinctSql: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |  event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_distinct" -> (windowDistinct _),
     "stream_running"  -> (running _),
     "stream_rocksdb"  -> (runningRocksDb _),
     "stream_tws"      -> (runningTws _),
@@ -415,6 +431,7 @@ object StreamingQueries {
     "stream_enrich"   -> (enrich _))
 
   def oracle: Map[String, String] = Map(
+    "stream_window_distinct" -> windowDistinctSql,
     "stream_running"  -> runningSql,
     "stream_rocksdb"  -> runningSql,
     "stream_tws"      -> runningSql,

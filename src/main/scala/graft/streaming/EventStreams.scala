@@ -101,6 +101,30 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Exact DISTINCT-user counts per tumbling window — the
+    * dedup-before-aggregate rewrite that makes COUNT(DISTINCT)
+    * streamable: `count(distinct)` is not an algebraic streaming
+    * aggregate, but `dropDuplicates` on (window, type, user) keyed
+    * state followed by a plain windowed COUNT is — two chained
+    * stateful operators (Spark 3.4+ multi-stateful support), each
+    * with state evicted at the watermark. The dedup state carries one
+    * entry per DISTINCT key per open window (bounded by watermark),
+    * never per event — at 100 TB/day the state is O(active users ×
+    * open windows), the same cardinality any exact-distinct engine
+    * must hold. Batch-unified: the identical plan collapses to
+    * distinct + groupBy for the oracle. */
+  def windowDistinctUsers(events: DataFrame, size: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), window(col("ts"), size).as("w"),
+        col("event_type"), col("user_id"))
+      .dropDuplicates("w", "event_type", "user_id")
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_users"))
+
   /** Stream-stream interval join: pair each `fromType` event with the
     * same user's `toType` events inside (ts, ts + maxDelay]. In
     * streaming mode both sides carry watermarks and the event-time

@@ -74,6 +74,21 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchEvents.select("event_id").distinct().count())
   }
 
+  test("windowed distinct users: chained dedup+agg stream == closed batch windows") {
+    // Two chained stateful operators (dropDuplicates → windowed agg) in
+    // Append mode: only windows whose end the final watermark passed
+    // (max ts − 10 min) may have emitted; the batch replay restricted
+    // to that closed set must match exactly.
+    val out = streamed("t_wdistinct",
+      EventStreams.windowDistinctUsers(_), OutputMode.Append())
+    val maxTs = batchEvents.agg(max(col("ts"))).head.getTimestamp(0)
+    val wm = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(600))
+    val closed = EventStreams.windowDistinctUsers(batchEvents)
+      .filter(col("window_start") + expr("INTERVAL 5 MINUTES") <= lit(wm))
+    assert(out.count() == closed.count())
+    assert(out.exceptAll(closed).isEmpty && closed.exceptAll(out).isEmpty)
+  }
+
   test("checkpointed file sink resumes exactly-once across restarts") {
     val in = tmpDir("ckpt_in")
     val out = tmpDir("ckpt_out")
