@@ -830,9 +830,76 @@ object ParityQueries {
   val purgeMissingTableSql: String =
     "SELECT CAST(1 AS BIGINT) AS n_skip_events"
 
+  /** Incremental-ingest ledger gate ([[graft.sources.IngestLedger]]):
+    * two CSV batch drops arrive, run 1 ingests both; a third drop
+    * arrives, run 2 ingests ONLY it; run 3 (nothing new) ingests
+    * nothing — the exactly-once evidence. The final row aggregates
+    * the assembled target table, which must equal the oracle's direct
+    * aggregate of the same orders subset: the ledger pipeline is
+    * value-preserving AND no batch was double-ingested (a duplicate
+    * would double the final counts and break the hash). */
+  def convLedger(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "conv_ledger")
+    val src = s"$root/src"
+    val led = s"$root/ledger.txt"
+    val tgt = s"$root/tgt"
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_custkey") < 300)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    def drop(m: Int): Unit =
+      orders.filter(col("o_orderkey") % 3 === m)
+        .write.mode("overwrite").option("header", "true")
+        .csv(s"$src/drop$m")
+    def readBatch(p: String): DataFrame =
+      s.read.schema(orders.schema).option("header", "true").csv(p)
+    graft.Scaffold.setup { rm(root); drop(0); drop(1) }
+    val r1 = graft.sources.IngestLedger.ingest(s, src, led, tgt, readBatch)
+    graft.Scaffold.setup { drop(2) }
+    val r2 = graft.sources.IngestLedger.ingest(s, src, led, tgt, readBatch)
+    val r3 = graft.sources.IngestLedger.ingest(s, src, led, tgt, readBatch)
+    def runRow(phase: String, r: graft.sources.IngestLedger.RunReport) =
+      s.range(1).select(lit(phase).as("phase"),
+        lit(r.newBatches.size.toLong).as("n_batches"),
+        lit(r.rowsIngested).as("n_rows"),
+        lit(null).cast(DoubleType).as("total_price"))
+    val nLedger = graft.sources.IngestLedger.processed(s, led).size.toLong
+    val finalRow = s.read.parquet(tgt).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total_price"))
+      .select(lit("z_final").as("phase"), lit(nLedger).as("n_batches"),
+        col("n_rows"), col("total_price"))
+    runRow("run1", r1).union(runRow("run2", r2)).union(runRow("run3", r3))
+      .union(finalRow)
+      .orderBy(col("phase"))
+  }
+
+  val convLedgerSql: String =
+    """WITH sub AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey < 300)
+      |SELECT 'run1' AS phase, CAST(2 AS BIGINT) AS n_batches,
+      |  COUNT(*) AS n_rows, CAST(NULL AS DOUBLE) AS total_price
+      |FROM sub WHERE o_orderkey % 3 IN (0, 1)
+      |UNION ALL
+      |SELECT 'run2', 1, COUNT(*), NULL FROM sub WHERE o_orderkey % 3 = 2
+      |UNION ALL
+      |SELECT 'run3', 0, 0, NULL
+      |UNION ALL
+      |SELECT 'z_final', 3, COUNT(*),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM sub
+      |ORDER BY phase""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conv_ledger"           -> (convLedger _),
     "conv_csv_roundtrip"    -> (convCsvRoundtrip _),
     "conv_csv_gzip_roundtrip" -> (convCsvGzipRoundtrip _),
     "conv_jsonl_roundtrip"  -> (convJsonlRoundtrip _),
@@ -857,6 +924,7 @@ object ParityQueries {
     "purge_missing_table"   -> (purgeMissingTable _))
 
   def oracle: Map[String, String] = Map(
+    "conv_ledger"           -> convLedgerSql,
     "conv_csv_roundtrip"    -> convCsvRoundtripSql,
     "conv_csv_gzip_roundtrip" -> convCsvGzipRoundtripSql,
     "conv_jsonl_roundtrip"  -> convJsonlRoundtripSql,
