@@ -568,6 +568,85 @@ object Graph {
       |ORDER BY jaccard DESC, a, b
       |LIMIT 30""".stripMargin
 
+  /** Single-source shortest paths by distributed Bellman–Ford over
+    * the event-transition graph: edge cost is the integer
+    * `1000000 div w` (frequent transitions are cheap, so the shortest
+    * path IS the most-traveled route — the "likely user journey"
+    * query), source is the lexicographically smallest event type.
+    *
+    * Per relaxation round: the distributed edge list joins the
+    * O(nodes) distance vector (broadcast here; the shuffle-join
+    * fallback pinned for [[pageRank]] applies unchanged when the node
+    * set outgrows a broadcast), candidates reduce map-side with a
+    * `min` per destination, and the new vector is the element-wise
+    * min with the previous round. |V|−1 rounds guarantee
+    * convergence; event graphs have a handful of types so `iters`
+    * defaults to 8. Distances stay scaled longs (INF = 10¹⁵ sentinel
+    * for unreachable) — every update is integer min/add, bit-exact,
+    * so the unrolled-CTE oracle replays the identical recurrence. */
+  private val Inf = 1000000000000000L
+
+  def sssp(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
+      .localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node"))
+      .distinct().localCheckpoint()
+    val source = nodes.agg(min(col("node"))).head().getString(0)
+    var dist = nodes.withColumn("d",
+      when(col("node") === source, 0L).otherwise(lit(Inf)))
+    for (_ <- 1 to iters) {
+      val relaxed = edges
+        .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
+        .filter(col("d") < Inf)
+        .select(col("dst").as("node"), (col("d") + col("cost")).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      dist = dist.join(broadcast(relaxed), Seq("node"), "left")
+        .select(col("node"),
+          least(col("d"), coalesce(col("cand"), lit(Inf))).as("d"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("node"))
+  }
+
+  /** The identical integer recurrence unrolled (standard SQL forbids
+    * the per-round min-aggregation inside a recursive term). */
+  def ssspSql(iters: Int = 8): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT src, dst, 1000000 // COUNT(*) AS cost
+        |          FROM ord WHERE dst IS NOT NULL GROUP BY src, dst),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |src0 AS (SELECT MIN(node) AS sn FROM nodes),
+        |it0 AS (SELECT node, CASE WHEN node = (SELECT sn FROM src0)
+        |  THEN 0 ELSE 1000000000000000 END AS d FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT n.node,
+         |    LEAST(p.d, COALESCE(r.cand, 1000000000000000)) AS d
+         |  FROM nodes n
+         |  JOIN it${i - 1} p ON p.node = n.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, MIN(q.d + e.cost) AS cand
+         |    FROM edges e JOIN it${i - 1} q ON q.node = e.src
+         |    WHERE q.d < 1000000000000000
+         |    GROUP BY e.dst) r ON r.node = n.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(d AS BIGINT) AS d FROM it$iters ORDER BY node"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (linkPredictGate _),
     "graph_label_prop"  -> ((s, d) => labelPropagation(s, d)),
@@ -577,7 +656,8 @@ object Graph {
     "graph_pagerank"    -> ((s, d) => pageRank(s, d)),
     "graph_pagerank_shuffle" ->
       ((s, d) => pageRank(s, d, broadcastRanks = false)),
-    "graph_transitions" -> (transitions _))
+    "graph_transitions" -> (transitions _),
+    "graph_sssp"        -> ((s, d) => sssp(s, d)))
 
   def oracle: Map[String, String] = Map(
     "graph_link_predict" -> linkPredictSql,
@@ -588,5 +668,6 @@ object Graph {
     "graph_pagerank"    -> pageRankSql(),
     // bit-identical integer fixpoint through the shuffle-join plan
     "graph_pagerank_shuffle" -> pageRankSql(),
-    "graph_transitions" -> transitionsSql)
+    "graph_transitions" -> transitionsSql,
+    "graph_sssp"        -> ssspSql())
 }

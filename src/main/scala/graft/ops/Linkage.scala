@@ -31,20 +31,21 @@ object Linkage {
     * each pass keying on the name with that segment removed. Exact
     * for any pair of equal-length records whose differing positions
     * all fall inside a single omitted segment. */
+  private def passKeys(df: DataFrame, omit: Seq[(Int, Int)]): DataFrame = {
+    val ks: Seq[Column] = omit.zipWithIndex.map { case ((start, len), i) =>
+      struct(lit(i).as("pass"),
+        concat(expr(s"substring(name, 1, ${start - 1})"),
+               expr(s"substring(name, ${start + len}, 1000000)")).as("bk"))
+    }
+    df.select(col("id"), col("name"), explode(array(ks: _*)).as("b"))
+      .select(col("id"), col("name"),
+        col("b.pass").as("pass"), col("b.bk").as("bk"))
+  }
+
   def blockedLink(dirty: DataFrame, clean: DataFrame,
       omit: Seq[(Int, Int)], maxDist: Int): DataFrame = {
-    def passKeys(df: DataFrame): DataFrame = {
-      val ks: Seq[Column] = omit.zipWithIndex.map { case ((start, len), i) =>
-        struct(lit(i).as("pass"),
-          concat(expr(s"substring(name, 1, ${start - 1})"),
-                 expr(s"substring(name, ${start + len}, 1000000)")).as("bk"))
-      }
-      df.select(col("id"), col("name"), explode(array(ks: _*)).as("b"))
-        .select(col("id"), col("name"),
-          col("b.pass").as("pass"), col("b.bk").as("bk"))
-    }
-    val cand = passKeys(dirty).toDF("did", "dname", "pass", "bk")
-      .join(passKeys(clean).toDF("cid", "cname", "pass", "bk"),
+    val cand = passKeys(dirty, omit).toDF("did", "dname", "pass", "bk")
+      .join(passKeys(clean, omit).toDF("cid", "cname", "pass", "bk"),
         Seq("pass", "bk"))
       .select(col("did"), col("dname"), col("cid"), col("cname"))
       .distinct()
@@ -176,11 +177,126 @@ object Linkage {
       |    AS segment
       |FROM updates GROUP BY id ORDER BY id""".stripMargin
 
+  // Fellegi–Sunter (JASA 1969) agreement/disagreement weights as
+  // integer milli-bits: w_agree = 1000·log2(m/u), w_disagree =
+  // 1000·log2((1−m)/(1−u)). Fixed published-style m/u priors; the
+  // SAME Scala constants are interpolated into the oracle text, so
+  // both engines score with identical literals.
+  private def milliBits(num: Double, den: Double): Long =
+    math.round(1000.0 * math.log(num / den) / math.log(2.0))
+  private val wNameA = milliBits(0.95, 0.01)   // close-name agree
+  private val wNameD = milliBits(0.05, 0.99)
+  private val wNatA  = milliBits(0.95, 0.04)   // nation agree
+  private val wNatD  = milliBits(0.05, 0.96)
+  private val wSegA  = milliBits(0.85, 0.20)   // segment agree
+  private val wSegD  = milliBits(0.15, 0.80)
+
+  /** Fellegi–Sunter probabilistic linkage — the decision layer on
+    * top of [[blockedLink]]'s candidate generation: each blocked
+    * pair is scored by summed per-field log-likelihood weights
+    * (agree → log2(m/u) > 0, disagree → log2((1−m)/(1−u)) < 0) and
+    * classified `match` / `possible` / `non_match` by thresholds.
+    * Fields: close name agreement (levenshtein ≤ 1 — the dirtied
+    * digit must not kill the name evidence), nation key, market
+    * segment (deterministically mutated for id%7=0 so real
+    * disagreements exist among true pairs).
+    *
+    * Scale shape: candidates come from the exact key-omission
+    * blocking equi-joins — never a cross join; scoring is a pure
+    * integer projection over the candidate pairs; the milli-bit
+    * weights keep the sum hash-exact across engines. The oracle
+    * re-derives the identical candidate set declaratively (equality
+    * after either omitted segment) and replays the same literals. */
+  def fellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val cleanAttrs = Tables.customer(s, dir).filter(col("c_custkey") < 400)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").cast(LongType).as("nat"),
+        col("c_mktsegment").as("seg"))
+    val dirtyAttrs = cleanAttrs.select(
+      (col("id") + 100000L).as("id"),
+      concat(
+        expr("substring(name, 1, 14 + (id % 4))"),
+        expr("cast((cast(substring(name, 15 + (id % 4), 1) as int) + 1) % 10" +
+          " as string)"),
+        expr("substring(name, 16 + (id % 4), 1000000)")).as("name"),
+      col("nat"),
+      when(col("id") % 7 === 0, lit("SEG-X")).otherwise(col("seg"))
+        .as("seg"))
+    val omit = Seq((15, 2), (17, 2))
+    val cand = passKeys(dirtyAttrs, omit)
+      .select(col("id").as("did"), col("pass"), col("bk"))
+      .join(passKeys(cleanAttrs, omit)
+        .select(col("id").as("cid"), col("pass"), col("bk")),
+        Seq("pass", "bk"))
+      .select(col("did"), col("cid")).distinct()
+    val score =
+      when(levenshtein(col("dname"), col("cname")) <= 1, lit(wNameA))
+        .otherwise(lit(wNameD)) +
+      when(col("dnat") === col("cnat"), lit(wNatA)).otherwise(lit(wNatD)) +
+      when(col("dseg") === col("cseg"), lit(wSegA)).otherwise(lit(wSegD))
+    cand
+      .join(dirtyAttrs.toDF("did", "dname", "dnat", "dseg"), "did")
+      .join(cleanAttrs.toDF("cid", "cname", "cnat", "cseg"), "cid")
+      .withColumn("score", score)
+      .withColumn("decision",
+        when(col("score") >= 5000, lit("match"))
+          .when(col("score") >= 0, lit("possible"))
+          .otherwise(lit("non_match")))
+      .select(col("did").as("dirty_id"), col("cid").as("clean_id"),
+        col("score"), col("decision"))
+      .orderBy(col("dirty_id"), col("clean_id"))
+  }
+
+  val fellegiSunterSql: String =
+    s"""WITH clean AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey < 400),
+      |dirty AS (
+      |  SELECT c.id + 100000 AS id,
+      |    substr(c.name, 1, 14 + (c.id % 4))
+      |      || CAST((CAST(substr(c.name, 15 + (c.id % 4), 1) AS INTEGER)
+      |               + 1) % 10 AS VARCHAR)
+      |      || substr(c.name, 16 + (c.id % 4)) AS name,
+      |    c.nat,
+      |    CASE WHEN c.id % 7 = 0 THEN 'SEG-X' ELSE c.seg END AS seg
+      |  FROM clean c),
+      |cand AS (
+      |  SELECT DISTINCT d.id AS did, c.id AS cid
+      |  FROM dirty d, clean c
+      |  WHERE substr(d.name, 1, 14) || substr(d.name, 17)
+      |          = substr(c.name, 1, 14) || substr(c.name, 17)
+      |     OR substr(d.name, 1, 16) || substr(d.name, 19)
+      |          = substr(c.name, 1, 16) || substr(c.name, 19))
+      |SELECT p.did AS dirty_id, p.cid AS clean_id,
+      |  CAST((CASE WHEN levenshtein(d.name, c.name) <= 1
+      |        THEN $wNameA ELSE $wNameD END)
+      |     + (CASE WHEN d.nat = c.nat THEN $wNatA ELSE $wNatD END)
+      |     + (CASE WHEN d.seg = c.seg THEN $wSegA ELSE $wSegD END)
+      |    AS BIGINT) AS score,
+      |  CASE WHEN (CASE WHEN levenshtein(d.name, c.name) <= 1
+      |             THEN $wNameA ELSE $wNameD END)
+      |          + (CASE WHEN d.nat = c.nat THEN $wNatA ELSE $wNatD END)
+      |          + (CASE WHEN d.seg = c.seg THEN $wSegA ELSE $wSegD END)
+      |          >= 5000 THEN 'match'
+      |       WHEN (CASE WHEN levenshtein(d.name, c.name) <= 1
+      |             THEN $wNameA ELSE $wNameD END)
+      |          + (CASE WHEN d.nat = c.nat THEN $wNatA ELSE $wNatD END)
+      |          + (CASE WHEN d.seg = c.seg THEN $wSegA ELSE $wSegD END)
+      |          >= 0 THEN 'possible'
+      |       ELSE 'non_match' END AS decision
+      |FROM cand p
+      |JOIN dirty d ON d.id = p.did
+      |JOIN clean c ON c.id = p.cid
+      |ORDER BY dirty_id, clean_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "link_blocked" -> (linkGate _),
+    "link_fellegi_sunter" -> (fellegiSunter _),
     "link_golden_record" -> (goldenRecord _))
 
   def oracle: Map[String, String] = Map(
     "link_blocked" -> linkSql,
+    "link_fellegi_sunter" -> fellegiSunterSql,
     "link_golden_record" -> goldenRecordSql)
 }

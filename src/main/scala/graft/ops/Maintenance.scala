@@ -723,7 +723,54 @@ object Maintenance {
       |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)) g
       |ORDER BY generation""".stripMargin
 
+  /** Incremental JOIN-view maintenance (the delta-rule complement of
+    * [[incrementalAgg]]'s aggregate IVM and [[streamMvMaintain]]'s
+    * streamed variant): a materialized `orders ⋈ customer` view is
+    * brought current after an insert batch lands on EACH side without
+    * rejoining the full tables. Insert-only delta rule:
+    *
+    *   V_new = V_old ∪ (ΔO ⋈ C_new) ∪ (O_old ⋈ ΔC)
+    *
+    * (ΔO⋈ΔC lives in the first term and only there — no double
+    * count). Deltas here are deterministic slices: ΔO = orders with
+    * `o_orderkey % 10 = 7`, ΔC = customers with `c_custkey % 50 = 0`
+    * — so old orders referencing a "late-arriving" customer are
+    * exactly the dimension-delta repair the second term exists for.
+    *
+    * Scale shape: both delta terms join a SMALL changed batch
+    * (broadcast) against one unshuffled big side — the standing view
+    * is appended to, never recomputed, and the base fact table never
+    * moves through a shuffle. The oracle is the full recompute
+    * `O_new ⋈ C_new`: incremental == recompute is the IVM
+    * correctness contract. */
+  def ivmJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val dO = orders.filter(col("o_orderkey") % 10 === 7)
+    val oldO = orders.filter(col("o_orderkey") % 10 =!= 7)
+    val dC = cust.filter(col("c_custkey") % 50 === 0)
+    val oldC = cust.filter(col("c_custkey") % 50 =!= 0)
+    val vOld = oldO.join(oldC, col("o_custkey") === col("c_custkey"))
+    val deltaO = broadcast(dO).join(cust, // C_new = full customer table
+      col("o_custkey") === col("c_custkey"))
+    val deltaC = oldO.join(broadcast(dC),
+      col("o_custkey") === col("c_custkey"))
+    vOld.unionByName(deltaO).unionByName(deltaC)
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val ivmJoinSql: String =
+    """SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment,
+      |  o.o_totalprice
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_ivm_join" -> (ivmJoin _),
     "mv_rewrite_agg" -> (mvRewriteAgg _),
     "stream_mv_maintain" -> (streamMvMaintain _),
     "purge_vacuum" -> (vacuumGate _),
@@ -737,6 +784,7 @@ object Maintenance {
     "scd2_build" -> (scd2Build _),
     "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
+    "maint_ivm_join" -> ivmJoinSql,
     "mv_rewrite_agg" -> mvRewriteAggSql,
     "stream_mv_maintain" -> streamMvMaintainSql,
     "purge_vacuum" -> vacuumGateSql,

@@ -1315,6 +1315,98 @@ object Relational {
       |GROUP BY event_type, CAST(ts AS DATE)
       |ORDER BY event_type, day""".stripMargin
 
+  /** Skyline / Pareto-frontier query: the parts no other part beats
+    * on BOTH axes (maximize `p_size`, minimize `p_retailprice`; one
+    * axis strictly). The naive formulation is the O(n²) NOT-EXISTS
+    * dominance self-join; the distributed plan here is the classic
+    * 2-D skyline reduction:
+    *
+    *   1. corpus-wide reduce to per-size min price — O(distinct
+    *      sizes) rows (p_size has ~50 values at any SF), map-side
+    *      combinable;
+    *   2. the frontier test is a running strict-min window over that
+    *      METADATA-SIZED frame ordered by size desc — a size survives
+    *      iff its min price undercuts every larger size's min (the
+    *      unpartitioned window sees ~50 rows, the same bounded-frame
+    *      discipline as the shard-packing phase-2 window);
+    *   3. surviving (size, price) pairs broadcast-join back to `part`
+    *      to emit the frontier rows — the fact table is scanned once
+    *      and never shuffled.
+    *
+    * At 100 TB the only corpus-wide work is step 1's partial agg +
+    * step 3's broadcast semi filter; nothing quadratic anywhere. The
+    * oracle is the independent brute-force dominance plan. Price
+    * values pass through both engines untouched (no arithmetic), so
+    * double equality is exact. */
+  def q45Skyline(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    val bySize = part.groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("mn"))
+    // ~50 rows: the unpartitioned frame is bounded by |distinct sizes|.
+    val w = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bySize
+      .withColumn("prev_mn", min(col("mn")).over(w))
+      .filter(col("prev_mn").isNull || col("mn") < col("prev_mn"))
+      .select(col("p_size").as("f_size"), col("mn")) // fresh lineage vs part
+    part.join(broadcast(frontier),
+        col("p_size") === col("f_size") &&
+        col("p_retailprice") === col("mn"))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_size"), col("p_partkey"))
+  }
+
+  val q45Sql: String =
+    """SELECT p.p_partkey, p.p_size, p.p_retailprice
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_size >= p.p_size
+      |    AND q.p_retailprice <= p.p_retailprice
+      |    AND (q.p_size > p.p_size
+      |         OR q.p_retailprice < p.p_retailprice))
+      |ORDER BY p.p_size, p.p_partkey""".stripMargin
+
+  /** Native recursive CTE (`WITH RECURSIVE`, new in Spark 4.x —
+    * `UnionLoopExec` iterates the recursive term until fixpoint):
+    * walks a 10-level binary-heap hierarchy derived from `part`
+    * (parent(k) = k div 2, keys 1..1023) from the root down and
+    * reports per-depth node accounting. This is the genuinely
+    * recursive relational surface — unbounded-depth traversal inside
+    * ONE declarative statement, vs the unrolled fixed-iteration CTE
+    * chains used where the depth is known ([[Graph.pageRankSql]]).
+    *
+    * Scale: each loop iteration is one broadcast-joinable level
+    * frontier (the recursion carries only (key, depth) pairs); the
+    * engine stops when a level is empty. DuckDB runs its own
+    * `WITH RECURSIVE` of the same shape — two independent recursive
+    * executors must converge to identical levels. */
+  def q46Recursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql(
+      """WITH RECURSIVE tree(k, depth) AS (
+        |  SELECT p_partkey, 0 FROM part WHERE p_partkey = 1
+        |  UNION ALL
+        |  SELECT p.p_partkey, t.depth + 1
+        |  FROM part p JOIN tree t ON p.p_partkey div 2 = t.k
+        |  WHERE p.p_partkey BETWEEN 2 AND 1023)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        |  MIN(k) AS min_key, MAX(k) AS max_key, SUM(k) AS sum_key
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val q46Sql: String =
+    """WITH RECURSIVE tree(k, depth) AS (
+      |  SELECT p_partkey, 0 FROM part WHERE p_partkey = 1
+      |  UNION ALL
+      |  SELECT p.p_partkey, t.depth + 1
+      |  FROM part p JOIN tree t ON p.p_partkey // 2 = t.k
+      |  WHERE p.p_partkey BETWEEN 2 AND 1023)
+      |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  MIN(k) AS min_key, MAX(k) AS max_key,
+      |  CAST(SUM(k) AS BIGINT) AS sum_key
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1362,7 +1454,9 @@ object Relational {
     "q41_sketch_rollup"  -> (q41SketchRollup _),
     "q42_array_hof"      -> (q42ArrayHof _),
     "q43_window_family"  -> (q43WindowFamily _),
-    "q44_bitmap_distinct" -> (q44BitmapDistinct _))
+    "q44_bitmap_distinct" -> (q44BitmapDistinct _),
+    "q45_skyline"        -> (q45Skyline _),
+    "q46_recursive_cte"  -> (q46Recursive _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1409,5 +1503,7 @@ object Relational {
     "q41_sketch_rollup"  -> q41Sql,
     "q42_array_hof"      -> q42Sql,
     "q43_window_family"  -> q43Sql,
-    "q44_bitmap_distinct" -> q44Sql)
+    "q44_bitmap_distinct" -> q44Sql,
+    "q45_skyline"        -> q45Sql,
+    "q46_recursive_cte"  -> q46Sql)
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ops.{Graph, Linkage, Maintenance, Relational}
+
+/** Planted-fixture invariants for the round-6 operator batch:
+  * skyline dominance, native recursive-CTE traversal, Bellman–Ford
+  * shortest paths, Fellegi–Sunter classification, and the
+  * incremental-join-maintenance == full-recompute contract. */
+class RoundSixOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  private def partsDir(rows: Seq[(Long, Int, Double)]): String = {
+    val dir = tmpDir("r6_parts")
+    val data = rows.map { case (k, sz, pr) =>
+      Row(k, s"part$k", "B", "T", sz, pr)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), partSchema)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  test("q45_skyline: planted frontier, ties on both axes kept") {
+    // (key, size, price): frontier is {2, 6} (share the best corner
+    // (20, 3.0) — equal pairs never dominate each other) and {5}
+    // (cheapest overall). 3 is beaten by 2 on both axes, 4 by 2 on
+    // price at equal size, 1 by everything larger-and-cheaper.
+    val dir = partsDir(Seq(
+      (1L, 10, 5.0), (2L, 20, 3.0), (3L, 15, 4.0),
+      (4L, 20, 6.0), (5L, 5, 2.0), (6L, 20, 3.0)))
+    val got = Relational.q45Skyline(spark, dir)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got === Set(2L, 5L, 6L))
+  }
+
+  test("q46_recursive_cte: full binary tree levels via WITH RECURSIVE") {
+    // parts 1..31 under parent(k) = k div 2 form a complete 5-level
+    // binary tree — per-depth counts must be exactly 2^depth.
+    val dir = partsDir((1L to 31L).map(k => (k, 1, 1.0)))
+    val got = Relational.q46Recursive(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got === Map(0 -> 1L, 1 -> 2L, 2 -> 4L, 3 -> 8L, 4 -> 16L))
+  }
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  test("graph_sssp: relay route beats the expensive direct edge") {
+    // 10 users walk A→B (cost 1e6/10), 5 walk B→C (1e6/5), 1 walks
+    // A→C (1e6/1): shortest A→C is the two-hop 300000, not 1000000.
+    val dir = tmpDir("r6_ev")
+    def walk(u: Long, steps: Seq[String], base: Long) =
+      steps.zipWithIndex.map { case (t, i) =>
+        Row(base + i, new Timestamp(1700000000000L + i * 1000), u, t,
+          1.0, "{}")
+      }
+    val rows =
+      (1L to 10L).flatMap(u => walk(u, Seq("A", "B"), u * 100)) ++
+      (11L to 15L).flatMap(u => walk(u, Seq("B", "C"), u * 100)) ++
+      walk(16L, Seq("A", "C"), 1600)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val d = Graph.sssp(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d === Map("A" -> 0L, "B" -> 100000L, "C" -> 300000L))
+  }
+
+  test("link_fellegi_sunter: every true pair classified match") {
+    val res = Linkage.fellegiSunter(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byPair = res.map { case (d, c, dec) => (d, c) -> dec }.toMap
+    val dirtyIds = res.map(_._1).distinct
+    assert(dirtyIds.nonEmpty)
+    dirtyIds.foreach { d =>
+      assert(byPair.get((d, d - 100000L)).contains("match"),
+        s"true pair for dirty $d not matched")
+    }
+    // scores are symmetric functions of the three field comparisons:
+    // only the seven reachable sums may appear
+    val scores = Linkage.fellegiSunter(spark, sf)
+      .select("score").collect().map(_.getLong(0)).toSet
+    assert(scores.size <= 8)
+  }
+
+  test("maint_ivm_join: incremental result equals full recompute") {
+    val inc = Maintenance.ivmJoin(spark, sf)
+    val full = {
+      val o = Tables.orders(spark, sf)
+      val c = Tables.customer(spark, sf)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), c("c_custkey"), c("c_name"),
+          c("c_mktsegment"), o("o_totalprice"))
+    }
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+}
