@@ -456,7 +456,73 @@ object LanguageModel {
       |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
       |FROM m""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram probabilities (the modern
+    * n-gram-LM smoothing standard — Chen & Goodman 1999 — and the
+    * model behind KenLM-style perplexity filters), discount d = 3/4:
+    *
+    *   P_KN(w2|w1) = max(c(w1w2) − d, 0)/c(w1·)
+    *               + d·N1+(w1·)/c(w1·) · N1+(·w2)/T
+    *
+    * where N1+(w1·) / N1+(·w2) are distinct-continuation counts and
+    * T is the number of distinct bigram types — the continuation
+    * distribution that makes "francisco" low-probability as a novel
+    * continuation however frequent the token is. With d = 3/4 every
+    * term is rational, so P_KN is emitted as the exact integer
+    * `⌊10⁶·((4c₂−3)·T + 3·N1p·Ncont) / (4·c₁·T)⌋` — one integer
+    * division, no float folds, hash-identical in DuckDB.
+    *
+    * Scale: all four model tables (bigram counts, per-history
+    * totals+continuations, per-word predecessors, the T scalar) are
+    * O(distinct types) map-combinable aggregates off ONE gram pass;
+    * the two dimension tables broadcast; top-k via orderBy+limit is
+    * TakeOrderedAndProject (per-partition heaps, k-row reduce). */
+  def kneserNey(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val big = Tables.documents(s, dir)
+      .select(explode(graft.plans.TextExpressions.tokenNGrams(
+        words(col("text")), 2, emitWholeShortDoc = false)).as("bg"))
+      .select(col("bg"),
+        element_at(split(col("bg"), " "), 1).as("w1"),
+        element_at(split(col("bg"), " "), 2).as("w2"))
+    val bgc = big.groupBy(col("bg"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val hist = bgc.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = bgc.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val types = bgc.agg(count(lit(1)).as("t"))
+    bgc.join(broadcast(hist), "w1")
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(types))
+      .select(col("bg"), col("c2"),
+        expr("(1000000 * ((4*c2 - 3) * t + 3 * n1p * ncont))" +
+          " div (4 * c1 * t)").as("kn_ppm"),
+        expr("(3000000 * n1p) div (4 * c1)").as("lam_ppm"))
+      .orderBy(col("c2").desc, col("bg"))
+      .limit(k)
+  }
+
+  val kneserNeySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+      |big AS (SELECT array_to_string(t[i:i+1], ' ') AS bg,
+      |               t[i] AS w1, t[i+1] AS w2 FROM pos),
+      |bgc AS (SELECT bg, w1, w2, COUNT(*) AS c2 FROM big
+      |        GROUP BY bg, w1, w2),
+      |hist AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+      |                COUNT(*) AS n1p FROM bgc GROUP BY w1),
+      |cont AS (SELECT w2, COUNT(*) AS ncont FROM bgc GROUP BY w2),
+      |tt AS (SELECT COUNT(*) AS t FROM bgc)
+      |SELECT bgc.bg, bgc.c2,
+      |  CAST((1000000 * ((4*bgc.c2 - 3) * tt.t + 3 * hist.n1p * cont.ncont))
+      |       // (4 * hist.c1 * tt.t) AS BIGINT) AS kn_ppm,
+      |  CAST((3000000 * hist.n1p) // (4 * hist.c1) AS BIGINT) AS lam_ppm
+      |FROM bgc JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+      |ORDER BY bgc.c2 DESC, bgc.bg LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kneser_ney" -> ((s, d) => kneserNey(s, d)),
     "text_collocations" -> ((s, d) => collocations(s, d)),
     "text_zipf" -> ((s, d) => zipfFit(s, d)),
     "text_bigram_lm" -> (bigramLm _),
@@ -465,6 +531,7 @@ object LanguageModel {
     "text_oov_rate" -> ((s, d) => oovRate(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "text_kneser_ney" -> kneserNeySql,
     "text_bigram_lm" -> bigramLmSql,
     "text_collocations" -> collocationsSql,
     "text_zipf" -> zipfFitSql,

@@ -616,6 +616,70 @@ object ParityQueries {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** Semi-structured weblog ingest: events are staged as Apache
+    * combined-log lines (`ip - user [ts] "GET /path HTTP/1.1" status
+    * bytes` — the classic untyped text telemetry a pipeline actually
+    * receives), then re-ingested with `spark.read.text` + ONE
+    * `regexp_extract` pattern into typed columns and aggregated. The
+    * oracle re-derives the same aggregate from the original `events`
+    * parquet — equality proves the regex parse, the timestamp
+    * round-trip (second granularity, the format's own ceiling), and
+    * the derived-field arithmetic are all lossless.
+    *
+    * Scale: text ingest is block-splittable; the parse is a pure
+    * codegen projection (regexp_extract + casts) at scan speed, and
+    * the only shuffle is the final per-path reduce. This is the
+    * log-parsing shape for any 100 TB raw-telemetry backfill. */
+  def convWeblogParse(s: SparkSession, dir: String): DataFrame = {
+    val logDir = scratch(dir, "conv_weblog")
+    graft.Scaffold.setup {
+      Tables.events(s, dir)
+        .select(format_string(
+          "%s - u%d [%s +0000] \"GET /%s HTTP/1.1\" %d %d",
+          concat_ws(".", lit(10),
+            expr("user_id div 65536") % 256,
+            expr("user_id div 256") % 256,
+            col("user_id") % 256),
+          col("user_id"),
+          date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"),
+          col("event_type"),
+          lit(200) + (col("event_id") % 2) * 104,
+          col("event_id") % 10000).as("value"))
+        .write.mode("overwrite").text(logDir)
+    }
+    val re = "^(\\S+) - (\\S+) \\[([^\\]]+)\\] " +
+      "\"(\\S+) (\\S+) [^\"]*\" (\\d{3}) (\\d+)$"
+    s.read.text(logDir)
+      .select(
+        regexp_extract(col("value"), re, 1).as("ip"),
+        to_timestamp(regexp_extract(col("value"), re, 3),
+          "dd/MMM/yyyy:HH:mm:ss Z").as("ts"),
+        regexp_extract(col("value"), re, 5).as("path"),
+        regexp_extract(col("value"), re, 6).cast(IntegerType).as("status"),
+        regexp_extract(col("value"), re, 7).cast(LongType).as("bytes"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_req"),
+        countDistinct(col("ip")).as("n_ips"),
+        sum(col("bytes")).as("sum_bytes"),
+        sum(when(col("status") === 304, 1L).otherwise(0L)).as("n_304"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+      .orderBy(col("path"))
+  }
+
+  // ip ↔ user_id is injective below 2^24, so COUNT(DISTINCT ip) on
+  // the parsed side equals COUNT(DISTINCT user_id) on the source.
+  val convWeblogParseSql: String =
+    """SELECT '/' || event_type AS path, COUNT(*) AS n_req,
+      |  COUNT(DISTINCT user_id) AS n_ips,
+      |  CAST(SUM(event_id % 10000) AS BIGINT) AS sum_bytes,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_304,
+      |  date_trunc('second', MIN(ts)) AS min_ts,
+      |  date_trunc('second', MAX(ts)) AS max_ts
+      |FROM events GROUP BY event_type
+      |ORDER BY path""".stripMargin
+
   /** binaryFile-source ingest: the front door for multimodal payloads
     * (SURVEY §2.9) — opaque image/audio/video blobs land as files and
     * enter the engine through `spark.read.format("binaryFile")`, which
@@ -912,6 +976,7 @@ object ParityQueries {
     "purge_time_travel"     -> (purgeTimeTravel _),
     "conv_fixedwidth_roundtrip" -> (convFixedWidthRoundtrip _),
     "conv_xml_roundtrip"    -> (convXmlRoundtrip _),
+    "conv_weblog_parse"     -> (convWeblogParse _),
     "conv_binaryfiles"      -> (convBinaryFiles _),
     "conv_csv_lz4_roundtrip" -> (convCsvLz4Roundtrip _),
     "parquet_bloom_lookup"  -> (parquetBloomLookup _),
@@ -937,6 +1002,7 @@ object ParityQueries {
     "purge_time_travel"     -> purgeTimeTravelSql,
     "conv_fixedwidth_roundtrip" -> convFixedWidthRoundtripSql,
     "conv_xml_roundtrip"    -> convXmlRoundtripSql,
+    "conv_weblog_parse"     -> convWeblogParseSql,
     "conv_binaryfiles"      -> convBinaryFilesSql,
     "conv_csv_lz4_roundtrip" -> convCsvLz4RoundtripSql,
     "parquet_bloom_lookup"  -> parquetBloomLookupSql,

@@ -3,9 +3,10 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Graph, Linkage, Maintenance, Relational}
+import graft.ops.{Graph, LanguageModel, Linkage, Maintenance, ParityQueries, Relational}
 
 /** Planted-fixture invariants for the round-6 operator batch:
   * skyline dominance, native recursive-CTE traversal, Bellman–Ford
@@ -101,6 +102,40 @@ class RoundSixOpsSpec extends SparkSpec {
     val scores = Linkage.fellegiSunter(spark, sf)
       .select("score").collect().map(_.getLong(0)).toSet
     assert(scores.size <= 8)
+  }
+
+  test("text_kneser_ney: hand-computed probabilities on a tiny corpus") {
+    // "a b a b a c": bigrams ab(2), ba(2), ac(1); c1(a)=3, c1(b)=2;
+    // N1+(a·)=2, N1+(b·)=1; N1+(·b)=1, N1+(·a)=1, N1+(·c)=1; T=3.
+    val dir = tmpDir("r6_kn")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "a b a b a c", "en", "s", 11L)), 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LanguageModel.kneserNey(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // P(b|a) = ((4·2−3)·3 + 3·2·1)/(4·3·3) = 21/36; P(a|b) = 18/24;
+    // P(c|a) = (3 + 6)/36 — discount mass flows to continuations.
+    assert(got === Map("a b" -> 583333L, "b a" -> 750000L,
+      "a c" -> 250000L))
+  }
+
+  test("conv_weblog_parse: parsed aggregate equals source-derived") {
+    val parsed = ParityQueries.convWeblogParse(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy(concat(lit("/"), col("event_type")).as("path"))
+      .agg(count(lit(1)).as("n_req"),
+        countDistinct(col("user_id")).as("n_ips"),
+        sum(col("event_id") % 10000).as("sum_bytes"),
+        sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("n_304"),
+        date_trunc("second", min(col("ts"))).as("min_ts"),
+        date_trunc("second", max(col("ts"))).as("max_ts"))
+    assert(parsed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(parsed).isEmpty)
   }
 
   test("maint_ivm_join: incremental result equals full recompute") {
