@@ -821,8 +821,171 @@ object TimeSeries {
       |FROM runs GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Markov removal-effect attribution (Anderl et al. 2016 — the
+    * data-driven alternative to first/last-touch rules like
+    * [[attributionLinear]]): user journeys up to first purchase
+    * define a first-order chain (START → channels → CONV, untracked
+    * loss implicit); a channel's credit is how much the conversion
+    * probability DROPS when the channel is removed (transitions into
+    * it redirected to the null absorber).
+    *
+    * One chain computes every removal at once: absorption vectors are
+    * keyed by (removed_channel ∪ NONE, state) — a data-driven
+    * composite, no per-channel plan duplication — and iterated `iters`
+    * fixed rounds of v ← direct + (Σ relay·v) div 10⁶ in exact ppm
+    * integers (every operand non-negative, so Spark's truncating
+    * `div` and DuckDB's floor `//` agree; both engines run the same
+    * 12 rounds, so partial convergence is still bit-identical).
+    *
+    * Scale: journeys reduce to an O(channels²) transition table in
+    * one windowed pass + one aggregation; every iteration joins only
+    * O(channels²)-sized frames (broadcast both sides); the event
+    * corpus is read once. The oracle unrolls the identical
+    * recurrence. */
+  def attributionMarkov(s: SparkSession, dir: String,
+      iters: Int = 12): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("fts"),
+        col("event_id").as("fid"))
+    val steps = ev.filter(col("event_type") =!= "purchase")
+      .join(fp, Seq("user_id"), "left")
+      .filter(col("fts").isNull || col("ts") < col("fts") ||
+        (col("ts") === col("fts") && col("event_id") < col("fid")))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("st"), col("fts").isNotNull.as("conv"))
+    val seq = steps
+      .withColumn("nxt", lead(col("st"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint()
+    val mids = seq.select(col("st").as("s"),
+      coalesce(col("nxt"),
+        when(col("conv"), lit("CONV")).otherwise(lit("NULL"))).as("d"))
+    val starts = seq.filter(col("rn") === 1)
+      .select(lit("START").as("s"), col("st").as("d"))
+    val zeroStep = fp
+      .join(steps.select(col("user_id")).distinct(),
+        Seq("user_id"), "left_anti")
+      .select(lit("START").as("s"), lit("CONV").as("d"))
+    val tc = mids.unionByName(starts).unionByName(zeroStep)
+      .groupBy(col("s"), col("d")).agg(count(lit(1)).as("c"))
+    val ow = tc.groupBy(col("s")).agg(sum(col("c")).as("o"))
+    val tr = tc.join(broadcast(ow), "s").filter(col("d") =!= "NULL")
+      .select(col("s"), col("d"), expr("(c * 1000000) div o").as("ppm"))
+      .localCheckpoint()
+    val chan = steps.select(col("st").as("ch")).distinct().localCheckpoint()
+    val rset = chan.select(col("ch").as("rc"))
+      .unionByName(chan.limit(1).select(lit("NONE").as("rc")))
+    val statesBase = chan.select(col("ch").as("s"))
+      .unionByName(chan.limit(1).select(lit("START").as("s")))
+    val states = rset.crossJoin(statesBase)
+      .filter(col("s") =!= col("rc")).localCheckpoint()
+    val direct = tr.filter(col("d") === "CONV")
+      .select(col("s"), col("ppm").as("dppm"))
+    val relay = tr.filter(col("d") =!= "CONV")
+    var v = states.withColumn("v", lit(0L))
+    for (_ <- 1 to iters) {
+      val contrib = states.join(broadcast(relay), "s")
+        .filter(col("d") =!= col("rc"))
+        .join(broadcast(v.select(col("rc").as("qrc"), col("s").as("qs"),
+          col("v").as("qv"))),
+          col("qrc") === col("rc") && col("qs") === col("d"))
+        .groupBy(col("rc"), col("s"))
+        .agg(sum(col("ppm") * col("qv")).as("acc"))
+      v = states
+        .join(broadcast(direct), Seq("s"), "left")
+        .join(broadcast(contrib), Seq("rc", "s"), "left")
+        .select(col("rc"), col("s"),
+          (coalesce(col("dppm"), lit(0L)) +
+            expr("coalesce(acc, 0L) div 1000000L")).as("v"))
+        .localCheckpoint()
+    }
+    val atStart = v.filter(col("s") === "START")
+    val full = atStart.filter(col("rc") === "NONE")
+      .select(col("v").as("p_full_ppm"))
+    chan.crossJoin(broadcast(full))
+      .join(broadcast(atStart.select(col("rc"),
+        col("v").as("p_removed_ppm"))), col("ch") === col("rc"))
+      .select(col("ch").as("channel"), col("p_full_ppm"),
+        col("p_removed_ppm"),
+        (col("p_full_ppm") - col("p_removed_ppm")).as("effect_ppm"))
+      .orderBy(col("channel"))
+  }
+
+  /** The identical (removal, state)-keyed recurrence unrolled. */
+  def attributionMarkovSql(iters: Int = 12): String = {
+    val base =
+      """WITH fp AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |steps AS (
+        |  SELECT e.user_id, e.ts, e.event_id, e.event_type AS st,
+        |    fp.user_id IS NOT NULL AS conv
+        |  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+        |  WHERE e.event_type <> 'purchase'
+        |    AND (fp.user_id IS NULL OR e.ts < fp.ts
+        |         OR (e.ts = fp.ts AND e.event_id < fp.event_id))),
+        |seq AS (
+        |  SELECT user_id, st, conv,
+        |    LEAD(st) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM steps),
+        |trans AS (
+        |  SELECT st AS s,
+        |    COALESCE(nxt, CASE WHEN conv THEN 'CONV' ELSE 'NULL' END) AS d
+        |  FROM seq
+        |  UNION ALL
+        |  SELECT 'START', st FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT 'START', 'CONV' FROM fp
+        |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM steps)),
+        |tc AS (SELECT s, d, COUNT(*) AS c FROM trans GROUP BY s, d),
+        |ow AS (SELECT s, SUM(c) AS o FROM tc GROUP BY s),
+        |tr AS (SELECT tc.s, tc.d, CAST((tc.c * 1000000) // ow.o AS BIGINT)
+        |         AS ppm
+        |       FROM tc JOIN ow ON ow.s = tc.s WHERE tc.d <> 'NULL'),
+        |chan AS (SELECT DISTINCT st AS ch FROM steps),
+        |rset AS (SELECT ch AS rc FROM chan UNION ALL SELECT 'NONE'),
+        |sb AS (SELECT ch AS s FROM chan UNION ALL SELECT 'START'),
+        |states AS (SELECT r.rc, b.s FROM rset r CROSS JOIN sb b
+        |           WHERE b.s <> r.rc),
+        |direct AS (SELECT s, ppm AS dppm FROM tr WHERE d = 'CONV'),
+        |relay AS (SELECT s, d, ppm FROM tr WHERE d <> 'CONV'),
+        |v0 AS (SELECT rc, s, CAST(0 AS BIGINT) AS v FROM states)"""
+        .stripMargin
+    val its = (1 to iters).map { i =>
+      s"""v$i AS (
+         |  SELECT p.rc, p.s,
+         |    COALESCE(MIN(dd.dppm), 0)
+         |      + COALESCE(SUM(t.ppm * q.v), 0) // 1000000 AS v
+         |  FROM states p
+         |  LEFT JOIN direct dd ON dd.s = p.s
+         |  LEFT JOIN relay t ON t.s = p.s AND t.d <> p.rc
+         |  LEFT JOIN v${i - 1} q ON q.rc = p.rc AND q.s = t.d
+         |  GROUP BY p.rc, p.s)""".stripMargin
+    }
+    (base +: its).mkString(",\n") +
+      s"""
+         |SELECT c.ch AS channel, CAST(f.v AS BIGINT) AS p_full_ppm,
+         |  CAST(r.v AS BIGINT) AS p_removed_ppm,
+         |  CAST(f.v - r.v AS BIGINT) AS effect_ppm
+         |FROM chan c
+         |JOIN v$iters f ON f.rc = 'NONE' AND f.s = 'START'
+         |JOIN v$iters r ON r.rc = c.ch AND r.s = 'START'
+         |ORDER BY channel""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
+        "ts_attribution_markov" -> ((s, d) => attributionMarkov(s, d)),
         "ts_changepoint"    -> (tsChangepoint _),
         "ts_interval_union" -> (tsIntervalUnion _),
         "ts_autocorr"       -> (tsAutocorr _),
@@ -843,6 +1006,7 @@ object TimeSeries {
         "ts_seasonality"    -> tsSeasonalitySql,
         "ts_ewma"           -> ewmaSql,
         "ts_attribution"    -> attributionLinearSql,
+        "ts_attribution_markov" -> attributionMarkovSql(),
         "ts_resample_ffill" -> tsResampleSql,
         "ts_sessionize"     -> sessionizeBatchSql,
         "ts_funnel"         -> funnelSql,

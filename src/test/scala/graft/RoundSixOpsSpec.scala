@@ -138,6 +138,31 @@ class RoundSixOpsSpec extends SparkSpec {
       direct.exceptAll(parsed).isEmpty)
   }
 
+  test("ts_attribution_markov: removing the only converting channel " +
+      "zeroes conversion") {
+    // 10 users convert through view; 10 bounce through click. Full
+    // P(conv) = 0.5; removing view kills every conversion path,
+    // removing click changes nothing.
+    val dir = tmpDir("r6_attr")
+    val rows =
+      (1L to 10L).flatMap { u =>
+        Seq(Row(u * 10, new Timestamp(1700000000000L), u, "view", 1.0, "{}"),
+          Row(u * 10 + 1, new Timestamp(1700000001000L), u, "purchase",
+            1.0, "{}"))
+      } ++
+      (11L to 20L).map { u =>
+        Row(u * 10, new Timestamp(1700000000000L), u, "click", 1.0, "{}")
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.TimeSeries.attributionMarkov(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === Set(("view", 500000L, 500000L),
+      ("click", 500000L, 0L)))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
