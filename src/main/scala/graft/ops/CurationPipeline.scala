@@ -229,7 +229,96 @@ object CurationPipeline {
       |FROM c CROSS JOIN b WHERE cum_tokens <= budget
       |ORDER BY n_uniq DESC, doc_id""".stripMargin
 
+  /** Greedy maximum-coverage data selection (the 1−1/e-approximate
+    * facility-location greedy — the submodular-selection shape behind
+    * coverage-driven corpus curation): pick `k` documents one at a
+    * time, each round the doc adding the most NOT-yet-covered
+    * vocabulary (ties → smallest doc_id).
+    *
+    * Scale: the distinct (doc, word) table is built once; each round
+    * is one broadcast anti-join against the covered-word set (bounded
+    * by the words of ≤ k docs — metadata-sized) + one O(docs) count
+    * reduce + a 1-row TakeOrdered. k passes over the gram table is
+    * the honest exact greedy; at larger k the lazy-greedy /
+    * stochastic-greedy variants drop rounds, not the per-round plan.
+    * The oracle unrolls the same k argmax rounds. */
+  def setCover(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    // Coverage unit: distinct word BIGRAMS (the unigram vocabulary of
+    // the corpus saturates after one document; bigrams keep the
+    // marginal-gain structure the greedy needs).
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.tokenNGrams(
+          split(lower(col("text")), " "), 2,
+          emitWholeShortDoc = false)).as("w"))
+      .distinct().localCheckpoint()
+    val allDocs = g.select(col("doc_id")).distinct().localCheckpoint()
+    var sel = Seq.empty[(Long, Long, Long)] // (round, doc_id, gain)
+    var cov = g.limit(0).select(col("w"))
+    var selIds = g.limit(0).select(col("doc_id"))
+    for (r <- 1 to k) {
+      // Zero-gain candidates stay rankable (smallest unselected id
+      // wins) so the greedy is total even once coverage saturates.
+      val pick = allDocs
+        .join(broadcast(selIds), Seq("doc_id"), "left_anti")
+        .join(g.join(broadcast(cov), Seq("w"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("g0")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("g0"), lit(0L)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id"))
+        .limit(1).collect()(0)
+      val (id, gain) = (pick.getLong(0), pick.getLong(1))
+      sel :+= ((r.toLong, id, gain))
+      selIds = selIds.unionByName(
+        allDocs.filter(col("doc_id") === id)).localCheckpoint()
+      cov = cov.unionByName(
+        g.filter(col("doc_id") === id).select(col("w"))).localCheckpoint()
+    }
+    import s.implicits._
+    sel.toDF("round", "doc_id", "gain")
+  }
+
+  val setCoverSql: String = {
+    val base =
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, t,
+        |          unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+        |g AS (SELECT DISTINCT doc_id,
+        |        array_to_string(t[i:i+1], ' ') AS w FROM pos),
+        |c0 AS (SELECT w FROM g WHERE 1 = 0),
+        |s0 AS (SELECT doc_id FROM g WHERE 1 = 0)""".stripMargin
+    val rounds = (1 to 5).map { r =>
+      val selPrev = (0 until r).map(i => s"SELECT doc_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""s$r AS (
+         |  SELECT d.doc_id, COALESCE(gx.gain, 0) AS gain
+         |  FROM (SELECT DISTINCT doc_id FROM g
+         |        WHERE doc_id NOT IN ($selPrev)) d
+         |  LEFT JOIN (SELECT doc_id, COUNT(*) AS gain FROM g
+         |             WHERE w NOT IN (SELECT w FROM c${r - 1})
+         |             GROUP BY doc_id) gx ON gx.doc_id = d.doc_id
+         |  ORDER BY gain DESC, d.doc_id LIMIT 1),
+         |c$r AS (SELECT w FROM c${r - 1} UNION
+         |        SELECT w FROM g
+         |        WHERE doc_id IN (SELECT doc_id FROM s$r))""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      """
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, doc_id,
+        |    CAST(gain AS BIGINT) AS gain FROM s1
+        |  UNION ALL SELECT 2, doc_id, CAST(gain AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, doc_id, CAST(gain AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, doc_id, CAST(gain AS BIGINT) FROM s4
+        |  UNION ALL SELECT 5, doc_id, CAST(gain AS BIGINT) FROM s5)
+        |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_set_cover" -> ((s, d) => setCover(s, d)),
     "curate_token_budget" -> (tokenBudget _),
     "pipeline_curate" -> (summary _),
     "pipeline_domain_cap" -> (domainCapGate _),
@@ -237,6 +326,7 @@ object CurationPipeline {
       stratifiedSample(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "curate_set_cover" -> setCoverSql,
     "curate_token_budget" -> tokenBudgetSql,
     "pipeline_curate" -> summarySql,
     "pipeline_domain_cap" -> domainCapSql,

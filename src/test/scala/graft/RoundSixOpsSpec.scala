@@ -163,6 +163,27 @@ class RoundSixOpsSpec extends SparkSpec {
       ("click", 500000L, 0L)))
   }
 
+  test("curate_set_cover: greedy picks max marginal bigram gain, " +
+      "zero-gain ties to smallest id") {
+    val dir = tmpDir("r6_cover")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e f"), (3L, "x y z"),
+      (4L, "a b"), (5L, "p q"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        docs.map { case (i, t) => Row(i, t, "en", "s", t.length.toLong) },
+        2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.CurationPipeline.setCover(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 5L), (2L, 3L, 2L), (3L, 5L, 1L),
+      (4L, 1L, 0L), (5L, 4L, 0L)))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
