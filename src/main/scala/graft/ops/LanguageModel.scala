@@ -256,25 +256,123 @@ object LanguageModel {
         .limit(1).collect()(0)
       val (pa, pb) = (top.getString(0), top.getString(1))
       merges += ((r.toLong, pa, pb, top.getLong(2)))
-      // pa/pb are [a-z]+ by construction — safe to splice as literals.
-      words = words.select(expr(
-        s"""split(aggregate(slice(toks, 2, size(toks) - 1),
-           |  element_at(toks, 1),
-           |  (acc, x) -> CASE
-           |    WHEN element_at(split(acc, ' '), -1) = '$pa' AND x = '$pb'
-           |    THEN CASE
-           |      WHEN length(acc) = length(element_at(split(acc, ' '), -1))
-           |      THEN '$pa$pb'
-           |      ELSE concat(substring(acc, 1,
-           |        length(acc) - length(element_at(split(acc, ' '), -1))),
-           |        '$pa$pb') END
-           |    ELSE concat(acc, ' ', x) END), ' ')""".stripMargin)
+      words = words.select(expr(bpeMergeExpr(pa, pb))
         .as("toks"), col("freq"))
         .localCheckpoint()
     }
     import s.implicits._
     merges.result().toDF("round", "pa", "pb", "cnt").orderBy(col("round"))
   }
+
+  /** One greedy leftmost non-overlapping merge pass of (pa, pb) over
+    * a `toks` array column, as a single codegen'd `aggregate` fold.
+    * pa/pb are [a-z]+ by construction — safe to splice as literals. */
+  private def bpeMergeExpr(pa: String, pb: String): String =
+    s"""split(aggregate(slice(toks, 2, size(toks) - 1),
+       |  element_at(toks, 1),
+       |  (acc, x) -> CASE
+       |    WHEN element_at(split(acc, ' '), -1) = '$pa' AND x = '$pb'
+       |    THEN CASE
+       |      WHEN length(acc) = length(element_at(split(acc, ' '), -1))
+       |      THEN '$pa$pb'
+       |      ELSE concat(substring(acc, 1,
+       |        length(acc) - length(element_at(split(acc, ' '), -1))),
+       |        '$pa$pb') END
+       |    ELSE concat(acc, ' ', x) END), ' ')""".stripMargin
+
+  /** BPE ENCODING at corpus scale — the apply side of [[bpeLearn]]:
+    * re-tokenize every document under the learned merge table and
+    * report per-document word/subword counts (the "how many tokens is
+    * my corpus under this tokenizer" question every training-budget
+    * plan starts with).
+    *
+    * Scale shape: the merge list is the MODEL — 4 rows collected to
+    * the driver (same discipline as the CMS sketch / IVF centroids)
+    * and spliced into codegen fold expressions. Encoding runs once
+    * per DISTINCT word (the dimension table), not once per token —
+    * the corpus side is count arithmetic against a broadcast
+    * word→n_subtokens map, so a 100 TB corpus pays O(vocabulary)
+    * fold work plus one join-free aggregate pass. Every fold is the
+    * same greedy leftmost pass in both engines, so counts are
+    * hash-exact. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(s, dir).collect() // 4-row model, metadata-sized
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+    val wc = docWords.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    var dim = docWords.select(col("w")).distinct()
+      .withColumn("toks", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    merges.foreach { m =>
+      dim = dim.select(col("w"),
+        expr(bpeMergeExpr(m.getString(1), m.getString(2))).as("toks"))
+    }
+    val enc = dim.select(col("w"), size(col("toks")).cast(LongType)
+      .as("n_sub"))
+    wc.join(broadcast(enc), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sub")).as("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def bpeMergeDimSql(w: String, t: String): String =
+    s"""SELECT w, string_split(
+       |    list_reduce(toks, (acc, x) -> CASE
+       |      WHEN string_split(acc, ' ')[-1] = $t.pa AND x = $t.pb
+       |      THEN CASE WHEN length(acc) = length(string_split(acc, ' ')[-1])
+       |           THEN concat($t.pa, $t.pb)
+       |           ELSE concat(left(acc, length(acc)
+       |                  - length(string_split(acc, ' ')[-1])),
+       |                $t.pa, $t.pb) END
+       |      ELSE concat(acc, ' ', x) END), ' ') AS toks
+       |  FROM $w CROSS JOIN $t""".stripMargin
+
+  val bpeApplySql: String =
+    s"""WITH words0 AS (
+       |  SELECT list_transform(generate_series(1, length(w)),
+       |           i -> substr(w, CAST(i AS INTEGER), 1)) AS toks,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |        FROM documents WHERE doc_id < 500) t
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
+       |  GROUP BY w),
+       |pairs1 AS (${bpePairsSql("words0")}),
+       |top1 AS (${bpeTopSql("pairs1")}),
+       |words1 AS (${bpeMergeSql("words0", "top1")}),
+       |pairs2 AS (${bpePairsSql("words1")}),
+       |top2 AS (${bpeTopSql("pairs2")}),
+       |words2 AS (${bpeMergeSql("words1", "top2")}),
+       |pairs3 AS (${bpePairsSql("words2")}),
+       |top3 AS (${bpeTopSql("pairs3")}),
+       |words3 AS (${bpeMergeSql("words2", "top3")}),
+       |pairs4 AS (${bpePairsSql("words3")}),
+       |top4 AS (${bpeTopSql("pairs4")}),
+       |docw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')),
+       |wc AS (SELECT doc_id, w, COUNT(*) AS n FROM docw
+       |       GROUP BY doc_id, w),
+       |dim0 AS (
+       |  SELECT DISTINCT w,
+       |    list_transform(generate_series(1, length(w)),
+       |      i -> substr(w, CAST(i AS INTEGER), 1)) AS toks
+       |  FROM docw),
+       |dim1 AS (${bpeMergeDimSql("dim0", "top1")}),
+       |dim2 AS (${bpeMergeDimSql("dim1", "top2")}),
+       |dim3 AS (${bpeMergeDimSql("dim2", "top3")}),
+       |dim4 AS (${bpeMergeDimSql("dim3", "top4")}),
+       |enc AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub FROM dim4)
+       |SELECT wc.doc_id, CAST(SUM(wc.n) AS BIGINT) AS n_words,
+       |  CAST(SUM(wc.n * enc.n_sub) AS BIGINT) AS n_tok
+       |FROM wc JOIN enc USING (w)
+       |GROUP BY wc.doc_id ORDER BY wc.doc_id""".stripMargin
 
   private def bpePairsSql(w: String): String =
     s"""SELECT toks[i] AS pa, toks[i+1] AS pb, SUM(freq) AS cnt
@@ -523,6 +621,7 @@ object LanguageModel {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_kneser_ney" -> ((s, d) => kneserNey(s, d)),
+    "text_bpe_apply" -> (bpeApply _),
     "text_collocations" -> ((s, d) => collocations(s, d)),
     "text_zipf" -> ((s, d) => zipfFit(s, d)),
     "text_bigram_lm" -> (bigramLm _),
@@ -532,6 +631,7 @@ object LanguageModel {
 
   def oracle: Map[String, String] = Map(
     "text_kneser_ney" -> kneserNeySql,
+    "text_bpe_apply" -> bpeApplySql,
     "text_bigram_lm" -> bigramLmSql,
     "text_collocations" -> collocationsSql,
     "text_zipf" -> zipfFitSql,

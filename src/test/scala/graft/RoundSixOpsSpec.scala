@@ -184,6 +184,23 @@ class RoundSixOpsSpec extends SparkSpec {
       (4L, 1L, 0L), (5L, 4L, 0L)))
   }
 
+  test("text_bpe_apply: subword counts bounded and deterministic") {
+    val a = LanguageModel.bpeApply(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (nw, nt) = (r.getLong(1), r.getLong(2))
+      assert(nt >= nw, "at least one subword per word")
+    }
+    // 4 merges must compress SOMETHING corpus-wide
+    val chars = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .selectExpr("sum(length(text))").collect()(0).getLong(0)
+    assert(a.map(_.getLong(2)).sum < chars)
+    val b = LanguageModel.bpeApply(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      b.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
