@@ -1422,7 +1422,85 @@ object Similarity {
       |FROM cvs a JOIN cvs b ON a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** k-center coreset by farthest-point traversal (Gonzalez 1985 —
+    * the 2-approximate covering greedy; the "pick maximally DIVERSE
+    * exemplars" selection that complements density-seeking k-means):
+    * seed with the smallest vec_id, then repeatedly take the point
+    * farthest from its nearest already-picked center (ties → smallest
+    * id). The emitted `dist2` sequence is the non-increasing covering
+    * radius — the quality certificate of the coreset.
+    *
+    * Scale: the nearest-center distance is maintained INCREMENTALLY —
+    * each round one broadcast of the single newest center, one
+    * `least(d, ‖x−c‖²)` codegen projection over the corpus, one 1-row
+    * TakeOrdered; never a distance matrix or a re-scan of the whole
+    * center set. k passes of O(N) work, exactly the Lloyd-round
+    * discipline of [[kmeans]]. Distances go through the same
+    * [[graft.plans.VectorL2Sq]] sequential fold the oracle's
+    * list_reduce replays, so every argmax is bit-exact. */
+  def kCenterCoreset(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val vv = vecs(s, dir).localCheckpoint()
+    val seed = vv.agg(min(col("vec_id"))).head().getLong(0)
+    var picked = Seq((1L, seed, 0.0))
+    var dist = vv
+      .crossJoin(broadcast(vv.filter(col("vec_id") === seed)
+        .select(col("v").as("cv"))))
+      .select(col("vec_id"), col("v"),
+        graft.plans.VectorExpressions.vectorL2Sq(col("v"), col("cv"))
+          .as("d"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val far = dist.orderBy(col("d").desc, col("vec_id"))
+        .limit(1).collect()(0)
+      picked :+= ((r.toLong, far.getLong(0), far.getDouble(2)))
+      dist = dist
+        .crossJoin(broadcast(vv.filter(col("vec_id") === far.getLong(0))
+          .select(col("v").as("cv"))))
+        .select(col("vec_id"), col("v"),
+          least(col("d"), graft.plans.VectorExpressions.vectorL2Sq(
+            col("v"), col("cv"))).as("d"))
+        .localCheckpoint()
+    }
+    import s.implicits._
+    picked.toDF("round", "vec_id", "dist2")
+  }
+
+  val kCenterCoresetSql: String = {
+    def l2sq(x: String, c: String) =
+      s"""list_reduce(list_transform(generate_series(1, len($x.v)),
+         |      i -> ($x.v[i] - $c.v[i]) * ($x.v[i] - $c.v[i])),
+         |      (aa, bb) -> aa + bb)""".stripMargin
+    val base =
+      s"""WITH vv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c1 AS (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT x.vec_id, x.v, ${l2sq("x", "c")} AS d
+         |       FROM vv x CROSS JOIN c1 c)""".stripMargin
+    val rounds = (2 to 5).map { r =>
+      s"""p$r AS (SELECT vec_id, d FROM d${r - 1}
+         |       ORDER BY d DESC, vec_id LIMIT 1),
+         |c$r AS (SELECT vv.vec_id, vv.v FROM vv
+         |        JOIN p$r ON p$r.vec_id = vv.vec_id),
+         |d$r AS (SELECT x.vec_id, x.v,
+         |          LEAST(x.d, ${l2sq("x", "c")}) AS d
+         |        FROM d${r - 1} x CROSS JOIN c$r c)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      """
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, vec_id,
+        |    CAST(0.0 AS DOUBLE) AS dist2 FROM c1
+        |  UNION ALL SELECT 2, vec_id, d FROM p2
+        |  UNION ALL SELECT 3, vec_id, d FROM p3
+        |  UNION ALL SELECT 4, vec_id, d FROM p4
+        |  UNION ALL SELECT 5, vec_id, d FROM p5)
+        |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_coreset" -> ((s: SparkSession, d: String) =>
+      kCenterCoreset(s, d)),
     "embed_label_affinity" -> (labelAffinity _),
     "sim_pq_encode"       -> ((s: SparkSession, d: String) =>
       pqEncode(s, d)),
@@ -1474,7 +1552,8 @@ object Similarity {
     "sim_negative_sample" -> negativeSampleSql,
     "sim_hard_negatives"  -> hardNegativesSql,
     "sim_topk_mips"       -> topKMipsSql,
-    "embed_kmeans" -> kmeansSql)
+    "embed_kmeans" -> kmeansSql,
+    "embed_coreset" -> kCenterCoresetSql)
     // sim_ann_lsh / sim_ann_ivf raw neighbor lists stay rows-only
     // (approximate by construction); their *_recall gates hash-check
     // the quality bound instead.

@@ -201,6 +201,24 @@ class RoundSixOpsSpec extends SparkSpec {
       b.map(r => (r.getLong(0), r.getLong(2))).toSeq)
   }
 
+  test("embed_coreset: farthest-point traversal on planted corners") {
+    val dir = tmpDir("r6_core")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rows = Seq(
+      Row(0L, Seq(0f, 0f), 0), Row(1L, Seq(1f, 0f), 0),
+      Row(2L, Seq(0f, 1f), 0), Row(3L, Seq(10f, 10f), 0))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.Similarity.kCenterCoreset(spark, dir, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 0L, 0.0), (2L, 3L, 200.0),
+      (3L, 1L, 1.0), (4L, 2L, 1.0)))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
