@@ -95,4 +95,25 @@ class JoinStrategySpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q45 skyline: frontier joins back by broadcast, no dominance " +
+      "self-join") {
+    val plan = planOf(Relational.q45Skyline(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the O(n²) NOT-EXISTS formulation would plan a nested loop
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ivm join: both delta terms broadcast the changed batch") {
+    val plan = planOf(graft.ops.Maintenance.ivmJoin(spark, sf))
+    val n = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(n >= 2, plan) // delta-orders term + delta-customer term
+  }
+
+  test("fellegi-sunter: candidates come from equi joins, no cross join") {
+    val plan = planOf(graft.ops.Linkage.fellegiSunter(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
