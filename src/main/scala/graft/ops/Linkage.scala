@@ -290,12 +290,76 @@ object Linkage {
       |JOIN clean c ON c.id = p.cid
       |ORDER BY dirty_id, clean_id""".stripMargin
 
+  /** Jaro–Winkler scored linkage — the graded-similarity complement
+    * of [[blockedLink]]'s boolean edit-distance cut: the same
+    * key-omission blocked candidates scored by the codegen'd
+    * byte-level [[graft.plans.JaroWinkler]] kernel (Spark has no
+    * built-in JW; DuckDB does — `jaro_winkler_similarity` — which is
+    * exactly what makes this gate a cross-engine kernel-parity
+    * check). Scores are 1e-6-snapped so a 1-ulp float divergence
+    * between two independent implementations can't flip the hash;
+    * the ≥ 0.9 cut keeps true pairs (one substituted digit in 18
+    * chars ⇒ JW ≈ 0.97) and drops most coincidental collisions.
+    *
+    * Scale: candidates from equi joins (never a cross join), scoring
+    * is a pure compiled projection per pair. */
+  def jaroWinklerGate(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val clean = cleanReg(s, dir)
+    val dirty = dirtyReg(s, dir)
+    val omit = Seq((15, 2), (17, 2))
+    val cand = passKeys(dirty, omit)
+      .select(col("id").as("did"), col("pass"), col("bk"))
+      .join(passKeys(clean, omit)
+        .select(col("id").as("cid"), col("pass"), col("bk")),
+        Seq("pass", "bk"))
+      .select(col("did"), col("cid")).distinct()
+    cand.join(dirty.toDF("did", "dname"), "did")
+      .join(clean.toDF("cid", "cname"), "cid")
+      .select(col("did").as("dirty_id"), col("cid").as("clean_id"),
+        floor(graft.plans.TextExpressions.jaroWinkler(
+          col("dname"), col("cname")) * 1000000.0 + 0.5)
+          .cast(LongType).as("jw_ppm"))
+      .filter(col("jw_ppm") >= 900000L)
+      .orderBy(col("dirty_id"), col("clean_id"))
+  }
+
+  val jaroWinklerSql: String =
+    """WITH clean AS (
+      |  SELECT c_custkey AS id, c_name AS name
+      |  FROM customer WHERE c_custkey < 400),
+      |dirty AS (
+      |  SELECT c.id + 100000 AS id,
+      |    substr(c.name, 1, 14 + (c.id % 4))
+      |      || CAST((CAST(substr(c.name, 15 + (c.id % 4), 1) AS INTEGER)
+      |               + 1) % 10 AS VARCHAR)
+      |      || substr(c.name, 16 + (c.id % 4)) AS name
+      |  FROM clean c),
+      |cand AS (
+      |  SELECT DISTINCT d.id AS did, c.id AS cid
+      |  FROM dirty d, clean c
+      |  WHERE substr(d.name, 1, 14) || substr(d.name, 17)
+      |          = substr(c.name, 1, 14) || substr(c.name, 17)
+      |     OR substr(d.name, 1, 16) || substr(d.name, 19)
+      |          = substr(c.name, 1, 16) || substr(c.name, 19))
+      |SELECT p.did AS dirty_id, p.cid AS clean_id,
+      |  CAST(floor(jaro_winkler_similarity(d.name, c.name) * 1000000
+      |             + 0.5) AS BIGINT) AS jw_ppm
+      |FROM cand p
+      |JOIN dirty d ON d.id = p.did
+      |JOIN clean c ON c.id = p.cid
+      |WHERE floor(jaro_winkler_similarity(d.name, c.name) * 1000000
+      |            + 0.5) >= 900000
+      |ORDER BY dirty_id, clean_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_jaro_winkler" -> (jaroWinklerGate _),
     "link_blocked" -> (linkGate _),
     "link_fellegi_sunter" -> (fellegiSunter _),
     "link_golden_record" -> (goldenRecord _))
 
   def oracle: Map[String, String] = Map(
+    "link_jaro_winkler" -> jaroWinklerSql,
     "link_blocked" -> linkSql,
     "link_fellegi_sunter" -> fellegiSunterSql,
     "link_golden_record" -> goldenRecordSql)

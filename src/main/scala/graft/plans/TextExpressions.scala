@@ -358,6 +358,90 @@ case class TextNormalize(child: Expression) extends UnaryExpression {
       newChild: Expression): TextNormalize = copy(child = newChild)
 }
 
+/** Jaro–Winkler similarity over UTF-8 BYTES — the byte-level variant
+  * is deliberate: DuckDB's `jaro_winkler_similarity` scores byte
+  * sequences (verified: 'ÉCOLE' vs 'ECOLE' = 0.8222 = the 6-vs-5
+  * byte Jaro), so byte semantics is what the cross-engine gate can
+  * pin. Standard Jaro (match window ⌊max(len)/2⌋−1, floor ≥ 0;
+  * transpositions halved) with the Winkler prefix boost
+  * `j + ℓ·0.1·(1−j)`, ℓ = common prefix capped at 4, applied only
+  * when j > 0.7; both-empty scores 0 (DuckDB convention). */
+object JaroWinklerKernel extends Serializable {
+  def apply(au: UTF8String, bu: UTF8String): Double = {
+    val a = au.getBytes; val b = bu.getBytes
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val am = new Array[Boolean](la); val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bm(j) && b(j) == a(i)) {
+          am(i) = true; bm(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < la) {
+      if (am(i)) {
+        while (!bm(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mt = t / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - mt).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      val maxl = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxl && a(l) == b(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
+/** Codegen'd Jaro–Winkler — the record-linkage similarity Spark has
+  * no built-in for (`levenshtein` is the only built-in edit metric).
+  * A compiled kernel call per pair, inside whole-stage codegen like
+  * every other graft kernel. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler expects (string, string), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("graftJaroWinklerKernel",
+      JaroWinklerKernel, JaroWinklerKernel.getClass.getName)
+    defineCodeGen(ctx, ev, (l, r) => s"$kernel.apply($l, $r)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared routine for [[CharEntropyStats]] — one pass over the
   * document's code points (sort + run-length, no hashing) producing
   * `[n_chars, n_distinct, Σ term9]` where
@@ -426,6 +510,7 @@ object TextExpressions {
   val SimHashFnName = "graft_simhash64"
   val CountInSetFnName = "graft_count_in_set"
   val CharEntropyFnName = "graft_char_entropy"
+  val JaroWinklerFnName = "graft_jaro_winkler"
 
   /** Idempotent per-session registration. n and the short-doc flag
     * must be literals — they parameterize the generated code. */
@@ -464,7 +549,16 @@ object TextExpressions {
       CharEntropyFnName,
       exprs => CharEntropyStats(exprs(0)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      JaroWinklerFnName,
+      exprs => JaroWinkler(exprs(0), exprs(1)),
+      "scala_udf")
   }
+
+  /** Codegen'd byte-level Jaro–Winkler (see [[JaroWinkler]]). The
+    * session must have called [[register]] first. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function(JaroWinklerFnName, a, b)
 
   /** Codegen'd Unicode canonicalization (see [[TextNormalize]]). The
     * session must have called [[register]] (query builders do). */

@@ -172,4 +172,31 @@ class TextExpressionsSpec extends SparkSpec {
       .as[Seq[Long]].collect()(0)
     assert(viaExpr == Seq(3L, 2L, term9(2, 3) + term9(1, 3)))
   }
+
+  test("jaro-winkler kernel: textbook values, byte semantics, edges") {
+    def jw(a: String, b: String): Double =
+      graft.plans.JaroWinklerKernel(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jw("DUANE", "DWAYNE") === 0.8400000000000001)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("CRATE", "TRACE") === 0.7333333333333334) // no prefix
+    // byte-level: É is two UTF-8 bytes (DuckDB parity semantics)
+    assert(jw("ÉCOLE", "ECOLE") === 0.8222222222222223)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("a", "a") === 1.0)
+    assert(jw("", "") === 0.0)   // DuckDB convention
+    assert(jw("", "abc") === 0.0)
+    assert(jw("ab", "ba") === 0.0) // window 0: no cross-position match
+    // boost suppressed below the 0.7 threshold despite shared prefix
+    assert(jw("ABQQQQQQ", "ABZZZZZZZZZZ") === 0.47222222222222215)
+    // codegen path agrees with the kernel
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val viaJw = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .select(TextExpressions.jaroWinkler(col("a"), col("b")))
+      .as[Double].collect()(0)
+    assert(viaJw === 0.9611111111111111)
+  }
 }
