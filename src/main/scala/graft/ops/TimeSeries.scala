@@ -983,8 +983,54 @@ object TimeSeries {
          |ORDER BY channel""".stripMargin
   }
 
+  /** Time-weighted average of `value` per user — the sensor/metrics
+    * aggregate where sample-and-hold readings must be weighted by how
+    * LONG they held, not how often they fired (a plain AVG
+    * over-weights bursts): TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ with Δtᵢ the micros
+    * until the next reading; the final reading holds nothing.
+    *
+    * Determinism: values snap to integer ten-thousandths (exact via
+    * the DECIMAL(18,4) ×10⁴ path) and durations are integer micros —
+    * numerator, denominator, and the final `div` are ALL integer ops,
+    * so the reported TWA (in 1e-4 value units) is bit-exact with no
+    * IEEE division anywhere. One windowed pass (lead) + one grouped
+    * reduce, both on the user_id partitioning — a single exchange end
+    * to end. */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 4)) * 10000)
+          .cast(LongType).as("v4"))
+      .withColumn("dt",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("v4") * col("dt")).as("num"),
+        sum(col("dt")).as("den"))
+      .select(col("user_id"),
+        expr("num div den").as("twa_e4"),
+        col("den").as("span_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val timeWeightedAvgSql: String =
+    """WITH seq AS (
+      |  SELECT user_id,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4,
+      |    epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(SUM(v4 * dt) // SUM(dt) AS BIGINT) AS twa_e4,
+      |  CAST(SUM(dt) AS BIGINT) AS span_us
+      |FROM seq WHERE dt IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
+        "ts_time_weighted_avg" -> (timeWeightedAvg _),
         "ts_attribution_markov" -> ((s, d) => attributionMarkov(s, d)),
         "ts_changepoint"    -> (tsChangepoint _),
         "ts_interval_union" -> (tsIntervalUnion _),
@@ -1007,6 +1053,7 @@ object TimeSeries {
         "ts_ewma"           -> ewmaSql,
         "ts_attribution"    -> attributionLinearSql,
         "ts_attribution_markov" -> attributionMarkovSql(),
+        "ts_time_weighted_avg" -> timeWeightedAvgSql,
         "ts_resample_ffill" -> tsResampleSql,
         "ts_sessionize"     -> sessionizeBatchSql,
         "ts_funnel"         -> funnelSql,

@@ -219,6 +219,23 @@ class RoundSixOpsSpec extends SparkSpec {
       (3L, 1L, 1.0), (4L, 2L, 1.0)))
   }
 
+  test("ts_time_weighted_avg: holds weight by duration, not count") {
+    // user 1: value 10 held 9s then value 100 held 1s then end —
+    // TWA = (10·9 + 100·1)/10 = 19, NOT the plain mean 55 (the final
+    // reading's value never contributes).
+    val dir = tmpDir("r6_twa")
+    val rows = Seq(
+      Row(1L, new Timestamp(1700000000000L), 1L, "view", 10.0, "{}"),
+      Row(2L, new Timestamp(1700000009000L), 1L, "view", 100.0, "{}"),
+      Row(3L, new Timestamp(1700000010000L), 1L, "view", 777.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.TimeSeries.timeWeightedAvg(spark, dir).collect()(0)
+    assert(r.getLong(1) === 190000L) // 19.0 in 1e-4 units
+    assert(r.getLong(2) === 10000000L) // 10 s span in micros
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
