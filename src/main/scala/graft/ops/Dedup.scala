@@ -1174,7 +1174,112 @@ object Dedup {
        |ORDER BY bands, sim""".stripMargin
   }
 
+  /** URL canonicalization dedup — the first dedup pass of every
+    * web-crawl pipeline (C4/CCNet run it before any content hashing):
+    * the same page arrives under case-mangled hosts, default ports,
+    * utm_* tracking params, fragments, and trailing slashes; those
+    * variants must collapse BEFORE expensive text dedup. Rules, in
+    * order: drop fragment → lowercase scheme+authority (path stays
+    * case-sensitive per RFC 3986) → strip the default :443 port →
+    * strip utm_* params (mid-string, leading-with-follower, and
+    * leading-terminal forms) → strip one trailing slash.
+    *
+    * Every rule is a dialect-neutral regex (no lookaround, no
+    * backrefs) so Java regex and RE2 agree byte for byte — the gate
+    * hashes the grouped canonical table across both engines. Pure
+    * codegen projection + one canonical-key groupBy: at 100 TB the
+    * normalization runs at scan speed and the only shuffle carries
+    * (canonical, id).
+    *
+    * Fixture: two synthetic variants per page (paths collide via
+    * `doc_id div 2`), with host case, port, utm noise, and fragments
+    * varied by doc parity. */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    // Page identity: docs d and d+20 share (source, page) — sources
+    // cycle doc_id % 20, so the SAME page arrives twice, once per
+    // variant bit v = (doc_id div 20) % 2. v=0 is the "dirty" form
+    // (upper-case authority, :443, utm_ prefix param, #fragment);
+    // v=1 the different-noise form (utm_ suffix param, trailing
+    // slash on param-less pages). Every canonical group must
+    // therefore hold exactly 2 urls with the v=0 doc as keeper.
+    val pk = expr("(doc_id % 20) * 100 + (doc_id div 40)")
+    val v0 = expr("(doc_id div 20) % 2 = 0")
+    val url = concat(
+      when(v0, lit("HTTPS://WWW.")).otherwise(lit("https://www.")),
+      col("source"),
+      when(v0, lit(".Example.COM:443")).otherwise(lit(".example.com")),
+      lit("/Docs/"), pk.cast("string"),
+      when(pk % 5 === 0, when(v0, lit("")).otherwise(lit("/")))
+        .otherwise(when(v0,
+          concat(lit("?utm_source=feed&id="), pk % 7))
+          .otherwise(
+            concat(lit("?id="), pk % 7, lit("&utm_medium=m")))),
+      when(v0, lit("#frag")).otherwise(lit(""))
+    )
+    val canon = {
+      var u: org.apache.spark.sql.Column = url
+      u = regexp_replace(u, "#.*", "")
+      // lowercase scheme://authority, leave the path alone
+      u = concat(lower(regexp_extract(u, "^[^/]*//[^/]*", 0)),
+        regexp_replace(u, "^[^/]*//[^/]*", ""))
+      u = regexp_replace(u, ":443$", "")
+      u = regexp_replace(u, ":443/", "/")
+      u = regexp_replace(u, "&utm_[^&#]*", "")
+      u = regexp_replace(u, "\\?utm_[^&#]*&", "?")
+      u = regexp_replace(u, "\\?utm_[^&#]*$", "")
+      regexp_replace(u, "/$", "")
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), canon.as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("canon"))
+  }
+
+  val urlCanonicalSql: String =
+    """WITH pg AS (
+      |  SELECT doc_id, source,
+      |    (doc_id % 20) * 100 + (doc_id // 40) AS pk,
+      |    (doc_id // 20) % 2 = 0 AS v0
+      |  FROM documents),
+      |raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN v0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+      |    || source
+      |    || (CASE WHEN v0 THEN '.Example.COM:443' ELSE '.example.com' END)
+      |    || '/Docs/' || CAST(pk AS VARCHAR)
+      |    || (CASE WHEN pk % 5 = 0
+      |          THEN (CASE WHEN v0 THEN '' ELSE '/' END)
+      |        WHEN v0
+      |          THEN '?utm_source=feed&id=' || CAST(pk % 7 AS VARCHAR)
+      |        ELSE '?id=' || CAST(pk % 7 AS VARCHAR) || '&utm_medium=m'
+      |        END)
+      |    || (CASE WHEN v0 THEN '#frag' ELSE '' END) AS url
+      |  FROM pg),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                lower(regexp_extract(regexp_replace(url, '#.*', ''),
+      |                  '^[^/]*//[^/]*', 0))
+      |                || regexp_replace(regexp_replace(url, '#.*', ''),
+      |                     '^[^/]*//[^/]*', ''),
+      |                ':443$', ''),
+      |              ':443/', '/'),
+      |            '&utm_[^&#]*', '', 'g'),
+      |          '\?utm_[^&#]*&', '?'),
+      |        '\?utm_[^&#]*$', ''),
+      |      '/$', '') AS canon
+      |  FROM raw)
+      |SELECT canon, COUNT(*) AS n_urls, MIN(doc_id) AS keeper
+      |FROM canon GROUP BY canon ORDER BY canon""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url_canonical" -> (urlCanonical _),
     "dedup_hamming_banded" -> (hammingBanded _),
     "dedup_lsh_scurve"    -> (lshScurve _),
     "dedup_span_coverage" -> ((s: SparkSession, d: String) => spanCoverage(s, d)),
@@ -1196,6 +1301,7 @@ object Dedup {
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_url_canonical" -> urlCanonicalSql,
     "dedup_hamming_banded" -> hammingBandedSql,
     "dedup_lsh_scurve"    -> lshScurveSql,
     "dedup_span_coverage" -> spanCoverageSql,

@@ -236,6 +236,26 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 10000000L) // 10 s span in micros
   }
 
+  test("dedup_url_canonical: every variant pair collapses, keeper is " +
+      "the dirty-form doc") {
+    val g = graft.ops.Dedup.urlCanonical(spark, sf).collect()
+    // sf0.001 documents: 50 docs = pairs {d, d+20} for d%40<20 plus a
+    // tail block without partners
+    val byN = g.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(byN.getOrElse(2L, 0) > 0, s"no collapsed pairs: $byN")
+    g.filter(_.getLong(1) == 2L).foreach { r =>
+      val keeper = r.getLong(2)
+      assert((keeper / 20) % 2 == 0, s"keeper $keeper is not the v0 doc")
+    }
+    // canonical forms carry no tracking noise
+    g.foreach { r =>
+      val c = r.getString(0)
+      assert(!c.contains("utm_") && !c.contains("#") &&
+        !c.contains(":443") && !c.endsWith("/"), c)
+      assert(c.startsWith("https://www."), c)
+    }
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
