@@ -80,9 +80,57 @@ object Mining {
       |JOIN cnt cb ON cb.pk = p.pb
       |ORDER BY pa, pb""".stripMargin
 
+  /** Sequential-pattern support (the length-2 PrefixSpan/SPADE core):
+    * for every ordered type pair (a → b), how many users exhibit an
+    * `a` event strictly BEFORE some `b` event — order-sensitive and
+    * gap-tolerant, which is exactly what neither the unordered
+    * co-purchase baskets nor the adjacent-only [[Graph.transitions]]
+    * capture. `∃ t_a < t_b  ⇔  min_ts(a) < max_ts(b)` turns the
+    * per-user existence test into pure min/max algebra: one
+    * (user, type) aggregate (map-combinable, events never pair-wise
+    * joined), a per-user type×type join bounded by |types|² ≈ 25
+    * combos per user, and a final support count. Timestamps compare
+    * as integer micros; support excludes a = b (self-sequences are
+    * trivially monotone).
+    *
+    * At 100 TB the (user, type) reduce is the only corpus-wide
+    * shuffle, and everything after runs on a frame |users|·|types|
+    * wide — the PrefixSpan projection-database blowup never
+    * happens. */
+  def seqPatterns(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .localCheckpoint()
+    val a = spans.select(col("user_id"), col("event_type").as("a"),
+      col("mn").as("a_mn"))
+    val b = spans.select(col("user_id"), col("event_type").as("b"),
+      col("mx").as("b_mx"))
+    a.join(b, Seq("user_id"))
+      .filter(col("a") =!= col("b") && col("a_mn") < col("b_mx"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+  }
+
+  val seqPatternsSql: String =
+    """WITH spans AS (
+      |  SELECT user_id, event_type,
+      |    MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+      |  FROM events GROUP BY user_id, event_type)
+      |SELECT a.event_type AS a, b.event_type AS b,
+      |  COUNT(*) AS support
+      |FROM spans a JOIN spans b ON a.user_id = b.user_id
+      |WHERE a.event_type <> b.event_type AND a.mn < b.mx
+      |GROUP BY a.event_type, b.event_type
+      |ORDER BY support DESC, a, b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mine_copurchase" -> (copurchaseGate _))
+    "mine_copurchase" -> (copurchaseGate _),
+    "mine_seq_patterns" -> (seqPatterns _))
 
   def oracle: Map[String, String] = Map(
-    "mine_copurchase" -> copurchaseSql)
+    "mine_copurchase" -> copurchaseSql,
+    "mine_seq_patterns" -> seqPatternsSql)
 }

@@ -876,42 +876,41 @@ object TimeSeries {
     val tr = tc.join(broadcast(ow), "s").filter(col("d") =!= "NULL")
       .select(col("s"), col("d"), expr("(c * 1000000) div o").as("ppm"))
       .localCheckpoint()
-    val chan = steps.select(col("st").as("ch")).distinct().localCheckpoint()
-    val rset = chan.select(col("ch").as("rc"))
-      .unionByName(chan.limit(1).select(lit("NONE").as("rc")))
-    val statesBase = chan.select(col("ch").as("s"))
-      .unionByName(chan.limit(1).select(lit("START").as("s")))
-    val states = rset.crossJoin(statesBase)
-      .filter(col("s") =!= col("rc")).localCheckpoint()
-    val direct = tr.filter(col("d") === "CONV")
-      .select(col("s"), col("ppm").as("dppm"))
-    val relay = tr.filter(col("d") =!= "CONV")
-    var v = states.withColumn("v", lit(0L))
-    for (_ <- 1 to iters) {
-      val contrib = states.join(broadcast(relay), "s")
-        .filter(col("d") =!= col("rc"))
-        .join(broadcast(v.select(col("rc").as("qrc"), col("s").as("qs"),
-          col("v").as("qv"))),
-          col("qrc") === col("rc") && col("qs") === col("d"))
-        .groupBy(col("rc"), col("s"))
-        .agg(sum(col("ppm") * col("qv")).as("acc"))
-      v = states
-        .join(broadcast(direct), Seq("s"), "left")
-        .join(broadcast(contrib), Seq("rc", "s"), "left")
-        .select(col("rc"), col("s"),
-          (coalesce(col("dppm"), lit(0L)) +
-            expr("coalesce(acc, 0L) div 1000000L")).as("v"))
-        .localCheckpoint()
+    // The chain itself is the MODEL — O(channels²) integer ppm rows
+    // (marketing channels number in the dozens at any corpus size),
+    // collected like the CMS sketch / IVF centroids / BPE merges.
+    // The corpus-side work (journeys → transition counts) stays
+    // distributed above; iterating a ≤channels²-cell vector through
+    // 12 Spark jobs would spend seconds of scheduler latency on
+    // microseconds of arithmetic.
+    val trRows = tr.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // Channels come from the STEP stream, not the pruned transition
+    // table — a channel whose every outgoing edge is untracked loss
+    // (d = NULL) still exists and must report a (zero) effect.
+    val chans = steps.select(col("st")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val directM = trRows.collect {
+      case (src, "CONV", p) => src -> p
+    }.toMap
+    val relayM = trRows.filter(t => t._2 != "CONV")
+    val states = ("START" +: chans)
+    def solve(removed: String): Long = {
+      var v = Map.empty[String, Long].withDefaultValue(0L)
+      for (_ <- 1 to iters) {
+        v = states.filter(_ != removed).map { st =>
+          val acc = relayM.collect {
+            case (s, d, p) if s == st && d != removed => p * v(d)
+          }.sum
+          st -> (directM.getOrElse(st, 0L) + acc / 1000000L)
+        }.toMap.withDefaultValue(0L)
+      }
+      v("START")
     }
-    val atStart = v.filter(col("s") === "START")
-    val full = atStart.filter(col("rc") === "NONE")
-      .select(col("v").as("p_full_ppm"))
-    chan.crossJoin(broadcast(full))
-      .join(broadcast(atStart.select(col("rc"),
-        col("v").as("p_removed_ppm"))), col("ch") === col("rc"))
-      .select(col("ch").as("channel"), col("p_full_ppm"),
-        col("p_removed_ppm"),
-        (col("p_full_ppm") - col("p_removed_ppm")).as("effect_ppm"))
+    val full = solve("NONE")
+    import s.implicits._
+    chans.toSeq.map(c => (c, full, solve(c), full - solve(c)))
+      .toDF("channel", "p_full_ppm", "p_removed_ppm", "effect_ppm")
       .orderBy(col("channel"))
   }
 

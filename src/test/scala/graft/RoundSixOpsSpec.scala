@@ -256,6 +256,24 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("mine_seq_patterns: order-sensitive, gap-tolerant support") {
+    // user 1: A then B. user 2: B, A, B — exhibits BOTH A→B (gap over
+    // the middle) and B→A. Support is per-user existence, not counts.
+    val dir = tmpDir("r6_seq")
+    val rows = Seq(
+      Row(1L, new Timestamp(1000L), 1L, "A", 1.0, "{}"),
+      Row(2L, new Timestamp(2000L), 1L, "B", 1.0, "{}"),
+      Row(3L, new Timestamp(1000L), 2L, "B", 1.0, "{}"),
+      Row(4L, new Timestamp(2000L), 2L, "A", 1.0, "{}"),
+      Row(5L, new Timestamp(3000L), 2L, "B", 1.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.Mining.seqPatterns(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet === Set(("A", "B", 2L), ("B", "A", 1L)))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
