@@ -818,7 +818,41 @@ object DataQuality {
       |    / CAST(na * nb AS DOUBLE) AS ks_d
       |FROM cum GROUP BY na, nb""".stripMargin
 
+  /** k-anonymity audit — the release-gate privacy check that pairs
+    * with the PII scrub: under quasi-identifiers (nation, market
+    * segment), how many equivalence classes fall below k=5 members,
+    * i.e. how many customers a joining adversary could narrow to a
+    * handful of candidates. Reports class counts, the rows at risk,
+    * and the worst (smallest) class — the numbers a privacy review
+    * asks for before any record-level export.
+    *
+    * Scale: ONE map-combinable groupBy on the quasi-identifier tuple
+    * followed by an O(classes) summary aggregate; nothing row-wise
+    * leaves the first reduce. */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("risky_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("risky_rows"),
+        min(col("n")).as("min_class"),
+        max(col("n")).as("max_class"))
+
+  val kAnonymitySql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS risky_classes,
+      |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |    AS risky_rows,
+      |  MIN(n) AS min_class, MAX(n) AS max_class
+      |FROM cls""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "dq_rule_engine" -> (ruleEngine _),
     "dq_chi2" -> (dqChi2 _),
     "dq_ks" -> ((s, d) => dqKs(s, d)),
@@ -835,6 +869,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_k_anonymity" -> kAnonymitySql,
     "dq_rule_engine" -> ruleEngineSql,
     "dq_chi2" -> dqChi2Sql,
     "dq_ks" -> dqKsSql,

@@ -701,7 +701,51 @@ object TextAnalysis {
       |FROM hits GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Flesch reading-ease screen — the classic readability heuristic
+    * (`206.835 − 1.015·W/S − 84.6·Syl/W`) with the standard cheap
+    * syllable proxy: vowel-group count (`[aeiouy]+` runs; groups
+    * never span the space between words, so one pass over the
+    * lowered text counts all words' syllables at once). Sentences
+    * are terminal-punctuation runs, floored at 1. A pure codegen
+    * projection — regexp counts + one fixed-shape float expression,
+    * 1e-3-snapped so the hash is ulp-proof; runs at scan speed. */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("w"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast(LongType), lit(1L)).as("sen"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast(LongType).as("syl"))
+      .select(col("doc_id"), col("w").as("n_words"),
+        col("sen").as("n_sentences"), col("syl").as("n_syllables"),
+        floor((lit(206.835) -
+          lit(1.015) * (col("w").cast(DoubleType) /
+            col("sen").cast(DoubleType)) -
+          lit(84.6) * (col("syl").cast(DoubleType) /
+            col("w").cast(DoubleType))) * 1000.0 + 0.5)
+          .cast(LongType).as("flesch_milli"))
+      .orderBy(col("doc_id"))
+
+  val readabilitySql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT), 1) AS sen,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS syl
+      |  FROM documents)
+      |SELECT doc_id, w AS n_words, sen AS n_sentences,
+      |  syl AS n_syllables,
+      |  CAST(floor((206.835
+      |    - 1.015 * (CAST(w AS DOUBLE) / CAST(sen AS DOUBLE))
+      |    - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))) * 1000.0
+      |    + 0.5) AS BIGINT) AS flesch_milli
+      |FROM m ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (readability _),
     "text_phrase_search" -> ((s, d) => phraseSearch(s, d)),
     "text_entropy" -> (charEntropy _),
     "text_inverted_index" -> (invertedIndexGate _),
@@ -718,6 +762,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_readability" -> readabilitySql,
     "text_phrase_search" -> phraseSearchSql,
     "text_entropy" -> charEntropySql,
     "text_inverted_index" -> invertedIndexSql,

@@ -274,6 +274,33 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(got.toSet === Set(("A", "B", 2L), ("B", "A", 1L)))
   }
 
+  test("dq_k_anonymity: class accounting is internally consistent") {
+    val r = graft.ops.DataQuality.kAnonymity(spark, sf).collect()(0)
+    val (classes, risky, riskyRows) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(classes > 0 && risky <= classes)
+    assert(riskyRows < 5 * risky + 1) // every risky class holds < k rows
+    assert(r.getLong(3) <= r.getLong(4)) // min ≤ max class size
+  }
+
+  test("text_readability: hand-computed Flesch on a planted doc") {
+    val dir = tmpDir("r6_read")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // "the cat sat. it ran." → 5 space-split words, 2 sentence
+    // terminators, 5 vowel groups (e, a, a, i, a)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "the cat sat. it ran.", "en", "s", 20L)), 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.TextAnalysis.readability(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((5L, 2L, 5L)))
+    val f = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)
+    assert(r.getLong(4) === math.floor(f * 1000.0 + 0.5).toLong)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
