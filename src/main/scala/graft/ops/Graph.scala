@@ -647,6 +647,98 @@ object Graph {
       s"\nSELECT node, CAST(d AS BIGINT) AS d FROM it$iters ORDER BY node"
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the weighted
+    * event-transition graph — the mutually-recursive complement of
+    * [[pageRank]]'s single fixpoint: a node is a good authority when
+    * good hubs point at it, a good hub when it points at good
+    * authorities. Each half-round is one distributed edge×broadcast-
+    * vector join with a map-combinable sum, exactly the
+    * [[rankStep]] discipline (the shuffle-join fallback applies
+    * unchanged when the node set outgrows a broadcast).
+    *
+    * Normalization — HITS diverges without it — is integer: each new
+    * vector rescales to `x·10⁶ div max(x)` with the max joined in as
+    * a broadcast scalar row, so every round stays inside exact long
+    * arithmetic and the unrolled-CTE oracle replays it term for
+    * term. */
+  def hits(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node"))
+      .distinct().localCheckpoint()
+    var h = nodes.withColumn("h", lit(1000000L))
+    var a = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val aRaw = edges
+        .join(broadcast(h.toDF("src", "h")), "src")
+        .select(col("dst").as("node"), (col("w") * col("h")).as("x"))
+        .groupBy(col("node")).agg(sum(col("x")).as("x"))
+      a = nodes.join(broadcast(aRaw), Seq("node"), "left")
+        .crossJoin(broadcast(aRaw.agg(max(col("x")).as("mx"))))
+        .select(col("node"),
+          coalesce(expr("(x * 1000000) div mx"), lit(0L)).as("a"))
+        .localCheckpoint()
+      val hRaw = edges
+        .join(broadcast(a.toDF("dst", "a")), "dst")
+        .select(col("src").as("node"), (col("w") * col("a")).as("x"))
+        .groupBy(col("node")).agg(sum(col("x")).as("x"))
+      h = nodes.join(broadcast(hRaw), Seq("node"), "left")
+        .crossJoin(broadcast(hRaw.agg(max(col("x")).as("mx"))))
+        .select(col("node"),
+          coalesce(expr("(x * 1000000) div mx"), lit(0L)).as("h"))
+        .localCheckpoint()
+    }
+    h.toDF("node", "hub").join(a.toDF("node", "auth"), "node")
+      .orderBy(col("node"))
+  }
+
+  /** The identical integer recurrence unrolled. */
+  def hitsSql(iters: Int = 5): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT src, dst, COUNT(*) AS w FROM ord
+        |          WHERE dst IS NOT NULL GROUP BY src, dst),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)"""
+        .stripMargin
+    val its = (1 to iters).map { i =>
+      s"""araw$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, SUM(e.w * p.h) AS x
+         |  FROM edges e JOIN h${i - 1} p ON p.node = e.src
+         |  GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(
+         |    (r.x * 1000000) // (SELECT MAX(x) FROM araw$i), 0) AS a
+         |  FROM nodes n LEFT JOIN araw$i r ON r.node = n.node),
+         |hraw$i AS MATERIALIZED (
+         |  SELECT e.src AS node, SUM(e.w * p.a) AS x
+         |  FROM edges e JOIN a$i p ON p.node = e.dst
+         |  GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(
+         |    (r.x * 1000000) // (SELECT MAX(x) FROM hraw$i), 0) AS h
+         |  FROM nodes n LEFT JOIN hraw$i r ON r.node = n.node)"""
+        .stripMargin
+    }
+    (base +: its).mkString(",\n") +
+      s"""
+         |SELECT h.node, CAST(h.h AS BIGINT) AS hub,
+         |  CAST(a.a AS BIGINT) AS auth
+         |FROM h$iters h JOIN a$iters a ON a.node = h.node
+         |ORDER BY h.node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (linkPredictGate _),
     "graph_label_prop"  -> ((s, d) => labelPropagation(s, d)),
@@ -657,7 +749,8 @@ object Graph {
     "graph_pagerank_shuffle" ->
       ((s, d) => pageRank(s, d, broadcastRanks = false)),
     "graph_transitions" -> (transitions _),
-    "graph_sssp"        -> ((s, d) => sssp(s, d)))
+    "graph_sssp"        -> ((s, d) => sssp(s, d)),
+    "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
     "graph_link_predict" -> linkPredictSql,
@@ -669,5 +762,6 @@ object Graph {
     // bit-identical integer fixpoint through the shuffle-join plan
     "graph_pagerank_shuffle" -> pageRankSql(),
     "graph_transitions" -> transitionsSql,
-    "graph_sssp"        -> ssspSql())
+    "graph_sssp"        -> ssspSql(),
+    "graph_hits"        -> hitsSql())
 }

@@ -1027,8 +1027,64 @@ object TimeSeries {
       |FROM seq WHERE dt IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Windowed funnel — [[funnel]] with a conversion BUDGET: each
+    * stage must land within `windowSec` of the PREVIOUS stage's
+    * first touch, the semantics product analytics actually reports
+    * ("purchased within an hour of clicking"), and the one the
+    * unbounded funnel silently overstates. Same chained
+    * min-aggregate shape — per stage one type-pruned scan joined to
+    * the O(users) prior-stage frame, the interval test a pure
+    * integer-micros filter — so the scale story is unchanged: no
+    * window functions, no self-joins, shuffles carry one row per
+    * qualifying user. */
+  def funnelWindowed(s: SparkSession, dir: String,
+      windowSec: Long = 3600): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val wUs = windowSec * 1000000L
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        unix_micros(col("ts")) - unix_micros(col("t1")) <= wUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        unix_micros(col("ts")) - unix_micros(col("t2")) <= wUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(label).as("stage"), col("users"))
+    stage(t1, "1_view").unionAll(stage(t2, "2_click_1h"))
+      .unionAll(stage(t3, "3_purchase_1h"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelWindowedSql: String =
+    """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN t1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+      |         AND epoch_us(e.ts) - epoch_us(t1.t1) <= 3600000000
+      |       GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN t2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      |         AND epoch_us(e.ts) - epoch_us(t2.t2) <= 3600000000
+      |       GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, COUNT(*) AS users FROM t1
+      |UNION ALL
+      |SELECT '2_click_1h', COUNT(*) FROM t2
+      |UNION ALL
+      |SELECT '3_purchase_1h', COUNT(*) FROM t3
+      |ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_rolling"        -> (rollingGate _),
+        "ts_funnel_windowed" -> ((s, d) => funnelWindowed(s, d)),
         "ts_time_weighted_avg" -> (timeWeightedAvg _),
         "ts_attribution_markov" -> ((s, d) => attributionMarkov(s, d)),
         "ts_changepoint"    -> (tsChangepoint _),
@@ -1053,6 +1109,7 @@ object TimeSeries {
         "ts_attribution"    -> attributionLinearSql,
         "ts_attribution_markov" -> attributionMarkovSql(),
         "ts_time_weighted_avg" -> timeWeightedAvgSql,
+        "ts_funnel_windowed" -> funnelWindowedSql,
         "ts_resample_ffill" -> tsResampleSql,
         "ts_sessionize"     -> sessionizeBatchSql,
         "ts_funnel"         -> funnelSql,

@@ -301,6 +301,41 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(r.getLong(4) === math.floor(f * 1000.0 + 0.5).toLong)
   }
 
+  test("graph_hits: pure source is the hub, pure sink the authority") {
+    val dir = tmpDir("r6_hits")
+    val rows = (1L to 3L).flatMap { u =>
+      Seq(Row(u * 10, new Timestamp(1700000000000L), u, "A", 1.0, "{}"),
+        Row(u * 10 + 1, new Timestamp(1700000001000L), u, "B", 1.0, "{}"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Graph.hits(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map("A" -> ((1000000L, 0L)), "B" -> ((0L, 1000000L))))
+  }
+
+  test("ts_funnel_windowed: conversion outside the budget is dropped") {
+    val dir = tmpDir("r6_fw")
+    val h = 3600000L // one hour in millis
+    val rows = Seq(
+      // user 1: click 30 min after view — inside the budget
+      Row(1L, new Timestamp(1700000000000L), 1L, "view", 1.0, "{}"),
+      Row(2L, new Timestamp(1700000000000L + h / 2), 1L, "click", 1.0, "{}"),
+      // user 2: click 2 h after view — outside
+      Row(3L, new Timestamp(1700000000000L), 2L, "view", 1.0, "{}"),
+      Row(4L, new Timestamp(1700000000000L + 2 * h), 2L, "click", 1.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.TimeSeries.funnelWindowed(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("1_view") === 2L)
+    assert(got("2_click_1h") === 1L)
+    assert(got("3_purchase_1h") === 0L)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
