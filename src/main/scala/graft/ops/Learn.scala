@@ -325,13 +325,126 @@ object Learn {
       |GROUP BY lang, cls
       |ORDER BY true_lang, pred_lang""".stripMargin
 
+  /** Decision-stump induction by exact information gain — the split
+    * step of every tree/GBDT learner, run as aggregations: bin the
+    * feature (n_chars) into 16 equi-width integer buckets, build
+    * per-(bucket, class) counts in one map-combinable pass, and score
+    * every internal edge by weighted-entropy reduction using the
+    * identity `n·H(a,b) = n·ln n − a·ln a − b·ln b` — each F-term is
+    * a 1e-6-snapped long, so gains subtract exactly and the argmax
+    * (ties → lowest edge) is hash-stable across engines.
+    *
+    * Scale: the corpus-wide work is ONE 16×2-cell aggregate; the
+    * split search runs on that metadata-sized frame via a 16-row
+    * cumulative window. A depth-d tree is d such passes over
+    * leaf-filtered data — the classic distributed tree recipe
+    * (PLANET/XGBoost-histogram), of which this is the verifiable
+    * kernel. Label: lang = 'en'. */
+  def stump(s: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("n_chars").cast(LongType).as("x"),
+        (col("lang") === "en").cast(IntegerType).as("y"))
+    val rng = docs.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val binned = docs.crossJoin(broadcast(rng))
+      .select(expr(s"((x - mn) * $bins) div (mx - mn + 1)").as("bin"),
+        col("y"), col("mn"), col("mx"))
+    val cells = binned.groupBy(col("bin"), col("mn"), col("mx"))
+      .agg(sum(col("y")).cast(LongType).as("pos"),
+        sum(lit(1) - col("y")).cast(LongType).as("neg"))
+    // F(a,b) = (a+b)ln(a+b) − a·ln a − b·ln b, 1e-6-snapped; the
+    // snapped-long identity keeps gain arithmetic integer-exact.
+    def f(a: Column, b: Column): Column = {
+      def xlnx(c: Column) =
+        when(c > 0, c.cast(DoubleType) * log(c.cast(DoubleType)))
+          .otherwise(lit(0.0))
+      floor((xlnx(a + b) - xlnx(a) - xlnx(b)) * 1000000.0 + 0.5)
+        .cast(LongType)
+    }
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // 16-row frame: the unpartitioned window is metadata-sized.
+    val cum = cells
+      .withColumn("cpos", sum(col("pos")).over(w))
+      .withColumn("cneg", sum(col("neg")).over(w))
+      .withColumn("tpos", sum(col("pos")).over(
+        Window.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("tneg", sum(col("neg")).over(
+        Window.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .filter(col("bin") < bins - 1) // internal edges only
+    cum.select(col("bin"), col("mn"), col("mx"),
+        (f(col("tpos"), col("tneg")) - f(col("cpos"), col("cneg")) -
+          f(col("tpos") - col("cpos"), col("tneg") - col("cneg")))
+          .as("gain_e6"),
+        col("cpos"), col("cneg"),
+        (col("tpos") - col("cpos")).as("rpos"),
+        (col("tneg") - col("cneg")).as("rneg"))
+      .orderBy(col("gain_e6").desc, col("bin"))
+      .limit(1)
+      // threshold: largest x routed left = upper edge of the bin
+      // (integer div on BOTH sides — a double divide would round in
+      // DuckDB's BIGINT cast but truncate in Spark's)
+      .select(col("bin"),
+        expr(s"mn + (((bin + 1) * (mx - mn + 1)) div $bins)")
+          .as("threshold"),
+        col("gain_e6"), col("cpos"), col("cneg"), col("rpos"),
+        col("rneg"))
+  }
+
+  val stumpSql: String =
+    """WITH d AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS x,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |rng AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM d),
+      |cells AS (
+      |  SELECT ((x - mn) * 16) // (mx - mn + 1) AS bin, mn, mx,
+      |    CAST(SUM(y) AS BIGINT) AS pos,
+      |    CAST(SUM(1 - y) AS BIGINT) AS neg
+      |  FROM d CROSS JOIN rng
+      |  GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT bin, mn, mx,
+      |    SUM(pos) OVER (ORDER BY bin) AS cpos,
+      |    SUM(neg) OVER (ORDER BY bin) AS cneg,
+      |    SUM(pos) OVER () AS tpos, SUM(neg) OVER () AS tneg
+      |  FROM cells),
+      |sc AS (
+      |  SELECT bin, mn, mx, cpos, cneg,
+      |    tpos - cpos AS rpos, tneg - cneg AS rneg,
+      |    CAST(floor((CASE WHEN tpos + tneg > 0
+      |        THEN (tpos + tneg) * ln(tpos + tneg) ELSE 0 END
+      |      - CASE WHEN tpos > 0 THEN tpos * ln(tpos) ELSE 0 END
+      |      - CASE WHEN tneg > 0 THEN tneg * ln(tneg) ELSE 0 END)
+      |      * 1000000.0 + 0.5) AS BIGINT)
+      |    - CAST(floor((CASE WHEN cpos + cneg > 0
+      |        THEN (cpos + cneg) * ln(cpos + cneg) ELSE 0 END
+      |      - CASE WHEN cpos > 0 THEN cpos * ln(cpos) ELSE 0 END
+      |      - CASE WHEN cneg > 0 THEN cneg * ln(cneg) ELSE 0 END)
+      |      * 1000000.0 + 0.5) AS BIGINT)
+      |    - CAST(floor((CASE WHEN tpos - cpos + tneg - cneg > 0
+      |        THEN (tpos - cpos + tneg - cneg)
+      |          * ln(tpos - cpos + tneg - cneg) ELSE 0 END
+      |      - CASE WHEN tpos - cpos > 0
+      |        THEN (tpos - cpos) * ln(tpos - cpos) ELSE 0 END
+      |      - CASE WHEN tneg - cneg > 0
+      |        THEN (tneg - cneg) * ln(tneg - cneg) ELSE 0 END)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS gain_e6
+      |  FROM cum WHERE bin < 15)
+      |SELECT bin,
+      |  CAST(mn + ((bin + 1) * (mx - mn + 1)) // 16 AS BIGINT)
+      |    AS threshold,
+      |  gain_e6, cpos, cneg, rpos, rneg
+      |FROM sc ORDER BY gain_e6 DESC, bin LIMIT 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_stump" -> ((s: SparkSession, d: String) => stump(s, d)),
     "learn_logreg_steps" -> (logregSteps _),
     "learn_kfold" -> ((s, d) => kfold(s, d)),
     "learn_naive_bayes" -> (naiveBayes _),
     "learn_linreg" -> (linreg _))
 
   def oracle: Map[String, String] = Map(
+    "learn_stump" -> stumpSql,
     "learn_logreg_steps" -> logregSql,
     "learn_kfold" -> kfoldSql,
     "learn_naive_bayes" -> naiveBayesSql,

@@ -336,6 +336,28 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(got("3_purchase_1h") === 0L)
   }
 
+  test("learn_stump: perfectly separable fixture splits cleanly") {
+    val dir = tmpDir("r6_stump")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows =
+      (0 until 10).map(i => Row(i.toLong, "t", "en", "s", 10L + i)) ++
+      (0 until 10).map(i => Row(10L + i, "t", "de", "s", 110L + i))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.Learn.stump(spark, dir).collect()(0)
+    // ties across all fully-separating edges → lowest bin (1);
+    // threshold = 10 + 2·110 div 16 = 23; gain = 20·ln2 exactly
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 23L)
+    assert(r.getLong(2) === math.round(20.0 * math.log(2.0) * 1e6))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((10L, 0L, 0L, 10L)))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
