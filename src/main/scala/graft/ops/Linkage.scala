@@ -352,13 +352,83 @@ object Linkage {
       |            + 0.5) >= 900000
       |ORDER BY dirty_id, clean_id""".stripMargin
 
+  /** Transposition-aware linkage — the typo class plain Levenshtein
+    * overprices: the dirty registry here swaps two ADJACENT digits
+    * (the classic fat-finger error), which is distance 1 under the
+    * codegen'd unrestricted [[graft.plans.DamerauLevenshtein]] kernel
+    * but 2 under built-in `levenshtein` — the gate emits both so the
+    * gap is part of the hashed evidence. Blocking adds a third
+    * omission window because a swap at position 16–17 straddles the
+    * two-window geometry the substitution gates use; three
+    * single-shift windows cover every adjacent pair in the mutated
+    * region exactly. DuckDB's `damerau_levenshtein` is the same
+    * unrestricted byte-level variant (verified 'ca'→'abc' = 2), so
+    * the gate is a direct cross-engine kernel parity check. */
+  def damerauGate(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val clean = cleanReg(s, dir)
+    val dirty = clean.select(
+      (col("id") + 100000L).as("id"),
+      concat(
+        expr("substring(name, 1, 14 + (id % 3))"),
+        expr("substring(name, 16 + (id % 3), 1)"),
+        expr("substring(name, 15 + (id % 3), 1)"),
+        expr("substring(name, 17 + (id % 3), 1000000)")).as("name"))
+    val omit = Seq((15, 2), (16, 2), (17, 2))
+    val cand = passKeys(dirty, omit)
+      .select(col("id").as("did"), col("pass"), col("bk"))
+      .join(passKeys(clean, omit)
+        .select(col("id").as("cid"), col("pass"), col("bk")),
+        Seq("pass", "bk"))
+      .select(col("did"), col("cid")).distinct()
+    cand.join(dirty.toDF("did", "dname"), "did")
+      .join(clean.toDF("cid", "cname"), "cid")
+      .select(col("did").as("dirty_id"), col("cid").as("clean_id"),
+        graft.plans.TextExpressions.damerauLevenshtein(
+          col("dname"), col("cname")).as("dl"),
+        levenshtein(col("dname"), col("cname")).cast(LongType).as("lev"))
+      .filter(col("dl") <= 1)
+      .orderBy(col("dirty_id"), col("clean_id"))
+  }
+
+  val damerauSql: String =
+    """WITH clean AS (
+      |  SELECT c_custkey AS id, c_name AS name
+      |  FROM customer WHERE c_custkey < 400),
+      |dirty AS (
+      |  SELECT c.id + 100000 AS id,
+      |    substr(c.name, 1, 14 + (c.id % 3))
+      |      || substr(c.name, 16 + (c.id % 3), 1)
+      |      || substr(c.name, 15 + (c.id % 3), 1)
+      |      || substr(c.name, 17 + (c.id % 3)) AS name
+      |  FROM clean c),
+      |cand AS (
+      |  SELECT DISTINCT d.id AS did, c.id AS cid
+      |  FROM dirty d, clean c
+      |  WHERE substr(d.name, 1, 14) || substr(d.name, 17)
+      |          = substr(c.name, 1, 14) || substr(c.name, 17)
+      |     OR substr(d.name, 1, 15) || substr(d.name, 18)
+      |          = substr(c.name, 1, 15) || substr(c.name, 18)
+      |     OR substr(d.name, 1, 16) || substr(d.name, 19)
+      |          = substr(c.name, 1, 16) || substr(c.name, 19))
+      |SELECT p.did AS dirty_id, p.cid AS clean_id,
+      |  CAST(damerau_levenshtein(d.name, c.name) AS BIGINT) AS dl,
+      |  CAST(levenshtein(d.name, c.name) AS BIGINT) AS lev
+      |FROM cand p
+      |JOIN dirty d ON d.id = p.did
+      |JOIN clean c ON c.id = p.cid
+      |WHERE damerau_levenshtein(d.name, c.name) <= 1
+      |ORDER BY dirty_id, clean_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_damerau" -> (damerauGate _),
     "link_jaro_winkler" -> (jaroWinklerGate _),
     "link_blocked" -> (linkGate _),
     "link_fellegi_sunter" -> (fellegiSunter _),
     "link_golden_record" -> (goldenRecord _))
 
   def oracle: Map[String, String] = Map(
+    "link_damerau" -> damerauSql,
     "link_jaro_winkler" -> jaroWinklerSql,
     "link_blocked" -> linkSql,
     "link_fellegi_sunter" -> fellegiSunterSql,

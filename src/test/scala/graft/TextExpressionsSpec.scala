@@ -199,4 +199,28 @@ class TextExpressionsSpec extends SparkSpec {
       .as[Double].collect()(0)
     assert(viaJw === 0.9611111111111111)
   }
+
+  test("damerau-levenshtein kernel: unrestricted variant, bytes, edges") {
+    def dl(a: String, b: String): Long =
+      graft.plans.DamerauLevenshteinKernel(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // THE unrestricted-vs-OSA witness: edits may sit between the two
+    // halves of a transposition (OSA would say 3)
+    assert(dl("ca", "abc") === 2L)
+    assert(dl("abcd", "acbd") === 1L)   // adjacent transposition
+    assert(dl("kitten", "sitting") === 3L)
+    assert(dl("recieve", "receive") === 1L) // vs levenshtein's 2
+    assert(dl("", "") === 0L)
+    assert(dl("", "ab") === 2L)
+    assert(dl("abc", "abc") === 0L)
+    // byte-level: É is two UTF-8 bytes (DuckDB parity)
+    assert(dl("ÉA", "EA") === 2L)
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val via = Seq(("ca", "abc")).toDF("a", "b")
+      .select(TextExpressions.damerauLevenshtein(col("a"), col("b")))
+      .as[Long].collect()(0)
+    assert(via === 2L)
+  }
 }
