@@ -851,7 +851,43 @@ object DataQuality {
       |  MIN(n) AS min_class, MAX(n) AS max_class
       |FROM cls""".stripMargin
 
+  /** Per-stream freshness / SLA audit — the first pipeline-health
+    * question on any ingestion dashboard: how far behind the most
+    * recent data is each event stream? "Now" is the corpus-wide max
+    * timestamp (the deterministic stand-in for wall clock, so the
+    * gate is replayable); lag is exact integer seconds.
+    *
+    * Scale: one map-combinable (type → max ts) aggregate + a
+    * broadcast one-row join; at 100 TB this is a metadata pass over
+    * parquet footer stats if the table is date-partitioned. */
+  def freshness(s: SparkSession, dir: String,
+      slaSec: Long = 3600): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val last = ev.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_ts"))
+    val now = ev.agg(max(col("ts")).as("now_ts"))
+    last.crossJoin(broadcast(now))
+      .select(col("event_type"), col("last_ts"),
+        expr("(unix_micros(now_ts) - unix_micros(last_ts)) div 1000000")
+          .as("lag_sec"))
+      .withColumn("in_sla", col("lag_sec") <= slaSec)
+      .orderBy(col("event_type"))
+  }
+
+  val freshnessSql: String =
+    """WITH last AS (
+      |  SELECT event_type, MAX(ts) AS last_ts FROM events
+      |  GROUP BY event_type),
+      |now_ts AS (SELECT MAX(ts) AS n FROM events)
+      |SELECT event_type, last_ts,
+      |  CAST((epoch_us(n) - epoch_us(last_ts)) // 1000000
+      |    AS BIGINT) AS lag_sec,
+      |  (epoch_us(n) - epoch_us(last_ts)) // 1000000 <= 3600 AS in_sla
+      |FROM last CROSS JOIN now_ts
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> ((s: SparkSession, d: String) => freshness(s, d)),
     "dq_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "dq_rule_engine" -> (ruleEngine _),
     "dq_chi2" -> (dqChi2 _),
@@ -869,6 +905,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_freshness" -> freshnessSql,
     "dq_k_anonymity" -> kAnonymitySql,
     "dq_rule_engine" -> ruleEngineSql,
     "dq_chi2" -> dqChi2Sql,

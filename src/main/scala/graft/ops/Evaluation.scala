@@ -347,13 +347,66 @@ object Evaluation {
       |  CAST(20 AS BIGINT) AS n_replicates
       |FROM point""".stripMargin
 
+  /** McNemar's paired test — the statistically correct way to ask
+    * "is classifier A actually better than B on the SAME examples?"
+    * (comparing two accuracies ignores pairing; McNemar conditions
+    * on the discordant pairs). Classifiers here are two deterministic
+    * quality rules over documents — length ≥ corpus median vs a
+    * stop-word content probe — against the lang='en' label; the
+    * statistic `(b−c)²/(b+c)` is emitted in exact integer milli
+    * units.
+    *
+    * Scale: the median is one grouped-percentile row broadcast back;
+    * the contingency is ONE map-combinable conditional-sum pass. */
+  def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val med = docs.agg(
+      expr("percentile(n_chars, 0.5)").as("med"))
+    docs.crossJoin(broadcast(med))
+      .select((col("lang") === "en").as("y"),
+        (col("n_chars").cast(DoubleType) >= col("med")).as("pa"),
+        col("text").contains("the").as("pb"))
+      .select((col("pa") === col("y")).as("ca"),
+        (col("pb") === col("y")).as("cb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ca") && !col("cb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ca") && col("cb"), 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          expr("((b - c) * (b - c) * 1000) div (b + c)"))
+          .otherwise(lit(0L)).as("chi2_milli"))
+  }
+
+  val mcnemarSql: String =
+    """WITH med AS (
+      |  SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+      |paired AS (
+      |  SELECT (lang = 'en') AS y,
+      |    (CAST(n_chars AS DOUBLE) >= med) AS pa,
+      |    (text LIKE '%the%') AS pb
+      |  FROM documents CROSS JOIN med),
+      |agg AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN (pa = y) AND NOT (pb = y) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN NOT (pa = y) AND (pb = y) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c
+      |  FROM paired)
+      |SELECT n, b, c,
+      |  CASE WHEN b + c > 0
+      |    THEN ((b - c) * (b - c) * 1000) // (b + c) ELSE 0 END
+      |    AS chi2_milli
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_mcnemar" -> (mcnemar _),
     "eval_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)),
     "eval_ndcg" -> (ndcgGate _),
     "eval_auc" -> (aucGate _),
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_mcnemar" -> mcnemarSql,
     "eval_ndcg" -> ndcgSql,
     "eval_auc" -> aucSql,
     "eval_calibration" -> calibrationSql,

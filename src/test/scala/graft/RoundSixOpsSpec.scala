@@ -358,6 +358,31 @@ class RoundSixOpsSpec extends SparkSpec {
       ((10L, 0L, 0L, 10L)))
   }
 
+  test("dq_freshness: stale stream flagged against the corpus clock") {
+    // stream A last seen at the corpus max; stream B two hours behind
+    val dir = tmpDir("r6_fresh")
+    val rows = Seq(
+      Row(1L, new Timestamp(1700000000000L), 1L, "B", 1.0, "{}"),
+      Row(2L, new Timestamp(1700007200000L), 1L, "A", 1.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.DataQuality.freshness(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got === Map("A" -> ((0L, true)), "B" -> ((7200L, false))))
+  }
+
+  test("eval_mcnemar: discordant counts reconcile with the statistic") {
+    val r = graft.ops.Evaluation.mcnemar(spark, sf).collect()(0)
+    val (n, b, c, chi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(b + c <= n)
+    if (b + c > 0)
+      assert(chi === ((b - c) * (b - c) * 1000) / (b + c))
+    else assert(chi === 0L)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
