@@ -1498,7 +1498,122 @@ object Similarity {
         |ORDER BY round""".stripMargin
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR '98) — the diversity-aware reranker RAG retrieval runs on
+    * its candidate pool: greedily pick the doc maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` so later picks are
+    * penalized for repeating what's already selected.
+    *
+    * Scale split: candidate GENERATION is the gated ANN machinery
+    * (here the brute-force top-25, itself oracle-checked); MMR then
+    * operates on the k×k candidate-similarity frame — metadata by
+    * construction — so the pairwise sims are computed in one bounded
+    * cross join and the greedy runs on the driver over exact
+    * kernel-fold doubles (the same [[graft.plans.VectorDot]] folds
+    * DuckDB's list_reduce replays, so every argmax agrees). Scores
+    * are 1e-9-snapped only at OUTPUT; comparisons use raw doubles on
+    * both engines. λ = 0.7, k = 5 from a 25-candidate pool. */
+  def mmrRerank(s: SparkSession, dir: String, k: Int = 5,
+      pool: Int = 25): DataFrame = {
+    val vv = vecs(s, dir)
+    val q = vv.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), norm(col("v")).as("qn"))
+    val cand = vv.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("n"),
+        (dot(col("qv"), col("v")) / (col("qn") * norm(col("v"))))
+          .as("simq"))
+      .orderBy(col("simq").desc, col("vec_id"))
+      .limit(pool)
+      .localCheckpoint()
+    val a = cand.select(col("vec_id").as("a"), col("v").as("av"),
+      col("n").as("an"))
+    val b = cand.select(col("vec_id").as("b"), col("v").as("bv"),
+      col("n").as("bn"))
+    val pairs = a.crossJoin(b).filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simq = cand.select(col("vec_id"), col("simq"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairMap = pairs.map { case (x, y, v) => (x, y) -> v }.toMap
+    var selected = Vector.empty[(Long, Long, Double)] // (round, id, mmr)
+    val lambda = 0.7
+    for (r <- 1 to k) {
+      val pick = simq.keys.toSeq
+        .filterNot(id => selected.exists(_._2 == id))
+        .map { id =>
+          // true max — anticorrelated picks have NEGATIVE redundancy
+          // (a diversity bonus); seeding the fold at 0 would floor it
+          val sims = selected.map(s => pairMap((id, s._2)))
+          val red = if (sims.isEmpty) 0.0 else sims.max
+          // 0.3 as a LITERAL on both engines — 1.0 − 0.7 is
+          // 0.30000000000000004 in IEEE and would shear the snap
+          id -> (lambda * simq(id) - 0.3 * red)
+        }
+        .minBy { case (id, sc) => (-sc, id) }
+      selected :+= ((r.toLong, pick._1, pick._2))
+    }
+    import s.implicits._
+    selected.map { case (r, id, m) =>
+      (r, id, math.floor(m * 1e9 + 0.5).toLong)
+    }.toDF("round", "vec_id", "mmr_e9")
+  }
+
+  val mmrRerankSql: String = {
+    def cos(x: String, y: String) =
+      s"""(list_reduce(list_transform(generate_series(1, len($x.v)),
+         |    i -> $x.v[i] * $y.v[i]), (p, q) -> p + q)
+         |  / (sqrt(list_reduce(list_transform(generate_series(1,
+         |      len($x.v)), i -> $x.v[i] * $x.v[i]), (p, q) -> p + q))
+         |   * sqrt(list_reduce(list_transform(generate_series(1,
+         |      len($y.v)), i -> $y.v[i] * $y.v[i]), (p, q) -> p + q))))"""
+        .stripMargin
+    val base =
+      s"""WITH vv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |qv AS (SELECT v FROM vv WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT d.vec_id AS id, d.v, ${cos("d", "q")} AS simq
+         |  FROM vv d CROSS JOIN qv q WHERE d.vec_id <> 0
+         |  ORDER BY simq DESC, d.vec_id LIMIT 25),
+         |pair AS MATERIALIZED (
+         |  SELECT x.id AS a, y.id AS b, ${cos("x", "y")} AS sim
+         |  FROM cand x CROSS JOIN cand y WHERE x.id <> y.id),
+         |s0 AS (SELECT id, CAST(0 AS DOUBLE) AS mmr FROM cand
+         |       WHERE 1 = 0)""".stripMargin
+    val rounds = (1 to 5).map { r =>
+      val selPrev = (0 until r).map(i => s"SELECT id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""s$r AS MATERIALIZED (
+         |  SELECT c.id,
+         |    0.7 * c.simq - 0.3 * COALESCE(
+         |      (SELECT MAX(p.sim) FROM pair p
+         |       WHERE p.a = c.id AND p.b IN ($selPrev)), 0) AS mmr
+         |  FROM cand c WHERE c.id NOT IN ($selPrev)
+         |  ORDER BY mmr DESC, c.id LIMIT 1)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      """
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, id AS vec_id,
+        |    CAST(floor(mmr * 1000000000 + 0.5) AS BIGINT) AS mmr_e9
+        |  FROM s1
+        |  UNION ALL SELECT 2, id,
+        |    CAST(floor(mmr * 1000000000 + 0.5) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, id,
+        |    CAST(floor(mmr * 1000000000 + 0.5) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, id,
+        |    CAST(floor(mmr * 1000000000 + 0.5) AS BIGINT) FROM s4
+        |  UNION ALL SELECT 5, id,
+        |    CAST(floor(mmr * 1000000000 + 0.5) AS BIGINT) FROM s5)
+        |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr_rerank" -> ((s: SparkSession, d: String) =>
+      mmrRerank(s, d)),
     "embed_coreset" -> ((s: SparkSession, d: String) =>
       kCenterCoreset(s, d)),
     "embed_label_affinity" -> (labelAffinity _),
@@ -1553,7 +1668,8 @@ object Similarity {
     "sim_hard_negatives"  -> hardNegativesSql,
     "sim_topk_mips"       -> topKMipsSql,
     "embed_kmeans" -> kmeansSql,
-    "embed_coreset" -> kCenterCoresetSql)
+    "embed_coreset" -> kCenterCoresetSql,
+    "sim_mmr_rerank" -> mmrRerankSql)
     // sim_ann_lsh / sim_ann_ivf raw neighbor lists stay rows-only
     // (approximate by construction); their *_recall gates hash-check
     // the quality bound instead.

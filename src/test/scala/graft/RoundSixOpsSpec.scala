@@ -383,6 +383,33 @@ class RoundSixOpsSpec extends SparkSpec {
     else assert(chi === 0L)
   }
 
+  test("sim_mmr_rerank: redundancy penalty diversifies the ranking") {
+    // query at the origin-ish; two near-identical relevant docs and
+    // one moderately relevant but orthogonal doc: plain top-2 takes
+    // the twins; MMR must pick the orthogonal doc second.
+    val dir = tmpDir("r6_mmr")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    // candidates cluster off-axis: two near-twins above the query
+    // direction, one mirror doc below — equally relevant but
+    // orthogonal-ish to the twins, so round 2 must cross the axis
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f), 0),            // query
+      Row(1L, Seq(0.9f, 0.44f), 0),       // twin A
+      Row(2L, Seq(0.9f, 0.45f), 0),       // twin B (≈A)
+      Row(3L, Seq(0.9f, -0.44f), 0))      // mirror: same relevance
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.Similarity.mmrRerank(spark, dir, k = 3, pool = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got(0)._2 === 1L)   // most relevant first
+    assert(got(1)._2 === 3L)   // diversity beats the twin
+    assert(got(2)._2 === 2L)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
