@@ -398,7 +398,46 @@ object Evaluation {
       |    AS chi2_milli
       |FROM agg""".stripMargin
 
+  /** Precision / recall / F1 report — the confusion-matrix summary
+    * every filter rollout is judged by, in exact integer ppm
+    * (`F1 = 2tp/(2tp+fp+fn)` needs no float at all). Classifier:
+    * the stop-word probe (text contains 'the') against the lang='en'
+    * label; ONE conditional-sum scan. */
+  def f1Report(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((col("lang") === "en").as("y"),
+        col("text").contains("the").as("p"))
+      .agg(
+        sum(when(col("y") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("y") && col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") && !col("p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("y") && !col("p"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+        expr("(tp * 1000000) div (tp + fn)").as("recall_ppm"),
+        expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").as("f1_ppm"))
+
+  val f1ReportSql: String =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN lang = 'en' AND text LIKE '%the%'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN lang <> 'en' AND text LIKE '%the%'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN lang = 'en' AND text NOT LIKE '%the%'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN lang <> 'en' AND text NOT LIKE '%the%'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM documents)
+      |SELECT tp, fp, fn, tn,
+      |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+      |  CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_ppm,
+      |  CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS BIGINT)
+      |    AS f1_ppm
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_f1_report" -> (f1Report _),
     "eval_mcnemar" -> (mcnemar _),
     "eval_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)),
     "eval_ndcg" -> (ndcgGate _),
@@ -406,6 +445,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_f1_report" -> f1ReportSql,
     "eval_mcnemar" -> mcnemarSql,
     "eval_ndcg" -> ndcgSql,
     "eval_auc" -> aucSql,

@@ -1407,6 +1407,28 @@ object Relational {
       |  CAST(SUM(k) AS BIGINT) AS sum_key
       |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** Boolean-aggregate family (`count_if` / `bool_and` / `bool_or`)
+    * — the predicate-summary surface (DuckDB: same names). All three
+    * are map-combinable single-pass aggregates; `any_value` is
+    * deliberately absent (non-deterministic by contract, so it can
+    * never sit behind a hash gate). */
+  def q47BoolAggs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(col("value") > 100).as("n_big"),
+        bool_and(col("value") > 0).as("all_positive"),
+        bool_or(col("value") > 400).as("any_huge"))
+      .orderBy(col("event_type"))
+
+  val q47Sql: String =
+    """SELECT event_type,
+      |  CAST(count_if(value > 100) AS BIGINT) AS n_big,
+      |  bool_and(value > 0) AS all_positive,
+      |  bool_or(value > 400) AS any_huge
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1456,7 +1478,8 @@ object Relational {
     "q43_window_family"  -> (q43WindowFamily _),
     "q44_bitmap_distinct" -> (q44BitmapDistinct _),
     "q45_skyline"        -> (q45Skyline _),
-    "q46_recursive_cte"  -> (q46Recursive _))
+    "q46_recursive_cte"  -> (q46Recursive _),
+    "q47_bool_aggs"      -> (q47BoolAggs _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1505,5 +1528,6 @@ object Relational {
     "q43_window_family"  -> q43Sql,
     "q44_bitmap_distinct" -> q44Sql,
     "q45_skyline"        -> q45Sql,
-    "q46_recursive_cte"  -> q46Sql)
+    "q46_recursive_cte"  -> q46Sql,
+    "q47_bool_aggs"      -> q47Sql)
 }
