@@ -340,6 +340,24 @@ object Learn {
     * leaf-filtered data — the classic distributed tree recipe
     * (PLANET/XGBoost-histogram), of which this is the verifiable
     * kernel. Label: lang = 'en'. */
+  /** F(a,b) = (a+b)ln(a+b) − a·ln a − b·ln b, 1e-6-snapped; the
+    * snapped-long identity keeps gain arithmetic integer-exact. */
+  private def entropyF(a: Column, b: Column): Column = {
+    def xlnx(c: Column) =
+      when(c > 0, c.cast(DoubleType) * log(c.cast(DoubleType)))
+        .otherwise(lit(0.0))
+    floor((xlnx(a + b) - xlnx(a) - xlnx(b)) * 1000000.0 + 0.5)
+      .cast(LongType)
+  }
+
+  /** The same F-term as SQL text (a/b are SQL expressions). */
+  private def entropyFSql(a: String, b: String): String =
+    s"""CAST(floor((CASE WHEN ($a) + ($b) > 0
+       |    THEN (($a) + ($b)) * ln(($a) + ($b)) ELSE 0 END
+       |  - CASE WHEN ($a) > 0 THEN ($a) * ln($a) ELSE 0 END
+       |  - CASE WHEN ($b) > 0 THEN ($b) * ln($b) ELSE 0 END)
+       |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+
   def stump(s: SparkSession, dir: String, bins: Int = 16): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("n_chars").cast(LongType).as("x"),
@@ -351,15 +369,7 @@ object Learn {
     val cells = binned.groupBy(col("bin"), col("mn"), col("mx"))
       .agg(sum(col("y")).cast(LongType).as("pos"),
         sum(lit(1) - col("y")).cast(LongType).as("neg"))
-    // F(a,b) = (a+b)ln(a+b) − a·ln a − b·ln b, 1e-6-snapped; the
-    // snapped-long identity keeps gain arithmetic integer-exact.
-    def f(a: Column, b: Column): Column = {
-      def xlnx(c: Column) =
-        when(c > 0, c.cast(DoubleType) * log(c.cast(DoubleType)))
-          .otherwise(lit(0.0))
-      floor((xlnx(a + b) - xlnx(a) - xlnx(b)) * 1000000.0 + 0.5)
-        .cast(LongType)
-    }
+    val f = entropyF _
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, 0)
     // 16-row frame: the unpartitioned window is metadata-sized.
@@ -436,7 +446,120 @@ object Learn {
       |  gain_e6, cpos, cneg, rpos, rneg
       |FROM sc ORDER BY gain_e6 DESC, bin LIMIT 1""".stripMargin
 
+  /** Depth-2 tree growth — the distributed-tree recipe on top of
+    * [[stump]]: the root split (a 1-row driver collect — the MODEL,
+    * like every kernel's collected sketch) partitions rows into two
+    * leaves, and then ONE additional histogram pass builds BOTH
+    * leaves' 16×2 tables simultaneously via groupBy(leaf, bin) —
+    * the PLANET / XGBoost-histogram trick: tree depth costs one scan
+    * per LEVEL, never one per node. Split search per leaf runs on
+    * the leaf-partitioned cumulative window (metadata-sized), ties
+    * to the lowest bin, internal edges only (a leaf's last occupied
+    * bin cannot split). */
+  def treeDepth2(s: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    val rootBin = stump(s, dir, bins).collect()(0).getLong(0)
+    val docs = Tables.documents(s, dir)
+      .select(col("n_chars").cast(LongType).as("x"),
+        (col("lang") === "en").cast(IntegerType).as("y"))
+    val rng = docs.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val cells = docs.crossJoin(broadcast(rng))
+      .select(expr(s"((x - mn) * $bins) div (mx - mn + 1)").as("bin"),
+        col("y"), col("mn"), col("mx"))
+      .withColumn("leaf",
+        when(col("bin") <= rootBin, lit("L")).otherwise(lit("R")))
+      .groupBy(col("leaf"), col("bin"), col("mn"), col("mx"))
+      .agg(sum(col("y")).cast(LongType).as("pos"),
+        sum(lit(1) - col("y")).cast(LongType).as("neg"))
+    val w = Window.partitionBy(col("leaf")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tw = Window.partitionBy(col("leaf"))
+    val cum = cells
+      .withColumn("cpos", sum(col("pos")).over(w))
+      .withColumn("cneg", sum(col("neg")).over(w))
+      .withColumn("tpos", sum(col("pos")).over(tw))
+      .withColumn("tneg", sum(col("neg")).over(tw))
+      .withColumn("maxbin", max(col("bin")).over(tw))
+      .filter(col("bin") < col("maxbin"))
+    val scored = cum.select(col("leaf"), col("bin"), col("mn"), col("mx"),
+      (entropyF(col("tpos"), col("tneg")) -
+        entropyF(col("cpos"), col("cneg")) -
+        entropyF(col("tpos") - col("cpos"), col("tneg") - col("cneg")))
+        .as("gain_e6"),
+      col("cpos"), col("cneg"),
+      (col("tpos") - col("cpos")).as("rpos"),
+      (col("tneg") - col("cneg")).as("rneg"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("leaf"))
+          .orderBy(col("gain_e6").desc, col("bin"))))
+      .filter(col("rk") === 1)
+      .select(col("leaf"), col("bin"),
+        expr(s"mn + (((bin + 1) * (mx - mn + 1)) div $bins)")
+          .as("threshold"),
+        col("gain_e6"), col("cpos"), col("cneg"), col("rpos"),
+        col("rneg"))
+      .orderBy(col("leaf"))
+  }
+
+  val treeDepth2Sql: String = {
+    val gain =
+      entropyFSql("tpos", "tneg") + "\n  - " +
+      entropyFSql("cpos", "cneg") + "\n  - " +
+      entropyFSql("tpos - cpos", "tneg - cneg")
+    s"""WITH d AS (
+       |  SELECT CAST(n_chars AS BIGINT) AS x,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |rng AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM d),
+       |cells AS (
+       |  SELECT ((x - mn) * 16) // (mx - mn + 1) AS bin, mn, mx,
+       |    CAST(SUM(y) AS BIGINT) AS pos,
+       |    CAST(SUM(1 - y) AS BIGINT) AS neg
+       |  FROM d CROSS JOIN rng GROUP BY 1, 2, 3),
+       |cum AS (
+       |  SELECT bin, SUM(pos) OVER (ORDER BY bin) AS cpos,
+       |    SUM(neg) OVER (ORDER BY bin) AS cneg,
+       |    SUM(pos) OVER () AS tpos, SUM(neg) OVER () AS tneg
+       |  FROM cells),
+       |root AS (
+       |  SELECT bin FROM (
+       |    SELECT bin, $gain AS gain_e6 FROM cum WHERE bin < 15)
+       |  ORDER BY gain_e6 DESC, bin LIMIT 1),
+       |cells2 AS (
+       |  SELECT CASE WHEN ((x - mn) * 16) // (mx - mn + 1)
+       |        <= (SELECT bin FROM root) THEN 'L' ELSE 'R' END AS leaf,
+       |    ((x - mn) * 16) // (mx - mn + 1) AS bin, mn, mx,
+       |    CAST(SUM(y) AS BIGINT) AS pos,
+       |    CAST(SUM(1 - y) AS BIGINT) AS neg
+       |  FROM d CROSS JOIN rng GROUP BY 1, 2, 3, 4),
+       |cum2 AS (
+       |  SELECT leaf, bin, mn, mx,
+       |    SUM(pos) OVER (PARTITION BY leaf ORDER BY bin) AS cpos,
+       |    SUM(neg) OVER (PARTITION BY leaf ORDER BY bin) AS cneg,
+       |    SUM(pos) OVER (PARTITION BY leaf) AS tpos,
+       |    SUM(neg) OVER (PARTITION BY leaf) AS tneg,
+       |    MAX(bin) OVER (PARTITION BY leaf) AS maxbin
+       |  FROM cells2),
+       |sc2 AS (
+       |  SELECT leaf, bin, mn, mx, cpos, cneg,
+       |    tpos - cpos AS rpos, tneg - cneg AS rneg,
+       |    $gain AS gain_e6
+       |  FROM cum2 WHERE bin < maxbin),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY leaf
+       |    ORDER BY gain_e6 DESC, bin) AS rk FROM sc2)
+       |SELECT leaf, bin,
+       |  CAST(mn + ((bin + 1) * (mx - mn + 1)) // 16 AS BIGINT)
+       |    AS threshold,
+       |  gain_e6, CAST(cpos AS BIGINT) AS cpos,
+       |  CAST(cneg AS BIGINT) AS cneg,
+       |  CAST(rpos AS BIGINT) AS rpos, CAST(rneg AS BIGINT) AS rneg
+       |FROM ranked WHERE rk = 1 ORDER BY leaf""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_tree_depth2" -> ((s: SparkSession, d: String) =>
+      treeDepth2(s, d)),
     "learn_stump" -> ((s: SparkSession, d: String) => stump(s, d)),
     "learn_logreg_steps" -> (logregSteps _),
     "learn_kfold" -> ((s, d) => kfold(s, d)),
@@ -444,6 +567,7 @@ object Learn {
     "learn_linreg" -> (linreg _))
 
   def oracle: Map[String, String] = Map(
+    "learn_tree_depth2" -> treeDepth2Sql,
     "learn_stump" -> stumpSql,
     "learn_logreg_steps" -> logregSql,
     "learn_kfold" -> kfoldSql,

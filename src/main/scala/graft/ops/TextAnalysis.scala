@@ -744,7 +744,89 @@ object TextAnalysis {
       |    + 0.5) AS BIGINT) AS flesch_milli
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Jensen–Shannon divergence between per-source unigram
+    * distributions — the TEXT analog of the numeric PSI drift screen:
+    * how far two domains' vocabularies have drifted, bounded in
+    * [0, ln 2] and symmetric (KL of each side against the mixture
+    * M = (P+Q)/2). Pairs compared: every source against `src0` (the
+    * reference domain).
+    *
+    * Determinism: probabilities are exact count ratios; each
+    * `p·ln(p/m)` term is computed in ONE fixed expression shape and
+    * 1e-9-snapped BEFORE the per-pair sum (long sums commute — the
+    * established surprisal discipline). Scale: one (source, word)
+    * count pass (map-combinable), the reference distribution joins
+    * broadcast, the reduce is O(sources · vocab). */
+  def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(split(lower(col("text")), " "))
+        .as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .select(col("source"), col("w"),
+        (col("c").cast(DoubleType) / col("tot").cast(DoubleType))
+          .as("p"))
+      .localCheckpoint()
+    val ref = counts.filter(col("source") === "src0")
+      .select(col("w"), col("p").as("q"))
+    val sources = counts.select(col("source")).distinct()
+      .filter(col("source") =!= "src0")
+    // reference distribution replicated per compared source, so the
+    // full outer join's key is (source, word) and every pair sees the
+    // UNION of the two vocabularies with 0 for the absent side
+    val refExp = sources.crossJoin(broadcast(ref))
+    val others = counts.filter(col("source") =!= "src0")
+    def term(p: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      when(p > 0.0, floor(p * log(p / m) * 1000000000.0 + 0.5)
+        .cast(LongType)).otherwise(lit(0L))
+    val joined = others
+      .join(refExp.toDF("source", "w", "q"), Seq("source", "w"),
+        "full_outer")
+      .select(col("source"), coalesce(col("p"), lit(0.0)).as("p"),
+        coalesce(col("q"), lit(0.0)).as("q"))
+    joined
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .groupBy(col("source"))
+      // emit 2·JSD: halving a snapped-long sum would floor-vs-
+      // truncate differently across engines near zero
+      .agg((sum(term(col("p"), col("m"))) +
+        sum(term(col("q"), col("m")))).as("jsd2_e9"))
+      .orderBy(col("source"))
+  }
+
+  val jsDivergenceSql: String =
+    """WITH counts AS (
+      |  SELECT source, w, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents) t
+      |  GROUP BY source, w),
+      |probs AS (
+      |  SELECT source, w,
+      |    CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY source)
+      |      AS DOUBLE) AS p
+      |  FROM counts),
+      |ref AS (SELECT w, p AS q FROM probs WHERE source = 'src0'),
+      |others AS (SELECT source, w, p FROM probs WHERE source <> 'src0'),
+      |srcs AS (SELECT DISTINCT source FROM probs WHERE source <> 'src0'),
+      |refexp AS (SELECT s.source, r.w, r.q FROM srcs s CROSS JOIN ref r),
+      |joined AS (
+      |  SELECT COALESCE(o.source, e.source) AS source,
+      |    COALESCE(o.p, 0.0) AS p, COALESCE(e.q, 0.0) AS q
+      |  FROM others o FULL OUTER JOIN refexp e
+      |    ON e.source = o.source AND e.w = o.w)
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN p > 0.0 THEN CAST(floor(
+      |          p * ln(p / ((p + q) / 2.0)) * 1000000000.0 + 0.5)
+      |          AS BIGINT) ELSE 0 END)
+      |      + SUM(CASE WHEN q > 0.0 THEN CAST(floor(
+      |          q * ln(q / ((p + q) / 2.0)) * 1000000000.0 + 0.5)
+      |          AS BIGINT) ELSE 0 END) AS BIGINT) AS jsd2_e9
+      |FROM joined GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_js_divergence" -> (jsDivergence _),
     "text_readability" -> (readability _),
     "text_phrase_search" -> ((s, d) => phraseSearch(s, d)),
     "text_entropy" -> (charEntropy _),
@@ -762,6 +844,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_js_divergence" -> jsDivergenceSql,
     "text_readability" -> readabilitySql,
     "text_phrase_search" -> phraseSearchSql,
     "text_entropy" -> charEntropySql,

@@ -410,6 +410,41 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(got(2)._2 === 2L)
   }
 
+  test("text_js_divergence: identical domain scores zero, drifted " +
+      "domain positive") {
+    val dir = tmpDir("r6_jsd")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      Row(1L, "alpha beta gamma", "en", "src0", 16L),
+      Row(2L, "alpha beta gamma", "en", "srcSame", 16L),
+      Row(3L, "delta epsilon zeta", "en", "srcDrift", 18L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalysis.jsDivergence(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("srcSame") === 0L)
+    // disjoint vocab: JSD = ln 2, so 2·JSD·1e9 = 2·ln2·1e9 (a few
+    // nano-units of per-term snapping slack)
+    val expected = math.round(2.0 * math.log(2.0) * 1e9)
+    assert(math.abs(got("srcDrift") - expected) <= 10L,
+      s"${got("srcDrift")} vs $expected")
+  }
+
+  test("learn_tree_depth2: leaves account for every row, gains " +
+      "non-negative") {
+    val t = graft.ops.Learn.treeDepth2(spark, sf).collect()
+    assert(t.map(_.getString(0)).toSeq === Seq("L", "R"))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    val covered = t.map(r =>
+      r.getLong(4) + r.getLong(5) + r.getLong(6) + r.getLong(7)).sum
+    assert(covered === total)
+    t.foreach(r => assert(r.getLong(3) >= 0L))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
