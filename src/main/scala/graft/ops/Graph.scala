@@ -739,7 +739,73 @@ object Graph {
          |ORDER BY h.node""".stripMargin
   }
 
+  /** Per-node degree statistics + reciprocity — the first-look graph
+    * profile (in/out degree, weighted degree, and how much of a
+    * node's out-weight flows along edges whose REVERSE edge also
+    * exists — the mutual-engagement signal). Reciprocity joins the
+    * edge list to itself on the swapped key — an equi hash join on
+    * (src, dst), never a cross join; degrees are one map-combinable
+    * aggregate each. Integer ppm for the ratio. */
+  def degreeStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1).as("has_rev"))
+    val outd = edges.join(rev, Seq("src", "dst"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("out_deg"), sum(col("w")).as("out_w"),
+        sum(when(col("has_rev").isNotNull, col("w")).otherwise(0L))
+          .as("recip_w"))
+    val ind = edges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("in_deg"), sum(col("w")).as("in_w"))
+    outd.join(ind, col("src") === col("dst"), "full_outer")
+      .select(coalesce(col("src"), col("dst")).as("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(expr("(recip_w * 1000000) div out_w"), lit(0L))
+          .as("recip_ppm"))
+      .orderBy(col("node"))
+  }
+
+  val degreeStatsSql: String =
+    """WITH ord AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |edges AS (SELECT src, dst, COUNT(*) AS w FROM ord
+      |          WHERE dst IS NOT NULL GROUP BY src, dst),
+      |outd AS (
+      |  SELECT e.src, COUNT(*) AS out_deg,
+      |    CAST(SUM(e.w) AS BIGINT) AS out_w,
+      |    CAST(SUM(CASE WHEN r.src IS NOT NULL THEN e.w ELSE 0 END)
+      |      AS BIGINT) AS recip_w
+      |  FROM edges e LEFT JOIN edges r
+      |    ON r.src = e.dst AND r.dst = e.src
+      |  GROUP BY e.src),
+      |ind AS (SELECT dst, COUNT(*) AS in_deg,
+      |          CAST(SUM(w) AS BIGINT) AS in_w
+      |        FROM edges GROUP BY dst)
+      |SELECT COALESCE(o.src, i.dst) AS node,
+      |  COALESCE(o.out_deg, 0) AS out_deg,
+      |  COALESCE(o.out_w, 0) AS out_w,
+      |  COALESCE(i.in_deg, 0) AS in_deg,
+      |  COALESCE(i.in_w, 0) AS in_w,
+      |  COALESCE((o.recip_w * 1000000) // o.out_w, 0) AS recip_ppm
+      |FROM outd o FULL OUTER JOIN ind i ON i.dst = o.src
+      |ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_stats" -> (degreeStats _),
     "graph_link_predict" -> (linkPredictGate _),
     "graph_label_prop"  -> ((s, d) => labelPropagation(s, d)),
     "graph_bfs"         -> (bfsGate _),
@@ -763,5 +829,6 @@ object Graph {
     "graph_pagerank_shuffle" -> pageRankSql(),
     "graph_transitions" -> transitionsSql,
     "graph_sssp"        -> ssspSql(),
-    "graph_hits"        -> hitsSql())
+    "graph_hits"        -> hitsSql(),
+    "graph_degree_stats" -> degreeStatsSql)
 }

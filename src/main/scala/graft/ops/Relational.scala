@@ -1429,6 +1429,31 @@ object Relational {
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** `grouping_id()` provenance over a CUBE — the piece the plain
+    * rollup/cube gates (q13/q14) don't pin: which aggregation level
+    * produced each output row, as the bitmask consumers use to route
+    * subtotal rows. The oracle rebuilds the same mask portably as
+    * `2·GROUPING(a) + GROUPING(b)`. */
+  def q48GroupingId(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  val q48Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+      |    AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1479,7 +1504,8 @@ object Relational {
     "q44_bitmap_distinct" -> (q44BitmapDistinct _),
     "q45_skyline"        -> (q45Skyline _),
     "q46_recursive_cte"  -> (q46Recursive _),
-    "q47_bool_aggs"      -> (q47BoolAggs _))
+    "q47_bool_aggs"      -> (q47BoolAggs _),
+    "q48_grouping_id"    -> (q48GroupingId _))
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1529,5 +1555,6 @@ object Relational {
     "q44_bitmap_distinct" -> q44Sql,
     "q45_skyline"        -> q45Sql,
     "q46_recursive_cte"  -> q46Sql,
-    "q47_bool_aggs"      -> q47Sql)
+    "q47_bool_aggs"      -> q47Sql,
+    "q48_grouping_id"    -> q48Sql)
 }
