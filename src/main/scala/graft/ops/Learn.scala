@@ -443,7 +443,9 @@ object Learn {
       |SELECT bin,
       |  CAST(mn + ((bin + 1) * (mx - mn + 1)) // 16 AS BIGINT)
       |    AS threshold,
-      |  gain_e6, cpos, cneg, rpos, rneg
+      |  gain_e6, CAST(cpos AS BIGINT) AS cpos,
+      |  CAST(cneg AS BIGINT) AS cneg,
+      |  CAST(rpos AS BIGINT) AS rpos, CAST(rneg AS BIGINT) AS rneg
       |FROM sc ORDER BY gain_e6 DESC, bin LIMIT 1""".stripMargin
 
   /** Depth-2 tree growth — the distributed-tree recipe on top of

@@ -119,9 +119,10 @@ object Linkage {
     * FIELD, not per record.
     *
     * Scale: survivorship is ONE map-side-combinable aggregate —
-    * `max_by(field, IF(field IS NOT NULL, gen))` skips null-keyed
-    * rows in both engines (DuckDB `arg_max` likewise ignores null
-    * keys), so there's no window, no distinct, no self-join; a
+    * `max_by(field, gen) FILTER (WHERE field IS NOT NULL)` (FILTER
+    * rather than a NULL "by" key, because null-key skipping in
+    * DuckDB's `arg_max` changed across releases), so there's no
+    * window, no distinct, no self-join; a
     * 100 TB update log folds to one record per entity in a single
     * shuffle on the entity key. */
   def goldenRecord(s: SparkSession, dir: String): DataFrame = {
@@ -146,11 +147,14 @@ object Linkage {
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_versions"),
-        max_by(col("name"), when(col("name").isNotNull, col("gen")))
+        // FILTER, not a NULL-"by" key: DuckDB's arg_max null-key
+        // skipping shifted across releases, so both engines filter
+        // the null rows out of the aggregate's input explicitly.
+        expr("max_by(name, gen) FILTER (WHERE name IS NOT NULL)")
           .as("name"),
-        max_by(col("acctbal"), when(col("acctbal").isNotNull, col("gen")))
+        expr("max_by(acctbal, gen) FILTER (WHERE acctbal IS NOT NULL)")
           .as("acctbal"),
-        max_by(col("segment"), when(col("segment").isNotNull, col("gen")))
+        expr("max_by(segment, gen) FILTER (WHERE segment IS NOT NULL)")
           .as("segment"))
       .orderBy(col("id"))
   }
@@ -170,10 +174,10 @@ object Linkage {
       |    CAST(c_acctbal + 100.0 AS DECIMAL(12,2)), NULL
       |  FROM customer WHERE c_custkey % 5 = 0)
       |SELECT id, COUNT(*) AS n_versions,
-      |  arg_max(name, CASE WHEN name IS NOT NULL THEN gen END) AS name,
-      |  arg_max(acctbal, CASE WHEN acctbal IS NOT NULL THEN gen END)
+      |  arg_max(name, gen) FILTER (WHERE name IS NOT NULL) AS name,
+      |  arg_max(acctbal, gen) FILTER (WHERE acctbal IS NOT NULL)
       |    AS acctbal,
-      |  arg_max(segment, CASE WHEN segment IS NOT NULL THEN gen END)
+      |  arg_max(segment, gen) FILTER (WHERE segment IS NOT NULL)
       |    AS segment
       |FROM updates GROUP BY id ORDER BY id""".stripMargin
 

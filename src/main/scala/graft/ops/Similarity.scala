@@ -814,6 +814,68 @@ object Similarity {
   def annIvfRecall(s: SparkSession, dir: String): DataFrame =
     annRecallGate(s, dir, annIvf(s, dir), threshold = 0.3)
 
+  /** Deterministic structural gate over a raw ANN neighbor list —
+    * upgrades the `sim_ann_lsh` / `sim_ann_ivf` gates from rows-only
+    * (perpetual `err` in the correctness artifact) to hash-checked,
+    * the [[annIndexAppendGate]] pattern: emit per-query facts that
+    * are PROVABLY constant-true for any deterministic index —
+    *   - `ranks_ok`: ranks are exactly 1..n (row_number construction)
+    *   - `sims_descending`: similarity is non-increasing in rank
+    *     (the window's ORDER BY sim DESC)
+    *   - `sims_exact`: each reported sim equals the cosine recomputed
+    *     here from the base vectors (same codegen'd kernel, same
+    *     sequential IEEE fold → bit-identical)
+    *   - `pairs_valid`: queries are the declared set, no self-pairs
+    * so the oracle states them as constants, while the *_recall gates
+    * continue to pin retrieval QUALITY. Every query emits a row even
+    * with zero candidates (left join from the declared query set;
+    * facts hold vacuously). */
+  private def annListGate(s: SparkSession, dir: String,
+      ann: DataFrame): DataFrame = {
+    val base = vecs(s, dir)
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+    val checked = ann
+      .join(base.toDF("target_id", "tv"), "target_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("exact_sim", cosine(col("qv"), col("tv")))
+      .withColumn("prev_sim",
+        lag(col("sim"), 1).over(w.orderBy(col("rank"))))
+      .groupBy(col("query_id"))
+      .agg(
+        (min(col("rank")) === 1 &&
+          max(col("rank")) === count(lit(1)) &&
+          countDistinct(col("rank")) === count(lit(1))).as("ranks_ok"),
+        bool_and(col("prev_sim").isNull ||
+          col("sim") <= col("prev_sim")).as("sims_descending"),
+        bool_and(abs(col("sim") - col("exact_sim")) < 1e-9)
+          .as("sims_exact"),
+        bool_and(col("query_id") < 5 &&
+          col("target_id") =!= col("query_id")).as("pairs_valid"))
+    queries.select(col("query_id")).join(checked, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("ranks_ok"), lit(true)).as("ranks_ok"),
+        coalesce(col("sims_descending"), lit(true)).as("sims_descending"),
+        coalesce(col("sims_exact"), lit(true)).as("sims_exact"),
+        coalesce(col("pairs_valid"), lit(true)).as("pairs_valid"))
+      .orderBy(col("query_id"))
+  }
+
+  def annLshGate(s: SparkSession, dir: String): DataFrame =
+    annListGate(s, dir, annLsh(s, dir))
+
+  def annIvfGate(s: SparkSession, dir: String): DataFrame =
+    annListGate(s, dir, annIvf(s, dir))
+
+  val annListGateSql: String =
+    """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS ranks_ok,
+      |  CAST(1 AS BOOLEAN) AS sims_descending,
+      |  CAST(1 AS BOOLEAN) AS sims_exact,
+      |  CAST(1 AS BOOLEAN) AS pairs_valid
+      |FROM embeddings WHERE vec_id < 5
+      |ORDER BY query_id""".stripMargin
+
   val annRecallSql: String =
     """SELECT CAST(5 AS BIGINT) AS n_queries,
       |  CAST(1 AS BOOLEAN) AS recall_ok,
@@ -1633,8 +1695,8 @@ object Similarity {
     "sim_topk_l2"         -> (topKL2 _),
     "sim_topk_agg"        -> (topKAgg _),
     "sim_near_dup"        -> (nearDupPairs _),
-    "sim_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(s, d)),
-    "sim_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "sim_ann_lsh"         -> (annLshGate _),
+    "sim_ann_ivf"         -> (annIvfGate _),
     "sim_ann_lsh_recall"  -> (annLshRecall _),
     "sim_ann_ivf_recall"  -> (annIvfRecall _),
     "sim_ann_index_recall" -> (annIndexRecall _),
@@ -1660,6 +1722,8 @@ object Similarity {
     "sim_topk_l2"         -> topKL2Sql,
     "sim_topk_agg"        -> topKSql,
     "sim_near_dup"        -> nearDupPairsSql,
+    "sim_ann_lsh"         -> annListGateSql,
+    "sim_ann_ivf"         -> annListGateSql,
     "sim_ann_lsh_recall"  -> annRecallSql,
     "sim_ann_ivf_recall"  -> annRecallSql,
     "sim_ann_index_recall" -> annRecallSql,
@@ -1670,7 +1734,7 @@ object Similarity {
     "embed_kmeans" -> kmeansSql,
     "embed_coreset" -> kCenterCoresetSql,
     "sim_mmr_rerank" -> mmrRerankSql)
-    // sim_ann_lsh / sim_ann_ivf raw neighbor lists stay rows-only
-    // (approximate by construction); their *_recall gates hash-check
-    // the quality bound instead.
+    // sim_ann_lsh / sim_ann_ivf gate the raw neighbor lists through
+    // [[annListGate]]'s provable structural facts (hash-checked
+    // constants); their *_recall gates hash-check retrieval quality.
 }

@@ -664,15 +664,23 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = daily
       .withColumn("prefix",
-        sum(col("v")).over(ordered).cast(DecimalType(28, 4)))
+        sum(col("v")).over(ordered).cast(DecimalType(20, 4)))
       .withColumn("k", row_number().over(byType.orderBy(col("day")))
         .cast(LongType))
       .withColumn("n_days", count(lit(1)).over(byType))
       .withColumn("total",
-        sum(col("v")).over(byType).cast(DecimalType(28, 4)))
-      // N·prefix − k·total: decimal × long stays exact
+        sum(col("v")).over(byType).cast(DecimalType(20, 4)))
+      // N·prefix − k·total: every operand is pinned to an explicit
+      // decimal type and each product stays under precision 38, so
+      // no engine-specific promotion/cap rule ever fires —
+      // DECIMAL(10,0)×DECIMAL(20,4) is exact in Spark and DuckDB
+      // alike, and the DECIMAL(37,4) products subtract into a clean
+      // DECIMAL(38,4) in both.
       .withColumn("dev",
-        abs(col("n_days") * col("prefix") - col("k") * col("total"))
+        abs((col("n_days").cast(DecimalType(10, 0)) * col("prefix"))
+            .cast(DecimalType(37, 4)) -
+          (col("k").cast(DecimalType(10, 0)) * col("total"))
+            .cast(DecimalType(37, 4)))
           .cast(DecimalType(38, 4)))
     val pick = Window.partitionBy(col("event_type"))
       .orderBy(col("dev").desc, col("day"))
@@ -694,18 +702,21 @@ object TimeSeries {
       |  SELECT event_type, day,
       |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      AS DECIMAL(28,4)) AS prefix,
+      |      AS DECIMAL(20,4)) AS prefix,
       |    CAST(row_number() OVER (PARTITION BY event_type
       |      ORDER BY day) AS BIGINT) AS k,
       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
       |      AS n_days,
       |    CAST(SUM(v) OVER (PARTITION BY event_type)
-      |      AS DECIMAL(28,4)) AS total
+      |      AS DECIMAL(20,4)) AS total
       |  FROM daily),
       |dev AS (
       |  SELECT event_type, day, k, n_days,
-      |    CAST(ABS(n_days * prefix - k * total) AS DECIMAL(38,4))
-      |      AS dev
+      |    CAST(ABS(
+      |      CAST(CAST(n_days AS DECIMAL(10,0)) * prefix
+      |        AS DECIMAL(37,4))
+      |      - CAST(CAST(k AS DECIMAL(10,0)) * total
+      |        AS DECIMAL(37,4))) AS DECIMAL(38,4)) AS dev
       |  FROM scored),
       |pick AS (
       |  SELECT *, row_number() OVER (PARTITION BY event_type

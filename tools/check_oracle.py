@@ -5,10 +5,20 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB with views over
-<sfDir>/*.parquet, and compares: schema (column names), row count, and
-values (columns sorted by name; exact equality, with float diffs
-reported). This is NOT part of the engine — it only de-risks the
-driver's CORRECTNESS gate before a round ends.
+<sfDir>/*.parquet, and compares: schema (column names), row count,
+DTYPES (a pandas-dtype mismatch is a HARD FAIL — the driver's hash is
+type-sensitive, so HUGEINT/DECIMAL leaking from the oracle fails the
+gate even when values agree), and values (columns sorted by name;
+exact equality including the Python value type on object columns, so
+Decimal(1) vs 1.0 is a diff). This is NOT part of the engine — it
+only de-risks the driver's CORRECTNESS gate before a round ends.
+
+Caveat: this container pins duckdb 1.0.0 (offline) while the driver
+runs a newer release; version-dependent SQL semantics (NULL-by
+arg_max, decimal promotion width) can still pass here and fail there.
+The defense is discipline, not this tool: oracle SQL must only emit
+BIGINT/VARCHAR/DATE/explicitly-CAST DECIMAL with no implicit
+promotion reaching the final projection.
 """
 import json
 import sys
@@ -44,18 +54,30 @@ def main(sf_dir, out_dir, only=None):
             cols = list(got.columns)
             g = got.sort_values(cols, na_position="first").reset_index(drop=True)
             e = exp.sort_values(cols, na_position="first").reset_index(drop=True)
+            def typed(v):
+                # value + concrete type: Decimal('1') != 1 != 1.0
+                return None if v is None else (type(v).__name__, repr(v))
+
             def col_eq(gv, ev):
                 both_na = gv.isna() & ev.isna()
-                try:
+                if str(gv.dtype) == "object" or str(ev.dtype) == "object":
+                    eq = (gv.where(gv.notna(), None).map(typed) ==
+                          ev.where(ev.notna(), None).map(typed))
+                else:
                     eq = (gv.astype(object).where(gv.notna(), None) ==
                           ev.astype(object).where(ev.notna(), None))
-                except Exception:
-                    eq = gv.astype(str) == ev.astype(str)
                 return eq | both_na
 
             mismatches = []
             for c in cols:
                 gv, ev = g[c], e[c]
+                # dtype mismatch is a HARD FAIL: the driver hashes
+                # dtype-sensitively, so HUGEINT rendering as float64
+                # fails the gate even with identical values.
+                if str(gv.dtype) != str(ev.dtype):
+                    mismatches.append(
+                        f"col {c}: DTYPE {gv.dtype} != {ev.dtype}")
+                    continue
                 eq = col_eq(gv, ev)
                 bad = (~eq).sum()
                 if bad:
@@ -63,8 +85,6 @@ def main(sf_dir, out_dir, only=None):
                     mismatches.append(
                         f"col {c}: {bad} diffs, first at row {i}: "
                         f"{gv[i]!r} != {ev[i]!r}")
-                if str(gv.dtype) != str(ev.dtype):
-                    print(f"  [note {name}.{c}: dtype {gv.dtype} vs {ev.dtype}]")
             if mismatches:
                 raise AssertionError("; ".join(mismatches))
             # order-sensitive check too (in case the driver hashes in order)
