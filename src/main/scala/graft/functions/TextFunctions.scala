@@ -164,13 +164,16 @@ object TextFunctions {
     * Returns array<long> of length k. Universal-hash re-mixing is the
     * standard O(n·k) one-pass formulation — no global sort, no
     * shuffle; each row computes its signature independently. */
-  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column = {
-    val hashes = shingleHashes(text, n)
-    val sig = (0 until k).map { seed =>
+  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column =
+    minhashSignatureOfHashes(shingleHashes(text, n), k)
+
+  /** Signature from PRECOMPUTED shingle hashes — for callers that
+    * also need the hash array itself (e.g. an empty-shingle-set
+    * guard) and must not compute the shingling twice. */
+  def minhashSignatureOfHashes(hashes: Column, k: Int = 32): Column =
+    array((0 until k).map { seed =>
       array_min(transform(hashes, h => xxhash64(h, lit(seed))))
-    }
-    array(sig: _*)
-  }
+    }: _*)
 
   /** LSH band keys: the signature split into `bands` groups of
     * `rowsPerBand`, each band hashed to one bucket key. Two docs that

@@ -261,11 +261,21 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame = {
     require(bands * rowsPerBand <= 32,
       s"band geometry $bands x $rowsPerBand exceeds the 32-hash signature")
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    bandKeysOf(
-      corpus.repartition(par).select(col("doc_id"),
-        shingleHashes(lower(col("text")), 3).as("hashes")),
-      bands, rowsPerBand)
+    // Pure projection: the per-row array-min signature form — no
+    // explode→groupBy shuffle, no repartition; a probe-side caller
+    // pays exactly one linear pass. Docs with no shingle emit no
+    // keys (the exploded-aggregation formulation dropped them too).
+    corpus
+      .select(col("doc_id"),
+        shingleHashes(lower(col("text")), 3).as("hashes"))
+      .filter(size(col("hashes")) > 0)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.minhashBands(
+          graft.functions.TextFunctions
+            .minhashSignatureOfHashes(col("hashes")),
+          bands, rowsPerBand)))
+      .select(col("doc_id"),
+        col("col.band").as("band"), col("col.bucket").as("bucket"))
   }
 
   /** Raw LSH bucket-collision candidates (id_a < id_b, deduped),

@@ -32,15 +32,37 @@ object TimeSeries {
     // Derive the user dimension from the (already tiny) hourly
     // aggregate, not a second full scan of the event stream — at
     // 100 TB the raw table is the expensive thing to touch twice.
-    val users = hourly.select(col("user_id")).distinct()
-    val spine = users.select(col("user_id"),
-      explode(sequence(
-        lit(gridStart).cast(TimestampType),
-        lit(gridEnd).cast(TimestampType),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+    // Exchange discipline: everything downstream is per-user, so ONE
+    // hash(user_id) re-clustering of the (already map-side-combined,
+    // users×hours-sized) hourly aggregate serves the whole tail. The
+    // user dimension is the first hourly row per user (a row_number
+    // window INSIDE the exchange — not a distinct, which would plan
+    // its own exchange over a second scan of the raw events); the
+    // spine explode preserves the partitioning; and the spine↔hourly
+    // join is a merge-hinted self-reuse of that SAME exchange —
+    // hash(user_id) is a subset of the join keys, so it satisfies the
+    // join's ClusteredDistribution and BOTH sides plan as
+    // ReusedExchange with intra-partition sorts only. The grid-sized
+    // (720×users) frame is never exchanged, the SMJ's (user_id, h)
+    // order feeds the fill window with no re-sort, and a per-user
+    // rollup on top aggregates exchange-free. The clustered hourly
+    // frame is cached (MEMORY_AND_DISK, users×hours rows — the
+    // aggregate, never the raw events) because column pruning would
+    // otherwise specialize the spine branch into a second full scan
+    // of the event table, defeating subtree reuse.
+    val clustered = hourly.repartition(col("user_id")).cache()
+    val spine = clustered
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("h"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        explode(sequence(
+          lit(gridStart).cast(TimestampType),
+          lit(gridEnd).cast(TimestampType),
+          expr("INTERVAL 1 HOUR"))).as("h"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("user_id", "h"), "left")
+    spine.join(clustered.hint("merge"), Seq("user_id", "h"), "left")
       .withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
   }
 
@@ -298,24 +320,51 @@ object TimeSeries {
     // instead of the all-corpus band self-join, whose candidate
     // volume explodes when the shingle alphabet is small. Candidates
     // are deduped as ID PAIRS before any behavior string re-joins.
-    // The corpus feeds four plan branches (band keys, query filter,
-    // both string re-joins) — cached so the upstream per-user
-    // aggregation runs once, not once per branch.
+    // The corpus feeds three plan branches (band keys plus both
+    // string re-joins) — cached so the upstream per-user aggregation
+    // runs once, not once per branch.
     val corpus = corpusIn.cache()
-    // referenced by both join sides — computed once, kept (doc_id,
-    // band, bucket) wide only
-    val banded = Dedup.minhashBandKeys(
-      corpus.select(col("user_id").as("doc_id"),
-        col("beh_words").as("text")),
-      bands = 16, rowsPerBand = 2).cache()
-    val qKeys = banded
-      .join(corpus.filter(col("is_query"))
-        .select(col("user_id").as("doc_id")), "doc_id")
-      .toDF("user_a", "band", "bucket")
+    // Band keys in the exploded-aggregation form (32 codegen'd min
+    // aggregates — the per-row HOF array-min signature evaluates
+    // interpreted, ~10× slower; see [[graft.ops.Similarity.annLsh]]),
+    // but with ZERO new exchanges: the corpus arrives hash(user_id)
+    // partitioned from its own groupBy, the explode preserves that,
+    // and is_query rides the grouping keys (a subset-key-satisfied
+    // clustering), so the signature aggregation never shuffles and
+    // the probe side is a FILTER of the same cached key frame — no
+    // separate query-id join.
+    val minCols = (0 until 32).map(seed =>
+      min(xxhash64(col("h"), lit(seed))).as(s"_m$seed"))
+    val banded = corpus
+      .select(col("user_id"), col("is_query"),
+        explode(graft.functions.TextFunctions.shingleHashes(
+          lower(col("beh_words")), 3)).as("h"))
+      .groupBy(col("user_id"), col("is_query"))
+      .agg(minCols.head, minCols.tail: _*)
+      .withColumn("sig",
+        array((0 until 32).map(i => col(s"_m$i")): _*))
+      .select(col("user_id"), col("is_query"),
+        posexplode(graft.functions.TextFunctions.minhashBands(
+          col("sig"), bands = 16, rowsPerBand = 2)))
+      .select(col("user_id"), col("is_query"),
+        col("col.band").as("band"), col("col.bucket").as("bucket"))
+      .cache()
+    val qKeys = banded.filter(col("is_query"))
+      .select(col("user_id").as("user_a"), col("band"), col("bucket"))
     val cand = qKeys
-      .join(banded.toDF("user_b", "band", "bucket"), Seq("band", "bucket"))
+      .join(banded.select(col("user_id").as("user_b"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
       .filter(col("user_a") =!= col("user_b"))
       .select(col("user_a"), col("user_b"))
+      // The id-pair frame is tiny in BYTES, so a bare distinct()'s
+      // shuffle gets AQE-coalesced to one partition — which would
+      // serialize the EXPENSIVE phase (per-candidate levenshtein is
+      // CPU, not I/O). A FIXED-width repartition on the full pair key
+      // pins the parallelism AND satisfies the distinct's clustering,
+      // so the dedup aggregates in place with no exchange of its own
+      // and the scoring runs 1-per-core wide.
+      .repartition(corpusIn.sparkSession.sparkContext
+        .defaultParallelism, col("user_a"), col("user_b"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_a")).orderBy(col("dist"), col("user_b"))
@@ -343,7 +392,9 @@ object TimeSeries {
     * "twin is top-1 at distance 1" is an exact, SQL-statable constant
     * while the candidates flow through the REAL bucketed machinery. */
   def behaviorLshGate(s: SparkSession, dir: String): DataFrame = {
-    val base = behaviorCorpus(s, dir)
+    // cached: the twin branch would otherwise re-scan and re-aggregate
+    // the raw event table a second time inside the union
+    val base = behaviorCorpus(s, dir).cache()
     val twins = base.filter(col("user_id") < 50).select(
       (col("user_id") + 100000L).as("user_id"),
       expr("substring(beh, 2)").as("beh"),
