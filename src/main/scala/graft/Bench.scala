@@ -45,10 +45,10 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-// A hash(k1) exchange may serve a (k1, k2) join (subset-key
-// co-partitioning — Spark made the conservative choice the
-// default in 3.4); the engine's shared-exchange plans rely on it.
-.config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // A hash(k1) exchange may serve a (k1, k2) join (subset-key
+      // co-partitioning — Spark made the conservative choice the
+      // default in 3.4); the engine's shared-exchange plans rely on it.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,10 +15,10 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-// A hash(k1) exchange may serve a (k1, k2) join (subset-key
-// co-partitioning — Spark made the conservative choice the
-// default in 3.4); the engine's shared-exchange plans rely on it.
-.config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // A hash(k1) exchange may serve a (k1, k2) join (subset-key
+      // co-partitioning — Spark made the conservative choice the
+      // default in 3.4); the engine's shared-exchange plans rely on it.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

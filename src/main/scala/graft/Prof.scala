@@ -9,10 +9,10 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[16]").config("spark.sql.shuffle.partitions", "16")
-// A hash(k1) exchange may serve a (k1, k2) join (subset-key
-// co-partitioning — Spark made the conservative choice the
-// default in 3.4); the engine's shared-exchange plans rely on it.
-.config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // A hash(k1) exchange may serve a (k1, k2) join (subset-key
+      // co-partitioning — Spark made the conservative choice the
+      // default in 3.4); the engine's shared-exchange plans rely on it.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -1195,8 +1195,11 @@ object Dedup {
     * leading-terminal forms) → strip one trailing slash.
     *
     * Every rule is a dialect-neutral regex (no lookaround, no
-    * backrefs) so Java regex and RE2 agree byte for byte — the gate
-    * hashes the grouped canonical table across both engines. Pure
+    * backrefs) so Java regex and RE2 agree byte for byte, and the
+    * oracle passes 'g' on EVERY regexp_replace — Spark replaces all
+    * occurrences while DuckDB's default replaces only the first, so
+    * replace SEMANTICS, not just regex syntax, must be pinned — the
+    * gate hashes the grouped canonical table across both engines. Pure
     * codegen projection + one canonical-key groupBy: at 100 TB the
     * normalization runs at scan speed and the only shuffle carries
     * (canonical, id).
@@ -1274,16 +1277,16 @@ object Dedup {
       |          regexp_replace(
       |            regexp_replace(
       |              regexp_replace(
-      |                lower(regexp_extract(regexp_replace(url, '#.*', ''),
+      |                lower(regexp_extract(regexp_replace(url, '#.*', '', 'g'),
       |                  '^[^/]*//[^/]*', 0))
-      |                || regexp_replace(regexp_replace(url, '#.*', ''),
-      |                     '^[^/]*//[^/]*', ''),
-      |                ':443$', ''),
-      |              ':443/', '/'),
+      |                || regexp_replace(regexp_replace(url, '#.*', '', 'g'),
+      |                     '^[^/]*//[^/]*', '', 'g'),
+      |                ':443$', '', 'g'),
+      |              ':443/', '/', 'g'),
       |            '&utm_[^&#]*', '', 'g'),
-      |          '\?utm_[^&#]*&', '?'),
-      |        '\?utm_[^&#]*$', ''),
-      |      '/$', '') AS canon
+      |          '\?utm_[^&#]*&', '?', 'g'),
+      |        '\?utm_[^&#]*$', '', 'g'),
+      |      '/$', '', 'g') AS canon
       |  FROM raw)
       |SELECT canon, COUNT(*) AS n_urls, MIN(doc_id) AS keeper
       |FROM canon GROUP BY canon ORDER BY canon""".stripMargin

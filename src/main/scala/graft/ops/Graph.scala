@@ -581,7 +581,13 @@ object Graph {
     * `min` per destination, and the new vector is the element-wise
     * min with the previous round. |V|−1 rounds guarantee
     * convergence; event graphs have a handful of types so `iters`
-    * defaults to 8. Distances stay scaled longs (INF = 10¹⁵ sentinel
+    * defaults to 8 — and because the oracle replays the SAME
+    * truncated recurrence (it would hash green even on non-final
+    * distances), a post-loop relaxation ASSERTS the fixpoint was
+    * reached: if a wider graph ever needs more rounds, the gate
+    * fails loudly instead of certifying non-shortest paths. The
+    * check is one extra join over the O(nodes) vector — metadata.
+    * Distances stay scaled longs (INF = 10¹⁵ sentinel
     * for unreachable) — every update is integer min/add, bit-exact,
     * so the unrolled-CTE oracle replays the identical recurrence. */
   private val Inf = 1000000000000000L
@@ -613,6 +619,18 @@ object Graph {
           least(col("d"), coalesce(col("cand"), lit(Inf))).as("d"))
         .localCheckpoint()
     }
+    // Fixpoint assertion: one further relaxation must improve nothing.
+    val improvable = edges
+      .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
+      .filter(col("d") < Inf)
+      .select(col("dst").as("node"), (col("d") + col("cost")).as("cand"))
+      .join(dist, "node")
+      .filter(col("cand") < col("d"))
+      .count()
+    require(improvable == 0L,
+      s"sssp: $iters Bellman-Ford rounds did not converge " +
+      s"($improvable distances still improvable) — raise iters on " +
+      "BOTH the engine and the unrolled oracle")
     dist.orderBy(col("node"))
   }
 

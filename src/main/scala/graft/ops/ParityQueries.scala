@@ -636,7 +636,8 @@ object ParityQueries {
       Tables.events(s, dir)
         .select(format_string(
           "%s - u%d [%s +0000] \"GET /%s HTTP/1.1\" %d %d",
-          concat_ws(".", lit(10),
+          concat_ws(".",
+            expr("user_id div 16777216") % 256,
             expr("user_id div 65536") % 256,
             expr("user_id div 256") % 256,
             col("user_id") % 256),
@@ -667,8 +668,9 @@ object ParityQueries {
       .orderBy(col("path"))
   }
 
-  // ip ↔ user_id is injective below 2^24, so COUNT(DISTINCT ip) on
-  // the parsed side equals COUNT(DISTINCT user_id) on the source.
+  // All four octets derive from user_id, so ip ↔ user_id is injective
+  // below 2^32 (any realistic user-id space) and COUNT(DISTINCT ip)
+  // on the parsed side equals COUNT(DISTINCT user_id) on the source.
   val convWeblogParseSql: String =
     """SELECT '/' || event_type AS path, COUNT(*) AS n_req,
       |  COUNT(DISTINCT user_id) AS n_ips,

@@ -286,27 +286,42 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
-  /** Overflow-safe multiplicative row hash in [0, 2^32): the
-    * `mod 1000003` pre-reduction keeps the multiply inside 2^63 for
-    * ANY 64-bit id (same idiom as [[trainValTestSplit]]) — a bare
-    * `id * 2654435761` wraps silently in Spark but errors in DuckDB
-    * once ids pass ~3.5e9, and the wrapped negatives make `pmod` vs
-    * `%` diverge between engines. The SQL twin folds the residue
-    * non-negative by hand (`% + m) % m`) because DuckDB's `%` follows
-    * the dividend's sign while Spark's `pmod` never goes negative —
-    * so the two texts agree for negative ids too.
-    *
-    * Known limit: the hash depends only on `doc_id mod 1000003`, so
-    * ids that differ by a multiple of 1,000,003 share one keep
-    * decision. Sampled FRACTIONS stay accurate at any corpus size,
-    * but per-doc independence degrades past ~1e6 docs; a billion-doc
-    * corpus wanting independent per-doc draws should swap in a full
-    * 64-bit mix (split-multiply / xorshift) on both sides. */
-  private def rowHash32(id: Column): Column =
-    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(4294967296L))
+  /** Overflow-safe FULL-WIDTH row hash in [0, 2^32): the id is split
+    * into its two's-complement 32-bit halves (`& 0xFFFFFFFF` after an
+    * arithmetic shift — bit-identical in Spark and DuckDB for
+    * negative ids too, and every operand is non-negative from there
+    * on, so `%` and `pmod` agree without sign folding), then run
+    * through three multiply–carry rounds with the 27-bit constant
+    * 73244475: each round's multiply stays below 2^59 — inside
+    * signed-64 for Spark AND for DuckDB, whose `*` ERRORS on overflow
+    * rather than wrapping — and the `(h >> 16) +` term folds the
+    * high half back down with a carry chain, making the rounds
+    * non-linear over the bit vector. The hash depends on ALL 64 id
+    * bits, so per-doc keep decisions stay independent at any corpus
+    * size (the previous `mod 1000003` pre-reduction tied together
+    * ids a multiple of 1,000,003 apart). */
+  private def rowHash32(id: Column): Column = {
+    val m = lit(4294967296L)
+    val c = lit(73244475L)
+    val lo = id.bitwiseAND(lit(4294967295L))
+    val hi = shiftright(id, 32).bitwiseAND(lit(4294967295L))
+    val h1 = pmod(hi * c + lo, m)
+    val h2 = pmod(shiftright(h1, 16) + h1 * c + hi, m)
+    val h3 = pmod(shiftright(h2, 16) + h2 * c, m)
+    pmod(shiftright(h3, 16) + h3, m)
+  }
 
-  private val rowHash32Sql =
-    "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 4294967296"
+  /** The same mix as SQL text (macro-expanded; DuckDB's CSE dedupes
+    * the repeated subtrees, and the oracle only runs at dev SF). */
+  private val rowHash32Sql: String = {
+    val m = "4294967296"
+    val lo = "(doc_id & 4294967295)"
+    val hi = "((doc_id >> 32) & 4294967295)"
+    val h1 = s"(($hi * 73244475 + $lo) % $m)"
+    val h2 = s"((($h1 >> 16) + $h1 * 73244475 + $hi) % $m)"
+    val h3 = s"((($h2 >> 16) + $h2 * 73244475) % $m)"
+    s"((($h3 >> 16) + $h3) % $m)"
+  }
 
   /** Gate: mix to 50% src0 / 30% src1 / 10% src2, dropping all other
     * sources (weight 0). */

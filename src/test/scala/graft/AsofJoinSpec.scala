@@ -104,4 +104,41 @@ class AsofJoinSpec extends SparkSpec {
     assert(bounded(903L) == -1L) // 12h match dies under a 1h tolerance
     assert(bounded(900L) == 100L)
   }
+
+  test("native == composed under AQE with a skewed key (one user holds 50%)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // One hot user owns every second row — under AQE the exchanges
+    // around this fixture coalesce and the hot key dominates one
+    // partition. The native exec's required-distribution declaration
+    // must keep each key's rows together through that re-plan; bit
+    // equality with the window-composed formulation (whose
+    // correctness the asof_join gate pins against DuckDB) proves it.
+    def user(i: Int): Long = if (i % 2 == 0) 7L else (i % 97).toLong
+    val views = (0 until 4000).map { i =>
+      (user(i), new Timestamp(1700000000000L + (i * 7919L) % 86400000L),
+        10000L + i)
+    }.toDF("user_id", "ts", "event_id")
+    val purchases = (0 until 2000).map { i =>
+      (user(i), new Timestamp(1700000000000L + (i * 104729L) % 86400000L),
+        90000L + i)
+    }.toDF("user_id", "ts", "event_id")
+    val composed = AsofJoin.asof(purchases, views, "user_id", "ts",
+        "event_id", Seq("event_id"), Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("asof_event_id"), col("asof_ts"))
+    val native = graft.plans.AsofJoinNative.join(purchases,
+        views.select(col("user_id").as("v_user_id"),
+          col("ts").as("asof_ts"), col("event_id").as("asof_event_id")),
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "v_user_id", rightTime = "asof_ts",
+        rightTie = "asof_event_id")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("asof_event_id"), col("asof_ts"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val (c, n) = (canon(composed), canon(native))
+    assert(c.nonEmpty && c.count(_.head == 7L) * 2 >= c.size) // skew is real
+    assert(n == c)
+  }
 }

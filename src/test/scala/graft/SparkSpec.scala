@@ -11,10 +11,10 @@ trait SparkSpec extends AnyFunSuite {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-// A hash(k1) exchange may serve a (k1, k2) join (subset-key
-// co-partitioning — Spark made the conservative choice the
-// default in 3.4); the engine's shared-exchange plans rely on it.
-.config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // A hash(k1) exchange may serve a (k1, k2) join (subset-key
+      // co-partitioning — Spark made the conservative choice the
+      // default in 3.4); the engine's shared-exchange plans rely on it.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
