@@ -559,7 +559,156 @@ object Learn {
        |FROM ranked WHERE rk = 1 ORDER BY leaf""".stripMargin
   }
 
+  /** One L2-boosting round on top of a least-squares stump — the
+    * gradient-boosting KERNEL (Friedman 2001) in histogram form:
+    * round 1 fits a variance-gain stump to y; round 2 fits a second
+    * stump to the RESIDUALS y − γ_leaf. The distributed insight is
+    * that with a fixed global bin grid both rounds derive from the
+    * SAME 16-cell (pos, cnt) histogram — residuals are constant
+    * within (bin, y), so the residual sums per bin are pure
+    * arithmetic over round-1 aggregates: t_b = pos_b·D −
+    * cnt_b·S_leaf(b)·n_other(b), with every residual pre-scaled by
+    * D = n_L·n_R so the whole second round stays INTEGER-exact
+    * (|t| ≤ n⁴ — BIGINT-safe to ~55 k rows; wider corpora cast the
+    * t-accumulators to DECIMAL(38,0), same plan). ONE scan of the
+    * corpus total; both split searches run on 16-row metadata
+    * windows. Split scores (S_L²/n_L + S_R²/n_R) are used for
+    * ORDERING only — identical IEEE double sequences on both
+    * engines, never emitted — and the gate's columns are the exact
+    * integers (split sums/counts and the residual sums), from which
+    * the leaf values γ = S/n and boosting increments γ₂ = T/(D·c)
+    * are rational reconstructions. */
+  def gbdtRound(s: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("n_chars").cast(LongType).as("x"),
+        (col("lang") === "en").cast(IntegerType).as("y"))
+    val rng = docs.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val cells = docs.crossJoin(broadcast(rng))
+      .select(expr(s"((x - mn) * $bins) div (mx - mn + 1)").as("bin"),
+        col("y"), col("mn"), col("mx"))
+      .groupBy(col("bin"), col("mn"), col("mx"))
+      .agg(sum(col("y")).cast(LongType).as("pos"),
+        count(lit(1)).as("cnt"))
+    val wc = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    def splitScore(sl: Column, cl: Column, sr: Column, cr: Column) =
+      sl.cast(DoubleType) * sl.cast(DoubleType) / cl.cast(DoubleType) +
+        sr.cast(DoubleType) * sr.cast(DoubleType) / cr.cast(DoubleType)
+    // 16-row frames: every window below is metadata-sized.
+    val edges1 = cells
+      .withColumn("sl", sum(col("pos")).over(wc))
+      .withColumn("cl", sum(col("cnt")).over(wc))
+      .withColumn("st", sum(col("pos")).over(wt))
+      .withColumn("ct", sum(col("cnt")).over(wt))
+      .withColumn("maxbin", max(col("bin")).over(wt))
+      .filter(col("bin") < col("maxbin")) // both sides non-empty
+      .withColumn("sr", col("st") - col("sl"))
+      .withColumn("cr", col("ct") - col("cl"))
+    val best1 = edges1
+      .withColumn("rk", row_number().over(Window.orderBy(
+        splitScore(col("sl"), col("cl"), col("sr"), col("cr")).desc,
+        col("bin"))))
+      .filter(col("rk") === 1)
+      .select(col("bin").as("bin1"), col("mn"), col("mx"),
+        col("sl"), col("cl"), col("sr"), col("cr"),
+        (col("cl") * col("cr")).as("d"))
+    val edges2 = cells.select(col("bin"), col("pos"), col("cnt"))
+      .crossJoin(broadcast(best1))
+      .withColumn("t",
+        col("pos") * col("d") - col("cnt") *
+          when(col("bin") <= col("bin1"), col("sl") * col("cr"))
+            .otherwise(col("sr") * col("cl")))
+      .withColumn("tl", sum(col("t")).over(wc))
+      .withColumn("nl", sum(col("cnt")).over(wc))
+      .withColumn("tt", sum(col("t")).over(wt))
+      .withColumn("nt", sum(col("cnt")).over(wt))
+      .withColumn("maxbin", max(col("bin")).over(wt))
+      .filter(col("bin") < col("maxbin"))
+      .withColumn("tr", col("tt") - col("tl"))
+      .withColumn("nr", col("nt") - col("nl"))
+    edges2
+      .withColumn("rk", row_number().over(Window.orderBy(
+        splitScore(col("tl"), col("nl"), col("tr"), col("nr")).desc,
+        col("bin"))))
+      .filter(col("rk") === 1)
+      .select(col("bin1"),
+        expr(s"mn + (((bin1 + 1) * (mx - mn + 1)) div $bins)")
+          .as("thr1"),
+        col("sl").as("s_l"), col("cl").as("c_l"),
+        col("sr").as("s_r"), col("cr").as("c_r"),
+        col("bin").as("bin2"),
+        expr(s"mn + (((bin + 1) * (mx - mn + 1)) div $bins)")
+          .as("thr2"),
+        col("tl").as("t_l"), col("nl").as("n_l"),
+        col("tr").as("t_r"), col("nr").as("n_r"),
+        col("d"))
+  }
+
+  val gbdtRoundSql: String = {
+    def score(sl: String, cl: String, sr: String, cr: String) =
+      s"""CAST($sl AS DOUBLE) * CAST($sl AS DOUBLE) / CAST($cl AS DOUBLE)
+         |      + CAST($sr AS DOUBLE) * CAST($sr AS DOUBLE)
+         |        / CAST($cr AS DOUBLE)""".stripMargin
+    s"""WITH d0 AS (
+       |  SELECT CAST(n_chars AS BIGINT) AS x,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |rng AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM d0),
+       |cells AS (
+       |  SELECT ((x - mn) * 16) // (mx - mn + 1) AS bin, mn, mx,
+       |    CAST(SUM(y) AS BIGINT) AS pos,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM d0 CROSS JOIN rng GROUP BY 1, 2, 3),
+       |cum1 AS (
+       |  SELECT bin, mn, mx,
+       |    CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS sl,
+       |    CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cl,
+       |    CAST(SUM(pos) OVER () AS BIGINT) AS st,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS ct,
+       |    MAX(bin) OVER () AS maxbin
+       |  FROM cells),
+       |best1 AS (
+       |  SELECT bin AS bin1, mn, mx, sl, cl,
+       |    st - sl AS sr, ct - cl AS cr, cl * (ct - cl) AS d
+       |  FROM cum1 WHERE bin < maxbin
+       |  ORDER BY ${score("sl", "cl", "(st - sl)", "(ct - cl)")} DESC,
+       |    bin LIMIT 1),
+       |cells2 AS (
+       |  SELECT c.bin,
+       |    c.pos * b.d - c.cnt *
+       |      (CASE WHEN c.bin <= b.bin1 THEN b.sl * b.cr
+       |            ELSE b.sr * b.cl END) AS t,
+       |    c.cnt
+       |  FROM cells c CROSS JOIN best1 b),
+       |cum2 AS (
+       |  SELECT bin,
+       |    CAST(SUM(t) OVER (ORDER BY bin) AS BIGINT) AS tl,
+       |    CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS nl,
+       |    CAST(SUM(t) OVER () AS BIGINT) AS tt,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS nt,
+       |    MAX(bin) OVER () AS maxbin
+       |  FROM cells2),
+       |best2 AS (
+       |  SELECT bin AS bin2, tl, nl, tt - tl AS tr, nt - nl AS nr
+       |  FROM cum2 WHERE bin < maxbin
+       |  ORDER BY ${score("tl", "nl", "(tt - tl)", "(nt - nl)")} DESC,
+       |    bin LIMIT 1)
+       |SELECT b1.bin1,
+       |  CAST(b1.mn + ((b1.bin1 + 1) * (b1.mx - b1.mn + 1)) // 16
+       |    AS BIGINT) AS thr1,
+       |  b1.sl AS s_l, b1.cl AS c_l, b1.sr AS s_r, b1.cr AS c_r,
+       |  b2.bin2,
+       |  CAST(b1.mn + ((b2.bin2 + 1) * (b1.mx - b1.mn + 1)) // 16
+       |    AS BIGINT) AS thr2,
+       |  b2.tl AS t_l, b2.nl AS n_l, b2.tr AS t_r, b2.nr AS n_r,
+       |  b1.d
+       |FROM best1 b1 CROSS JOIN best2 b2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_gbdt_round" -> ((s: SparkSession, d: String) =>
+      gbdtRound(s, d)),
     "learn_tree_depth2" -> ((s: SparkSession, d: String) =>
       treeDepth2(s, d)),
     "learn_stump" -> ((s: SparkSession, d: String) => stump(s, d)),
@@ -569,6 +718,7 @@ object Learn {
     "learn_linreg" -> (linreg _))
 
   def oracle: Map[String, String] = Map(
+    "learn_gbdt_round" -> gbdtRoundSql,
     "learn_tree_depth2" -> treeDepth2Sql,
     "learn_stump" -> stumpSql,
     "learn_logreg_steps" -> logregSql,

@@ -901,6 +901,115 @@ object Similarity {
       .withColumn("q", vectorQuantizeInt8(col("v"), col("scale")))
   }
 
+  // ---------------------------------------------------------------- //
+
+  /** Binary (sign-bit) quantization + Hamming scan — the 64×
+    * compression tier BELOW [[quantizeInt8]] (one BIT per component):
+    * bit d of a code word is `v[d] > 0`, Hamming distance between
+    * codes estimates the angle (sign agreement of random projections
+    * — here the raw components — concentrates with dimension), and a
+    * rerank on the exact vectors repairs the quantization error for
+    * the shortlist only. This is the scan shape production vector
+    * stores run first: the probe reads 16 B/row of codes instead of
+    * the ~0.5 KB float vector, so a full-corpus scan IS the cheap
+    * path and needs no index at all.
+    *
+    * Packing: each 32-dim block folds into one non-negative word
+    * (bits 0–31 only, so DuckDB's overflow-checked BIGINT arithmetic
+    * and Spark agree exactly); the 64-dim corpus yields (lo, hi).
+    * The pack is a static codegen'd projection — 32 element_at
+    * terms, no HOF, no shuffle; distance is two
+    * `bit_count(xor(...))` terms, also codegen'd.
+    *
+    * Scale: codes are produced by a linear pass and scanned linearly;
+    * the q×N distance work streams over 16 B rows with the 5-query
+    * code block broadcast. The rerank joins exact vectors for only
+    * q×shortlist ids. Both gates are DETERMINISTIC — sign bits and
+    * integer distances have no IEEE or RNG content — so the Hamming
+    * top-k has an exact DuckDB oracle, and the rerank's recall
+    * against the exact cosine top-k is a hash-checkable constant. */
+  private def bqWord(v: Column, offset: Int): Column =
+    (0 until 32).map { d =>
+      when(element_at(v, offset + d + 1) > 0.0, lit(1L << d))
+        .otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+
+  /** (vec_id, lo, hi) sign codes for a (vec_id, v) corpus. */
+  def bqCodes(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), bqWord(col("v"), 0).as("lo"),
+      bqWord(col("v"), 32).as("hi"))
+
+  /** Hamming top-`k` neighbors of the query codes (vec_id < 5) over
+    * the full code corpus — ties break on target id. */
+  private def bqNeighbors(s: SparkSession, dir: String, k: Int)
+      : DataFrame = {
+    val codes = bqCodes(vecs(s, dir))
+    val par = s.sparkContext.defaultParallelism
+    val q = codes.filter(col("vec_id") < 5)
+      .toDF("query_id", "qlo", "qhi")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("target_id"))
+    codes.toDF("target_id", "lo", "hi").repartition(par)
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("ham",
+        (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("hi")))).cast(LongType))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  def bqTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    bqNeighbors(s, dir, k)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"), col("ham"))
+      .orderBy(col("query_id"), col("rank"))
+
+  val bqTopKSql: String =
+    """WITH vecs AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_transform(range(0,32), d ->
+      |      CASE WHEN v[d+1] > 0 THEN (1::BIGINT << d)
+      |           ELSE 0::BIGINT END), (a,b) -> a + b) AS lo,
+      |    list_reduce(list_transform(range(0,32), d ->
+      |      CASE WHEN v[d+33] > 0 THEN (1::BIGINT << d)
+      |           ELSE 0::BIGINT END), (a,b) -> a + b) AS hi
+      |  FROM vecs)
+      |SELECT query_id, target_id, rank, ham FROM (
+      |  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+      |    CAST(bit_count(xor(q.lo, t.lo))
+      |       + bit_count(xor(q.hi, t.hi)) AS BIGINT) AS ham,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY bit_count(xor(q.lo, t.lo))
+      |             + bit_count(xor(q.hi, t.hi)), t.vec_id) AS rank
+      |  FROM codes q, codes t
+      |  WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Rerank gate: Hamming shortlist (top-32 codes) → exact cosine on
+    * the shortlisted vectors only → top-5, pushed through the same
+    * deterministic recall bound as every ANN gate. */
+  def bqRerankRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    val reranked = bqNeighbors(s, dir, k = 32)
+      .select(col("query_id"), col("target_id"))
+      .join(base.toDF("target_id", "tv"), "target_id")
+      .join(broadcast(base.filter(col("vec_id") < 5)
+        .toDF("query_id", "qv")), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("target_id"))
+    annRecallGate(s, dir, reranked, threshold = 0.4)
+  }
+
   /** Gate: quantize vec_id < 50 and emit exact integer invariants of
     * the codes (first code, sum, max |code|) plus the max dequant
     * error rounded to 1e-6 — scalar columns so the hash compare never
@@ -1689,6 +1798,8 @@ object Similarity {
     "embed_centroids"     -> (centroids _),
     "embed_classify"      -> (classifyByCentroid _),
     "embed_quantize"      -> (embedQuantize _),
+    "sim_bq_topk"         -> ((s: SparkSession, d: String) => bqTopK(s, d)),
+    "sim_bq_rerank_recall" -> (bqRerankRecall _),
     "sim_rerank_quantized" -> ((s: SparkSession, d: String) =>
       rerankQuantized(s, d)),
     "sim_topk_bruteforce" -> (topK _),
@@ -1717,6 +1828,8 @@ object Similarity {
     "embed_centroids"     -> centroidsSql,
     "embed_classify"      -> classifyByCentroidSql,
     "embed_quantize"      -> embedQuantizeSql,
+    "sim_bq_topk"         -> bqTopKSql,
+    "sim_bq_rerank_recall" -> annRecallSql,
     "sim_rerank_quantized" -> rerankQuantizedSql,
     "sim_topk_bruteforce" -> topKSql,
     "sim_topk_l2"         -> topKL2Sql,

@@ -284,4 +284,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(prefix == brute,
       s"missing=${brute.diff(prefix).take(5)} extra=${prefix.diff(brute).take(5)}")
   }
+
+  test("binary quantization: bits match signs, codes non-negative, self-distance zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array.tabulate(64)(d => if (d % 3 == 0) 0.5 else -0.5)),
+      (2L, Array.fill(64)(-1.0)),           // all-negative → code 0
+      (3L, Array.fill(64)(2.0))             // all-positive → all 32 bits
+    ).toDF("vec_id", "v")
+    val out = graft.ops.Similarity.bqCodes(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expLo = (0 until 32).filter(_ % 3 == 0).map(1L << _).sum
+    val expHi = (32 until 64).filter(_ % 3 == 0).map(d => 1L << (d - 32)).sum
+    assert(out(1L) == ((expLo, expHi)))
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(3L) == (((1L << 32) - 1, (1L << 32) - 1)))
+    assert(out.values.forall { case (lo, hi) => lo >= 0 && hi >= 0 })
+    // Hamming(x, x) = 0 via the same xor/bit_count expression
+    assert(java.lang.Long.bitCount(expLo ^ expLo) == 0)
+  }
 }

@@ -358,6 +358,34 @@ class RoundSixOpsSpec extends SparkSpec {
       ((10L, 0L, 0L, 10L)))
   }
 
+  test("learn_gbdt_round: residual round finds the secondary split") {
+    // Three clusters: lows (y=1), mids (y=0), highs (y=1). Round 1
+    // ties between the two clean edges and takes the lower (after the
+    // lows); the right leaf then holds mids (residual −½) and highs
+    // (+½), so round 2 MUST split between them — a different edge
+    // than round 1, which is the whole point of boosting.
+    val dir = tmpDir("r6_gbdt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows =
+      (0 until 10).map(i => Row(i.toLong, "t", "en", "s", 10L + i)) ++
+      (0 until 10).map(i => Row(10L + i, "t", "de", "s", 60L + i)) ++
+      (0 until 10).map(i => Row(20L + i, "t", "en", "s", 110L + i))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.Learn.gbdtRound(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 23L)))        // bin1, thr1
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((10L, 10L, 10L, 20L)))                                   // s/c per side
+    assert((r.getLong(6), r.getLong(7)) === ((8L, 71L)))        // bin2, thr2
+    assert((r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11)) ===
+      ((-1000L, 20L, 1000L, 10L)))                              // t/n per side
+    assert(r.getLong(12) === 200L)                              // d = nL·nR
+  }
+
   test("dq_freshness: stale stream flagged against the corpus clock") {
     // stream A last seen at the corpus max; stream B two hours behind
     val dir = tmpDir("r6_fresh")
