@@ -853,7 +853,9 @@ object Similarity {
           .as("sims_exact"),
         bool_and(col("query_id") < 5 &&
           col("target_id") =!= col("query_id")).as("pairs_valid"))
-    queries.select(col("query_id")).join(checked, Seq("query_id"), "left")
+    // both sides are ≤|queries| rows — broadcast, never sort-merge
+    queries.select(col("query_id"))
+      .join(broadcast(checked), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("ranks_ok"), lit(true)).as("ranks_ok"),
         coalesce(col("sims_descending"), lit(true)).as("sims_descending"),

@@ -90,6 +90,41 @@ class JoinStrategySpec extends SparkSpec {
     assert(hashExchanges == 1, plan)
   }
 
+  test("resample: the grid frame is never exchanged (shared hash(user) clustering)") {
+    val plan = planOf(graft.ops.TimeSeries.tsResample(spark, sf))
+    // Contract of the shared-exchange design: the 720×users spine is
+    // born inside the hourly aggregate's hash(user_id) re-clustering,
+    // the spine↔hourly SMJ reuses it on BOTH sides (subset-key
+    // co-partitioning), and the fill window + per-user rollup ride
+    // the same clustering. The ONLY hash exchanges in the whole plan
+    // are therefore the hourly aggregate's and the explicit
+    // re-clustering — anything more means the grid frame leaked into
+    // a shuffle.
+    assert(plan.contains("SortMergeJoin"), plan)
+    // Everything ABOVE the join (fill window, per-user rollup) rides
+    // the join's hash(user_id) clustering: the only exchange allowed
+    // there is the gate's final range sort. (The small hourly sides
+    // BELOW the join may re-cluster — that frame is users×hours,
+    // metadata next to the grid.)
+    val lines = plan.linesIterator.toSeq
+    val joinAt = lines.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinAt > 0, plan)
+    assert(!lines.take(joinAt).exists(_.contains("Exchange hashpartitioning")),
+      lines.take(joinAt).mkString("\n"))
+    assert(!plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("behavior LSH: candidate scoring keeps fixed-width parallelism") {
+    val corpus = graft.ops.TimeSeries.behaviorCorpus(spark, sf)
+      .withColumn("is_query", org.apache.spark.sql.functions.col("user_id") < 50)
+    val plan = planOf(graft.ops.TimeSeries.behaviorTopKLshOver(corpus))
+    // The id-pair repartition before the levenshtein phase must be a
+    // FIXED-width REPARTITION_BY_COL (AQE would otherwise coalesce the
+    // tiny shuffle to one partition and serialize the scoring).
+    assert(plan.contains("REPARTITION_BY_NUM") ||
+      plan.contains("REPARTITION_BY_COL"), plan)
+  }
+
   test("eval_ndcg: histogram sides broadcast, no sort-merge join") {
     val plan = planOf(graft.ops.Evaluation.ndcgGate(spark, sf))
     assert(plan.contains("BroadcastExchange"), plan)
