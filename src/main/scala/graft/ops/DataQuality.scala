@@ -111,32 +111,42 @@ object DataQuality {
     * broadcast back. Two scans total; both shuffles are O(groups).
     * The standard outlier screen a DQ pipeline runs per batch. */
   def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      sigmas: Double = 3.0): DataFrame = {
+      sigmas: Double = 3.0): DataFrame =
+    zScoreOutliersBy(df, Seq(groupCol), valueCol, sigmas)
+
+  /** Multi-key generalization of [[zScoreOutliers]] — the seasonal
+    * anomaly screen groups on (event_type, hour) rather than one
+    * column; same two-scan decimal-power-sum plan, both shuffles
+    * O(groups). */
+  def zScoreOutliersBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, sigmas: Double = 3.0): DataFrame = {
     // Internal columns carry a `_zs_` prefix: these helpers are a
     // general API, and a caller frame that already owns a column named
     // `n`/`mean`/`sd` would otherwise collide with (or silently
     // shadow) the stats introduced by the join below.
+    val keys = groupCols.map(col)
     val v = col(valueCol).cast(DecimalType(18, 4))
     val mean = col("_zs_sv") / col("_zs_n")
     val sd = sqrt(greatest(
       col("_zs_svv") / col("_zs_n")
         - (col("_zs_sv") / col("_zs_n")) * (col("_zs_sv") / col("_zs_n")),
       lit(0.0)))
-    val stats = df.groupBy(col(groupCol))
+    val stats = df.groupBy(keys: _*)
       .agg(count(lit(1)).as("_zs_n"),
         sum(v).cast(DoubleType).as("_zs_sv"),
         sum(v * v).cast(DoubleType).as("_zs_svv"))
-      .select(col(groupCol), col("_zs_n"),
-        mean.as("_zs_mean"), sd.as("_zs_sd"))
-    df.join(broadcast(stats), groupCol)
-      .groupBy(col(groupCol), col("_zs_n"), col("_zs_mean"), col("_zs_sd"))
+      .select(keys ++ Seq(col("_zs_n"),
+        mean.as("_zs_mean"), sd.as("_zs_sd")): _*)
+    df.join(broadcast(stats), groupCols)
+      .groupBy(keys ++ Seq(
+        col("_zs_n"), col("_zs_mean"), col("_zs_sd")): _*)
       .agg(sum(when(
         abs(col(valueCol) - col("_zs_mean")) > lit(sigmas) * col("_zs_sd"),
         1L).otherwise(0L)).as("outliers"))
-      .select(col(groupCol), col("_zs_n").as("n"), col("outliers"),
+      .select(keys ++ Seq(col("_zs_n").as("n"), col("outliers"),
         round(col("_zs_mean"), 6).as("mean6"),
-        round(col("_zs_sd"), 6).as("sd6"))
-      .orderBy(col(groupCol))
+        round(col("_zs_sd"), 6).as("sd6")): _*)
+      .orderBy(keys: _*)
   }
 
   /** Gate: 3σ outlier screen of event values per event type. */

@@ -1069,6 +1069,91 @@ object Dedup {
       |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Duplicated-CHARACTER fraction (the Lee et al. "deduplicating
+    * training data" measure [[spanCoverage]] approximates): the
+    * stride-windowed grams shared across documents are turned back
+    * into character intervals [pos, pos+window) and MERGED per doc by
+    * the classic sweep — running max of interval ends over the
+    * start-ordered spans, each span contributing only its uncovered
+    * suffix — so overlapping dup spans are never double-counted and
+    * the emitted `dup_chars` is the exact union length. Fraction is a
+    * ppm BIGINT (`dup_chars·10⁶ div len`), float-free.
+    *
+    * Scale: identical shuffle shape to [[spanCoverage]] (gram-keyed,
+    * ≤ 40 B + doc_id per row); the merge sweep is a window
+    * PARTITIONED BY doc_id over ≤ len/stride spans — per-doc state,
+    * never global. */
+  def spanUnion(s: SparkSession, dir: String,
+      window: Int = 40, stride: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val grams = docs.filter(col("len") >= window)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((col("len") - window) / stride)
+            .cast(IntegerType)),
+          i => struct((i * stride).cast(LongType).as("st"),
+            col("text").substr(i * stride + 1, lit(window)).as("gram"))))
+          .as("g"))
+      .select(col("doc_id"), col("g.st").as("st"), col("g.gram").as("gram"))
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val spans = grams.join(shared, Seq("gram"))
+      .select(col("doc_id"), col("st"), (col("st") + window).as("en"))
+    val sweep = w.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val covered = spans
+      .withColumn("reach", coalesce(max(col("en")).over(sweep), lit(0L)))
+      .select(col("doc_id"),
+        greatest(col("en") - greatest(col("st"), col("reach")), lit(0L))
+          .as("add"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("add")).as("dup_chars"))
+    docs.select(col("doc_id"), col("len"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len").cast(LongType).as("len"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        expr("(coalesce(dup_chars, 0L) * 1000000L) div len")
+          .as("dup_frac_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanUnionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(0, (len - 40) // 10 + 1)) AS i
+      |  FROM d WHERE len >= 40),
+      |g AS (
+      |  SELECT p.doc_id, CAST(p.i * 10 AS BIGINT) AS st,
+      |    substr(d.text, CAST(p.i * 10 + 1 AS INTEGER), 40) AS gram
+      |  FROM pos p JOIN d ON p.doc_id = d.doc_id),
+      |shared AS (
+      |  SELECT gram FROM g GROUP BY gram
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |spans AS (
+      |  SELECT g.doc_id, g.st, g.st + 40 AS en
+      |  FROM g JOIN shared ON g.gram = shared.gram),
+      |sweep AS (
+      |  SELECT doc_id, st, en,
+      |    COALESCE(MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS reach
+      |  FROM spans),
+      |cov AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(GREATEST(en - GREATEST(st, reach), 0)) AS BIGINT)
+      |      AS dup_chars
+      |  FROM sweep GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(d.len AS BIGINT) AS len,
+      |  CAST(COALESCE(cov.dup_chars, 0) AS BIGINT) AS dup_chars,
+      |  (COALESCE(cov.dup_chars, 0) * 1000000) // d.len AS dup_frac_ppm
+      |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Banded hamming self-join — the k-bit variant the [[simhash]]
     * docstring names, as a first-class operator: pairs of 64-bit
     * signatures within hamming distance ≤ `k`, found EXACTLY via the
@@ -1296,6 +1381,7 @@ object Dedup {
     "dedup_hamming_banded" -> (hammingBanded _),
     "dedup_lsh_scurve"    -> (lshScurve _),
     "dedup_span_coverage" -> ((s: SparkSession, d: String) => spanCoverage(s, d)),
+    "dedup_span_union" -> ((s: SparkSession, d: String) => spanUnion(s, d)),
     "dedup_paragraph"     -> ((s: SparkSession, d: String) => paragraphDedup(s, d)),
     "dedup_unicode"       -> (unicodeDedup _),
     "dedup_latest"        -> (latest _),
@@ -1318,6 +1404,7 @@ object Dedup {
     "dedup_hamming_banded" -> hammingBandedSql,
     "dedup_lsh_scurve"    -> lshScurveSql,
     "dedup_span_coverage" -> spanCoverageSql,
+    "dedup_span_union" -> spanUnionSql,
     "dedup_latest"        -> latestSql,
     "dedup_paragraph"     -> paragraphDedupSql,
     "dedup_unicode"       -> unicodeDedupSql,

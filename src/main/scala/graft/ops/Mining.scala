@@ -126,11 +126,79 @@ object Mining {
       |GROUP BY a.event_type, b.event_type
       |ORDER BY support DESC, a, b""".stripMargin
 
+  /** Association rules (the directed completion of
+    * [[copurchasePairs]]): every frequent unordered pair {a, b} emits
+    * BOTH rules a→b and b→a with support, confidence and lift — the
+    * Agrawal–Srikant second phase, which needs no further corpus
+    * scan: rules derive purely from the pair/item/total support
+    * counts the pair miner already aggregated.
+    *
+    * Determinism: confidence and lift are emitted as ppm BIGINTs via
+    * integer floor-division over exact support counts
+    * (`n_pair·10⁶ div n_antecedent`), so no float ever forms —
+    * sturdier than the copurchase gate's fixed-shape double, and the
+    * natural form for a rule-threshold filter downstream.
+    *
+    * Scale: identical to [[copurchasePairs]] — basket-bounded pair
+    * expansion, metadata-sized count joins; the rule fan-out is a
+    * 2× projection of the pair frame, shuffle-free. */
+  def assocRules(s: SparkSession, dir: String, minSup: Long = 2L,
+      minConfPpm: Long = 100000L): DataFrame = {
+    val pairs = copurchasePairs(Tables.lineitem(s, dir), minSup)
+      .select(col("pa"), col("pb"), col("n_pair"))
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val totals = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val rules = pairs
+      .select(col("pa").as("ante"), col("pb").as("cons"), col("n_pair"))
+      .unionAll(pairs
+        .select(col("pb").as("ante"), col("pa").as("cons"), col("n_pair")))
+    rules
+      .join(cnt.toDF("ante", "n_ante"), "ante")
+      .join(cnt.toDF("cons", "n_cons"), "cons")
+      .crossJoin(broadcast(totals))
+      .select(col("ante"), col("cons"), col("n_pair"),
+        expr("(n_pair * 1000000L) div n_ante").as("conf_ppm"),
+        expr("(n_pair * n_orders * 1000000L) div (n_ante * n_cons)")
+          .as("lift_ppm"))
+      .filter(col("conf_ppm") >= minConfPpm)
+      .orderBy(col("ante"), col("cons"))
+  }
+
+  val assocRulesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+      |cnt AS (SELECT pk, count(*) AS n_item FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_pair
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |rules AS (
+      |  SELECT pa AS ante, pb AS cons, n_pair FROM pairs
+      |  UNION ALL
+      |  SELECT pb AS ante, pa AS cons, n_pair FROM pairs)
+      |SELECT r.ante, r.cons, r.n_pair,
+      |  (r.n_pair * 1000000) // ca.n_item AS conf_ppm,
+      |  (r.n_pair * t.n_orders * 1000000) // (ca.n_item * cb.n_item)
+      |    AS lift_ppm
+      |FROM rules r
+      |JOIN cnt ca ON ca.pk = r.ante
+      |JOIN cnt cb ON cb.pk = r.cons
+      |CROSS JOIN tot t
+      |WHERE (r.n_pair * 1000000) // ca.n_item >= 100000
+      |ORDER BY ante, cons""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mine_copurchase" -> (copurchaseGate _),
+    "mine_assoc_rules" -> ((s: SparkSession, d: String) =>
+      assocRules(s, d)),
     "mine_seq_patterns" -> (seqPatterns _))
 
   def oracle: Map[String, String] = Map(
     "mine_copurchase" -> copurchaseSql,
+    "mine_assoc_rules" -> assocRulesSql,
     "mine_seq_patterns" -> seqPatternsSql)
 }

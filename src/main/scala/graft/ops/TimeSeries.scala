@@ -693,6 +693,44 @@ object TimeSeries {
       |FROM hourly h JOIN tot t USING (event_type)
       |ORDER BY event_type, hod""".stripMargin
 
+  /** Seasonally-adjusted anomaly screen: the [[DataQuality.dqAnomaly]]
+    * z-score idiom re-keyed on (event_type, hour-of-day), so each
+    * observation is judged against ITS OWN seasonal baseline — a spike
+    * that is normal at peak hour but anomalous at 3am is caught, and a
+    * diurnal swing is NOT flagged (both of which the season-blind
+    * screen gets wrong). 2σ threshold (the seasonal baselines have
+    * ~1/24 the data each, so the 3σ screen would be vacuous at small
+    * SF). Plan shape inherited from [[DataQuality.zScoreOutliersBy]]:
+    * two scans, O(type·24) stats broadcast back, deterministic
+    * decimal-power-sum doubles. */
+  def tsSeasonalAnomaly(s: SparkSession, dir: String): DataFrame =
+    DataQuality.zScoreOutliersBy(
+      Tables.events(s, dir)
+        .withColumn("hod", hour(col("ts")).cast(LongType)),
+      Seq("event_type", "hod"), "value", sigmas = 2.0)
+
+  val tsSeasonalAnomalySql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, value
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, hod, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))
+      |      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS svv
+      |  FROM e GROUP BY event_type, hod),
+      |st AS (
+      |  SELECT event_type, hod, n, sv / n AS mean,
+      |    sqrt(greatest(svv / n - (sv / n) * (sv / n), 0.0)) AS sd
+      |  FROM s)
+      |SELECT st.event_type, st.hod, st.n,
+      |  CAST(SUM(CASE WHEN abs(e.value - st.mean) > 2.0 * st.sd
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+      |  round(st.mean, 6) AS mean6, round(st.sd, 6) AS sd6
+      |FROM e JOIN st USING (event_type, hod)
+      |GROUP BY st.event_type, st.hod, st.n, st.mean, st.sd
+      |ORDER BY st.event_type, st.hod""".stripMargin
+
   /** CUSUM changepoint per event type over the daily value series:
     * the split day k maximizing |N·prefix(k) − k·total| — the
     * N-scaled cumulative deviation from the series mean (scaling by
@@ -1153,6 +1191,7 @@ object TimeSeries {
         "ts_interval_union" -> (tsIntervalUnion _),
         "ts_autocorr"       -> (tsAutocorr _),
         "ts_seasonality"    -> (tsSeasonality _),
+        "ts_seasonal_anomaly" -> (tsSeasonalAnomaly _),
         "ts_ewma"           -> (ewma _),
         "ts_attribution"    -> (attributionLinear _),
         "ts_resample_ffill" -> (tsResample _),
@@ -1167,6 +1206,7 @@ object TimeSeries {
         "ts_interval_union" -> tsIntervalUnionSql,
         "ts_autocorr"       -> tsAutocorrSql,
         "ts_seasonality"    -> tsSeasonalitySql,
+        "ts_seasonal_anomaly" -> tsSeasonalAnomalySql,
         "ts_ewma"           -> ewmaSql,
         "ts_attribution"    -> attributionLinearSql,
         "ts_attribution_markov" -> attributionMarkovSql(),

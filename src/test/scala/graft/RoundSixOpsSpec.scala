@@ -473,6 +473,75 @@ class RoundSixOpsSpec extends SparkSpec {
     t.foreach(r => assert(r.getLong(3) >= 0L))
   }
 
+  test("mine_assoc_rules: directed pair, conf asymmetric, lift " +
+      "symmetric") {
+    val rules = graft.ops.Mining.assocRules(spark, sf, minSup = 2L,
+        minConfPpm = 0L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rules.nonEmpty)
+    rules.foreach { case ((a, b), (nPair, _, lift)) =>
+      val rev = rules((b, a)) // every rule's mirror must exist
+      assert(rev._1 === nPair, s"support asymmetric for ($a,$b)")
+      assert(rev._3 === lift, s"lift asymmetric for ($a,$b)")
+    }
+    // confidence is a floor-division ppm: never above 1e6
+    rules.values.foreach { case (_, conf, _) =>
+      assert(conf > 0L && conf <= 1000000L)
+    }
+  }
+
+  test("ts_seasonal_anomaly: spike judged against its OWN hour") {
+    // hour 0: constant 10s (sd 0 → no outliers). hour 1: five 10s and
+    // one 110 — spike z = √5 > 2, flagged; a season-blind screen over
+    // all 12 rows would smear the baselines.
+    val dir = tmpDir("r6_season")
+    val rows =
+      (0 until 6).map(i => Row(i.toLong,
+        new Timestamp(1700000000000L + i * 1000), 1L, "A", 10.0, "{}")) ++
+      (0 until 5).map(i => Row(10L + i,
+        new Timestamp(1700003600000L + i * 1000), 1L, "A", 10.0, "{}")) ++
+      Seq(Row(20L, new Timestamp(1700003605000L), 1L, "A", 110.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.TimeSeries.tsSeasonalAnomaly(spark, dir)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val hours = got.keySet
+    assert(hours.size === 2)
+    val (h0, h1) = (hours.min, hours.max)
+    assert(got(h0) === ((6L, 0L)))
+    assert(got(h1) === ((6L, 1L)))
+  }
+
+  test("dedup_span_union: overlapping dup spans merge to exact " +
+      "character coverage") {
+    // Docs share an 80-char block (stride-aligned); the five
+    // overlapping 40-grams it spawns must union to exactly 80 chars,
+    // not 5×40. The third doc shares nothing.
+    val dir = tmpDir("r6_union")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val shared = "0123456789" * 8
+    val rows = Seq(
+      Row(1L, shared + "a" * 40, "en", "s", 120L),
+      Row(2L, "b" * 40 + shared, "en", "s", 120L),
+      Row(3L, "c" * 120, "en", "s", 120L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.spanUnion(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((120L, 80L, 666666L)))
+    assert(got(2L) === ((120L, 80L, 666666L)))
+    assert(got(3L) === ((120L, 0L, 0L)))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
