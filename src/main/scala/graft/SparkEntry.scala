@@ -16,6 +16,7 @@ object SparkEntry {
     ops.DataQuality.queries ++ ops.TimeSeries.queries ++
     ops.TrainingData.queries ++ ops.Graph.queries ++ ops.Linkage.queries ++
     ops.Mining.queries ++ ops.LanguageModel.queries ++
+    ops.Spectral.queries ++
     ops.Evaluation.queries ++ ops.Learn.queries ++
     ops.RuntimeFilters.queries ++ ops.Sketches.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +31,7 @@ object SparkEntry {
     ops.DataQuality.oracle ++ ops.TimeSeries.oracle ++
     ops.TrainingData.oracle ++ ops.Graph.oracle ++ ops.Linkage.oracle ++
     ops.Mining.oracle ++ ops.LanguageModel.oracle ++
+    ops.Spectral.oracle ++
     ops.Evaluation.oracle ++ ops.Learn.oracle ++
     ops.RuntimeFilters.oracle ++ ops.Sketches.oracle
 }

@@ -230,6 +230,57 @@ object Evaluation {
       |    / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE) AS auc
       |FROM cum""".stripMargin
 
+  /** Precision-recall curve of the same integer scorer [[aucGate]]
+    * ranks (predict positive where score ≥ threshold, one point per
+    * DISTINCT score): TP/FP are suffix sums over the per-score
+    * histogram, so the whole curve costs ONE map-side-combined
+    * groupBy plus a histogram-sized window — never a global sort of
+    * N predictions. Precision and recall are each a single long/long
+    * division (IEEE-identical cross-engine); counts stay exact
+    * BIGINTs. The operating-point table AUC summarizes away —
+    * threshold pickers need the curve, not the integral. */
+  def prCurve(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val wSuf = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    hist
+      .withColumn("tp", sum(col("np")).over(wSuf))
+      .withColumn("fp", sum(col("nn")).over(wSuf))
+      .withColumn("n_pos", sum(col("np")).over(wAll))
+      .select(col("score"), col("tp"), col("fp"),
+        (col("tp").cast(DoubleType) /
+          (col("tp") + col("fp")).cast(DoubleType)).as("precision"),
+        (col("tp").cast(DoubleType) / col("n_pos").cast(DoubleType))
+          .as("recall"))
+      .orderBy(col("score"))
+  }
+
+  val prCurveSql: String =
+    """WITH hist AS (
+      |  SELECT n_chars AS score,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+      |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+      |  FROM documents GROUP BY n_chars),
+      |cum AS (
+      |  SELECT score,
+      |    CAST(SUM(np) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS tp,
+      |    CAST(SUM(nn) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS fp,
+      |    CAST(SUM(np) OVER () AS BIGINT) AS n_pos
+      |  FROM hist)
+      |SELECT score, tp, fp,
+      |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+      |  CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
+      |FROM cum ORDER BY score""".stripMargin
+
   /** Calibration (reliability) table for a length-derived predicted
     * probability p = min(n_chars, 4000)/4000 in ten equal-width bins:
     * per bin, the count, the mean prediction, and the observed
@@ -442,6 +493,7 @@ object Evaluation {
     "eval_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)),
     "eval_ndcg" -> (ndcgGate _),
     "eval_auc" -> (aucGate _),
+    "eval_pr_curve" -> (prCurve _),
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
@@ -449,6 +501,7 @@ object Evaluation {
     "eval_mcnemar" -> mcnemarSql,
     "eval_ndcg" -> ndcgSql,
     "eval_auc" -> aucSql,
+    "eval_pr_curve" -> prCurveSql,
     "eval_calibration" -> calibrationSql,
     "eval_bootstrap_ci" -> bootstrapCiSql)
 }

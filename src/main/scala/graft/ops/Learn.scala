@@ -706,7 +706,86 @@ object Learn {
        |FROM best1 b1 CROSS JOIN best2 b2""".stripMargin
   }
 
+  /** Weight-of-evidence / information-value feature scoring (the
+    * credit-scoring binning diagnostic): the [[stump]] 16-bin
+    * equi-width histogram re-read as an evidence table. Per occupied
+    * bin, WOE = ln(p_bin/P) − ln(n_bin/N) with the ±0.5 Laplace
+    * adjustment folded in integer form ((2p+1)/(2P+bins) — numerators
+    * and denominators all exact BIGINTs, logs taken of integers), and
+    * the IV contribution ((p/P − n/N)·WOE). Both emit as snapped
+    * longs computed by ONE fixed-shape double expression each —
+    * identical operand order in the oracle, so cross-engine
+    * bit-equal (the Mining-lift discipline).
+    *
+    * Plan: the same two corpus scans as [[stump]] (range probe +
+    * histogram groupBy); totals come from a window over the ≤16-row
+    * cell frame — metadata-sized, like every kernel's model state. */
+  def woeIv(s: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("n_chars").cast(LongType).as("x"),
+        (col("lang") === "en").cast(IntegerType).as("y"))
+    val rng = docs.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val cells = docs.crossJoin(broadcast(rng))
+      .select(expr(s"((x - mn) * $bins) div (mx - mn + 1)").as("bin"),
+        col("y"))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).cast(LongType).as("pos"),
+        sum(lit(1) - col("y")).cast(LongType).as("neg"))
+    val tw = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val t = cells
+      .withColumn("tpos", sum(col("pos")).over(tw))
+      .withColumn("tneg", sum(col("neg")).over(tw))
+    val pRate = (col("pos") * 2 + 1).cast(DoubleType) /
+      (col("tpos") * 2 + bins).cast(DoubleType)
+    val nRate = (col("neg") * 2 + 1).cast(DoubleType) /
+      (col("tneg") * 2 + bins).cast(DoubleType)
+    val woe = log((col("pos") * 2 + 1).cast(DoubleType)) -
+      log((col("tpos") * 2 + bins).cast(DoubleType)) -
+      log((col("neg") * 2 + 1).cast(DoubleType)) +
+      log((col("tneg") * 2 + bins).cast(DoubleType))
+    t.select(col("bin"), col("pos"), col("neg"),
+        floor(woe * 1000000.0 + 0.5).cast(LongType).as("woe_e6"),
+        floor((pRate - nRate) * woe * 1000000000.0 + 0.5)
+          .cast(LongType).as("iv_e9"))
+      .orderBy(col("bin"))
+  }
+
+  val woeIvSql: String =
+    """WITH d AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS x,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |rng AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM d),
+      |cells AS (
+      |  SELECT ((x - mn) * 16) // (mx - mn + 1) AS bin,
+      |    CAST(SUM(y) AS BIGINT) AS pos,
+      |    CAST(SUM(1 - y) AS BIGINT) AS neg
+      |  FROM d CROSS JOIN rng
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT bin, pos, neg,
+      |    CAST(SUM(pos) OVER () AS BIGINT) AS tpos,
+      |    CAST(SUM(neg) OVER () AS BIGINT) AS tneg
+      |  FROM cells)
+      |SELECT bin, pos, neg,
+      |  CAST(floor((ln(CAST(pos * 2 + 1 AS DOUBLE))
+      |    - ln(CAST(tpos * 2 + 16 AS DOUBLE))
+      |    - ln(CAST(neg * 2 + 1 AS DOUBLE))
+      |    + ln(CAST(tneg * 2 + 16 AS DOUBLE))) * 1000000.0 + 0.5)
+      |    AS BIGINT) AS woe_e6,
+      |  CAST(floor((CAST(pos * 2 + 1 AS DOUBLE)
+      |      / CAST(tpos * 2 + 16 AS DOUBLE)
+      |    - CAST(neg * 2 + 1 AS DOUBLE)
+      |      / CAST(tneg * 2 + 16 AS DOUBLE))
+      |    * (ln(CAST(pos * 2 + 1 AS DOUBLE))
+      |      - ln(CAST(tpos * 2 + 16 AS DOUBLE))
+      |      - ln(CAST(neg * 2 + 1 AS DOUBLE))
+      |      + ln(CAST(tneg * 2 + 16 AS DOUBLE)))
+      |    * 1000000000.0 + 0.5) AS BIGINT) AS iv_e9
+      |FROM t ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_woe_iv" -> ((s: SparkSession, d: String) => woeIv(s, d)),
     "learn_gbdt_round" -> ((s: SparkSession, d: String) =>
       gbdtRound(s, d)),
     "learn_tree_depth2" -> ((s: SparkSession, d: String) =>
@@ -718,6 +797,7 @@ object Learn {
     "learn_linreg" -> (linreg _))
 
   def oracle: Map[String, String] = Map(
+    "learn_woe_iv" -> woeIvSql,
     "learn_gbdt_round" -> gbdtRoundSql,
     "learn_tree_depth2" -> treeDepth2Sql,
     "learn_stump" -> stumpSql,

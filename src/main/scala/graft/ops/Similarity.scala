@@ -1444,24 +1444,26 @@ object Similarity {
     * is bounded by quantization error, which [[pqEncode]]'s gate
     * tracks. The fixed ascending fold keeps the lookup sum
     * deterministic. */
-  def pqAdc(s: SparkSession, dir: String, m: Int = 8, k: Int = 16,
-      shortlist: Int = 25, topk: Int = 5): DataFrame = {
-    graft.plans.VectorExpressions.register(s)
-    val base = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  private def pqSubSlices(m: Int)(v: Column): Column = {
     val subDim = 64 / m
-    def subSlices(v: Column) = array((0 until m).map(i =>
-      slice(v, i * subDim + 1, subDim)): _*)
-    val cb = base.orderBy(col("vec_id")).limit(k)
+    array((0 until m).map(i => slice(v, i * subDim + 1, subDim)): _*)
+  }
+
+  /** Deterministic PQ codebook: first-k-by-id corpus vectors, one
+    * (code, sub, cv) row per sub-codeword. */
+  private def pqCodebook(base: DataFrame, m: Int, k: Int): DataFrame =
+    base.orderBy(col("vec_id")).limit(k)
       .withColumn("code",
         row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .select(col("code"), posexplode(subSlices(col("v"))))
+      .select(col("code"), posexplode(pqSubSlices(m)(col("v"))))
       .select(col("code"), col("pos").as("sub"), col("col").as("cv"))
-    // Encode the corpus to wide codes: one array<int> per vector.
+
+  /** Corpus → wide PQ codes: one array<int> per vector. */
+  private def pqCodes(base: DataFrame, cb: DataFrame, m: Int): DataFrame = {
     val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("dist"), col("code"))
-    val codes = base
-      .select(col("vec_id"), posexplode(subSlices(col("v"))))
+    base
+      .select(col("vec_id"), posexplode(pqSubSlices(m)(col("v"))))
       .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
       .join(broadcast(cb), "sub")
       .withColumn("dist",
@@ -1473,10 +1475,15 @@ object Similarity {
         .as("sc"))
       .select(col("vec_id").as("target_id"),
         transform(col("sc"), p => p("code")).as("codes"))
-    // Per-query distance tables, nested [sub][code] for element_at.
-    val dt = base.filter(col("vec_id") < 5)
+  }
+
+  /** Per-query ADC distance tables, nested [sub][code] for
+    * element_at. */
+  private def pqDistTables(queries: DataFrame, cb: DataFrame,
+      m: Int): DataFrame =
+    queries
       .select(col("vec_id").as("query_id"),
-        posexplode(subSlices(col("v"))))
+        posexplode(pqSubSlices(m)(col("v"))))
       .select(col("query_id"), col("pos").as("sub"), col("col").as("qsv"))
       .join(broadcast(cb), "sub")
       .withColumn("qd",
@@ -1490,13 +1497,27 @@ object Similarity {
       .select(col("query_id"),
         transform(col("sq"), p => transform(p("cq"), c => c("qd")))
           .as("dt"))
+
+  /** ADC lookup-sum over a (query_id, dt, codes) frame — fixed
+    * ascending fold, deterministic. */
+  private def adcSum(m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, sIdx) => acc + element_at(element_at(col("dt"), sIdx + 1),
+        element_at(col("codes"), sIdx + 1) + 1))
+
+  def pqAdc(s: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+      shortlist: Int = 25, topk: Int = 5): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cb = pqCodebook(base, m, k)
+    val codes = pqCodes(base, cb, m)
+    val dt = pqDistTables(base.filter(col("vec_id") < 5), cb, m)
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("ad"), col("target_id"))
     val short = codes.crossJoin(broadcast(dt))
       .filter(col("query_id") =!= col("target_id"))
-      .withColumn("ad", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, sIdx) => acc + element_at(element_at(col("dt"), sIdx + 1),
-          element_at(col("codes"), sIdx + 1) + 1)))
+      .withColumn("ad", adcSum(m))
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
       .select(col("query_id"), col("target_id"))
@@ -1544,6 +1565,168 @@ object Similarity {
         r.getAs[Long]("invalid") == 0L))
       .toDF("n_queries", "recall_ok", "pairs_valid")
   }
+
+  /** IVF-PQ composed probe — the billion-scale serving stack with
+    * BOTH quantizers live: the coarse (IVF) quantizer prunes the
+    * candidate set to the probed cells' inverted lists, the fine (PQ)
+    * quantizer scores ONLY those candidates by ADC lookup-sum, and
+    * exact L2 reranks the shortlist. Versus [[pqAdc]]'s full-corpus
+    * code scan, the ADC stage here touches |probed lists| codes — at
+    * 100 TB with nProbe/nCells = 1/4, a 25× scan cut stacked on PQ's
+    * 32× byte cut; versus [[annIvf]], candidates are scored from
+    * m-byte codes instead of full vectors. Candidate flow carries
+    * (query_id, target_id) ids only (the [[annLsh]] width
+    * discipline); codes re-join by id. Deterministic seeds/codebooks
+    * throughout, so the recall gate is a hash-checkable constant. */
+  def ivfPq(s: SparkSession, dir: String, nCells: Int = 16,
+      nProbe: Int = 4, m: Int = 8, k: Int = 16,
+      shortlist: Int = 25, topk: Int = 5): DataFrame = {
+    val base = vecs(s, dir)
+    val cents = ivfCentroids(base, nCells)
+    val lists = nearestCells(base, cents, 1, "v")
+      .select(col("cell"), col("vec_id").as("target_id"))
+    val queries = base.filter(col("vec_id") < 5)
+    val probes = nearestCells(queries, cents, nProbe, "v")
+      .select(col("cell"), col("vec_id").as("query_id"))
+    val cand = broadcast(probes).join(lists, "cell")
+      .filter(col("query_id") =!= col("target_id"))
+      .select(col("query_id"), col("target_id"))
+      .distinct()
+    val cb = pqCodebook(base, m, k)
+    val codes = pqCodes(base, cb, m)
+    val dt = pqDistTables(queries, cb, m)
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad"), col("target_id"))
+    val short = cand
+      .join(codes, "target_id")
+      .join(broadcast(dt), "query_id")
+      .withColumn("ad", adcSum(m))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("target_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("target_id"))
+    short
+      .join(base.select(col("vec_id").as("target_id"),
+        col("v").as("tv")), "target_id")
+      .join(broadcast(queries
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+        "query_id")
+      .withColumn("d2",
+        graft.plans.VectorExpressions.vectorL2Sq(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("target_id"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall of the composed IVF-PQ probe against the exact L2 top-5
+    * — same constant-true oracle discipline as the other recall
+    * gates. Threshold is below [[pqAdcRecall]]'s: the IVF stage can
+    * only REMOVE candidates, so composed recall ≤ ADC recall by
+    * construction, and the gate pins it above the floor. */
+  def ivfPqRecall(s: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val bf = topKL2(s, dir).select(col("query_id"), col("target_id"))
+      .withColumn("in_bf", lit(1))
+    val a = ivfPq(s, dir).select(col("query_id"), col("target_id"))
+      .withColumn("in_ann", lit(1))
+    val r = a.join(bf, Seq("query_id", "target_id"), "full_outer")
+      .agg(
+        sum(col("in_bf")).as("bf_n"),
+        sum(when(col("in_ann") === 1 && col("in_bf") === 1, 1L)
+          .otherwise(0L)).as("hits"),
+        sum(when(col("in_ann") === 1 &&
+            (col("query_id") === col("target_id") || col("query_id") >= 5),
+          1L).otherwise(0L)).as("invalid"),
+        countDistinct(when(col("in_bf") === 1, col("query_id")))
+          .as("n_queries"))
+      .head()
+    import s.implicits._
+    Seq((r.getAs[Long]("n_queries"),
+        r.getAs[Long]("hits").toDouble / r.getAs[Long]("bf_n") >= threshold,
+        r.getAs[Long]("invalid") == 0L))
+      .toDF("n_queries", "recall_ok", "pairs_valid")
+  }
+
+  /** k-NN classification (majority vote over the cosine top-k): the
+    * lazy-learner baseline every embedding-quality audit starts from,
+    * and the supervised complement of [[classifyByCentroid]] — local
+    * neighborhood vote instead of global prototype. Ties break to the
+    * smaller label (deterministic), neighbor order to the smaller id
+    * (the [[topK]] contract).
+    *
+    * Scale: the bounded query set (vec_id < 25) makes this the exact
+    * oracle baseline, same discipline as every brute-force gate here;
+    * at corpus scale the neighbor stage swaps to the gated ANN tiers
+    * ([[annIvf]] / [[ivfPq]]) with the vote unchanged — the vote
+    * itself is an O(Q·k) groupBy, never corpus-wide. */
+  def knnClassify(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 25): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val par = s.sparkContext.defaultParallelism
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label").cast(LongType).as("label"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"))
+      .withColumn("qn", norm(col("qv")))
+    val t = base
+      .select(col("vec_id").as("target_id"), col("v").as("tv"),
+        col("label").as("tlabel"))
+      .withColumn("tn", norm(col("tv")))
+      .repartition(par)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    val neighbors = t.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("target_id"))
+      .withColumn("sim",
+        dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("pred_label"))
+    neighbors
+      .groupBy(col("query_id"), col("qlabel"),
+        col("tlabel").as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("qlabel").as("true_label"),
+        col("pred_label"), col("n_votes"),
+        (col("pred_label") === col("qlabel")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE)) AS v,
+       |    CAST(label AS BIGINT) AS label FROM embeddings),
+       |nb AS (
+       |  SELECT query_id, qlabel, tlabel FROM (
+       |    SELECT a.vec_id AS query_id, a.label AS qlabel,
+       |      b.vec_id AS target_id, b.label AS tlabel,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${CosineSql} DESC, b.vec_id) AS rank
+       |    FROM vecs a, vecs b
+       |    WHERE a.vec_id < 25 AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= 5),
+       |votes AS (
+       |  SELECT query_id, qlabel, tlabel AS pred_label,
+       |    COUNT(*) AS n_votes
+       |  FROM nb GROUP BY 1, 2, 3)
+       |SELECT query_id, qlabel AS true_label, pred_label,
+       |  CAST(n_votes AS BIGINT) AS n_votes,
+       |  pred_label = qlabel AS correct
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY n_votes DESC, pred_label) AS rn
+       |  FROM votes)
+       |WHERE rn = 1
+       |ORDER BY query_id""".stripMargin
 
   /** Label-affinity matrix: pairwise cosine between the per-label
     * centroids — the class-geometry audit run before trusting labels
@@ -1794,6 +1977,10 @@ object Similarity {
       pqEncode(s, d)),
     "sim_pq_adc_recall"   -> ((s: SparkSession, d: String) =>
       pqAdcRecall(s, d)),
+    "sim_ivf_pq_recall"   -> ((s: SparkSession, d: String) =>
+      ivfPqRecall(s, d)),
+    "embed_knn_classify"  -> ((s: SparkSession, d: String) =>
+      knnClassify(s, d)),
     "embed_project"       -> ((s: SparkSession, d: String) =>
       randomProjection(s, d)),
     "sim_semantic_dedup"  -> (semanticDedup _),
@@ -1826,6 +2013,8 @@ object Similarity {
     "embed_project"       -> randomProjectionSql,
     "sim_pq_encode"       -> pqEncodeSql,
     "sim_pq_adc_recall"   -> annRecallSql,
+    "sim_ivf_pq_recall"   -> annRecallSql,
+    "embed_knn_classify"  -> knnClassifySql,
     "sim_semantic_dedup"  -> semanticDedupSql,
     "embed_centroids"     -> centroidsSql,
     "embed_classify"      -> classifyByCentroidSql,

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.plans.GramUpper
+
+/** Spectral / moment-matrix operators over the embeddings corpus:
+  * one-pass Gram matrix and power-iteration PCA — the linear-algebra
+  * layer under whitening, PCA dedup projections, and spectral
+  * diagnostics of an embedding space.
+  *
+  * Scale design: the ONLY corpus-wide pass is the [[GramUpper]]
+  * aggregation, whose shuffle carries one d(d+1)/2-long partial per
+  * partition (16 KiB at d = 64) — never n·d² exploded products. Every
+  * downstream step (symmetrization, power iterations, normalization)
+  * runs on the d×d matrix frame: metadata-sized at any corpus size.
+  *
+  * Determinism: components quantize to 1e-3-scaled longs
+  * (`floor(x·1000 + 0.5)` — identical IEEE ops cross-engine), so Gram
+  * entries are exact BIGINTs. Power-iteration normalization divides
+  * two exactly-representable BIGINTs (< 2⁵³) in double and re-snaps to
+  * a ±10⁴-bounded long per round — one fixed-shape float expression,
+  * the Mining-lift discipline. Iterate-then-snap magnitudes: with
+  * |q| ≤ 10³ the y-vector stays under 2⁵³ through d = 64, n ≤ 5·10⁴;
+  * beyond that the quantizer drops to 1e-2 or the matvec widens to
+  * DECIMAL — the plan shape is unchanged.
+  */
+object Spectral {
+
+  /** (vec_id, i, qv): 1-based component index, 1e-3-quantized long. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("i"),
+        floor(col("col").cast(DoubleType) * 1000.0 + 0.5)
+          .cast(LongType).as("qv"))
+
+  private def dim(s: SparkSession, dir: String): Int =
+    Tables.embeddings(s, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+
+  /** Upper-triangle Gram matrix G[i][j] = Σ_v q_i·q_j (1-based,
+    * i ≤ j) as exact BIGINTs — one [[GramUpper]] pass. */
+  def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = dim(s, dir)
+    import s.implicits._
+    val qvecs = Tables.embeddings(s, dir)
+      .select(transform(col("embedding"), x =>
+        floor(x.cast(DoubleType) * 1000.0 + 0.5).cast(LongType)).as("q"))
+      .as[Seq[Long]]
+    val flat = qvecs.select(GramUpper(d).toColumn).toDF("g")
+      .select(posexplode(col("g")))
+    // upper-triangle index → (i, j): idx = Σ_{r<i}(d−r) + (j−i),
+    // inverted per row by a join against the static index map — d²/2
+    // rows of metadata, broadcast.
+    val idx = (0 until d).flatMap(i => (i until d).map(j => (i, j)))
+      .zipWithIndex.map { case ((i, j), k) =>
+        (k, (i + 1).toLong, (j + 1).toLong)
+      }
+    val idxDf = s.createDataFrame(idx).toDF("pos", "i", "j")
+    flat.join(broadcast(idxDf), "pos")
+      .select(col("i"), col("j"), col("col").as("g"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val gramMatrixSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+      |      AS BIGINT) AS qv
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS u(i))
+      |SELECT a.i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+      |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY a.i, b.i
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Dominant-eigenvector estimate by `iters` power-iteration rounds
+    * over [[gramMatrix]], all arithmetic replayable: y = G·x is an
+    * exact BIGINT matvec on the d×d frame, then x ← floor(y/max|y|
+    * ·10⁴ + 0.5) re-normalizes to ±10⁴ via one double division of
+    * < 2⁵³ integers. Deterministic all-ones start; emits the final
+    * (i, x) direction. The oracle replays the identical recurrence
+    * (the PageRank-gate pattern), so truncated-iteration outputs
+    * can't silently drift. */
+  def pcaPower(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val upper = gramMatrix(s, dir).localCheckpoint()
+    val full = upper
+      .unionAll(upper.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
+    var x = full.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(10000L).as("x"))
+    for (_ <- 1 to iters) {
+      val y = full.join(broadcast(x), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("g") * col("x")).as("y"))
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      x = y.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          floor(col("y").cast(DoubleType) / col("m").cast(DoubleType)
+            * 10000.0 + 0.5).cast(LongType).as("x"))
+    }
+    x.select(col("j").as("i"), col("x")).orderBy(col("i"))
+  }
+
+  def pcaPowerSql(iters: Int = 4): String = {
+    val steps = (1 to iters).map { k =>
+      s"""y$k AS (
+         |  SELECT g.i, CAST(SUM(g.g * x${k - 1}.x) AS BIGINT) AS y
+         |  FROM g JOIN x${k - 1} ON g.j = x${k - 1}.j GROUP BY g.i),
+         |m$k AS (SELECT MAX(ABS(y)) AS m FROM y$k),
+         |x$k AS (
+         |  SELECT i AS j,
+         |    CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+         |      * 10000.0 + 0.5) AS BIGINT) AS x
+         |  FROM y$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+       |      AS BIGINT) AS qv
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) AS u(i)),
+       |g AS (
+       |  SELECT a.i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id
+       |  GROUP BY a.i, b.i),
+       |x0 AS (
+       |  SELECT DISTINCT i AS j, CAST(10000 AS BIGINT) AS x FROM g),
+       |$steps
+       |SELECT j AS i, x FROM x$iters ORDER BY i""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_gram_matrix" -> (gramMatrix _),
+    "embed_pca_power" -> ((s: SparkSession, d: String) =>
+      pcaPower(s, d)))
+
+  def oracle: Map[String, String] = Map(
+    "embed_gram_matrix" -> gramMatrixSql,
+    "embed_pca_power" -> pcaPowerSql())
+}

@@ -303,4 +303,20 @@ class DedupSimilaritySpec extends SparkSpec {
     // Hamming(x, x) = 0 via the same xor/bit_count expression
     assert(java.lang.Long.bitCount(expLo ^ expLo) == 0)
   }
+
+  test("sim_ivf_pq: composed probe emits contiguous valid ranks and " +
+      "clears its recall floor") {
+    val rows = Similarity.ivfPq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, t, _) =>
+      assert(q < 5 && q != t, s"invalid pair ($q,$t)")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq,
+        s"ranks not contiguous for query $q")
+    }
+    val gate = Similarity.ivfPqRecall(spark, dir).collect()(0)
+    assert(gate.getBoolean(1) && gate.getBoolean(2))
+  }
 }

@@ -542,6 +542,105 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(got(3L) === ((120L, 0L, 0L)))
   }
 
+  test("embed_gram_matrix + embed_pca_power: hand-computed moments " +
+      "and eigen-direction on planted axes") {
+    // Two docs on the x-axis, one on y: G = [[2e6, 0], [0, 1e6]].
+    // Power iteration from (1e4, 1e4) halves the minor component per
+    // round: x4 = (10000, 625) exactly.
+    val dir = tmpDir("r6_gram")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rows = Seq(
+      Row(1L, Seq(1f, 0f), 0), Row(2L, Seq(1f, 0f), 0),
+      Row(3L, Seq(0f, 1f), 0))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val g = graft.ops.Spectral.gramMatrix(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(g === Map((1L, 1L) -> 2000000L, (1L, 2L) -> 0L,
+      (2L, 2L) -> 1000000L))
+    val x = graft.ops.Spectral.pcaPower(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(x === Map(1L -> 10000L, 2L -> 625L))
+  }
+
+  test("learn_woe_iv: pure bins carry sign-correct evidence, " +
+      "accounting closes") {
+    val dir = tmpDir("r6_woe")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows =
+      (0 until 10).map(i => Row(i.toLong, "t", "en", "s", 10L + i)) ++
+      (0 until 10).map(i => Row(10L + i, "t", "de", "s", 110L + i))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Learn.woeIv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._2).sum === 10L && got.map(_._3).sum === 10L)
+    got.foreach { case (bin, pos, neg, woe, iv) =>
+      if (pos > 0 && neg == 0) assert(woe > 0L && iv > 0L, s"bin $bin")
+      if (neg > 0 && pos == 0) assert(woe < 0L && iv > 0L, s"bin $bin")
+    }
+    // the separable fixture carries real information: total IV large
+    assert(got.map(_._5).sum > 1000000000L) // IV > 1.0
+  }
+
+  test("embed_knn_classify: neighborhood vote overrules the point's " +
+      "own label") {
+    // A mislabeled point inside cluster 0: its 3 nearest neighbors
+    // all carry label 0 vs 2 far label-1 points — the vote must say 0
+    // and flag correct=false.
+    val dir = tmpDir("r6_knn")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f), 9),
+      Row(1L, Seq(0.9f, 0.1f), 0), Row(2L, Seq(0.95f, 0.05f), 0),
+      Row(3L, Seq(0.85f, 0.15f), 0),
+      Row(4L, Seq(0f, 1f), 1), Row(5L, Seq(0.05f, 1f), 1))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.Similarity.knnClassify(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got(0L) === ((9L, 0L, 3L, false)))
+    assert(got(1L)._2 === 0L && got(1L)._4)
+    // k = 5 > cluster-1 size: even the genuine label-1 point is
+    // outvoted 3-1 by the majority cluster — the small-class failure
+    // mode k-NN is known for, reproduced exactly
+    assert(got(4L) === ((1L, 0L, 3L, false)))
+  }
+
+  test("eval_pr_curve: recall monotone to 1, precision consistent " +
+      "with counts") {
+    val pts = graft.ops.Evaluation.prCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(pts.nonEmpty)
+    // rows ordered by score asc: tp/fp are suffix sums, so they must
+    // DECREASE with score; the lowest threshold captures everything
+    pts.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3, s"suffix sums not monotone")
+    }
+    val lowest = pts.head
+    assert(lowest._5 === 1.0)
+    pts.foreach { case (_, tp, fp, prec, _) =>
+      assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-12)
+    }
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
