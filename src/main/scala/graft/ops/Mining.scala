@@ -25,7 +25,14 @@ import graft.Tables
   */
 object Mining {
 
-  def copurchasePairs(lineitem: DataFrame, minSup: Long): DataFrame = {
+  /** Shared basket frame + the metadata-sized count frames both the
+    * pair miner and the rule generator derive from — built ONCE
+    * (`persist`) so the corpus is basketized a single time per
+    * query. */
+  private case class Baskets(baskets: DataFrame, totals: DataFrame,
+      cnt: DataFrame)
+
+  private def basketize(lineitem: DataFrame): Baskets = {
     // ONE shuffle builds the baskets (map-side partial collect_set —
     // the old distinct + self-join re-shuffled the item table three
     // times and materialized the join's row explosion through an
@@ -38,7 +45,11 @@ object Mining {
     val totals = baskets.agg(count(lit(1)).as("n_orders"))
     val cnt = baskets.select(explode(col("ps")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n_pk"))
-    val pairs = baskets
+    Baskets(baskets, totals, cnt)
+  }
+
+  private def pairCounts(baskets: DataFrame, minSup: Long): DataFrame =
+    baskets
       .filter(size(col("ps")) >= 2)
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> transform(" +
@@ -48,10 +59,13 @@ object Mining {
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSup)
-    pairs
-      .crossJoin(broadcast(totals))
-      .join(cnt.toDF("pa", "n_a"), "pa")
-      .join(cnt.toDF("pb", "n_b"), "pb")
+
+  def copurchasePairs(lineitem: DataFrame, minSup: Long): DataFrame = {
+    val b = basketize(lineitem)
+    pairCounts(b.baskets, minSup)
+      .crossJoin(broadcast(b.totals))
+      .join(b.cnt.toDF("pa", "n_a"), "pa")
+      .join(b.cnt.toDF("pb", "n_b"), "pb")
       .select(col("pa"), col("pb"), col("n_pair"),
         ((col("n_pair").cast(DoubleType) * col("n_orders").cast(DoubleType))
           / (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
@@ -144,21 +158,22 @@ object Mining {
     * 2× projection of the pair frame, shuffle-free. */
   def assocRules(s: SparkSession, dir: String, minSup: Long = 2L,
       minConfPpm: Long = 100000L): DataFrame = {
-    val pairs = copurchasePairs(Tables.lineitem(s, dir), minSup)
-      .select(col("pa"), col("pb"), col("n_pair"))
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val totals = items.agg(countDistinct(col("ok")).as("n_orders"))
-    val rules = pairs
-      .select(col("pa").as("ante"), col("pb").as("cons"), col("n_pair"))
-      .unionAll(pairs
-        .select(col("pb").as("ante"), col("pa").as("cons"), col("n_pair")))
+    val b = basketize(Tables.lineitem(s, dir))
+    // Both rule directions from ONE evaluation of the pair frame: a
+    // unionAll of two selects re-runs the basket explosion + pair
+    // groupBy per branch; exploding a 2-element direction array keeps
+    // the mirror fan-out inside the same (codegen'd) projection.
+    val rules = pairCounts(b.baskets, minSup)
+      .select(explode(array(
+        struct(col("pa").as("ante"), col("pb").as("cons")),
+        struct(col("pb").as("ante"), col("pa").as("cons")))).as("r"),
+        col("n_pair"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+        col("n_pair"))
     rules
-      .join(cnt.toDF("ante", "n_ante"), "ante")
-      .join(cnt.toDF("cons", "n_cons"), "cons")
-      .crossJoin(broadcast(totals))
+      .join(b.cnt.toDF("ante", "n_ante"), "ante")
+      .join(b.cnt.toDF("cons", "n_cons"), "cons")
+      .crossJoin(broadcast(b.totals))
       .select(col("ante"), col("cons"), col("n_pair"),
         expr("(n_pair * 1000000L) div n_ante").as("conf_ppm"),
         expr("(n_pair * n_orders * 1000000L) div (n_ante * n_cons)")

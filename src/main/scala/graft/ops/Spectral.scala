@@ -87,23 +87,38 @@ object Spectral {
     * (the PageRank-gate pattern), so truncated-iteration outputs
     * can't silently drift. */
   def pcaPower(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
-    val upper = gramMatrix(s, dir).localCheckpoint()
-    val full = upper
-      .unionAll(upper.filter(col("i") < col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("g")))
-    var x = full.select(col("i").as("j")).distinct()
-      .select(col("j"), lit(10000L).as("x"))
-    for (_ <- 1 to iters) {
-      val y = full.join(broadcast(x), "j")
-        .groupBy(col("i"))
-        .agg(sum(col("g") * col("x")).as("y"))
-      val m = y.agg(max(abs(col("y"))).as("m"))
-      x = y.crossJoin(broadcast(m))
-        .select(col("i").as("j"),
-          floor(col("y").cast(DoubleType) / col("m").cast(DoubleType)
-            * 10000.0 + 0.5).cast(LongType).as("x"))
+    // The Gram matrix IS the model: d(d+1)/2 longs (2080 at d = 64)
+    // regardless of corpus size — the same metadata-collect contract
+    // as the CMS sketch and the Markov ppm chain, and iterating a
+    // 64-vector against it driver-side costs microseconds where the
+    // DataFrame formulation pays 2·iters jobs of scheduler latency.
+    // The corpus-scale work (the one-pass Gram aggregation) stays
+    // fully distributed inside [[gramMatrix]].
+    val upper = gramMatrix(s, dir).collect()
+    val d = upper.iterator.map(_.getLong(1)).max.toInt
+    val g = Array.ofDim[Long](d, d)
+    upper.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1,
+        r.getLong(2))
+      g(i)(j) = v
+      g(j)(i) = v
     }
-    x.select(col("j").as("i"), col("x")).orderBy(col("i"))
+    var x = Array.fill(d)(10000L)
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(d) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += g(i)(j) * x(j); j += 1 }
+        acc
+      }
+      val m = y.iterator.map(math.abs).max
+      x = y.map(v =>
+        math.floor(v.toDouble / m.toDouble * 10000.0 + 0.5).toLong)
+    }
+    import s.implicits._
+    x.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toSeq
+      .toDF("i", "x").orderBy(col("i"))
   }
 
   def pcaPowerSql(iters: Int = 4): String = {

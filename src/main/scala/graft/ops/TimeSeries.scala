@@ -693,6 +693,98 @@ object TimeSeries {
       |FROM hourly h JOIN tot t USING (event_type)
       |ORDER BY event_type, hod""".stripMargin
 
+  /** Classical additive decomposition (STL-lite): the hourly series
+    * per event type splits into trend (centered 25-point moving
+    * average), seasonal (per hour-of-day mean of the detrended
+    * series), and residual — the decomposition every seasonality-aware
+    * monitor/forecast starts from, where [[tsSeasonality]] only
+    * profiles shares.
+    *
+    * Determinism: hourly values are exact DECIMAL sums; the trend
+    * window sums DECIMALs (exact) and divides once by 25.0 in double;
+    * the detrended deviation snaps to a 1e-6 long IMMEDIATELY, so the
+    * cross-row seasonal mean is an integer sum + one floor division —
+    * no float ever accumulates across rows. Edge hours (incomplete
+    * 25-point window) carry NULL trend/dev and are excluded from the
+    * seasonal means by SUM's NULL-skipping, identically in both
+    * engines.
+    *
+    * Scale: the series frame is O(types · hours) — already reduced by
+    * the first groupBy, windows partition by event_type, and the
+    * seasonal mean is a (type, hod) groupBy of that reduced frame.
+    * Only the first aggregate touches the corpus. */
+  def tsDecompose(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("sv"))
+      .select(col("event_type"), col("hr"),
+        col("sv").cast(DoubleType).as("v"), col("sv"))
+    val wTrend = w.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-12, 12)
+    val detrended = hourly
+      .withColumn("wn", count(lit(1)).over(wTrend))
+      .withColumn("trend",
+        when(col("wn") === 25,
+          sum(col("sv")).over(wTrend).cast(DoubleType) / 25.0))
+      .withColumn("dev_e6",
+        floor((col("v") - col("trend")) * 1000000.0 + 0.5)
+          .cast(LongType))
+    val seasonal = detrended
+      .groupBy(col("event_type"), hour(col("hr")).as("hod"))
+      .agg(sum(col("dev_e6")).as("sdev"),
+        count(col("dev_e6")).as("nd"))
+      .select(col("event_type"), col("hod"),
+        when(col("nd") > 0, floor(col("sdev").cast(DoubleType)
+          / col("nd").cast(DoubleType)).cast(LongType))
+          .as("seasonal_e6"))
+    val se = seasonal.select(col("event_type").as("s_et"),
+      col("hod").as("s_hod"), col("seasonal_e6"))
+    detrended
+      .join(broadcast(se), col("event_type") === col("s_et") &&
+        hour(col("hr")) === col("s_hod"))
+      .select(col("event_type"), col("hr"), col("v"),
+        col("trend"), col("dev_e6"), col("seasonal_e6"),
+        (col("dev_e6") - col("seasonal_e6")).as("resid_e6"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  val tsDecomposeSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |h AS (
+      |  SELECT event_type, hr, CAST(sv AS DOUBLE) AS v, sv
+      |  FROM hourly),
+      |tr AS (
+      |  SELECT event_type, hr, v,
+      |    CASE WHEN COUNT(*) OVER w25 = 25
+      |      THEN CAST(SUM(sv) OVER w25 AS DOUBLE) / 25.0
+      |    END AS trend
+      |  FROM h
+      |  WINDOW w25 AS (PARTITION BY event_type ORDER BY hr
+      |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |dt AS (
+      |  SELECT event_type, hr, v, trend,
+      |    CAST(floor((v - trend) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS dev_e6
+      |  FROM tr),
+      |se AS (
+      |  SELECT event_type, hour(hr) AS hod,
+      |    CASE WHEN COUNT(dev_e6) > 0
+      |      THEN CAST(floor(CAST(SUM(dev_e6) AS DOUBLE)
+      |        / CAST(COUNT(dev_e6) AS DOUBLE)) AS BIGINT)
+      |    END AS seasonal_e6
+      |  FROM dt GROUP BY 1, 2)
+      |SELECT dt.event_type, dt.hr, dt.v, dt.trend, dt.dev_e6,
+      |  se.seasonal_e6,
+      |  dt.dev_e6 - se.seasonal_e6 AS resid_e6
+      |FROM dt JOIN se
+      |  ON dt.event_type = se.event_type AND hour(dt.hr) = se.hod
+      |ORDER BY dt.event_type, dt.hr""".stripMargin
+
   /** Seasonally-adjusted anomaly screen: the [[DataQuality.dqAnomaly]]
     * z-score idiom re-keyed on (event_type, hour-of-day), so each
     * observation is judged against ITS OWN seasonal baseline — a spike
@@ -1192,6 +1284,7 @@ object TimeSeries {
         "ts_autocorr"       -> (tsAutocorr _),
         "ts_seasonality"    -> (tsSeasonality _),
         "ts_seasonal_anomaly" -> (tsSeasonalAnomaly _),
+        "ts_decompose"      -> (tsDecompose _),
         "ts_ewma"           -> (ewma _),
         "ts_attribution"    -> (attributionLinear _),
         "ts_resample_ffill" -> (tsResample _),
@@ -1207,6 +1300,7 @@ object TimeSeries {
         "ts_autocorr"       -> tsAutocorrSql,
         "ts_seasonality"    -> tsSeasonalitySql,
         "ts_seasonal_anomaly" -> tsSeasonalAnomalySql,
+        "ts_decompose"      -> tsDecomposeSql,
         "ts_ewma"           -> ewmaSql,
         "ts_attribution"    -> attributionLinearSql,
         "ts_attribution_markov" -> attributionMarkovSql(),

@@ -641,6 +641,33 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("ts_decompose: planted spike splits into trend lift, own-hour " +
+      "seasonal, zero residual") {
+    // 49 hourly points, constant 10 except a 35 spike at hour 24:
+    // every full 25-point window contains the spike, so trend = 11
+    // across hours 12..36; each hour-of-day has one interior sample,
+    // so seasonal absorbs the whole deviation and residuals vanish.
+    val dir = tmpDir("r6_decomp")
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+    val rows = (0 until 49).map { h =>
+      val v = if (h == 24) 35.0 else 10.0
+      Row(h.toLong, new Timestamp(base + h * 3600000L), 1L, "A", v, "{}")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.TimeSeries.tsDecompose(spark, dir).collect()
+      .map(r => (r.getTimestamp(1).getTime - base) / 3600000L ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      .toMap
+    assert(got.size === 49)
+    assert(got(24L) === ((Some(11.0), Some(24000000L), Some(0L))))
+    assert(got(18L) === ((Some(11.0), Some(-1000000L), Some(0L))))
+    assert(got(5L)._1 === None) // edge: incomplete window, no trend
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
