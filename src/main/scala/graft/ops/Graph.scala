@@ -822,7 +822,101 @@ object Graph {
       |FROM outd o FULL OUTER JOIN ind i ON i.dst = o.src
       |ORDER BY node""".stripMargin
 
+  /** Directed modularity of the [[labelPropagation]] communities —
+    * the quality score that turns "LPA emitted labels" into "LPA
+    * found STRUCTURE": per community c,
+    * `Q_c = e_c/m − (out_c·in_c)/m²` (Leicht–Newman directed form),
+    * where e_c is the internal directed edge weight and out/in the
+    * community degree sums. Emitted as exact BIGINTs plus Q_c as a
+    * 1e-9-snapped long from ONE fixed-shape double expression — the
+    * Mining-lift discipline, so per-community terms subtract exactly
+    * and the corpus-level Q is the integer sum of the rows.
+    *
+    * Scale: the label vector and every per-community aggregate are
+    * O(nodes)/O(communities); only the transition-edge derivation
+    * (shared with every other graph op) touches the corpus. */
+  def modularity(s: SparkSession, dir: String,
+      iters: Int = 4): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dedges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val labels = labelPropagation(s, dir, iters).localCheckpoint()
+    val m = dedges.agg(sum(col("w")).cast("long").as("m"))
+    val e = dedges
+      .join(broadcast(labels.toDF("src", "la")), "src")
+      .join(broadcast(labels.toDF("dst", "lb")), "dst")
+    val ein = e.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lab"))
+      .agg(sum(col("w")).cast("long").as("e_in"))
+    val od = e.groupBy(col("la").as("lab"))
+      .agg(sum(col("w")).cast("long").as("wout"))
+    val id = e.groupBy(col("lb").as("lab"))
+      .agg(sum(col("w")).cast("long").as("win"))
+    val com = labels.select(col("lab")).distinct()
+    com
+      .crossJoin(broadcast(m))
+      .join(ein, Seq("lab"), "left")
+      .join(od, Seq("lab"), "left")
+      .join(id, Seq("lab"), "left")
+      .select(col("lab"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("wout"), lit(0L)).as("wout"),
+        coalesce(col("win"), lit(0L)).as("win"),
+        floor((coalesce(col("e_in"), lit(0L)).cast("double")
+            / col("m").cast("double")
+          - (coalesce(col("wout"), lit(0L)).cast("double")
+              * coalesce(col("win"), lit(0L)).cast("double"))
+            / (col("m").cast("double") * col("m").cast("double")))
+          * 1000000000.0 + 0.5).cast("long").as("q_e9"))
+      .orderBy(col("lab"))
+  }
+
+  def modularitySql(iters: Int = 4): String =
+    s"""WITH lp AS (SELECT * FROM (${labelPropagationSql(iters)})),
+       |ord2 AS (
+       |  SELECT event_type AS src,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |dd AS (SELECT src, dst, COUNT(*) AS w FROM ord2
+       |       WHERE dst IS NOT NULL AND dst <> src
+       |       GROUP BY src, dst),
+       |mm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM dd),
+       |ee AS (
+       |  SELECT d.src, d.dst, d.w, a.lab AS la, b.lab AS lb
+       |  FROM dd d JOIN lp a ON a.node = d.src
+       |  JOIN lp b ON b.node = d.dst),
+       |ein AS (SELECT la AS lab, CAST(SUM(w) AS BIGINT) AS e_in
+       |        FROM ee WHERE la = lb GROUP BY la),
+       |od AS (SELECT la AS lab, CAST(SUM(w) AS BIGINT) AS wout
+       |       FROM ee GROUP BY la),
+       |ideg AS (SELECT lb AS lab, CAST(SUM(w) AS BIGINT) AS win
+       |         FROM ee GROUP BY lb),
+       |com AS (SELECT DISTINCT lab FROM lp)
+       |SELECT c.lab,
+       |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+       |  CAST(COALESCE(od.wout, 0) AS BIGINT) AS wout,
+       |  CAST(COALESCE(ideg.win, 0) AS BIGINT) AS win,
+       |  CAST(floor((CAST(COALESCE(ein.e_in, 0) AS DOUBLE)
+       |      / CAST(mm.m AS DOUBLE)
+       |    - (CAST(COALESCE(od.wout, 0) AS DOUBLE)
+       |        * CAST(COALESCE(ideg.win, 0) AS DOUBLE))
+       |      / (CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)))
+       |    * 1000000000.0 + 0.5) AS BIGINT) AS q_e9
+       |FROM com c CROSS JOIN mm
+       |LEFT JOIN ein ON ein.lab = c.lab
+       |LEFT JOIN od ON od.lab = c.lab
+       |LEFT JOIN ideg ON ideg.lab = c.lab
+       |ORDER BY c.lab""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> ((s, d) => modularity(s, d)),
     "graph_degree_stats" -> (degreeStats _),
     "graph_link_predict" -> (linkPredictGate _),
     "graph_label_prop"  -> ((s, d) => labelPropagation(s, d)),
@@ -837,6 +931,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_modularity"  -> modularitySql(),
     "graph_link_predict" -> linkPredictSql,
     "graph_label_prop"  -> labelPropagationSql(),
     "graph_bfs"         -> bfsSql,

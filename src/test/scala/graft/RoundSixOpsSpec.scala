@@ -668,6 +668,31 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(got(5L)._1 === None) // edge: incomplete window, no trend
   }
 
+  test("graph_modularity: accounting closes against the transition " +
+      "graph and the emitted q-terms reproduce") {
+    val rows = Graph.modularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // m from the independent transitions gate (src<>dst edges only)
+    val m = Graph.transitions(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .agg(sum(col("w"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum === m, "out-degrees must sum to m")
+    assert(rows.map(_._4).sum === m, "in-degrees must sum to m")
+    rows.foreach { case (lab, ein, wout, win, q) =>
+      assert(ein <= math.min(wout, win), s"community $lab overcounts")
+      val expect = math.floor((ein.toDouble / m.toDouble -
+        (wout.toDouble * win.toDouble) / (m.toDouble * m.toDouble))
+        * 1e9 + 0.5).toLong
+      assert(q === expect, s"q-term mismatch for community $lab")
+    }
+    // communities are exactly the label-propagation labels
+    val labs = Graph.labelPropagation(spark, sf)
+      .select("lab").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === labs)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
