@@ -398,6 +398,78 @@ object Evaluation {
       |  CAST(20 AS BIGINT) AS n_replicates
       |FROM point""".stripMargin
 
+  /** Cohen's kappa between the same two deterministic raters
+    * [[mcnemar]] pairs — the inter-annotator-agreement statistic
+    * every labeling/curation pipeline reports before trusting its
+    * labels (raw agreement flatters: two raters that both say "yes"
+    * 90% of the time agree 82% by CHANCE). po/pe/kappa all live on
+    * an integer ppm grid — `pe_ppm = (a₁b₁ + a₀b₀)·10⁶ div n²`,
+    * `kappa_ppm = (po−pe)·10⁶ div (10⁶−pe)` — so no float ever
+    * forms. One conditional-sum pass; the median probe is the same
+    * broadcast scalar as McNemar's.
+    *
+    * Scale: identical to [[mcnemar]] — one map-combinable aggregate
+    * over the corpus, O(1) output. */
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val med = docs.agg(expr("percentile(n_chars, 0.5)").as("med"))
+    docs.crossJoin(broadcast(med))
+      .select((col("n_chars").cast(DoubleType) >= col("med")).as("pa"),
+        col("text").contains("the").as("pb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pa") === col("pb"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("pa"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("pb"), 1L).otherwise(0L)).as("b1"))
+      .select(col("n"), col("n_agree"), col("a1"), col("b1"),
+        expr("(n_agree * 1000000L) div n").as("po_ppm"),
+        expr("((a1 * b1 + (n - a1) * (n - b1)) * 1000000L) div (n * n)")
+          .as("pe_ppm"))
+      .select(col("n"), col("n_agree"), col("a1"), col("b1"),
+        col("po_ppm"), col("pe_ppm"),
+        // Spark `div` truncates toward zero, DuckDB `//` floors —
+        // they agree only on non-negative operands, so the sign is
+        // peeled off before the division on BOTH sides.
+        when(col("pe_ppm") >= 1000000L, lit(0L))
+          .when(col("po_ppm") >= col("pe_ppm"),
+            expr("((po_ppm - pe_ppm) * 1000000L)" +
+              " div (1000000L - pe_ppm)"))
+          .otherwise(expr("-(((pe_ppm - po_ppm) * 1000000L)" +
+            " div (1000000L - pe_ppm))"))
+          .as("kappa_ppm"))
+  }
+
+  val cohensKappaSql: String =
+    """WITH med AS (
+      |  SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+      |paired AS (
+      |  SELECT (CAST(n_chars AS DOUBLE) >= med) AS pa,
+      |    (text LIKE '%the%') AS pb
+      |  FROM documents CROSS JOIN med),
+      |agg AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS n_agree,
+      |    SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS a1,
+      |    SUM(CASE WHEN pb THEN 1 ELSE 0 END) AS b1
+      |  FROM paired),
+      |rates AS (
+      |  SELECT n, n_agree, a1, b1,
+      |    (n_agree * 1000000) // n AS po_ppm,
+      |    ((a1 * b1 + (n - a1) * (n - b1)) * 1000000) // (n * n)
+      |      AS pe_ppm
+      |  FROM agg)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(n_agree AS BIGINT) AS n_agree,
+      |  CAST(a1 AS BIGINT) AS a1, CAST(b1 AS BIGINT) AS b1,
+      |  CAST(po_ppm AS BIGINT) AS po_ppm,
+      |  CAST(pe_ppm AS BIGINT) AS pe_ppm,
+      |  CAST(CASE WHEN pe_ppm >= 1000000 THEN 0
+      |    WHEN po_ppm >= pe_ppm
+      |    THEN ((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm)
+      |    ELSE -(((pe_ppm - po_ppm) * 1000000) // (1000000 - pe_ppm))
+      |    END AS BIGINT) AS kappa_ppm
+      |FROM rates""".stripMargin
+
   /** McNemar's paired test — the statistically correct way to ask
     * "is classifier A actually better than B on the SAME examples?"
     * (comparing two accuracies ignores pairing; McNemar conditions
@@ -494,6 +566,7 @@ object Evaluation {
     "eval_ndcg" -> (ndcgGate _),
     "eval_auc" -> (aucGate _),
     "eval_pr_curve" -> (prCurve _),
+    "eval_cohens_kappa" -> (cohensKappa _),
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
@@ -502,6 +575,7 @@ object Evaluation {
     "eval_ndcg" -> ndcgSql,
     "eval_auc" -> aucSql,
     "eval_pr_curve" -> prCurveSql,
+    "eval_cohens_kappa" -> cohensKappaSql,
     "eval_calibration" -> calibrationSql,
     "eval_bootstrap_ci" -> bootstrapCiSql)
 }

@@ -785,6 +785,64 @@ object TimeSeries {
       |  ON dt.event_type = se.event_type AND hour(dt.hr) = se.hod
       |ORDER BY dt.event_type, dt.hr""".stripMargin
 
+  /** Seasonal-naive forecast backtest — the baseline every forecast
+    * pipeline must beat before a model earns its keep: ŷ(type, day d,
+    * hour h) = y(type, d−1 same-hod slot), evaluated over every
+    * (day, hour) cell with a predecessor. Per type it emits the
+    * evaluation count, MAE and signed bias. Errors are DECIMAL-exact
+    * differences (never a float accumulation); each reported metric
+    * is ONE double division rounded to 6 dp — the mean6/sd6
+    * contract.
+    *
+    * Scale: the corpus reduces to O(type·day·24) cells in the first
+    * map-combinable aggregate; the lag window partitions by
+    * (type, hod) — thousands of independent partitions — and the
+    * final reduce is O(types). */
+  def tsForecastSnaive(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("hod")).orderBy(col("d"))
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"),
+        hour(col("ts")).as("hod"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("sv"))
+    hourly
+      .withColumn("fc", lag(col("sv"), 1).over(w))
+      .filter(col("fc").isNotNull)
+      .withColumn("err", col("sv") - col("fc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("err"))).as("sae"),
+        sum(col("err")).as("se"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("sae").cast(DoubleType) /
+          col("n_eval").cast(DoubleType), 6).as("mae6"),
+        round(col("se").cast(DoubleType) /
+          col("n_eval").cast(DoubleType), 6).as("bias6"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsForecastSnaiveSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    hour(ts) AS hod,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+      |  FROM events GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT event_type, sv,
+      |    LAG(sv) OVER (PARTITION BY event_type, hod ORDER BY d)
+      |      AS fc
+      |  FROM hourly),
+      |err AS (
+      |  SELECT event_type, sv - fc AS err
+      |  FROM scored WHERE fc IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_eval,
+      |  round(CAST(SUM(ABS(err)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mae6,
+      |  round(CAST(SUM(err) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS bias6
+      |FROM err GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Seasonally-adjusted anomaly screen: the [[DataQuality.dqAnomaly]]
     * z-score idiom re-keyed on (event_type, hour-of-day), so each
     * observation is judged against ITS OWN seasonal baseline — a spike
@@ -1285,6 +1343,7 @@ object TimeSeries {
         "ts_seasonality"    -> (tsSeasonality _),
         "ts_seasonal_anomaly" -> (tsSeasonalAnomaly _),
         "ts_decompose"      -> (tsDecompose _),
+        "ts_forecast_snaive" -> (tsForecastSnaive _),
         "ts_ewma"           -> (ewma _),
         "ts_attribution"    -> (attributionLinear _),
         "ts_resample_ffill" -> (tsResample _),
@@ -1301,6 +1360,7 @@ object TimeSeries {
         "ts_seasonality"    -> tsSeasonalitySql,
         "ts_seasonal_anomaly" -> tsSeasonalAnomalySql,
         "ts_decompose"      -> tsDecomposeSql,
+        "ts_forecast_snaive" -> tsForecastSnaiveSql,
         "ts_ewma"           -> ewmaSql,
         "ts_attribution"    -> attributionLinearSql,
         "ts_attribution_markov" -> attributionMarkovSql(),

@@ -693,6 +693,49 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === labs)
   }
 
+  test("eval_cohens_kappa: perfect agreement scores exactly 1.0, " +
+      "accounting closes") {
+    // long docs contain 'the', short ones don't — the two raters
+    // agree on every row: po = 1e6 and kappa = 1e6 regardless of pe.
+    val dir = tmpDir("r6_kappa")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      Row(1L, "x", "en", "s", 10L), Row(2L, "y", "en", "s", 10L),
+      Row(3L, "the long one", "en", "s", 100L),
+      Row(4L, "the other long", "en", "s", 100L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.Evaluation.cohensKappa(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 4L)))
+    assert(r.getLong(4) === 1000000L)          // po
+    assert(r.getLong(5) === 500000L)           // pe from 2/4 marginals
+    assert(r.getLong(6) === 1000000L)          // kappa = 1 exactly
+  }
+
+  test("ts_forecast_snaive: same-hour-yesterday errors, hand-computed") {
+    val dir = tmpDir("r6_snaive")
+    val day = 86400000L
+    val base = 1704067200000L // 2024-01-01 00:00 UTC
+    val rows = Seq(
+      // hod 0: 10 then 13 (err +3); hod 1: 5 then 3 (err -2)
+      Row(1L, new Timestamp(base), 1L, "A", 10.0, "{}"),
+      Row(2L, new Timestamp(base + 3600000L), 1L, "A", 5.0, "{}"),
+      Row(3L, new Timestamp(base + day), 1L, "A", 13.0, "{}"),
+      Row(4L, new Timestamp(base + day + 3600000L), 1L, "A", 3.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.TimeSeries.tsForecastSnaive(spark, dir).collect()(0)
+    assert(r.getString(0) === "A")
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 2.5)  // (|3| + |-2|) / 2
+    assert(r.getDouble(3) === 0.5)  // (3 - 2) / 2
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
