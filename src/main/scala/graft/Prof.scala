@@ -48,6 +48,31 @@ object Prof {
     }
     time2("dedup_ngram_jaccard") { noop(ops.Dedup.ngramJaccard(spark, d1)) }
     time2("dedup_minhash_lsh") { noop(ops.Dedup.minhashLsh(spark, d1)) }
+    time2("baskets_only") {
+      noop(graft.Tables.lineitem(spark, d1)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_set(
+            col("l_partkey"))).as("ps")))
+    }
+    time2("pairs_only") {
+      val b = graft.Tables.lineitem(spark, d1)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_set(
+            col("l_partkey"))).as("ps"))
+      noop(b.filter(org.apache.spark.sql.functions.size(col("ps")) >= 2)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr(
+            "flatten(transform(ps, (x, i) -> transform(" +
+            "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+          .as("p"))
+        .select(col("p.pa"), col("p.pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_pair")))
+    }
+    time2("mine_copurchase") { noop(ops.Mining.copurchaseGate(spark, d1)) }
     spark.stop()
   }
 }

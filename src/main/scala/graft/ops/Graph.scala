@@ -861,9 +861,9 @@ object Graph {
     val com = labels.select(col("lab")).distinct()
     com
       .crossJoin(broadcast(m))
-      .join(ein, Seq("lab"), "left")
-      .join(od, Seq("lab"), "left")
-      .join(id, Seq("lab"), "left")
+      .join(broadcast(ein), Seq("lab"), "left")
+      .join(broadcast(od), Seq("lab"), "left")
+      .join(broadcast(id), Seq("lab"), "left")
       .select(col("lab"),
         coalesce(col("e_in"), lit(0L)).as("e_in"),
         coalesce(col("wout"), lit(0L)).as("wout"),
