@@ -158,7 +158,11 @@ object Maintenance {
   def cdcApply(s: SparkSession, dir: String): DataFrame = {
     val baseDir = scratch(dir, "cdc/orders")
     val srcDir = scratch(dir, "cdc/changes")
-    val ck = scratch(dir, "cdc/ck")
+    // Gate-scoped checkpoint on tmpfs (EventStreams.ckBase rationale):
+    // the replay is bounded and the dir is removed below, so the
+    // per-micro-batch commit-log fsyncs buy nothing on disk.
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "cdc_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     def rm(p: String): Unit = {
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -185,7 +189,10 @@ object Maintenance {
         batch(13, 1.1, "U2").write.mode("append").parquet(srcDir)
       }
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.streaming.EventStreams.dropCheckpoint(ck)
+    }
     s.read.parquet(baseDir)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 4).as("total"))
@@ -598,7 +605,9 @@ object Maintenance {
   def streamMvMaintain(s: SparkSession, dir: String): DataFrame = {
     val srcDir = scratch(dir, "mvstream/src")
     val mvDir = scratch(dir, "mvstream/mv")
-    val ck = scratch(dir, "mvstream/ck")
+    // Tmpfs gate checkpoint — same rationale as cdcApply.
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "mvstream_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     def rm(p: String): Unit = {
       val path = new Path(p)
       path.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -641,7 +650,10 @@ object Maintenance {
           .mode("append").parquet(srcDir)
       }
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.streaming.EventStreams.dropCheckpoint(ck)
+    }
     s.read.parquet(mvDir)
       .select(col("o_orderpriority"), col("cnt"),
         col("sum_price").cast(DoubleType).as("sum_price"))

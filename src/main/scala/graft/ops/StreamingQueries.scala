@@ -278,10 +278,13 @@ object StreamingQueries {
     // conf is captured at query start, then restored.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    val lateCk = graft.streaming.EventStreams.gateCheckpoint(
+      "stream_late_" + tag.replace(".", "_"))
     val q =
       try EventStreams.tumblingCounts(stream).writeStream
         .format("memory")
         .queryName("stream_late_" + tag.replace(".", "_"))
+        .option("checkpointLocation", lateCk)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -292,7 +295,10 @@ object StreamingQueries {
           .write.mode("append").parquet(srcDir)
       }
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.streaming.EventStreams.dropCheckpoint(lateCk)
+    }
     s.table("stream_late_" + tag.replace(".", "_"))
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -356,11 +362,13 @@ object StreamingQueries {
     val name = "stream_outer_" + tag.replace(".", "_")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    val ck = graft.streaming.EventStreams.gateCheckpoint(name)
     val q =
       try EventStreams.intervalJoin(stream, "view", "purchase",
           joinType = "left_outer").writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ck)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -371,7 +379,10 @@ object StreamingQueries {
           .write.mode("append").parquet(srcDir)
       }
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.streaming.EventStreams.dropCheckpoint(ck)
+    }
     s.table(name).orderBy(col("user_id"), col("a_id"), col("b_id"))
   }
 

@@ -278,6 +278,30 @@ object EventStreams {
 
   // ---------------------------------------------------------------- //
 
+  /** Checkpoint base for the bounded gate replays: tmpfs when the
+    * host offers it, else /tmp. The replays are finite
+    * (processAllAvailable over a fixed parquet source) and the
+    * checkpoint is deleted right after, so durability buys nothing —
+    * while every micro-batch otherwise pays commit-log + state
+    * fsyncs to spinning /tmp, which is exactly the host-I/O noise
+    * the bench protocol documents for the stream gates. Production
+    * callers run the SAME transforms through their own writeStream
+    * with a real checkpoint location; this base is gate-harness
+    * scoped. */
+  private[graft] def ckBase: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_ck"
+    else "/tmp/graft_ck"
+  }
+
+  /** Fresh gate-scoped checkpoint dir under [[ckBase]]; callers
+    * delete it when their query stops. */
+  private[graft] def gateCheckpoint(name: String): String =
+    s"$ckBase/$name-${System.nanoTime()}"
+
+  private[graft] def dropCheckpoint(ck: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+
   /** Drive a windowed transform through a real Structured Streaming
     * query: parquet file source → transform → memory sink, processed
     * to completion. Used by the specs to prove stream-mode execution
@@ -286,13 +310,18 @@ object EventStreams {
       schema: StructType, name: String,
       transform: DataFrame => DataFrame,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val ck = gateCheckpoint(name)
     val stream = spark.readStream.schema(schema).parquet(eventsPath)
     val q = transform(stream).writeStream
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ck)
       .outputMode(outputMode)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      dropCheckpoint(ck)
+    }
     spark.table(name)
   }
 }
