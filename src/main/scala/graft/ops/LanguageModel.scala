@@ -619,7 +619,83 @@ object LanguageModel {
       |FROM bgc JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tt
       |ORDER BY bgc.c2 DESC, bgc.bg LIMIT 50""".stripMargin
 
+  /** Pointwise-mutual-information collocations — the classic
+    * phrase/term-pair discovery pass (Church & Hanks): for every
+    * bigram with support ≥ `minSup`,
+    * `PMI = ln P(ab) − ln P(a) − ln P(b)` stated entirely as logs of
+    * positive integer counts in ONE fixed operand order, snapped to a
+    * 1e-6 long — so ranking and values are bit-exact cross-engine.
+    * Where [[bigramLm]] models sequence probability, PMI isolates
+    * association strength: the pre-tokenizer merge-candidate list and
+    * the "named-entity-ish glue" detector a corpus audit wants.
+    *
+    * Scale: two map-combinable count passes (unigrams, bigrams);
+    * the scored frame is the ≥minSup bigram TABLE (vocabulary-sized,
+    * not corpus-sized), the unigram side is the same broadcast the
+    * DSIR gate justifies, and totals are scalar cross joins. */
+  def pmiBigrams(s: SparkSession, dir: String, minSup: Long = 5L,
+      topk: Int = 50): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(explode(words(col("text"))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val t1 = toks.agg(count(lit(1)).as("t1"))
+    val big = docs.select(
+      explode(graft.plans.TextExpressions.tokenNGrams(
+        words(col("text")), 2, emitWholeShortDoc = false)).as("bg"))
+    val t = big.agg(count(lit(1)).as("t"))
+    val bgc = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minSup)
+    bgc
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(broadcast(uni.toDF("w1", "ca")), "w1")
+      .join(broadcast(uni.toDF("w2", "cb")), "w2")
+      .crossJoin(broadcast(t))
+      .crossJoin(broadcast(t1))
+      .select(col("bg"), col("c2"),
+        snap(log(col("c2").cast(DoubleType))
+          - log(col("t").cast(DoubleType))
+          - log(col("ca").cast(DoubleType))
+          + log(col("t1").cast(DoubleType))
+          - log(col("cb").cast(DoubleType))
+          + log(col("t1").cast(DoubleType))).as("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("bg"))
+      .limit(topk)
+  }
+
+  val pmiBigramsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |toks AS (SELECT unnest(t) AS w FROM tok),
+      |uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+      |t1 AS (SELECT COUNT(*) AS t1 FROM toks),
+      |pos AS (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+      |big AS (SELECT array_to_string(t[i:i+1], ' ') AS bg,
+      |               t[i] AS w1, t[i+1] AS w2 FROM pos),
+      |tt AS (SELECT COUNT(*) AS t FROM big),
+      |bgc AS (SELECT bg, MIN(w1) AS w1, MIN(w2) AS w2,
+      |               COUNT(*) AS c2
+      |        FROM big GROUP BY bg HAVING COUNT(*) >= 5)
+      |SELECT bg, CAST(c2 AS BIGINT) AS c2,
+      |  CAST(floor((ln(CAST(c2 AS DOUBLE))
+      |    - ln(CAST(tt.t AS DOUBLE))
+      |    - ln(CAST(ua.c1 AS DOUBLE))
+      |    + ln(CAST(t1.t1 AS DOUBLE))
+      |    - ln(CAST(ub.c1 AS DOUBLE))
+      |    + ln(CAST(t1.t1 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+      |    AS pmi_e6
+      |FROM bgc
+      |JOIN uni ua ON ua.w = bgc.w1
+      |JOIN uni ub ON ub.w = bgc.w2
+      |CROSS JOIN tt CROSS JOIN t1
+      |ORDER BY pmi_e6 DESC, bg LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_bigrams" -> ((s: SparkSession, d: String) =>
+      pmiBigrams(s, d)),
     "text_kneser_ney" -> ((s, d) => kneserNey(s, d)),
     "text_bpe_apply" -> (bpeApply _),
     "text_collocations" -> ((s, d) => collocations(s, d)),
@@ -630,6 +706,7 @@ object LanguageModel {
     "text_oov_rate" -> ((s, d) => oovRate(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "text_pmi_bigrams" -> pmiBigramsSql,
     "text_kneser_ney" -> kneserNeySql,
     "text_bpe_apply" -> bpeApplySql,
     "text_bigram_lm" -> bigramLmSql,

@@ -1728,6 +1728,74 @@ object Similarity {
        |WHERE rn = 1
        |ORDER BY query_id""".stripMargin
 
+  /** Standardized-distance outlier screen over the embedding space —
+    * the corrupted-vector audit (dead dims, scale blowups, NaN-ish
+    * garbage after a bad encoder deploy) run before any ANN index
+    * build: per-dimension mean/sd from one exact decimal power-sum
+    * pass (the dqAnomaly idiom), then each vector scores
+    * `Σ_i ((x_i − μ_i)/σ_i)²` — a diagonal-covariance Mahalanobis.
+    * Per-dim terms snap to 1e-6 longs BEFORE the per-vector sum, so
+    * no float accumulates across rows; zero-variance dims contribute
+    * 0 by definition on both engines.
+    *
+    * Scale: stats are O(dim) broadcast; the scoring pass is one
+    * posexplode + broadcast join + per-vector integer reduce
+    * (map-combinable); top-k lands in TakeOrderedAndProject. */
+  def embedOutliers(s: SparkSession, dir: String,
+      topk: Int = 20): DataFrame = {
+    val comp = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").cast(DoubleType).as("x"))
+    val d = comp.col("x").cast(DecimalType(18, 8))
+    val stats = comp.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(d).cast(DoubleType).as("sv"),
+        sum(d * d).cast(DoubleType).as("svv"))
+      .select(col("pos"), (col("sv") / col("n")).as("mean"),
+        sqrt(greatest(col("svv") / col("n")
+          - (col("sv") / col("n")) * (col("sv") / col("n")),
+          lit(0.0))).as("sd"))
+    comp.join(broadcast(stats), "pos")
+      .select(col("vec_id"),
+        when(col("sd") > 0,
+          floor(((col("x") - col("mean")) / col("sd"))
+            * ((col("x") - col("mean")) / col("sd"))
+            * 1000000.0 + 0.5).cast(LongType))
+          .otherwise(lit(0L)).as("te"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("te")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("vec_id"))
+      .limit(topk)
+  }
+
+  val embedOutliersSql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS u(i)),
+      |s AS (
+      |  SELECT pos, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,8))
+      |      * CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS svv
+      |  FROM comp GROUP BY pos),
+      |st AS (
+      |  SELECT pos, sv / n AS mean,
+      |    sqrt(greatest(svv / n - (sv / n) * (sv / n), 0.0)) AS sd
+      |  FROM s),
+      |terms AS (
+      |  SELECT c.vec_id,
+      |    CASE WHEN st.sd > 0
+      |      THEN CAST(floor(((c.x - st.mean) / st.sd)
+      |        * ((c.x - st.mean) / st.sd) * 1000000.0 + 0.5) AS BIGINT)
+      |      ELSE 0 END AS te
+      |  FROM comp c JOIN st USING (pos))
+      |SELECT vec_id, CAST(SUM(te) AS BIGINT) AS score_e6
+      |FROM terms GROUP BY vec_id
+      |ORDER BY score_e6 DESC, vec_id LIMIT 20""".stripMargin
+
   /** Label-affinity matrix: pairwise cosine between the per-label
     * centroids — the class-geometry audit run before trusting labels
     * for contrastive sampling or nearest-centroid routing (two labels
@@ -1981,6 +2049,8 @@ object Similarity {
       ivfPqRecall(s, d)),
     "embed_knn_classify"  -> ((s: SparkSession, d: String) =>
       knnClassify(s, d)),
+    "embed_outliers"      -> ((s: SparkSession, d: String) =>
+      embedOutliers(s, d)),
     "embed_project"       -> ((s: SparkSession, d: String) =>
       randomProjection(s, d)),
     "sim_semantic_dedup"  -> (semanticDedup _),
@@ -2015,6 +2085,7 @@ object Similarity {
     "sim_pq_adc_recall"   -> annRecallSql,
     "sim_ivf_pq_recall"   -> annRecallSql,
     "embed_knn_classify"  -> knnClassifySql,
+    "embed_outliers"      -> embedOutliersSql,
     "sim_semantic_dedup"  -> semanticDedupSql,
     "embed_centroids"     -> centroidsSql,
     "embed_classify"      -> classifyByCentroidSql,

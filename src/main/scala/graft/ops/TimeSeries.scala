@@ -785,6 +785,150 @@ object TimeSeries {
       |  ON dt.event_type = se.event_type AND hour(dt.hr) = se.hod
       |ORDER BY dt.event_type, dt.hr""".stripMargin
 
+  /** Retention-cohort matrix — the product-analytics staple none of
+    * the funnel/sessionize/gaps gates cover: users cohort by FIRST
+    * active day, and each (cohort_day, day_offset) cell counts the
+    * cohort's users active that many days later. All integer
+    * (dates + datediff + counts).
+    *
+    * Scale: the first-touch reduce and the activity distinct both
+    * key on user_id — ONE logical exchange serves the groupBy, the
+    * distinct, and the join (the sessionize shared-exchange
+    * discipline); the final matrix reduce is O(days²) cells. Because
+    * (user, day) rows are pre-deduplicated, the cell count(*) IS the
+    * distinct-user count — no second distinct shuffle. */
+  def tsRetention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val first = active.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"))
+    active.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_day"),
+        col("day_offset").cast(LongType).as("day_offset"),
+        col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val tsRetentionSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |first AS (
+      |  SELECT user_id, MIN(d) AS cohort_day
+      |  FROM active GROUP BY user_id)
+      |SELECT f.cohort_day,
+      |  CAST(a.d - f.cohort_day AS BIGINT) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM active a JOIN first f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** RFM (recency / frequency / monetary) quintile segmentation —
+    * the classic behavioral-scoring pass on top of the per-user
+    * reduce the other ts gates share. Quintile boundaries come from
+    * ONE exact-percentile aggregate (array argument, rounded to 4 dp
+    * — the q23/quantile-bins contract; `percentile_approx` is the
+    * 100 TB default swap), broadcast as a single row; scoring is a
+    * pure codegen CASE projection, so beyond the per-user reduce the
+    * pass is shuffle-free. Recency scores INVERT (small = recent =
+    * 5); the composite segment is `r·100 + f·10 + m`.
+    *
+    * Determinism: r/f are integers, m is one decimal-sum cast;
+    * boundaries are 4-dp-rounded doubles compared with the same CAST
+    * on both engines. */
+  def tsRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clock = ev.agg(max(to_date(col("ts"))).as("now"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(col("value").cast(DecimalType(18, 4))).as("mdec"))
+      .crossJoin(broadcast(clock))
+      .select(col("user_id"),
+        datediff(col("now"), col("last_d")).cast(LongType).as("r"),
+        col("f"), col("mdec").cast(DoubleType).as("m"))
+    val b = users.agg(
+        expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+        expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+        expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+      .select((1 to 4).flatMap(i => Seq(
+        round(element_at(col("rb"), i), 4).as(s"r$i"),
+        round(element_at(col("fb"), i), 4).as(s"f$i"),
+        round(element_at(col("mb"), i), 4).as(s"m$i"))): _*)
+    def steps(v: org.apache.spark.sql.Column,
+        bs: Seq[org.apache.spark.sql.Column],
+        invert: Boolean): org.apache.spark.sql.Column =
+      bs.map(bnd =>
+        if (invert) when(v.cast(DoubleType) <= bnd, 1L).otherwise(0L)
+        else when(v.cast(DoubleType) > bnd, 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+    users.crossJoin(broadcast(b))
+      .select(col("user_id"), col("r"), col("f"),
+        round(col("m"), 4).as("m4"),
+        steps(col("r"), (1 to 4).map(i => col(s"r$i")), invert = true)
+          .as("r_score"),
+        steps(col("f"), (1 to 4).map(i => col(s"f$i")), invert = false)
+          .as("f_score"),
+        steps(col("m"), (1 to 4).map(i => col(s"m$i")), invert = false)
+          .as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsRfmSql: String =
+    """WITH clock AS (SELECT MAX(CAST(ts AS DATE)) AS now FROM events),
+      |users AS (
+      |  SELECT user_id,
+      |    CAST(now - MAX(CAST(ts AS DATE)) AS BIGINT) AS r,
+      |    COUNT(*) AS f,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS m
+      |  FROM events CROSS JOIN clock
+      |  GROUP BY user_id, now),
+      |b AS (SELECT
+      |    ROUND(quantile_cont(r, 0.2), 4) AS r1,
+      |    ROUND(quantile_cont(r, 0.4), 4) AS r2,
+      |    ROUND(quantile_cont(r, 0.6), 4) AS r3,
+      |    ROUND(quantile_cont(r, 0.8), 4) AS r4,
+      |    ROUND(quantile_cont(f, 0.2), 4) AS f1,
+      |    ROUND(quantile_cont(f, 0.4), 4) AS f2,
+      |    ROUND(quantile_cont(f, 0.6), 4) AS f3,
+      |    ROUND(quantile_cont(f, 0.8), 4) AS f4,
+      |    ROUND(quantile_cont(m, 0.2), 4) AS m1,
+      |    ROUND(quantile_cont(m, 0.4), 4) AS m2,
+      |    ROUND(quantile_cont(m, 0.6), 4) AS m3,
+      |    ROUND(quantile_cont(m, 0.8), 4) AS m4b
+      |  FROM users),
+      |scored AS (
+      |  SELECT user_id, r, f, ROUND(m, 4) AS m4,
+      |    (CASE WHEN CAST(r AS DOUBLE) <= r1 THEN 1 ELSE 0 END
+      |     + CASE WHEN CAST(r AS DOUBLE) <= r2 THEN 1 ELSE 0 END
+      |     + CASE WHEN CAST(r AS DOUBLE) <= r3 THEN 1 ELSE 0 END
+      |     + CASE WHEN CAST(r AS DOUBLE) <= r4 THEN 1 ELSE 0 END
+      |     + 1) AS r_score,
+      |    (CASE WHEN CAST(f AS DOUBLE) > f1 THEN 1 ELSE 0 END
+      |     + CASE WHEN CAST(f AS DOUBLE) > f2 THEN 1 ELSE 0 END
+      |     + CASE WHEN CAST(f AS DOUBLE) > f3 THEN 1 ELSE 0 END
+      |     + CASE WHEN CAST(f AS DOUBLE) > f4 THEN 1 ELSE 0 END
+      |     + 1) AS f_score,
+      |    (CASE WHEN m > m1 THEN 1 ELSE 0 END
+      |     + CASE WHEN m > m2 THEN 1 ELSE 0 END
+      |     + CASE WHEN m > m3 THEN 1 ELSE 0 END
+      |     + CASE WHEN m > m4b THEN 1 ELSE 0 END
+      |     + 1) AS m_score
+      |  FROM users CROSS JOIN b)
+      |SELECT user_id, r, CAST(f AS BIGINT) AS f, m4,
+      |  CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+      |    AS segment
+      |FROM scored
+      |ORDER BY user_id""".stripMargin
+
   /** Seasonal-naive forecast backtest — the baseline every forecast
     * pipeline must beat before a model earns its keep: ŷ(type, day d,
     * hour h) = y(type, d−1 same-hod slot), evaluated over every
@@ -1344,6 +1488,8 @@ object TimeSeries {
         "ts_seasonal_anomaly" -> (tsSeasonalAnomaly _),
         "ts_decompose"      -> (tsDecompose _),
         "ts_forecast_snaive" -> (tsForecastSnaive _),
+        "ts_retention"      -> (tsRetention _),
+        "ts_rfm"            -> (tsRfm _),
         "ts_ewma"           -> (ewma _),
         "ts_attribution"    -> (attributionLinear _),
         "ts_resample_ffill" -> (tsResample _),
@@ -1361,6 +1507,8 @@ object TimeSeries {
         "ts_seasonal_anomaly" -> tsSeasonalAnomalySql,
         "ts_decompose"      -> tsDecomposeSql,
         "ts_forecast_snaive" -> tsForecastSnaiveSql,
+        "ts_retention"      -> tsRetentionSql,
+        "ts_rfm"            -> tsRfmSql,
         "ts_ewma"           -> ewmaSql,
         "ts_attribution"    -> attributionLinearSql,
         "ts_attribution_markov" -> attributionMarkovSql(),

@@ -736,6 +736,89 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.5)  // (3 - 2) / 2
   }
 
+  test("text_pmi_bigrams: the rarer perfectly-associated pair " +
+      "outranks the common one, value hand-computed") {
+    // 'new york' (6 of 26 bigrams) and 'a b' (20 of 26) are both
+    // perfectly associated; PMI must prefer the RARER pair — the
+    // whole point of PMI over raw counts.
+    val dir = tmpDir("r6_pmi")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows =
+      (0 until 6).map(i => Row(i.toLong, "new york", "en", "s", 8L)) ++
+      (0 until 20).map(i => Row(10L + i, "a b", "en", "s", 3L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.LanguageModel.pmiBigrams(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === Seq("new york", "a b"))
+    val exp = math.floor((math.log(6.0) - math.log(26.0) -
+      math.log(6.0) + math.log(52.0) - math.log(6.0) +
+      math.log(52.0)) * 1e6 + 0.5).toLong
+    assert(got(0)._3 === exp)
+  }
+
+  test("ts_retention: cohort matrix from planted first-touch days") {
+    val dir = tmpDir("r6_ret")
+    val day = 86400000L
+    val base = 1704067200000L
+    def ev(id: Long, u: Long, dayN: Int) =
+      Row(id, new Timestamp(base + dayN * day + u * 1000), u, "A",
+        1.0, "{}")
+    val rows = Seq(
+      ev(1, 1, 0), ev(2, 1, 2),   // user1: cohort d0, back on d2
+      ev(3, 2, 0),                // user2: cohort d0 only
+      ev(4, 3, 1), ev(5, 3, 2))   // user3: cohort d1, back on d2
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.TimeSeries.tsRetention(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L))
+  }
+
+  test("ts_rfm: scores bounded, segment composes, formula closes") {
+    val rows = graft.ops.TimeSeries.tsRfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, rs, fs, ms, seg) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 &&
+        ms >= 1 && ms <= 5, s"user $u scores out of range")
+      assert(seg === rs * 100 + fs * 10 + ms, s"user $u segment")
+    }
+    // quintile scoring must actually spread: more than one distinct
+    // score on at least one axis
+    assert(rows.map(_._2).distinct.size > 1 ||
+      rows.map(_._3).distinct.size > 1 || rows.map(_._4).distinct.size > 1)
+  }
+
+  test("embed_outliers: the planted corrupted vector tops the screen, " +
+      "dead dims contribute zero") {
+    val dir = tmpDir("r6_outl")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rows = (1L to 9L).map(i =>
+      Row(i, Seq(1f, 0f, 7f), 0)) :+ Row(10L, Seq(0f, 50f, 7f), 0)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.Similarity.embedOutliers(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.head._1 === 10L)
+    assert(got.head._2 > got(1)._2 * 5, "corrupted vector must dominate")
+    got.foreach { case (_, s) => assert(s >= 0L) }
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
