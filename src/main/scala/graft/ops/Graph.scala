@@ -915,7 +915,99 @@ object Graph {
        |LEFT JOIN ideg ON ideg.lab = c.lab
        |ORDER BY c.lab""".stripMargin
 
+  /** Closeness centrality by multi-source BFS — the distance-based
+    * member of the centrality family (degree/PageRank/HITS cover
+    * volume and eigen-structure; closeness asks "how FEW hops to
+    * everything?"). Distances live as a SPARSE reached-pair frame
+    * (s, node, d): each round expands the frontier one hop through
+    * the edge list and a grouped min dedupes — at O(nodes²) pairs
+    * worst case, which is the all-pairs premise of closeness itself.
+    * Per source: `closeness_ppm = reached·10⁶ div Σd` (integer,
+    * non-negative — floor/truncate agree). A post-loop relaxation
+    * ASSERTS the BFS fixpoint (the [[sssp]] discipline), so
+    * truncated-round output can never hash green.
+    *
+    * Scale: the transition-edge derivation is the only corpus pass;
+    * rounds shuffle O(reached pairs). For node sets where all-pairs
+    * is meaningless, the standard swap is sampled-source closeness —
+    * the same loop seeded with a hash-sampled source frame. */
+  def closeness(s: SparkSession, dir: String, iters: Int = 6): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node"))
+      .distinct().localCheckpoint()
+    var dist = nodes.select(col("node").as("s"), col("node"),
+      lit(0L).as("d"))
+    for (_ <- 1 to iters) {
+      val cand = dist
+        .join(edges.withColumnRenamed("src", "node"), "node")
+        .select(col("s"), col("dst").as("node"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(cand)
+        .groupBy(col("s"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    val more = dist
+      .join(edges.withColumnRenamed("src", "node"), "node")
+      .select(col("s"), col("dst").as("node"), (col("d") + 1L).as("cand"))
+      .join(dist.withColumnRenamed("d", "cur"), Seq("s", "node"), "left")
+      .filter(col("cur").isNull || col("cand") < col("cur"))
+      .count()
+    require(more == 0L,
+      s"closeness: $iters BFS rounds did not reach the fixpoint " +
+      s"($more pairs still improvable) — raise iters on BOTH the " +
+      "engine and the unrolled oracle")
+    dist.groupBy(col("s").as("node"))
+      .agg((count(lit(1)) - 1L).as("n_reach"),
+        sum(col("d")).as("sum_d"))
+      .select(col("node"), col("n_reach"), col("sum_d"),
+        when(col("sum_d") > 0,
+          expr("(n_reach * 1000000L) div sum_d"))
+          .otherwise(lit(0L)).as("closeness_ppm"))
+      .orderBy(col("node"))
+  }
+
+  def closenessSql(iters: Int = 6): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT DISTINCT src, dst FROM ord
+        |          WHERE dst IS NOT NULL AND dst <> src),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |it0 AS (SELECT node AS s, node, CAST(0 AS BIGINT) AS d
+        |        FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT s, node, MIN(d) AS d FROM (
+         |    SELECT s, node, d FROM it${i - 1}
+         |    UNION ALL
+         |    SELECT q.s, e.dst AS node, q.d + 1 AS d
+         |    FROM it${i - 1} q JOIN edges e ON e.src = q.node)
+         |  GROUP BY s, node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT s AS node,
+         |  COUNT(*) - 1 AS n_reach,
+         |  CAST(SUM(d) AS BIGINT) AS sum_d,
+         |  CASE WHEN CAST(SUM(d) AS BIGINT) > 0
+         |    THEN ((COUNT(*) - 1) * 1000000)
+         |      // CAST(SUM(d) AS BIGINT)
+         |    ELSE 0 END AS closeness_ppm
+         |FROM it$iters GROUP BY s ORDER BY node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_closeness" -> ((s, d) => closeness(s, d)),
     "graph_modularity" -> ((s, d) => modularity(s, d)),
     "graph_degree_stats" -> (degreeStats _),
     "graph_link_predict" -> (linkPredictGate _),
@@ -931,6 +1023,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_closeness"   -> closenessSql(),
     "graph_modularity"  -> modularitySql(),
     "graph_link_predict" -> linkPredictSql,
     "graph_label_prop"  -> labelPropagationSql(),

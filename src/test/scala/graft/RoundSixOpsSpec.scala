@@ -819,6 +819,27 @@ class RoundSixOpsSpec extends SparkSpec {
     got.foreach { case (_, s) => assert(s >= 0L) }
   }
 
+  test("graph_closeness: directed path distances, unreachable sink " +
+      "scores zero") {
+    // Single walk A -> B -> C: closeness(A) = 2/(1+2), closeness(B) =
+    // 1/1, C reaches nothing.
+    val dir = tmpDir("r6_close")
+    val rows = Seq(
+      Row(1L, new Timestamp(1700000000000L), 1L, "A", 1.0, "{}"),
+      Row(2L, new Timestamp(1700000001000L), 1L, "B", 1.0, "{}"),
+      Row(3L, new Timestamp(1700000002000L), 1L, "C", 1.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Graph.closeness(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      "A" -> ((2L, 3L, 666666L)),
+      "B" -> ((1L, 1L, 1000000L)),
+      "C" -> ((0L, 0L, 0L))))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
