@@ -1154,6 +1154,62 @@ object Dedup {
       |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Incremental-novelty curve — the curation-ORDER diagnostic the
+    * symmetric coverage gates ([[spanCoverage]]/[[spanUnion]]) can't
+    * answer: processing docs in doc_id order, what fraction of each
+    * doc's stride-grams has never been seen in any EARLIER doc?
+    * First-seen ownership is one grouped `min(doc_id)` per gram —
+    * no window over the corpus, no pairwise join — and a gram is
+    * novel for exactly the doc that owns its minimum. Emits per doc
+    * the gram count, novel count, and novelty as a ppm BIGINT; the
+    * running marginal-novelty curve a data buyer reads to decide
+    * where additional corpus stops paying.
+    *
+    * Scale: identical shuffle to [[spanCoverage]] (gram-keyed,
+    * min-combinable); the join back is gram-keyed on the same
+    * exchange. */
+  def noveltyCurve(s: SparkSession, dir: String,
+      window: Int = 40, stride: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val grams = docs.filter(col("len") >= window)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor((col("len") - window) / stride)
+          .cast(IntegerType)),
+        i => col("text").substr(i * stride + 1, lit(window)))).as("gram"))
+    val firstSeen = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("owner"))
+    grams.join(firstSeen, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000L) div n_grams").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltyCurveSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents),
+      |pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, (len - 40) // 10 + 1)) AS i
+      |  FROM d WHERE len >= 40),
+      |g AS (
+      |  SELECT doc_id,
+      |    substr(text, CAST(i * 10 + 1 AS INTEGER), 40) AS gram
+      |  FROM pos),
+      |fs AS (SELECT gram, MIN(doc_id) AS owner FROM g GROUP BY gram)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN fs.owner = g.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  (CAST(SUM(CASE WHEN fs.owner = g.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000) // COUNT(*) AS novelty_ppm
+      |FROM g JOIN fs USING (gram)
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   /** Banded hamming self-join — the k-bit variant the [[simhash]]
     * docstring names, as a first-class operator: pairs of 64-bit
     * signatures within hamming distance ≤ `k`, found EXACTLY via the
@@ -1382,6 +1438,7 @@ object Dedup {
     "dedup_lsh_scurve"    -> (lshScurve _),
     "dedup_span_coverage" -> ((s: SparkSession, d: String) => spanCoverage(s, d)),
     "dedup_span_union" -> ((s: SparkSession, d: String) => spanUnion(s, d)),
+    "dedup_novelty_curve" -> ((s: SparkSession, d: String) => noveltyCurve(s, d)),
     "dedup_paragraph"     -> ((s: SparkSession, d: String) => paragraphDedup(s, d)),
     "dedup_unicode"       -> (unicodeDedup _),
     "dedup_latest"        -> (latest _),
@@ -1405,6 +1462,7 @@ object Dedup {
     "dedup_lsh_scurve"    -> lshScurveSql,
     "dedup_span_coverage" -> spanCoverageSql,
     "dedup_span_union" -> spanUnionSql,
+    "dedup_novelty_curve" -> noveltyCurveSql,
     "dedup_latest"        -> latestSql,
     "dedup_paragraph"     -> paragraphDedupSql,
     "dedup_unicode"       -> unicodeDedupSql,

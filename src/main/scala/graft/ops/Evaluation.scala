@@ -398,6 +398,36 @@ object Evaluation {
       |  CAST(20 AS BIGINT) AS n_replicates
       |FROM point""".stripMargin
 
+  /** Brier score of the same length-derived probability the
+    * calibration gate bins (p = min(n_chars, 4000)/4000 vs
+    * y = lang='en') — the PROPER scoring rule that summarizes the
+    * whole reliability table into one number: mean (p − y)². The
+    * residual numerator `min(n_chars,4000) − 4000·y` is an exact
+    * integer, its square sums as a BIGINT, and the score is ONE
+    * double division rounded to 6 dp — so the gate is exact.
+    * One map-combinable pass. */
+  def brierScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((least(col("n_chars"), lit(4000L))
+        - lit(4000L) * when(col("lang") === "en", 1L).otherwise(0L))
+        .as("num"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("num") * col("num")).as("sse"))
+      .select(col("n"), col("sse"),
+        round(col("sse").cast(DoubleType)
+          / (col("n").cast(DoubleType) * 16000000.0), 6).as("brier6"))
+
+  val brierScoreSql: String =
+    """WITH r AS (
+      |  SELECT LEAST(n_chars, 4000)
+      |    - 4000 * (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS num
+      |  FROM documents)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(num * num) AS BIGINT) AS sse,
+      |  ROUND(CAST(SUM(num * num) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 16000000.0), 6) AS brier6
+      |FROM r""".stripMargin
+
   /** Cohen's kappa between the same two deterministic raters
     * [[mcnemar]] pairs — the inter-annotator-agreement statistic
     * every labeling/curation pipeline reports before trusting its
@@ -567,6 +597,7 @@ object Evaluation {
     "eval_auc" -> (aucGate _),
     "eval_pr_curve" -> (prCurve _),
     "eval_cohens_kappa" -> (cohensKappa _),
+    "eval_brier" -> (brierScore _),
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
@@ -576,6 +607,7 @@ object Evaluation {
     "eval_auc" -> aucSql,
     "eval_pr_curve" -> prCurveSql,
     "eval_cohens_kappa" -> cohensKappaSql,
+    "eval_brier" -> brierScoreSql,
     "eval_calibration" -> calibrationSql,
     "eval_bootstrap_ci" -> bootstrapCiSql)
 }

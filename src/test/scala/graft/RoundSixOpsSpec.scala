@@ -840,6 +840,46 @@ class RoundSixOpsSpec extends SparkSpec {
       "C" -> ((0L, 0L, 0L))))
   }
 
+  test("dedup_novelty_curve: first owner keeps the grams, repeats " +
+      "score zero") {
+    // doc 1 owns the shared 80-char block; doc 2 repeats it plus a
+    // fresh tail; doc 3 is all fresh.
+    val dir = tmpDir("r6_novel")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val shared = "0123456789" * 8
+    val rows = Seq(
+      Row(1L, shared, "en", "s", 80L),
+      Row(2L, shared + "a" * 40, "en", "s", 120L),
+      Row(3L, "c" * 80, "en", "s", 80L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.noveltyCurve(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc1: 5 grams, all novel. doc2: 9 grams — the periodic shared
+    // block contributes only already-seen grams through position 40
+    // (period 10 makes gram(40) == gram(0..30)); novel grams are the
+    // 4 crossing into the fresh tail. doc3: its periodic 'c' text
+    // collapses to 5 copies of ONE novel gram.
+    assert(got(1L) === ((5L, 5L, 1000000L)))
+    assert(got(2L) === ((9L, 4L, 444444L)))
+    assert(got(3L) === ((5L, 5L, 1000000L)))
+  }
+
+  test("eval_brier: integer residual accounting reproduces the score") {
+    val r = graft.ops.Evaluation.brierScore(spark, sf).collect()(0)
+    val (n, sse, brier) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(n > 0 && sse >= 0)
+    assert(math.abs(brier -
+      math.round(sse.toDouble / (n * 16000000.0) * 1e6) / 1e6.toDouble)
+      < 1e-9)
+    assert(brier >= 0.0 && brier <= 1.0)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
