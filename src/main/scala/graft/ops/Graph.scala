@@ -1006,7 +1006,159 @@ object Graph {
          |FROM it$iters GROUP BY s ORDER BY node""".stripMargin
   }
 
+  /** Exact betweenness centrality — Brandes restated as JOINS over
+    * two all-pairs tables instead of per-source dependency
+    * accumulation (which is inherently sequential): (1) BFS
+    * distances d(s,v) as the [[closeness]] sparse reached-pair
+    * rounds; (2) shortest-path COUNTS σ(s,v) by the layered
+    * recurrence `σ(s,v) = Σ_{u→v, d(s,u)+1 = d(s,v)} σ(s,u)`
+    * (σ(s,s) = 1), which is correct for all nodes within `iters`
+    * hops and ASSERTED at fixpoint; (3)
+    * `B(v) = Σ_{s≠v≠t} σ(s,v)·σ(v,t)/σ(s,t) · [d(s,v)+d(v,t)=d(s,t)]`
+    * as one triple join over those tables, each (s,v,t) contribution
+    * snapped to a 1e-9 long BEFORE the per-v integer sum (no float
+    * accumulates across rows).
+    *
+    * Scale: tables are O(reached pairs) — the all-pairs premise of
+    * exact betweenness; at corpus-scale node sets the standard swap
+    * is source-sampled betweenness (seed the same rounds with a
+    * hash-sampled source frame), identical plan shape. */
+  def betweenness(s: SparkSession, dir: String,
+      iters: Int = 6): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node"))
+      .distinct().localCheckpoint()
+    var dist = nodes.select(col("node").as("s"), col("node"),
+      lit(0L).as("d"))
+    for (_ <- 1 to iters) {
+      dist = dist.unionByName(dist
+          .join(edges.withColumnRenamed("src", "node"), "node")
+          .select(col("s"), col("dst").as("node"),
+            (col("d") + 1L).as("d")))
+        .groupBy(col("s"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    def sigmaStep(prev: DataFrame): DataFrame =
+      dist.filter(col("d") === 0L)
+        .select(col("s"), col("node"), lit(1L).as("sig"))
+        .unionByName(prev
+          .join(edges.withColumnRenamed("src", "node"), "node")
+          .select(col("s"), col("dst").as("node"), col("sig"),
+            (col("d") + 1L).as("dn"))
+          .join(dist.withColumnRenamed("d", "dv"), Seq("s", "node"))
+          .filter(col("dn") === col("dv"))
+          .select(col("s"), col("node"), col("sig")))
+        .groupBy(col("s"), col("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(dist, Seq("s", "node"))
+        .select(col("s"), col("node"), col("sig"), col("d"))
+    var sigma = dist.filter(col("d") === 0L)
+      .select(col("s"), col("node"), lit(1L).as("sig"), col("d"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) sigma = sigmaStep(sigma).localCheckpoint()
+    val changed = sigmaStep(sigma)
+      .withColumnRenamed("sig", "sig2")
+      .join(sigma, Seq("s", "node"), "full_outer")
+      .filter(col("sig").isNull || col("sig2").isNull ||
+        col("sig") =!= col("sig2"))
+      .count()
+    require(changed == 0L,
+      s"betweenness: $iters rounds did not reach the sigma fixpoint " +
+      s"($changed entries still changing) — raise iters on BOTH the " +
+      "engine and the unrolled oracle")
+    val p = sigma.select(col("s"), col("node"), col("sig"), col("d"))
+    val contrib = p.toDF("s", "v", "sig_sv", "d_sv")
+      .join(p.toDF("v", "t", "sig_vt", "d_vt"), "v")
+      .join(p.toDF("s", "t", "sig_st", "d_st"), Seq("s", "t"))
+      .filter(col("s") =!= col("v") && col("t") =!= col("v") &&
+        col("s") =!= col("t") &&
+        col("d_sv") + col("d_vt") === col("d_st"))
+      .select(col("v").as("node"),
+        floor((col("sig_sv") * col("sig_vt")).cast("double")
+          * 1000000000.0 / col("sig_st").cast("double") + 0.5)
+          .cast("long").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("betweenness_e9"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("betweenness_e9"), lit(0L)).as("betweenness_e9"))
+      .orderBy(col("node"))
+  }
+
+  def betweennessSql(iters: Int = 6): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT DISTINCT src, dst FROM ord
+        |          WHERE dst IS NOT NULL AND dst <> src),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |dt0 AS (SELECT node AS s, node, CAST(0 AS BIGINT) AS d
+        |        FROM nodes)""".stripMargin
+    val dSteps = (1 to iters).map { i =>
+      s"""dt$i AS (
+         |  SELECT s, node, MIN(d) AS d FROM (
+         |    SELECT s, node, d FROM dt${i - 1}
+         |    UNION ALL
+         |    SELECT q.s, e.dst AS node, q.d + 1 AS d
+         |    FROM dt${i - 1} q JOIN edges e ON e.src = q.node)
+         |  GROUP BY s, node)""".stripMargin
+    }
+    val distFinal =
+      s"""dist AS (SELECT s, node, CAST(d AS BIGINT) AS d
+         |         FROM dt$iters),
+         |sg0 AS (SELECT s, node, CAST(1 AS BIGINT) AS sig, d
+         |        FROM dist WHERE d = 0)""".stripMargin
+    val sSteps = (1 to iters).map { i =>
+      s"""sg$i AS (
+         |  SELECT g.s, g.node, CAST(SUM(g.sig) AS BIGINT) AS sig,
+         |    MIN(g.d) AS d
+         |  FROM (
+         |    SELECT s, node, CAST(1 AS BIGINT) AS sig, d
+         |    FROM dist WHERE d = 0
+         |    UNION ALL
+         |    SELECT q.s, e.dst AS node, q.sig,
+         |      dv.d AS d
+         |    FROM sg${i - 1} q
+         |    JOIN edges e ON e.src = q.node
+         |    JOIN dist dv ON dv.s = q.s AND dv.node = e.dst
+         |    WHERE q.d + 1 = dv.d) g
+         |  GROUP BY g.s, g.node)""".stripMargin
+    }
+    (Seq(base) ++ dSteps ++ Seq(distFinal) ++ sSteps).mkString(",\n") +
+      s"""
+         |SELECT n.node,
+         |  CAST(COALESCE(b.betweenness_e9, 0) AS BIGINT)
+         |    AS betweenness_e9
+         |FROM nodes n LEFT JOIN (
+         |  SELECT psv.node,
+         |    CAST(SUM(CAST(floor(
+         |      CAST(psv.sig * pvt.sig AS DOUBLE) * 1000000000.0
+         |        / CAST(pst.sig AS DOUBLE) + 0.5) AS BIGINT))
+         |      AS BIGINT) AS betweenness_e9
+         |  FROM (SELECT s, node, sig, d FROM sg$iters) psv
+         |  JOIN (SELECT s AS v2, node AS t, sig, d FROM sg$iters) pvt
+         |    ON pvt.v2 = psv.node
+         |  JOIN (SELECT s, node AS t, sig, d FROM sg$iters) pst
+         |    ON pst.s = psv.s AND pst.t = pvt.t
+         |  WHERE psv.s <> psv.node AND pvt.t <> psv.node
+         |    AND psv.s <> pvt.t
+         |    AND psv.d + pvt.d = pst.d
+         |  GROUP BY psv.node) b ON b.node = n.node
+         |ORDER BY n.node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_betweenness" -> ((s, d) => betweenness(s, d)),
     "graph_closeness" -> ((s, d) => closeness(s, d)),
     "graph_modularity" -> ((s, d) => modularity(s, d)),
     "graph_degree_stats" -> (degreeStats _),
@@ -1023,6 +1175,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_betweenness" -> betweennessSql(),
     "graph_closeness"   -> closenessSql(),
     "graph_modularity"  -> modularitySql(),
     "graph_link_predict" -> linkPredictSql,

@@ -880,6 +880,27 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(brier >= 0.0 && brier <= 1.0)
   }
 
+  test("graph_betweenness: diamond splits the shortest-path credit " +
+      "exactly in half") {
+    // A->B->C and A->D->C: two shortest A..C paths, so B and D each
+    // carry sigma_sv*sigma_vt/sigma_st = 1/2; endpoints carry none.
+    val dir = tmpDir("r6_btw")
+    val rows = Seq(
+      Row(1L, new Timestamp(1700000000000L), 1L, "A", 1.0, "{}"),
+      Row(2L, new Timestamp(1700000001000L), 1L, "B", 1.0, "{}"),
+      Row(3L, new Timestamp(1700000002000L), 1L, "C", 1.0, "{}"),
+      Row(4L, new Timestamp(1700000000000L), 2L, "A", 1.0, "{}"),
+      Row(5L, new Timestamp(1700000001000L), 2L, "D", 1.0, "{}"),
+      Row(6L, new Timestamp(1700000002000L), 2L, "C", 1.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Graph.betweenness(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 0L, "B" -> 500000000L,
+      "C" -> 0L, "D" -> 500000000L))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
