@@ -762,6 +762,74 @@ object DataQuality {
       |FROM cells GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Cramér's V — the [0,1]-normalized effect size of the
+    * [[dqChi2]] independence screen (χ² grows with N; V answers
+    * "HOW associated are event_type and hour-of-day" on a scale
+    * comparable across tables): `V = sqrt(χ²/(N·min(r−1, c−1)))`.
+    * The total χ² reuses the chi2 gate's determinism discipline —
+    * per-cell terms 1e-6-snapped to longs BEFORE the global sum —
+    * and r/c/N are exact counts, so V is ONE fixed expression tree
+    * over exact integers ending in IEEE sqrt (correctly rounded,
+    * bit-identical across engines).
+    *
+    * Scale: one map-side-combinable count over (type, hour); all
+    * later ops run on the O(types×24) grid. */
+  def dqCramersV(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("o"))
+    val all = Window.partitionBy()
+    val byType = Window.partitionBy(col("event_type"))
+    val byHour = Window.partitionBy(col("h"))
+    grid
+      .withColumn("rt", sum(col("o")).over(byType))
+      .withColumn("ct", sum(col("o")).over(byHour))
+      .withColumn("n", sum(col("o")).over(all))
+      .withColumn("dev", col("o") * col("n") - col("rt") * col("ct"))
+      .withColumn("cell",
+        floor((col("dev") * col("dev")).cast(DoubleType)
+          / (col("rt") * col("ct")).cast(DoubleType)
+          / col("n").cast(DoubleType) * 1000000.0 + 0.5)
+          .cast(LongType))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("h")).as("c"),
+        sum(col("cell")).as("chi2_e6"))
+      .select(col("n"), col("r"), col("c"), col("chi2_e6"),
+        sqrt(col("chi2_e6").cast(DoubleType) / 1000000.0
+          / (col("n") * least(col("r") - 1L, col("c") - 1L))
+            .cast(DoubleType)).as("cramers_v"))
+  }
+
+  val dqCramersVSql: String =
+    """WITH grid AS (
+      |  SELECT event_type, hour(ts) AS h, COUNT(*) AS o
+      |  FROM events GROUP BY event_type, hour(ts)),
+      |m AS (
+      |  SELECT event_type, h, o,
+      |    SUM(o) OVER (PARTITION BY event_type) AS rt,
+      |    SUM(o) OVER (PARTITION BY h) AS ct,
+      |    SUM(o) OVER () AS n
+      |  FROM grid),
+      |cells AS (
+      |  SELECT n,
+      |    CAST(floor(
+      |      CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+      |        / CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * 1000000.0 + 0.5) AS BIGINT) AS cell,
+      |    event_type, h
+      |  FROM m),
+      |tot AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n,
+      |    COUNT(DISTINCT event_type) AS r,
+      |    COUNT(DISTINCT h) AS c,
+      |    CAST(SUM(cell) AS BIGINT) AS chi2_e6
+      |  FROM cells)
+      |SELECT n, r, c, chi2_e6,
+      |  sqrt(CAST(chi2_e6 AS DOUBLE) / 1000000.0
+      |    / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+      |FROM tot""".stripMargin
+
   /** Two-sample Kolmogorov–Smirnov distance between the `value`
     * distributions of two event types, over a FIXED equi-width
     * binning (5000 × 0.1-wide bins) — the histogram formulation: the
@@ -901,6 +969,7 @@ object DataQuality {
     "dq_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "dq_rule_engine" -> (ruleEngine _),
     "dq_chi2" -> (dqChi2 _),
+    "dq_cramers_v" -> (dqCramersV _),
     "dq_ks" -> ((s, d) => dqKs(s, d)),
     "dq_weighted_median" -> (dqWeightedMedian _),
     "dq_uniqueness" -> (dqUniqueness _),
@@ -919,6 +988,7 @@ object DataQuality {
     "dq_k_anonymity" -> kAnonymitySql,
     "dq_rule_engine" -> ruleEngineSql,
     "dq_chi2" -> dqChi2Sql,
+    "dq_cramers_v" -> dqCramersVSql,
     "dq_ks" -> dqKsSql,
     "dq_weighted_median" -> dqWeightedMedianSql,
     "dq_uniqueness" -> dqUniquenessSql,

@@ -589,7 +589,59 @@ object Evaluation {
       |    AS f1_ppm
       |FROM c""".stripMargin
 
+  /** Expected / maximum calibration error — the scalar summary of
+    * the [[calibrationGate]] reliability table (Brier scores overall
+    * accuracy+calibration; ECE isolates the CALIBRATION term): over
+    * the same ten equal-width bins of p = min(n_chars,4000)/4000 vs
+    * y = (lang='en'),
+    * `ECE = Σ_b (n_b/N)·|conf_b − acc_b| = Σ_b |Σp·4000⁻¹... |` —
+    * algebraically `Σ_b |sum_num_b − 4000·n_pos_b| / (4000·N)`, so
+    * the numerator is an EXACT non-negative BIGINT and both emitted
+    * metrics are integer ppm divisions (floor == truncate on
+    * non-negatives — the cross-engine `div` discipline). MCE is the
+    * max per-bin gap in ppm of that bin's mass.
+    *
+    * Scale: one map-side-combined groupBy on a 10-value key, then
+    * metadata-sized arithmetic. */
+  def eceGate(s: SparkSession, dir: String): DataFrame = {
+    val bin = expr("least(n_chars, 3999L) * 10L div 4000L")
+    val num = least(col("n_chars"), lit(4000L))
+    Tables.documents(s, dir)
+      .select(bin.as("bin"), num.as("num"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("num")).as("sum_num"),
+        sum(col("pos")).as("n_pos"))
+      .select(col("n"),
+        abs(col("sum_num") - lit(4000L) * col("n_pos")).as("gap_num"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_bins"),
+        sum(col("gap_num")).as("gap_sum"),
+        max(expr("gap_num * 1000000L div (4000L * n)")).as("mce_ppm"))
+      .select(col("n_docs"), col("n_bins"),
+        expr("gap_sum * 1000000L div (4000L * n_docs)").as("ece_ppm"),
+        col("mce_ppm"))
+  }
+
+  val eceSql: String =
+    """WITH b AS (
+      |  SELECT LEAST(n_chars, 3999) * 10 // 4000 AS bin,
+      |    LEAST(n_chars, 4000) AS num,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |g AS (
+      |  SELECT bin, COUNT(*) AS n, SUM(num) AS sum_num,
+      |    SUM(pos) AS n_pos
+      |  FROM b GROUP BY bin),
+      |gg AS (SELECT n, ABS(sum_num - 4000 * n_pos) AS gap_num FROM g)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_bins,
+      |  CAST(SUM(gap_num) * 1000000 // (4000 * SUM(n)) AS BIGINT)
+      |    AS ece_ppm,
+      |  CAST(MAX(gap_num * 1000000 // (4000 * n)) AS BIGINT)
+      |    AS mce_ppm
+      |FROM gg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_ece" -> (eceGate _),
     "eval_f1_report" -> (f1Report _),
     "eval_mcnemar" -> (mcnemar _),
     "eval_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)),
@@ -601,6 +653,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_ece" -> eceSql,
     "eval_f1_report" -> f1ReportSql,
     "eval_mcnemar" -> mcnemarSql,
     "eval_ndcg" -> ndcgSql,

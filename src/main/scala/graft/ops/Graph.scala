@@ -1157,7 +1157,159 @@ object Graph {
          |ORDER BY n.node""".stripMargin
   }
 
+  /** Shared all-pairs BFS over the event-transition graph: the
+    * sparse (s, node, d) reached-pair frame of [[closeness]] /
+    * [[betweenness]], factored so distance-derived operators reuse
+    * one construction. Each round expands the frontier one hop
+    * through the deduped edge list with a grouped MIN; the post-loop
+    * relaxation ASSERTS the BFS fixpoint (the [[sssp]] discipline)
+    * so truncated rounds can never hash green. */
+  private def transitionBfs(s: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    var dist = ev.select(col("event_type").as("node")).distinct()
+      .select(col("node").as("s"), col("node"), lit(0L).as("d"))
+    for (_ <- 1 to iters) {
+      dist = dist.unionByName(dist
+          .join(edges.withColumnRenamed("src", "node"), "node")
+          .select(col("s"), col("dst").as("node"),
+            (col("d") + 1L).as("d")))
+        .groupBy(col("s"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    val more = dist
+      .join(edges.withColumnRenamed("src", "node"), "node")
+      .select(col("s"), col("dst").as("node"),
+        (col("d") + 1L).as("cand"))
+      .join(dist.withColumnRenamed("d", "cur"), Seq("s", "node"), "left")
+      .filter(col("cur").isNull || col("cand") < col("cur"))
+      .count()
+    require(more == 0L,
+      s"transitionBfs: $iters rounds did not reach the fixpoint " +
+      s"($more pairs still improvable) — raise iters on BOTH the " +
+      "engine and the unrolled oracle")
+    dist
+  }
+
+  /** The unrolled-CTE form of [[transitionBfs]] (shared oracle
+    * prefix): defines `edges`, `nodes`, and `it0..it$iters`, where
+    * `it$iters` is the fixpoint (s, node, d) table. */
+  private def transitionBfsSql(iters: Int): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT DISTINCT src, dst FROM ord
+        |          WHERE dst IS NOT NULL AND dst <> src),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |it0 AS (SELECT node AS s, node, CAST(0 AS BIGINT) AS d
+        |        FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT s, node, MIN(d) AS d FROM (
+         |    SELECT s, node, d FROM it${i - 1}
+         |    UNION ALL
+         |    SELECT q.s, e.dst AS node, q.d + 1 AS d
+         |    FROM it${i - 1} q JOIN edges e ON e.src = q.node)
+         |  GROUP BY s, node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** Eccentricity / diameter / radius — the distance-extremes
+    * member of the centrality family ([[closeness]] averages the
+    * distances; eccentricity takes their MAX): per node, the longest
+    * shortest path to any REACHABLE node (the standard finite
+    * eccentricity on a digraph that need not be strongly connected),
+    * plus the graph diameter (max ecc) and radius (min ecc) repeated
+    * per row so one frame answers "is this node peripheral/central".
+    * All quantities are hop counts — exact BIGINTs end to end.
+    *
+    * Scale: one [[transitionBfs]] (O(reached pairs), the all-pairs
+    * premise of exact eccentricity) + a per-source max + one 2-value
+    * broadcast; the sampled-source swap documented on [[closeness]]
+    * applies unchanged. */
+  def eccentricity(s: SparkSession, dir: String,
+      iters: Int = 6): DataFrame = {
+    val per = transitionBfs(s, dir, iters)
+      .groupBy(col("s").as("node"))
+      .agg((count(lit(1)) - 1L).as("n_reach"), max(col("d")).as("ecc"))
+    val dr = per.agg(max(col("ecc")).as("diameter"),
+      min(col("ecc")).as("radius"))
+    per.crossJoin(broadcast(dr))
+      .select(col("node"), col("n_reach"), col("ecc"),
+        col("diameter"), col("radius"))
+      .orderBy(col("node"))
+  }
+
+  def eccentricitySql(iters: Int = 6): String =
+    transitionBfsSql(iters) +
+      s""",
+         |per AS (
+         |  SELECT s AS node, COUNT(*) - 1 AS n_reach,
+         |    CAST(MAX(d) AS BIGINT) AS ecc
+         |  FROM it$iters GROUP BY s),
+         |dr AS (SELECT CAST(MAX(ecc) AS BIGINT) AS diameter,
+         |              CAST(MIN(ecc) AS BIGINT) AS radius FROM per)
+         |SELECT p.node, p.n_reach, p.ecc, dr.diameter, dr.radius
+         |FROM per p CROSS JOIN dr ORDER BY p.node""".stripMargin
+
+  /** Strongly connected components — mutual-reachability labels on
+    * the directed transition graph (the [[components]] family covers
+    * only the UNDIRECTED case; cycles like add→remove→add are
+    * invisible to it). With the all-pairs reach table R from
+    * [[transitionBfs]], v and u share an SCC iff (v,u) ∈ R ∧ (u,v)
+    * ∈ R, so the label is `scc(v) = min{u : mutual(v,u)}` — one
+    * self-join of R on the transposed key + a grouped MIN, exact by
+    * construction (no iteration-count heuristics; the BFS fixpoint
+    * is asserted upstream). The self-pair d=0 guarantees every node
+    * gets a label.
+    *
+    * Scale: R is O(reached pairs) — the premise of exact SCC on a
+    * type-level graph (nodes = event vocabularies, dozens). For
+    * million-node graphs the standard swap is iterative
+    * forward/backward pivot trimming (Fleischer), which this
+    * formulation degenerates to when seeded with sampled pivots. */
+  def scc(s: SparkSession, dir: String, iters: Int = 6): DataFrame = {
+    val reach = transitionBfs(s, dir, iters)
+      .select(col("s").as("v"), col("node").as("u"))
+    val lab = reach
+      .join(reach.toDF("u2", "v2"),
+        col("u2") === col("u") && col("v2") === col("v"))
+      .groupBy(col("v").as("node")).agg(min(col("u")).as("scc"))
+    val sz = lab.groupBy(col("scc")).agg(count(lit(1)).as("scc_size"))
+    lab.join(broadcast(sz), "scc")
+      .select(col("node"), col("scc"), col("scc_size"))
+      .orderBy(col("node"))
+  }
+
+  def sccSql(iters: Int = 6): String =
+    transitionBfsSql(iters) +
+      s""",
+         |mut AS (
+         |  SELECT f.s AS v, f.node AS u
+         |  FROM it$iters f JOIN it$iters b
+         |    ON b.s = f.node AND b.node = f.s),
+         |lab AS (SELECT v AS node, MIN(u) AS scc FROM mut GROUP BY v),
+         |sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
+         |       FROM lab GROUP BY scc)
+         |SELECT l.node, l.scc, sz.scc_size
+         |FROM lab l JOIN sz ON sz.scc = l.scc
+         |ORDER BY l.node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_eccentricity" -> ((s, d) => eccentricity(s, d)),
+    "graph_scc" -> ((s, d) => scc(s, d)),
     "graph_betweenness" -> ((s, d) => betweenness(s, d)),
     "graph_closeness" -> ((s, d) => closeness(s, d)),
     "graph_modularity" -> ((s, d) => modularity(s, d)),
@@ -1175,6 +1327,8 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_eccentricity" -> eccentricitySql(),
+    "graph_scc"         -> sccSql(),
     "graph_betweenness" -> betweennessSql(),
     "graph_closeness"   -> closenessSql(),
     "graph_modularity"  -> modularitySql(),

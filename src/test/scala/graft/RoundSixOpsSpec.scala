@@ -901,6 +901,80 @@ class RoundSixOpsSpec extends SparkSpec {
       "C" -> 0L, "D" -> 500000000L))
   }
 
+  test("graph_eccentricity: path graph extremes, diameter and radius") {
+    // A->B->C: ecc(A)=2, ecc(B)=1, ecc(C)=0 (finite eccentricity
+    // over reachable nodes); diameter 2, radius 0 on every row.
+    val dir = tmpDir("r6_ecc")
+    val rows = Seq(
+      Row(1L, new Timestamp(1700000000000L), 1L, "A", 1.0, "{}"),
+      Row(2L, new Timestamp(1700000001000L), 1L, "B", 1.0, "{}"),
+      Row(3L, new Timestamp(1700000002000L), 1L, "C", 1.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Graph.eccentricity(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === Map(
+      "A" -> ((2L, 2L, 2L, 0L)),
+      "B" -> ((1L, 1L, 2L, 0L)),
+      "C" -> ((0L, 0L, 2L, 0L))))
+  }
+
+  test("graph_scc: directed cycle collapses, tail stays its own " +
+      "component") {
+    // u1 walks A,B,A (edges A->B, B->A: a 2-cycle); u2 walks B,C.
+    // SCC {A,B} labels A (size 2); C is alone (size 1).
+    val dir = tmpDir("r6_scc")
+    val rows = Seq(
+      Row(1L, new Timestamp(1700000000000L), 1L, "A", 1.0, "{}"),
+      Row(2L, new Timestamp(1700000001000L), 1L, "B", 1.0, "{}"),
+      Row(3L, new Timestamp(1700000002000L), 1L, "A", 1.0, "{}"),
+      Row(4L, new Timestamp(1700000000000L), 2L, "B", 1.0, "{}"),
+      Row(5L, new Timestamp(1700000001000L), 2L, "C", 1.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Graph.scc(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      "A" -> (("A", 2L)), "B" -> (("A", 2L)), "C" -> (("C", 1L))))
+  }
+
+  test("eval_ece: integer gap accounting reproduces the metric") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("n_chars", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val gaps = docs.groupBy { case (nc, _) =>
+        math.min(nc, 3999L) * 10L / 4000L }
+      .map { case (_, rows) =>
+        val sumNum = rows.map(r => math.min(r._1, 4000L)).sum
+        val nPos = rows.count(_._2 == "en").toLong
+        (rows.size.toLong, math.abs(sumNum - 4000L * nPos))
+      }
+    val n = docs.length.toLong
+    val expEce = gaps.map(_._2).sum * 1000000L / (4000L * n)
+    val expMce = gaps.map { case (nb, g) => g * 1000000L / (4000L * nb) }.max
+    val r = graft.ops.Evaluation.eceGate(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3))
+      === ((n, gaps.size, expEce, expMce)))
+  }
+
+  test("dq_cramers_v: reconciles with the chi2 gate and stays in " +
+      "[0, 1]") {
+    val r = graft.ops.DataQuality.dqCramersV(spark, sf).collect()(0)
+    val (n, rr, cc, chi2e6, v) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))
+    val perType = graft.ops.DataQuality.dqChi2(spark, sf).collect()
+      .map(x => math.round(x.getDouble(1) * 1e6)).sum
+    assert(chi2e6 === perType)
+    assert(v >= 0.0 && v <= 1.0)
+    assert(math.abs(v - math.sqrt(
+      chi2e6.toDouble / 1e6 / (n * math.min(rr - 1, cc - 1)))) < 1e-12)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
