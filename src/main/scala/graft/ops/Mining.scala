@@ -206,13 +206,69 @@ object Mining {
       |WHERE (r.n_pair * 1000000) // ca.n_item >= 100000
       |ORDER BY ante, cons""".stripMargin
 
+  /** Frequent 3-itemsets — one Apriori level above
+    * [[copurchasePairs]]: triples of parts co-present in ≥ `minSup`
+    * order baskets. The Apriori downward-closure prune is applied
+    * structurally: every item of a frequent triple is itself
+    * frequent, so baskets are RE-BUILT from support-filtered items
+    * before any combination enumerates — the cubic in-array expansion
+    * (the pair miner's scan-side HOF, one level deeper) only ever
+    * sees items that can participate. Combinations come from sorted
+    * basket arrays, so pa < pb < pc by construction and no distinct
+    * is needed; support counts are exact BIGINTs.
+    *
+    * Scale: the prune is a broadcast semi-join on the metadata-sized
+    * frequent-item frame; expansion cost is Σ k³/6 over PRUNED
+    * basket sizes k (plus the basket-size cap noted on the object
+    * doc); support counting is one map-combined groupBy on the
+    * triple. The oracle brute-forces the same triples through a
+    * three-way self-join — the pruned path must reproduce it
+    * exactly. */
+  def tripleCounts(lineitem: DataFrame, minSup: Long): DataFrame = {
+    val b = basketize(lineitem)
+    val freq = b.cnt.filter(col("n_pk") >= minSup).select(col("pk"))
+    val pruned = b.baskets
+      .select(col("ok"), explode(col("ps")).as("pk"))
+      .join(broadcast(freq), "pk")
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+    pruned.filter(size(col("ps")) >= 3)
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> flatten(transform(" +
+        "slice(ps, i + 2, size(ps)), (y, j) -> transform(" +
+        "slice(ps, i + j + 3, size(ps)), " +
+        "z -> struct(x AS pa, y AS pb, z AS pc))))))")).as("t"))
+      .select(col("t.pa"), col("t.pb"), col("t.pc"))
+      .groupBy(col("pa"), col("pb"), col("pc"))
+      .agg(count(lit(1)).as("n_triple"))
+      .filter(col("n_triple") >= minSup)
+      .orderBy(col("pa"), col("pb"), col("pc"))
+  }
+
+  def tripleGate(s: SparkSession, dir: String): DataFrame =
+    tripleCounts(Tables.lineitem(s, dir), minSup = 2L)
+
+  val tripleSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem)
+      |SELECT a.pk AS pa, b.pk AS pb, c.pk AS pc,
+      |  CAST(COUNT(*) AS BIGINT) AS n_triple
+      |FROM items a
+      |JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+      |JOIN items c ON c.ok = a.ok AND b.pk < c.pk
+      |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      |ORDER BY pa, pb, pc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mine_triples" -> (tripleGate _),
     "mine_copurchase" -> (copurchaseGate _),
     "mine_assoc_rules" -> ((s: SparkSession, d: String) =>
       assocRules(s, d)),
     "mine_seq_patterns" -> (seqPatterns _))
 
   def oracle: Map[String, String] = Map(
+    "mine_triples" -> tripleSql,
     "mine_copurchase" -> copurchaseSql,
     "mine_assoc_rules" -> assocRulesSql,
     "mine_seq_patterns" -> seqPatternsSql)

@@ -1454,9 +1454,45 @@ object Relational {
       |ORDER BY gid, o_orderstatus NULLS FIRST,
       |  o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Deterministic MODE: the most frequent l_quantity per line
+    * status, smallest value on count ties — built from groupBy +
+    * row_number rather than the engines' `mode()` aggregates, whose
+    * tie-breaking is implementation-defined (Spark picks an
+    * arbitrary hash-order winner; pinning the ORDER BY makes the
+    * result portable by construction). The ranking window partitions
+    * on the group key over the (groups × distinct values) COUNT
+    * frame, not the raw table — two map-combinable shuffles, both on
+    * small keys. */
+  def q49Mode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_linestatus"))
+      .orderBy(col("n").desc, col("l_quantity").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_linestatus"), col("l_quantity").as("mode_qty"),
+        col("n"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q49Sql: String =
+    """WITH counts AS (
+      |  SELECT l_linestatus, l_quantity, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT l_linestatus, l_quantity, n,
+      |    row_number() OVER (PARTITION BY l_linestatus
+      |      ORDER BY n DESC, l_quantity ASC) AS rk
+      |  FROM counts)
+      |SELECT l_linestatus, l_quantity AS mode_qty, n
+      |FROM ranked WHERE rk = 1
+      |ORDER BY l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_mode"           -> (q49Mode _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project"  -> (q2FilterProject _),
     "q3_top_revenue"     -> (q3TopRevenue _),
@@ -1556,5 +1592,6 @@ object Relational {
     "q45_skyline"        -> q45Sql,
     "q46_recursive_cte"  -> q46Sql,
     "q47_bool_aggs"      -> q47Sql,
-    "q48_grouping_id"    -> q48Sql)
+    "q48_grouping_id"    -> q48Sql,
+    "q49_mode"           -> q49Sql)
 }

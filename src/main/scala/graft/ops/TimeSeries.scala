@@ -1476,8 +1476,116 @@ object TimeSeries {
       |SELECT '3_purchase_1h', COUNT(*) FROM t3
       |ORDER BY stage""".stripMargin
 
+  /** Lagged cross-correlation between two daily event-count series —
+    * the lead/lag diagnostic ([[tsAutocorr]] correlates a series with
+    * ITSELF; cross-correlation asks "does activity in type A lead
+    * activity in type B by k days?"). Series are the daily counts of
+    * the lexicographically first and last event types, zero-filled
+    * onto the data's own [min, max] date spine so quiet days count as
+    * zeros rather than silently shrinking the overlap. For each lag
+    * 0..`maxLag`, Pearson r over pairs (x_t, y_{t+lag}) in the
+    * cross-multiplied integer form: all five power sums are exact
+    * BIGINTs, and r is ONE fixed double expression
+    * `(n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²))` —
+    * identical operand order in the oracle, bit-identical doubles.
+    *
+    * Scale: one map-combined (date) count over the two filtered
+    * types; the spine, the lag fan-out (maxLag+1 copies of a
+    * days-sized frame), and the final per-lag reduce are all
+    * metadata-sized next to the corpus scan. */
+  def crossCorr(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val tm = ev.agg(min(col("event_type")).as("ta"),
+      max(col("event_type")).as("tb"))
+    val daily = ev.crossJoin(broadcast(tm))
+      .filter(col("event_type") === col("ta") ||
+        col("event_type") === col("tb"))
+      .groupBy(to_date(col("ts")).as("dt"))
+      .agg(sum(when(col("event_type") === col("ta"), 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === col("tb"), 1L).otherwise(0L))
+          .as("y"))
+    val spine = daily.agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("dt"))
+    val series = spine.join(daily, Seq("dt"), "left")
+      .select(col("dt"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint()
+    val xs = series.select(col("dt"), col("x"))
+      .withColumn("lag", explode(sequence(lit(0), lit(maxLag))))
+    val pairs = xs.join(series.select(col("dt").as("dt2"), col("y")),
+      date_add(col("dt"), col("lag")) === col("dt2"))
+    pairs.groupBy(col("lag").cast(LongType).as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        when(
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0L ||
+          (col("n") * col("syy") - col("sy") * col("sy")) === 0L,
+          lit(0.0))
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType)
+            / sqrt(
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast(DoubleType)
+              * (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast(DoubleType))).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  val crossCorrSql: String =
+    """WITH tm AS (
+      |  SELECT MIN(event_type) AS ta, MAX(event_type) AS tb
+      |  FROM events),
+      |daily AS (
+      |  SELECT CAST(ts AS DATE) AS dt,
+      |    CAST(SUM(CASE WHEN event_type = tm.ta THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = tm.tb THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events, tm
+      |  WHERE event_type = tm.ta OR event_type = tm.tb
+      |  GROUP BY 1),
+      |bounds AS (SELECT MIN(dt) AS d0, MAX(dt) AS d1 FROM daily),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS dt
+      |  FROM bounds),
+      |series AS (
+      |  SELECT s.dt, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+      |  FROM spine s LEFT JOIN daily d ON d.dt = s.dt),
+      |lags AS (SELECT unnest(range(0, 8)) AS lag),
+      |pairs AS (
+      |  SELECT l.lag, a.x, b.y
+      |  FROM series a
+      |  JOIN lags l ON TRUE
+      |  JOIN series b ON b.dt = a.dt + CAST(l.lag AS INTEGER)),
+      |sums AS (
+      |  SELECT CAST(lag AS BIGINT) AS lag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1)
+      |SELECT lag, n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+      |    THEN 0.0
+      |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |             * CAST(n * syy - sy * sy AS DOUBLE))
+      |  END AS r
+      |FROM sums ORDER BY lag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ts_rolling"        -> (rollingGate _),
+    Map("ts_cross_corr"     -> ((s, d) => crossCorr(s, d)),
+        "ts_rolling"        -> (rollingGate _),
         "ts_funnel_windowed" -> ((s, d) => funnelWindowed(s, d)),
         "ts_time_weighted_avg" -> (timeWeightedAvg _),
         "ts_attribution_markov" -> ((s, d) => attributionMarkov(s, d)),
@@ -1499,7 +1607,8 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> (behaviorLshGate _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
-    Map("ts_rolling"        -> rollingSql,
+    Map("ts_cross_corr"     -> crossCorrSql,
+        "ts_rolling"        -> rollingSql,
         "ts_changepoint"    -> tsChangepointSql,
         "ts_interval_union" -> tsIntervalUnionSql,
         "ts_autocorr"       -> tsAutocorrSql,

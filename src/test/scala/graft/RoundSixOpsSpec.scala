@@ -975,6 +975,56 @@ class RoundSixOpsSpec extends SparkSpec {
       chi2e6.toDouble / 1e6 / (n * math.min(rr - 1, cc - 1)))) < 1e-12)
   }
 
+  test("mine_triples: planted baskets, Apriori prune reproduces " +
+      "brute force") {
+    // baskets {1,2,3}, {1,2,3,4}, {1,2,4}: triples (1,2,3) and
+    // (1,2,4) each appear twice; every other triple once only.
+    val dir = tmpDir("r6_tri")
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (3L, 4L))
+    spark.createDataFrame(rows).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Mining.tripleGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
+  }
+
+  test("ts_cross_corr: planted one-day lead yields r = 1 at lag 1") {
+    // A counts [2,4,6,0] on Jan 1-4; B counts [0,2,4,6] — B is A
+    // shifted one day. Exact r per lag from integer power sums.
+    val dir = tmpDir("r6_ccf")
+    def burst(base: Long, day: Int, t: String, k: Int) =
+      (1 to k).map(i => Row(base + i,
+        Timestamp.valueOf(f"2024-01-0$day%d 12:00:00"), 1L, t, 1.0, "{}"))
+    val rows =
+      burst(100, 1, "A", 2) ++ burst(200, 2, "A", 4) ++
+      burst(300, 3, "A", 6) ++ burst(400, 2, "B", 2) ++
+      burst(500, 3, "B", 4) ++ burst(600, 4, "B", 6)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.TimeSeries.crossCorr(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got === Map(
+      0L -> ((4L, -0.2)), 1L -> ((3L, 1.0)),
+      2L -> ((2L, 1.0)), 3L -> ((1L, 0.0))))
+  }
+
+  test("q49_mode: count ties break to the smallest value") {
+    val dir = tmpDir("r6_mode")
+    val rows = Seq(
+      ("F", 5.0), ("F", 5.0), ("F", 3.0), ("F", 3.0), ("F", 9.0),
+      ("O", 7.0), ("O", 7.0), ("O", 7.0), ("O", 1.0))
+    spark.createDataFrame(rows).toDF("l_linestatus", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.q49Mode(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === Map("F" -> ((3.0, 2L)), "O" -> ((7.0, 3L))))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
