@@ -1307,7 +1307,85 @@ object Graph {
          |FROM lab l JOIN sz ON sz.scc = l.scc
          |ORDER BY l.node""".stripMargin
 
+  /** Degree assortativity — "do hubs link to hubs?": the Pearson
+    * correlation between source OUT-degree and destination IN-degree
+    * across the distinct transition edges (the standard directed
+    * out–in assortativity). Positive r = assortative (hubby types
+    * feed each other), negative = disassortative (hubs feed leaves)
+    * — the one-number structural summary the degree/reciprocity gate
+    * doesn't capture. Uses the same cross-multiplied integer form as
+    * the repo's correlation gates: five exact BIGINT power sums over
+    * the edge list, then ONE fixed double expression with a
+    * zero-variance guard.
+    *
+    * Scale: degrees are one map-combined groupBy each; the per-edge
+    * (x, y) frame joins the node-sized degree tables (broadcast);
+    * the final reduce is map-combinable. Nothing is quadratic. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("x"))
+    val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("y"))
+    edges.join(broadcast(outDeg), "src").join(broadcast(inDeg), "dst")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_edges"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        when(
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0L ||
+          (col("n") * col("syy") - col("sy") * col("sy")) === 0L,
+          lit(0.0))
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+            / sqrt(
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("r"))
+  }
+
+  val assortativitySql: String =
+    """WITH ord AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |edges AS (SELECT DISTINCT src, dst FROM ord
+      |          WHERE dst IS NOT NULL AND dst <> src),
+      |od AS (SELECT src, COUNT(*) AS x FROM edges GROUP BY src),
+      |id AS (SELECT dst, COUNT(*) AS y FROM edges GROUP BY dst),
+      |s AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM edges e
+      |  JOIN od ON od.src = e.src
+      |  JOIN id ON id.dst = e.dst)
+      |SELECT n AS n_edges,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+      |    THEN 0.0
+      |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |             * CAST(n * syy - sy * sy AS DOUBLE))
+      |  END AS r
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_eccentricity" -> ((s, d) => eccentricity(s, d)),
     "graph_scc" -> ((s, d) => scc(s, d)),
     "graph_betweenness" -> ((s, d) => betweenness(s, d)),
@@ -1327,6 +1405,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_assortativity" -> assortativitySql,
     "graph_eccentricity" -> eccentricitySql(),
     "graph_scc"         -> sccSql(),
     "graph_betweenness" -> betweennessSql(),

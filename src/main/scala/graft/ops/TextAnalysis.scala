@@ -825,7 +825,115 @@ object TextAnalysis {
       |          AS BIGINT) ELSE 0 END) AS BIGINT) AS jsd2_e9
       |FROM joined GROUP BY source ORDER BY source""".stripMargin
 
+  /** RAKE keyword extraction (Rose et al. 2010) — corpus-level
+    * keyphrases without any model: candidate phrases are maximal
+    * runs of non-stopword tokens (stopwords and punctuation are the
+    * delimiters), word scores are `deg(w)/freq(w)` over all
+    * candidate occurrences (deg = sum of hosting-phrase lengths —
+    * words living in long phrases score high), and a phrase scores
+    * the sum of its words. The classic first-pass keyword miner for
+    * corpus exploration / dataset cards.
+    *
+    * Determinism: word scores are `deg·10⁶ div freq` integer ppm
+    * (both non-negative), phrase scores exact BIGINT sums of those,
+    * and the top-20 cut orders by (score DESC, phrase) over UNIQUE
+    * phrase strings — no ties possible at the boundary.
+    *
+    * Mechanics/scale: tokenize (lower + non-alpha split, empties act
+    * as punctuation delimiters), gaps-islands run grouping via one
+    * per-doc window (`pos − row_number`), phrase assembly by
+    * array_sort(collect_list(struct)) — order-deterministic without
+    * trusting collect order. The word-stats frame is
+    * vocabulary-sized and broadcast back; shuffles touch (doc, run)
+    * and word keys only — nothing pairwise, nothing quadratic. */
+  def rakeKeywords(s: SparkSession, dir: String,
+      topK: Int = 20, maxLen: Int = 4): DataFrame = {
+    val stop = Seq("the", "a", "an", "of", "and", "or", "to", "in",
+      "is", "are", "on", "for", "with", "as", "by", "at", "it",
+      "this", "that", "be", "was", "were", "from")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z]+"))
+          .as(Seq("pos", "word")))
+    val runs = toks
+      .filter(col("word") =!= "" && !col("word").isin(stop: _*))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("word"))))
+        .as("ws"))
+      .filter(size(col("ws")) <= maxLen)
+      .select(col("doc_id"), col("grp"),
+        expr("transform(ws, x -> x.word)").as("words"),
+        size(col("ws")).cast("long").as("plen"))
+    val words = runs.select(col("doc_id"), col("grp"), col("plen"),
+      explode(col("words")).as("word"))
+    val wstats = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("word"),
+        expr("deg * 1000000L div freq").as("wscore"))
+    val pscore = words.join(broadcast(wstats), "word")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("wscore")).as("score_e6"))
+    runs.select(col("doc_id"), col("grp"),
+        array_join(col("words"), " ").as("phrase"))
+      .join(pscore, Seq("doc_id", "grp"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_phrase"), max(col("score_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  val rakeKeywordsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(text), '[^a-z]+') AS arr
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, arr
+      |  FROM tok),
+      |wordpos AS (
+      |  SELECT doc_id, pos, arr[CAST(pos AS INTEGER)] AS word
+      |  FROM pos),
+      |keep AS (
+      |  SELECT doc_id, pos, word,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+      |      AS grp
+      |  FROM wordpos
+      |  WHERE word <> '' AND word NOT IN ('the','a','an','of','and',
+      |    'or','to','in','is','are','on','for','with','as','by','at',
+      |    'it','this','that','be','was','were','from')),
+      |runs AS (
+      |  SELECT doc_id, grp,
+      |    string_agg(word, ' ' ORDER BY pos) AS phrase,
+      |    CAST(COUNT(*) AS BIGINT) AS plen
+      |  FROM keep GROUP BY doc_id, grp
+      |  HAVING COUNT(*) <= 4),
+      |words AS (
+      |  SELECT k.doc_id, k.grp, r.plen, k.word
+      |  FROM keep k JOIN runs r
+      |    ON r.doc_id = k.doc_id AND r.grp = k.grp),
+      |wstats AS (
+      |  SELECT word,
+      |    CAST(CAST(SUM(plen) AS BIGINT) * 1000000
+      |      // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS wscore
+      |  FROM words GROUP BY word),
+      |pscore AS (
+      |  SELECT w.doc_id, w.grp,
+      |    CAST(SUM(ws.wscore) AS BIGINT) AS score_e6
+      |  FROM words w JOIN wstats ws ON ws.word = w.word
+      |  GROUP BY w.doc_id, w.grp)
+      |SELECT r.phrase, COUNT(*) AS n_phrase,
+      |  CAST(MAX(p.score_e6) AS BIGINT) AS score_e6
+      |FROM runs r
+      |JOIN pscore p ON p.doc_id = r.doc_id AND p.grp = r.grp
+      |GROUP BY r.phrase
+      |ORDER BY score_e6 DESC, phrase
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keywords" -> ((s, d) => rakeKeywords(s, d)),
     "text_js_divergence" -> (jsDivergence _),
     "text_readability" -> (readability _),
     "text_phrase_search" -> ((s, d) => phraseSearch(s, d)),
@@ -844,6 +952,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_rake_keywords" -> rakeKeywordsSql,
     "text_js_divergence" -> jsDivergenceSql,
     "text_readability" -> readabilitySql,
     "text_phrase_search" -> phraseSearchSql,

@@ -231,9 +231,69 @@ object TrainingData {
             Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .as("cum_before"))
-      .select(col("doc_id"), col("n_tok"),
+      .select(col("doc_id"), col("n_tok"), col("cum_before"),
         floor(col("cum_before") / lit(budget)).as("shard_id"))
   }
+
+  /** Concat-and-chunk sequence packing — the GPT-pretraining packer:
+    * documents are conceptually concatenated in doc_id order and cut
+    * into fixed `seqLen`-token training sequences, documents
+    * STRADDLING cuts (unlike [[packShards]], whose shard boundaries
+    * never split a document). Per sequence: how many documents
+    * overlap it, how many start inside it, and its filled token
+    * count (= seqLen everywhere but the tail) — the packing-quality
+    * frame a data engineer reads before a run.
+    *
+    * Mechanics: each doc's global token offset comes from the SAME
+    * two-phase prefix sum as [[packShards]] (no single-partition
+    * window); a doc spanning [start, end) fans out to sequences
+    * `start div L .. (end−1) div L` via one explode (a doc touches
+    * extra sequences only in proportion to its own length), and the
+    * per-sequence reduce is map-combinable. Every quantity is an
+    * exact non-negative BIGINT. */
+  def concatChunk(s: SparkSession, dir: String, seqLen: Long = 512L,
+      bucketWidth: Long = 64L): DataFrame = {
+    val l = lit(seqLen)
+    shardAssignments(s, dir, budget = Long.MaxValue,
+        bucketWidth = bucketWidth)
+      .select(col("doc_id"), col("n_tok"), col("cum_before"))
+      .select(col("doc_id"), col("cum_before").as("start"),
+        (col("cum_before") + col("n_tok")).as("e"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start div $seqLen"), expr(s"(e - 1) div $seqLen"))))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"start div $seqLen") === col("seq_id"), 1L)
+          .otherwise(0L)).as("n_starts"),
+        sum(least(col("e"), (col("seq_id") + 1L) * l)
+          - greatest(col("start"), col("seq_id") * l)).as("n_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
+  val concatChunkSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS start
+      |  FROM t),
+      |spans AS (
+      |  SELECT doc_id, start, start + n_tok AS e,
+      |    start // 512 AS s0, (start + n_tok - 1) // 512 AS s1
+      |  FROM c),
+      |x AS (
+      |  SELECT doc_id, start, e,
+      |    unnest(range(s0, s1 + 1)) AS seq_id
+      |  FROM spans)
+      |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN start // 512 = seq_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_starts,
+      |  CAST(SUM(LEAST(e, (seq_id + 1) * 512)
+      |    - GREATEST(start, seq_id * 512)) AS BIGINT) AS n_tokens
+      |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
   val packShardsSql: String =
     """WITH t AS (SELECT doc_id,
@@ -1051,6 +1111,7 @@ object TrainingData {
     "text_decontam_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "text_repetition"    -> ((s, d) => repetition(s, d)),
     "pack_shards"        -> ((s, d) => packShards(s, d)),
+    "pack_concat_chunk"  -> ((s, d) => concatChunk(s, d)),
     "pack_shuffle"       -> ((s, d) => packShuffle(s, d)),
     "pack_mixture"       -> ((s, d) => mixture(s, d)),
     "pack_mixture_temp"  -> ((s, d) => mixtureTemperature(s, d)),
@@ -1071,6 +1132,7 @@ object TrainingData {
     "text_decontam_bloom" -> decontaminateSql,
     "text_repetition"    -> repetitionSql,
     "pack_shards"        -> packShardsSql,
+    "pack_concat_chunk"  -> concatChunkSql,
     "pack_shuffle"       -> packShuffleSql,
     "pack_mixture"       -> mixtureSql,
     "pack_mixture_temp"  -> mixtureTemperatureSql,

@@ -1025,6 +1025,77 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(got === Map("F" -> ((3.0, 2L)), "O" -> ((7.0, 3L))))
   }
 
+  test("pack_concat_chunk: straddling doc spans both sequences, " +
+      "token accounting is exact") {
+    // Token counts (split on ' '): doc1=3, doc2=2, doc3=4 with
+    // seqLen 4: doc1 fills [0,3), doc2 spans [3,5) across the cut,
+    // doc3 fills [5,9) into sequence 2's single token.
+    val dir = tmpDir("r6_cc")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "w w w", "en", "s", 5L),
+        Row(2L, "w w", "en", "s", 3L),
+        Row(3L, "w w w w", "en", "s", 7L)), 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TrainingData.concatChunk(spark, dir, seqLen = 4L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      0L -> ((2L, 2L, 4L)),   // doc1 whole + doc2's first token
+      1L -> ((2L, 1L, 4L)),   // doc2's tail + doc3's first 3
+      2L -> ((1L, 0L, 1L))))  // doc3's last token only
+  }
+
+  test("graph_assortativity: star graph is perfectly disassortative") {
+    // Hub H feeds leaves L1..L3 (out-deg 3 → in-deg 1 each) and leaf
+    // L1 feeds H (out-deg 1 → in-deg 1): x varies, y is constant 1
+    // → zero y-variance guard yields r = 0 with num = 0.
+    val dir = tmpDir("r6_ast")
+    def pair(u: Long, a: String, b: String, base: Long) = Seq(
+      Row(base, new Timestamp(1700000000000L), u, a, 1.0, "{}"),
+      Row(base + 1, new Timestamp(1700000001000L), u, b, 1.0, "{}"))
+    val rows = pair(1L, "H", "L1", 10) ++ pair(2L, "H", "L2", 20) ++
+      pair(3L, "H", "L3", 30) ++ pair(4L, "L1", "H", 40)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Graph.assortativity(spark, dir).collect()(0)
+    assert(r.getLong(0) === 4L)
+    // x = outdeg(src) ∈ {3,3,3,1}, y = indeg(dst) = 1 everywhere:
+    // y-variance is zero → guarded r = 0; numerator must also be 0.
+    assert(r.getLong(1) === 0L)
+    assert(r.getDouble(2) === 0.0)
+  }
+
+  test("text_rake_keywords: degree/frequency scoring favors the " +
+      "long phrase") {
+    // "deep learning" appears twice and "deep" also alone once:
+    // freq(deep)=3, deg(deep)=2+2+1=5 → 1666666 ppm;
+    // freq(learning)=2, deg=4 → 2000000 ppm; phrase score
+    // 3666666 > single-word "deep" 1666666.
+    val dir = tmpDir("r6_rake")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "deep learning is the deep learning", "en", "s", 35L),
+        Row(2L, "deep", "en", "s", 4L)), 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalysis.rakeKeywords(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(got.head === ("deep learning" -> ((2L, 3666666L))))
+    assert(got.toMap === Map(
+      "deep learning" -> ((2L, 3666666L)),
+      "deep" -> ((1L, 1666666L))))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
