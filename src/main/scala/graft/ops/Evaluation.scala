@@ -640,7 +640,99 @@ object Evaluation {
       |    AS mce_ppm
       |FROM gg""".stripMargin
 
+  /** Regression-metric report — MAE / RMSE / R² of the [[Learn]]
+    * OLS line (price ~ quantity) scored against its own training
+    * data: the evaluation counterpart of `learn_linreg` (which emits
+    * the FIT; this emits the ERRORS a model card reports).
+    *
+    * Determinism: slope/intercept are bit-identical doubles (decimal
+    * power sums → one fixed expression, the linreg idiom, broadcast
+    * back); each row's residual is ONE fixed double tree and its
+    * |r| is 1e-6-snapped and r² 1e-2-snapped to longs (residuals run
+    * ~1e4 here, so the squares at 1e-6 scale would overflow a BIGINT
+    * sum) BEFORE the corpus sums
+    * (long sums commute, double sums don't); MAE/RMSE/R² are then
+    * single divisions/sqrt over exact BIGINTs and the decimal-sum
+    * SST. Two scans total, both map-combinable. */
+  def regressionReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d = graft.Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    val params = d.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("syy"))
+      .selectExpr("n",
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope",
+        "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n" +
+          " AS icept",
+        "(syy - sy * sy / n) AS sst")
+    d.crossJoin(broadcast(params))
+      .selectExpr("n", "sst",
+        "CAST(y AS DOUBLE) - (icept + slope * CAST(x AS DOUBLE))" +
+          " AS resid")
+      .selectExpr("n", "sst",
+        "CAST(floor(abs(resid) * 1000000.0 + 0.5) AS BIGINT) AS ae",
+        "CAST(floor(resid * resid * 100.0 + 0.5) AS BIGINT) AS se")
+      .groupBy(col("n").cast("long").as("n"), col("sst"))
+      .agg(sum(col("ae")).as("sae_e6"), sum(col("se")).as("sse_e2"))
+      .selectExpr("n", "sae_e6", "sse_e2",
+        "CAST(sae_e6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mae",
+        "sqrt(CAST(sse_e2 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))" +
+          " AS rmse",
+        "1.0 - (CAST(sse_e2 AS DOUBLE) / 100.0) / sst AS r2")
+  }
+
+  val regressionReportSql: String =
+    """WITH d AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM d),
+      |p AS (
+      |  SELECT n,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+      |      AS icept,
+      |    (syy - sy * sy / n) AS sst
+      |  FROM sums),
+      |r AS (
+      |  SELECT p.n, p.sst,
+      |    CAST(y AS DOUBLE) - (p.icept + p.slope * CAST(x AS DOUBLE))
+      |      AS resid
+      |  FROM d CROSS JOIN p),
+      |snapped AS (
+      |  SELECT n, sst,
+      |    CAST(floor(abs(resid) * 1000000.0 + 0.5) AS BIGINT) AS ae,
+      |    CAST(floor(resid * resid * 100.0 + 0.5) AS BIGINT) AS se
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(SUM(ae) AS BIGINT) AS sae_e6,
+      |  CAST(SUM(se) AS BIGINT) AS sse_e2,
+      |  CAST(CAST(SUM(ae) AS BIGINT) AS DOUBLE) / 1000000.0
+      |    / CAST(CAST(n AS BIGINT) AS DOUBLE) AS mae,
+      |  sqrt(CAST(CAST(SUM(se) AS BIGINT) AS DOUBLE) / 100.0
+      |    / CAST(CAST(n AS BIGINT) AS DOUBLE)) AS rmse,
+      |  1.0 - (CAST(CAST(SUM(se) AS BIGINT) AS DOUBLE) / 100.0)
+      |    / sst AS r2
+      |FROM snapped GROUP BY n, sst""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_regression" -> (regressionReport _),
     "eval_ece" -> (eceGate _),
     "eval_f1_report" -> (f1Report _),
     "eval_mcnemar" -> (mcnemar _),
@@ -653,6 +745,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_regression" -> regressionReportSql,
     "eval_ece" -> eceSql,
     "eval_f1_report" -> f1ReportSql,
     "eval_mcnemar" -> mcnemarSql,

@@ -169,6 +169,93 @@ object Learn {
       ((cov * cov) / (varx * vary)).as("r2"))
   }
 
+  // Cramer's-rule solution of the 3×3 ridge normal equations
+  // (A + λ·diag(0,1,1))·β = b for y ~ β0 + β1·x1 + β2·x2, λ = 1, the
+  // intercept unpenalized. The FOUR determinant expansions are kept
+  // as shared SQL text and pasted verbatim into BOTH the Spark
+  // selectExpr and the DuckDB oracle, so the double expression trees
+  // are identical by construction (the [[linreg]] determinism idiom,
+  // one level up in dimension).
+  private val ridgeDet: String =
+    "(n*((sxx1+1.0)*(sxx2+1.0) - sx12*sx12)" +
+    " - sx1*(sx1*(sxx2+1.0) - sx12*sx2)" +
+    " + sx2*(sx1*sx12 - (sxx1+1.0)*sx2))"
+  private val ridgeDet1: String =
+    "(sy*((sxx1+1.0)*(sxx2+1.0) - sx12*sx12)" +
+    " - sx1*(sx1y*(sxx2+1.0) - sx12*sx2y)" +
+    " + sx2*(sx1y*sx12 - (sxx1+1.0)*sx2y))"
+  private val ridgeDet2: String =
+    "(n*(sx1y*(sxx2+1.0) - sx12*sx2y)" +
+    " - sy*(sx1*(sxx2+1.0) - sx12*sx2)" +
+    " + sx2*(sx1*sx2y - sx1y*sx2))"
+  private val ridgeDet3: String =
+    "(n*((sxx1+1.0)*sx2y - sx1y*sx12)" +
+    " - sx1*(sx1*sx2y - sx1y*sx2)" +
+    " + sy*(sx1*sx12 - (sxx1+1.0)*sx2))"
+
+  /** Ridge regression, closed form — two features
+    * (l_quantity, l_discount) plus intercept predicting
+    * l_extendedprice, λ = 1 on the slope diagonal: the
+    * regularized counterpart of [[linreg]] that survives correlated
+    * features. One map-combinable pass builds the nine exact decimal
+    * power sums; the 3×3 system is solved by Cramer's rule in fixed
+    * shared-text double expressions (see [[ridgeDet]]), so both
+    * engines emit bit-identical coefficients, rounded 6 dp at the
+    * boundary only.
+    *
+    * Scale: ONE aggregate over the corpus — the d×d Gram path
+    * ([[graft.plans.GramAggregator]]) takes over when d outgrows
+    * hand-written sums. */
+  def ridge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d = graft.Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast(DecimalType(18, 2)).as("x1"),
+        col("l_discount").cast(DecimalType(18, 2)).as("x2"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    d.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x1")).cast(DoubleType).as("sx1"),
+        sum(col("x2")).cast(DoubleType).as("sx2"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum((col("x1") * col("x1")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sxx1"),
+        sum((col("x1") * col("x2")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sx12"),
+        sum((col("x2") * col("x2")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sxx2"),
+        sum((col("x1") * col("y")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sx1y"),
+        sum((col("x2") * col("y")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sx2y"))
+      .selectExpr("CAST(n AS BIGINT) AS n",
+        s"round($ridgeDet1 / $ridgeDet, 6) AS beta0_6",
+        s"round($ridgeDet2 / $ridgeDet, 6) AS beta1_6",
+        s"round($ridgeDet3 / $ridgeDet, 6) AS beta2_6")
+  }
+
+  val ridgeSql: String =
+    s"""WITH d AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+      |    CAST(l_discount AS DECIMAL(18,2)) AS x2,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x1) AS DOUBLE) AS sx1,
+      |    CAST(SUM(x2) AS DOUBLE) AS sx2,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,4))) AS DOUBLE) AS sxx1,
+      |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,4))) AS DOUBLE) AS sx12,
+      |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,4))) AS DOUBLE) AS sxx2,
+      |    CAST(SUM(CAST(x1 * y AS DECIMAL(38,4))) AS DOUBLE) AS sx1y,
+      |    CAST(SUM(CAST(x2 * y AS DECIMAL(38,4))) AS DOUBLE) AS sx2y
+      |  FROM d)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round($ridgeDet1 / $ridgeDet, 6) AS beta0_6,
+      |  round($ridgeDet2 / $ridgeDet, 6) AS beta1_6,
+      |  round($ridgeDet3 / $ridgeDet, 6) AS beta2_6
+      |FROM sums""".stripMargin
+
   val linregSql: String =
     """WITH d AS (
       |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
@@ -794,7 +881,8 @@ object Learn {
     "learn_logreg_steps" -> (logregSteps _),
     "learn_kfold" -> ((s, d) => kfold(s, d)),
     "learn_naive_bayes" -> (naiveBayes _),
-    "learn_linreg" -> (linreg _))
+    "learn_linreg" -> (linreg _),
+    "learn_ridge" -> (ridge _))
 
   def oracle: Map[String, String] = Map(
     "learn_woe_iv" -> woeIvSql,
@@ -804,5 +892,6 @@ object Learn {
     "learn_logreg_steps" -> logregSql,
     "learn_kfold" -> kfoldSql,
     "learn_naive_bayes" -> naiveBayesSql,
-    "learn_linreg" -> linregSql)
+    "learn_linreg" -> linregSql,
+    "learn_ridge" -> ridgeSql)
 }

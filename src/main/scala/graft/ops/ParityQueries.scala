@@ -682,6 +682,67 @@ object ParityQueries {
       |FROM events GROUP BY event_type
       |ORDER BY path""".stripMargin
 
+  /** RFC-4180 torture round-trip: every document's text is wrapped in
+    * a field that stacks the format's worst cases — embedded commas,
+    * embedded DOUBLED quotes, an embedded NEWLINE, and a tab — then
+    * written to CSV (quoteAll, quote-escape `""` per RFC-4180, NOT
+    * the backslash default) and re-ingested with `multiLine`. The
+    * gate does a per-row equality audit (round-tripped value vs the
+    * expected expression recomputed from parquet) and emits aggregate
+    * evidence: `n_mismatch` must be the oracle's constant 0, and the
+    * newline count proves embedded line breaks survived rather than
+    * splitting records.
+    *
+    * Scale note (the reason this gate exists): quoted-newline CSV is
+    * NOT line-splittable, so `multiLine` parses each FILE whole — at
+    * 100 TB that means many medium files (parallelism = file count),
+    * never one giant CSV. The converter's per-file isolation (X1)
+    * already matches that shape. */
+  def convCsvTortures(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = scratch(dir, "conv_tortures")
+    def torture = concat(lit("a,\"b\n"),
+      substring(col("text"), 1, 40), lit("\"q\"\t,end"))
+    val expect = Tables.documents(s, dir)
+      .select(col("doc_id"), torture.as("t_ex"))
+    graft.Scaffold.setup {
+      expect.select(col("doc_id"), col("t_ex").as("t"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"")
+        .csv(csvDir)
+    }
+    val back = s.read
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(csvDir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        col("t").as("t_rt"))
+    back.join(expect, Seq("doc_id"), "full_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("t_rt").isNull || col("t_ex").isNull ||
+          col("t_rt") =!= col("t_ex"), 1L).otherwise(0L))
+          .as("n_mismatch"),
+        sum(length(col("t_ex"))).as("sum_len"),
+        sum(expr(
+          "length(t_ex) - length(replace(t_ex, chr(10), ''))"))
+          .as("n_newlines"),
+        countDistinct(col("t_ex")).as("n_distinct"))
+  }
+
+  val convCsvTorturesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    'a,"b' || chr(10) || substr(text, 1, 40) || '"q"'
+      |      || chr(9) || ',end' AS t
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_mismatch,
+      |  CAST(SUM(length(t)) AS BIGINT) AS sum_len,
+      |  CAST(SUM(length(t) - length(replace(t, chr(10), ''))) AS BIGINT)
+      |    AS n_newlines,
+      |  COUNT(DISTINCT t) AS n_distinct
+      |FROM t""".stripMargin
+
   /** binaryFile-source ingest: the front door for multimodal payloads
     * (SURVEY §2.9) — opaque image/audio/video blobs land as files and
     * enter the engine through `spark.read.format("binaryFile")`, which
@@ -979,6 +1040,7 @@ object ParityQueries {
     "conv_fixedwidth_roundtrip" -> (convFixedWidthRoundtrip _),
     "conv_xml_roundtrip"    -> (convXmlRoundtrip _),
     "conv_weblog_parse"     -> (convWeblogParse _),
+    "conv_csv_tortures"     -> (convCsvTortures _),
     "conv_binaryfiles"      -> (convBinaryFiles _),
     "conv_csv_lz4_roundtrip" -> (convCsvLz4Roundtrip _),
     "parquet_bloom_lookup"  -> (parquetBloomLookup _),
@@ -1005,6 +1067,7 @@ object ParityQueries {
     "conv_fixedwidth_roundtrip" -> convFixedWidthRoundtripSql,
     "conv_xml_roundtrip"    -> convXmlRoundtripSql,
     "conv_weblog_parse"     -> convWeblogParseSql,
+    "conv_csv_tortures"     -> convCsvTorturesSql,
     "conv_binaryfiles"      -> convBinaryFilesSql,
     "conv_csv_lz4_roundtrip" -> convCsvLz4RoundtripSql,
     "parquet_bloom_lookup"  -> parquetBloomLookupSql,

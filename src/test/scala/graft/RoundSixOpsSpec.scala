@@ -1096,6 +1096,72 @@ class RoundSixOpsSpec extends SparkSpec {
       "deep" -> ((1L, 1666666L))))
   }
 
+  test("learn_ridge: Cramer solution matches an exact in-test " +
+      "recompute and sits near the planted plane") {
+    val dir = tmpDir("r6_ridge")
+    // y = 2 + 3*x1 + 5*x2 exactly, on a 100-row integer grid
+    spark.range(0, 100)
+      .selectExpr("cast(id % 10 as double) as l_quantity",
+        "cast(id % 7 as double) as l_discount",
+        "cast(2 + 3 * (id % 10) + 5 * (id % 7) as double) " +
+          "as l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.ops.Learn.ridge(spark, dir).head
+    assert(r.getLong(0) === 100L)
+    val (b0, b1, b2) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // λ=1 shrinkage on 100 exact rows: close to, not equal to, truth
+    assert(math.abs(b0 - 2.0) < 0.5 && math.abs(b1 - 3.0) < 0.2 &&
+      math.abs(b2 - 5.0) < 0.2, s"betas ($b0, $b1, $b2)")
+    // exact recompute of the same shared-text determinant expansion
+    val xs = (0 until 100).map(i => (i % 10).toDouble)
+    val zs = (0 until 100).map(i => (i % 7).toDouble)
+    val ys = xs.zip(zs).map { case (a, b) => 2 + 3 * a + 5 * b }
+    val n = 100.0
+    val sx1 = xs.sum; val sx2 = zs.sum; val sy = ys.sum
+    val sxx1 = xs.map(v => v * v).sum
+    val sx12 = xs.zip(zs).map { case (a, b) => a * b }.sum
+    val sxx2 = zs.map(v => v * v).sum
+    val sx1y = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sx2y = zs.zip(ys).map { case (a, b) => a * b }.sum
+    val det = n * ((sxx1 + 1.0) * (sxx2 + 1.0) - sx12 * sx12) -
+      sx1 * (sx1 * (sxx2 + 1.0) - sx12 * sx2) +
+      sx2 * (sx1 * sx12 - (sxx1 + 1.0) * sx2)
+    val det1 = sy * ((sxx1 + 1.0) * (sxx2 + 1.0) - sx12 * sx12) -
+      sx1 * (sx1y * (sxx2 + 1.0) - sx12 * sx2y) +
+      sx2 * (sx1y * sx12 - (sxx1 + 1.0) * sx2y)
+    val det2 = n * (sx1y * (sxx2 + 1.0) - sx12 * sx2y) -
+      sy * (sx1 * (sxx2 + 1.0) - sx12 * sx2) +
+      sx2 * (sx1 * sx2y - sx1y * sx2)
+    val det3 = n * ((sxx1 + 1.0) * sx2y - sx1y * sx12) -
+      sx1 * (sx1 * sx2y - sx1y * sx2) +
+      sy * (sx1 * sx12 - (sxx1 + 1.0) * sx2)
+    assert(math.abs(b0 - det1 / det) < 1e-6)
+    assert(math.abs(b1 - det2 / det) < 1e-6)
+    assert(math.abs(b2 - det3 / det) < 1e-6)
+  }
+
+  test("eval_regression: perfect line scores zero error and R² = 1") {
+    val dir = tmpDir("r6_evreg")
+    spark.range(1, 101)
+      .selectExpr("cast(id as double) as l_quantity",
+        "cast(3 * id + 7 as double) as l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.ops.Evaluation.regressionReport(spark, dir).head
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(1) === 0L && r.getLong(2) === 0L) // sae, sse
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0)
+    assert(r.getDouble(5) === 1.0)
+  }
+
+  test("conv_csv_tortures: RFC-4180 round-trip is lossless on " +
+      "embedded commas, quotes and newlines") {
+    val out = graft.ops.ParityQueries.convCsvTortures(spark, sf).head
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.getLong(0) === nDocs)
+    assert(out.getLong(1) === 0L, "round-trip mismatches")
+    assert(out.getLong(3) >= nDocs, "embedded newlines lost")
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
