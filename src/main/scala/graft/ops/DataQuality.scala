@@ -830,6 +830,74 @@ object DataQuality {
       |    / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
       |FROM tot""".stripMargin
 
+  /** Mutual information I(event_type; hour-of-day) — the
+    * information-theoretic companion of [[dqChi2]]/[[dqCramersV]]
+    * (χ² tests departure from independence; MI measures it in nats,
+    * comparable across tables and directly usable for feature
+    * ranking): `I = Σ_cells (o/n)·ln(o·n/(rt·ct))` over the same
+    * observed/marginal grid. Per-cell terms (possibly negative) are
+    * computed in ONE fixed double tree and 1e-9-snapped to longs
+    * BEFORE the global sum — the [[TextAnalysis]] jsDivergence
+    * discipline (`floor(x·1e9 + 0.5)` rounds identically for either
+    * sign in both engines). Also emits H(type) from the row
+    * marginals so callers can normalize (uncertainty coefficient).
+    *
+    * Scale: one map-combinable count over (type, hour); everything
+    * after runs on the O(types×24) grid. */
+  def dqMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("o"))
+    val all = Window.partitionBy()
+    val byType = Window.partitionBy(col("event_type"))
+    val byHour = Window.partitionBy(col("h"))
+    val m = grid
+      .withColumn("rt", sum(col("o")).over(byType))
+      .withColumn("ct", sum(col("o")).over(byHour))
+      .withColumn("n", sum(col("o")).over(all))
+    val cells = m.select(
+      expr("CAST(floor(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)" +
+        " * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)" +
+        " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))" +
+        " * 1000000000.0 + 0.5) AS BIGINT)").as("mi9"),
+      expr("CAST(floor(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)" +
+        " * ln(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE))" +
+        " * 1000000000.0 + 0.5) AS BIGINT)").as("hx9"))
+    cells.agg(count(lit(1)).as("n_cells"),
+        sum(col("mi9")).as("mi_e9"), sum(col("hx9")).as("hx_e9"))
+      .selectExpr("n_cells", "mi_e9",
+        "CAST(mi_e9 AS DOUBLE) / 1000000000.0 AS mi_nats",
+        "CAST(hx_e9 AS DOUBLE) / 1000000000.0 AS h_type_nats")
+  }
+
+  val dqMutualInfoSql: String =
+    """WITH grid AS (
+      |  SELECT event_type, hour(ts) AS h, COUNT(*) AS o
+      |  FROM events GROUP BY event_type, hour(ts)),
+      |m AS (
+      |  SELECT event_type, h, o,
+      |    SUM(o) OVER (PARTITION BY event_type) AS rt,
+      |    SUM(o) OVER (PARTITION BY h) AS ct,
+      |    SUM(o) OVER () AS n
+      |  FROM grid),
+      |cells AS (
+      |  SELECT
+      |    CAST(floor(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+      |      * 1000000000.0 + 0.5) AS BIGINT) AS mi9,
+      |    CAST(floor(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE))
+      |      * 1000000000.0 + 0.5) AS BIGINT) AS hx9
+      |  FROM m)
+      |SELECT COUNT(*) AS n_cells,
+      |  CAST(SUM(mi9) AS BIGINT) AS mi_e9,
+      |  CAST(CAST(SUM(mi9) AS BIGINT) AS DOUBLE) / 1000000000.0
+      |    AS mi_nats,
+      |  CAST(CAST(SUM(hx9) AS BIGINT) AS DOUBLE) / 1000000000.0
+      |    AS h_type_nats
+      |FROM cells""".stripMargin
+
   /** Two-sample Kolmogorov–Smirnov distance between the `value`
     * distributions of two event types, over a FIXED equi-width
     * binning (5000 × 0.1-wide bins) — the histogram formulation: the
@@ -970,6 +1038,7 @@ object DataQuality {
     "dq_rule_engine" -> (ruleEngine _),
     "dq_chi2" -> (dqChi2 _),
     "dq_cramers_v" -> (dqCramersV _),
+    "dq_mutual_info" -> (dqMutualInfo _),
     "dq_ks" -> ((s, d) => dqKs(s, d)),
     "dq_weighted_median" -> (dqWeightedMedian _),
     "dq_uniqueness" -> (dqUniqueness _),
@@ -989,6 +1058,7 @@ object DataQuality {
     "dq_rule_engine" -> ruleEngineSql,
     "dq_chi2" -> dqChi2Sql,
     "dq_cramers_v" -> dqCramersVSql,
+    "dq_mutual_info" -> dqMutualInfoSql,
     "dq_ks" -> dqKsSql,
     "dq_weighted_median" -> dqWeightedMedianSql,
     "dq_uniqueness" -> dqUniquenessSql,

@@ -1157,6 +1157,86 @@ object Graph {
          |ORDER BY n.node""".stripMargin
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * aimed at ONE seed (the lexicographically smallest event type)
+    * instead of spread uniformly: the "random walk with restart"
+    * relevance of every node TO that seed, the standard
+    * recommendation / local-relevance primitive the global rank
+    * can't express. Same 10¹²-scaled integer recurrence (every
+    * update is `div`-exact on non-negatives, so the unrolled-CTE
+    * oracle replays it bit for bit); only the restart term differs:
+    * `r' = 0.15·10¹²·[node = seed] + 0.85·inflow`.
+    *
+    * Scale: identical plan shape to [[pageRank]] broadcast mode, and
+    * the shuffle-join fallback pinned there applies unchanged when
+    * the node set outgrows a broadcast. */
+  def ppr(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node"))
+      .distinct().localCheckpoint()
+    val seed = nodes.agg(min(col("node"))).head().getString(0)
+    val teleport = when(col("node") === seed, lit(One * 15 / 100))
+      .otherwise(lit(0L))
+    var ranks = nodes.withColumn("r",
+      when(col("node") === seed, lit(One)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(broadcast(outw), "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (teleport + coalesce(expr("(85 * c) div 100"), lit(0L)))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("node"))
+  }
+
+  def pprSql(iters: Int = 5): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT src, dst, COUNT(*) AS w FROM ord
+        |          WHERE dst IS NOT NULL GROUP BY src, dst),
+        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |sd AS (SELECT MIN(node) AS seed FROM nodes),
+        |it0 AS (SELECT node,
+        |  CASE WHEN node = (SELECT seed FROM sd)
+        |    THEN 1000000000000 ELSE 0 END AS r
+        |  FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT nd.node,
+         |    CASE WHEN nd.node = (SELECT seed FROM sd)
+         |      THEN 150000000000 ELSE 0 END
+         |      + COALESCE((85 * s.c) // 100, 0) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((p.r * e.w) // o.ow) AS c
+         |    FROM edges e
+         |    JOIN it${i - 1} p ON p.node = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(r AS BIGINT) AS r FROM it$iters ORDER BY node"
+  }
+
   /** Shared all-pairs BFS over the event-transition graph: the
     * sparse (s, node, d) reached-pair frame of [[closeness]] /
     * [[betweenness]], factored so distance-derived operators reuse
@@ -1386,6 +1466,7 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_assortativity" -> (assortativity _),
+    "graph_ppr" -> ((s, d) => ppr(s, d)),
     "graph_eccentricity" -> ((s, d) => eccentricity(s, d)),
     "graph_scc" -> ((s, d) => scc(s, d)),
     "graph_betweenness" -> ((s, d) => betweenness(s, d)),
@@ -1406,6 +1487,7 @@ object Graph {
 
   def oracle: Map[String, String] = Map(
     "graph_assortativity" -> assortativitySql,
+    "graph_ppr" -> pprSql(),
     "graph_eccentricity" -> eccentricitySql(),
     "graph_scc"         -> sccSql(),
     "graph_betweenness" -> betweennessSql(),

@@ -2035,7 +2035,98 @@ object Similarity {
         |ORDER BY round""".stripMargin
   }
 
+  /** Matryoshka dimension sweep — recall@k of PREFIX-truncated
+    * embeddings against the full-dimension exact top-k: the
+    * measurement behind the "can we serve 4/16 of the dims?"
+    * decision for matryoshka-trained embedding stacks (truncating is
+    * a 16× scan/memory saving IF recall holds; this gate quantifies
+    * the if). Per dim d ∈ {4, 16, 64}: exact cosine top-`k` using
+    * only the first d components (the [[topK]] plan with a sliced
+    * vector), then the overlap with the d=64 reference list as an
+    * integer recall ppm — counts and divisions exact, nothing float
+    * crosses the gate except the cosines both engines already
+    * compute bit-identically (sequential-fold kernel = list_reduce).
+    *
+    * Scale: |dims| broadcast-query scans (queries are the tiny
+    * side); at corpus scale each scan is the ANN index probe
+    * instead — the sweep shape is unchanged. */
+  def matryoshkaRecall(s: SparkSession, dir: String,
+      dims: Seq[Int] = Seq(4, 16, 64), k: Int = 10,
+      nQ: Int = 8): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val base = vecs(s, dir)
+    def topkAtDim(d: Int): DataFrame = {
+      val tr = base.withColumn("v", slice(col("v"), 1, d))
+      val q = tr.filter(col("vec_id") < nQ)
+        .withColumn("qn", norm(col("v")))
+        .toDF("query_id", "qv", "qn")
+      val t = tr.withColumn("tn", norm(col("v")))
+        .toDF("target_id", "tv", "tn").repartition(par)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("target_id"))
+      t.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("target_id"))
+        .withColumn("sim",
+          dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(d.toLong).as("dim"), col("query_id"),
+          col("target_id"))
+    }
+    val perDim = dims.map(topkAtDim).reduce(_ unionByName _)
+    val full = topkAtDim(dims.max)
+      .select(col("query_id"), col("target_id"))
+    // the reference list is nQ·k rows — metadata-sized by
+    // construction, but hidden from the estimator behind the top-k
+    // window, so pin the broadcast explicitly
+    perDim.join(broadcast(full), Seq("query_id", "target_id"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("dim"), col("n_hits"),
+        expr(s"n_hits * 1000000L div ${nQ.toLong * k}")
+          .as("recall_ppm"))
+      .orderBy(col("dim"))
+  }
+
+  def matryoshkaRecallSql(dims: Seq[Int] = Seq(4, 16, 64),
+      k: Int = 10, nQ: Int = 8): String = {
+    def cosAt(d: Int): String =
+      s"""list_reduce(list_transform(generate_series(1, $d),
+         |      i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+         |  / (sqrt(list_reduce(list_transform(generate_series(1, $d),
+         |        i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+         |   * sqrt(list_reduce(list_transform(generate_series(1, $d),
+         |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)))""".stripMargin
+    val tks = dims.map { d =>
+      s"""tk$d AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS target_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      ${cosAt(d)} DESC, b.vec_id) AS rank
+         |  FROM vecs a, vecs b
+         |  WHERE a.vec_id < $nQ AND a.vec_id <> b.vec_id)""".stripMargin
+    }
+    val unions = dims.map(d =>
+      s"SELECT $d AS dim, query_id, target_id FROM tk$d WHERE rank <= $k")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${tks.mkString(",\n")},
+       |fl AS (SELECT query_id, target_id FROM tk${dims.max}
+       |       WHERE rank <= $k),
+       |hits AS (
+       |  $unions)
+       |SELECT CAST(h.dim AS BIGINT) AS dim,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(*) * 1000000 // ${nQ * k} AS BIGINT) AS recall_ppm
+       |FROM hits h JOIN fl f ON f.query_id = h.query_id
+       |  AND f.target_id = h.target_id
+       |GROUP BY h.dim ORDER BY dim""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "sim_mmr_rerank" -> ((s: SparkSession, d: String) =>
       mmrRerank(s, d)),
     "embed_coreset" -> ((s: SparkSession, d: String) =>
@@ -2079,6 +2170,7 @@ object Similarity {
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "sim_matryoshka_recall" -> matryoshkaRecallSql(),
     "embed_label_affinity" -> labelAffinitySql,
     "embed_project"       -> randomProjectionSql,
     "sim_pq_encode"       -> pqEncodeSql,

@@ -1162,6 +1162,51 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(out.getLong(3) >= nDocs, "embedded newlines lost")
   }
 
+  test("dq_mutual_info: independent grid scores zero, MI bounded by " +
+      "H(type)") {
+    // 2 types × 2 hours with perfectly proportional counts:
+    // independence ⇒ every cell's ln-ratio is exactly ln(1) = 0.
+    val dir = tmpDir("r6_mi")
+    def at(h: Int, t: String, k: Int, base: Long) =
+      (1 to k).map(i => Row(base + i,
+        Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), 1L, t, 1.0, "{}"))
+    val rows = at(1, "A", 2, 100) ++ at(2, "A", 4, 200) ++
+      at(1, "B", 3, 300) ++ at(2, "B", 6, 400)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.DataQuality.dqMutualInfo(spark, dir).head
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 0L, s"independent grid MI ${r.getLong(1)}")
+    // real corpus: 0 ≤ MI ≤ H(type)
+    val c = graft.ops.DataQuality.dqMutualInfo(spark, sf).head
+    assert(c.getDouble(2) >= 0.0 && c.getDouble(2) <= c.getDouble(3))
+  }
+
+  test("graph_ppr: teleport mass concentrates at the seed, total " +
+      "mass conserved within rounding") {
+    val out = Graph.ppr(spark, sf).collect()
+    val seed = out.map(_.getString(0)).min
+    val r = out.map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.values.forall(_ >= 0L))
+    // the seed holds at least its own 0.15 teleport share
+    assert(r(seed) >= 150000000000L)
+    // integer floors only ever LOSE mass: total ≤ 10^12 + slack 0
+    assert(r.values.sum <= 1000000000000L)
+    assert(r.values.sum > 500000000000L, "mass collapsed — wrong seed?")
+  }
+
+  test("sim_matryoshka_recall: full dimension recalls itself " +
+      "perfectly, recall never exceeds 1") {
+    val rows = graft.ops.Similarity.matryoshkaRecall(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(64L) === ((80L, 1000000L)))
+    rows.values.foreach { case (h, ppm) =>
+      assert(h <= 80L && ppm <= 1000000L)
+    }
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
