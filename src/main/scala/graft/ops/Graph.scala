@@ -250,6 +250,99 @@ object Graph {
        |GROUP BY node
        |ORDER BY node""".stripMargin
 
+  /** k-truss decomposition (k = 3): the triangle-supported subgraph —
+    * iteratively delete every edge lying in fewer than k−2 triangles
+    * until a fixpoint, leaving only "socially reinforced" edges. On
+    * the near-duplicate pair graph this separates genuine duplicate
+    * CLUSTERS (mutant groups close into triangles) from incidental
+    * pairwise matches — a stronger community signal than [[kcore]]
+    * (degree) because it demands closed wedges, and the standard
+    * pre-step before community labeling on noisy similarity graphs.
+    *
+    * Per round: edge support = |N(a) ∩ N(b)| by ONE wedge equi-join
+    * of the edge list against its symmetrized self (the
+    * [[triangleCounts]] machinery edge-centric), then an integer
+    * support filter. Deletion cascades, so rounds repeat; a
+    * post-loop round ASSERTS the fixpoint (the [[sssp]] discipline)
+    * so truncated output can never hash green. Counts are exact
+    * BIGINTs.
+    *
+    * Scale: each round shuffles O(wedges) — bounded by Σ deg² of the
+    * CURRENT (shrinking) graph; the degree-orientation bound of
+    * [[triangleCounts]] applies to the wedge join unchanged. */
+  def kTruss(s: SparkSession, dir: String, k: Int = 3,
+      iters: Int = 3): DataFrame = {
+    def support(ed: DataFrame): DataFrame = {
+      val sym = ed.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(ed.select(col("id_b").as("u"), col("id_a").as("v")))
+      ed.join(sym.toDF("id_a", "c"), "id_a")
+        .join(sym.toDF("id_b", "c"), Seq("id_b", "c"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("sup"))
+    }
+    var e = Dedup.ngramJaccard(s, dir)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    for (_ <- 1 to iters)
+      e = support(e).filter(col("sup") >= (k - 2).toLong)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+    val fin = support(e).filter(col("sup") >= (k - 2).toLong)
+      .localCheckpoint()
+    require(fin.count() == e.count(),
+      s"kTruss: $iters rounds did not reach the fixpoint — raise " +
+      "iters on BOTH the engine and the unrolled oracle")
+    fin.select(col("id_a"), col("id_b"), col("sup"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def kTrussSql(k: Int = 3, iters: Int = 3): String = {
+    val prefix =
+      s"""WITH ${DocCorpus.CorpusSql},
+         |shingled AS (
+         |  SELECT doc_id, CASE WHEN len(toks) < 3
+         |    THEN [array_to_string(toks, ' ')]
+         |    ELSE list_distinct(list_transform(
+         |           generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         |    END AS sh
+         |  FROM (SELECT doc_id,
+         |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |                      t -> len(t) > 0) AS toks
+         |        FROM corpus WHERE doc_id % 10000 < 100)
+         |),
+         |e0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shingled a, shingled b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""sym$i AS (SELECT id_a AS u, id_b AS v FROM e$i
+         |          UNION ALL SELECT id_b, id_a FROM e$i),
+         |s$i AS (
+         |  SELECT e.id_a, e.id_b, COUNT(*) AS sup
+         |  FROM e$i e
+         |  JOIN sym$i n1 ON n1.u = e.id_a
+         |  JOIN sym$i n2 ON n2.u = e.id_b AND n2.v = n1.v
+         |  GROUP BY e.id_a, e.id_b),
+         |e${i + 1} AS (SELECT id_a, id_b FROM s$i
+         |              WHERE sup >= ${k - 2})""".stripMargin
+    }
+    val f = iters
+    (prefix +: rounds).mkString(",\n") +
+      s""",
+         |symf AS (SELECT id_a AS u, id_b AS v FROM e$f
+         |         UNION ALL SELECT id_b, id_a FROM e$f),
+         |sf AS (
+         |  SELECT e.id_a, e.id_b, COUNT(*) AS sup
+         |  FROM e$f e
+         |  JOIN symf n1 ON n1.u = e.id_a
+         |  JOIN symf n2 ON n2.u = e.id_b AND n2.v = n1.v
+         |  GROUP BY e.id_a, e.id_b)
+         |SELECT id_a, id_b, CAST(sup AS BIGINT) AS sup
+         |FROM sf WHERE sup >= ${k - 2}
+         |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Multi-source frontier BFS: minimum hop distance from a seed set
     * over an undirected edge list. Per round, ONLY the current
     * frontier joins the (symmetrized, src-pre-partitioned) edge list.
@@ -1467,6 +1560,7 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_assortativity" -> (assortativity _),
     "graph_ppr" -> ((s, d) => ppr(s, d)),
+    "graph_ktruss" -> ((s, d) => kTruss(s, d)),
     "graph_eccentricity" -> ((s, d) => eccentricity(s, d)),
     "graph_scc" -> ((s, d) => scc(s, d)),
     "graph_betweenness" -> ((s, d) => betweenness(s, d)),
@@ -1488,6 +1582,7 @@ object Graph {
   def oracle: Map[String, String] = Map(
     "graph_assortativity" -> assortativitySql,
     "graph_ppr" -> pprSql(),
+    "graph_ktruss" -> kTrussSql(),
     "graph_eccentricity" -> eccentricitySql(),
     "graph_scc"         -> sccSql(),
     "graph_betweenness" -> betweennessSql(),

@@ -1583,8 +1583,53 @@ object TimeSeries {
       |  END AS r
       |FROM sums ORDER BY lag""".stripMargin
 
+  /** Local-maxima (peak) detection on the per-type daily series —
+    * the spike finder ([[tsSeasonalAnomaly]] flags σ-outliers
+    * against a profile; a peak is purely SHAPE: strictly above both
+    * observed neighbors, no distribution assumed). Emits each peak
+    * with its one-step prominence `cnt − max(prev, next)`. All
+    * counts/differences are exact BIGINTs; series edges (null
+    * neighbor) are excluded by definition.
+    *
+    * Scale: the corpus pass is one map-combinable (type, day) count;
+    * the lag/lead window runs on the types×days GRID frame, never
+    * the raw events. Gaps in the observed series mean "neighbor" is
+    * the adjacent OBSERVED day — the same contract as the oracle. */
+  def tsPeaks(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dt"))
+    daily
+      .withColumn("prev", lag(col("cnt"), 1).over(w))
+      .withColumn("nxt", lead(col("cnt"), 1).over(w))
+      .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+        col("cnt") > col("prev") && col("cnt") > col("nxt"))
+      .select(col("event_type"), col("dt"), col("cnt"),
+        (col("cnt") - greatest(col("prev"), col("nxt")))
+          .as("prominence"))
+      .orderBy(col("event_type"), col("dt"))
+  }
+
+  val tsPeaksSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |nb AS (
+      |  SELECT event_type, dt, cnt,
+      |    LAG(cnt) OVER (PARTITION BY event_type ORDER BY dt) AS prev,
+      |    LEAD(cnt) OVER (PARTITION BY event_type ORDER BY dt) AS nxt
+      |  FROM daily)
+      |SELECT event_type, dt, cnt,
+      |  CAST(cnt - GREATEST(prev, nxt) AS BIGINT) AS prominence
+      |FROM nb
+      |WHERE prev IS NOT NULL AND nxt IS NOT NULL
+      |  AND cnt > prev AND cnt > nxt
+      |ORDER BY event_type, dt""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ts_cross_corr"     -> ((s, d) => crossCorr(s, d)),
+    Map("ts_peaks"          -> (tsPeaks _),
+        "ts_cross_corr"     -> ((s, d) => crossCorr(s, d)),
         "ts_rolling"        -> (rollingGate _),
         "ts_funnel_windowed" -> ((s, d) => funnelWindowed(s, d)),
         "ts_time_weighted_avg" -> (timeWeightedAvg _),
@@ -1607,7 +1652,8 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> (behaviorLshGate _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
-    Map("ts_cross_corr"     -> crossCorrSql,
+    Map("ts_peaks"          -> tsPeaksSql,
+        "ts_cross_corr"     -> crossCorrSql,
         "ts_rolling"        -> rollingSql,
         "ts_changepoint"    -> tsChangepointSql,
         "ts_interval_union" -> tsIntervalUnionSql,

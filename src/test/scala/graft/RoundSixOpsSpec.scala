@@ -1207,6 +1207,55 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("graph_ktruss: matches an exact in-test fixpoint recompute " +
+      "over the same pair graph") {
+    val base = graft.ops.Dedup.ngramJaccard(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference recompute: peel edges with support < 1 to fixpoint
+    def trussOf(edges: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      var e = edges
+      var changed = true
+      while (changed) {
+        val adj = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val sup = e.map { case (a, b) =>
+          (a, b) -> adj.getOrElse(a, Set.empty[Long])
+            .intersect(adj.getOrElse(b, Set.empty[Long])).size.toLong
+        }.toMap
+        val kept = sup.filter(_._2 >= 1L).keySet
+        changed = kept != e
+        e = kept
+        if (!changed) return sup.filter(_._2 >= 1L)
+      }
+      Map.empty
+    }
+    val exp = trussOf(base)
+    val got = Graph.kTruss(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === exp)
+    assert(got.nonEmpty, "mutant groups should close triangles")
+  }
+
+  test("ts_peaks: planted series flags interior strict maxima with " +
+      "exact prominence") {
+    val dir = tmpDir("r6_peaks")
+    // type A daily counts [1,3,2,5,1] on Jan 1-5: peaks at day 2
+    // (prominence 3-2=1) and day 4 (prominence 5-2=3).
+    def day(d: Int, k: Int, base: Long) =
+      (1 to k).map(i => Row(base + i,
+        Timestamp.valueOf(f"2024-01-0$d%d 12:00:00"), 1L, "A", 1.0, "{}"))
+    val rows = day(1, 1, 100) ++ day(2, 3, 200) ++ day(3, 2, 300) ++
+      day(4, 5, 400) ++ day(5, 1, 500)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.TimeSeries.tsPeaks(spark, dir).collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("2024-01-02", 3L, 1L),
+      ("2024-01-04", 5L, 3L)))
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
