@@ -731,7 +731,71 @@ object Evaluation {
       |    / sst AS r2
       |FROM snapped GROUP BY n, sst""".stripMargin
 
+  /** Youden-J optimal threshold — turns the [[aucGate]] ROC into an
+    * OPERATING POINT: over observed score thresholds t (predict
+    * positive when score ≥ t), maximize J(t) = TPR − FPR, ties to
+    * the smallest t. The comparison runs entirely on the
+    * cross-multiplied integer `j_num = tp·n_neg − fp·n_pos` (exact
+    * BIGINT, same order both engines — no per-threshold division),
+    * and only the winning row's J is emitted as one double division.
+    *
+    * Scale: same histogram-sized frame as AUC — one map-combined
+    * count per distinct score, windows over O(distinct scores). */
+  def youdenGate(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val all = Window.partitionBy()
+    val fromTop = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("n_pos", sum(col("np")).over(all))
+      .withColumn("n_neg", sum(col("nn")).over(all))
+      .withColumn("tp", sum(col("np")).over(fromTop))
+      .withColumn("fp", sum(col("nn")).over(fromTop))
+      .withColumn("j_num",
+        col("tp") * col("n_neg") - col("fp") * col("n_pos"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("j_num").desc, col("score").asc)))
+    ranked.filter(col("rk") === 1)
+      .select(col("score").as("threshold"), col("tp"), col("fp"),
+        col("n_pos"), col("n_neg"), col("j_num"),
+        (col("j_num").cast(DoubleType) /
+          (col("n_pos") * col("n_neg")).cast(DoubleType)).as("j"))
+  }
+
+  val youdenSql: String =
+    """WITH hist AS (
+      |  SELECT n_chars AS score,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+      |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+      |  FROM documents GROUP BY n_chars),
+      |cum AS (
+      |  SELECT score,
+      |    SUM(np) OVER () AS n_pos, SUM(nn) OVER () AS n_neg,
+      |    SUM(np) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    SUM(nn) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      |  FROM hist),
+      |ranked AS (
+      |  SELECT score, tp, fp, n_pos, n_neg,
+      |    tp * n_neg - fp * n_pos AS j_num,
+      |    row_number() OVER (ORDER BY tp * n_neg - fp * n_pos DESC,
+      |      score ASC) AS rk
+      |  FROM cum)
+      |SELECT score AS threshold, CAST(tp AS BIGINT) AS tp,
+      |  CAST(fp AS BIGINT) AS fp, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_neg AS BIGINT) AS n_neg,
+      |  CAST(j_num AS BIGINT) AS j_num,
+      |  CAST(j_num AS DOUBLE)
+      |    / CAST(n_pos * n_neg AS DOUBLE) AS j
+      |FROM ranked WHERE rk = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_youden" -> (youdenGate _),
     "eval_regression" -> (regressionReport _),
     "eval_ece" -> (eceGate _),
     "eval_f1_report" -> (f1Report _),
@@ -745,6 +809,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_youden" -> youdenSql,
     "eval_regression" -> regressionReportSql,
     "eval_ece" -> eceSql,
     "eval_f1_report" -> f1ReportSql,

@@ -105,6 +105,79 @@ object Linkage {
       |WHERE levenshtein(d.name, c.name) <= 1
       |ORDER BY dirty_id, clean_id""".stripMargin
 
+  /** Blocking-quality metrics — the two numbers that justify a
+    * blocking scheme before anyone trusts its links: REDUCTION RATIO
+    * (how much of the n_dirty×n_clean comparison space the blocks
+    * eliminate) and PAIRS COMPLETENESS (what fraction of true
+    * matches survive blocking — here every dirty id d matches clean
+    * d−100000 by construction, so the truth set is exact). Both are
+    * non-negative integer ppm divisions over exact counts; this gate
+    * measures the SAME pass-key scheme [[linkGate]] executes, so a
+    * regression in the omission passes shows up here as lost
+    * completeness rather than silently as missing links.
+    *
+    * Scale: the candidate count is the blocking equi-join itself
+    * (never the cross join); everything else is three scalar
+    * aggregates. */
+  def blockingMetrics(s: SparkSession, dir: String): DataFrame = {
+    val omit = Seq((15, 2), (17, 2))
+    val dirty = dirtyReg(s, dir)
+    val clean = cleanReg(s, dir)
+    val cand = passKeys(dirty, omit).toDF("did", "dname", "pass", "bk")
+      .join(passKeys(clean, omit).toDF("cid", "cname", "pass", "bk"),
+        Seq("pass", "bk"))
+      .select(col("did"), col("cid")).distinct()
+    val m = cand.agg(count(lit(1)).as("n_cand"),
+      sum(when(col("did") - 100000L === col("cid"), 1L).otherwise(0L))
+        .as("n_true"))
+    dirty.agg(count(lit(1)).as("n_dirty"))
+      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+      .crossJoin(m)
+      .selectExpr("n_dirty", "n_clean", "n_cand", "n_true",
+        "(n_dirty * n_clean - n_cand) * 1000000L" +
+          " div (n_dirty * n_clean) AS reduction_ppm",
+        "n_true * 1000000L div n_dirty AS completeness_ppm")
+  }
+
+  val blockingMetricsSql: String =
+    """WITH clean AS (
+      |  SELECT c_custkey AS id, c_name AS name
+      |  FROM customer WHERE c_custkey < 400),
+      |dirty AS (
+      |  SELECT c.id + 100000 AS id,
+      |    substr(c.name, 1, 14 + (c.id % 4))
+      |      || CAST((CAST(substr(c.name, 15 + (c.id % 4), 1) AS INTEGER) + 1)
+      |              % 10 AS VARCHAR)
+      |      || substr(c.name, 16 + (c.id % 4)) AS name
+      |  FROM clean c),
+      |dk AS (
+      |  SELECT id AS did, 0 AS pass,
+      |    substr(name, 1, 14) || substr(name, 17) AS bk FROM dirty
+      |  UNION ALL
+      |  SELECT id, 1, substr(name, 1, 16) || substr(name, 19)
+      |  FROM dirty),
+      |ck AS (
+      |  SELECT id AS cid, 0 AS pass,
+      |    substr(name, 1, 14) || substr(name, 17) AS bk FROM clean
+      |  UNION ALL
+      |  SELECT id, 1, substr(name, 1, 16) || substr(name, 19)
+      |  FROM clean),
+      |cand AS (
+      |  SELECT DISTINCT d.did, c.cid
+      |  FROM dk d JOIN ck c ON c.pass = d.pass AND c.bk = d.bk),
+      |m AS (
+      |  SELECT COUNT(*) AS n_cand,
+      |    CAST(SUM(CASE WHEN did - 100000 = cid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_true
+      |  FROM cand),
+      |nd AS (SELECT COUNT(*) AS n_dirty FROM dirty),
+      |nc AS (SELECT COUNT(*) AS n_clean FROM clean)
+      |SELECT n_dirty, n_clean, n_cand, n_true,
+      |  CAST((n_dirty * n_clean - n_cand) * 1000000
+      |    // (n_dirty * n_clean) AS BIGINT) AS reduction_ppm,
+      |  CAST(n_true * 1000000 // n_dirty AS BIGINT) AS completeness_ppm
+      |FROM nd CROSS JOIN nc CROSS JOIN m""".stripMargin
+
   /** Golden-record survivorship — the step AFTER linkage in an MDM
     * pipeline: duplicate/update records for one entity collapse to a
     * single best record, each field independently surviving from the
@@ -428,6 +501,7 @@ object Linkage {
     "link_damerau" -> (damerauGate _),
     "link_jaro_winkler" -> (jaroWinklerGate _),
     "link_blocked" -> (linkGate _),
+    "link_blocking_metrics" -> (blockingMetrics _),
     "link_fellegi_sunter" -> (fellegiSunter _),
     "link_golden_record" -> (goldenRecord _))
 
@@ -435,6 +509,7 @@ object Linkage {
     "link_damerau" -> damerauSql,
     "link_jaro_winkler" -> jaroWinklerSql,
     "link_blocked" -> linkSql,
+    "link_blocking_metrics" -> blockingMetricsSql,
     "link_fellegi_sunter" -> fellegiSunterSql,
     "link_golden_record" -> goldenRecordSql)
 }

@@ -743,6 +743,44 @@ object ParityQueries {
       |  COUNT(DISTINCT t) AS n_distinct
       |FROM t""".stripMargin
 
+  /** Parquet zstd round-trip: the reference pins snappy (`K1`); a
+    * fleet migrating cold data to zstd (2–3× smaller at similar scan
+    * cost — the standard archival codec move) needs proof the write →
+    * re-read path is lossless UNDER THE NON-DEFAULT CODEC, not just
+    * configured. Stages `documents` as zstd parquet, re-reads, and
+    * fingerprints per source: counts, char totals, id extremes, and
+    * distinct texts — all exact; the oracle recomputes them from the
+    * original table, so one flipped bit anywhere fails the hash.
+    * Codec choice is per-file metadata in parquet: scans, pruning,
+    * pushdown and splittability are unchanged at 100 TB. */
+  def convParquetZstd(s: SparkSession, dir: String): DataFrame = {
+    val outDir = scratch(dir, "conv_zstd")
+    graft.Scaffold.setup {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .write.mode("overwrite")
+        .option("compression", "zstd").parquet(outDir)
+    }
+    s.read.parquet(outDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        countDistinct(col("text")).as("n_texts"))
+      .orderBy(col("source"))
+  }
+
+  val convParquetZstdSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  COUNT(DISTINCT text) AS n_texts
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** binaryFile-source ingest: the front door for multimodal payloads
     * (SURVEY §2.9) — opaque image/audio/video blobs land as files and
     * enter the engine through `spark.read.format("binaryFile")`, which
@@ -1041,6 +1079,7 @@ object ParityQueries {
     "conv_xml_roundtrip"    -> (convXmlRoundtrip _),
     "conv_weblog_parse"     -> (convWeblogParse _),
     "conv_csv_tortures"     -> (convCsvTortures _),
+    "conv_parquet_zstd"     -> (convParquetZstd _),
     "conv_binaryfiles"      -> (convBinaryFiles _),
     "conv_csv_lz4_roundtrip" -> (convCsvLz4Roundtrip _),
     "parquet_bloom_lookup"  -> (parquetBloomLookup _),
@@ -1068,6 +1107,7 @@ object ParityQueries {
     "conv_xml_roundtrip"    -> convXmlRoundtripSql,
     "conv_weblog_parse"     -> convWeblogParseSql,
     "conv_csv_tortures"     -> convCsvTorturesSql,
+    "conv_parquet_zstd"     -> convParquetZstdSql,
     "conv_binaryfiles"      -> convBinaryFilesSql,
     "conv_csv_lz4_roundtrip" -> convCsvLz4RoundtripSql,
     "parquet_bloom_lookup"  -> parquetBloomLookupSql,

@@ -1256,6 +1256,54 @@ class RoundSixOpsSpec extends SparkSpec {
       ("2024-01-04", 5L, 3L)))
   }
 
+  test("eval_youden: planted separable scores recover the exact " +
+      "cut point") {
+    // en docs at n_chars {100, 90}, others at {10, 20}: threshold 90
+    // separates perfectly → J = 1, tp = 2, fp = 0.
+    val dir = tmpDir("r6_youden")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(Row(1L, "a", "en", "s", 100L),
+      Row(2L, "a", "en", "s", 90L), Row(3L, "a", "fr", "s", 10L),
+      Row(4L, "a", "de", "s", 20L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.Evaluation.youdenGate(spark, dir).head
+    assert(r.getLong(0) === 90L)   // threshold
+    assert(r.getLong(1) === 2L && r.getLong(2) === 0L)
+    assert(r.getDouble(6) === 1.0)
+  }
+
+  test("link_blocking_metrics: exact-cover blocking retains every " +
+      "true pair") {
+    val r = graft.ops.Linkage.blockingMetrics(spark, sf).head
+    val (nd, nc, ncand, ntrue) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nd === nc)
+    assert(ntrue === nd, "omission passes must cover every mutation")
+    assert(r.getLong(5) === 1000000L) // completeness ppm
+    assert(ncand < nd * nc, "blocking must beat the cross join")
+    assert(r.getLong(4) > 0L)
+  }
+
+  test("conv_parquet_zstd: codec round-trip preserves per-source " +
+      "fingerprints") {
+    val got = graft.ops.ParityQueries.convParquetZstd(spark, sf)
+      .collect()
+    val exp = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    got.foreach { r =>
+      assert(exp(r.getString(0)) === ((r.getLong(1), r.getLong(2))))
+    }
+    assert(got.nonEmpty)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
