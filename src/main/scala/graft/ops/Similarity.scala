@@ -2125,7 +2125,152 @@ object Similarity {
        |GROUP BY h.dim ORDER BY dim""".stripMargin
   }
 
+  /** Mutual k-NN graph — the similarity-graph constructor feeding
+    * graph-based clustering (HDBSCAN/UMAP-style) and graph-ANN: per
+    * vector, the exact cosine top-`k` neighbors over the bounded
+    * slice (vec_id < `n`), then keep the edge (a, b) only when each
+    * is in the OTHER's list — the standard mutuality filter that
+    * strips hub-induced asymmetric edges. Emits a < b once with both
+    * directed ranks; counts/ranks exact BIGINTs, the cosine the
+    * engines already compute bit-identically.
+    *
+    * Scale: the oracle-bounded all-pairs here stands in for the
+    * gated ANN machinery ([[annIvf]]/[[annLsh]]) that generates
+    * candidate lists at corpus scale; the mutuality join is then a
+    * self equi-join on (a, b) — linear in list size, never
+    * quadratic. */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 5,
+      n: Int = 100): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val sub = vecs(s, dir).filter(col("vec_id") < n)
+      .withColumn("nm", norm(col("v"))).localCheckpoint()
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("sim").desc, col("b"))
+    val knn = sub.toDF("a", "av", "an").repartition(par)
+      .crossJoin(broadcast(sub.toDF("b", "bv", "bn")))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim",
+        dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("rank"))
+    // both join sides are n*k rows — metadata-sized by construction
+    // but hidden from the estimator behind the top-k window
+    knn.filter(col("a") < col("b"))
+      .join(broadcast(knn.toDF("b2", "a2", "rank_ba")
+          .select(col("a2").as("a"), col("b2").as("b"), col("rank_ba"))),
+        Seq("a", "b"))
+      .select(col("a"), col("b"),
+        col("rank").cast("long").as("rank_ab"),
+        col("rank_ba").cast("long").as("rank_ba"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  def knnGraphSql(k: Int = 5, n: Int = 100): String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < $n),
+       |knn AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      $CosineSql
+       |      DESC, b.vec_id) AS rank
+       |  FROM vecs a, vecs b WHERE a.vec_id <> b.vec_id),
+       |top AS (SELECT a, b, rank FROM knn WHERE rank <= $k)
+       |SELECT f.a, f.b,
+       |  CAST(f.rank AS BIGINT) AS rank_ab,
+       |  CAST(r.rank AS BIGINT) AS rank_ba
+       |FROM top f JOIN top r ON r.a = f.b AND r.b = f.a
+       |WHERE f.a < f.b
+       |ORDER BY f.a, f.b""".stripMargin
+
+  /** Triplet mining for metric-learning — per anchor, the training
+    * triple (anchor, hardest positive, hardest negative): the
+    * FARTHEST same-label vector (the positive the model must pull
+    * in) and the CLOSEST other-label vector (the negative it must
+    * push out), the batch-hard strategy of Hermans et al. 2017.
+    * Each side is one deterministic argmin/argmax over the anchor's
+    * scored candidates (cosine ties broken by vec_id). Emits the
+    * margin in 1e-9-snapped integer form so the gate is exact.
+    *
+    * Scale: anchors are the bounded query side (broadcast); at
+    * corpus scale the candidate generator is the gated ANN index,
+    * same downstream shape as [[hardNegatives]] — this op adds the
+    * positive half of the triple. */
+  def tripletMine(s: SparkSession, dir: String,
+      nAnchors: Int = 16): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+    graft.plans.VectorExpressions.register(s)
+    val anchors = all.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("aid"), col("label").as("alabel"),
+        col("v").as("av"), norm(col("v")).as("an"))
+    val scored = all.toDF("cid", "clabel", "cv")
+      .withColumn("cn", norm(col("cv"))).repartition(par)
+      .crossJoin(broadcast(anchors))
+      .filter(col("cid") =!= col("aid"))
+      .withColumn("sim",
+        dot(col("av"), col("cv")) / (col("an") * col("cn")))
+    val wPos = Window.partitionBy(col("aid"))
+      .orderBy(col("sim").asc, col("cid"))
+    val wNeg = Window.partitionBy(col("aid"))
+      .orderBy(col("sim").desc, col("cid"))
+    val pos = scored.filter(col("clabel") === col("alabel"))
+      .withColumn("rk", row_number().over(wPos)).filter(col("rk") === 1)
+      .select(col("aid"), col("cid").as("pos_id"),
+        expr("CAST(floor(sim * 1000000000.0 + 0.5) AS BIGINT)")
+          .as("pos_sim_e9"))
+    val neg = scored.filter(col("clabel") =!= col("alabel"))
+      .withColumn("rk", row_number().over(wNeg)).filter(col("rk") === 1)
+      .select(col("aid"), col("cid").as("neg_id"),
+        expr("CAST(floor(sim * 1000000000.0 + 0.5) AS BIGINT)")
+          .as("neg_sim_e9"))
+    // nAnchors-row frames; the windows blind the estimator
+    pos.join(broadcast(neg), "aid")
+      .select(col("aid").as("anchor_id"), col("pos_id"), col("neg_id"),
+        col("pos_sim_e9"), col("neg_sim_e9"),
+        (col("pos_sim_e9") - col("neg_sim_e9")).as("margin_e9"))
+      .orderBy(col("anchor_id"))
+  }
+
+  def tripletMineSql(nAnchors: Int = 16): String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS aid, a.label AS alabel,
+       |    b.vec_id AS cid, b.label AS clabel,
+       |    $CosineSql AS sim
+       |  FROM vecs a, vecs b
+       |  WHERE a.vec_id < $nAnchors AND a.vec_id <> b.vec_id),
+       |pos AS (
+       |  SELECT aid, cid AS pos_id,
+       |    CAST(floor(sim * 1000000000.0 + 0.5) AS BIGINT)
+       |      AS pos_sim_e9,
+       |    row_number() OVER (PARTITION BY aid
+       |      ORDER BY sim ASC, cid) AS rk
+       |  FROM scored WHERE clabel = alabel),
+       |neg AS (
+       |  SELECT aid, cid AS neg_id,
+       |    CAST(floor(sim * 1000000000.0 + 0.5) AS BIGINT)
+       |      AS neg_sim_e9,
+       |    row_number() OVER (PARTITION BY aid
+       |      ORDER BY sim DESC, cid) AS rk
+       |  FROM scored WHERE clabel <> alabel)
+       |SELECT p.aid AS anchor_id, p.pos_id, n.neg_id,
+       |  p.pos_sim_e9, n.neg_sim_e9,
+       |  CAST(p.pos_sim_e9 - n.neg_sim_e9 AS BIGINT) AS margin_e9
+       |FROM pos p JOIN neg n ON n.aid = p.aid
+       |WHERE p.rk = 1 AND n.rk = 1
+       |ORDER BY anchor_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "embed_triplets" -> ((s, d) => tripletMine(s, d)),
     "sim_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "sim_mmr_rerank" -> ((s: SparkSession, d: String) =>
       mmrRerank(s, d)),
@@ -2170,6 +2315,8 @@ object Similarity {
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "sim_knn_graph" -> knnGraphSql(),
+    "embed_triplets" -> tripletMineSql(),
     "sim_matryoshka_recall" -> matryoshkaRecallSql(),
     "embed_label_affinity" -> labelAffinitySql,
     "embed_project"       -> randomProjectionSql,

@@ -1304,6 +1304,34 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sim_knn_graph: mutual edges are symmetric and subset the " +
+      "directed lists") {
+    val rows = graft.ops.Similarity.knnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 5L)
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 5L)
+    }
+    // mutuality strictly filters: fewer mutual edges than directed
+    val nDirected = 5L * spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 100).count()
+    assert(rows.length < nDirected)
+  }
+
+  test("embed_triplets: margins reconcile with the snapped " +
+      "similarities and anchors are complete") {
+    val rows = graft.ops.Similarity.tripletMine(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq ===
+      rows.map(_.getLong(0)).toSeq.sorted)
+    rows.foreach { r =>
+      assert(r.getLong(5) === r.getLong(3) - r.getLong(4))
+      assert(r.getLong(1) !== r.getLong(0))
+      assert(r.getLong(2) !== r.getLong(0))
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
