@@ -794,7 +794,84 @@ object Evaluation {
       |    / CAST(n_pos * n_neg AS DOUBLE) AS j
       |FROM ranked WHERE rk = 1""".stripMargin
 
+  /** Decile gains / lift table — the model-ops report behind "call
+    * the top 20%": rank by score descending, cut the population into
+    * ten equal-mass deciles, and per decile report positives
+    * captured cumulatively plus lift vs random. Decile assignment is
+    * `cum_before·10 div N` over the score HISTOGRAM (rows sharing a
+    * score share a decile — the standard tie treatment), so the
+    * whole table is exact integer arithmetic: capture and lift are
+    * ppm divisions on non-negative BIGINTs.
+    *
+    * Scale: one map-combined count per distinct score; every window
+    * below runs on the histogram (then the 10-row decile frame). */
+  def gainsTable(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("nt"), sum(col("pos")).as("np"))
+    val fromTop = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val deciled = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("nt")).over(fromTop), lit(0L)))
+      .withColumn("n", sum(col("nt")).over(all))
+      .withColumn("n_pos_tot", sum(col("np")).over(all))
+      .withColumn("decile", expr("cum_before * 10L div n"))
+      .groupBy(col("decile"))
+      .agg(sum(col("nt")).as("dn"), sum(col("np")).as("dpos"),
+        max(col("n")).as("n_tot"), max(col("n_pos_tot")).as("pos_tot"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciled
+      .withColumn("cum_n", sum(col("dn")).over(cum))
+      .withColumn("cum_pos", sum(col("dpos")).over(cum))
+      .select(col("decile"), col("dn").as("n"), col("dpos").as("n_pos"),
+        col("cum_pos"),
+        expr("cum_pos * 1000000L div pos_tot").as("capture_ppm"),
+        expr("(cum_pos * n_tot * 1000000L) div (cum_n * pos_tot)")
+          .as("lift_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val gainsTableSql: String =
+    """WITH hist AS (
+      |  SELECT n_chars AS score, COUNT(*) AS nt,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+      |  FROM documents GROUP BY n_chars),
+      |cum AS (
+      |  SELECT score, nt, np,
+      |    COALESCE(SUM(nt) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before,
+      |    SUM(nt) OVER () AS n,
+      |    SUM(np) OVER () AS n_pos_tot
+      |  FROM hist),
+      |dec AS (
+      |  SELECT CAST(cum_before * 10 // n AS BIGINT) AS decile,
+      |    CAST(SUM(nt) AS BIGINT) AS dn,
+      |    CAST(SUM(np) AS BIGINT) AS dpos,
+      |    CAST(MAX(n) AS BIGINT) AS n_tot,
+      |    CAST(MAX(n_pos_tot) AS BIGINT) AS pos_tot
+      |  FROM cum GROUP BY 1),
+      |run AS (
+      |  SELECT decile, dn, dpos, n_tot, pos_tot,
+      |    SUM(dn) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |    SUM(dpos) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      |  FROM dec)
+      |SELECT decile, dn AS n, dpos AS n_pos,
+      |  CAST(cum_pos AS BIGINT) AS cum_pos,
+      |  CAST(cum_pos * 1000000 // pos_tot AS BIGINT) AS capture_ppm,
+      |  CAST((cum_pos * n_tot * 1000000) // (cum_n * pos_tot) AS BIGINT)
+      |    AS lift_ppm
+      |FROM run ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_gains_table" -> (gainsTable _),
     "eval_youden" -> (youdenGate _),
     "eval_regression" -> (regressionReport _),
     "eval_ece" -> (eceGate _),
@@ -809,6 +886,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_gains_table" -> gainsTableSql,
     "eval_youden" -> youdenSql,
     "eval_regression" -> regressionReportSql,
     "eval_ece" -> eceSql,

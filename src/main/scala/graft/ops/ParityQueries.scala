@@ -513,6 +513,78 @@ object ParityQueries {
       |WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1997-01-01')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Referential-cascade purge — the multi-table extension of the
+    * criteria delete (reference Q4/Q6: the PL/SQL purge brackets FK
+    * constraints precisely because deletes must respect them; on
+    * Spark there is no FK engine, so the CASCADE ITSELF becomes the
+    * operator): delete customers matching the criteria, then their
+    * orders, then those orders' line items — each table rewritten by
+    * anti-join and atomically swapped in (the Q7 staging+rename
+    * discipline). The doomed-key frames are materialized from the
+    * PRE-state before any swap, so rewrite order can't race. The
+    * gate emits post-state survivor counts plus two zero-pinned
+    * audits (no surviving child references a deleted parent) read
+    * back FROM DISK — proving the cascade landed, not just planned.
+    *
+    * Scale: two anti-joins shuffling on the FKs (exchange-free when
+    * the facts are bucketed on them) and key-frame semi-joins; no
+    * table is scanned more than twice. */
+  def purgeCascade(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "purge_cascade")
+    graft.Scaffold.setup {
+      ParquetSink.write(Tables.customer(s, dir), s"$root/customer")
+      ParquetSink.write(Tables.orders(s, dir), s"$root/orders")
+      ParquetSink.write(Tables.lineitem(s, dir), s"$root/lineitem")
+    }
+    val cust = s.read.parquet(s"$root/customer")
+    val orders = s.read.parquet(s"$root/orders")
+    val li = s.read.parquet(s"$root/lineitem")
+    val doomedC = cust.filter(expr("c_acctbal < 0.0"))
+      .select(col("c_custkey").as("k")).localCheckpoint()
+    val doomedO = orders
+      .join(doomedC, orders("o_custkey") === doomedC("k"), "left_semi")
+      .select(col("o_orderkey").as("k")).localCheckpoint()
+    def rewrite(path: String, survivors: DataFrame): Unit = {
+      ParquetSink.write(survivors, path + ".staging")
+      TableSwap.swapIn(s, path, path + ".staging", retain = 1)
+    }
+    rewrite(s"$root/customer",
+      cust.join(doomedC, cust("c_custkey") === doomedC("k"), "left_anti"))
+    rewrite(s"$root/orders",
+      orders.join(doomedC, orders("o_custkey") === doomedC("k"),
+        "left_anti"))
+    rewrite(s"$root/lineitem",
+      li.join(doomedO, li("l_orderkey") === doomedO("k"), "left_anti"))
+    val c2 = s.read.parquet(s"$root/customer")
+    val o2 = s.read.parquet(s"$root/orders")
+    val l2 = s.read.parquet(s"$root/lineitem")
+    c2.agg(count(lit(1)).as("n_customers"))
+      .crossJoin(o2.agg(count(lit(1)).as("n_orders")))
+      .crossJoin(l2.agg(count(lit(1)).as("n_lineitems")))
+      .crossJoin(o2.join(doomedC, o2("o_custkey") === doomedC("k"),
+          "left_semi")
+        .agg(count(lit(1)).as("orphan_orders")))
+      .crossJoin(l2.join(doomedO, l2("l_orderkey") === doomedO("k"),
+          "left_semi")
+        .agg(count(lit(1)).as("orphan_items")))
+  }
+
+  val purgeCascadeSql: String =
+    """WITH doomed_c AS (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal < 0.0),
+      |surv_o AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM doomed_c))
+      |SELECT
+      |  (SELECT COUNT(*) FROM customer WHERE NOT (c_acctbal < 0.0))
+      |    AS n_customers,
+      |  (SELECT COUNT(*) FROM surv_o) AS n_orders,
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey IN (SELECT o_orderkey FROM surv_o))
+      |    AS n_lineitems,
+      |  CAST(0 AS BIGINT) AS orphan_orders,
+      |  CAST(0 AS BIGINT) AS orphan_items""".stripMargin
+
   /** Fixed-width round-trip: the fourth text source format
     * (offset-bound — see [[graft.sources.FixedWidthIngest]]). The
     * table is exported as padded fixed-width lines, re-ingested under
@@ -1074,6 +1146,7 @@ object ParityQueries {
     "conv_csv_via_avro"     -> (convCsvViaAvro _),
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
+    "purge_cascade" -> (purgeCascade _),
     "purge_time_travel"     -> (purgeTimeTravel _),
     "conv_fixedwidth_roundtrip" -> (convFixedWidthRoundtrip _),
     "conv_xml_roundtrip"    -> (convXmlRoundtrip _),
@@ -1102,6 +1175,7 @@ object ParityQueries {
     "conv_csv_via_avro"     -> convCsvViaAvroSql,
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
+    "purge_cascade" -> purgeCascadeSql,
     "purge_time_travel"     -> purgeTimeTravelSql,
     "conv_fixedwidth_roundtrip" -> convFixedWidthRoundtripSql,
     "conv_xml_roundtrip"    -> convXmlRoundtripSql,

@@ -1332,6 +1332,33 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("eval_gains_table: deciles partition the corpus and capture " +
+      "is monotone to 100%") {
+    val rows = graft.ops.Evaluation.gainsTable(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    val captures = rows.map(_.getLong(4))
+    assert(captures.zip(captures.tail).forall { case (a, b) => a <= b })
+    assert(captures.last === 1000000L)
+    assert(rows.map(_.getLong(0)).toSeq === rows.map(_.getLong(0))
+      .toSeq.sorted)
+  }
+
+  test("purge_cascade: on-disk cascade leaves zero orphans and " +
+      "consistent survivor counts") {
+    val r = graft.ops.ParityQueries.purgeCascade(spark, sf).head
+    val custAll = spark.read.parquet(s"$sf/customer.parquet")
+    val doomed = custAll.filter(col("c_acctbal") < 0.0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(doomed.nonEmpty, "fixture must delete someone")
+    assert(r.getLong(0) === custAll.count() - doomed.size)
+    assert(r.getLong(3) === 0L && r.getLong(4) === 0L)
+    val ordersAll = spark.read.parquet(s"$sf/orders.parquet")
+    val expOrders = ordersAll
+      .filter(!col("o_custkey").isin(doomed.toSeq: _*)).count()
+    assert(r.getLong(1) === expOrders)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
