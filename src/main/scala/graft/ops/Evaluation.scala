@@ -870,7 +870,55 @@ object Evaluation {
       |    AS lift_ppm
       |FROM run ORDER BY decile""".stripMargin
 
+  /** Matthews correlation coefficient at a fixed operating point
+    * (predict en when n_chars ≥ 2000) — the single-number confusion
+    * summary that, unlike F1, stays honest under class imbalance
+    * (it uses all four cells). The numerator `tp·tn − fp·fn` is an
+    * exact BIGINT; the denominator's four marginals are cast to
+    * double BEFORE multiplying (their product overflows int64 at
+    * corpus scale) inside one fixed sqrt expression; zero-marginal
+    * guard pins MCC to 0. One map-combinable aggregate. */
+  def mccGate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(when(col("n_chars") >= 2000L, 1L).otherwise(0L).as("p"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .agg(sum(col("p") * col("y")).as("tp"),
+        sum(col("p") * (lit(1L) - col("y"))).as("fp"),
+        sum((lit(1L) - col("p")) * col("y")).as("fn"),
+        sum((lit(1L) - col("p")) * (lit(1L) - col("y"))).as("tn"))
+      .selectExpr("tp", "fp", "fn", "tn",
+        "tp * tn - fp * fn AS mcc_num",
+        "CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0" +
+          " OR (tn + fp) = 0 OR (tn + fn) = 0 THEN 0.0" +
+          " ELSE CAST(tp * tn - fp * fn AS DOUBLE)" +
+          " / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)" +
+          " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))" +
+          " END AS mcc")
+
+  val mccSql: String =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN n_chars >= 2000 AND lang = 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN n_chars >= 2000 AND lang <> 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN n_chars < 2000 AND lang = 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN n_chars < 2000 AND lang <> 'en'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM documents)
+      |SELECT tp, fp, fn, tn,
+      |  CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num,
+      |  CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0
+      |    OR (tn + fp) = 0 OR (tn + fn) = 0 THEN 0.0
+      |    ELSE CAST(tp * tn - fp * fn AS DOUBLE)
+      |      / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+      |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+      |  END AS mcc
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_mcc" -> (mccGate _),
     "eval_gains_table" -> (gainsTable _),
     "eval_youden" -> (youdenGate _),
     "eval_regression" -> (regressionReport _),
@@ -886,6 +934,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_mcc" -> mccSql,
     "eval_gains_table" -> gainsTableSql,
     "eval_youden" -> youdenSql,
     "eval_regression" -> regressionReportSql,

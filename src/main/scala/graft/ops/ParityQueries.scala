@@ -585,6 +585,47 @@ object ParityQueries {
       |  CAST(0 AS BIGINT) AS orphan_orders,
       |  CAST(0 AS BIGINT) AS orphan_items""".stripMargin
 
+  /** Tamper-evident audit chain — hardening for the reference's
+    * audit sink (Q9): a hash-chained ledger where each entry's
+    * digest folds in its predecessor's
+    * (`h_i = md5(h_{i−1} || key || payload)`), so any retroactive
+    * edit breaks every later digest. Built with WITH RECURSIVE (the
+    * q46 machinery carrying STATE, not just traversal) over a
+    * row_number-ranked 64-entry ledger slice — audit ledgers are
+    * metadata-sized by nature, and 64 stays under Spark's default
+    * recursion-depth limit of 100. md5 hex is byte-identical across
+    * engines, so the oracle re-derives the full chain. */
+  def purgeAuditChain(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE audit AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
+        |      AS rn
+        |  FROM orders ORDER BY o_orderkey LIMIT 64),
+        |chain(rn, h) AS (
+        |  SELECT CAST(0 AS BIGINT), md5('genesis')
+        |  UNION ALL
+        |  SELECT a.rn,
+        |    md5(c.h || '|' || CAST(a.k AS STRING) || '|' || a.st)
+        |  FROM audit a JOIN chain c ON a.rn = c.rn + 1)
+        |SELECT rn, h FROM chain ORDER BY rn""".stripMargin)
+  }
+
+  val purgeAuditChainSql: String =
+    """WITH RECURSIVE audit AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
+      |      AS rn
+      |  FROM orders ORDER BY o_orderkey LIMIT 64),
+      |chain(rn, h) AS (
+      |  SELECT CAST(0 AS BIGINT), md5('genesis')
+      |  UNION ALL
+      |  SELECT a.rn,
+      |    md5(c.h || '|' || CAST(a.k AS VARCHAR) || '|' || a.st)
+      |  FROM audit a JOIN chain c ON a.rn = c.rn + 1)
+      |SELECT rn, h FROM chain ORDER BY rn""".stripMargin
+
   /** Fixed-width round-trip: the fourth text source format
     * (offset-bound — see [[graft.sources.FixedWidthIngest]]). The
     * table is exported as padded fixed-width lines, re-ingested under
@@ -1147,6 +1188,7 @@ object ParityQueries {
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_cascade" -> (purgeCascade _),
+    "purge_audit_chain" -> (purgeAuditChain _),
     "purge_time_travel"     -> (purgeTimeTravel _),
     "conv_fixedwidth_roundtrip" -> (convFixedWidthRoundtrip _),
     "conv_xml_roundtrip"    -> (convXmlRoundtrip _),
@@ -1176,6 +1218,7 @@ object ParityQueries {
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_cascade" -> purgeCascadeSql,
+    "purge_audit_chain" -> purgeAuditChainSql,
     "purge_time_travel"     -> purgeTimeTravelSql,
     "conv_fixedwidth_roundtrip" -> convFixedWidthRoundtripSql,
     "conv_xml_roundtrip"    -> convXmlRoundtripSql,

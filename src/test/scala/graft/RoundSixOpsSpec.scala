@@ -1359,6 +1359,50 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(r.getLong(1) === expOrders)
   }
 
+  test("eval_mcc: planted confusion matrix yields MCC = 1/3") {
+    val dir = tmpDir("r6_mcc")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // tp=2 (en long), fn=1 (en short), fp=1 (fr long), tn=2 (fr short)
+    val rows = Seq(
+      Row(1L, "a", "en", "s", 3000L), Row(2L, "a", "en", "s", 2000L),
+      Row(3L, "a", "en", "s", 100L), Row(4L, "a", "fr", "s", 2500L),
+      Row(5L, "a", "fr", "s", 50L), Row(6L, "a", "fr", "s", 60L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.Evaluation.mccGate(spark, dir).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((2L, 1L, 1L, 2L)))
+    assert(r.getLong(4) === 3L)
+    assert(math.abs(r.getDouble(5) - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("purge_audit_chain: recursive md5 chain matches a local " +
+      "re-derivation and breaks on tampering") {
+    import java.security.MessageDigest
+    def md5(x: String): String =
+      MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ledger = spark.read.parquet(s"$sf/orders.parquet")
+      .orderBy(col("o_orderkey")).limit(64)
+      .select(col("o_orderkey"), col("o_orderstatus")).collect()
+    var h = md5("genesis")
+    val exp = scala.collection.mutable.ArrayBuffer(0L -> h)
+    ledger.zipWithIndex.foreach { case (r, i) =>
+      h = md5(s"$h|${r.getLong(0)}|${r.getString(1)}")
+      exp += (i + 1L) -> h
+    }
+    val got = graft.ops.ParityQueries.purgeAuditChain(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.toSeq === exp.toSeq)
+    // tamper check: flipping entry 1's payload changes every later h
+    val tampered = md5(s"${exp(0)._2}|999999|X")
+    assert(tampered !== exp(1)._2)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
