@@ -585,6 +585,53 @@ object ParityQueries {
       |  CAST(0 AS BIGINT) AS orphan_orders,
       |  CAST(0 AS BIGINT) AS orphan_items""".stripMargin
 
+  /** Legacy-charset CSV ingest (ISO-8859-1): enterprise CSV drops
+    * routinely arrive in Latin-1, and a reader that assumes UTF-8
+    * silently mojibakes every non-ASCII byte. Each document's text
+    * is wrapped with Latin-1-only characters (é » « ñ), written as
+    * ISO-8859-1 CSV via the writer's `encoding` option, re-ingested
+    * with the DECLARED charset, and audited row-by-row against the
+    * expected expression recomputed from parquet — n_mismatch is
+    * oracle-pinned to 0, so one mis-decoded byte fails the gate.
+    * Charset decode is a per-record scan-side concern; splittability
+    * and parallelism are unchanged at 100 TB. */
+  def convCsvLatin1(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = scratch(dir, "conv_latin1")
+    def wrapped = concat(lit("café»"),
+      substring(col("text"), 1, 30), lit("«ñ"))
+    val expect = Tables.documents(s, dir)
+      .select(col("doc_id"), wrapped.as("t_ex"))
+    graft.Scaffold.setup {
+      expect.select(col("doc_id"), col("t_ex").as("t"))
+        .write.mode("overwrite")
+        .option("header", "true").option("encoding", "ISO-8859-1")
+        .csv(csvDir)
+    }
+    val back = s.read
+      .option("header", "true").option("encoding", "ISO-8859-1")
+      .csv(csvDir)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        col("t").as("t_rt"))
+    back.join(expect, Seq("doc_id"), "full_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("t_rt").isNull || col("t_ex").isNull ||
+          col("t_rt") =!= col("t_ex"), 1L).otherwise(0L))
+          .as("n_mismatch"),
+        sum(length(col("t_ex"))).as("sum_len"),
+        countDistinct(col("t_ex")).as("n_distinct"))
+  }
+
+  val convCsvLatin1Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    'café»' || substr(text, 1, 30) || '«ñ' AS t
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_mismatch,
+      |  CAST(SUM(length(t)) AS BIGINT) AS sum_len,
+      |  COUNT(DISTINCT t) AS n_distinct
+      |FROM t""".stripMargin
+
   /** Tamper-evident audit chain — hardening for the reference's
     * audit sink (Q9): a hash-chained ledger where each entry's
     * digest folds in its predecessor's
@@ -1189,6 +1236,7 @@ object ParityQueries {
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_cascade" -> (purgeCascade _),
     "purge_audit_chain" -> (purgeAuditChain _),
+    "conv_csv_latin1" -> (convCsvLatin1 _),
     "purge_time_travel"     -> (purgeTimeTravel _),
     "conv_fixedwidth_roundtrip" -> (convFixedWidthRoundtrip _),
     "conv_xml_roundtrip"    -> (convXmlRoundtrip _),
@@ -1219,6 +1267,7 @@ object ParityQueries {
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_cascade" -> purgeCascadeSql,
     "purge_audit_chain" -> purgeAuditChainSql,
+    "conv_csv_latin1" -> convCsvLatin1Sql,
     "purge_time_travel"     -> purgeTimeTravelSql,
     "conv_fixedwidth_roundtrip" -> convFixedWidthRoundtripSql,
     "conv_xml_roundtrip"    -> convXmlRoundtripSql,

@@ -932,7 +932,78 @@ object TextAnalysis {
       |ORDER BY score_e6 DESC, phrase
       |LIMIT 20""".stripMargin
 
+  /** Boilerplate stripping — the cleaning transform behind "remove
+    * the cookie banner from every page": the `topK` word 3-grams by
+    * DOCUMENT frequency (boilerplate = high-df, not high-tf) are
+    * removed as literal strings from every document, in rank order,
+    * and the per-source char ledger (before/after/removed) is
+    * emitted. Literal `replace` (not regex) on both engines removes
+    * all non-overlapping occurrences left-to-right, and the
+    * replacements apply in the SAME deterministic (df DESC, gram)
+    * order, so the cleaned text is byte-identical cross-engine.
+    *
+    * Scale: df is one explode + distinct-per-doc groupBy (the
+    * decontaminate shape); the topK gram strings are a METADATA
+    * collect (K rows) inlined as literals, so the strip itself is a
+    * pure codegen projection at scan speed — the only corpus
+    * shuffles are the df count and the final per-source ledger. */
+  def boilerplateStrip(s: SparkSession, dir: String,
+      topK: Int = 5): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("doc_id"),
+        explode(array_distinct(graft.plans.TextExpressions.tokenNGrams(
+          split(col("text"), " "), 3, emitWholeShortDoc = false)))
+          .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram")).limit(topK)
+      .collect().map(_.getString(0))
+    val cleanCol = grams.foldLeft(col("text")) { (c, g) =>
+      call_function("replace", c, lit(g), lit(""))
+    }
+    docs.select(col("source"), length(col("text")).as("lb"),
+        length(cleanCol).as("la"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("lb")).as("chars_before"),
+        sum(col("la")).as("chars_after"),
+        sum(col("lb") - col("la")).as("removed"))
+      .orderBy(col("source"))
+  }
+
+  val boilerplateStripSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, text,
+      |    string_split(text, ' ') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(t) - 2, 0)),
+      |      i -> array_to_string(t[i:i+2], ' ')))) AS gram
+      |  FROM tok),
+      |df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+      |top AS (
+      |  SELECT gram, row_number() OVER (ORDER BY df DESC, gram) AS rk
+      |  FROM df ORDER BY df DESC, gram LIMIT 5),
+      |cleaned AS (
+      |  SELECT source, length(text) AS lb,
+      |    length(
+      |      replace(replace(replace(replace(replace(text,
+      |        (SELECT gram FROM top WHERE rk = 1), ''),
+      |        (SELECT gram FROM top WHERE rk = 2), ''),
+      |        (SELECT gram FROM top WHERE rk = 3), ''),
+      |        (SELECT gram FROM top WHERE rk = 4), ''),
+      |        (SELECT gram FROM top WHERE rk = 5), '')) AS la
+      |  FROM tok)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(lb) AS BIGINT) AS chars_before,
+      |  CAST(SUM(la) AS BIGINT) AS chars_after,
+      |  CAST(SUM(lb - la) AS BIGINT) AS removed
+      |FROM cleaned GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate_strip" -> ((s, d) => boilerplateStrip(s, d)),
     "text_rake_keywords" -> ((s, d) => rakeKeywords(s, d)),
     "text_js_divergence" -> (jsDivergence _),
     "text_readability" -> (readability _),
@@ -952,6 +1023,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_boilerplate_strip" -> boilerplateStripSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_js_divergence" -> jsDivergenceSql,
     "text_readability" -> readabilitySql,

@@ -1403,6 +1403,38 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(tampered !== exp(1)._2)
   }
 
+  test("text_boilerplate_strip: planted banner gram is removed from " +
+      "every host document") {
+    val dir = tmpDir("r6_boiler")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // "accept all cookies" (18 chars) leads 6 of 8 docs — by far the
+    // top-df 3-gram; remaining docs share no repeated 3-gram.
+    val rows = (1L to 6L).map(i =>
+      Row(i, s"accept all cookies real body $i", "en", "s", 30L)) ++
+      Seq(Row(7L, "uniq seven words here", "en", "s", 21L),
+        Row(8L, "other eight tokens now", "en", "s", 22L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalysis.boilerplateStrip(spark, dir, 1)
+      .collect()(0)
+    assert(got.getLong(1) === 8L)
+    // each of the 6 banner docs loses exactly the 18-char gram
+    assert(got.getLong(4) === 6L * 18L,
+      s"removed ${got.getLong(4)}")
+  }
+
+  test("conv_csv_latin1: declared-charset round-trip is lossless on " +
+      "non-ASCII bytes") {
+    val out = graft.ops.ParityQueries.convCsvLatin1(spark, sf).head
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.getLong(0) === nDocs)
+    assert(out.getLong(1) === 0L, "mojibake detected")
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
