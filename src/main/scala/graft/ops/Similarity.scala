@@ -2268,7 +2268,81 @@ object Similarity {
        |WHERE p.rk = 1 AND n.rk = 1
        |ORDER BY anchor_id""".stripMargin
 
+  /** Embedding-health report — the anisotropy check run before
+    * trusting cosine retrieval: mean vector norm, norm of the MEAN
+    * vector, and their ratio (Ethayarajh 2019's isotropy red flag:
+    * a large common component squashes cosine contrast; ratio → 0
+    * is isotropic, → 1 is collapsed). Per-vector norms are
+    * 1e-6-snapped to longs before the corpus sum; per-dimension
+    * element sums are EXACT decimals (double sums don't commute);
+    * the squared means are 1e-12-snapped per dimension before the
+    * 64-long sum — nothing float ever accumulates across rows.
+    *
+    * Scale: one scan for norms (map-combinable), one posexplode
+    * shuffle on the (dim) key — d groups — for the mean vector. */
+  def normStats(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val na = v.select(norm(col("v")).as("nm"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(nm * 1000000.0 + 0.5) AS BIGINT)"))
+          .as("sum_norm_e6"))
+    val dims = v.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast(DecimalType(28, 12))).as("sx"))
+    val m2 = dims.crossJoin(broadcast(na))
+      .select(expr(
+        "CAST(floor((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))" +
+        " * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))" +
+        " * 1000000000000.0 + 0.5) AS BIGINT)").as("t"))
+      .agg(sum(col("t")).as("m2_e12"))
+    na.crossJoin(broadcast(m2))
+      .selectExpr("n", "sum_norm_e6", "m2_e12",
+        "CAST(sum_norm_e6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)" +
+          " AS mean_norm",
+        "sqrt(CAST(m2_e12 AS DOUBLE) / 1000000000000.0)" +
+          " AS norm_of_mean",
+        "CAST(floor(sqrt(CAST(m2_e12 AS DOUBLE) / 1000000000000.0)" +
+          " * 1000000.0" +
+          " / (CAST(sum_norm_e6 AS DOUBLE) / 1000000.0" +
+          " / CAST(n AS DOUBLE)) + 0.5) AS BIGINT) AS anisotropy_ppm")
+  }
+
+  val normStatsSql: String =
+    """WITH vecs AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT CAST(floor(sqrt(list_reduce(list_transform(
+      |    generate_series(1, len(v)), i -> v[i] * v[i]),
+      |    (x, y) -> x + y)) * 1000000.0 + 0.5) AS BIGINT) AS n6
+      |  FROM vecs),
+      |na AS (SELECT COUNT(*) AS n,
+      |       CAST(SUM(n6) AS BIGINT) AS sum_norm_e6 FROM norms),
+      |pos AS (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM vecs),
+      |dims AS (
+      |  SELECT i, SUM(CAST(v[CAST(i AS INTEGER)] AS DECIMAL(28,12)))
+      |    AS sx
+      |  FROM pos GROUP BY i),
+      |m2 AS (
+      |  SELECT CAST(SUM(CAST(floor(
+      |    (CAST(sx AS DOUBLE) / CAST(na.n AS DOUBLE))
+      |    * (CAST(sx AS DOUBLE) / CAST(na.n AS DOUBLE))
+      |    * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS m2_e12
+      |  FROM dims CROSS JOIN na)
+      |SELECT na.n, na.sum_norm_e6, m2.m2_e12,
+      |  CAST(na.sum_norm_e6 AS DOUBLE) / 1000000.0
+      |    / CAST(na.n AS DOUBLE) AS mean_norm,
+      |  sqrt(CAST(m2.m2_e12 AS DOUBLE) / 1000000000000.0)
+      |    AS norm_of_mean,
+      |  CAST(floor(sqrt(CAST(m2.m2_e12 AS DOUBLE) / 1000000000000.0)
+      |    * 1000000.0
+      |    / (CAST(na.sum_norm_e6 AS DOUBLE) / 1000000.0
+      |    / CAST(na.n AS DOUBLE)) + 0.5) AS BIGINT) AS anisotropy_ppm
+      |FROM na CROSS JOIN m2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_norm_stats" -> (normStats _),
     "sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embed_triplets" -> ((s, d) => tripletMine(s, d)),
     "sim_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
@@ -2315,6 +2389,7 @@ object Similarity {
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "embed_norm_stats" -> normStatsSql,
     "sim_knn_graph" -> knnGraphSql(),
     "embed_triplets" -> tripletMineSql(),
     "sim_matryoshka_recall" -> matryoshkaRecallSql(),

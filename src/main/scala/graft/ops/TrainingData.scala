@@ -235,6 +235,53 @@ object TrainingData {
         floor(col("cum_before") / lit(budget)).as("shard_id"))
   }
 
+  /** A/B holdout assignment + sample-ratio-mismatch audit — the
+    * experiment-infra primitive for data ablations: every document
+    * is deterministically assigned an arm by the engine-portable
+    * [[rowHash32]] mix (`% 2` — reproducible across runs, engines,
+    * and cluster sizes, unlike seeded Bernoulli), and per source the
+    * gate reports the 2-cell SRM χ² `(n_a − n_b)²/n` in integer ppm
+    * with a flag at the 3.841 critical value — the standard "is the
+    * split actually 50/50" health check run before any arm
+    * comparison is trusted.
+    *
+    * Scale: one map-combinable (source, arm) count; everything else
+    * is per-source scalar arithmetic, all exact integers. */
+  def abSrm(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        (rowHash32(col("doc_id")) % 2L).as("arm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .selectExpr("source", "n", "n_a", "n_b",
+        "((n_a - n_b) * (n_a - n_b) * 1000000L) div n AS srm_ppm",
+        "CASE WHEN ((n_a - n_b) * (n_a - n_b) * 1000000L) div n" +
+          " > 3841000 THEN 1L ELSE 0L END AS srm_flag")
+      .orderBy(col("source"))
+
+  // lazy: interpolates rowHash32Sql, which is declared later in the
+  // object — a plain val would capture null at initialization order
+  lazy val abSrmSql: String =
+    s"""WITH a AS (
+       |  SELECT source,
+       |    ($rowHash32Sql) % 2 AS arm
+       |  FROM documents d),
+       |g AS (
+       |  SELECT source, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b
+       |  FROM a GROUP BY source)
+       |SELECT source, n, n_a, n_b,
+       |  CAST(((n_a - n_b) * (n_a - n_b) * 1000000) // n AS BIGINT)
+       |    AS srm_ppm,
+       |  CAST(CASE WHEN ((n_a - n_b) * (n_a - n_b) * 1000000) // n
+       |    > 3841000 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+       |FROM g ORDER BY source""".stripMargin
+
   /** Concat-and-chunk sequence packing — the GPT-pretraining packer:
     * documents are conceptually concatenated in doc_id order and cut
     * into fixed `seqLen`-token training sequences, documents
@@ -1112,6 +1159,7 @@ object TrainingData {
     "text_repetition"    -> ((s, d) => repetition(s, d)),
     "pack_shards"        -> ((s, d) => packShards(s, d)),
     "pack_concat_chunk"  -> ((s, d) => concatChunk(s, d)),
+    "curate_ab_srm"      -> (abSrm _),
     "pack_shuffle"       -> ((s, d) => packShuffle(s, d)),
     "pack_mixture"       -> ((s, d) => mixture(s, d)),
     "pack_mixture_temp"  -> ((s, d) => mixtureTemperature(s, d)),
@@ -1133,6 +1181,7 @@ object TrainingData {
     "text_repetition"    -> repetitionSql,
     "pack_shards"        -> packShardsSql,
     "pack_concat_chunk"  -> concatChunkSql,
+    "curate_ab_srm"      -> abSrmSql,
     "pack_shuffle"       -> packShuffleSql,
     "pack_mixture"       -> mixtureSql,
     "pack_mixture_temp"  -> mixtureTemperatureSql,

@@ -1435,6 +1435,36 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(out.getLong(1) === 0L, "mojibake detected")
   }
 
+  test("embed_norm_stats: integer ledgers reconcile and anisotropy " +
+      "is a valid ratio") {
+    val r = graft.ops.Similarity.normStats(spark, sf).head
+    val n = r.getLong(0)
+    assert(n === spark.read.parquet(s"$sf/embeddings.parquet").count())
+    val meanNorm = r.getDouble(3)
+    val normOfMean = r.getDouble(4)
+    // triangle inequality: ||mean of v|| <= mean of ||v|| (+snap slack)
+    assert(normOfMean <= meanNorm + 1e-5,
+      s"$normOfMean vs $meanNorm")
+    assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000001L)
+    assert(math.abs(meanNorm -
+      r.getLong(1).toDouble / 1e6 / n) < 1e-12)
+  }
+
+  test("curate_ab_srm: arms partition each source and a planted " +
+      "balanced split passes") {
+    val rows = graft.ops.TrainingData.abSrm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3))
+      val expected = {
+        val d = r.getLong(2) - r.getLong(3)
+        d * d * 1000000L / r.getLong(1)
+      }
+      assert(r.getLong(4) === expected)
+      assert(r.getLong(5) === (if (expected > 3841000L) 1L else 0L))
+    }
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
