@@ -668,6 +668,38 @@ object Dedup {
 
   /** Recursive-CTE oracle: component(id) = min label reachable over
     * the symmetric near-dup edge set. */
+  /** Duplicate-cluster size histogram — the dedup DIAGNOSTIC read
+    * before choosing a survivor policy: how many near-dup clusters
+    * exist at each size (a fat tail of large clusters means template
+    * spam; all-singletons means the detector found nothing). One
+    * row per observed cluster size with the cluster count and the
+    * docs they hold; exact integers throughout.
+    *
+    * Scale: two map-combinable groupBys over the (doc, component)
+    * frame [[componentsOver]] already produces — the histogram
+    * itself is O(distinct sizes). */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    components(s, dir)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  lazy val clusterSizesSql: String =
+    s"""$ComponentsCteSql,
+       |comp AS (SELECT id, MIN(label) AS component
+       |         FROM reach GROUP BY id),
+       |sizes AS (SELECT component, COUNT(*) AS cluster_size
+       |          FROM comp GROUP BY component)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  COUNT(*) AS n_clusters,
+       |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
   val componentsSql: String =
     s"""$ComponentsCteSql
        |SELECT id AS doc_id, MIN(label) AS component
@@ -1451,6 +1483,7 @@ object Dedup {
     "dedup_fuzzy_lsh"     -> (fuzzyLsh _),
     "dedup_containment_fp" -> (containmentFp _),
     "dedup_components"    -> (components _),
+    "dedup_cluster_sizes" -> (clusterSizes _),
     "dedup_components_deep" -> (componentsDeep _),
     "dedup_keep_best"     -> (keepBest _),
     "dedup_containment"   -> (containment _),
@@ -1475,6 +1508,7 @@ object Dedup {
     "dedup_fuzzy_lsh"     -> fuzzySql,
     "dedup_containment_fp" -> containmentSql,
     "dedup_components"    -> componentsSql,
+    "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_keep_best"     -> keepBestSql,
     "dedup_containment"   -> containmentSql,
     "dedup_components_deep" -> componentsDeepSql,

@@ -1002,7 +1002,91 @@ object TextAnalysis {
       |  CAST(SUM(lb - la) AS BIGINT) AS removed
       |FROM cleaned GROUP BY source ORDER BY source""".stripMargin
 
+  /** Vocabulary-growth (Heaps' law) curve — "how fast does the
+    * vocabulary still grow?": at ten doc_id checkpoints, the
+    * cumulative doc count, token count, and DISTINCT-token count.
+    * The classic curve behind "is more raw data still buying new
+    * vocabulary" and tokenizer-budget decisions. Cumulative distinct
+    * is usually the expensive part; FIRST-SEEN OWNERSHIP makes it
+    * one grouped MIN — a token is new exactly at its min doc_id
+    * (the [[Dedup]] noveltyCurve trick), so V(checkpoint) is a
+    * 10-row cumulative sum over newcomer counts. All integers.
+    *
+    * Scale: one token explode + grouped MIN (map-combinable), one
+    * per-doc count; everything after runs on 10-row frames. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val mxF = docs.agg(max(col("doc_id")).as("mx"))
+    // minimal checkpoint k (1..10) at which an id is included:
+    // k = clamp(ceil(id*10/mx), 1, 10); ceil on non-negatives is
+    // (a + b - 1) div b in both engines
+    def kmin(idc: String) =
+      s"least(greatest(($idc * 10L + mx - 1L) div mx, 1L), 10L)"
+    val newcomers = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " "))
+        .as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(mxF))
+      .selectExpr(s"${kmin("fd")} AS k")
+      .groupBy(col("k")).agg(count(lit(1)).as("new_vocab"))
+    val perDoc = docs
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("nt"))
+      .crossJoin(broadcast(mxF))
+      .selectExpr(s"${kmin("doc_id")} AS k", "nt")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("new_docs"), sum(col("nt")).as("new_toks"))
+    val ks = s.range(1, 11).select(col("id").as("k"))
+    val win = org.apache.spark.sql.expressions.Window
+    val w = win.orderBy(col("k"))
+      .rowsBetween(win.unboundedPreceding, win.currentRow)
+    ks.join(broadcast(newcomers), Seq("k"), "left")
+      .join(broadcast(perDoc), Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("new_docs"), lit(0L)).as("nd"),
+        coalesce(col("new_toks"), lit(0L)).as("ntk"),
+        coalesce(col("new_vocab"), lit(0L)).as("nv"))
+      .select(col("k"), sum(col("nd")).over(w).as("n_docs"),
+        sum(col("ntk")).over(w).as("n_tokens"),
+        sum(col("nv")).over(w).as("vocab"))
+      .orderBy(col("k"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |first_seen AS (SELECT w, MIN(doc_id) AS fd FROM toks GROUP BY w),
+      |newcomers AS (
+      |  SELECT LEAST(GREATEST((fd * 10 + mx.mx - 1) // mx.mx, 1), 10)
+      |    AS k, COUNT(*) AS new_vocab
+      |  FROM first_seen CROSS JOIN mx GROUP BY 1),
+      |per_doc AS (
+      |  SELECT LEAST(GREATEST((doc_id * 10 + mx.mx - 1) // mx.mx, 1),
+      |    10) AS k,
+      |    COUNT(*) AS new_docs,
+      |    CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+      |      AS new_toks
+      |  FROM documents CROSS JOIN mx GROUP BY 1),
+      |ks AS (SELECT unnest(range(1, 11)) AS k)
+      |SELECT CAST(ks.k AS BIGINT) AS k,
+      |  CAST(SUM(COALESCE(p.new_docs, 0)) OVER (ORDER BY ks.k
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS n_docs,
+      |  CAST(SUM(COALESCE(p.new_toks, 0)) OVER (ORDER BY ks.k
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS n_tokens,
+      |  CAST(SUM(COALESCE(n.new_vocab, 0)) OVER (ORDER BY ks.k
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS vocab
+      |FROM ks
+      |LEFT JOIN newcomers n ON n.k = ks.k
+      |LEFT JOIN per_doc p ON p.k = ks.k
+      |ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_growth" -> (vocabGrowth _),
     "text_boilerplate_strip" -> ((s, d) => boilerplateStrip(s, d)),
     "text_rake_keywords" -> ((s, d) => rakeKeywords(s, d)),
     "text_js_divergence" -> (jsDivergence _),
@@ -1023,6 +1107,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_vocab_growth" -> vocabGrowthSql,
     "text_boilerplate_strip" -> boilerplateStripSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_js_divergence" -> jsDivergenceSql,

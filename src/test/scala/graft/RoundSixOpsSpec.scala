@@ -1465,6 +1465,36 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cluster_sizes: histogram reconciles with the " +
+      "components frame") {
+    val comp = graft.ops.Dedup.components(spark, sf).collect()
+      .map(_.getLong(1))
+    val expected = comp.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, cs) => sz -> cs.size.toLong }
+    val got = graft.ops.Dedup.clusterSizes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    val totalDocs = graft.ops.Dedup.clusterSizes(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    assert(totalDocs === comp.length.toLong)
+  }
+
+  test("text_vocab_growth: monotone curves ending at exact corpus " +
+      "totals") {
+    val rows = graft.ops.TextAnalysis.vocabGrowth(spark, sf).collect()
+    assert(rows.length === 10)
+    Seq(1, 2, 3).foreach { c =>
+      val v = rows.map(_.getLong(c))
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"col $c")
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.last.getLong(1) === docs.count())
+    val vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .distinct().count()
+    assert(rows.last.getLong(3) === vocab)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
