@@ -1085,7 +1085,48 @@ object TextAnalysis {
       |LEFT JOIN per_doc p ON p.k = ks.k
       |ORDER BY k""".stripMargin
 
+  /** Type-token ratio (lexical diversity) per source — the cheap
+    * repetitiveness screen complementary to the Gopher-style
+    * duplicate-gram fractions: per doc, distinct tokens over total
+    * tokens as integer ppm; per source, the doc-count, token totals,
+    * and the MEAN of per-doc TTRs (sum of ppm longs, one div). Low
+    * TTR sources are boilerplate/template farms.
+    *
+    * Scale: one (doc, token) explode with a per-doc combine; the
+    * per-source rollup is O(sources). */
+  def textTtr(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("t"), countDistinct(col("w")).as("v"))
+      .select(col("source"), col("t"),
+        expr("v * 1000000L div t").as("ttr_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(col("ttr_ppm")).as("ttr_sum"))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "ttr_sum div n_docs AS mean_ttr_ppm")
+      .orderBy(col("source"))
+
+  val textTtrSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |per_doc AS (
+      |  SELECT source, COUNT(*) AS t,
+      |    CAST(COUNT(DISTINCT w) * 1000000 // COUNT(*) AS BIGINT)
+      |      AS ttr_ppm
+      |  FROM toks GROUP BY doc_id, source)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(SUM(ttr_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+      |    AS mean_ttr_ppm
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ttr" -> (textTtr _),
     "text_vocab_growth" -> (vocabGrowth _),
     "text_boilerplate_strip" -> ((s, d) => boilerplateStrip(s, d)),
     "text_rake_keywords" -> ((s, d) => rakeKeywords(s, d)),
@@ -1107,6 +1148,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_ttr" -> textTtrSql,
     "text_vocab_growth" -> vocabGrowthSql,
     "text_boilerplate_strip" -> boilerplateStripSql,
     "text_rake_keywords" -> rakeKeywordsSql,

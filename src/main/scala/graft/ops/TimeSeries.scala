@@ -1627,8 +1627,50 @@ object TimeSeries {
       |  AND cnt > prev AND cnt > nxt
       |ORDER BY event_type, dt""".stripMargin
 
+  /** Burstiness (Fano factor / index of dispersion) of the per-type
+    * daily series — "is traffic Poisson or bursty?": variance-to-
+    * mean ratio of daily counts, > 1 flags clumping that invalidates
+    * Poisson capacity math and marks campaign/bot bursts. Daily
+    * counts are exact integers, so the population variance comes
+    * from the cross-multiplied integer form
+    * `(n·Σx² − (Σx)²)` — BIGINT throughout — and the Fano factor is
+    * ONE fixed double expression `(n·Σx² − Σx²)·/(n·Σx)` evaluated
+    * identically in both engines.
+    *
+    * Scale: one map-combinable (type, day) count, then per-type
+    * scalar sums over the grid frame. */
+  def tsBurstiness(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      .selectExpr("event_type", "n_days", "sx", "sxx",
+        "CASE WHEN sx = 0 THEN 0.0 ELSE" +
+          " CAST(n_days * sxx - sx * sx AS DOUBLE)" +
+          " / CAST(n_days * sx AS DOUBLE) END AS fano")
+      .orderBy(col("event_type"))
+
+  val tsBurstinessSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS sx,
+      |    CAST(SUM(c * c) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, n_days, sx, sxx,
+      |  CASE WHEN sx = 0 THEN 0.0 ELSE
+      |    CAST(n_days * sxx - sx * sx AS DOUBLE)
+      |    / CAST(n_days * sx AS DOUBLE) END AS fano
+      |FROM g ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_peaks"          -> (tsPeaks _),
+        "ts_burstiness"     -> (tsBurstiness _),
         "ts_cross_corr"     -> ((s, d) => crossCorr(s, d)),
         "ts_rolling"        -> (rollingGate _),
         "ts_funnel_windowed" -> ((s, d) => funnelWindowed(s, d)),
@@ -1653,6 +1695,7 @@ object TimeSeries {
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_peaks"          -> tsPeaksSql,
+        "ts_burstiness"     -> tsBurstinessSql,
         "ts_cross_corr"     -> crossCorrSql,
         "ts_rolling"        -> rollingSql,
         "ts_changepoint"    -> tsChangepointSql,

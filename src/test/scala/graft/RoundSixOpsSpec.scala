@@ -1495,6 +1495,43 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(rows.last.getLong(3) === vocab)
   }
 
+  test("ts_burstiness: constant series is sub-Poisson, planted " +
+      "burst inflates the Fano factor") {
+    val dir = tmpDir("r6_fano")
+    def day(d: Int, t: String, k: Int, base: Long) =
+      (1 to k).map(i => Row(base + i,
+        Timestamp.valueOf(f"2024-01-0$d%d 12:00:00"), 1L, t, 1.0, "{}"))
+    // A: 5,5,5 per day (zero variance); B: 1,1,10 (bursty)
+    val rows = (1 to 3).flatMap(d => day(d, "A", 5, d * 1000L)) ++
+      day(1, "B", 1, 10000) ++ day(2, "B", 1, 20000) ++
+      day(3, "B", 10, 30000)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.TimeSeries.tsBurstiness(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("A") === 0.0)
+    // B: n=3, sx=12, sxx=102 → (306-144)/36 = 4.5
+    assert(got("B") === 4.5)
+  }
+
+  test("text_ttr: repetitive doc scores exactly its distinct ratio") {
+    val dir = tmpDir("r6_ttr")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      Row(1L, "a a a a", "en", "s", 7L),       // ttr = 1/4
+      Row(2L, "w x y z", "en", "s", 7L))       // ttr = 1
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.TextAnalysis.textTtr(spark, dir).head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 8L)
+    assert(r.getLong(3) === (250000L + 1000000L) / 2L)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
