@@ -585,6 +585,60 @@ object ParityQueries {
       |  CAST(0 AS BIGINT) AS orphan_orders,
       |  CAST(0 AS BIGINT) AS orphan_items""".stripMargin
 
+  /** Nested JSONL round-trip — the document-shaped ingest the flat
+    * conv gates don't cover: each order is exported as ONE JSON line
+    * holding a struct-array of its line items (the natural API-dump
+    * shape), re-ingested under an EXPLICIT nested schema (array of
+    * struct — no schema inference, the production discipline), then
+    * re-flattened with explode and aggregated. The oracle computes
+    * the same rollup from the original relational tables, so the
+    * nest → serialize → parse → unnest cycle must be lossless.
+    *
+    * Scale: nesting is a per-order collect_list (one shuffle on the
+    * order key — the natural partitioning); parse + explode are
+    * scan-side; JSONL stays line-splittable. */
+  def convJsonlNested(s: SparkSession, dir: String): DataFrame = {
+    val jsonDir = scratch(dir, "conv_nested_jsonl")
+    graft.Scaffold.setup {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").cast(LongType).as("ln"),
+          col("l_partkey").as("pk"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"))))
+          .as("items"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderstatus")), "l_orderkey")
+        .write.mode("overwrite").json(jsonDir)
+    }
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("ln", LongType),
+        StructField("pk", LongType),
+        StructField("qty", DecimalType(18, 2))))))))
+    s.read.schema(schema).json(jsonDir)
+      .select(col("o_orderstatus"), explode(col("items")).as("it"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("it.pk")).as("n_parts"),
+        sum(col("it.qty")).cast(DoubleType).as("sum_qty"),
+        max(col("it.ln")).as("max_line"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val convJsonlNestedSql: String =
+    """SELECT o.o_orderstatus, COUNT(*) AS n_items,
+      |  COUNT(DISTINCT l.l_partkey) AS n_parts,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty,
+      |  CAST(MAX(l.l_linenumber) AS BIGINT) AS max_line
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderstatus
+      |ORDER BY o.o_orderstatus""".stripMargin
+
   /** Legacy-charset CSV ingest (ISO-8859-1): enterprise CSV drops
     * routinely arrive in Latin-1, and a reader that assumes UTF-8
     * silently mojibakes every non-ASCII byte. Each document's text
@@ -1237,6 +1291,7 @@ object ParityQueries {
     "purge_cascade" -> (purgeCascade _),
     "purge_audit_chain" -> (purgeAuditChain _),
     "conv_csv_latin1" -> (convCsvLatin1 _),
+    "conv_jsonl_nested" -> (convJsonlNested _),
     "purge_time_travel"     -> (purgeTimeTravel _),
     "conv_fixedwidth_roundtrip" -> (convFixedWidthRoundtrip _),
     "conv_xml_roundtrip"    -> (convXmlRoundtrip _),
@@ -1268,6 +1323,7 @@ object ParityQueries {
     "purge_cascade" -> purgeCascadeSql,
     "purge_audit_chain" -> purgeAuditChainSql,
     "conv_csv_latin1" -> convCsvLatin1Sql,
+    "conv_jsonl_nested" -> convJsonlNestedSql,
     "purge_time_travel"     -> purgeTimeTravelSql,
     "conv_fixedwidth_roundtrip" -> convFixedWidthRoundtripSql,
     "conv_xml_roundtrip"    -> convXmlRoundtripSql,

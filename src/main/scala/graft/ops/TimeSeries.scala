@@ -1627,6 +1627,111 @@ object TimeSeries {
       |  AND cnt > prev AND cnt > nxt
       |ORDER BY event_type, dt""".stripMargin
 
+  /** Linear gap interpolation — the other standard resampling fill
+    * ([[resampleFfill]] carries the LAST value forward; metering and
+    * sensor math want the straight line between neighbors):
+    * on the fixture-fixed January 2024 hourly grid, each missing
+    * hour strictly BETWEEN two observations gets
+    * `prev + (next − prev)·(h − t_prev)/(t_next − t_prev)`;
+    * leading/trailing gaps stay unfilled (no extrapolation).
+    * Neighbor values AND their timestamps come from the same
+    * IGNORE-NULLS window pair; the interpolant is ONE fixed double
+    * tree over decimal-exact endpoint values and integer epoch
+    * deltas, 1e-6-snapped per hour BEFORE the per-user sum.
+    *
+    * Scale: identical exchange discipline to [[resampleFfill]] —
+    * one hash(user) clustering of the map-combined hourly frame
+    * serves the spine join and both windows. */
+  def tsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+        .as("v"))
+      .repartition(col("user_id")).cache()
+    val spine = hourly
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("h"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        explode(sequence(
+          lit("2024-01-01 00:00:00").cast(TimestampType),
+          lit("2024-01-30 23:00:00").cast(TimestampType),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val past = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly.hint("merge"), Seq("user_id", "h"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(past))
+      .withColumn("tp", last(when(col("v").isNotNull, col("h")),
+        ignoreNulls = true).over(past))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(future))
+      .withColumn("tn", first(when(col("v").isNotNull, col("h")),
+        ignoreNulls = true).over(future))
+      .withColumn("iv", when(col("v").isNotNull, col("v"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          col("pv") + (col("nv") - col("pv"))
+            * ((unix_timestamp(col("h")) - unix_timestamp(col("tp")))
+              .cast(DoubleType)
+              / (unix_timestamp(col("tn")) - unix_timestamp(col("tp")))
+              .cast(DoubleType))))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_obs"),
+        sum(when(col("v").isNull && col("iv").isNotNull, 1L)
+          .otherwise(0L)).as("n_interp"),
+        sum(expr("CAST(floor(iv * 1000000.0 + 0.5) AS BIGINT)"))
+          .as("sum_e6"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsInterpolateSql: String =
+    """WITH hours AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h),
+      |hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |grid AS (
+      |  SELECT u.user_id, hours.h, hourly.v
+      |  FROM users u CROSS JOIN hours
+      |  LEFT JOIN hourly ON hourly.user_id = u.user_id
+      |    AND hourly.h = hours.h),
+      |nb AS (
+      |  SELECT user_id, h, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |      ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+      |      FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+      |  FROM grid),
+      |iv AS (
+      |  SELECT user_id, v,
+      |    CASE WHEN v IS NOT NULL THEN v
+      |         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |           pv + (nv - pv)
+      |             * (CAST(epoch(h) - epoch(tp) AS DOUBLE)
+      |                / CAST(epoch(tn) - epoch(tp) AS DOUBLE))
+      |    END AS iv
+      |  FROM nb)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_obs,
+      |  CAST(SUM(CASE WHEN v IS NULL AND iv IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_interp,
+      |  CAST(SUM(CAST(floor(iv * 1000000.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS sum_e6
+      |FROM iv GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Burstiness (Fano factor / index of dispersion) of the per-type
     * daily series — "is traffic Poisson or bursty?": variance-to-
     * mean ratio of daily counts, > 1 flags clumping that invalidates
@@ -1671,6 +1776,7 @@ object TimeSeries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_peaks"          -> (tsPeaks _),
         "ts_burstiness"     -> (tsBurstiness _),
+        "ts_interpolate"    -> (tsInterpolate _),
         "ts_cross_corr"     -> ((s, d) => crossCorr(s, d)),
         "ts_rolling"        -> (rollingGate _),
         "ts_funnel_windowed" -> ((s, d) => funnelWindowed(s, d)),
@@ -1696,6 +1802,7 @@ object TimeSeries {
   def oracle: Map[String, String] =
     Map("ts_peaks"          -> tsPeaksSql,
         "ts_burstiness"     -> tsBurstinessSql,
+        "ts_interpolate"    -> tsInterpolateSql,
         "ts_cross_corr"     -> crossCorrSql,
         "ts_rolling"        -> rollingSql,
         "ts_changepoint"    -> tsChangepointSql,

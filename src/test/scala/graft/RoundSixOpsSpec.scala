@@ -1532,6 +1532,42 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(r.getLong(3) === (250000L + 1000000L) / 2L)
   }
 
+  test("ts_interpolate: planted gap gets the exact straight line, " +
+      "edges stay unfilled") {
+    val dir = tmpDir("r6_interp")
+    // user 1: v=2 at 01:00, v=8 at 04:00 → 03 missing hours 02,03
+    // interpolate to 4 and 6; hours before 01 and after 04 stay null.
+    val rows = Seq(
+      Row(1L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "A", 2.0, "{}"),
+      Row(2L, Timestamp.valueOf("2024-01-01 04:00:00"), 1L, "A", 8.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.TimeSeries.tsInterpolate(spark, dir).head
+    assert(r.getLong(1) === 2L)      // n_obs
+    assert(r.getLong(2) === 2L)      // n_interp: 02:00 and 03:00 only
+    // sum = 2 + 4 + 6 + 8 = 20 exactly, in 1e-6 units
+    assert(r.getLong(3) === 20000000L)
+  }
+
+  test("conv_jsonl_nested: nest → parse → unnest is lossless vs the " +
+      "relational rollup") {
+    val got = graft.ops.ParityQueries.convJsonlNested(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val exp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("p"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("q"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === exp)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
