@@ -1330,6 +1330,97 @@ object Graph {
       s"\nSELECT node, CAST(r AS BIGINT) AS r FROM it$iters ORDER BY node"
   }
 
+  /** Deterministic random-walk corpus — the node2vec/DeepWalk
+    * PRE-STEP: `walks`-per-node fixed-length walks over the
+    * transition graph, emitted as token strings ready for the
+    * skip-gram/embedding pipeline. "Random" is a seeded portable
+    * mix, not an RNG: step t of walk w at node v picks out-neighbor
+    * rank `(w·2654435761 + t·2246822519 + ascii(first char)·97 +
+    * length(v)·31) mod outdeg(v)` over the node's SORTED neighbor
+    * list — bit-reproducible across runs, engines, and cluster
+    * sizes, which is what makes walk corpora regenerable instead of
+    * stored. Dead ends absorb (walk stays put).
+    *
+    * Scale: neighbor ranks are one row_number over the edge list
+    * partitioned by src; each step is one equi-join of the O(nodes·
+    * walks) frontier against the ranked edges — never quadratic. */
+  def walks(s: SparkSession, dir: String, nWalks: Int = 2,
+      steps: Int = 4): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .select(col("src"), col("dst")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .withColumn("deg", count(lit(1)).over(
+        Window.partitionBy(col("src"))))
+      .localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    var cur = nodes
+      .withColumn("walk_id", explode(sequence(lit(0), lit(nWalks - 1))))
+      .select(col("node").as("start"), col("walk_id"),
+        col("node").as("pos"), col("node").as("path"))
+    def pick(step: Int) = expr(
+      s"(walk_id * 2654435761L + ${step}L * 2246822519L" +
+      " + ascii(substring(pos, 1, 1)) * 97L" +
+      " + length(pos) * 31L) % deg")
+    for (t <- 1 to steps) {
+      cur = cur
+        .join(ranked.withColumnRenamed("src", "pos"), Seq("pos"), "left")
+        .filter(col("deg").isNull || col("rk") === pick(t))
+        .select(col("start"), col("walk_id"),
+          coalesce(col("dst"), col("pos")).as("pos"),
+          concat(col("path"), lit(" "),
+            coalesce(col("dst"), col("pos"))).as("path"))
+        .localCheckpoint()
+    }
+    cur.select(col("start"), col("walk_id").cast("long").as("walk_id"),
+        col("path"))
+      .orderBy(col("start"), col("walk_id"))
+  }
+
+  def walksSql(nWalks: Int = 2, steps: Int = 4): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT DISTINCT src, dst FROM ord
+        |          WHERE dst IS NOT NULL AND dst <> src),
+        |ranked AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+        |      AS rk,
+        |    COUNT(*) OVER (PARTITION BY src) AS deg
+        |  FROM edges),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |w0 AS (
+        |  SELECT node AS start, CAST(wi AS BIGINT) AS walk_id,
+        |    node AS pos, node AS path
+        |  FROM nodes, (SELECT unnest(range(0, %d)) AS wi) ws)"""
+        .stripMargin.format(nWalks)
+    val stepCtes = (1 to steps).map { t =>
+      s"""w$t AS (
+         |  SELECT w.start, w.walk_id,
+         |    COALESCE(r.dst, w.pos) AS pos,
+         |    w.path || ' ' || COALESCE(r.dst, w.pos) AS path
+         |  FROM w${t - 1} w
+         |  LEFT JOIN ranked r ON r.src = w.pos
+         |    AND r.rk = (w.walk_id * 2654435761 + $t * 2246822519
+         |      + ascii(substring(w.pos, 1, 1)) * 97
+         |      + length(w.pos) * 31) % r.deg)""".stripMargin
+    }
+    (base +: stepCtes).mkString(",\n") +
+      s"""
+         |SELECT start, walk_id, path FROM w$steps
+         |ORDER BY start, walk_id""".stripMargin
+  }
+
   /** Shared all-pairs BFS over the event-transition graph: the
     * sparse (s, node, d) reached-pair frame of [[closeness]] /
     * [[betweenness]], factored so distance-derived operators reuse
@@ -1561,6 +1652,7 @@ object Graph {
     "graph_assortativity" -> (assortativity _),
     "graph_ppr" -> ((s, d) => ppr(s, d)),
     "graph_ktruss" -> ((s, d) => kTruss(s, d)),
+    "graph_walks" -> ((s, d) => walks(s, d)),
     "graph_eccentricity" -> ((s, d) => eccentricity(s, d)),
     "graph_scc" -> ((s, d) => scc(s, d)),
     "graph_betweenness" -> ((s, d) => betweenness(s, d)),
@@ -1583,6 +1675,7 @@ object Graph {
     "graph_assortativity" -> assortativitySql,
     "graph_ppr" -> pprSql(),
     "graph_ktruss" -> kTrussSql(),
+    "graph_walks" -> walksSql(),
     "graph_eccentricity" -> eccentricitySql(),
     "graph_scc"         -> sccSql(),
     "graph_betweenness" -> betweennessSql(),

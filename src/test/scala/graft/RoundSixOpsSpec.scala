@@ -1568,6 +1568,31 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("graph_walks: walks follow real edges, absorb at dead ends, " +
+      "and are reproducible") {
+    val dir = tmpDir("r6_walks")
+    // A->B, B->C; C is a dead end (absorbs)
+    val rows = Seq(
+      Row(1L, new Timestamp(1700000000000L), 1L, "A", 1.0, "{}"),
+      Row(2L, new Timestamp(1700000001000L), 1L, "B", 1.0, "{}"),
+      Row(3L, new Timestamp(1700000002000L), 1L, "C", 1.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Graph.walks(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    // single out-edges make every walk deterministic regardless of
+    // the hash: A -> B -> C then absorb
+    (0L to 1L).foreach { w =>
+      assert(got(("A", w)) === "A B C C C")
+      assert(got(("B", w)) === "B C C C C")
+      assert(got(("C", w)) === "C C C C C")
+    }
+    val again = Graph.walks(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(again === got)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
