@@ -917,7 +917,92 @@ object Evaluation {
       |  END AS mcc
       |FROM c""".stripMargin
 
+  /** Spearman rank correlation (tie-corrected) between two document
+    * metrics (n_chars vs token count) — the monotone-association
+    * check Pearson misses, computed WITHOUT any per-row global rank:
+    * ties take their average rank, and the average rank of a value
+    * is derivable from its VALUE HISTOGRAM alone
+    * (`2·rank = 2·cum_before + cnt + 1` — doubled so it stays an
+    * exact integer). Pearson over those doubled ranks (the factor
+    * cancels) uses exact BIGINT power sums from the JOINT histogram;
+    * only the final `n·Σxy − Σx·Σy` products run in doubles (their
+    * int64 product overflows at corpus scale), in one fixed
+    * expression tree both engines share.
+    *
+    * Scale: two value histograms + one joint histogram, all
+    * map-combinable; windows run on histogram-sized frames. Nothing
+    * is globally sorted per row. */
+  def spearmanGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("n_chars").as("x"),
+        size(split(col("text"), " ")).cast("long").as("y"))
+    val joint = base.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    def ranks(colName: String): DataFrame = {
+      val w = Window.orderBy(col(colName))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col(colName)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col(colName),
+          (lit(2L) * col("cb") + col("cnt") + 1L).as(s"r_$colName"))
+    }
+    joint
+      .join(broadcast(ranks("x")), "x")
+      .join(broadcast(ranks("y")), "y")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * col("r_x")).as("sx"),
+        sum(col("c") * col("r_y")).as("sy"),
+        sum(col("c") * col("r_x") * col("r_y")).as("sxy"),
+        sum(col("c") * col("r_x") * col("r_x")).as("sxx"),
+        sum(col("c") * col("r_y") * col("r_y")).as("syy"))
+      .selectExpr("n", "sx", "sy", "sxy", "sxx", "syy",
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+          " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+          " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+          " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho")
+  }
+
+  val spearmanSql: String =
+    """WITH base AS (
+      |  SELECT n_chars AS x,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      |  FROM documents),
+      |joint AS (SELECT x, y, COUNT(*) AS c FROM base GROUP BY x, y),
+      |hx AS (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x),
+      |rx AS (
+      |  SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS r_x
+      |  FROM hx),
+      |hy AS (SELECT y, COUNT(*) AS cnt FROM base GROUP BY y),
+      |ry AS (
+      |  SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS r_y
+      |  FROM hy),
+      |sums AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c * r_x) AS BIGINT) AS sx,
+      |    CAST(SUM(c * r_y) AS BIGINT) AS sy,
+      |    CAST(SUM(c * r_x * r_y) AS BIGINT) AS sxy,
+      |    CAST(SUM(c * r_x * r_x) AS BIGINT) AS sxx,
+      |    CAST(SUM(c * r_y * r_y) AS BIGINT) AS syy
+      |  FROM joint j
+      |  JOIN rx ON rx.x = j.x
+      |  JOIN ry ON ry.y = j.y)
+      |SELECT n, sx, sy, sxy, sxx, syy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+      |FROM sums""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_spearman" -> (spearmanGate _),
     "eval_mcc" -> (mccGate _),
     "eval_gains_table" -> (gainsTable _),
     "eval_youden" -> (youdenGate _),
@@ -934,6 +1019,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_spearman" -> spearmanSql,
     "eval_mcc" -> mccSql,
     "eval_gains_table" -> gainsTableSql,
     "eval_youden" -> youdenSql,

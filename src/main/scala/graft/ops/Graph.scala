@@ -250,6 +250,98 @@ object Graph {
        |GROUP BY node
        |ORDER BY node""".stripMargin
 
+  /** Clustering coefficient — transitivity of the near-duplicate
+    * pair graph, local and global: per node,
+    * `2·tri(v)·10⁶ div (deg·(deg−1))` (how closed is v's
+    * neighborhood), plus the global
+    * `3·triangles·10⁶ div Σ deg(deg−1)/2` repeated per row. On a
+    * match graph this is the consistency diagnostic: transitive
+    * duplicate relations close their wedges, so a LOW coefficient
+    * flags contradictory pairwise decisions before clustering. All
+    * quantities exact non-negative BIGINTs.
+    *
+    * Scale: per-node triangle counts come from the degree-oriented
+    * [[triangleCounts]] wedge join (Σ outdeg² bound); degrees are
+    * one map-combinable groupBy. */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.ngramJaccard(s, dir)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val deg = edges
+      .select(explode(array(col("id_a"), col("id_b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(edges)
+    val per = deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+    val tot = per.agg(
+      expr("sum(n_tri) div 3").as("tri3"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("wedges"))
+    per.crossJoin(broadcast(tot))
+      .selectExpr("node", "deg", "n_tri",
+        "CASE WHEN deg >= 2" +
+          " THEN (2L * n_tri * 1000000L) div (deg * (deg - 1L))" +
+          " ELSE 0L END AS local_ppm",
+        "CASE WHEN wedges > 0" +
+          " THEN (3L * tri3 * 1000000L) div wedges" +
+          " ELSE 0L END AS global_ppm")
+      .orderBy(col("node"))
+  }
+
+  lazy val clusteringCoeffSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |shingled AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3
+       |    THEN [array_to_string(toks, ' ')]
+       |    ELSE list_distinct(list_transform(
+       |           generate_series(1, len(toks) - 2),
+       |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+       |    END AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                      t -> len(t) > 0) AS toks
+       |        FROM corpus WHERE doc_id % 10000 < 100)
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shingled a, shingled b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT id_a AS node FROM pairs
+       |    UNION ALL SELECT id_b FROM pairs)
+       |  GROUP BY node),
+       |tri AS (
+       |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.id_a = e1.id_b
+       |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       |ntri AS (
+       |  SELECT node, COUNT(*) AS n_tri FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY node),
+       |per AS (
+       |  SELECT d.node, d.deg,
+       |    CAST(COALESCE(n.n_tri, 0) AS BIGINT) AS n_tri
+       |  FROM deg d LEFT JOIN ntri n ON n.node = d.node),
+       |tot AS (
+       |  SELECT CAST(SUM(n_tri) // 3 AS BIGINT) AS tri3,
+       |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+       |  FROM per)
+       |SELECT p.node, p.deg, p.n_tri,
+       |  CASE WHEN p.deg >= 2
+       |    THEN CAST((2 * p.n_tri * 1000000)
+       |      // (p.deg * (p.deg - 1)) AS BIGINT)
+       |    ELSE 0 END AS local_ppm,
+       |  CASE WHEN t.wedges > 0
+       |    THEN CAST((3 * t.tri3 * 1000000) // t.wedges AS BIGINT)
+       |    ELSE 0 END AS global_ppm
+       |FROM per p CROSS JOIN tot t
+       |ORDER BY p.node""".stripMargin
+
   /** k-truss decomposition (k = 3): the triangle-supported subgraph —
     * iteratively delete every edge lying in fewer than k−2 triangles
     * until a fixpoint, leaving only "socially reinforced" edges. On
@@ -1653,6 +1745,7 @@ object Graph {
     "graph_ppr" -> ((s, d) => ppr(s, d)),
     "graph_ktruss" -> ((s, d) => kTruss(s, d)),
     "graph_walks" -> ((s, d) => walks(s, d)),
+    "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_eccentricity" -> ((s, d) => eccentricity(s, d)),
     "graph_scc" -> ((s, d) => scc(s, d)),
     "graph_betweenness" -> ((s, d) => betweenness(s, d)),
@@ -1676,6 +1769,7 @@ object Graph {
     "graph_ppr" -> pprSql(),
     "graph_ktruss" -> kTrussSql(),
     "graph_walks" -> walksSql(),
+    "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_eccentricity" -> eccentricitySql(),
     "graph_scc"         -> sccSql(),
     "graph_betweenness" -> betweennessSql(),

@@ -1593,6 +1593,41 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("graph_clustering_coeff: ledgers reconcile with triangles " +
+      "and degrees, coefficients bounded") {
+    val rows = Graph.clusteringCoeff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, tri, local) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (deg >= 2)
+        assert(local === 2L * tri * 1000000L / (deg * (deg - 1L)))
+      else assert(local === 0L)
+      assert(local <= 1000000L && r.getLong(4) <= 1000000L)
+    }
+    // global transitivity is one value repeated on every row
+    assert(rows.map(_.getLong(4)).distinct.length === 1)
+  }
+
+  test("eval_spearman: perfectly monotone fixture scores rho = 1, " +
+      "corpus rho is a valid correlation") {
+    val dir = tmpDir("r6_rho")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // token counts 1..4 strictly increase with n_chars 10..40
+    val rows = (1 to 4).map(i =>
+      Row(i.toLong, Seq.fill(i)("w").mkString(" "), "en", "s",
+        i * 10L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.Evaluation.spearmanGate(spark, dir).head
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-12)
+    val c = graft.ops.Evaluation.spearmanGate(spark, sf).head
+    assert(c.getDouble(6) >= -1.0 && c.getDouble(6) <= 1.0)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
