@@ -898,6 +898,83 @@ object DataQuality {
       |    AS h_type_nats
       |FROM cells""".stripMargin
 
+  /** Tukey-fence (IQR) outlier screen per event type — the
+    * RANK-BASED complement of [[dqAnomaly]]'s z-score and the MAD
+    * screen: quartiles are exact DISCRETE percentiles from the value
+    * histogram, fences sit at Q1 − 1.5·IQR / Q3 + 1.5·IQR, and the
+    * gate counts low/high breaches. Values are 1e-4-snapped to longs
+    * FIRST, so quartiles, fences (1.5·IQR as `3·(q3−q1) div 2` —
+    * exact), comparisons, and counts are all integer arithmetic:
+    * nothing float crosses the gate.
+    *
+    * Scale: one map-combinable (type, v4) count; quartiles come from
+    * histogram-sized windows; the breach count re-joins the tiny
+    * per-type fence frame broadcast. */
+  def dqIqr(s: SparkSession, dir: String): DataFrame = {
+    val snapped = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("v4"))
+    val hist = snapped.groupBy(col("event_type"), col("v4"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v4"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nw = Window.partitionBy(col("event_type"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(nw))
+    val quart = cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n * 25 + 99L) div 100"),
+          col("v4"))).as("q1"),
+        min(when(col("cum") >= expr("(n * 75 + 99L) div 100"),
+          col("v4"))).as("q3"))
+      .selectExpr("event_type", "n", "q1", "q3",
+        "q1 - (3L * (q3 - q1)) div 2 AS lo",
+        "q3 + (3L * (q3 - q1)) div 2 AS hi")
+    snapped.join(broadcast(quart), "event_type")
+      .groupBy(col("event_type"), col("n"), col("q1"), col("q3"))
+      .agg(sum(when(col("v4") < col("lo"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("v4") > col("hi"), 1L).otherwise(0L))
+          .as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  val dqIqrSql: String =
+    """WITH snapped AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, v4, COUNT(*) AS c
+      |  FROM snapped GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v4,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY v4
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM hist),
+      |quart AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(MIN(CASE WHEN cum >= (n * 25 + 99) // 100
+      |      THEN v4 END) AS BIGINT) AS q1,
+      |    CAST(MIN(CASE WHEN cum >= (n * 75 + 99) // 100
+      |      THEN v4 END) AS BIGINT) AS q3
+      |  FROM cum GROUP BY event_type),
+      |fences AS (
+      |  SELECT event_type, n, q1, q3,
+      |    q1 - (3 * (q3 - q1)) // 2 AS lo,
+      |    q3 + (3 * (q3 - q1)) // 2 AS hi
+      |  FROM quart)
+      |SELECT f.event_type, f.n, f.q1, f.q3,
+      |  CAST(SUM(CASE WHEN s.v4 < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  CAST(SUM(CASE WHEN s.v4 > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high
+      |FROM snapped s JOIN fences f ON f.event_type = s.event_type
+      |GROUP BY f.event_type, f.n, f.q1, f.q3
+      |ORDER BY f.event_type""".stripMargin
+
   /** Two-sample Kolmogorov–Smirnov distance between the `value`
     * distributions of two event types, over a FIXED equi-width
     * binning (5000 × 0.1-wide bins) — the histogram formulation: the
@@ -1039,6 +1116,7 @@ object DataQuality {
     "dq_chi2" -> (dqChi2 _),
     "dq_cramers_v" -> (dqCramersV _),
     "dq_mutual_info" -> (dqMutualInfo _),
+    "dq_iqr_outliers" -> (dqIqr _),
     "dq_ks" -> ((s, d) => dqKs(s, d)),
     "dq_weighted_median" -> (dqWeightedMedian _),
     "dq_uniqueness" -> (dqUniqueness _),
@@ -1059,6 +1137,7 @@ object DataQuality {
     "dq_chi2" -> dqChi2Sql,
     "dq_cramers_v" -> dqCramersVSql,
     "dq_mutual_info" -> dqMutualInfoSql,
+    "dq_iqr_outliers" -> dqIqrSql,
     "dq_ks" -> dqKsSql,
     "dq_weighted_median" -> dqWeightedMedianSql,
     "dq_uniqueness" -> dqUniquenessSql,

@@ -1489,9 +1489,65 @@ object Relational {
       |FROM ranked WHERE rk = 1
       |ORDER BY l_linestatus""".stripMargin
 
+  /** Exact DISCRETE percentiles (percentile_disc semantics: the
+    * smallest data value whose cumulative count reaches ⌈p·n⌉ —
+    * always an actual data point, never an interpolation) for
+    * p ∈ {25, 50, 75, 95} of l_quantity per line status. q23 covers
+    * the CONTINUOUS and approximate forms; the discrete form is what
+    * SLA/latency reporting contracts specify. Computed from the
+    * value HISTOGRAM (never a per-row global sort): per group, one
+    * cumulative window over distinct values, then a conditional MIN
+    * per target — all thresholds exact integers via ⌈⌉ = (n·p + 99)
+    * div 100.
+    *
+    * Scale: one map-combinable (group, value) count; the windows run
+    * on histogram-sized frames partitioned by group. */
+  def q51PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_linestatus"))
+      .orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(col("l_linestatus"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(n))
+    def pick(p: Int) = min(when(
+      col("cum") >= expr(s"(n * $p + 99L) div 100"),
+      col("l_quantity"))).as(s"p$p")
+    cum.groupBy(col("l_linestatus"))
+      .agg(max(col("n")).as("n"), pick(25), pick(50), pick(75),
+        pick(95))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q51Sql: String =
+    """WITH hist AS (
+      |  SELECT l_linestatus, l_quantity, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_linestatus, l_quantity,
+      |    SUM(c) OVER (PARTITION BY l_linestatus ORDER BY l_quantity
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY l_linestatus) AS n
+      |  FROM hist)
+      |SELECT l_linestatus, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum >= (n * 25 + 99) // 100
+      |    THEN l_quantity END) AS p25,
+      |  MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+      |    THEN l_quantity END) AS p50,
+      |  MIN(CASE WHEN cum >= (n * 75 + 99) // 100
+      |    THEN l_quantity END) AS p75,
+      |  MIN(CASE WHEN cum >= (n * 95 + 99) // 100
+      |    THEN l_quantity END) AS p95
+      |FROM cum GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_percentile_disc" -> (q51PercentileDisc _),
     "q49_mode"           -> (q49Mode _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project"  -> (q2FilterProject _),
@@ -1593,5 +1649,6 @@ object Relational {
     "q46_recursive_cte"  -> q46Sql,
     "q47_bool_aggs"      -> q47Sql,
     "q48_grouping_id"    -> q48Sql,
-    "q49_mode"           -> q49Sql)
+    "q49_mode"           -> q49Sql,
+    "q51_percentile_disc" -> q51Sql)
 }

@@ -1628,6 +1628,38 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(c.getDouble(6) >= -1.0 && c.getDouble(6) <= 1.0)
   }
 
+  test("q51_percentile_disc: planted values hit exact data points") {
+    val dir = tmpDir("r6_pdisc")
+    // 'F': qty 1..10 → p25 = 3 (ceil(2.5)), p50 = 5, p75 = 8
+    // (ceil(7.5)), p95 = 10 (ceil(9.5))
+    val rows = (1 to 10).map(i => ("F", i.toDouble))
+    spark.createDataFrame(rows).toDF("l_linestatus", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Relational.q51PercentileDisc(spark, dir).head
+    assert(r.getLong(1) === 10L)
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5)) === ((3.0, 5.0, 8.0, 10.0)))
+  }
+
+  test("dq_iqr_outliers: planted spike breaches the upper Tukey " +
+      "fence only") {
+    val dir = tmpDir("r6_iqr")
+    // values 1..8 plus one 100.0 spike: q1=3 (ceil(2.25)=3rd),
+    // q3=7 (ceil(6.75)=7th), iqr=4, hi=7+6=13, lo=3-6=-3 → exactly
+    // one high breach, zero low.
+    val rows = ((1 to 8).map(i =>
+      Row(i.toLong, new Timestamp(1700000000000L + i), 1L, "A",
+        i.toDouble, "{}")) :+
+      Row(9L, new Timestamp(1700000009000L), 1L, "A", 100.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.DataQuality.dqIqr(spark, dir).head
+    assert(r.getLong(1) === 9L)
+    assert(r.getLong(2) === 30000L && r.getLong(3) === 70000L)
+    assert(r.getLong(4) === 0L && r.getLong(5) === 1L)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
