@@ -342,6 +342,77 @@ object Graph {
        |FROM per p CROSS JOIN tot t
        |ORDER BY p.node""".stripMargin
 
+  /** Power-law degree-distribution fit — the Clauset–Shalizi–Newman
+    * MLE `α = 1 + n / Σ ln(d_i / (d_min − ½))` (continuous
+    * approximation, d_min = 1) over the near-duplicate pair graph's
+    * degrees: the one-number answer to "is this similarity graph
+    * scale-free or template-dominated?". Per-distinct-degree terms
+    * `ln(2d)` are 1e-9-snapped and multiplied by exact counts before
+    * the BIGINT sum (the repo's ln discipline); α is emitted as an
+    * integer ppm from one `div`.
+    *
+    * Scale: degrees are one map-combinable groupBy; the fit runs on
+    * the O(distinct degrees) histogram. */
+  def powerlawAlpha(s: SparkSession, dir: String): DataFrame = {
+    val deg = Dedup.ngramJaccard(s, dir)
+      .select(col("id_a"), col("id_b"))
+      .select(explode(array(col("id_a"), col("id_b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
+      .select(col("d"), col("c"),
+        (col("c") * expr(
+          "CAST(floor(ln(2.0 * CAST(d AS DOUBLE))" +
+          " * 1000000000.0 + 0.5) AS BIGINT)")).as("t9"))
+      .agg(sum(col("c")).as("n_nodes"), max(col("d")).as("max_deg"),
+        sum(col("t9")).as("sum_ln_e9"))
+      .selectExpr("n_nodes", "max_deg", "sum_ln_e9",
+        "CASE WHEN sum_ln_e9 > 0 THEN 1000000L" +
+          " + (n_nodes * 1000000000000000L) div sum_ln_e9" +
+          " ELSE 0L END AS alpha_ppm")
+  }
+
+  val powerlawAlphaSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |shingled AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3
+       |    THEN [array_to_string(toks, ' ')]
+       |    ELSE list_distinct(list_transform(
+       |           generate_series(1, len(toks) - 2),
+       |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+       |    END AS sh
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                      t -> len(t) > 0) AS toks
+       |        FROM corpus WHERE doc_id % 10000 < 100)
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shingled a, shingled b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS d FROM (
+       |    SELECT id_a AS node FROM pairs
+       |    UNION ALL SELECT id_b FROM pairs)
+       |  GROUP BY node),
+       |hist AS (SELECT d, COUNT(*) AS c FROM deg GROUP BY d),
+       |terms AS (
+       |  SELECT d, c,
+       |    c * CAST(floor(ln(2.0 * CAST(d AS DOUBLE))
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS t9
+       |  FROM hist),
+       |tot AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n_nodes,
+       |    CAST(MAX(d) AS BIGINT) AS max_deg,
+       |    CAST(SUM(t9) AS BIGINT) AS sum_ln_e9
+       |  FROM terms)
+       |SELECT n_nodes, max_deg, sum_ln_e9,
+       |  CASE WHEN sum_ln_e9 > 0 THEN CAST(1000000
+       |    + (n_nodes * 1000000000000000) // sum_ln_e9 AS BIGINT)
+       |  ELSE 0 END AS alpha_ppm
+       |FROM tot""".stripMargin
+
   /** k-truss decomposition (k = 3): the triangle-supported subgraph —
     * iteratively delete every edge lying in fewer than k−2 triangles
     * until a fixpoint, leaving only "socially reinforced" edges. On
@@ -1746,6 +1817,7 @@ object Graph {
     "graph_ktruss" -> ((s, d) => kTruss(s, d)),
     "graph_walks" -> ((s, d) => walks(s, d)),
     "graph_clustering_coeff" -> (clusteringCoeff _),
+    "graph_powerlaw_alpha" -> (powerlawAlpha _),
     "graph_eccentricity" -> ((s, d) => eccentricity(s, d)),
     "graph_scc" -> ((s, d) => scc(s, d)),
     "graph_betweenness" -> ((s, d) => betweenness(s, d)),
@@ -1770,6 +1842,7 @@ object Graph {
     "graph_ktruss" -> kTrussSql(),
     "graph_walks" -> walksSql(),
     "graph_clustering_coeff" -> clusteringCoeffSql,
+    "graph_powerlaw_alpha" -> powerlawAlphaSql,
     "graph_eccentricity" -> eccentricitySql(),
     "graph_scc"         -> sccSql(),
     "graph_betweenness" -> betweennessSql(),

@@ -585,6 +585,65 @@ object ParityQueries {
       |  CAST(0 AS BIGINT) AS orphan_orders,
       |  CAST(0 AS BIGINT) AS orphan_items""".stripMargin
 
+  /** Soft delete via deletion vectors, then physical apply — the
+    * lakehouse delete lifecycle the purge engine's immediate rewrite
+    * doesn't cover: deletes land first as a KEY TABLE (cheap, no
+    * data-file rewrite — the "deletion vector"), reads mask them
+    * with an anti-join, and a later maintenance pass applies them
+    * physically (anti-join rewrite + atomic swap). The gate runs the
+    * WHOLE lifecycle on staged copies and emits the logical-read and
+    * physical-read ledgers side by side — the oracle pins them to
+    * the same numbers, so a masking/apply divergence (the classic
+    * deletion-vector bug) fails the hash.
+    *
+    * Scale: the soft path defers the O(data) rewrite to one
+    * compaction; the mask is an anti-join on the key — broadcast
+    * while the vector is small, the exact trade deletion vectors
+    * exist to exploit. */
+  def purgeSoftDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "purge_softdel")
+    graft.Scaffold.setup {
+      ParquetSink.write(Tables.documents(s, dir), s"$root/docs")
+      ParquetSink.write(
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id")), s"$root/deletes")
+    }
+    val docs = s.read.parquet(s"$root/docs")
+    val dels = s.read.parquet(s"$root/deletes")
+    // materialize the logical read BEFORE the physical swap below
+    // replaces the files this lazy plan would otherwise re-scan
+    val logical = docs.join(broadcast(dels), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_visible_logical"),
+        sum(col("n_chars")).as("chars_logical"))
+      .localCheckpoint()
+    // physical apply: rewrite without deleted keys, atomic swap
+    ParquetSink.write(
+      docs.join(broadcast(dels), Seq("doc_id"), "left_anti"),
+      s"$root/docs.staging")
+    TableSwap.swapIn(s, s"$root/docs", s"$root/docs.staging", retain = 1)
+    val physical = s.read.parquet(s"$root/docs")
+      .agg(count(lit(1)).as("n_visible_physical"),
+        sum(col("n_chars")).as("chars_physical"))
+    Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+          .as("n_deleted"))
+      .crossJoin(logical).crossJoin(physical)
+  }
+
+  val purgeSoftDeleteSql: String =
+    """WITH v AS (
+      |  SELECT COUNT(*) AS nv,
+      |    CAST(SUM(n_chars) AS BIGINT) AS ch
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT
+      |  (SELECT COUNT(*) FROM documents) AS n_total,
+      |  (SELECT CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+      |     AS BIGINT) FROM documents) AS n_deleted,
+      |  nv AS n_visible_logical, ch AS chars_logical,
+      |  nv AS n_visible_physical, ch AS chars_physical
+      |FROM v""".stripMargin
+
   /** Nested JSONL round-trip — the document-shaped ingest the flat
     * conv gates don't cover: each order is exported as ONE JSON line
     * holding a struct-array of its line items (the natural API-dump
@@ -1289,6 +1348,7 @@ object ParityQueries {
     "conv_quarantine"       -> (convQuarantine _),
     "purge_criteria_delete" -> (purgeCriteriaDelete _),
     "purge_cascade" -> (purgeCascade _),
+    "purge_soft_delete" -> (purgeSoftDelete _),
     "purge_audit_chain" -> (purgeAuditChain _),
     "conv_csv_latin1" -> (convCsvLatin1 _),
     "conv_jsonl_nested" -> (convJsonlNested _),
@@ -1321,6 +1381,7 @@ object ParityQueries {
     "conv_quarantine"       -> convQuarantineSql,
     "purge_criteria_delete" -> purgeCriteriaDeleteSql,
     "purge_cascade" -> purgeCascadeSql,
+    "purge_soft_delete" -> purgeSoftDeleteSql,
     "purge_audit_chain" -> purgeAuditChainSql,
     "conv_csv_latin1" -> convCsvLatin1Sql,
     "conv_jsonl_nested" -> convJsonlNestedSql,

@@ -1660,6 +1660,33 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(r.getLong(4) === 0L && r.getLong(5) === 1L)
   }
 
+  test("purge_soft_delete: logical mask and physical apply agree " +
+      "on the visible ledger") {
+    val r = graft.ops.ParityQueries.purgeSoftDelete(spark, sf).head
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.getLong(0) === total)
+    assert(r.getLong(1) > 0L, "fixture must delete someone")
+    assert(r.getLong(2) === total - r.getLong(1))
+    assert(r.getLong(2) === r.getLong(4), "logical != physical rows")
+    assert(r.getLong(3) === r.getLong(5), "logical != physical chars")
+  }
+
+  test("graph_powerlaw_alpha: in-test MLE recompute matches, alpha " +
+      "exceeds 1") {
+    val r = Graph.powerlawAlpha(spark, sf).head
+    val (n, sumLn, alpha) = (r.getLong(0), r.getLong(2), r.getLong(3))
+    assert(alpha > 1000000L)
+    assert(alpha === 1000000L + n * 1000000000000000L / sumLn)
+    // recompute sum of snapped ln(2d) terms from the degree frame
+    val deg = graft.ops.Dedup.ngramJaccard(spark, sf)
+      .select(explode(array(col("id_a"), col("id_b"))).as("n"))
+      .groupBy(col("n")).count().collect().map(_.getLong(1))
+    val expSum = deg.map(d =>
+      math.floor(math.log(2.0 * d) * 1e9 + 0.5).toLong).sum
+    assert(sumLn === expSum)
+    assert(n === deg.length.toLong)
+  }
+
   test("maint_ivm_join: incremental result equals full recompute") {
     val inc = Maintenance.ivmJoin(spark, sf)
     val full = {
