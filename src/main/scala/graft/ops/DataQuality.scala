@@ -1109,7 +1109,71 @@ object DataQuality {
       |FROM last CROSS JOIN now_ts
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- //
+
+  /** Functional-dependency audit — the schema-profiling primitive
+    * behind key discovery and denormalization checks (Papenbrock et
+    * al., VLDB'15 surveys the exact-FD family): for each candidate
+    * `lhs → rhs`, how many lhs groups exist, how many VIOLATE the
+    * dependency (more than one distinct rhs), and the worst group's
+    * rhs fan-out. A dependency holds iff no group violates.
+    *
+    * Scale: each candidate is one (lhs, rhs)-distinct groupBy then an
+    * O(distinct lhs) re-aggregate — both map-combinable; candidates
+    * run independently (no cross-candidate shuffle). countDistinct
+    * compiles to the two-level expand Spark plans natively; at 100 TB
+    * the same statement accepts approx_count_distinct per candidate
+    * where exactness is not required. */
+  def fdCheck(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("k"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("k")).as("max_fanout"))
+        .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"),
+          col("n_violating"), col("max_fanout"),
+          when(col("n_violating") === 0, 1L).otherwise(0L).as("holds"))
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    audit(li, "l_orderkey", "l_returnflag")
+      .unionAll(audit(li, "l_partkey", "l_suppkey"))
+      .unionAll(audit(o, "o_custkey", "o_orderpriority"))
+      .orderBy(col("fd"))
+  }
+
+  val fdCheckSql: String =
+    """WITH c1 AS (
+      |  SELECT l_orderkey AS lhs, COUNT(DISTINCT l_returnflag) AS k
+      |  FROM lineitem GROUP BY l_orderkey),
+      |c2 AS (
+      |  SELECT l_partkey AS lhs, COUNT(DISTINCT l_suppkey) AS k
+      |  FROM lineitem GROUP BY l_partkey),
+      |c3 AS (
+      |  SELECT o_custkey AS lhs, COUNT(DISTINCT o_orderpriority) AS k
+      |  FROM orders GROUP BY o_custkey),
+      |a AS (
+      |  SELECT 'l_orderkey->l_returnflag' AS fd, COUNT(*) AS n_lhs,
+      |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violating,
+      |    CAST(MAX(k) AS BIGINT) AS max_fanout
+      |  FROM c1
+      |  UNION ALL
+      |  SELECT 'l_partkey->l_suppkey', COUNT(*),
+      |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(MAX(k) AS BIGINT)
+      |  FROM c2
+      |  UNION ALL
+      |  SELECT 'o_custkey->o_orderpriority', COUNT(*),
+      |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(MAX(k) AS BIGINT)
+      |  FROM c3)
+      |SELECT fd, n_lhs, n_violating, max_fanout,
+      |  CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS holds
+      |FROM a ORDER BY fd""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_fd_check" -> (fdCheck _),
     "dq_freshness" -> ((s: SparkSession, d: String) => freshness(s, d)),
     "dq_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "dq_rule_engine" -> (ruleEngine _),
@@ -1131,6 +1195,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_fd_check" -> fdCheckSql,
     "dq_freshness" -> freshnessSql,
     "dq_k_anonymity" -> kAnonymitySql,
     "dq_rule_engine" -> ruleEngineSql,

@@ -871,7 +871,124 @@ object Learn {
       |    * 1000000000.0 + 0.5) AS BIGINT) AS iv_e9
       |FROM t ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- //
+
+  /** Smoothed mean target encoding with a leave-one-out variant —
+    * the categorical featurization trick gradient-boosting pipelines
+    * lean on (Micci-Barreca, SIGKDD Expl. 2001). Category =
+    * `o_orderpriority`, target = 1(o_orderstatus = 'F');
+    * enc = (pos_c + m·prior) / (n_c + m) with m = 20, and the
+    * leakage-safe LOO form removes the row's own target from its
+    * category before encoding.
+    *
+    * Determinism: the encodings are stated as ONE integer floor
+    * division each — enc_e6 = (pos_c·N + m·P)·1e6 div (N·(n_c+m)) —
+    * so no double arithmetic touches the output. All operands are
+    * non-negative, where Spark `div` (truncate) and DuckDB `//`
+    * (floor) agree.
+    *
+    * Scale: the category table is a map-combinable groupBy (a handful
+    * of rows) broadcast back; the per-row encode is a projection. The
+    * integer numerator holds exactly to N ≈ 3e9 rows; past that the
+    * same statement runs on DECIMAL(38,0) unchanged. */
+  def targetEncode(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderpriority").as("category"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val tot = o.agg(count(lit(1)).as("total_n"),
+      sum(col("y")).as("total_pos"))
+    val per = o.groupBy(col("category")).agg(
+      count(lit(1)).as("n_c"), sum(col("y")).as("pos_c"))
+    o.filter(col("o_orderkey") < 100)
+      .join(broadcast(per), "category")
+      .crossJoin(broadcast(tot))
+      .select(col("o_orderkey"), col("category"), col("y"),
+        expr("(pos_c * total_n + 20 * total_pos) * 1000000" +
+          " div (total_n * (n_c + 20))").as("enc_e6"),
+        expr("((pos_c - y) * total_n + 20 * total_pos) * 1000000" +
+          " div (total_n * (n_c - 1 + 20))").as("loo_e6"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val targetEncodeSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority AS category,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |tot AS (SELECT COUNT(*) AS total_n,
+      |               CAST(SUM(y) AS BIGINT) AS total_pos FROM o),
+      |per AS (SELECT category, COUNT(*) AS n_c,
+      |               CAST(SUM(y) AS BIGINT) AS pos_c
+      |        FROM o GROUP BY category)
+      |SELECT o.o_orderkey, o.category, CAST(o.y AS BIGINT) AS y,
+      |  CAST((pos_c * total_n + 20 * total_pos) * 1000000
+      |    // (total_n * (n_c + 20)) AS BIGINT) AS enc_e6,
+      |  CAST(((pos_c - o.y) * total_n + 20 * total_pos) * 1000000
+      |    // (total_n * (n_c - 1 + 20)) AS BIGINT) AS loo_e6
+      |FROM o
+      |JOIN per ON o.category = per.category
+      |CROSS JOIN tot
+      |WHERE o.o_orderkey < 100
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** Hashing-trick featurization (Weinberger et al., ICML'09): each
+    * token lands in one of 64 buckets by a PORTABLE polynomial roll
+    * of its character codes (acc·31 + code mod 1e9+7 — the same
+    * statement runs on both engines, unlike xxhash), with the
+    * next hash bit supplying the collision-cancelling ±1 sign.
+    * Output: per-document sparse feature rows (bucket, signed sum,
+    * token count).
+    *
+    * Scale: the hash is a per-token projection (no vocabulary, no
+    * dictionary join — the point of the trick); the feature matrix is
+    * one (doc, bucket) map-combinable groupBy. Tokens are restricted
+    * to [a-z0-9]+ so char codes are ASCII-stable across engines. The
+    * doc_id < 10 cut keeps the gate bounded; the statement itself is
+    * corpus-shape. */
+  def featureHash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok").rlike("^[a-z0-9]+$"))
+    toks
+      .withColumn("hv", expr(
+        "aggregate(transform(sequence(1, length(tok))," +
+          " i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))," +
+          " CAST(0 AS BIGINT)," +
+          " (acc, x) -> (acc * 31 + x) % 1000000007)"))
+      .groupBy(col("doc_id"), (col("hv") % 64).as("bucket"))
+      .agg(sum(when(expr("(hv div 64) % 2") === 0, 1L)
+        .otherwise(-1L)).as("val"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  val featureHashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      t -> regexp_matches(t, '^[a-z0-9]+$'))) AS tok
+      |  FROM documents WHERE doc_id < 10),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(tok)),
+      |        i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS hv
+      |  FROM toks)
+      |SELECT doc_id, hv % 64 AS bucket,
+      |  CAST(SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+      |    AS BIGINT) AS val,
+      |  COUNT(*) AS n_tokens
+      |FROM h GROUP BY doc_id, hv % 64
+      |ORDER BY doc_id, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_target_encode" -> (targetEncode _),
+    "learn_feature_hash" -> (featureHash _),
     "learn_woe_iv" -> ((s: SparkSession, d: String) => woeIv(s, d)),
     "learn_gbdt_round" -> ((s: SparkSession, d: String) =>
       gbdtRound(s, d)),
@@ -885,6 +1002,8 @@ object Learn {
     "learn_ridge" -> (ridge _))
 
   def oracle: Map[String, String] = Map(
+    "learn_target_encode" -> targetEncodeSql,
+    "learn_feature_hash" -> featureHashSql,
     "learn_woe_iv" -> woeIvSql,
     "learn_gbdt_round" -> gbdtRoundSql,
     "learn_tree_depth2" -> treeDepth2Sql,
