@@ -2341,7 +2341,108 @@ object Similarity {
       |    / CAST(na.n AS DOUBLE)) + 0.5) AS BIGINT) AS anisotropy_ppm
       |FROM na CROSS JOIN m2""".stripMargin
 
+  // ---------------------------------------------------------------- //
+
+  /** DBSCAN over the embedding corpus (Ester et al., KDD'96) with
+    * cosine ≥ eps as the neighborhood predicate: points with ≥
+    * minPts eps-neighbors are CORE; clusters are the connected
+    * components of the core-core neighbor graph (label = min core
+    * vec_id — deterministic, order-independent, unlike the classic
+    * seed-queue formulation); non-core points adjacent to a core
+    * join the smallest adjacent cluster as BORDER; the rest are
+    * NOISE (cluster −1).
+    *
+    * Determinism: cosine on both engines is the same sequential IEEE
+    * fold, so the eps comparison is bit-exact; everything after the
+    * pair stage is integer/label arithmetic.
+    *
+    * Scale: the pair stage here is the bounded exact baseline (one
+    * broadcast nested-loop, the [[nearDupPairs]] shape); at corpus
+    * scale the identical downstream (degree count → components →
+    * border argmin) runs unchanged on [[annLsh]]/[[annIvf]] bucketed
+    * candidate pairs. Components use [[Dedup.componentsOver]]'s
+    * min-label propagation — cluster diameters in a density-based
+    * clustering are small, so rounds stay few. */
+  def dbscan(s: SparkSession, dir: String, eps: Double = 0.35,
+      minPts: Int = 3): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val base = vecs(s, dir).withColumn("n", norm(col("v")))
+    val a = base.toDF("id_a", "va", "na").repartition(par)
+    val b = base.toDF("id_b", "vb", "nb")
+    val nbrs = a.crossJoin(broadcast(b))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= eps)
+      .select(col("id_a"), col("id_b"))
+      .cache() // id pairs only — reused for degree, edges, borders
+    val cores = nbrs.groupBy(col("id_a")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= minPts).select(col("id_a").as("id"))
+    val coreEdges = nbrs
+      .join(broadcast(cores.select(col("id").as("id_a"))), "id_a")
+      .join(broadcast(cores.select(col("id").as("id_b"))), "id_b")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.componentsOver(cores, coreEdges)
+      .toDF("core_id", "cluster")
+    val borders = nbrs
+      .join(broadcast(comp), col("id_b") === col("core_id"))
+      .groupBy(col("id_a")).agg(min(col("cluster")).as("cluster"))
+      .join(broadcast(cores.select(col("id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+    val coreOut = comp.select(col("core_id").as("vec_id"),
+      lit("core").as("role"), col("cluster"))
+    val borderOut = borders.select(col("id_a").as("vec_id"),
+      lit("border").as("role"), col("cluster"))
+    val assigned = coreOut.unionAll(borderOut)
+    val noise = base.select(col("vec_id"))
+      .join(broadcast(assigned.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit("noise").as("role"),
+        lit(-1L).as("cluster"))
+    assigned.unionAll(noise).orderBy(col("vec_id"))
+  }
+
+  val dbscanSql: String =
+    s"""WITH RECURSIVE vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nbrs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM vecs a, vecs b
+       |  WHERE a.vec_id <> b.vec_id AND ${CosineSql} >= 0.35),
+       |cores AS (
+       |  SELECT id_a AS id FROM nbrs GROUP BY id_a
+       |  HAVING COUNT(*) >= 3),
+       |cedges AS (
+       |  SELECT n.id_a AS src, n.id_b AS dst FROM nbrs n
+       |  JOIN cores c1 ON n.id_a = c1.id
+       |  JOIN cores c2 ON n.id_b = c2.id),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM cores
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN cedges e
+       |    ON e.src = r.id),
+       |comp AS (SELECT id, MIN(label) AS cluster FROM reach
+       |         GROUP BY id),
+       |border AS (
+       |  SELECT n.id_a AS id, MIN(c.cluster) AS cluster
+       |  FROM nbrs n JOIN comp c ON n.id_b = c.id
+       |  WHERE n.id_a NOT IN (SELECT id FROM cores)
+       |  GROUP BY n.id_a),
+       |labeled AS (
+       |  SELECT id AS vec_id, 'core' AS role, cluster FROM comp
+       |  UNION ALL
+       |  SELECT id, 'border', cluster FROM border
+       |  UNION ALL
+       |  SELECT v.vec_id, 'noise', -1 FROM vecs v
+       |  WHERE v.vec_id NOT IN (SELECT id FROM comp)
+       |    AND v.vec_id NOT IN (SELECT id FROM border))
+       |SELECT vec_id, role, CAST(cluster AS BIGINT) AS cluster
+       |FROM labeled ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_dbscan" -> ((s: SparkSession, d: String) => dbscan(s, d)),
     "embed_norm_stats" -> (normStats _),
     "sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embed_triplets" -> ((s, d) => tripletMine(s, d)),
@@ -2389,6 +2490,7 @@ object Similarity {
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "sim_dbscan" -> dbscanSql,
     "embed_norm_stats" -> normStatsSql,
     "sim_knn_graph" -> knnGraphSql(),
     "embed_triplets" -> tripletMineSql(),

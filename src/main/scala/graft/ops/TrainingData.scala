@@ -1144,7 +1144,60 @@ object TrainingData {
       |FROM sampled GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- //
+
+  /** Deterministic weighted interleave of sources — the STREAMING
+    * counterpart of [[mixture]]: instead of sampling a mixture, emit
+    * documents in an exact round-robin schedule where source s with
+    * weight w gets every (2i+1)·(L/w)-th slot (L = lcm of weights;
+    * the classic weighted fair-queueing virtual-finish-time rule,
+    * stated in exact integers). A trainer reading the sequence sees
+    * sources paced proportionally to weight at EVERY prefix, not
+    * just in expectation.
+    *
+    * Weight here derives from the source's numeric suffix
+    * (1 + suffix % 3 ∈ {1,2,3}, L = 6) — stand-in for a config map.
+    *
+    * Scale: the per-source rank is a source-partitioned window; the
+    * schedule key is a projection; the bounded head is
+    * TakeOrderedAndProject (no global sort materialized). The full
+    * interleaved corpus at scale is the same frame written
+    * `sortWithinPartitions(k)` after a range repartition on k. */
+  def interleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("i", row_number().over(w) - 1)
+      .withColumn("wt", expr("1 + CAST(substring(source, 4) AS INT) % 3"))
+      .withColumn("k", expr("CAST((2*i + 1) * (6 div wt) AS BIGINT)"))
+    val top = keyed.orderBy(col("k"), col("source")).limit(200)
+    // 200-row frame: the single-partition window is metadata-sized
+    top.withColumn("seq", row_number()
+        .over(Window.orderBy(col("k"), col("source"))).cast("long"))
+      .select(col("seq"), col("doc_id"), col("source"),
+        (col("i") + 1).cast("long").as("src_rank"))
+      .orderBy(col("seq"))
+  }
+
+  val interleaveSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+      |      AS i,
+      |    1 + CAST(substring(source, 4) AS INT) % 3 AS wt
+      |  FROM documents),
+      |sched AS (SELECT doc_id, source, i,
+      |        CAST((2*i + 1) * (6 // wt) AS BIGINT) AS k
+      |      FROM d),
+      |top AS (SELECT * FROM sched ORDER BY k, source LIMIT 200)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, source) AS BIGINT)
+      |    AS seq,
+      |  doc_id, source, CAST(i + 1 AS BIGINT) AS src_rank
+      |FROM top ORDER BY seq""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_interleave" -> (interleave _),
     "pack_stratified_exact" -> ((s, d) => stratifiedExact(s, d)),
     "pack_curriculum" -> ((s, d) => curriculum(s, d)),
     "pack_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
@@ -1167,6 +1220,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_interleave" -> interleaveSql,
     "pack_stratified_exact" -> stratifiedExactSql,
     "pack_curriculum" -> curriculumSql,
     "pack_length_buckets" -> lengthBucketsSql,

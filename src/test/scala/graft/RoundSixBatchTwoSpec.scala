@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{DataQuality, Learn}
+import graft.ops.{DataQuality, Learn, Similarity, TrainingData}
 
 /** Planted-fixture invariants for the second round-6 operator batch:
   * smoothed/LOO target encoding, hashing-trick featurization, and
@@ -93,5 +93,58 @@ class RoundSixBatchTwoSpec extends SparkSpec {
     assert(got("l_partkey->l_suppkey") === ((3L, 0L, 1L, 1L)))
     // custkey 7 ordered at priorities {A, B} -> violated
     assert(got("o_custkey->o_orderpriority") === ((2L, 1L, 2L, 0L)))
+  }
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  test("sim_dbscan: two planted density clusters, border joins the " +
+    "adjacent one, isolated point is noise") {
+    val dir = tmpDir("r6b2_emb")
+    def v(id: Long, x: Double, y: Double) =
+      Row(id, Seq(x.toFloat, y.toFloat), 0)
+    // Cluster A: three mutually-similar unit vectors near [1,0];
+    // 4 = [0.71,0.71] is similar ONLY to vec 3 (cos≈0.93) -> border;
+    // 5 = [0,1] sees nothing above 0.9 -> noise; 6,7,8 mirror A.
+    val data = Seq(
+      v(1, 1.0, 0.0), v(2, 0.98, 0.199), v(3, 0.92, 0.39),
+      v(4, 0.71, 0.71), v(5, 0.0, 1.0),
+      v(6, -1.0, 0.0), v(7, -0.98, -0.199), v(8, -0.92, -0.39))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), embSchema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.dbscan(spark, dir, eps = 0.9, minPts = 2)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("core", 1L)))
+    assert(got(2L) === (("core", 1L)))
+    assert(got(3L) === (("core", 1L)))
+    assert(got(4L) === (("border", 1L)))
+    assert(got(5L) === (("noise", -1L)))
+    assert(got(6L) === (("core", 6L)))
+    assert(got(7L) === (("core", 6L)))
+    assert(got(8L) === (("core", 6L)))
+  }
+
+  test("pack_interleave: weighted fair-queueing schedule paces " +
+    "sources 3:2 at every prefix") {
+    val dir = tmpDir("r6b2_inter")
+    // src1 suffix 1 -> weight 2 (keys 3,9,15,21,27); src2 suffix 2
+    // -> weight 3 (keys 2,6,10,14,18). Merged by key: the exact
+    // hand-computed order below.
+    val data = (1L to 5L).map(i =>
+      Row(i, "t", "en", "src1", 1L)) ++
+      (11L to 15L).map(i => Row(i, "t", "en", "src2", 1L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingData.interleave(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val expect = Seq("src2", "src1", "src2", "src1", "src2", "src2",
+      "src1", "src2", "src1", "src1")
+    assert(got.map(_._2).toSeq === expect)
+    assert(got.map(_._1).toSeq === (1L to 10L))
   }
 }
