@@ -1001,7 +1001,73 @@ object Evaluation {
       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
       |FROM sums""".stripMargin
 
+  // ---------------------------------------------------------------- //
+
+  /** Kendall's τ-b (tie-corrected) between per-customer order count
+    * and total spend — the rank-correlation complement of
+    * [[spearmanGate]] that is robust to the value histograms'
+    * shapes because it counts PAIRS: concordant, discordant, and
+    * tied in each margin. All counts are exact BIGINTs from one
+    * bounded pair join; only the final τ runs one sqrt + one
+    * division, sign-peeled so floor is taken on a non-negative
+    * value on both engines.
+    *
+    * Scale: the per-entity aggregate is map-combinable; the O(k²)
+    * pair stage runs on the BOUNDED entity frame (k ≤ 200 here — τ
+    * over more entities uses the merge-sort inversion count, which
+    * is a sortWithinPartitions + prefix-sum shape, not all-pairs). */
+  def kendallGate(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir).filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("y"))
+    val a = per.toDF("ka", "xa", "ya")
+    val b = per.toDF("kb", "xb", "yb")
+    a.crossJoin(broadcast(b)).filter(col("ka") < col("kb"))
+      .agg(
+        sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0,
+          1L).otherwise(0L)).as("c"),
+        sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0,
+          1L).otherwise(0L)).as("d"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"),
+        count(lit(1)).as("n0"))
+      .select(col("c"), col("d"), col("tx"), col("ty"), col("n0"),
+        expr("CAST((CASE WHEN c >= d THEN 1 ELSE -1 END) * " +
+          "floor(abs(c - d) * 1000000.0 / " +
+          "sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)) + 0.5) " +
+          "AS BIGINT)").as("tau_e6"))
+  }
+
+  val kendallSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, COUNT(*) AS x,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS y
+      |  FROM orders WHERE o_custkey < 200 GROUP BY o_custkey),
+      |p AS (
+      |  SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      |  FROM per a, per b WHERE a.o_custkey < b.o_custkey),
+      |st AS (SELECT
+      |  CAST(SUM(CASE WHEN (xa-xb)*(ya-yb) > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS c,
+      |  CAST(SUM(CASE WHEN (xa-xb)*(ya-yb) < 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS d,
+      |  CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS tx,
+      |  CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ty,
+      |  COUNT(*) AS n0 FROM p)
+      |SELECT c, d, tx, ty, n0,
+      |  CAST((CASE WHEN c >= d THEN 1 ELSE -1 END) *
+      |    floor(abs(c - d) * 1000000.0 /
+      |      sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)) + 0.5)
+      |    AS BIGINT) AS tau_e6
+      |FROM st""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_kendall" -> (kendallGate _),
     "eval_spearman" -> (spearmanGate _),
     "eval_mcc" -> (mccGate _),
     "eval_gains_table" -> (gainsTable _),
@@ -1019,6 +1085,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_kendall" -> kendallSql,
     "eval_spearman" -> spearmanSql,
     "eval_mcc" -> mccSql,
     "eval_gains_table" -> gainsTableSql,

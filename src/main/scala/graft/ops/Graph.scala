@@ -1811,7 +1811,80 @@ object Graph {
       |  END AS r
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- //
+
+  /** Topological layering (longest-path depth) of the event-type
+    * precedence DAG: transition edges restricted to `src < dst`
+    * (lexicographic — guarantees acyclicity), layer(v) = length of
+    * the longest incoming path. The DAG-scheduling primitive:
+    * layer k = everything runnable in parallel wave k.
+    *
+    * Iterative max-relaxation: layer(v) ← max(layer(v),
+    * max(layer(u)+1 over u→v)); the layer SUM increases strictly
+    * until the fixpoint, so an unchanged sum is an exact convergence
+    * test, and a post-loop relaxation ASSERTS the fixpoint (the
+    * sssp/closeness discipline — truncated rounds cannot hash
+    * green). Rounds = longest path length ≤ |node alphabet|.
+    *
+    * Scale: the corpus collapses to distinct (src, dst) pairs in one
+    * map-combinable aggregate; every round is one equi-join +
+    * groupBy-max over the O(types²) edge frame. */
+  def topoLayers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") < col("dst"))
+      .distinct().cache()
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    def relax(l: DataFrame): DataFrame = edges
+      .join(l, col("src") === col("node"))
+      .select(col("dst").as("node"), (col("layer") + 1L).as("layer"))
+      .union(l.select(col("node"), col("layer")))
+      .groupBy(col("node")).agg(max(col("layer")).as("layer"))
+    def laySum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("layer")), lit(0L))).head().getLong(0)
+    var layers = nodes.withColumn("layer", lit(0L)).localCheckpoint()
+    var prev = laySum(layers)
+    var changed = true
+    var iter = 0
+    while (changed && iter < 40) {
+      val next = relax(layers).localCheckpoint()
+      val cur = laySum(next)
+      changed = cur != prev
+      prev = cur
+      layers.unpersist(blocking = false)
+      layers = next
+      iter += 1
+    }
+    require(laySum(relax(layers)) == prev,
+      s"topoLayers: not at fixpoint after $iter rounds")
+    edges.unpersist(blocking = false)
+    layers.orderBy(col("node"))
+  }
+
+  val topoLayersSql: String =
+    """WITH RECURSIVE ord AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |edges AS (SELECT DISTINCT src, dst FROM ord
+      |          WHERE dst IS NOT NULL AND src < dst),
+      |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+      |reach(node, d) AS (
+      |  SELECT node, 0 FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e
+      |    ON e.src = r.node)
+      |SELECT node, CAST(MAX(d) AS BIGINT) AS layer
+      |FROM reach GROUP BY node
+      |ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_topo_layers" -> (topoLayers _),
     "graph_assortativity" -> (assortativity _),
     "graph_ppr" -> ((s, d) => ppr(s, d)),
     "graph_ktruss" -> ((s, d) => kTruss(s, d)),
@@ -1837,6 +1910,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_topo_layers" -> topoLayersSql,
     "graph_assortativity" -> assortativitySql,
     "graph_ppr" -> pprSql(),
     "graph_ktruss" -> kTrussSql(),

@@ -1773,8 +1773,154 @@ object TimeSeries {
       |    / CAST(n_days * sx AS DOUBLE) END AS fano
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- //
+
+  /** SAX symbolization (Lin et al., DMKD'07) of each user's
+    * hour-of-day activity profile: 24 hourly counts → PAA into 8
+    * three-hour segments → per-user z-normalization → alphabet-4
+    * symbols at the Gaussian breakpoints ±0.6745 / 0 → an 8-char
+    * word per user. The shape index behind motif discovery and
+    * whole-series clustering, with no floating comparison anywhere:
+    * z_j = (8·x_j − Sx)/√(8·Sxx − Sx²) is classified by comparing
+    * A_j = 8·x_j − Sx and A_j²·10⁸ against 45495025·B (0.6745² =
+    * 0.45495025 exactly), all in BIGINTs. Flat series (B = 0) emit
+    * all-'c'.
+    *
+    * Scale: two map-combinable groupBys (hour counts, then per-user
+    * word assembly); the 8-segment spine is a per-user constant
+    * explode, never a global structure. */
+  def tsSax(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.events(s, dir)
+      .select(col("user_id"), (hour(col("ts")) / 3).cast("int").as("seg"))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(count(lit(1)).as("x"))
+    // densify: every user gets all 8 segments (missing hours = 0)
+    val spine = segs.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(7))).as("seg"))
+    val dense = spine.join(segs, Seq("user_id", "seg"), "left")
+      .select(col("user_id"), col("seg"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val stats = dense.groupBy(col("user_id")).agg(
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+    val sym = dense.join(stats, "user_id")
+      .withColumn("a", lit(8L) * col("x") - col("sx"))
+      .withColumn("b", lit(8L) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("sym",
+        when(col("a") < 0 &&
+          col("a") * col("a") * 100000000L > lit(45495025L) * col("b"),
+          "a")
+        .when(col("a") < 0, "b")
+        .when(col("a") * col("a") * 100000000L <= lit(45495025L) * col("b"),
+          "c")
+        .otherwise("d"))
+    sym.groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seg"), col("sym")))),
+        e => e.getField("sym")), "").as("word"))
+      .orderBy(col("user_id"))
+  }
+
+  val tsSaxSql: String =
+    """WITH segs AS (
+      |  SELECT user_id, CAST(hour(ts) // 3 AS INT) AS seg,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY user_id, CAST(hour(ts) // 3 AS INT)),
+      |spine AS (
+      |  SELECT DISTINCT user_id, unnest(generate_series(0, 7)) AS seg
+      |  FROM segs),
+      |dense AS (
+      |  SELECT s.user_id, s.seg,
+      |    COALESCE(g.x, 0) AS x
+      |  FROM spine s LEFT JOIN segs g
+      |    ON s.user_id = g.user_id AND s.seg = g.seg),
+      |stats AS (
+      |  SELECT user_id, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM dense GROUP BY user_id),
+      |sym AS (
+      |  SELECT d.user_id, d.seg,
+      |    CASE
+      |      WHEN 8 * d.x - t.sx < 0 AND
+      |        (8 * d.x - t.sx) * (8 * d.x - t.sx) * 100000000
+      |          > 45495025 * (8 * t.sxx - t.sx * t.sx) THEN 'a'
+      |      WHEN 8 * d.x - t.sx < 0 THEN 'b'
+      |      WHEN (8 * d.x - t.sx) * (8 * d.x - t.sx) * 100000000
+      |          <= 45495025 * (8 * t.sxx - t.sx * t.sx) THEN 'c'
+      |      ELSE 'd' END AS sym
+      |  FROM dense d JOIN stats t ON d.user_id = t.user_id)
+      |SELECT user_id, string_agg(sym, '' ORDER BY seg) AS word
+      |FROM sym GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Holt's linear-trend exponential smoothing (α = β = 0.5) over
+    * the daily order-revenue series, plus a 7-day linear forecast —
+    * the level+trend upgrade of [[tsEwma]]. Revenue days are exact
+    * DECIMAL(18,2) sums (doubles only after the cents are fixed);
+    * each recurrence step snaps level and trend to 6 dp on both
+    * engines (the repo's established round-6 parity idiom), so the
+    * sequential fold is bit-reproducible.
+    *
+    * Scale: the corpus-side work is ONE map-combinable day groupBy;
+    * the recurrence itself runs over the metadata-sized daily series
+    * (~2.4k points) driver-side — the Markov-chain/audit-chain
+    * precedent: a linear chain of microsecond arithmetic is not
+    * worth 2.4k scheduler rounds. The oracle replays the identical
+    * recurrence as a recursive CTE. */
+  def tsHolt(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .orderBy(col("day"))
+      .select(col("rev").cast(DoubleType))
+      .collect().map(_.getDouble(0))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    var l = days(0)
+    var b = r6(days(1) - days(0))
+    days.drop(1).foreach { y =>
+      val l1 = r6(0.5 * y + 0.5 * (l + b))
+      b = r6(0.5 * (l1 - l) + 0.5 * b)
+      l = l1
+    }
+    import s.implicits._
+    (1 to 7).map(h => (h.toLong, l, b, r6(l + h * b)))
+      .toDF("h", "level", "trend", "forecast")
+      .orderBy(col("h"))
+  }
+
+  val tsHoltSql: String =
+    """WITH RECURSIVE days AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+      |ys AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+      |    CAST(rev AS DOUBLE) AS y
+      |  FROM days),
+      |n AS (SELECT MAX(t) AS tmax FROM ys),
+      |holt(t, l, b) AS (
+      |  SELECT 1, y1.y,
+      |    round(y2.y - y1.y, 6)
+      |  FROM ys y1, ys y2 WHERE y1.t = 1 AND y2.t = 2
+      |  UNION ALL
+      |  SELECT h.t + 1,
+      |    round(0.5 * ys.y + 0.5 * (h.l + h.b), 6),
+      |    round(0.5 * (round(0.5 * ys.y + 0.5 * (h.l + h.b), 6) - h.l)
+      |      + 0.5 * h.b, 6)
+      |  FROM holt h JOIN ys ON ys.t = h.t + 1),
+      |fin AS (SELECT l, b FROM holt, n WHERE holt.t = n.tmax),
+      |hs AS (SELECT unnest(generate_series(1, 7)) AS h)
+      |SELECT CAST(hs.h AS BIGINT) AS h, l AS level, b AS trend,
+      |  round(l + hs.h * b, 6) AS forecast
+      |FROM fin, hs
+      |ORDER BY h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ts_peaks"          -> (tsPeaks _),
+    Map("ts_sax"            -> (tsSax _),
+        "ts_holt"           -> (tsHolt _),
+        "ts_peaks"          -> (tsPeaks _),
         "ts_burstiness"     -> (tsBurstiness _),
         "ts_interpolate"    -> (tsInterpolate _),
         "ts_cross_corr"     -> ((s, d) => crossCorr(s, d)),
@@ -1800,6 +1946,7 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> (behaviorLshGate _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
+    Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql) ++
     Map("ts_peaks"          -> tsPeaksSql,
         "ts_burstiness"     -> tsBurstinessSql,
         "ts_interpolate"    -> tsInterpolateSql,

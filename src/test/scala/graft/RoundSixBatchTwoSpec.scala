@@ -6,7 +6,8 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{DataQuality, Learn, Similarity, TrainingData}
+import graft.ops.{DataQuality, Evaluation, Graph, Learn, Similarity,
+  TimeSeries, TrainingData}
 
 /** Planted-fixture invariants for the second round-6 operator batch:
   * smoothed/LOO target encoding, hashing-trick featurization, and
@@ -146,5 +147,103 @@ class RoundSixBatchTwoSpec extends SparkSpec {
       "src1", "src2", "src1", "src1")
     assert(got.map(_._2).toSeq === expect)
     assert(got.map(_._1).toSeq === (1L to 10L))
+  }
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsDir(name: String, rows: Seq[Row]): String = {
+    val dir = tmpDir(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def evAt(id: Long, user: Long, hourOfDay: Int,
+      tpe: String = "view"): Row =
+    Row(id, new Timestamp(19700L * 86400000L + hourOfDay * 3600000L),
+      user, tpe, 1.0, "{}")
+
+  test("ts_sax: spiky profile symbolizes d-then-b, flat profile " +
+    "is all-c") {
+    // user 1: 3 events in segment 0 only -> A_0 = 21, B = 63,
+    // z_0 = 2.65 ('d'), others z < 0 shallow ('b').
+    // user 2: one event in each of the 8 segments -> B = 0 -> 'c's.
+    val rows = (1 to 3).map(i => evAt(i, 1L, i % 3)) ++
+      (0 to 7).map(s => evAt(10 + s, 2L, s * 3))
+    val dir = eventsDir("r6b2_sax", rows)
+    val got = TimeSeries.tsSax(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "dbbbbbbb")
+    assert(got(2L) === "cccccccc")
+  }
+
+  private def ordersDatedDir(rows: Seq[(Long, Int, Double)]): String = {
+    // (orderkey, epoch-day, totalprice)
+    val dir = tmpDir("r6b2_holt")
+    val data = rows.map { case (k, day, pr) =>
+      Row(k, 1L, "F", pr, new Timestamp(day * 86400000L), "A")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), ordersSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("ts_holt: level/trend recurrence and linear forecast match " +
+    "the hand fold") {
+    // days: 100, 110, 130 -> l = 125, b = 12.5, f(h) = 125 + 12.5h
+    val dir = ordersDatedDir(Seq(
+      (1L, 19700, 100.0), (2L, 19701, 110.0), (3L, 19702, 130.0)))
+    val got = TimeSeries.tsHolt(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.length === 7)
+    assert(got.head === ((1L, 125.0, 12.5, 137.5)))
+    assert(got.last === ((7L, 125.0, 12.5, 212.5)))
+  }
+
+  test("eval_kendall: hand-counted concordant/discordant pairs") {
+    // cust 1: x=1 y=10000; cust 2: x=2 y=30000; cust 3: x=3 y=20000
+    // pairs: (1,2) C, (1,3) C, (2,3) D -> tau = 1/3
+    val dir = ordersDatedDir(Seq((1L, 19700, 100.0)))
+    val data = Seq(
+      Row(1L, 1L, "F", 100.0, new Timestamp(0L), "A"),
+      Row(2L, 2L, "F", 150.0, new Timestamp(0L), "A"),
+      Row(3L, 2L, "F", 150.0, new Timestamp(0L), "A"),
+      Row(4L, 3L, "F", 50.0, new Timestamp(0L), "A"),
+      Row(5L, 3L, "F", 50.0, new Timestamp(0L), "A"),
+      Row(6L, 3L, "F", 100.0, new Timestamp(0L), "A"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), ordersSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Evaluation.kendallGate(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((2L, 1L, 0L, 0L, 3L)))
+    assert(r.getLong(5) === 333333L)
+  }
+
+  test("graph_topo_layers: longest-path waves over the planted DAG") {
+    // walks: a->b->d, a->c, c->b (dropped: c>b), b->c
+    // edges a->b, b->d, a->c, b->c -> layers a=0 b=1 c=2 d=2
+    def walk(user: Long, base: Long, steps: Seq[String]): Seq[Row] =
+      steps.zipWithIndex.map { case (t, i) =>
+        Row(base + i, new Timestamp(1700000000000L + i * 60000L),
+          user, t, 1.0, "{}")
+      }
+    val dir = eventsDir("r6b2_topo",
+      walk(1L, 100, Seq("a", "b", "d")) ++
+      walk(2L, 200, Seq("a", "c")) ++
+      walk(3L, 300, Seq("c", "b")) ++
+      walk(4L, 400, Seq("b", "c")))
+    val got = Graph.topoLayers(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 2L))
   }
 }
