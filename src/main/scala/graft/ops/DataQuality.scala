@@ -1172,7 +1172,73 @@ object DataQuality {
       |    AS holds
       |FROM a ORDER BY fd""".stripMargin
 
+  /** Order-invariant table checksums — the migration-validation
+    * primitive (pt-table-checksum's core idea): per table, a row
+    * count, a commutative SUM of a portable key mix, and an exact
+    * value sum. Any dropped/duplicated/mutated row flips a
+    * component; partitioning, row order, and cluster size cannot —
+    * every term is per-row and the combiner is +.
+    *
+    * The key mix splits k at 2²⁰ before multiplying
+    * (`(k%2²⁰)·2654435761 + (k div 2²⁰)·40503, mod 2³²`) so the
+    * intermediate product never exceeds 2⁶³ for ANY 63-bit key —
+    * DuckDB BIGINT arithmetic is overflow-checked, so staying exact
+    * matters on both engines. Values go through the DECIMAL cents
+    * discipline.
+    *
+    * Scale: one map-combinable aggregate per table, no shuffle
+    * beyond the final 1-row-per-table combine. */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val mix = "((k % 1048576) * 2654435761 + (k div 1048576) * 40503)" +
+      " % 4294967296"
+    def fp(df: DataFrame, name: String, key: Column,
+        cents: Column): DataFrame =
+      df.select(key.as("k"), cents.as("cents"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(mix)).as("key_mix_sum"),
+          sum(col("cents")).as("cents_sum"))
+        .select(lit(name).as("tbl"), col("n_rows"),
+          col("key_mix_sum"), col("cents_sum"))
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    fp(l, "lineitem", col("l_orderkey") * 16 + col("l_linenumber"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType))
+      .unionAll(fp(o, "orders", col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType)))
+      .orderBy(col("tbl"))
+  }
+
+  val tableChecksumSql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey * 16 + l_linenumber AS k,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) AS cents
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |f AS (
+      |  SELECT 'lineitem' AS tbl, COUNT(*) AS n_rows,
+      |    CAST(SUM(((k % 1048576) * 2654435761
+      |      + (k // 1048576) * 40503) % 4294967296) AS BIGINT)
+      |      AS key_mix_sum,
+      |    CAST(SUM(cents) AS BIGINT) AS cents_sum
+      |  FROM l
+      |  UNION ALL
+      |  SELECT 'orders', COUNT(*),
+      |    CAST(SUM(((k % 1048576) * 2654435761
+      |      + (k // 1048576) * 40503) % 4294967296) AS BIGINT),
+      |    CAST(SUM(cents) AS BIGINT)
+      |  FROM o)
+      |SELECT tbl, n_rows, key_mix_sum, cents_sum
+      |FROM f ORDER BY tbl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_table_checksum" -> (tableChecksum _),
     "dq_fd_check" -> (fdCheck _),
     "dq_freshness" -> ((s: SparkSession, d: String) => freshness(s, d)),
     "dq_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
@@ -1195,6 +1261,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_table_checksum" -> tableChecksumSql,
     "dq_fd_check" -> fdCheckSql,
     "dq_freshness" -> freshnessSql,
     "dq_k_anonymity" -> kAnonymitySql,

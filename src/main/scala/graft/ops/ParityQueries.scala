@@ -1344,7 +1344,115 @@ object ParityQueries {
 
   // ---------------------------------------------------------------- //
 
+  // ---------------------------------------------------------------- //
+
+  /** Multi-character-delimiter CSV round-trip (`||` separator) — the
+    * ingest dialect legacy exports actually ship (reference `S2`
+    * generalized): write orders out `||`-separated with a status
+    * value that CONTAINS a single `|` (so quoting, not splitting,
+    * must carry it), read it back, and reconcile against the source
+    * relation field by field.
+    *
+    * Scale: the round-trip is per-file parallel on both sides; the
+    * reconciliation is one full-outer join on the key — the
+    * fixture-scale version of a migration backfill check. */
+  def convCsvMultichar(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = scratch(dir, "conv_multichar")
+    val expect = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      concat(col("o_orderstatus"), lit("|"),
+        col("o_orderpriority")).as("tag_ex"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("p_ex"))
+    graft.Scaffold.setup {
+      expect.select(col("o_orderkey"), col("tag_ex").as("tag"),
+          col("p_ex").as("p"))
+        .write.mode("overwrite")
+        .option("header", "true").option("sep", "||").csv(csvDir)
+    }
+    val back = s.read
+      .option("header", "true").option("sep", "||").csv(csvDir)
+      .select(col("o_orderkey").cast(LongType).as("o_orderkey"),
+        col("tag").as("tag_rt"),
+        col("p").cast(DecimalType(18, 2)).as("p_rt"))
+    back.join(expect, Seq("o_orderkey"), "full_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("tag_rt").isNull || col("tag_ex").isNull ||
+          col("tag_rt") =!= col("tag_ex") ||
+          col("p_rt") =!= col("p_ex"), 1L).otherwise(0L))
+          .as("n_mismatch"),
+        (sum(col("p_ex")) * 100).cast(LongType).as("sum_cents"),
+        countDistinct(col("tag_ex")).as("n_tags"))
+  }
+
+  val convCsvMulticharSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_mismatch,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |    AS BIGINT) AS sum_cents,
+      |  COUNT(DISTINCT o_orderstatus || '|' || o_orderpriority)
+      |    AS n_tags
+      |FROM orders""".stripMargin
+
+  /** GDPR crypto-shredding lifecycle (reference purge family Q4
+    * hardened): PII-bearing values are stored ONLY as
+    * `cents XOR key(custkey)` with per-customer keys in a separate
+    * key table; erasure = deleting the key rows (here every custkey
+    * ≡ 0 mod 10), after which the ciphertext is information-free.
+    * The readable aggregate decodes through the surviving keys and
+    * is reconciled against the plaintext relation (`n_corrupt` must
+    * be 0); the oracle computes the readable sums INDEPENDENTLY from
+    * plaintext, so a broken decode cannot hash green.
+    *
+    * Scale: the key table is O(customers) and joins by key —
+    * broadcast at dim scale, shuffle-join at fact scale; encode and
+    * decode are pure projections (two's-complement XOR is
+    * engine-portable). */
+  def purgeCryptoShred(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_mktsegment"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("cents"))
+    val keyed = cust.withColumn("key",
+      expr("(c_custkey * 2654435761) % 4294967296"))
+    // the at-rest store: ciphertext only, no plaintext column
+    val enc = keyed.select(col("c_custkey"), col("c_mktsegment"),
+      expr("cents ^ key").as("cipher"))
+    // erasure batch: custkey % 10 == 0 keys are shredded
+    val keys = keyed.filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey"), col("key"))
+    enc.join(keys, Seq("c_custkey"), "left")
+      .withColumn("decoded", expr("cipher ^ key"))
+      .join(cust.select(col("c_custkey"), col("cents")), "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("key").isNull, 1L).otherwise(0L))
+          .as("n_shredded"),
+        sum(when(col("key").isNotNull, col("decoded"))
+          .otherwise(0L)).as("readable_cents"),
+        sum(when(col("key").isNotNull &&
+          col("decoded") =!= col("cents"), 1L).otherwise(0L))
+          .as("n_corrupt"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val purgeCryptoShredSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM customer)
+      |SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_shredded,
+      |  CAST(SUM(CASE WHEN c_custkey % 10 <> 0 THEN cents ELSE 0 END)
+      |    AS BIGINT) AS readable_cents,
+      |  CAST(0 AS BIGINT) AS n_corrupt
+      |FROM cust GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conv_csv_multichar"    -> (convCsvMultichar _),
+    "purge_crypto_shred"    -> (purgeCryptoShred _),
     "conv_ledger"           -> (convLedger _),
     "conv_csv_roundtrip"    -> (convCsvRoundtrip _),
     "conv_csv_gzip_roundtrip" -> (convCsvGzipRoundtrip _),
@@ -1378,6 +1486,8 @@ object ParityQueries {
     "purge_missing_table"   -> (purgeMissingTable _))
 
   def oracle: Map[String, String] = Map(
+    "conv_csv_multichar"    -> convCsvMulticharSql,
+    "purge_crypto_shred"    -> purgeCryptoShredSql,
     "conv_ledger"           -> convLedgerSql,
     "conv_csv_roundtrip"    -> convCsvRoundtripSql,
     "conv_csv_gzip_roundtrip" -> convCsvGzipRoundtripSql,

@@ -246,4 +246,75 @@ class RoundSixBatchTwoSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 2L))
   }
+
+  test("dq_table_checksum: order-invariant, single-value-sensitive") {
+    val liRows = Seq(
+      Row(1L, 1, 100.0), Row(1L, 2, 200.0), Row(2L, 1, 300.0))
+    val liSchema2 = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_extendedprice", DoubleType)))
+    def write(dir: String, li: Seq[Row], parts: Int,
+        oPrice: Double): Unit = {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(li, parts), liSchema2)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(7L, 1L, "F", oPrice, new Timestamp(0L), "A")), 1),
+        ordersSchema)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    }
+    val d1 = tmpDir("r6b2_ck1"); val d2 = tmpDir("r6b2_ck2")
+    val d3 = tmpDir("r6b2_ck3")
+    write(d1, liRows, 1, 10.0)
+    write(d2, liRows.reverse, 3, 10.0) // same rows, order+layout differ
+    write(d3, liRows.updated(0, Row(1L, 1, 100.01)), 1, 10.0)
+    def fps(d: String) = DataQuality.tableChecksum(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(fps(d1) === fps(d2))
+    val (a, b) = (fps(d1).head, fps(d3).head)
+    assert(a._3 === b._3)     // keys unchanged
+    assert(a._4 === b._4 - 1) // one cent moved
+  }
+
+  test("conv_csv_multichar: || delimiter with embedded | survives " +
+    "the round-trip") {
+    val dir = tmpDir("r6b2_mc")
+    val data = Seq(
+      Row(1L, 1L, "O", 10.0, new Timestamp(0L), "1-URGENT"),
+      Row(2L, 1L, "F", 20.5, new Timestamp(0L), "2-HIGH"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), ordersSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = ops.ParityQueries.convCsvMultichar(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((2L, 0L, 3050L, 2L)))
+  }
+
+  test("purge_crypto_shred: decode through surviving keys matches " +
+    "plaintext, shredded rows drop out") {
+    val dir = tmpDir("r6b2_shred")
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    val data = Seq(
+      Row(1L, "a", 0, 100.00, "SEG1"),
+      Row(10L, "b", 0, 55.25, "SEG1"), // key shredded
+      Row(2L, "c", 0, -10.50, "SEG2")) // negative balance round-trips
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), custSchema)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = ops.ParityQueries.purgeCryptoShred(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("SEG1") === ((2L, 1L, 10000L, 0L)))
+    assert(got("SEG2") === ((1L, 0L, -1050L, 0L)))
+  }
 }
