@@ -1066,7 +1066,166 @@ object Evaluation {
       |    AS BIGINT) AS tau_e6
       |FROM st""".stripMargin
 
+  /** Isotonic calibration by pool-adjacent-violators, computed via
+    * the MINIMAX characterization iso(i) = max_{j≤i} min_{k≥i}
+    * mean(y[j..k]) (Barlow et al. 1972, §1.2) instead of the
+    * sequential stack merge — on the 10-bin calibration curve the
+    * whole fit is a bounded triple join over prefix sums, fully
+    * declarative and order-independent, where the classic PAV loop
+    * would be inherently sequential. The output is the monotone
+    * non-decreasing recalibrated probability per score bin.
+    *
+    * Determinism: segment means are ONE long/long double division
+    * each; min/max compare those doubles (no accumulation); the
+    * result snaps to e6.
+    *
+    * Scale: the corpus collapses to B=10 bin aggregates
+    * map-combinably; the O(B³) minimax runs on a 1000-triple frame.
+    * Finer grids use the same statement — B=1000 is 1e9 triples
+    * across the cluster, still nothing against corpus scan cost. */
+  def isotonicGate(s: SparkSession, dir: String): DataFrame = {
+    val bin = expr("least(n_chars, 3999L) * 10L div 4000L")
+    val bins = Tables.documents(s, dir)
+      .select(bin.as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    // 10-row frame: the unpartitioned prefix window is metadata-sized
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cp", sum(col("p")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+      .select(col("bin"), col("n"), col("p"),
+        (col("cp") - col("p")).as("cpx"),
+        (col("cn") - col("n")).as("cnx"),
+        col("cp"), col("cn"))
+    val segs = cum.select(col("bin").as("j"), col("cpx"), col("cnx"))
+      .join(cum.select(col("bin").as("k"), col("cp"), col("cn")),
+        col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cp") - col("cpx")).cast(DoubleType) /
+          (col("cn") - col("cnx")).cast(DoubleType)).as("seg_mean"))
+    cum.select(col("bin"), col("n"), col("p"))
+      .join(segs, col("j") <= col("bin") && col("bin") <= col("k"))
+      .groupBy(col("bin"), col("n"), col("p"), col("j"))
+      .agg(min(col("seg_mean")).as("m"))
+      .groupBy(col("bin"), col("n"), col("p"))
+      .agg(max(col("m")).as("iso"))
+      .select(col("bin"), col("n"), col("p"),
+        expr("CAST(floor(iso * 1000000.0 + 0.5) AS BIGINT)")
+          .as("iso_e6"))
+      .orderBy(col("bin"))
+  }
+
+  val isotonicSql: String =
+    """WITH b AS (
+      |  SELECT LEAST(n_chars, 3999) * 10 // 4000 AS bin,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |bins AS (
+      |  SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS p
+      |  FROM b GROUP BY bin),
+      |cum AS (
+      |  SELECT bin, n, p,
+      |    CAST(SUM(p) OVER (ORDER BY bin) - p AS BIGINT) AS cpx,
+      |    CAST(SUM(n) OVER (ORDER BY bin) - n AS BIGINT) AS cnx,
+      |    CAST(SUM(p) OVER (ORDER BY bin) AS BIGINT) AS cp,
+      |    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn
+      |  FROM bins),
+      |segs AS (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    CAST(k.cp - j.cpx AS DOUBLE)
+      |      / CAST(k.cn - j.cnx AS DOUBLE) AS seg_mean
+      |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+      |mj AS (
+      |  SELECT c.bin, c.n, c.p, s.j, MIN(s.seg_mean) AS m
+      |  FROM cum c JOIN segs s
+      |    ON s.j <= c.bin AND c.bin <= s.k
+      |  GROUP BY c.bin, c.n, c.p, s.j)
+      |SELECT bin AS bin, n, p,
+      |  CAST(floor(MAX(m) * 1000000.0 + 0.5) AS BIGINT) AS iso_e6
+      |FROM mj GROUP BY bin, n, p
+      |ORDER BY bin""".stripMargin
+
+  /** Wilcoxon signed-rank statistic over paired per-customer spend
+    * in two eras (1995-97 vs 1998-2000) — the nonparametric paired
+    * test the repo's McNemar gate is the binary cousin of. Average
+    * ranks for tied |d| come from the VALUE HISTOGRAM via the
+    * doubled-integer 2·cum_before + cnt + 1 trick (the
+    * [[spearmanGate]] discipline — no per-row global sort, and
+    * doubled ranks keep .5-averages exact in BIGINTs). Zero
+    * differences drop out per the standard Wilcoxon treatment.
+    *
+    * Scale: pairing and differencing are map-combinable customer
+    * aggregates; ranking runs over the O(distinct |d|) histogram
+    * only. */
+  def wilcoxonGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(when(year(col("o_orderdate")) <= 1997,
+          col("o_totalprice").cast(DecimalType(18, 2)))) * 100)
+          .cast(LongType).as("a"),
+        (sum(when(year(col("o_orderdate")) >= 1998,
+          col("o_totalprice").cast(DecimalType(18, 2)))) * 100)
+          .cast(LongType).as("b"))
+      .select((coalesce(col("a"), lit(0L)) -
+        coalesce(col("b"), lit(0L))).as("d"))
+      .filter(col("d") =!= 0)
+      .select(abs(col("d")).as("ad"),
+        when(col("d") > 0, 1L).otherwise(0L).as("is_pos"))
+    val hist = d.groupBy(col("ad"))
+      .agg(count(lit(1)).as("cnt"), sum(col("is_pos")).as("pos"))
+    // O(distinct |d|) histogram frame: metadata-sized window
+    val w = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("rank2",
+        lit(2L) * col("cum_before") + col("cnt") + 1L)
+      .agg(sum(col("cnt")).as("n_eff"),
+        sum(col("pos") * col("rank2")).as("w_plus_x2"),
+        sum((col("cnt") - col("pos")) * col("rank2"))
+          .as("w_minus_x2"))
+      .select(col("n_eff"), col("w_plus_x2"), col("w_minus_x2"),
+        (col("w_plus_x2") + col("w_minus_x2")).as("check_x2"))
+  }
+
+  val wilcoxonSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) <= 1997
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) * 100
+      |      AS BIGINT) AS a,
+      |    CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) >= 1998
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) * 100
+      |      AS BIGINT) AS b
+      |  FROM orders GROUP BY o_custkey),
+      |d AS (
+      |  SELECT abs(a - b) AS ad,
+      |    CASE WHEN a - b > 0 THEN 1 ELSE 0 END AS is_pos
+      |  FROM per WHERE a - b <> 0),
+      |hist AS (
+      |  SELECT ad, COUNT(*) AS cnt, CAST(SUM(is_pos) AS BIGINT)
+      |    AS pos
+      |  FROM d GROUP BY ad),
+      |r AS (
+      |  SELECT cnt, pos,
+      |    2 * COALESCE(SUM(cnt) OVER (ORDER BY ad
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cnt + 1 AS rank2
+      |  FROM hist)
+      |SELECT CAST(SUM(cnt) AS BIGINT) AS n_eff,
+      |  CAST(SUM(pos * rank2) AS BIGINT) AS w_plus_x2,
+      |  CAST(SUM((cnt - pos) * rank2) AS BIGINT) AS w_minus_x2,
+      |  CAST(SUM(pos * rank2) + SUM((cnt - pos) * rank2) AS BIGINT)
+      |    AS check_x2
+      |FROM r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_isotonic" -> (isotonicGate _),
+    "eval_wilcoxon" -> (wilcoxonGate _),
     "eval_kendall" -> (kendallGate _),
     "eval_spearman" -> (spearmanGate _),
     "eval_mcc" -> (mccGate _),
@@ -1085,6 +1244,8 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_isotonic" -> isotonicSql,
+    "eval_wilcoxon" -> wilcoxonSql,
     "eval_kendall" -> kendallSql,
     "eval_spearman" -> spearmanSql,
     "eval_mcc" -> mccSql,

@@ -229,6 +229,39 @@ object Maintenance {
     * targets, aggregate the compacted copy. The oracle aggregates the
     * ORIGINAL table — equality proves compaction is value-preserving.
     */
+  /** Partition-layout evolution: rewrite events from its flat layout
+    * into a `month=`-partitioned directory tree (the lakehouse
+    * "repartition the table as it grows" migration), then prove the
+    * new layout both preserves content (per-month counts + exact
+    * value sums reconciled against the source relation by the
+    * oracle) and actually partitions (one `month=` directory per
+    * month — read back through the partitioned reader).
+    *
+    * Scale: the rewrite is one shuffle-free pass (partitionBy on
+    * write splits files per input task); downstream month-predicate
+    * scans prune whole directories — the point of the migration.
+    * MaintenanceSpec asserts the pruned-scan plan carries the month
+    * PartitionFilter. */
+  def partitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "ev_by_month")
+    Tables.events(s, dir)
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      .write.partitionBy("month").mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("value").cast(DecimalType(18, 4))) * 10000)
+          .cast(LongType).as("value_e4"))
+      .orderBy(col("month"))
+  }
+
+  val partitionEvolutionSql: String =
+    """SELECT strftime(ts, '%Y-%m') AS month, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+      |    AS value_e4
+      |FROM events GROUP BY strftime(ts, '%Y-%m')
+      |ORDER BY month""".stripMargin
+
   def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = scratch(dir, "compact_src")
     val dst = scratch(dir, "compact_out")
@@ -782,6 +815,7 @@ object Maintenance {
       |ORDER BY o.o_orderkey""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_partition_evolution" -> (partitionEvolution _),
     "maint_ivm_join" -> (ivmJoin _),
     "mv_rewrite_agg" -> (mvRewriteAgg _),
     "stream_mv_maintain" -> (streamMvMaintain _),
@@ -796,6 +830,7 @@ object Maintenance {
     "scd2_build" -> (scd2Build _),
     "stream_cdc_apply" -> (cdcApply _))
   def oracle: Map[String, String] = Map(
+    "maint_partition_evolution" -> partitionEvolutionSql,
     "maint_ivm_join" -> ivmJoinSql,
     "mv_rewrite_agg" -> mvRewriteAggSql,
     "stream_mv_maintain" -> streamMvMaintainSql,

@@ -6,8 +6,8 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{DataQuality, Evaluation, Graph, Learn, Similarity,
-  TimeSeries, TrainingData}
+import graft.ops.{DataQuality, Evaluation, Graph, Learn, Maintenance,
+  Similarity, TimeSeries, TrainingData}
 
 /** Planted-fixture invariants for the second round-6 operator batch:
   * smoothed/LOO target encoding, hashing-trick featurization, and
@@ -316,5 +316,68 @@ class RoundSixBatchTwoSpec extends SparkSpec {
       .toMap
     assert(got("SEG1") === ((2L, 1L, 10000L, 0L)))
     assert(got("SEG2") === ((1L, 0L, -1050L, 0L)))
+  }
+
+  test("eval_isotonic: PAV pools the violating pair exactly") {
+    // bins (n, pos): b0 (2,0) b1 (2,2) b2 (2,1) -> rates 0, 1, .5
+    // PAV pools bins 1-2 to 3/4: iso = [0, 750000, 750000]
+    val dir = tmpDir("r6b2_iso")
+    def doc(id: Long, chars: Long, en: Boolean) =
+      Row(id, "t", if (en) "en" else "de", "s", chars)
+    val data = Seq(
+      doc(1, 100, false), doc(2, 150, false),
+      doc(3, 500, true), doc(4, 550, true),
+      doc(5, 900, true), doc(6, 950, false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Evaluation.isotonicGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 750000L, 2L -> 750000L))
+  }
+
+  test("eval_wilcoxon: doubled average ranks for the tied pair") {
+    // diffs: +10000, -5000, +5000 (zero diff dropped)
+    // rank2(|5000|) = 3 each, rank2(10000) = 6
+    // W+x2 = 3 + 6 = 9, W-x2 = 3, check = 12 = 2 * n(n+1)/2
+    def o(k: Long, ck: Long, year: Int, price: Double) =
+      Row(k, ck, "F", price,
+        Timestamp.valueOf(s"$year-06-01 00:00:00"), "A")
+    val dir = tmpDir("r6b2_wilcox")
+    val data = Seq(
+      o(1, 1, 1996, 100.0),
+      o(2, 2, 1999, 50.0),
+      o(3, 3, 1996, 30.0), o(4, 3, 1999, 30.0),
+      o(5, 4, 1996, 50.0))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), ordersSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Evaluation.wilcoxonGate(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((3L, 9L, 3L, 12L)))
+  }
+
+  test("maint_partition_evolution: month dirs appear and the " +
+    "re-read prunes on the partition column") {
+    val dir = tmpDir("r6b2_pe")
+    val rows = Seq(
+      evAt(1, 1, 5), evAt(2, 1, 6),
+      Row(3L, Timestamp.valueOf("2024-02-10 12:00:00"), 2L, "view",
+        1.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Maintenance.partitionEvolution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq.sorted === Seq(("2023-12", 2L), ("2024-02", 1L)))
+    val out = s"/tmp/graft_scratch/" +
+      s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/ev_by_month"
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("month=")))
+    val pruned = spark.read.parquet(out)
+      .filter(col("month") === "2024-02")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("month"))
   }
 }
