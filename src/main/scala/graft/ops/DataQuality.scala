@@ -1237,7 +1237,40 @@ object DataQuality {
       |SELECT tbl, n_rows, key_mix_sum, cents_sum
       |FROM f ORDER BY tbl""".stripMargin
 
+  /** l-diversity audit (Machanavajjhala et al., ICDE'06) — the
+    * k-anonymity complement: a quasi-identifier group that is
+    * k-anonymous but holds ONE sensitive value still leaks it.
+    * Groups customers by the (mktsegment, nationkey) quasi-identifier
+    * and counts DISTINCT sensitive values (balance band) per group;
+    * the output is the l-histogram — groups at l = 1 are the
+    * disclosure risk.
+    *
+    * Scale: one distinct-groupBy + one O(groups) re-aggregate, both
+    * map-combinable; no row-level data leaves the QI shuffle. */
+  def lDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("sens"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(countDistinct(col("sens")).as("l"),
+        count(lit(1)).as("grp_n"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("grp_n")).as("n_rows"))
+      .orderBy(col("l"))
+
+  val lDiversitySql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+      |      AS l,
+      |    COUNT(*) AS grp_n
+      |  FROM customer GROUP BY c_mktsegment, c_nationkey)
+      |SELECT l, COUNT(*) AS n_groups,
+      |  CAST(SUM(grp_n) AS BIGINT) AS n_rows
+      |FROM g GROUP BY l ORDER BY l""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_l_diversity" -> (lDiversity _),
     "dq_table_checksum" -> (tableChecksum _),
     "dq_fd_check" -> (fdCheck _),
     "dq_freshness" -> ((s: SparkSession, d: String) => freshness(s, d)),
@@ -1261,6 +1294,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_l_diversity" -> lDiversitySql,
     "dq_table_checksum" -> tableChecksumSql,
     "dq_fd_check" -> fdCheckSql,
     "dq_freshness" -> freshnessSql,

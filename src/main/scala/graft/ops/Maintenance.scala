@@ -199,6 +199,86 @@ object Maintenance {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Exactly-once sink under AT-LEAST-ONCE delivery: a foreachBatch
+    * sink that commits each micro-batch's aggregate into a
+    * `batch=<id>`-keyed ledger via write-to-temp + atomic rename,
+    * and SKIPS any batch id already committed. The gate drives two
+    * real micro-batches through the stream, then REDELIVERS both
+    * batch payloads out-of-band (the retry a crashed driver or a
+    * replayed offset range produces) — the idempotence check must
+    * swallow them, or every count doubles and the oracle (which
+    * states the exactly-once totals straight from the source
+    * relation) hash-fails.
+    *
+    * Scale: the ledger commit is O(aggregate) per batch; the
+    * idempotence test is one directory existence probe — the
+    * transactional-sink pattern every exactly-once Spark pipeline
+    * uses against object stores. */
+  def idempotentSink(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = scratch(dir, "idem/src")
+    val ledger = scratch(dir, "idem/ledger")
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "idem_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    def half(parity: Int): DataFrame =
+      ev.filter(col("event_id") % 2 === parity)
+    def commit(batch: DataFrame, id: Long): Unit = {
+      val outP = new org.apache.hadoop.fs.Path(s"$ledger/batch=$id")
+      val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(outP)) { // already committed -> idempotent skip
+        val tmp = new org.apache.hadoop.fs.Path(s"$ledger/.tmp_$id")
+        batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("value").cast(DecimalType(18, 4))) * 10000)
+              .cast(LongType).as("v_e4"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.mkdirs(outP.getParent)
+        require(fs.rename(tmp, outP), s"ledger commit rename failed")
+      }
+    }
+    graft.Scaffold.setup {
+      Seq(srcDir, ledger, ck).foreach(rm)
+      half(0).write.mode("overwrite").parquet(srcDir)
+    }
+    val q = s.readStream.schema(ev.schema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) => commit(b, id) }
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.Scaffold.setup {
+        half(1).write.mode("append").parquet(srcDir)
+      }
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.streaming.EventStreams.dropCheckpoint(ck)
+    }
+    // at-least-once retries: redeliver BOTH batch payloads
+    commit(half(0), 0L)
+    commit(half(1), 1L)
+    s.read.parquet(ledger)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("v_e4")).as("v_e4"),
+        countDistinct(col("batch")).as("n_batches"))
+      .orderBy(col("event_type"))
+  }
+
+  val idempotentSinkSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+      |    AS v_e4,
+      |  COUNT(DISTINCT event_id % 2) AS n_batches
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val cdcApplySql: String =
     """WITH b1 AS (
       |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
@@ -828,7 +908,8 @@ object Maintenance {
     "merge_upsert" -> (mergeUpsert _),
     "compact_roundtrip" -> (compactRoundtrip _),
     "scd2_build" -> (scd2Build _),
-    "stream_cdc_apply" -> (cdcApply _))
+    "stream_cdc_apply" -> (cdcApply _),
+    "stream_idempotent_sink" -> (idempotentSink _))
   def oracle: Map[String, String] = Map(
     "maint_partition_evolution" -> partitionEvolutionSql,
     "maint_ivm_join" -> ivmJoinSql,
@@ -843,5 +924,6 @@ object Maintenance {
     "merge_upsert" -> mergeUpsertSql,
     "compact_roundtrip" -> compactRoundtripSql,
     "scd2_build" -> scd2BuildSql,
-    "stream_cdc_apply" -> cdcApplySql)
+    "stream_cdc_apply" -> cdcApplySql,
+    "stream_idempotent_sink" -> idempotentSinkSql)
 }

@@ -357,6 +357,45 @@ class RoundSixBatchTwoSpec extends SparkSpec {
       === ((3L, 9L, 3L, 12L)))
   }
 
+  test("stream_idempotent_sink: redelivered batches are swallowed, " +
+    "totals stay exactly-once") {
+    val dir = tmpDir("r6b2_idem")
+    val rows = Seq(
+      Row(2L, new Timestamp(0L), 1L, "A", 1.5, "{}"),
+      Row(4L, new Timestamp(0L), 1L, "A", 2.5, "{}"),
+      Row(1L, new Timestamp(0L), 1L, "A", 10.0, "{}"),
+      Row(3L, new Timestamp(0L), 1L, "B", 4.0, "{}"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Maintenance.idempotentSink(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doubled counts would read A -> 6 / B -> 2; exactly-once is 3/1
+    assert(got("A") === ((3L, 140000L, 2L))) // 14.0 summed, 2 batches
+    assert(got("B") === ((1L, 40000L, 1L)))  // odd-only type
+  }
+
+  test("dq_l_diversity: k-anonymous group with one sensitive band " +
+    "lands at l=1") {
+    val dir = tmpDir("r6b2_ldiv")
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    val data = Seq(
+      Row(1L, "a", 0, 500.0, "SEG1"), Row(2L, "b", 0, 700.0, "SEG1"),
+      Row(3L, "c", 1, 500.0, "SEG1"), Row(4L, "d", 1, 1500.0, "SEG1"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), custSchema)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = DataQuality.lDiversity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((1L, 2L)), 2L -> ((1L, 2L))))
+  }
+
   test("maint_partition_evolution: month dirs appear and the " +
     "re-read prunes on the partition column") {
     val dir = tmpDir("r6b2_pe")
