@@ -1269,7 +1269,72 @@ object DataQuality {
       |  CAST(SUM(grp_n) AS BIGINT) AS n_rows
       |FROM g GROUP BY l ORDER BY l""".stripMargin
 
+  /** Inclusion-dependency audit — the FOREIGN-KEY discovery
+    * complement of [[fdCheck]]: for each candidate `child ⊆ parent`,
+    * how many distinct child values exist, how many are ORPHANS
+    * (absent from the parent key set), and whether the inclusion
+    * holds. The profiling pass that finds joinable columns and
+    * broken referential integrity in one sweep.
+    *
+    * Scale: each candidate is distinct-reduce on both sides then a
+    * key-partitioned LEFT ANTI join — child distincts shuffle once,
+    * parent key sets broadcast when dimension-sized; candidates run
+    * independently. */
+  def inclusionDep(s: SparkSession, dir: String): DataFrame = {
+    def audit(child: DataFrame, ck: String, parent: DataFrame,
+        pk: String, name: String): DataFrame = {
+      val c = child.select(col(ck).cast(LongType).as("k")).distinct()
+      val p = parent.select(col(pk).cast(LongType).as("k")).distinct()
+      val orphans = c.join(p, Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("ind"), col("n_child"),
+          col("n_orphans"),
+          when(col("n_orphans") === 0, 1L).otherwise(0L).as("holds"))
+    }
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey<=orders.o_orderkey")
+      .unionAll(audit(o, "o_custkey", c, "c_custkey",
+        "orders.o_custkey<=customer.c_custkey"))
+      .unionAll(audit(li, "l_suppkey", su, "s_suppkey",
+        "lineitem.l_suppkey<=supplier.s_suppkey"))
+      .orderBy(col("ind"))
+  }
+
+  val inclusionDepSql: String =
+    """WITH a AS (
+      |  SELECT 'lineitem.l_orderkey<=orders.o_orderkey' AS ind,
+      |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+      |      AS n_child,
+      |    (SELECT COUNT(*) FROM
+      |      (SELECT DISTINCT l_orderkey FROM lineitem
+      |       WHERE l_orderkey NOT IN
+      |         (SELECT o_orderkey FROM orders))) AS n_orphans
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey<=customer.c_custkey',
+      |    (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+      |    (SELECT COUNT(*) FROM
+      |      (SELECT DISTINCT o_custkey FROM orders
+      |       WHERE o_custkey NOT IN
+      |         (SELECT c_custkey FROM customer)))
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey<=supplier.s_suppkey',
+      |    (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+      |    (SELECT COUNT(*) FROM
+      |      (SELECT DISTINCT l_suppkey FROM lineitem
+      |       WHERE l_suppkey NOT IN
+      |         (SELECT s_suppkey FROM supplier))))
+      |SELECT ind, CAST(n_child AS BIGINT) AS n_child,
+      |  CAST(n_orphans AS BIGINT) AS n_orphans,
+      |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS holds
+      |FROM a ORDER BY ind""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_inclusion_dep" -> (inclusionDep _),
     "dq_l_diversity" -> (lDiversity _),
     "dq_table_checksum" -> (tableChecksum _),
     "dq_fd_check" -> (fdCheck _),
@@ -1294,6 +1359,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_inclusion_dep" -> inclusionDepSql,
     "dq_l_diversity" -> lDiversitySql,
     "dq_table_checksum" -> tableChecksumSql,
     "dq_fd_check" -> fdCheckSql,

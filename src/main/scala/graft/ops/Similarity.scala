@@ -2441,8 +2441,51 @@ object Similarity {
        |SELECT vec_id, role, CAST(cluster AS BIGINT) AS cluster
        |FROM labeled ORDER BY vec_id""".stripMargin
 
+  /** IVF nProbe tuning sweep — the recall-vs-cost curve an operator
+    * reads before fixing a serving configuration: probe the SAME
+    * persisted index at nProbe ∈ {1, 2, 4, 8} and compare each
+    * result list against this engine's exact top-k. Emitted facts
+    * are the PROVABLE ones: probed cell sets are nested (top-nProbe
+    * by centroid distance), and any candidate outscoring an exact
+    * top-k member is itself an exact top-k member, so true-hit
+    * counts are non-decreasing in nProbe; the widest probe must
+    * clear the ivf_recall threshold. Actual recall numbers are
+    * deterministic but scale-dependent, so the gate pins structure,
+    * not constants (the [[annListGate]] philosophy).
+    *
+    * Scale: one index build (shared via [[ensureBaseIndex]]); each
+    * probe reads nProbe/nCells of the index through partition
+    * pruning — the sweep costs 4 probes, not 4 builds. */
+  def ivfNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureBaseIndex(s, dir)
+    val bf = bruteForcePairs(s, dir)
+    val bfN = bf.count()
+    val hits = Seq(1, 2, 4, 8).map { p =>
+      val h = annIvfProbeIndex(s, dir, idx, nProbe = p)
+        .select(col("query_id"), col("target_id"))
+        .join(bf, Seq("query_id", "target_id"), "left_semi")
+        .count()
+      (p.toLong, h)
+    }
+    import s.implicits._
+    hits.zip(0L +: hits.map(_._2)).map { case ((p, h), prev) =>
+      (p, h >= prev, h <= bfN,
+        p < 8 || h.toDouble / bfN >= 0.3)
+    }.toDF("nprobe", "hits_nondecreasing", "hits_bounded",
+      "recall_ok").orderBy(col("nprobe"))
+  }
+
+  val ivfNprobeSweepSql: String =
+    """SELECT CAST(nprobe AS BIGINT) AS nprobe,
+      |  CAST(1 AS BOOLEAN) AS hits_nondecreasing,
+      |  CAST(1 AS BOOLEAN) AS hits_bounded,
+      |  CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM (SELECT unnest([1, 2, 4, 8]) AS nprobe)
+      |ORDER BY nprobe""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dbscan" -> ((s: SparkSession, d: String) => dbscan(s, d)),
+    "sim_ivf_nprobe_sweep" -> (ivfNprobeSweep _),
     "embed_norm_stats" -> (normStats _),
     "sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embed_triplets" -> ((s, d) => tripletMine(s, d)),
@@ -2491,6 +2534,7 @@ object Similarity {
 
   def oracle: Map[String, String] = Map(
     "sim_dbscan" -> dbscanSql,
+    "sim_ivf_nprobe_sweep" -> ivfNprobeSweepSql,
     "embed_norm_stats" -> normStatsSql,
     "sim_knn_graph" -> knnGraphSql(),
     "embed_triplets" -> tripletMineSql(),

@@ -1853,6 +1853,68 @@ object TimeSeries {
       |FROM sym GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Hampel filter over the hourly event-count series: each point is
+    * compared against the MEDIAN of its 5-point window, with the
+    * window's MAD (median absolute deviation) as the robust scale —
+    * the spike-repair step that z-scores get wrong because a spike
+    * inflates its own mean and SD. A point with |x − med| > 3·MAD is
+    * flagged and repaired to the median.
+    *
+    * Determinism: counts are integers, the window is exactly 5 rows
+    * (truncated edge windows are excluded), so median = 3rd smallest
+    * — everything is `sort_array`/`element_at` BIGINT arithmetic, no
+    * percentile interpolation anywhere.
+    *
+    * Scale: the corpus collapses to the O(hours) grid in one
+    * map-combinable groupBy; the windowed array is 5 elements per
+    * grid row. The unpartitioned ORDER BY h window runs on the
+    * metadata-sized grid (~720 rows/month), not the corpus — at
+    * multi-year spans it partitions by month with 2-row overlap. */
+  def tsHampel(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("h"))
+    val arr = hourly
+      .withColumn("win", collect_list(col("x"))
+        .over(w.rowsBetween(-2, 2)))
+      .filter(size(col("win")) === 5)
+    arr
+      .withColumn("med", element_at(sort_array(col("win")), 3))
+      .withColumn("mad", element_at(sort_array(
+        transform(col("win"), v => abs(v - col("med")))), 3))
+      .select(col("h"), col("x"), col("med"), col("mad"),
+        when(abs(col("x") - col("med")) > lit(3L) * col("mad"), 1L)
+          .otherwise(0L).as("is_outlier"),
+        when(abs(col("x") - col("med")) > lit(3L) * col("mad"),
+          col("med")).otherwise(col("x")).as("repaired"))
+      .orderBy(col("h"))
+  }
+
+  val tsHampelSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
+      |  FROM events GROUP BY date_trunc('hour', ts)),
+      |arr AS (
+      |  SELECT h, x,
+      |    list(x) OVER (ORDER BY h
+      |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS win
+      |  FROM hourly),
+      |m AS (
+      |  SELECT h, x, list_sort(win)[3] AS med, win
+      |  FROM arr WHERE len(win) = 5),
+      |d AS (
+      |  SELECT h, x, med,
+      |    list_sort(list_transform(win, v -> abs(v - med)))[3] AS mad
+      |  FROM m)
+      |SELECT h, CAST(x AS BIGINT) AS x, CAST(med AS BIGINT) AS med,
+      |  CAST(mad AS BIGINT) AS mad,
+      |  CAST(CASE WHEN abs(x - med) > 3 * mad THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_outlier,
+      |  CAST(CASE WHEN abs(x - med) > 3 * mad THEN med ELSE x END
+      |    AS BIGINT) AS repaired
+      |FROM d ORDER BY h""".stripMargin
+
   /** Holt's linear-trend exponential smoothing (α = β = 0.5) over
     * the daily order-revenue series, plus a 7-day linear forecast —
     * the level+trend upgrade of [[tsEwma]]. Revenue days are exact
@@ -1920,6 +1982,7 @@ object TimeSeries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_sax"            -> (tsSax _),
         "ts_holt"           -> (tsHolt _),
+        "ts_hampel"         -> (tsHampel _),
         "ts_peaks"          -> (tsPeaks _),
         "ts_burstiness"     -> (tsBurstiness _),
         "ts_interpolate"    -> (tsInterpolate _),
@@ -1946,7 +2009,8 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> (behaviorLshGate _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
-    Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql) ++
+    Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
+        "ts_hampel" -> tsHampelSql) ++
     Map("ts_peaks"          -> tsPeaksSql,
         "ts_burstiness"     -> tsBurstinessSql,
         "ts_interpolate"    -> tsInterpolateSql,

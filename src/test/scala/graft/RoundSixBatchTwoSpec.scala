@@ -14,6 +14,8 @@ import graft.ops.{DataQuality, Evaluation, Graph, Learn, Maintenance,
   * functional-dependency auditing. */
 class RoundSixBatchTwoSpec extends SparkSpec {
 
+  private val sfDir = "/root/testdata/sf0.001"
+
   private val ordersSchema = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
@@ -394,6 +396,69 @@ class RoundSixBatchTwoSpec extends SparkSpec {
     val got = DataQuality.lDiversity(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === Map(1L -> ((1L, 2L)), 2L -> ((1L, 2L))))
+  }
+
+  test("sim_ivf_nprobe_sweep: nested probes keep every structural " +
+    "fact true on the real corpus") {
+    val got = Similarity.ivfNprobeSweep(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))
+    assert(got.forall(r => r.getBoolean(1) && r.getBoolean(2) &&
+      r.getBoolean(3)))
+  }
+
+  test("ts_hampel: spike repaired to the window median, MAD-zero " +
+    "window still flags") {
+    // hourly counts 1,1,9,1,1 -> the full-window point (hour 2) has
+    // med 1, mad 0, |9-1| > 0 -> outlier, repaired to 1
+    var id = 0L
+    val rows = Seq(0, 1, 2, 3, 4).flatMap { h =>
+      val n = if (h == 2) 9 else 1
+      (1 to n).map { _ => id += 1; evAt(id, 1L, h) }
+    }
+    val dir = eventsDir("r6b2_hampel", rows)
+    val got = TimeSeries.tsHampel(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((9L, 1L, 0L, 1L, 1L)))
+  }
+
+  test("dq_inclusion_dep: orphan child keys break the inclusion, " +
+    "clean candidates hold") {
+    val dir = tmpDir("r6b2_ind")
+    val li = Seq(
+      Row(1L, 10L, 100L, "A"), Row(2L, 10L, 100L, "A"),
+      Row(5L, 11L, 100L, "A")) // orderkey 5 has no parent order
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(li, 2), liSchema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 1L, "F", 10.0, new Timestamp(0L), "A"),
+        Row(2L, 1L, "F", 10.0, new Timestamp(0L), "A")), 1),
+      ordersSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "c")), 1), custSchema)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val supSchema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(100L, "s")), 1), supSchema)
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = DataQuality.inclusionDep(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("lineitem.l_orderkey<=orders.o_orderkey")
+      === ((3L, 1L, 0L)))
+    assert(got("orders.o_custkey<=customer.c_custkey")
+      === ((1L, 0L, 1L)))
+    assert(got("lineitem.l_suppkey<=supplier.s_suppkey")
+      === ((1L, 0L, 1L)))
   }
 
   test("maint_partition_evolution: month dirs appear and the " +
