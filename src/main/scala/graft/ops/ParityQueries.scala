@@ -1450,7 +1450,59 @@ object ParityQueries {
       |FROM cust GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Criteria delete under LEGAL HOLD (reference purge Q4 + the
+    * compliance constraint every real retention sweep carries): rows
+    * matching the deletion criteria whose customer is on the hold
+    * list MUST survive the purge. The hold list is a key table
+    * broadcast into an anti-join; the rewrite + atomic swap is the
+    * purge engine's standard copy-on-write; counts are re-read FROM
+    * THE SWAPPED TABLE so the gate proves the on-disk state, not a
+    * plan.
+    *
+    * Scale: hold lists are O(held entities) — broadcast; the rewrite
+    * is one anti-join pass, same as criteria delete. */
+  def purgeLegalHold(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir, "legal_hold/orders")
+    graft.Scaffold.setup {
+      Tables.orders(s, dir).write.mode("overwrite").parquet(base)
+    }
+    val o = s.read.parquet(base)
+    val holds = o.select(col("o_custkey")).distinct()
+      .filter(col("o_custkey") % 97 === 0) // the hold-list key table
+    val crit = col("o_orderdate") <
+      lit("1996-01-01 00:00:00").cast(TimestampType)
+    val matched = o.filter(crit)
+    val toDelete = matched
+      .join(broadcast(holds), Seq("o_custkey"), "left_anti")
+    val nBefore = o.count()
+    val nMatched = matched.count()
+    val nDelete = toDelete.count()
+    val staging = base + ".staging"
+    o.join(toDelete.select(col("o_orderkey")), Seq("o_orderkey"),
+        "left_anti")
+      .write.mode("overwrite").parquet(staging)
+    TableSwap.swapIn(s, base, staging)
+    val nAfter = s.read.parquet(base).count()
+    import s.implicits._
+    Seq((nBefore, nMatched, nMatched - nDelete, nDelete, nAfter))
+      .toDF("n_before", "n_matched", "n_held", "n_deleted", "n_after")
+  }
+
+  val purgeLegalHoldSql: String =
+    """WITH m AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      |SELECT (SELECT COUNT(*) FROM orders) AS n_before,
+      |  (SELECT COUNT(*) FROM m) AS n_matched,
+      |  (SELECT COUNT(*) FROM m WHERE o_custkey % 97 = 0) AS n_held,
+      |  (SELECT COUNT(*) FROM m WHERE o_custkey % 97 <> 0)
+      |    AS n_deleted,
+      |  (SELECT COUNT(*) FROM orders)
+      |    - (SELECT COUNT(*) FROM m WHERE o_custkey % 97 <> 0)
+      |    AS n_after""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
     "purge_crypto_shred"    -> (purgeCryptoShred _),
     "conv_ledger"           -> (convLedger _),
@@ -1486,6 +1538,7 @@ object ParityQueries {
     "purge_missing_table"   -> (purgeMissingTable _))
 
   def oracle: Map[String, String] = Map(
+    "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,
     "purge_crypto_shred"    -> purgeCryptoShredSql,
     "conv_ledger"           -> convLedgerSql,

@@ -1196,7 +1196,55 @@ object TrainingData {
       |  doc_id, source, CAST(i + 1 AS BIGINT) AS src_rank
       |FROM top ORDER BY seq""".stripMargin
 
+  /** Resumable keyset-paginated export — the crash-safe bulk-export
+    * primitive: page N is `WHERE doc_id > cursor ORDER BY doc_id
+    * LIMIT 100` using ONLY the last emitted key, so a restarted
+    * exporter resumes from its cursor without OFFSET scans or
+    * row-number barriers. The gate drives five REAL cursor hops
+    * (each page an independent TakeOrderedAndProject query, exactly
+    * what a resume executes) and emits per-page stats; the oracle
+    * restates the pages via row_number, so any overlap, gap, or
+    * ordering drift between the cursor path and the global
+    * numbering hash-fails.
+    *
+    * Scale: each page probe is a pushed-down range filter + top-k —
+    * no global sort, no offset; at 100 TB the filter prunes row
+    * groups via parquet min/max on the sorted key. */
+  def resumeCursor(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    var cursor = Long.MinValue
+    val pages = collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    var p = 0
+    var exhausted = false
+    while (p < 5 && !exhausted) {
+      val ids = docs.filter(col("doc_id") > cursor)
+        .orderBy(col("doc_id")).limit(100)
+        .collect().map(_.getLong(0))
+      if (ids.isEmpty) exhausted = true
+      else {
+        pages += ((p.toLong, ids.length.toLong, ids.head, ids.last))
+        cursor = ids.last
+        p += 1
+      }
+    }
+    import s.implicits._
+    pages.toSeq.toDF("page", "n_rows", "min_id", "max_id")
+      .orderBy(col("page"))
+  }
+
+  val resumeCursorSql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100 AS page
+      |  FROM documents)
+      |SELECT CAST(page AS BIGINT) AS page, COUNT(*) AS n_rows,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM r WHERE page < 5 GROUP BY page
+      |ORDER BY page""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_resume_cursor" -> (resumeCursor _),
     "pack_interleave" -> (interleave _),
     "pack_stratified_exact" -> ((s, d) => stratifiedExact(s, d)),
     "pack_curriculum" -> ((s, d) => curriculum(s, d)),
@@ -1220,6 +1268,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_resume_cursor" -> resumeCursorSql,
     "pack_interleave" -> interleaveSql,
     "pack_stratified_exact" -> stratifiedExactSql,
     "pack_curriculum" -> curriculumSql,

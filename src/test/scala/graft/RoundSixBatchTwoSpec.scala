@@ -461,6 +461,39 @@ class RoundSixBatchTwoSpec extends SparkSpec {
       === ((1L, 0L, 1L)))
   }
 
+  test("purge_legal_hold: held customer's matching rows survive " +
+    "the on-disk purge") {
+    val dir = tmpDir("r6b2_hold")
+    def o(k: Long, ck: Long, year: Int) =
+      Row(k, ck, "F", 10.0,
+        Timestamp.valueOf(s"$year-06-01 00:00:00"), "A")
+    // matches criteria (<1996): orders 1 (cust 97, HELD), 2 (cust 3)
+    // kept regardless: order 3 (1999)
+    val data = Seq(o(1, 97, 1995), o(2, 3, 1995), o(3, 3, 1999))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), ordersSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = ops.ParityQueries.purgeLegalHold(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 2L, 1L, 1L, 2L)))
+  }
+
+  test("pack_resume_cursor: cursor hops tile the key space without " +
+    "overlap and stop at exhaustion") {
+    val dir = tmpDir("r6b2_cursor")
+    val data = (1L to 250L).map(i => Row(i, "t", "en", "s", 1L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 3), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingData.resumeCursor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 100L, 1L, 100L), (1L, 100L, 101L, 200L),
+      (2L, 50L, 201L, 250L)))
+  }
+
   test("maint_partition_evolution: month dirs appear and the " +
     "re-read prunes on the partition column") {
     val dir = tmpDir("r6b2_pe")
