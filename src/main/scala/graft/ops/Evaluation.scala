@@ -1223,7 +1223,179 @@ object Evaluation {
       |    AS check_x2
       |FROM r""".stripMargin
 
+  /** Fleiss' kappa — chance-corrected agreement for MORE than two
+    * raters (Cohen's kappa, [[cohensKappa]], stops at two): the
+    * labeling-QA metric a pipeline runs when several annotators (or
+    * model versions) tag the same items. Three deterministic raters
+    * band each order into 3 categories: priority band (urgency),
+    * price band (value), and a key-residue band (a deliberately
+    * uninformative rater that drags agreement toward chance).
+    *
+    * Exact integer algebra: with n=3 ratings per item,
+    * `P̄ = Σᵢ(Σⱼnᵢⱼ²−3)/(6N) = S1/(6N)` and `P̄e = ΣⱼCⱼ²/(9N²) =
+    * SC/(9N²)`, so `κ = (3N·S1 − 2·SC)/(18N² − 2·SC)` — one signed
+    * integer division, sign peeled before `div` (the cross-engine
+    * floor-vs-truncate discipline). 1e6 scaling keeps every product
+    * in BIGINT to N≈4e6 items; beyond that route the two products
+    * through DECIMAL(38,0) on both engines.
+    *
+    * Scale: per-item cells are a map-side-combined groupBy on
+    * (item, category ≤ 3 rows/item); category totals are an
+    * O(3)-row rollup. Nothing but the two scalar frames leaves the
+    * executors. */
+  def fleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"),
+      expr("CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2') " +
+        "THEN 0 WHEN substring(o_orderpriority, 1, 1) = '3' " +
+        "THEN 1 ELSE 2 END").as("ra"),
+      expr("CASE WHEN o_totalprice < 50000.0 THEN 0 " +
+        "WHEN o_totalprice < 150000.0 THEN 1 ELSE 2 END").as("rb"),
+      expr("CAST(o_orderkey % 3 AS INT)").as("rc"))
+    val lng = rated.select(col("k"),
+      explode(array(col("ra"), col("rb"), col("rc"))).as("cat"))
+    val items = lng.groupBy(col("k"), col("cat"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("k")).agg(sum(expr("c * c")).as("ss"))
+    val tot = items.agg(count(lit(1)).as("n"),
+      sum(expr("ss - 3")).as("s1"))
+    val catTot = lng.groupBy(col("cat"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(expr("cnt * cnt")).as("sc"))
+    tot.crossJoin(catTot).select(col("n"), col("s1"), col("sc"),
+      expr("s1 * 1000000L div (6 * n)").as("p_bar_ppm"),
+      expr("sc * 1000000L div (9 * n * n)").as("p_e_ppm"),
+      expr("CASE WHEN 18 * n * n - 2 * sc = 0 THEN 1000000L " +
+        "WHEN 3 * n * s1 - 2 * sc < 0 THEN " +
+        "-((2 * sc - 3 * n * s1) * 1000000L div (18 * n * n - 2 * sc)) " +
+        "ELSE (3 * n * s1 - 2 * sc) * 1000000L div (18 * n * n - 2 * sc) " +
+        "END").as("kappa_ppm"))
+  }
+
+  val fleissKappaSql: String =
+    """WITH rated AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2')
+      |      THEN 0 WHEN substring(o_orderpriority, 1, 1) = '3'
+      |      THEN 1 ELSE 2 END AS ra,
+      |    CASE WHEN o_totalprice < 50000.0 THEN 0
+      |      WHEN o_totalprice < 150000.0 THEN 1 ELSE 2 END AS rb,
+      |    CAST(o_orderkey % 3 AS INT) AS rc
+      |  FROM orders),
+      |lng AS (SELECT k, unnest([ra, rb, rc]) AS cat FROM rated),
+      |items AS (
+      |  SELECT k, CAST(SUM(c * c) AS BIGINT) AS ss FROM (
+      |    SELECT k, cat, COUNT(*) AS c FROM lng GROUP BY k, cat)
+      |  GROUP BY k),
+      |tot AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(ss - 3) AS BIGINT) AS s1 FROM items),
+      |cat_tot AS (
+      |  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS sc FROM (
+      |    SELECT COUNT(*) AS cnt FROM lng GROUP BY cat))
+      |SELECT n, s1, sc,
+      |  CAST(s1 * 1000000 // (6 * n) AS BIGINT) AS p_bar_ppm,
+      |  CAST(sc * 1000000 // (9 * n * n) AS BIGINT) AS p_e_ppm,
+      |  CAST(CASE WHEN 18 * n * n - 2 * sc = 0 THEN 1000000
+      |    WHEN 3 * n * s1 - 2 * sc < 0 THEN
+      |      -((2 * sc - 3 * n * s1) * 1000000 // (18 * n * n - 2 * sc))
+      |    ELSE (3 * n * s1 - 2 * sc) * 1000000 // (18 * n * n - 2 * sc)
+      |    END AS BIGINT) AS kappa_ppm
+      |FROM tot, cat_tot""".stripMargin
+
+  /** Per-class precision/recall/F1 of the repo's own n-gram language
+    * identifier ([[graft.functions.TextFunctions.langId]]) against
+    * the labeled `lang` column, plus a `zzz_macro` summary row —
+    * [[f1Report]] is the binary version; this is the multiclass
+    * report a pipeline publishes per classifier release. Per-class
+    * rows carry exact tp/fp/fn counts and ppm divisions; the macro
+    * row carries micro counts (summed tp/fp/fn) and MACRO-averaged
+    * ppm metrics (mean of the per-class values — class-balanced,
+    * unlike micro). Predictor semantics are shared with
+    * `text_lang_id` through [[TextAnalysis.langPredSql]], so the two
+    * oracles cannot drift.
+    *
+    * Scale: one (lang, pred) groupBy — ≤ |langs|² cells — then
+    * metadata-sized joins; the corpus is touched once. */
+  def macroF1(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+    val classes = cells.select(col("lang").as("cls")).distinct()
+    val tp = cells.filter(col("lang") === col("pred"))
+      .groupBy(col("lang").as("cls")).agg(sum(col("n")).as("tp"))
+    val fp = cells.filter(col("lang") =!= col("pred"))
+      .groupBy(col("pred").as("cls")).agg(sum(col("n")).as("fp"))
+    val fn = cells.filter(col("lang") =!= col("pred"))
+      .groupBy(col("lang").as("cls")).agg(sum(col("n")).as("fn"))
+    val per = classes.join(tp, Seq("cls"), "left")
+      .join(fp, Seq("cls"), "left").join(fn, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "fp", "fn"))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L ELSE " +
+          "tp * 1000000L div (tp + fp) END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L ELSE " +
+          "tp * 1000000L div (tp + fn) END").as("recall_ppm"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0L ELSE " +
+          "2 * tp * 1000000L div (2 * tp + fp + fn) END").as("f1_ppm"))
+    val macroRow = per.agg(
+      sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+      sum(col("fn")).as("fn"),
+      expr("sum(precision_ppm) div count(1)").as("precision_ppm"),
+      expr("sum(recall_ppm) div count(1)").as("recall_ppm"),
+      expr("sum(f1_ppm) div count(1)").as("f1_ppm"))
+      .select(lit("zzz_macro").as("cls"), col("tp"), col("fp"),
+        col("fn"), col("precision_ppm"), col("recall_ppm"),
+        col("f1_ppm"))
+    per.unionByName(macroRow).orderBy(col("cls"))
+  }
+
+  val macroF1Sql: String =
+    s"""WITH preds AS (
+       |${TextAnalysis.langPredSql}),
+       |cells AS (
+       |  SELECT lang, pred, COUNT(*) AS n FROM preds
+       |  GROUP BY lang, pred),
+       |cls AS (SELECT DISTINCT lang AS cls FROM cells),
+       |tp AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS tp
+       |  FROM cells WHERE lang = pred GROUP BY lang),
+       |fp AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS fp
+       |  FROM cells WHERE lang <> pred GROUP BY pred),
+       |fn AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS fn
+       |  FROM cells WHERE lang <> pred GROUP BY lang),
+       |per AS (
+       |  SELECT c.cls, COALESCE(tp.tp, 0) AS tp,
+       |    COALESCE(fp.fp, 0) AS fp, COALESCE(fn.fn, 0) AS fn
+       |  FROM cls c LEFT JOIN tp ON c.cls = tp.cls
+       |  LEFT JOIN fp ON c.cls = fp.cls
+       |  LEFT JOIN fn ON c.cls = fn.cls),
+       |m AS (
+       |  SELECT cls, tp, fp, fn,
+       |    CASE WHEN tp + fp = 0 THEN 0
+       |      ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+       |    CASE WHEN tp + fn = 0 THEN 0
+       |      ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
+       |    CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+       |      ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+       |  FROM per)
+       |SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CAST(precision_ppm AS BIGINT) AS precision_ppm,
+       |  CAST(recall_ppm AS BIGINT) AS recall_ppm,
+       |  CAST(f1_ppm AS BIGINT) AS f1_ppm
+       |FROM m
+       |UNION ALL
+       |SELECT 'zzz_macro', CAST(SUM(tp) AS BIGINT),
+       |  CAST(SUM(fp) AS BIGINT), CAST(SUM(fn) AS BIGINT),
+       |  CAST(SUM(precision_ppm) // COUNT(*) AS BIGINT),
+       |  CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT),
+       |  CAST(SUM(f1_ppm) // COUNT(*) AS BIGINT)
+       |FROM m
+       |ORDER BY cls""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_fleiss_kappa" -> (fleissKappa _),
+    "eval_macro_f1" -> (macroF1 _),
     "eval_isotonic" -> (isotonicGate _),
     "eval_wilcoxon" -> (wilcoxonGate _),
     "eval_kendall" -> (kendallGate _),
@@ -1244,6 +1416,8 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_fleiss_kappa" -> fleissKappaSql,
+    "eval_macro_f1" -> macroF1Sql,
     "eval_isotonic" -> isotonicSql,
     "eval_wilcoxon" -> wilcoxonSql,
     "eval_kendall" -> kendallSql,

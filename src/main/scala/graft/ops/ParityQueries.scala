@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1501,7 +1501,73 @@ object ParityQueries {
       |    - (SELECT COUNT(*) FROM m WHERE o_custkey % 97 <> 0)
       |    AS n_after""".stripMargin
 
+  /** Data-subject access request (DSAR) export — the read half of
+    * the reference's purge/compliance surface (`Main.java` purge
+    * dispatch; GDPR Art. 15 precedes Art. 17): for every requesting
+    * subject, gather their rows ACROSS tables and emit a per-table
+    * export manifest (subjects present, row count, exact DECIMAL
+    * cents checksum) that the downstream packager verifies against.
+    * Subjects are the deterministic request list `custkey % 97 = 0`
+    * — the same key population the legal-hold gate protects.
+    *
+    * Scale: the request list is metadata-sized and BROADCAST to
+    * every fact table, so customer and orders are one scan each
+    * with no shuffle; lineitem routes through the subject-filtered
+    * orders (itself tiny after the broadcast semi join) broadcast
+    * again — the 100 TB fact table is scanned once and never
+    * shuffled. Checksums go through DECIMAL(18,2) sums (exact,
+    * order-independent) before the cents cast. */
+  def purgeSubjectExport(s: SparkSession, dir: String): DataFrame = {
+    val subjects = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("subj"))
+    def manifest(tbl: String, joined: DataFrame,
+        amount: Column): DataFrame =
+      joined.agg(
+        countDistinct(col("subj")).as("n_subjects"),
+        count(lit(1)).as("n_rows"),
+        (sum(amount.cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("sum_cents"))
+        .select(lit(tbl).as("tbl"), col("n_subjects"),
+          col("n_rows"), col("sum_cents"))
+    val cust = manifest("customer",
+      Tables.customer(s, dir).join(broadcast(subjects),
+        col("c_custkey") === col("subj")), col("c_acctbal"))
+    val subjOrders = Tables.orders(s, dir).join(broadcast(subjects),
+      col("o_custkey") === col("subj"))
+    val ords = manifest("orders", subjOrders, col("o_totalprice"))
+    val li = manifest("lineitem",
+      Tables.lineitem(s, dir).join(
+        broadcast(subjOrders.select(col("o_orderkey"), col("subj"))),
+        col("l_orderkey") === col("o_orderkey")),
+      col("l_extendedprice"))
+    cust.unionByName(ords).unionByName(li).orderBy(col("tbl"))
+  }
+
+  val purgeSubjectExportSql: String =
+    """WITH subj AS (
+      |  SELECT c_custkey AS subj FROM customer WHERE c_custkey % 97 = 0),
+      |so AS (
+      |  SELECT o.*, s.subj FROM orders o JOIN subj s
+      |  ON o.o_custkey = s.subj)
+      |SELECT 'customer' AS tbl, COUNT(DISTINCT subj) AS n_subjects,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS sum_cents
+      |FROM customer c JOIN subj s ON c.c_custkey = s.subj
+      |UNION ALL
+      |SELECT 'lineitem', COUNT(DISTINCT subj), COUNT(*),
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+      |    AS BIGINT)
+      |FROM lineitem l JOIN so ON l.l_orderkey = so.o_orderkey
+      |UNION ALL
+      |SELECT 'orders', COUNT(DISTINCT subj), COUNT(*),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |FROM so
+      |ORDER BY tbl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "purge_subject_export"  -> (purgeSubjectExport _),
     "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
     "purge_crypto_shred"    -> (purgeCryptoShred _),
@@ -1538,6 +1604,7 @@ object ParityQueries {
     "purge_missing_table"   -> (purgeMissingTable _))
 
   def oracle: Map[String, String] = Map(
+    "purge_subject_export"  -> purgeSubjectExportSql,
     "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,
     "purge_crypto_shred"    -> purgeCryptoShredSql,

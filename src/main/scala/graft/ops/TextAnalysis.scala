@@ -101,16 +101,18 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> t IN ($markers)))"
   }
 
-  /** Replicates the fold in TextFunctions.langId: languages in sorted
-    * order, strict > beats the incumbent, all-zero → 'und'. */
-  val langIdConfusionSql: String = {
+  /** `(lang, pred)` rows — the DuckDB replica of the fold in
+    * TextFunctions.langId: languages in sorted order, strict > beats
+    * the incumbent, all-zero → 'und'. Shared by the confusion gate
+    * here and the macro-F1 gate in [[Evaluation]], so the two
+    * oracles can never drift apart on predictor semantics. */
+  val langPredSql: String = {
     val langs = graft.functions.TextFunctions.LangMarkers.keys.toSeq.sorted
     val hitCols = langs.map(l => s"${hitsSql(l)} AS h_$l").mkString(",\n    ")
     val greatest = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
     val cases = langs.map(l => s"WHEN h_$l = $greatest THEN '$l'")
       .mkString("\n      ")
-    s"""SELECT lang, pred, COUNT(*) AS n FROM (
-       |  SELECT lang,
+    s"""SELECT lang,
        |    CASE WHEN $greatest = 0 THEN 'und'
        |      $cases
        |      END AS pred
@@ -120,10 +122,16 @@ object TextAnalysis {
        |    FROM (SELECT lang,
        |            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
        |                        t -> len(t) > 0) AS toks
-       |          FROM documents)))
+       |          FROM documents))""".stripMargin
+  }
+
+  /** Replicates the fold in TextFunctions.langId: languages in sorted
+    * order, strict > beats the incumbent, all-zero → 'und'. */
+  val langIdConfusionSql: String =
+    s"""SELECT lang, pred, COUNT(*) AS n FROM (
+       |$langPredSql)
        |GROUP BY lang, pred
        |ORDER BY lang, pred""".stripMargin
-  }
 
   /** Winnowing fingerprint check over the mutated corpus. The hash
     * values themselves aren't DuckDB-reproducible (xxhash64), so the
@@ -1125,7 +1133,59 @@ object TextAnalysis {
       |    AS mean_ttr_ppm
       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
+  /** Hapax-legomena and Simpson-concentration vocabulary profile per
+    * source — the corpus-health screen a curation pipeline runs to
+    * catch boilerplate-heavy or template-generated slices: a healthy
+    * natural-language slice has a high hapax share (Zipf tail) and a
+    * low Simpson repeat-probability; a templated slice inverts both.
+    * Emits per source: vocab size, token count, hapax count,
+    * `hapax_ppm = hapax/vocab` and
+    * `simpson_ppm = Σc(c−1)/(T(T−1))` — the probability two randomly
+    * drawn tokens are the same word — both as exact integer ppm
+    * (all terms non-negative, so floor == truncate cross-engine).
+    *
+    * Scale: one word-count-shaped shuffle on (source, word) with
+    * map-side partial aggregation, then an O(sources) rollup. The
+    * 1e6 scale bounds `Σc(c−1)·1e6` within BIGINT up to ~3e6 tokens
+    * per source; beyond that, route the product through
+    * DECIMAL(38,0) on both engines. */
+  def textHapax(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(expr("c * (c - 1)")).as("coll"))
+      .select(col("source"), col("vocab"), col("tokens"), col("hapax"),
+        expr("hapax * 1000000L div vocab").as("hapax_ppm"),
+        expr("coll * 1000000L div (tokens * (tokens - 1))")
+          .as("simpson_ppm"))
+      .orderBy(col("source"))
+
+  val textHapaxSql: String =
+    """WITH wc AS (
+      |  SELECT source, w, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY source, w),
+      |roll AS (
+      |  SELECT source, COUNT(*) AS vocab,
+      |    CAST(SUM(c) AS BIGINT) AS tokens,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hapax,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+      |  FROM wc GROUP BY source)
+      |SELECT source, vocab, tokens, hapax,
+      |  CAST(hapax * 1000000 // vocab AS BIGINT) AS hapax_ppm,
+      |  CAST(coll * 1000000 // (tokens * (tokens - 1)) AS BIGINT)
+      |    AS simpson_ppm
+      |FROM roll ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hapax" -> (textHapax _),
     "text_ttr" -> (textTtr _),
     "text_vocab_growth" -> (vocabGrowth _),
     "text_boilerplate_strip" -> ((s, d) => boilerplateStrip(s, d)),
@@ -1148,6 +1208,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_hapax" -> textHapaxSql,
     "text_ttr" -> textTtrSql,
     "text_vocab_growth" -> vocabGrowthSql,
     "text_boilerplate_strip" -> boilerplateStripSql,

@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ops.{Evaluation, ParityQueries, TextAnalysis}
+
+/** Planted-fixture invariants for the third round-6 operator batch:
+  * hapax/Simpson vocabulary profile, Fleiss' kappa, multiclass
+  * macro-F1, and the DSAR subject export. */
+class RoundSixBatchThreeSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docsDir(name: String, rows: Seq[Row]): String = {
+    val dir = tmpDir(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("text_hapax: hand-counted hapax share and Simpson " +
+    "repeat-probability") {
+    // src a: tokens = [x x y x z] -> vocab 3, hapax {y,z} = 2,
+    //   coll = 3*2 = 6, simpson = 6/(5*4) = 0.3 -> 300000 ppm
+    // src b: tokens = [w w] -> vocab 1, hapax 0, simpson = 2/2 = 1
+    val dir = docsDir("r6b3_hapax", Seq(
+      Row(1L, "x x y", "en", "a", 5L),
+      Row(2L, "x z", "en", "a", 3L),
+      Row(3L, "w w", "en", "b", 3L)))
+    val got = TextAnalysis.textHapax(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("a") === ((3L, 5L, 2L, 666666L, 300000L)))
+    assert(got("b") === ((1L, 2L, 0L, 0L, 1000000L)))
+  }
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  test("eval_fleiss_kappa: hand-folded agreement algebra") {
+    // Raters (priority band, price band, key % 3):
+    //   order 3: ('1-URGENT', 40000, 3%3=0) -> (0, 0, 0) all agree
+    //   order 6: ('3-MEDIUM', 60000, 6%3=0) -> (1, 1, 0) two agree
+    //   order 7: ('5-LOW', 160000, 7%3=1)   -> (2, 2, 1) two agree
+    // ss: 9, 5, 5 -> S1 = (9-3)+(5-3)+(5-3) = 10, N = 3
+    // C_j: cat0 = 4, cat1 = 3, cat2 = 2 -> SC = 16+9+4 = 29
+    // num = 3*3*10 - 2*29 = 32, den = 18*9 - 58 = 104
+    // kappa_ppm = 32e6 // 104 = 307692
+    val dir = tmpDir("r6b3_fleiss")
+    val data = Seq(
+      Row(3L, 1L, "F", 40000.0, new Timestamp(0L), "1-URGENT"),
+      Row(6L, 1L, "F", 60000.0, new Timestamp(0L), "3-MEDIUM"),
+      Row(7L, 1L, "F", 160000.0, new Timestamp(0L), "5-LOW"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), ordersSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Evaluation.fleissKappa(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 10L, 29L)))
+    // p_bar = 10e6 // 18 = 555555; p_e = 29e6 // 81 = 358024
+    assert((r.getLong(3), r.getLong(4), r.getLong(5))
+      === ((555555L, 358024L, 307692L)))
+  }
+
+  test("eval_macro_f1: per-class counts and the macro averages over " +
+    "a planted confusion") {
+    // 'the and' -> en; 'der und' -> de; en doc misclassified needs
+    // de markers: lang=en text with 'der und' predicts de.
+    val dir = docsDir("r6b3_mf1", Seq(
+      Row(1L, "the and of", "en", "s", 10L),
+      Row(2L, "the and to", "en", "s", 10L),
+      Row(3L, "der und das", "en", "s", 11L), // en mislabeled as de
+      Row(4L, "der und die", "de", "s", 11L)))
+    val got = Evaluation.macroF1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // de: tp=1 fp=1 fn=0 -> p=500000 r=1000000 f1=666666
+    // en: tp=2 fp=0 fn=1 -> p=1000000 r=666666 f1=800000
+    assert(got("de") === ((1L, 1L, 0L, 500000L, 1000000L, 666666L)))
+    assert(got("en") === ((2L, 0L, 1L, 1000000L, 666666L, 800000L)))
+    assert(got("zzz_macro")
+      === ((3L, 1L, 1L, 750000L, 833333L, 733333L)))
+  }
+
+  private val custSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  private val liSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_extendedprice", DoubleType)))
+
+  test("purge_subject_export: cross-table manifest gathers exactly " +
+    "the subjects' rows with exact cents checksums") {
+    val dir = tmpDir("r6b3_dsar")
+    // subjects: custkeys 97 and 194; customer 5 is not a subject
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(97L, "a", 0, 10.25, "S"), Row(194L, "b", 0, -3.50, "S"),
+      Row(5L, "c", 0, 99.99, "S")), 2), custSchema)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // orders: 2 for subject 97, 1 for subject 194, 1 for cust 5
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 97L, "F", 100.00, new Timestamp(0L), "1-URGENT"),
+      Row(2L, 97L, "F", 50.50, new Timestamp(0L), "1-URGENT"),
+      Row(3L, 194L, "F", 20.00, new Timestamp(0L), "1-URGENT"),
+      Row(4L, 5L, "F", 77.77, new Timestamp(0L), "1-URGENT")), 2),
+      ordersSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // lineitem: order 1 has 2 lines, order 3 has 1, order 4 has 1
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 1L, 1L, 10.00), Row(1L, 2L, 2L, 5.25),
+      Row(3L, 3L, 3L, 7.00), Row(4L, 4L, 4L, 9.99)), 2), liSchema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = ParityQueries.purgeSubjectExport(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("customer") === ((2L, 2L, 675L)))   // 10.25 - 3.50
+    assert(got("orders") === ((2L, 3L, 17050L)))   // 100 + 50.50 + 20
+    assert(got("lineitem") === ((2L, 3L, 2225L)))  // 10 + 5.25 + 7
+  }
+}
