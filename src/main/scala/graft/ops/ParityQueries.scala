@@ -1566,7 +1566,63 @@ object ParityQueries {
       |FROM so
       |ORDER BY tbl""".stripMargin
 
+  /** Parquet row-group layout introspection — the scan-pruning
+    * audit: writes a key-sorted single file with a SMALL row-group
+    * target (64 KiB), then reads the REAL footer metadata back
+    * through the public parquet-hadoop API
+    * (`ParquetFileReader.getFooter`) and proves the properties that
+    * make min/max pruning work at 100 TB: multiple row groups
+    * materialized, per-group `event_id` statistics present, ranges
+    * strictly NON-OVERLAPPING (the sorted write's promise — this is
+    * exactly what `maint_file_stats_prune` and the keyset-export
+    * cursor rely on), and footer row counts / global min / max that
+    * reconcile against the data, which is what the oracle checks.
+    * Footer reads are metadata-sized by definition — the one
+    * driver-side loop here touches block headers, never rows. */
+  def convRowgroupStats(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val out = scratch(dir, "rowgroup_stats")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .repartition(1).sortWithinPartitions(col("event_id"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(out)
+    val part = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        s.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val stats = blocks.map { b =>
+        val c = b.getColumns.asScala
+          .find(_.getPath.toDotString == "event_id").get.getStatistics
+        (b.getRowCount,
+          c.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+          c.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+      }
+      val nonOverlap = stats.sortBy(_._2).sliding(2).forall {
+        case Seq((_, _, aMax), (_, bMin, _)) => aMax < bMin
+        case _ => true
+      }
+      import s.implicits._
+      Seq((stats.map(_._1).sum, stats.map(_._2).min,
+        stats.map(_._3).max, blocks.size >= 2, nonOverlap))
+        .toDF("n_rows", "min_id", "max_id", "multi_group",
+          "nonoverlapping")
+    } finally reader.close()
+  }
+
+  val convRowgroupStatsSql: String =
+    """SELECT COUNT(*) AS n_rows, MIN(event_id) AS min_id,
+      |  MAX(event_id) AS max_id, true AS multi_group,
+      |  true AS nonoverlapping
+      |FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conv_rowgroup_stats"   -> (convRowgroupStats _),
     "purge_subject_export"  -> (purgeSubjectExport _),
     "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
@@ -1604,6 +1660,7 @@ object ParityQueries {
     "purge_missing_table"   -> (purgeMissingTable _))
 
   def oracle: Map[String, String] = Map(
+    "conv_rowgroup_stats"   -> convRowgroupStatsSql,
     "purge_subject_export"  -> purgeSubjectExportSql,
     "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,

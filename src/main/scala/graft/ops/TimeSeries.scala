@@ -1979,10 +1979,104 @@ object TimeSeries {
       |FROM fin, hs
       |ORDER BY h""".stripMargin
 
+  /** Row-major DTW cell expressions for two 8-long profiles bound to
+    * columns `u0..u7` (the user) and `g0..g7` (the reference): cost
+    * `|uᵢ − gⱼ|`, recurrence `D(i,j) = cost + min(D(i−1,j),
+    * D(i,j−1), D(i−1,j−1))`. ONE generator feeds both engines —
+    * Spark consumes the strings via `expr`, the oracle embeds them
+    * as lateral column aliases — so the unrolled recurrences can
+    * never drift apart. */
+  private def dtwCells: Seq[(String, String)] =
+    for { i <- 0 until 8; j <- 0 until 8 } yield {
+      val cost = s"abs(u$i - g$j)"
+      val cell = s"d_${i}_$j"
+      val rec =
+        if (i == 0 && j == 0) cost
+        else if (i == 0) s"d_0_${j - 1} + $cost"
+        else if (j == 0) s"d_${i - 1}_0 + $cost"
+        else s"least(d_${i - 1}_$j, d_${i}_${j - 1}, " +
+          s"d_${i - 1}_${j - 1}) + $cost"
+      (cell, rec)
+    }
+
+  /** Dynamic-time-warping anomaly screen: each user's 8-segment
+    * hourly activity profile is DTW-aligned against the GLOBAL mean
+    * profile, and the 10 worst-aligned users surface — the
+    * behavioral-outlier query where plain L1 over-penalizes users
+    * whose shape matches the crowd but shifted in time (DTW forgives
+    * the shift; the emitted `l1` column is the rigid baseline and
+    * `dtw ≤ l1` always, since the diagonal path IS the L1 sum).
+    * The full 8×8 recurrence is unrolled into 64 codegen'd integer
+    * expressions from [[dtwCells]] — no UDF, no iteration, exact
+    * BIGINT arithmetic on both engines.
+    *
+    * Scale: one map-side-combined groupBy builds the per-user
+    * profiles (8 conditional sums — no pivot shuffle); the global
+    * profile is a 1-row broadcast; the recurrence is pure projection
+    * inside whole-stage codegen; the top-10 is
+    * TakeOrderedAndProject. The corpus is scanned once and only
+    * (user × 8) counts ever shuffle. */
+  def tsDtw(s: SparkSession, dir: String): DataFrame = {
+    val segAggs = (0 to 7).map(i =>
+      sum(when(col("seg") === i, 1L).otherwise(0L)).as(s"u$i"))
+    val prof = Tables.events(s, dir)
+      .select(col("user_id"), (hour(col("ts")) / 3).cast("int").as("seg"))
+      .groupBy(col("user_id"))
+      .agg(segAggs.head, segAggs.tail: _*)
+    val gAggs = (0 to 7).flatMap(i => Seq(
+      sum(col(s"u$i")).as(s"t$i"))) :+ count(lit(1)).as("nu")
+    val glob = prof.agg(gAggs.head, gAggs.tail: _*)
+      .select((0 to 7).map(i =>
+        expr(s"t$i div nu").as(s"g$i")): _*)
+    val cells = dtwCells
+    val withCells = cells.foldLeft(prof.crossJoin(broadcast(glob))) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }
+    val l1 = (0 to 7).map(i => s"abs(u$i - g$i)").mkString(" + ")
+    withCells
+      .select(col("user_id"), col("d_7_7").as("dtw"),
+        expr(l1).as("l1"))
+      .orderBy(col("dtw").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val tsDtwSql: String = {
+    val uCols = (0 to 7).map(i =>
+      s"CAST(SUM(CASE WHEN seg = $i THEN 1 ELSE 0 END) AS BIGINT) AS u$i")
+      .mkString(",\n    ")
+    val gCols = (0 to 7).map(i =>
+      s"CAST(CAST(SUM(u$i) AS BIGINT) // nu AS BIGINT) AS g$i")
+      .mkString(",\n    ")
+    val cellAliases = dtwCells.map { case (n, e) => s"$e AS $n" }
+      .mkString(",\n    ")
+    val l1 = (0 to 7).map(i => s"abs(u$i - g$i)").mkString(" + ")
+    s"""WITH prof AS (
+       |  SELECT user_id,
+       |    $uCols
+       |  FROM (SELECT user_id, CAST(hour(ts) // 3 AS INT) AS seg
+       |        FROM events)
+       |  GROUP BY user_id),
+       |gprof AS (
+       |  SELECT
+       |    $gCols
+       |  FROM prof, (SELECT COUNT(*) AS nu FROM prof)
+       |  GROUP BY nu),
+       |cells AS (
+       |  SELECT user_id,
+       |    $cellAliases,
+       |    $l1 AS l1
+       |  FROM prof, gprof)
+       |SELECT user_id, CAST(d_7_7 AS BIGINT) AS dtw,
+       |  CAST(l1 AS BIGINT) AS l1
+       |FROM cells
+       |ORDER BY dtw DESC, user_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_sax"            -> (tsSax _),
         "ts_holt"           -> (tsHolt _),
         "ts_hampel"         -> (tsHampel _),
+        "ts_dtw"            -> (tsDtw _),
         "ts_peaks"          -> (tsPeaks _),
         "ts_burstiness"     -> (tsBurstiness _),
         "ts_interpolate"    -> (tsInterpolate _),
@@ -2010,7 +2104,7 @@ object TimeSeries {
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
-        "ts_hampel" -> tsHampelSql) ++
+        "ts_hampel" -> tsHampelSql, "ts_dtw" -> tsDtwSql) ++
     Map("ts_peaks"          -> tsPeaksSql,
         "ts_burstiness"     -> tsBurstinessSql,
         "ts_interpolate"    -> tsInterpolateSql,

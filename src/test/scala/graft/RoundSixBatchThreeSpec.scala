@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-import graft.ops.{Evaluation, ParityQueries, TextAnalysis}
+import graft.ops.{Evaluation, ParityQueries, TextAnalysis, TimeSeries}
 
 /** Planted-fixture invariants for the third round-6 operator batch:
   * hapax/Simpson vocabulary profile, Fleiss' kappa, multiclass
@@ -136,5 +136,65 @@ class RoundSixBatchThreeSpec extends SparkSpec {
     assert(got("customer") === ((2L, 2L, 675L)))   // 10.25 - 3.50
     assert(got("orders") === ((2L, 3L, 17050L)))   // 100 + 50.50 + 20
     assert(got("lineitem") === ((2L, 3L, 2225L)))  // 10 + 5.25 + 7
+  }
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def evAt(id: Long, user: Long, hourOfDay: Int): Row =
+    Row(id, new Timestamp(19700L * 86400000L + hourOfDay * 3600000L),
+      user, "view", 1.0, "{}")
+
+  test("ts_dtw: unrolled recurrence matches an independent fold and " +
+    "never exceeds the rigid L1") {
+    // user 1: 3 events in segment 0; user 2: the same burst shifted
+    // to segment 1; global profile = [1, 1, 0, ...] (integer mean).
+    val dir = tmpDir("r6b3_dtw")
+    val rows = (1 to 3).map(i => evAt(i, 1L, 0)) ++
+      (4 to 6).map(i => evAt(i, 2L, 3))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def dtw(u: Array[Long], g: Array[Long]): Long = {
+      val d = Array.ofDim[Long](8, 8)
+      for (i <- 0 until 8; j <- 0 until 8) {
+        val cost = math.abs(u(i) - g(j))
+        d(i)(j) = cost + (
+          if (i == 0 && j == 0) 0L
+          else if (i == 0) d(0)(j - 1)
+          else if (j == 0) d(i - 1)(0)
+          else math.min(d(i - 1)(j), math.min(d(i)(j - 1),
+            d(i - 1)(j - 1))))
+      }
+      d(7)(7)
+    }
+    def l1(u: Array[Long], g: Array[Long]): Long =
+      (0 until 8).map(i => math.abs(u(i) - g(i))).sum
+    val g = Array(1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)
+    val u1 = Array(3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    val u2 = Array(0L, 3L, 0L, 0L, 0L, 0L, 0L, 0L)
+    val got = TimeSeries.tsDtw(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((dtw(u1, g), l1(u1, g))))
+    assert(got(2L) === ((dtw(u2, g), l1(u2, g))))
+    assert(got.values.forall { case (d, l) => d <= l })
+  }
+
+  test("conv_rowgroup_stats: footer metadata reconciles with the " +
+    "planted data and sorted groups do not overlap") {
+    val dir = tmpDir("r6b3_rg")
+    val rows = (1L to 500L).map(i => evAt(i, i % 7, (i % 24).toInt))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ParityQueries.convRowgroupStats(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      === ((500L, 1L, 500L)))
+    assert(r.getBoolean(4)) // sorted write -> non-overlapping stats
   }
 }
