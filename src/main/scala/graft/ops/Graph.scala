@@ -655,21 +655,29 @@ object Graph {
     * key count is bounded by the edge count, then a per-node top-1
     * (`max_by` over the vote struct — map-side combinable, no
     * window). Nodes without in-edges keep their label. */
-  def labelPropagation(s: SparkSession, dir: String,
-      iters: Int = 4): DataFrame = {
-    val ev = Tables.events(s, dir)
+  /** Symmetric weighted event-transition edges — the shared graph
+    * substrate for [[labelPropagation]] and [[conductance]]: each
+    * user's consecutive-event transitions become undirected weighted
+    * edges between event types. */
+  private[graft] def transitionEdgesSym(s: SparkSession,
+      dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val directed = ev
+    val directed = Tables.events(s, dir)
       .select(col("event_type").as("src"),
         lead(col("event_type"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull && col("dst") =!= col("src"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-    val edges = directed
+    directed
       .unionByName(directed.select(col("dst").as("src"),
         col("src").as("dst"), col("w")))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      .localCheckpoint()
+  }
+
+  def labelPropagation(s: SparkSession, dir: String,
+      iters: Int = 4): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val edges = transitionEdgesSym(s, dir).localCheckpoint()
     val nodes = ev.select(col("event_type").as("node")).distinct()
     var labels = nodes
       .withColumn("lab",
@@ -694,7 +702,13 @@ object Graph {
   }
 
   /** The same synchronous recurrence unrolled as chained CTEs. */
-  def labelPropagationSql(iters: Int = 4): String = {
+  def labelPropagationSql(iters: Int = 4): String =
+    labelPropBody(iters) +
+      s"\nSELECT node, lab FROM it$iters ORDER BY node"
+
+  /** All CTEs of [[labelPropagationSql]] WITHOUT the final SELECT,
+    * so composite oracles ([[conductanceSql]]) can extend the chain. */
+  private def labelPropBody(iters: Int): String = {
     val base =
       """WITH ord AS (
         |  SELECT event_type AS src,
@@ -731,9 +745,75 @@ object Graph {
          |      GROUP BY e.dst, p.lab)
          |    GROUP BY dst) v ON v.node = n.node)""".stripMargin
     }
-    (base +: steps).mkString(",\n") +
-      s"\nSELECT node, lab FROM it$iters ORDER BY node"
+    (base +: steps).mkString(",\n")
   }
+
+  /** Community-quality audit: the CONDUCTANCE of every community the
+    * label-propagation pass finds — `cut(C) / min(vol(C), vol(rest))`
+    * with vol = weighted degree sum and cut = weight leaving C. Low
+    * conductance ⇒ a real community (few escaping edges); a value
+    * near 1e6 ppm flags a label that never cohered. This is the
+    * measurement half of [[labelPropagation]], the check a pipeline
+    * runs before trusting communities for negative sampling or
+    * stratification. Exact integer arithmetic: weights are counts,
+    * the single division is ppm on non-negative operands; an
+    * edgeless community (vol 0) pins to 1e6 by convention on both
+    * engines.
+    *
+    * Scale: two joins of the edge list against the O(types) label
+    * frame (broadcastable), one groupBy per side — the corpus-sized
+    * work is already behind [[transitionEdgesSym]]'s word-count
+    * shuffle. The propagation labels are recomputed declaratively,
+    * not collected. */
+  def conductance(s: SparkSession, dir: String): DataFrame = {
+    val edges = transitionEdgesSym(s, dir)
+    val labels = labelPropagation(s, dir)
+    val e = edges
+      .join(broadcast(labels.select(col("node").as("src"),
+        col("lab").as("lab_s"))), "src")
+      .join(broadcast(labels.select(col("node").as("dst"),
+        col("lab").as("lab_d"))), "dst")
+    val volCut = e.groupBy(col("lab_s").as("lab"))
+      .agg(sum(col("w")).as("vol"),
+        sum(when(col("lab_s") =!= col("lab_d"), col("w"))
+          .otherwise(0L)).as("cut"))
+    val total = e.agg(sum(col("w")).as("m2"))
+    labels.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
+      .join(broadcast(volCut), Seq("lab"), "left")
+      .na.fill(0L, Seq("vol", "cut"))
+      .crossJoin(broadcast(total))
+      .select(col("lab"), col("n_nodes"), col("vol"), col("cut"),
+        expr("CASE WHEN least(vol, m2 - vol) = 0 THEN 1000000L " +
+          "ELSE cut * 1000000L div least(vol, m2 - vol) END")
+          .as("cond_ppm"))
+      .orderBy(col("lab"))
+  }
+
+  val conductanceSql: String =
+    labelPropBody(4) +
+      """,
+        |labeled AS (
+        |  SELECT e.src, e.dst, e.w, ls.lab AS lab_s, ld.lab AS lab_d
+        |  FROM edges e
+        |  JOIN it4 ls ON ls.node = e.src
+        |  JOIN it4 ld ON ld.node = e.dst),
+        |vol_cut AS (
+        |  SELECT lab_s AS lab, CAST(SUM(w) AS BIGINT) AS vol,
+        |    CAST(SUM(CASE WHEN lab_s <> lab_d THEN w ELSE 0 END)
+        |      AS BIGINT) AS cut
+        |  FROM labeled GROUP BY lab_s),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM labeled),
+        |sizes AS (
+        |  SELECT lab, COUNT(*) AS n_nodes FROM it4 GROUP BY lab)
+        |SELECT s.lab, s.n_nodes, COALESCE(v.vol, 0) AS vol,
+        |  COALESCE(v.cut, 0) AS cut,
+        |  CAST(CASE WHEN least(COALESCE(v.vol, 0),
+        |      m2 - COALESCE(v.vol, 0)) = 0 THEN 1000000
+        |    ELSE COALESCE(v.cut, 0) * 1000000 //
+        |      least(COALESCE(v.vol, 0), m2 - COALESCE(v.vol, 0))
+        |    END AS BIGINT) AS cond_ppm
+        |FROM sizes s LEFT JOIN vol_cut v ON s.lab = v.lab, tot
+        |ORDER BY s.lab""".stripMargin
 
   /** Common-neighbor link prediction: for every NON-adjacent pair
     * with ≥1 shared neighbor, the neighbor-set Jaccard
@@ -1899,6 +1979,7 @@ object Graph {
     "graph_degree_stats" -> (degreeStats _),
     "graph_link_predict" -> (linkPredictGate _),
     "graph_label_prop"  -> ((s, d) => labelPropagation(s, d)),
+    "graph_conductance" -> (conductance _),
     "graph_bfs"         -> (bfsGate _),
     "graph_kcore"       -> (kCoreGate _),
     "graph_triangles"   -> (triangles _),
@@ -1924,6 +2005,7 @@ object Graph {
     "graph_modularity"  -> modularitySql(),
     "graph_link_predict" -> linkPredictSql,
     "graph_label_prop"  -> labelPropagationSql(),
+    "graph_conductance" -> conductanceSql,
     "graph_bfs"         -> bfsSql,
     "graph_kcore"       -> kCoreSql,
     "graph_triangles"   -> trianglesSql,

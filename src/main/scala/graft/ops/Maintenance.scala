@@ -894,7 +894,72 @@ object Maintenance {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** Write–audit–publish (WAP) — the lakehouse ingestion contract:
+    * every append lands in a STAGING table first, a declarative audit
+    * (no NULL keys, positive amounts, row count monotone) runs
+    * against the staged candidate, and only a passing candidate is
+    * atomically swapped live ([[TableSwap.swapIn]] — rename, never
+    * copy); a failing candidate is dropped with the live table
+    * untouched. The gate drives BOTH outcomes: a poisoned batch
+    * (NULL `o_orderpriority`) is staged, audited, REJECTED; a clean
+    * batch is staged, audited, PUBLISHED; the final count is re-read
+    * from the on-disk live table, so a leaked bad batch or a lost
+    * clean one hash-fails against the oracle's restatement.
+    *
+    * Scale: audits are aggregate scans of the staged candidate only
+    * (predicate-pushed); publish is O(1) renames. The pattern is
+    * Iceberg's WAP with plain-parquet primitives. */
+  def wapPublish(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = scratch(dir, "wap")
+    val live = s"$root/orders"
+    graft.sources.ParquetSink.write(Tables.orders(s, dir), live)
+    val n0 = s.read.parquet(live).count()
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def batch(keyShift: Long, poisonPriority: Boolean): DataFrame = {
+      val b = s.read.parquet(live).orderBy(col("o_orderkey")).limit(2)
+        .withColumn("o_orderkey", col("o_orderkey") + keyShift)
+      val p = if (poisonPriority)
+        b.withColumn("o_orderpriority", lit(null).cast(StringType))
+      else b
+      p.select(cols.map(col): _*)
+    }
+    def stageAndAudit(b: DataFrame, name: String): (String, Long, Boolean) = {
+      val p = s"$root/stage_$name"
+      graft.sources.ParquetSink.write(
+        s.read.parquet(live).select(cols.map(col): _*).unionByName(b), p)
+      val staged = s.read.parquet(p)
+      val n = staged.count()
+      val bad = staged.filter(col("o_orderpriority").isNull ||
+        col("o_totalprice") <= 0 || col("o_orderkey").isNull).count()
+      (p, n, bad == 0 && n >= n0)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (p1, n1, ok1) = stageAndAudit(batch(2000000000L, true), "bad")
+    if (!ok1) fs.delete(new org.apache.hadoop.fs.Path(p1), true)
+    else TableSwap.swapIn(s, live, p1)
+    val (p2, n2, ok2) = stageAndAudit(batch(1000000000L, false), "clean")
+    if (!ok2) fs.delete(new org.apache.hadoop.fs.Path(p2), true)
+    else TableSwap.swapIn(s, live, p2)
+    val nFinal = s.read.parquet(live).count()
+    Seq(("1_audit_bad", n1, ok1), ("2_audit_clean", n2, ok2),
+      ("3_published", nFinal, true))
+      .toDF("step", "n_rows", "ok").orderBy(col("step"))
+  }
+
+  val wapPublishSql: String =
+    """SELECT '1_audit_bad' AS step,
+      |  (SELECT COUNT(*) + 2 FROM orders) AS n_rows, false AS ok
+      |UNION ALL
+      |SELECT '2_audit_clean', (SELECT COUNT(*) + 2 FROM orders), true
+      |UNION ALL
+      |SELECT '3_published', (SELECT COUNT(*) + 2 FROM orders), true
+      |ORDER BY step""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_wap_publish" -> (wapPublish _),
     "maint_partition_evolution" -> (partitionEvolution _),
     "maint_ivm_join" -> (ivmJoin _),
     "mv_rewrite_agg" -> (mvRewriteAgg _),
@@ -911,6 +976,7 @@ object Maintenance {
     "stream_cdc_apply" -> (cdcApply _),
     "stream_idempotent_sink" -> (idempotentSink _))
   def oracle: Map[String, String] = Map(
+    "maint_wap_publish" -> wapPublishSql,
     "maint_partition_evolution" -> partitionEvolutionSql,
     "maint_ivm_join" -> ivmJoinSql,
     "mv_rewrite_agg" -> mvRewriteAggSql,

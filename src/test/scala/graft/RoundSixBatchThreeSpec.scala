@@ -5,7 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-import graft.ops.{Evaluation, ParityQueries, TextAnalysis, TimeSeries}
+import graft.ops.{Evaluation, Graph, Maintenance, ParityQueries,
+  TextAnalysis, TimeSeries}
 
 /** Planted-fixture invariants for the third round-6 operator batch:
   * hapax/Simpson vocabulary profile, Fleiss' kappa, multiclass
@@ -196,5 +197,52 @@ class RoundSixBatchThreeSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2))
       === ((500L, 1L, 500L)))
     assert(r.getBoolean(4)) // sorted write -> non-overlapping stats
+  }
+
+  test("maint_wap_publish: poisoned batch is rejected with the live " +
+    "table untouched, clean batch publishes") {
+    val dir = tmpDir("r6b3_wap")
+    val data = (1L to 5L).map(k =>
+      Row(k, 1L, "F", 10.0 * k, new Timestamp(0L), "1-URGENT"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), ordersSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Maintenance.wapPublish(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got("1_audit_bad") === ((7L, false)))   // staged 5 + 2
+    assert(got("2_audit_clean") === ((7L, true)))  // live still 5
+    assert(got("3_published") === ((7L, true)))    // published 5 + 2
+  }
+
+  test("graph_conductance: planted two-community walk graph scores " +
+    "the cross edge exactly") {
+    // Two TRIANGLE walks plus one cross transition. Pair graphs
+    // (a<->b) oscillate under synchronous LPA (labels swap every
+    // round, returning to singletons after any even iteration
+    // count); triangles converge by round 3:
+    //   iter1: a=2 b=1 c=1 | d=5 e=4 f=4
+    //   iter2: a=1 b=1 c=1 | d=4 e=4 f=4   (stable from here)
+    def walk(user: Long, base: Long, steps: Seq[String]): Seq[Row] =
+      steps.zipWithIndex.map { case (t, i) =>
+        Row(base + i, new Timestamp(1700000000000L + i * 60000L),
+          user, t, 1.0, "{}")
+      }
+    val dir = tmpDir("r6b3_cond")
+    val rows = walk(1L, 100, Seq("a", "b", "c", "a", "b", "c", "a")) ++
+      walk(2L, 200, Seq("d", "e", "f", "d", "e", "f", "d")) ++
+      walk(3L, 300, Seq("c", "d"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Graph.conductance(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // Symmetric directed weights: each triangle edge 2 per direction
+    // (12 per triangle), cross c-d 1 per direction; m2 = 26.
+    // vol({a,b,c}) = 12 + 1 = 13, cut = 1,
+    // cond = 1e6 div min(13, 13) = 76923; symmetric for {d,e,f}.
+    assert(got.toSeq === Seq((3L, 13L, 1L, 76923L),
+      (3L, 13L, 1L, 76923L)))
   }
 }
