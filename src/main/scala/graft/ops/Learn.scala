@@ -986,7 +986,102 @@ object Learn {
       |FROM h GROUP BY doc_id, hv % 64
       |ORDER BY doc_id, bucket""".stripMargin
 
+  /** One-way ANOVA F feature screen: for each numeric lineitem
+    * feature, the between/within variance ratio across the 3
+    * `l_returnflag` classes — the standard univariate filter for
+    * ranking features BEFORE training (the SelectKBest shape). A
+    * large F ⇒ class means separate well ⇒ the feature is worth a
+    * model's capacity.
+    *
+    * Determinism: features are per-row snapped to integers first
+    * (qty, cents, basis points), all sums/sumsq accumulate EXACTLY
+    * (BIGINT / DECIMAL(38,0) — sumsq of cents² × corpus rows
+    * overflows BIGINT, decimal does not and DuckDB's HUGEINT mirrors
+    * it); the 3 classes are pivoted into FIXED columns in one
+    * conditional-aggregation pass, so F is a single fixed-shape
+    * double expression over exact integers — identical operand
+    * order on both engines, then floored to ppm. No
+    * aggregate-over-doubles anywhere.
+    *
+    * Scale: one map-combinable groupBy(feature) pass over the
+    * unpivoted corpus (4 features ⇒ 4× row multiplier on a 3-column
+    * projection, not on the table); output is O(features). */
+  def anovaF(s: SparkSession, dir: String): DataFrame = {
+    val snapped = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("cls"),
+      expr("""stack(4,
+        'disc_bp',  CAST(ROUND(l_discount * 10000) AS BIGINT),
+        'price_cents', CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+        'qty',      CAST(l_quantity AS BIGINT),
+        'tax_bp',   CAST(ROUND(l_tax * 10000) AS BIGINT))
+        AS (feature, x)"""))
+    def nC(f: String) = sum(when(col("cls") === f, 1L).otherwise(0L))
+    def sC(f: String) = sum(when(col("cls") === f, col("x")).otherwise(0L))
+    def qC(f: String) = sum(when(col("cls") === f,
+      col("x").cast(DecimalType(38, 0)) * col("x")).otherwise(
+      lit(0).cast(DecimalType(38, 0))))
+    snapped.groupBy(col("feature"))
+      .agg(nC("A").as("n_a"), sC("A").as("s_a"), qC("A").as("q_a"),
+        nC("N").as("n_n"), sC("N").as("s_n"), qC("N").as("q_n"),
+        nC("R").as("n_r"), sC("R").as("s_r"), qC("R").as("q_r"))
+      .select(col("feature"),
+        (col("n_a") + col("n_n") + col("n_r")).as("n"),
+        expr("""CAST(FLOOR((
+          ((CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          + CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n_n AS DOUBLE)
+          + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+          - CAST(s_a + s_n + s_r AS DOUBLE) * CAST(s_a + s_n + s_r AS DOUBLE)
+            / CAST(n_a + n_n + n_r AS DOUBLE))
+          * CAST(n_a + n_n + n_r - 3 AS DOUBLE))
+          / ((CAST(q_a + q_n + q_r AS DOUBLE)
+          - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          + CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n_n AS DOUBLE)
+          + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE)))
+          * 2.0)
+          * 1000000.0) AS BIGINT)""").as("f_ppm"))
+      .orderBy(col("feature"))
+  }
+
+  val anovaFSql: String =
+    """WITH u AS (
+      |  SELECT l_returnflag AS cls, f.feature, f.x
+      |  FROM lineitem, LATERAL (VALUES
+      |    ('disc_bp',  CAST(ROUND(l_discount * 10000) AS BIGINT)),
+      |    ('price_cents', CAST(ROUND(l_extendedprice * 100) AS BIGINT)),
+      |    ('qty',      CAST(l_quantity AS BIGINT)),
+      |    ('tax_bp',   CAST(ROUND(l_tax * 10000) AS BIGINT)))
+      |    AS f(feature, x)),
+      |g AS (
+      |  SELECT feature,
+      |    CAST(SUM(CASE WHEN cls = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN cls = 'A' THEN x ELSE 0 END) AS BIGINT) AS s_a,
+      |    SUM(CASE WHEN cls = 'A' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_a,
+      |    CAST(SUM(CASE WHEN cls = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+      |    CAST(SUM(CASE WHEN cls = 'N' THEN x ELSE 0 END) AS BIGINT) AS s_n,
+      |    SUM(CASE WHEN cls = 'N' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_n,
+      |    CAST(SUM(CASE WHEN cls = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+      |    CAST(SUM(CASE WHEN cls = 'R' THEN x ELSE 0 END) AS BIGINT) AS s_r,
+      |    SUM(CASE WHEN cls = 'R' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_r
+      |  FROM u GROUP BY feature)
+      |SELECT feature, CAST(n_a + n_n + n_r AS BIGINT) AS n,
+      |  CAST(FLOOR((
+      |    ((CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    + CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n_n AS DOUBLE)
+      |    + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+      |    - CAST(s_a + s_n + s_r AS DOUBLE) * CAST(s_a + s_n + s_r AS DOUBLE)
+      |      / CAST(n_a + n_n + n_r AS DOUBLE))
+      |    * CAST(n_a + n_n + n_r - 3 AS DOUBLE))
+      |    / ((CAST(q_a + q_n + q_r AS DOUBLE)
+      |    - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    + CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n_n AS DOUBLE)
+      |    + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE)))
+      |    * 2.0)
+      |    * 1000000.0) AS BIGINT) AS f_ppm
+      |FROM g
+      |ORDER BY feature""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_anova_f" -> (anovaF _),
     "learn_target_encode" -> (targetEncode _),
     "learn_feature_hash" -> (featureHash _),
     "learn_woe_iv" -> ((s: SparkSession, d: String) => woeIv(s, d)),
@@ -1002,6 +1097,7 @@ object Learn {
     "learn_ridge" -> (ridge _))
 
   def oracle: Map[String, String] = Map(
+    "learn_anova_f" -> anovaFSql,
     "learn_target_encode" -> targetEncodeSql,
     "learn_feature_hash" -> featureHashSql,
     "learn_woe_iv" -> woeIvSql,

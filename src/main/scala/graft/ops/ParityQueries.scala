@@ -1621,8 +1621,65 @@ object ParityQueries {
       |  true AS nonoverlapping
       |FROM events""".stripMargin
 
+  /** Dictionary-encoding layout audit — the column-chunk-level
+    * complement of [[convRowgroupStats]]'s row-group audit: writes
+    * the documents projection with a deliberately small dictionary
+    * page budget, then reads the REAL footer encoding stats to prove
+    * the writer made the right per-column call — the low-cardinality
+    * `lang` column stays fully dictionary-encoded (RLE codes, the
+    * 100 TB scan-cost difference for categorical columns) while the
+    * high-entropy `text` column triggers the PLAIN fallback instead
+    * of building a useless corpus-sized dictionary. Value counts are
+    * reconciled against the table so the footer read is pinned to
+    * the data, not just to writer flags.
+    *
+    * Footer metadata is O(columns × row-groups) — metadata-sized by
+    * definition; the audit never scans data pages. */
+  def convDictEncoding(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val out = scratch(dir, "dict_encoding")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("parquet.dictionary.page.size", 4 * 1024)
+      .parquet(out)
+    val part = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        s.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val per = Seq("lang", "text").map { name =>
+        val chunks = blocks.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == name).get)
+        val stats = chunks.map(_.getEncodingStats)
+        val allDict = stats.forall(e => e != null &&
+          e.hasDictionaryEncodedPages && !e.hasNonDictionaryEncodedPages)
+        val anyPlain = stats.exists(e => e == null ||
+          e.hasNonDictionaryEncodedPages)
+        (name, chunks.map(_.getValueCount).sum, allDict, anyPlain)
+      }
+      import s.implicits._
+      per.toDF("col_name", "n_values", "all_dict", "any_plain")
+        .orderBy(col("col_name"))
+    } finally reader.close()
+  }
+
+  val convDictEncodingSql: String =
+    """SELECT 'lang' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_values,
+      |  true AS all_dict, false AS any_plain
+      |FROM documents
+      |UNION ALL
+      |SELECT 'text', CAST(COUNT(*) AS BIGINT), false, true
+      |FROM documents
+      |ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_rowgroup_stats"   -> (convRowgroupStats _),
+    "conv_dict_encoding"    -> (convDictEncoding _),
     "purge_subject_export"  -> (purgeSubjectExport _),
     "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
@@ -1661,6 +1718,7 @@ object ParityQueries {
 
   def oracle: Map[String, String] = Map(
     "conv_rowgroup_stats"   -> convRowgroupStatsSql,
+    "conv_dict_encoding"    -> convDictEncodingSql,
     "purge_subject_export"  -> purgeSubjectExportSql,
     "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,

@@ -335,6 +335,108 @@ object Similarity {
 
   // ---------------------------------------------------------------- //
 
+  /** EXACT cosine radius search (`sim ≥ τ`, the "range search" half
+    * of the ANN API — top-k bounds the count, range bounds the
+    * quality) with metric BALL PRUNING, so the result is provably
+    * identical to brute force while scanning only a fraction of the
+    * corpus. On unit-normalized vectors cos(q,x) ≥ τ ⇔
+    * ‖q̂−x̂‖ ≤ √(2−2τ), and the triangle inequality gives the cell
+    * filter: a cell with centroid c and ball radius r_c =
+    * max_{x∈cell}‖x̂−c‖ can contain a match only if
+    * ‖q̂−c‖ ≤ √(2−2τ) + r_c. Cells are the deterministic IVF
+    * coarse quantizer trained on the normalized corpus.
+    *
+    * Pruning only decides WHICH cells are scanned — the emitted
+    * similarity is recomputed from the RAW vectors with the exact
+    * [[cosine]] kernel (same expression the brute-force oracle
+    * states), so hash parity is unaffected by the normalized-space
+    * geometry. A 1e-9 slack keeps borderline cells in, preserving
+    * the no-false-negative guarantee under float rounding.
+    *
+    * Scale: centroids and per-cell radii are O(nCells) broadcast
+    * metadata; the probe set is O(Q·nCells) ids; only pruned-in
+    * inverted lists are rescanned — at 100 TB a query touches
+    * r_c-sized neighborhoods, never the corpus. SimilaritySpec
+    * asserts the prune actually bites (cells scanned < Q·nCells). */
+  def rangeSearch(s: SparkSession, dir: String, tau: Double = 0.4,
+      nCells: Int = 16): DataFrame = {
+    val corpus = withNearDuplicates(s, dir)
+    val nrm = corpus
+      .withColumn("nn", norm(col("v")))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nn")).as("vh"))
+    val cents = ivfCentroids(
+      nrm.select(col("vec_id"), col("vh").as("v")), nCells)
+      .localCheckpoint() // O(nCells·dim) metadata; breaks re-training
+    def l2(a: Column, b: Column): Column =
+      sqrt(greatest(lit(0.0), dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)))
+    val assigned = nearestCells(
+      nrm.select(col("vec_id"), col("vh").as("v")), cents, 1, "v")
+      .select(col("cell"), col("vec_id"), col("v").as("vh"))
+    val radii = assigned.join(broadcast(cents), "cell")
+      .groupBy(col("cell"))
+      .agg(max(l2(col("vh"), col("cv"))).as("r"))
+    val dTau = math.sqrt(2.0 - 2.0 * tau)
+    val probes = nrm.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(cents))
+      .withColumn("dq", l2(col("vh"), col("cv")))
+      .join(broadcast(radii), "cell")
+      .filter(col("dq") <= lit(dTau) + col("r") + lit(1e-9))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // (query, target) candidates carry ids only; raw vectors re-join
+    // after the prune (the annIvf width discipline).
+    broadcast(probes)
+      .join(assigned.select(col("cell"), col("vec_id").as("target_id")),
+        "cell")
+      .filter(col("query_id") =!= col("target_id"))
+      .join(corpus.toDF("target_id", "tv"), "target_id")
+      .join(broadcast(corpus.filter(col("vec_id") < 5)
+        .toDF("query_id", "qv")), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .filter(col("sim") >= tau)
+      .select(col("query_id"), col("target_id"), col("sim"))
+      .orderBy(col("query_id"), col("target_id"))
+  }
+
+  /** The (query, cell) probe set of [[rangeSearch]] — exposed for
+    * the spec's prune-effectiveness assertion. */
+  private[graft] def rangeSearchProbes(s: SparkSession, dir: String,
+      tau: Double = 0.4, nCells: Int = 16): Long = {
+    val corpus = withNearDuplicates(s, dir)
+    val nrm = corpus
+      .withColumn("nn", norm(col("v")))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nn")).as("vh"))
+    val cents = ivfCentroids(
+      nrm.select(col("vec_id"), col("vh").as("v")), nCells)
+    def l2(a: Column, b: Column): Column =
+      sqrt(greatest(lit(0.0), dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)))
+    val assigned = nearestCells(
+      nrm.select(col("vec_id"), col("vh").as("v")), cents, 1, "v")
+      .select(col("cell"), col("v").as("vh"))
+    val radii = assigned.join(broadcast(cents), "cell")
+      .groupBy(col("cell"))
+      .agg(max(l2(col("vh"), col("cv"))).as("r"))
+    val dTau = math.sqrt(2.0 - 2.0 * tau)
+    nrm.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(cents))
+      .withColumn("dq", l2(col("vh"), col("cv")))
+      .join(broadcast(radii), "cell")
+      .filter(col("dq") <= lit(dTau) + col("r") + lit(1e-9))
+      .count()
+  }
+
+  val rangeSearchSql: String =
+    s"""WITH ${VecCorpusSql}
+       |SELECT a.vec_id AS query_id, b.vec_id AS target_id,
+       |  ${CosineSql} AS sim
+       |FROM vecs a, vecs b
+       |WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+       |  AND ${CosineSql} >= 0.4
+       |ORDER BY query_id, target_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
   /** Deterministic pseudo-random hyperplane component for (table,
     * bit, dim): xxhash64 of the coordinates mapped into [-1, 1]. */
   private def planeComponent(table: Int, bit: Int, d: Column): Column =
@@ -2519,6 +2621,8 @@ object Similarity {
     "sim_topk_l2"         -> (topKL2 _),
     "sim_topk_agg"        -> (topKAgg _),
     "sim_near_dup"        -> (nearDupPairs _),
+    "sim_range_search"    -> ((s: SparkSession, d: String) =>
+      rangeSearch(s, d)),
     "sim_ann_lsh"         -> (annLshGate _),
     "sim_ann_ivf"         -> (annIvfGate _),
     "sim_ann_lsh_recall"  -> (annLshRecall _),
@@ -2557,6 +2661,7 @@ object Similarity {
     "sim_topk_l2"         -> topKL2Sql,
     "sim_topk_agg"        -> topKSql,
     "sim_near_dup"        -> nearDupPairsSql,
+    "sim_range_search"    -> rangeSearchSql,
     "sim_ann_lsh"         -> annListGateSql,
     "sim_ann_ivf"         -> annListGateSql,
     "sim_ann_lsh_recall"  -> annRecallSql,

@@ -2072,6 +2072,75 @@ object TimeSeries {
        |ORDER BY dtw DESC, user_id LIMIT 10""".stripMargin
   }
 
+  /** Theil–Sen robust trend estimator over the monthly revenue
+    * series: the MEDIAN of all pairwise slopes
+    * `(rev_j − rev_i)/(month_j − month_i)`, i<j — outlier-resistant
+    * where OLS (learn_linreg) is not (breakdown point 29% vs 0%).
+    * Exact integer arithmetic end to end: revenue per-row-snapped to
+    * cents BEFORE the sum, slopes as sign-peeled ppm divisions
+    * (Spark `div` truncates, DuckDB `//` floors — they agree only on
+    * non-negative operands), median as the discrete lower median via
+    * a cumulative value histogram (an actual observed slope, never
+    * an interpolation).
+    *
+    * Scale: the corpus-sized work is ONE groupBy producing the
+    * O(months) series; the pair frame and its histogram are
+    * O(months²) — a few thousand rows that stay constant as the
+    * corpus grows (time doesn't scale with data volume), so the
+    * single-partition cumulative window is metadata-sized by
+    * premise. */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate"))).as("mi"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val slopes = monthly.toDF("mi_a", "c_a")
+      .crossJoin(broadcast(monthly.toDF("mi_b", "c_b")))
+      .filter(col("mi_a") < col("mi_b"))
+      .select(expr(
+        """CASE WHEN c_b - c_a >= 0
+          |  THEN (c_b - c_a) * 1000000L div (mi_b - mi_a)
+          |  ELSE -((c_a - c_b) * 1000000L div (mi_b - mi_a))
+          |END""".stripMargin).as("slope_ppm"))
+    val tot = slopes.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("slope_ppm") > 0, 1L).otherwise(0L)).as("n_pos"))
+    val w = Window.orderBy(col("slope_ppm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slopes.groupBy(col("slope_ppm")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(n_pairs + 1) div 2"))
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        max(col("n_pos")).as("n_pos"),
+        min(col("slope_ppm")).as("slope_med_ppm"))
+  }
+
+  val theilSenSql: String =
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |sl AS (
+      |  SELECT CASE WHEN b.cents - a.cents >= 0
+      |    THEN (b.cents - a.cents) * 1000000 // (b.mi - a.mi)
+      |    ELSE -((a.cents - b.cents) * 1000000 // (b.mi - a.mi))
+      |    END AS slope_ppm
+      |  FROM m a, m b WHERE a.mi < b.mi),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN slope_ppm > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_pos FROM sl),
+      |cum AS (
+      |  SELECT slope_ppm, SUM(cnt) OVER (ORDER BY slope_ppm) AS cum
+      |  FROM (SELECT slope_ppm, COUNT(*) AS cnt FROM sl
+      |        GROUP BY slope_ppm))
+      |SELECT t.n_pairs, t.n_pos,
+      |  CAST(MIN(c.slope_ppm) AS BIGINT) AS slope_med_ppm
+      |FROM cum c, tot t WHERE c.cum >= (t.n_pairs + 1) // 2
+      |GROUP BY t.n_pairs, t.n_pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_sax"            -> (tsSax _),
         "ts_holt"           -> (tsHolt _),
@@ -2101,6 +2170,7 @@ object TimeSeries {
         "ts_funnel"         -> (funnel _),
         "ts_behavior_topk"  -> ((s, d) => behaviorTopK(s, d)),
         "ts_behavior_topk_lsh" -> (behaviorLshGate _),
+        "ts_theil_sen"      -> (theilSen _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
@@ -2129,5 +2199,6 @@ object TimeSeries {
         "ts_funnel"         -> funnelSql,
         "ts_behavior_topk"  -> behaviorTopKSql,
         "ts_behavior_topk_lsh" -> behaviorLshSql,
+        "ts_theil_sen"      -> theilSenSql,
         "ts_gaps_islands"   -> tsGapsIslandsSql)
 }
