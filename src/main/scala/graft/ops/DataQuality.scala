@@ -1333,7 +1333,78 @@ object DataQuality {
       |    AS holds
       |FROM a ORDER BY ind""".stripMargin
 
+  /** Gini coefficient of per-customer spend — the inequality /
+    * concentration index a pipeline computes before choosing a
+    * partitioning or sampling strategy (G near 1 ⇒ a few heavy keys
+    * dominate ⇒ salting/skew-join territory; the scalar complement
+    * of [[Skew]]'s per-key diagnostics). Uses the classic rank form
+    * G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over ascending-sorted spend.
+    *
+    * Ranks come from a cumulative VALUE HISTOGRAM, not a per-row
+    * global sort: for a value v with count c and C rows strictly
+    * below, Σ of its ranks is c·C + c(c+1)/2, so Σᵢ i·xᵢ folds per
+    * distinct value. All accumulation is exact (cents BIGINT, rank
+    * products DECIMAL(38,0) — v·c·C overflows BIGINT at corpus
+    * scale, decimal/HUGEINT does not); the final ratio is ONE
+    * fixed-shape double over exact integers, floored to ppm.
+    *
+    * Scale: the corpus shuffles once (groupBy custkey); the
+    * histogram window runs over DISTINCT spend values — bounded by
+    * the value domain, not the row count. */
+  def gini(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val hist = spend.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .select(
+        (col("cum") - col("c")).as("below"), col("cents"), col("c"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("c")).as("s"),
+        // c(c+1) is even, so the rank-sum term stays exact BIGINT
+        sum(col("cents").cast(DecimalType(38, 0)) *
+          expr("below * c + (c * (c + 1)) div 2")).as("a"))
+      .select(col("n"),
+        col("s").cast(LongType).as("total_cents"),
+        expr("""CAST(FLOOR(
+          (2.0 * CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+          * 1000000.0) AS BIGINT)""").as("gini_ppm"))
+  }
+
+  val giniSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |hist AS (
+      |  SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM spend
+      |  GROUP BY cents),
+      |cum AS (
+      |  SELECT cents, c,
+      |    CAST(SUM(c) OVER (ORDER BY cents) - c AS BIGINT) AS below
+      |  FROM hist),
+      |agg AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    SUM(CAST(cents AS HUGEINT) * c) AS s,
+      |    SUM(CAST(cents AS HUGEINT) *
+      |      (below * c + (c * (c + 1)) // 2)) AS a
+      |  FROM cum)
+      |SELECT n, CAST(s AS BIGINT) AS total_cents,
+      |  CAST(FLOOR(
+      |    (2.0 * CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+      |     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS gini_ppm
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_gini" -> (gini _),
     "dq_inclusion_dep" -> (inclusionDep _),
     "dq_l_diversity" -> (lDiversity _),
     "dq_table_checksum" -> (tableChecksum _),
@@ -1359,6 +1430,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_gini" -> giniSql,
     "dq_inclusion_dep" -> inclusionDepSql,
     "dq_l_diversity" -> lDiversitySql,
     "dq_table_checksum" -> tableChecksumSql,

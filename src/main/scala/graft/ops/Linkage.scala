@@ -497,7 +497,67 @@ object Linkage {
       |WHERE damerau_levenshtein(d.name, c.name) <= 1
       |ORDER BY dirty_id, clean_id""".stripMargin
 
+  /** Phonetic blocking keys — the sound-alike complement of the
+    * key-omission blocking above: a simplified Soundex-style code
+    * (first letter + the first 3 consonant-class digits, vowels/h/w/y
+    * dropped, adjacent same-class runs collapsed, zero-padded) over
+    * the first word of `p_name`, then per-block candidate volumes.
+    * Blocking keys trade recall for candidate-count control; the
+    * per-block `n_pairs = c(c−1)/2` is exactly the comparison budget
+    * the ER pass downstream would spend, so this gate IS the
+    * blocking-cost estimator.
+    *
+    * The key pipeline is fixed and dialect-neutral: lower → first
+    * word → class map via equal-length `translate` → vowel-class
+    * delete → run collapse (`regexp_replace` is all-occurrence in
+    * Spark; the oracle passes 'g') → pad. One groupBy shuffle on the
+    * key; no pairs are materialized. */
+  def phoneticBlocks(s: SparkSession, dir: String): DataFrame = {
+    val w = regexp_extract(lower(col("p_name")), "^[a-z]+", 0)
+    val mapped = translate(substring(w, 2, 1000),
+      "bfpvcgjkqsxzdtlmnraeiouhwy", "11112222222233455600000000")
+    // run collapse as per-digit replaces: the oracle's RE2 engine
+    // has no backreferences, so '(\d)\1+' is not dialect-neutral
+    val collapsed = (1 to 6).foldLeft(
+      regexp_replace(mapped, "0", "")) { (c, d) =>
+      regexp_replace(c, s"$d$d+", d.toString)
+    }
+    val key = concat(upper(substring(w, 1, 1)),
+      substring(concat(collapsed, lit("000")), 1, 3))
+    Tables.part(s, dir)
+      .select(key.as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_parts"))
+      .select(col("key"), col("n_parts"),
+        expr("(n_parts * (n_parts - 1)) div 2").as("n_pairs"))
+      .orderBy(col("n_parts").desc, col("key"))
+      .limit(20)
+  }
+
+  val phoneticBlocksSql: String =
+    """WITH k AS (
+      |  SELECT upper(substr(w, 1, 1)) ||
+      |    substr(
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(
+      |      translate(substr(w, 2), 'bfpvcgjkqsxzdtlmnraeiouhwy',
+      |                '11112222222233455600000000'),
+      |      '0', '', 'g'),
+      |      '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+      |      '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g')
+      |      || '000', 1, 3) AS key
+      |  FROM (SELECT regexp_extract(lower(p_name), '^[a-z]+') AS w
+      |        FROM part)),
+      |b AS (
+      |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_parts
+      |  FROM k GROUP BY key)
+      |SELECT key, n_parts,
+      |  CAST((n_parts * (n_parts - 1)) // 2 AS BIGINT) AS n_pairs
+      |FROM b
+      |ORDER BY n_parts DESC, key LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_phonetic_blocks" -> (phoneticBlocks _),
     "link_damerau" -> (damerauGate _),
     "link_jaro_winkler" -> (jaroWinklerGate _),
     "link_blocked" -> (linkGate _),
@@ -506,6 +566,7 @@ object Linkage {
     "link_golden_record" -> (goldenRecord _))
 
   def oracle: Map[String, String] = Map(
+    "link_phonetic_blocks" -> phoneticBlocksSql,
     "link_damerau" -> damerauSql,
     "link_jaro_winkler" -> jaroWinklerSql,
     "link_blocked" -> linkSql,

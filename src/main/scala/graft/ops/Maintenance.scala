@@ -949,6 +949,61 @@ object Maintenance {
       .toDF("step", "n_rows", "ok").orderBy(col("step"))
   }
 
+  /** Orphan-file garbage collection — the debris half of table
+    * maintenance that [[vacuumBackups]]' generation pruning does not
+    * cover: data files that sit INSIDE the table directory but are
+    * not referenced by the table's manifest (crashed writers, failed
+    * speculative tasks, aborted compactions). Orphans are actively
+    * dangerous with plain directory scans: the reader double-counts
+    * their rows. The GC reconciles a directory listing against the
+    * manifest as an anti-join, deletes only unreferenced data files
+    * (never `_SUCCESS`/metadata), and re-reads the table to prove
+    * content integrity — the gate drives a planted double-count
+    * hazard end to end.
+    *
+    * Scale: the manifest and listing are O(files) metadata frames
+    * (at 100 TB: millions of names, still a trivial anti-join);
+    * no data file is ever read during GC. */
+  def orphanGc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = scratch(dir, "orphan_gc")
+    val table = s"$root/orders"
+    graft.sources.ParquetSink.write(
+      Tables.orders(s, dir).repartition(2), table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles: Seq[String] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(table)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    val manifest = dataFiles // recorded at commit time
+    val cleanRows = s.read.parquet(table).count()
+    // Planted debris: a crashed writer left a duplicate data file.
+    val first = manifest.head
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$table/$first"),
+      fs, new org.apache.hadoop.fs.Path(s"$table/part-orphan-$first"),
+      false, s.sparkContext.hadoopConfiguration)
+    val listedBefore = dataFiles
+    val doubled = s.read.parquet(table).count() // the hazard, visible
+    val orphans = listedBefore.toDF("f")
+      .join(manifest.toDF("f"), Seq("f"), "left_anti")
+      .as[String].collect() // O(files) names — metadata-sized
+    orphans.foreach(f => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$table/$f"), false))
+    val after = s.read.parquet(table).count()
+    Seq((manifest.size.toLong, listedBefore.size.toLong,
+      doubled > cleanRows, orphans.length.toLong, after))
+      .toDF("n_manifest", "n_listed", "hazard_visible",
+        "n_deleted", "rows_after")
+  }
+
+  val orphanGcSql: String =
+    """SELECT CAST(2 AS BIGINT) AS n_manifest,
+      |  CAST(3 AS BIGINT) AS n_listed, true AS hazard_visible,
+      |  CAST(1 AS BIGINT) AS n_deleted,
+      |  CAST(COUNT(*) AS BIGINT) AS rows_after
+      |FROM orders""".stripMargin
+
   val wapPublishSql: String =
     """SELECT '1_audit_bad' AS step,
       |  (SELECT COUNT(*) + 2 FROM orders) AS n_rows, false AS ok
@@ -959,6 +1014,7 @@ object Maintenance {
       |ORDER BY step""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_orphan_gc" -> (orphanGc _),
     "maint_wap_publish" -> (wapPublish _),
     "maint_partition_evolution" -> (partitionEvolution _),
     "maint_ivm_join" -> (ivmJoin _),
@@ -976,6 +1032,7 @@ object Maintenance {
     "stream_cdc_apply" -> (cdcApply _),
     "stream_idempotent_sink" -> (idempotentSink _))
   def oracle: Map[String, String] = Map(
+    "maint_orphan_gc" -> orphanGcSql,
     "maint_wap_publish" -> wapPublishSql,
     "maint_partition_evolution" -> partitionEvolutionSql,
     "maint_ivm_join" -> ivmJoinSql,

@@ -1544,9 +1544,55 @@ object Relational {
       |FROM cum GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** MapType higher-order-function surface — the map complement of
+    * [[q42ArrayHof]]'s array-lambda gate: per-order line→quantity
+    * MAPS built with `map_from_entries` over a deterministically
+    * sorted entry list (collect_list alone is partition-order-
+    * dependent — `array_sort` first, always), then driven through
+    * the codegen map lambdas `transform_values` (double every
+    * quantity) and `map_filter` (keep even line numbers), sized
+    * BEFORE filtering, and exploded back to rows for a stable hash.
+    * The oracle states the same CONTENT relationally — the gate
+    * proves Spark's map surface reduces to the right relation, not
+    * that DuckDB has the same lambda API.
+    *
+    * Scale: one groupBy(order) shuffle; maps are per-order structs
+    * (bounded by lines-per-order, ~7), never corpus-wide state. */
+  def q52MapHof(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 100)
+      // the synthetic lineitem repeats line numbers within an order;
+      // map keys must be unique, so quantities pre-sum per key
+      .groupBy(col("l_orderkey"), col("l_linenumber").as("k"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("v"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("k"), col("v"))))).as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).cast(LongType).as("n_lines"),
+        explode(map_filter(
+          transform_values(col("m"), (_, v) => v * 2),
+          (k, _) => k % 2 === 0)).as(Seq("k", "v2")))
+      .orderBy(col("l_orderkey"), col("k"))
+  }
+
+  val q52Sql: String =
+    """SELECT l_orderkey, n_lines, k, v2 FROM (
+      |  SELECT l_orderkey,
+      |    COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines,
+      |    k, v * 2 AS v2
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber AS k,
+      |      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+      |    FROM lineitem WHERE l_orderkey < 100
+      |    GROUP BY l_orderkey, l_linenumber))
+      |WHERE k % 2 = 0
+      |ORDER BY l_orderkey, k""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_map_hof" -> (q52MapHof _),
     "q51_percentile_disc" -> (q51PercentileDisc _),
     "q49_mode"           -> (q49Mode _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -1650,5 +1696,6 @@ object Relational {
     "q47_bool_aggs"      -> q47Sql,
     "q48_grouping_id"    -> q48Sql,
     "q49_mode"           -> q49Sql,
-    "q51_percentile_disc" -> q51Sql)
+    "q51_percentile_disc" -> q51Sql,
+    "q52_map_hof" -> q52Sql)
 }
