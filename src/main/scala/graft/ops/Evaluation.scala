@@ -1393,7 +1393,130 @@ object Evaluation {
        |FROM m
        |ORDER BY cls""".stripMargin
 
+  /** Consecutive-document ROUGE — the n-gram-overlap boilerplate
+    * screen: for every pair of ID-adjacent documents from the SAME
+    * source, clipped unigram (ROUGE-1) and bigram (ROUGE-2) overlap,
+    * micro-averaged per source as F1 = 2·Σclip / Σ(|a|+|b|). A
+    * source whose consecutive docs overlap heavily is emitting
+    * templated/boilerplate text — the pairwise complement of the
+    * [[TextAnalysis.textHapax]] vocabulary screen, and the standard
+    * summarization-eval metric reused as a curation diagnostic.
+    * Exact integer arithmetic: clipped counts are min() of exact
+    * token counts, F1 in sign-free ppm division.
+    *
+    * Pairing is BUCKETED within-source adjacency: a doc pairs with
+    * the next doc_id of its source inside a 1000-id bucket, so the
+    * ordering window is partitioned by (source, bucket) — bounded
+    * partitions regardless of how large a source grows (a window
+    * partitioned by source alone is a per-source global sort, the
+    * classic skew trap). The one boundary pair per bucket is
+    * deliberately skipped — a documented 0.1% sampling choice, not
+    * an accident. Overlap joins carry (doc, gram, count) rows,
+    * hash-partitioned on the gram; output is O(sources). */
+  def rougePairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        filter(split(lower(col("text")), " "), t => t =!= "").as("ts"))
+    val lens = toks.select(col("doc_id"), size(col("ts")).as("n"),
+      greatest(size(col("ts")) - 1, lit(0)).as("n2"))
+    val ucnt = toks.select(col("doc_id"), explode(col("ts")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val bcnt = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val wb = Window
+      .partitionBy(col("source"), expr("ia div 1000"))
+      .orderBy(col("ia"))
+    val pairs = toks
+      .select(col("doc_id").as("ia"), col("source"))
+      .withColumn("ib", lead(col("ia"), 1).over(wb))
+      .filter(col("ib").isNotNull)
+      .select(col("ia"), col("ib"), col("source"))
+    def clip(cnt: DataFrame) = pairs
+      .join(cnt.toDF("ia", "g", "ca"), "ia")
+      .join(cnt.toDF("ib", "g", "cb"), Seq("ib", "g"))
+      .groupBy(col("source"))
+      .agg(sum(least(col("ca"), col("cb"))).as("clip"))
+    val den = pairs
+      .join(lens.toDF("ia", "na", "na2"), "ia")
+      .join(lens.toDF("ib", "nb", "nb2"), "ib")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("na") + col("nb")).as("d1"),
+        sum(col("na2") + col("nb2")).as("d2"))
+    den
+      .join(clip(ucnt).toDF("source", "clip1"), Seq("source"), "left")
+      .join(clip(bcnt).toDF("source", "clip2"), Seq("source"), "left")
+      .na.fill(0L, Seq("clip1", "clip2"))
+      .select(col("source"), col("n_pairs"),
+        expr("CASE WHEN d1 = 0 THEN 0L " +
+          "ELSE clip1 * 2000000L div d1 END").as("r1_f_ppm"),
+        expr("CASE WHEN d2 = 0 THEN 0L " +
+          "ELSE clip2 * 2000000L div d2 END").as("r2_f_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val rougePairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+      |      AS ts
+      |  FROM documents),
+      |lens AS (SELECT doc_id, len(ts) AS n,
+      |           GREATEST(len(ts) - 1, 0) AS n2 FROM toks),
+      |ucnt AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(ts) AS g FROM toks)
+      |  GROUP BY doc_id, g),
+      |bcnt AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i + 1])) AS g FROM toks)
+      |  GROUP BY doc_id, g),
+      |pairs AS (
+      |  SELECT ia, ib, source FROM (
+      |    SELECT doc_id AS ia,
+      |      LEAD(doc_id) OVER (PARTITION BY source, doc_id // 1000
+      |        ORDER BY doc_id) AS ib,
+      |      source
+      |    FROM toks)
+      |  WHERE ib IS NOT NULL),
+      |c1 AS (
+      |  SELECT p.source, SUM(LEAST(x.c, y.c)) AS clip FROM pairs p
+      |  JOIN ucnt x ON x.doc_id = p.ia
+      |  JOIN ucnt y ON y.doc_id = p.ib AND y.g = x.g
+      |  GROUP BY p.source),
+      |c2 AS (
+      |  SELECT p.source, SUM(LEAST(x.c, y.c)) AS clip FROM pairs p
+      |  JOIN bcnt x ON x.doc_id = p.ia
+      |  JOIN bcnt y ON y.doc_id = p.ib AND y.g = x.g
+      |  GROUP BY p.source),
+      |den AS (
+      |  SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(la.n + lb.n) AS BIGINT) AS d1,
+      |    CAST(SUM(la.n2 + lb.n2) AS BIGINT) AS d2
+      |  FROM pairs p
+      |  JOIN lens la ON la.doc_id = p.ia
+      |  JOIN lens lb ON lb.doc_id = p.ib
+      |  GROUP BY p.source)
+      |SELECT d.source, d.n_pairs,
+      |  CAST(CASE WHEN d.d1 = 0 THEN 0
+      |    ELSE COALESCE(c1.clip, 0) * 2000000 // d.d1 END AS BIGINT)
+      |    AS r1_f_ppm,
+      |  CAST(CASE WHEN d.d2 = 0 THEN 0
+      |    ELSE COALESCE(c2.clip, 0) * 2000000 // d.d2 END AS BIGINT)
+      |    AS r2_f_ppm
+      |FROM den d
+      |LEFT JOIN c1 ON c1.source = d.source
+      |LEFT JOIN c2 ON c2.source = d.source
+      |ORDER BY d.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_rouge_pairs" -> (rougePairs _),
     "eval_fleiss_kappa" -> (fleissKappa _),
     "eval_macro_f1" -> (macroF1 _),
     "eval_isotonic" -> (isotonicGate _),
@@ -1416,6 +1539,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_rouge_pairs" -> rougePairsSql,
     "eval_fleiss_kappa" -> fleissKappaSql,
     "eval_macro_f1" -> macroF1Sql,
     "eval_isotonic" -> isotonicSql,

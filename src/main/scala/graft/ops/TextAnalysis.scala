@@ -1184,7 +1184,39 @@ object TextAnalysis {
       |    AS simpson_ppm
       |FROM roll ORDER BY source""".stripMargin
 
+  /** `regexp_extract_all` surface parity: every ≥3-letter
+    * vowel-initial word (anchored to a word start via the capture
+    * group — unanchored, the scanner would match mid-word suffixes),
+    * flattened and counted corpus-wide, top 20. Exercises the
+    * multi-match extraction path (one row in, many matches out) that
+    * single-match `regexp_extract` gates can't: group-indexed
+    * extraction, per-row flattening, empty-match rows dropping out
+    * naturally. Java regex and RE2 agree here by construction — the
+    * pattern uses no backreferences or lookarounds (RE2 has
+    * neither).
+    *
+    * Scale: a projection + explode (no join); the count is one
+    * map-combinable groupBy; TakeOrderedAndProject caps the top-20. */
+  def regexExtractAll(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(expr(
+        """regexp_extract_all(lower(text),
+          |  '(^| )([aeiou][a-z]{2,})', 2)""".stripMargin)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(20)
+  }
+
+  val regexExtractAllSql: String =
+    """SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text),
+      |    '(^| )([aeiou][a-z]{2,})', 2)) AS w
+      |  FROM documents)
+      |GROUP BY w
+      |ORDER BY n DESC, w LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_regex_extract_all" -> (regexExtractAll _),
     "text_hapax" -> (textHapax _),
     "text_ttr" -> (textTtr _),
     "text_vocab_growth" -> (vocabGrowth _),
@@ -1208,6 +1240,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_regex_extract_all" -> regexExtractAllSql,
     "text_hapax" -> textHapaxSql,
     "text_ttr" -> textTtrSql,
     "text_vocab_growth" -> vocabGrowthSql,

@@ -2072,6 +2072,59 @@ object TimeSeries {
        |ORDER BY dtw DESC, user_id LIMIT 10""".stripMargin
   }
 
+  /** OHLC bar downsampling — the finance-standard irregular→bar
+    * compaction missing from the resample family: per (user, day),
+    * the FIRST (open) and LAST (close) observed values by event
+    * time plus min/max, with values 1e-4-snapped to exact BIGINTs.
+    * Open/close are conditional aggregates over two row_numbers that
+    * share ONE (user, day) exchange — no self-join back to the
+    * extremal timestamp (the naive formulation joins the table to
+    * its own min(ts), doubling the scan).
+    *
+    * Scale: one hash exchange on (user, day); both window sorts and
+    * the final aggregation reuse it. Output is bounded by the
+    * queried user slice × days. */
+  def ohlcBars(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id") < 100)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("v"))
+    val wAsc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(when(col("ra") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(when(col("rd") === 1, col("v"))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val ohlcBarsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    ts, event_id,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE user_id < 100),
+      |r AS (
+      |  SELECT user_id, day, v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+      |      ORDER BY ts, event_id) AS ra,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM e)
+      |SELECT user_id, day,
+      |  CAST(MAX(CASE WHEN ra = 1 THEN v END) AS BIGINT) AS open,
+      |  CAST(MAX(v) AS BIGINT) AS high,
+      |  CAST(MIN(v) AS BIGINT) AS low,
+      |  CAST(MAX(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM r GROUP BY user_id, day
+      |ORDER BY user_id, day""".stripMargin
+
   /** Theil–Sen robust trend estimator over the monthly revenue
     * series: the MEDIAN of all pairwise slopes
     * `(rev_j − rev_i)/(month_j − month_i)`, i<j — outlier-resistant
@@ -2171,6 +2224,7 @@ object TimeSeries {
         "ts_behavior_topk"  -> ((s, d) => behaviorTopK(s, d)),
         "ts_behavior_topk_lsh" -> (behaviorLshGate _),
         "ts_theil_sen"      -> (theilSen _),
+        "ts_ohlc_bars"      -> (ohlcBars _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
@@ -2200,5 +2254,6 @@ object TimeSeries {
         "ts_behavior_topk"  -> behaviorTopKSql,
         "ts_behavior_topk_lsh" -> behaviorLshSql,
         "ts_theil_sen"      -> theilSenSql,
+        "ts_ohlc_bars"      -> ohlcBarsSql,
         "ts_gaps_islands"   -> tsGapsIslandsSql)
 }

@@ -1243,7 +1243,88 @@ object TrainingData {
       |FROM r WHERE page < 5 GROUP BY page
       |ORDER BY page""".stripMargin
 
+  /** Padding-waste estimator — the cost model a pipeline consults
+    * BEFORE choosing a batching strategy: for documents that fit the
+    * 512-token context (over-length docs are counted but excluded
+    * from all three strategies identically), the exact padded-token
+    * overhead of (a) pad-every-doc-to-512, (b) pad to the smallest
+    * length bucket in {128,256,384,512}, (c) concat-and-chunk
+    * (waste only in the final partial sequence). The overhead_ppm
+    * column is the fraction of compute spent on padding — the number
+    * that justifies bucketing/packing at training time.
+    *
+    * Exact integers end to end: whitespace token counts, ceil/mod
+    * arithmetic on non-negative operands. Scale: one projection pass
+    * for per-doc counts; strategies (a)/(b) are map-side conditional
+    * sums; (c) needs only the GLOBAL token total (one scalar). */
+  def paddingWaste(s: SparkSession, dir: String): DataFrame = {
+    val nt = Tables.documents(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val fit = nt.filter(col("n_tok") <= 512)
+    val agg = fit.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("tok"),
+      sum(lit(512L) - col("n_tok")).as("pad_max"),
+      sum(expr("""CASE WHEN n_tok <= 128 THEN 128
+                  WHEN n_tok <= 256 THEN 256
+                  WHEN n_tok <= 384 THEN 384 ELSE 512 END - n_tok"""))
+        .as("pad_bucket"))
+    agg.select(
+      explode(array(
+        struct(lit("a_pad_to_max").as("strategy"),
+          col("n_docs").as("n_seqs"),
+          col("pad_max").as("padded_tokens"),
+          expr("pad_max * 1000000L div (tok + pad_max)")
+            .as("overhead_ppm")),
+        struct(lit("b_bucket_pad").as("strategy"),
+          col("n_docs").as("n_seqs"),
+          col("pad_bucket").as("padded_tokens"),
+          expr("pad_bucket * 1000000L div (tok + pad_bucket)")
+            .as("overhead_ppm")),
+        struct(lit("c_concat_chunk").as("strategy"),
+          expr("(tok + 511) div 512").as("n_seqs"),
+          expr("((tok + 511) div 512) * 512 - tok").as("padded_tokens"),
+          expr("(((tok + 511) div 512) * 512 - tok) * 1000000L " +
+            "div (((tok + 511) div 512) * 512)").as("overhead_ppm"))))
+        .as("s"))
+      .select(col("s.strategy"), col("s.n_seqs"),
+        col("s.padded_tokens"), col("s.overhead_ppm"))
+      .orderBy(col("strategy"))
+  }
+
+  val paddingWasteSql: String =
+    """WITH nt AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |fit AS (SELECT n_tok FROM nt WHERE n_tok <= 512),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS tok,
+      |    CAST(SUM(512 - n_tok) AS BIGINT) AS pad_max,
+      |    CAST(SUM(CASE WHEN n_tok <= 128 THEN 128
+      |      WHEN n_tok <= 256 THEN 256
+      |      WHEN n_tok <= 384 THEN 384 ELSE 512 END - n_tok)
+      |      AS BIGINT) AS pad_bucket
+      |  FROM fit)
+      |SELECT 'a_pad_to_max' AS strategy, n_docs AS n_seqs,
+      |  pad_max AS padded_tokens,
+      |  CAST(pad_max * 1000000 // (tok + pad_max) AS BIGINT)
+      |    AS overhead_ppm
+      |FROM a
+      |UNION ALL
+      |SELECT 'b_bucket_pad', n_docs, pad_bucket,
+      |  CAST(pad_bucket * 1000000 // (tok + pad_bucket) AS BIGINT)
+      |FROM a
+      |UNION ALL
+      |SELECT 'c_concat_chunk', (tok + 511) // 512,
+      |  ((tok + 511) // 512) * 512 - tok,
+      |  CAST((((tok + 511) // 512) * 512 - tok) * 1000000
+      |    // (((tok + 511) // 512) * 512) AS BIGINT)
+      |FROM a
+      |ORDER BY strategy""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_padding_waste" -> (paddingWaste _),
     "pack_resume_cursor" -> (resumeCursor _),
     "pack_interleave" -> (interleave _),
     "pack_stratified_exact" -> ((s, d) => stratifiedExact(s, d)),
@@ -1268,6 +1349,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_padding_waste" -> paddingWasteSql,
     "pack_resume_cursor" -> resumeCursorSql,
     "pack_interleave" -> interleaveSql,
     "pack_stratified_exact" -> stratifiedExactSql,
