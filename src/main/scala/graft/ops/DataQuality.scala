@@ -1403,7 +1403,75 @@ object DataQuality {
       |    * 1000000.0) AS BIGINT) AS gini_ppm
       |FROM agg""".stripMargin
 
+  /** k-anonymity ENFORCEMENT by ladder generalization — the active
+    * complement of the `dq_k_anonymity` audit: walk a fixed
+    * coarsening ladder over the (nation, segment) quasi-identifier
+    * — L0 exact, L1 nation→region(÷5), L2 also segment→'*', L3 all
+    * '*' — and report each level's group landscape plus which level
+    * is the FIRST to satisfy k=50 (the release level). Standard
+    * global-recoding anonymization, stated declaratively.
+    *
+    * Scale: each level is one map-combinable groupBy over a 2-column
+    * projection; the ladder is 4 fixed passes (or one pass with
+    * grouping sets at the cost of clarity); output is 4 rows. */
+  def generalizeK(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val c = Tables.customer(s, dir)
+    def level(lvl: Int, nat: Column, seg: Column): DataFrame =
+      c.select(nat.as("qn"), seg.as("qs"))
+        .groupBy(col("qn"), col("qs")).agg(count(lit(1)).as("g"))
+        .agg(count(lit(1)).as("n_groups"), min(col("g")).as("min_group"))
+        .select(lit(lvl.toLong).as("level"), col("n_groups"),
+          col("min_group"), (col("min_group") >= k).as("meets_k"))
+    val levels = level(0, col("c_nationkey").cast(LongType),
+        col("c_mktsegment"))
+      .unionByName(level(1, expr("CAST(c_nationkey div 5 AS BIGINT)"),
+        col("c_mktsegment")))
+      .unionByName(level(2, expr("CAST(c_nationkey div 5 AS BIGINT)"),
+        lit("*")))
+      .unionByName(level(3, lit(-1L), lit("*")))
+    val chosen = levels.filter(col("meets_k"))
+      .agg(min(col("level")).as("first_ok"))
+    levels.crossJoin(broadcast(chosen))
+      .select(col("level"), col("n_groups"), col("min_group"),
+        col("meets_k"), (col("level") === col("first_ok")).as("release"))
+      .orderBy(col("level"))
+  }
+
+  val generalizeKSql: String =
+    """WITH l0 AS (
+      |  SELECT CAST(0 AS BIGINT) AS level,
+      |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |    CAST(MIN(g) AS BIGINT) AS min_group
+      |  FROM (SELECT COUNT(*) AS g FROM customer
+      |        GROUP BY c_nationkey, c_mktsegment)),
+      |l1 AS (
+      |  SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |    CAST(MIN(g) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS g FROM customer
+      |        GROUP BY c_nationkey // 5, c_mktsegment)),
+      |l2 AS (
+      |  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |    CAST(MIN(g) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS g FROM customer
+      |        GROUP BY c_nationkey // 5)),
+      |l3 AS (
+      |  SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |    CAST(MIN(g) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS g FROM customer)),
+      |levels AS (
+      |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+      |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+      |chosen AS (
+      |  SELECT MIN(level) AS first_ok FROM levels
+      |  WHERE min_group >= 50)
+      |SELECT level, n_groups, min_group,
+      |  min_group >= 50 AS meets_k, level = first_ok AS release
+      |FROM levels, chosen
+      |ORDER BY level""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_generalize_k" -> ((s: SparkSession, d: String) =>
+      generalizeK(s, d)),
     "dq_gini" -> (gini _),
     "dq_inclusion_dep" -> (inclusionDep _),
     "dq_l_diversity" -> (lDiversity _),
@@ -1430,6 +1498,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_generalize_k" -> generalizeKSql,
     "dq_gini" -> giniSql,
     "dq_inclusion_dep" -> inclusionDepSql,
     "dq_l_diversity" -> lDiversitySql,

@@ -1464,7 +1464,65 @@ object Dedup {
       |SELECT canon, COUNT(*) AS n_urls, MIN(doc_id) AS keeper
       |FROM canon GROUP BY canon ORDER BY canon""".stripMargin
 
+  /** Prefix-truncation duplicate detection — the scraped-corpus
+    * failure mode none of the similarity dedups target head-on: the
+    * SAME article captured at different cut-offs (paywall folds,
+    * feed summaries, re-crawls with different length caps). A pair
+    * (a, b) is a truncation dupe when `text_a` is a strict prefix of
+    * `text_b` (ties on equal text break by id). Detection is EXACT
+    * under the documented ≥32-char contract: if a is a prefix of b
+    * and both are ≥32 chars, their first-32-char keys are equal, so
+    * a 32-char prefix-key equi-join has zero false negatives and the
+    * quadratic `startswith` verify runs only inside key blocks
+    * (heavy blocks = shared boilerplate heads — exactly what the
+    * operator exists to surface). Planted truncated copies
+    * (doc_id+30000, first half of every doc_id<100 text) prove both
+    * engines find the same pairs.
+    *
+    * Scale: one equi-join on the 32-char key; candidates never carry
+    * payloads past the verify projection. */
+  def prefixTruncation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val truncated = docs
+      .filter(col("doc_id") < 100 && length(col("text")) >= 64)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        expr("substring(text, 1, CAST(length(text) div 2 AS INT))")
+          .as("text"))
+    val corpus = docs.union(truncated)
+      .filter(length(col("text")) >= 32)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast(LongType).as("n"),
+        substring(col("text"), 1, 32).as("k"))
+    val a = corpus.toDF("id_a", "t_a", "n_a", "k")
+    val b = corpus.toDF("id_b", "t_b", "n_b", "k")
+    a.join(b, "k")
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("id_a") < col("id_b")))
+      .filter(expr("startswith(t_b, t_a)"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val prefixTruncationSql: String =
+    """WITH tcorpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000 AS doc_id,
+      |    substr(text, 1, length(text) // 2) AS text
+      |  FROM documents WHERE doc_id < 100 AND length(text) >= 64),
+      |c AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+      |    substr(text, 1, 32) AS k
+      |  FROM tcorpus WHERE length(text) >= 32)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  a.n AS n_a, b.n AS n_b
+      |FROM c a JOIN c b ON a.k = b.k
+      |WHERE (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+      |  AND starts_with(b.text, a.text)
+      |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix_truncation" -> (prefixTruncation _),
     "dedup_url_canonical" -> (urlCanonical _),
     "dedup_hamming_banded" -> (hammingBanded _),
     "dedup_lsh_scurve"    -> (lshScurve _),
@@ -1490,6 +1548,7 @@ object Dedup {
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_prefix_truncation" -> prefixTruncationSql,
     "dedup_url_canonical" -> urlCanonicalSql,
     "dedup_hamming_banded" -> hammingBandedSql,
     "dedup_lsh_scurve"    -> lshScurveSql,

@@ -1589,9 +1589,37 @@ object Relational {
       |WHERE k % 2 = 0
       |ORDER BY l_orderkey, k""".stripMargin
 
+  /** `explode_outer` null-preservation semantics — the lateral-view
+    * corner the plain `explode` gates skip: a customer with NO
+    * orders keeps a row (its order-key column NULL) instead of
+    * silently vanishing, which is exactly the difference between an
+    * inner and an outer lateral join. The oracle states the same
+    * relation as a LEFT JOIN, with `NULLS FIRST` pinned (Spark ASC
+    * default vs DuckDB's NULLS LAST).
+    *
+    * Scale: the array build is one groupBy; the left join is
+    * key-equi; nothing here changes shape at 100 TB. */
+  def q53ExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_custkey") < 200)
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("ks"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), explode_outer(col("ks")).as("k"))
+      .orderBy(col("c_custkey"), col("k"))
+  }
+
+  val q53Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey AS k
+      |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |WHERE c.c_custkey < 200
+      |ORDER BY c_custkey, k NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_explode_outer" -> (q53ExplodeOuter _),
     "q52_map_hof" -> (q52MapHof _),
     "q51_percentile_disc" -> (q51PercentileDisc _),
     "q49_mode"           -> (q49Mode _),
@@ -1697,5 +1725,6 @@ object Relational {
     "q48_grouping_id"    -> q48Sql,
     "q49_mode"           -> q49Sql,
     "q51_percentile_disc" -> q51Sql,
-    "q52_map_hof" -> q52Sql)
+    "q52_map_hof" -> q52Sql,
+    "q53_explode_outer" -> q53Sql)
 }

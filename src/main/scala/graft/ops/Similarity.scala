@@ -437,6 +437,87 @@ object Similarity {
 
   // ---------------------------------------------------------------- //
 
+  /** Embedding-distribution drift monitor: PSI over SIGN-QUANTIZER
+    * cell occupancy between the even-id half of the corpus
+    * (reference window) and the odd half (current window) — the
+    * embedding-space analogue of [[DataQuality.dqPsi]]'s scalar
+    * drift alarm, run before trusting an index/centroids trained on
+    * yesterday's distribution. The coarse quantizer is the first 4
+    * component signs (16 cells) — deliberately dialect-neutral so
+    * the oracle can reproduce the binning exactly (the IVF
+    * quantizer's xxhash seeding cannot be restated in SQL); a
+    * drifted corpus moves sign-cell mass exactly like it moves IVF
+    * cell mass.
+    *
+    * Same determinism discipline as dqPsi: exact BIGINT cell counts,
+    * Laplace +1/+16, each PSI term ln'd on identical doubles and
+    * snapped to a 1e-9 long, total = order-independent long sum.
+    * Scale: one map-combinable groupBy; 16 rows out. */
+  def embedDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    def bit(i: Int, w: Long): Column =
+      when(element_at(col("v"), i) > 0.0, w).otherwise(0L)
+    val binned = vecs(s, dir).select(
+      (bit(1, 1L) + bit(2, 2L) + bit(3, 4L) + bit(4, 8L)).as("cell"),
+      (col("vec_id") % 2 === 0).as("is_ref"))
+    val counts = binned.groupBy(col("cell")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    val terms = counts.crossJoin(broadcast(totals))
+      .withColumn("p_ref", (col("n_ref") + lit(1)).cast(DoubleType) /
+        (col("t_ref") + lit(16)).cast(DoubleType))
+      .withColumn("p_cur", (col("n_cur") + lit(1)).cast(DoubleType) /
+        (col("t_cur") + lit(16)).cast(DoubleType))
+      .withColumn("term9",
+        floor((col("p_cur") - col("p_ref")) *
+          log(col("p_cur") / col("p_ref")) * 1e9 + 0.5).cast(LongType))
+    val total = terms.agg(sum(col("term9")).as("psi9"))
+    terms.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_ref"), col("n_cur"),
+        (col("term9").cast(DoubleType) / 1e9).as("psi_term"),
+        (col("psi9").cast(DoubleType) / 1e9).as("psi_total"))
+      .orderBy(col("cell"))
+  }
+
+  val embedDriftPsiSql: String =
+    """WITH b AS (
+      |  SELECT CAST(
+      |      CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      |    + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      |    + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      |    + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS BIGINT)
+      |      AS cell,
+      |    vec_id % 2 = 0 AS is_ref
+      |  FROM embeddings),
+      |counts AS (
+      |  SELECT cell,
+      |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ref,
+      |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_cur
+      |  FROM b GROUP BY cell),
+      |tot AS (
+      |  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+      |    CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM counts),
+      |terms AS (
+      |  SELECT cell, n_ref, n_cur,
+      |    CAST(floor(
+      |      (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 16 AS DOUBLE)
+      |       - CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 16 AS DOUBLE))
+      |      * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 16 AS DOUBLE))
+      |         / (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 16 AS DOUBLE)))
+      |      * 1e9 + 0.5) AS BIGINT) AS term9
+      |  FROM counts, tot),
+      |tt AS (SELECT CAST(SUM(term9) AS BIGINT) AS psi9 FROM terms)
+      |SELECT cell, n_ref, n_cur,
+      |  CAST(term9 AS DOUBLE) / 1e9 AS psi_term,
+      |  CAST(psi9 AS DOUBLE) / 1e9 AS psi_total
+      |FROM terms, tt
+      |ORDER BY cell""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
   /** Deterministic pseudo-random hyperplane component for (table,
     * bit, dim): xxhash64 of the coordinates mapped into [-1, 1]. */
   private def planeComponent(table: Int, bit: Int, d: Column): Column =
@@ -2623,6 +2704,7 @@ object Similarity {
     "sim_near_dup"        -> (nearDupPairs _),
     "sim_range_search"    -> ((s: SparkSession, d: String) =>
       rangeSearch(s, d)),
+    "embed_drift_psi"     -> (embedDriftPsi _),
     "sim_ann_lsh"         -> (annLshGate _),
     "sim_ann_ivf"         -> (annIvfGate _),
     "sim_ann_lsh_recall"  -> (annLshRecall _),
@@ -2662,6 +2744,7 @@ object Similarity {
     "sim_topk_agg"        -> topKSql,
     "sim_near_dup"        -> nearDupPairsSql,
     "sim_range_search"    -> rangeSearchSql,
+    "embed_drift_psi"     -> embedDriftPsiSql,
     "sim_ann_lsh"         -> annListGateSql,
     "sim_ann_ivf"         -> annListGateSql,
     "sim_ann_lsh_recall"  -> annRecallSql,
