@@ -1515,7 +1515,101 @@ object Evaluation {
       |LEFT JOIN c2 ON c2.source = d.source
       |ORDER BY d.source""".stripMargin
 
+  /** Krippendorff's alpha (nominal) — the agreement coefficient
+    * [[fleissKappa]] cannot be: Fleiss requires every rater to rate
+    * every item; alpha handles MISSING ratings (rater b abstains on
+    * keys ≡0 mod 5, rater c on ≡0 mod 7; items left with <2 ratings
+    * drop out entirely, per the definition). Computational form:
+    * per-item disagreement d_u = (m_u² − Σ_c n_uc²)/(m_u−1) — an
+    * exact integer for m_u ∈ {2,3} (all reachable compositions make
+    * the numerator divisible); A = Σd_u, n = Σm_u over pairable
+    * items, expected disagreement from the value margins
+    * E = n² − Σ_c n_c², and α = 1 − A(n−1)/E, evaluated as ONE
+    * fixed-shape double over exact BIGINTs and floored to ppm
+    * (double floor is toward −∞ in both engines, so negative alpha
+    * snaps identically).
+    *
+    * Scale: (item, cat) cells map-side combine; margins are an
+    * O(categories) rollup over cells from pairable items only. */
+  def krippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"),
+      expr("CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2') " +
+        "THEN 0 WHEN substring(o_orderpriority, 1, 1) = '3' " +
+        "THEN 1 ELSE 2 END").as("ra"),
+      expr("CASE WHEN o_orderkey % 5 = 0 THEN NULL " +
+        "WHEN o_totalprice < 50000.0 THEN 0 " +
+        "WHEN o_totalprice < 150000.0 THEN 1 ELSE 2 END").as("rb"),
+      expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+        "ELSE CAST(o_orderkey % 3 AS INT) END").as("rc"))
+    val lng = rated
+      .select(col("k"),
+        explode(array(col("ra"), col("rb"), col("rc"))).as("cat"))
+      .filter(col("cat").isNotNull)
+    val cells = lng.groupBy(col("k"), col("cat"))
+      .agg(count(lit(1)).as("c"))
+    val items = cells.groupBy(col("k"))
+      .agg(sum(col("c")).as("m"), sum(expr("c * c")).as("ssq"))
+      .filter(col("m") >= 2)
+      .select(col("k"), col("m"),
+        expr("(m * m - ssq) div (m - 1)").as("d"))
+    val tot = items.agg(count(lit(1)).as("n_items"),
+      sum(col("m")).as("n"), sum(col("d")).as("a"))
+    val margins = cells
+      .join(items.select(col("k")), "k")
+      .groupBy(col("cat")).agg(sum(col("c")).as("nc"))
+      .agg(sum(expr("nc * nc")).as("sc"))
+    tot.crossJoin(broadcast(margins))
+      .select(col("n_items"), col("n"), col("a"),
+        expr("n * n - sc").as("e"),
+        expr("""CAST(FLOOR((1.0 -
+          CAST(a AS DOUBLE) * CAST(n - 1 AS DOUBLE) / CAST(n * n - sc AS DOUBLE))
+          * 1000000.0) AS BIGINT)""").as("alpha_ppm"))
+  }
+
+  val krippendorffAlphaSql: String =
+    """WITH rated AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2')
+      |      THEN 0 WHEN substring(o_orderpriority, 1, 1) = '3'
+      |      THEN 1 ELSE 2 END AS ra,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |      WHEN o_totalprice < 50000.0 THEN 0
+      |      WHEN o_totalprice < 150000.0 THEN 1 ELSE 2 END AS rb,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |      ELSE CAST(o_orderkey % 3 AS INT) END AS rc
+      |  FROM orders),
+      |lng AS (
+      |  SELECT k, cat FROM (SELECT k, unnest([ra, rb, rc]) AS cat
+      |                      FROM rated)
+      |  WHERE cat IS NOT NULL),
+      |cells AS (
+      |  SELECT k, cat, CAST(COUNT(*) AS BIGINT) AS c FROM lng
+      |  GROUP BY k, cat),
+      |items AS (
+      |  SELECT k, m, (m * m - ssq) // (m - 1) AS d FROM (
+      |    SELECT k, CAST(SUM(c) AS BIGINT) AS m,
+      |      CAST(SUM(c * c) AS BIGINT) AS ssq
+      |    FROM cells GROUP BY k)
+      |  WHERE m >= 2),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(m) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS a
+      |  FROM items),
+      |margins AS (
+      |  SELECT CAST(SUM(nc * nc) AS BIGINT) AS sc FROM (
+      |    SELECT c.cat, CAST(SUM(c.c) AS BIGINT) AS nc
+      |    FROM cells c JOIN items i ON i.k = c.k
+      |    GROUP BY c.cat))
+      |SELECT n_items, n, a, n * n - sc AS e,
+      |  CAST(FLOOR((1.0 -
+      |    CAST(a AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+      |    / CAST(n * n - sc AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |    AS alpha_ppm
+      |FROM tot, margins""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_krippendorff" -> (krippendorffAlpha _),
     "eval_rouge_pairs" -> (rougePairs _),
     "eval_fleiss_kappa" -> (fleissKappa _),
     "eval_macro_f1" -> (macroF1 _),
@@ -1539,6 +1633,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_krippendorff" -> krippendorffAlphaSql,
     "eval_rouge_pairs" -> rougePairsSql,
     "eval_fleiss_kappa" -> fleissKappaSql,
     "eval_macro_f1" -> macroF1Sql,

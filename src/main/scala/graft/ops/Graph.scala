@@ -1963,7 +1963,76 @@ object Graph {
       |FROM reach GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** Directed 3-node MOTIF CENSUS over the event-transition digraph:
+    * reciprocal dyads, transitive (feed-forward) triads — edges
+    * a→b, b→c, a→c with distinct roles, each instance counted once —
+    * and 3-cycles a→b→c→a, deduped to one count per cycle by pinning
+    * the smallest node first. The triangles/k-truss family sees only
+    * the undirected skeleton; DIRECTION is what separates a
+    * hierarchy (feed-forward-heavy) from churn loops (cycle-heavy)
+    * in behavioral graphs.
+    *
+    * Scale: same premise as [[triangles]] — the distinct-edge frame
+    * is O(event-types²) metadata, so the triple self-joins are
+    * bounded by the type vocabulary, not the corpus; the corpus is
+    * touched once to build edges. */
+  def motifCensus(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint() // O(types²) metadata; cut for the self-joins
+    val recip = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"))
+      .filter(col("e1.src") < col("e1.dst"))
+      .count()
+    val ab = edges.toDF("a", "b")
+    val bc = edges.toDF("b", "c")
+    val triples = ab.join(bc, "b")
+      .filter(col("a") =!= col("c"))
+    val ffl = triples
+      .join(edges.toDF("a", "c"), Seq("a", "c"))
+      .count()
+    val cyc = triples
+      .join(edges.toDF("c", "a"), Seq("c", "a"))
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .count()
+    import s.implicits._
+    Seq((edges.count(), recip, ffl, cyc))
+      .toDF("n_edges", "n_recip", "n_ffl", "n_cycle")
+  }
+
+  val motifCensusSql: String =
+    """WITH ord AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT src, dst FROM ord
+      |  WHERE dst IS NOT NULL AND dst <> src)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e1
+      |   JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+      |   WHERE e1.src < e1.dst) AS n_recip,
+      |  (SELECT CAST(COUNT(*) AS BIGINT)
+      |   FROM edges ab JOIN edges bc ON bc.src = ab.dst
+      |   JOIN edges ac ON ac.src = ab.src AND ac.dst = bc.dst
+      |   WHERE ab.src <> bc.dst) AS n_ffl,
+      |  (SELECT CAST(COUNT(*) AS BIGINT)
+      |   FROM edges ab JOIN edges bc ON bc.src = ab.dst
+      |   JOIN edges ca ON ca.src = bc.dst AND ca.dst = ab.src
+      |   WHERE ab.src <> bc.dst AND ab.src < ab.dst
+      |     AND ab.src < bc.dst) AS n_cycle""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_motif_census" -> (motifCensus _),
     "graph_topo_layers" -> (topoLayers _),
     "graph_assortativity" -> (assortativity _),
     "graph_ppr" -> ((s, d) => ppr(s, d)),
@@ -1991,6 +2060,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_motif_census" -> motifCensusSql,
     "graph_topo_layers" -> topoLayersSql,
     "graph_assortativity" -> assortativitySql,
     "graph_ppr" -> pprSql(),

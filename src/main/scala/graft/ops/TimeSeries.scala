@@ -2125,6 +2125,68 @@ object TimeSeries {
       |FROM r GROUP BY user_id, day
       |ORDER BY user_id, day""".stripMargin
 
+  /** Winsorization report — clip at the exact discrete p05/p95 and
+    * account for the effect: the robust-preprocessing step between
+    * outlier DETECTION ([[tsHampel]], dq_iqr) and modeling. Fences
+    * are percentile_disc values from a cumulative VALUE histogram
+    * (rank = ceil(p·n) = (n·p + 99) div 100 — always an observed
+    * value, the q51 discipline, no per-row global sort); the clip
+    * effect is a second conditional pass: counts clipped on each
+    * side and the exact 1e-4-snapped sums before/after.
+    *
+    * Scale: two passes over a 1-column projection (histogram +
+    * conditional sums against broadcast fences); the cumulative
+    * window runs over DISTINCT values — bounded by the value domain. */
+  def tsWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir).select(
+      expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("v"))
+    val hist = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
+    val fences = cum
+      .agg(min(when(col("cum") >= expr("(n * 5 + 99) div 100"),
+          col("v"))).as("p05"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"),
+          col("v"))).as("p95"))
+    v.crossJoin(broadcast(fences))
+      .agg(count(lit(1)).as("n"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        sum(when(col("v") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+        sum(col("v")).as("sum_raw"),
+        sum(greatest(col("p05"), least(col("p95"), col("v"))))
+          .as("sum_wins"))
+  }
+
+  val tsWinsorizeSql: String =
+    """WITH v AS (
+      |  SELECT CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+      |cum AS (
+      |  SELECT hv.v, SUM(hv.c) OVER (ORDER BY hv.v) AS cum, n.n
+      |  FROM (SELECT v, COUNT(*) AS c FROM v GROUP BY v) hv, n),
+      |fences AS (
+      |  SELECT
+      |    CAST(MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN v END)
+      |      AS BIGINT) AS p05,
+      |    CAST(MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END)
+      |      AS BIGINT) AS p95
+      |  FROM cum)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(p05) AS BIGINT) AS p05,
+      |  CAST(MAX(p95) AS BIGINT) AS p95,
+      |  CAST(SUM(CASE WHEN v.v < p05 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_lo,
+      |  CAST(SUM(CASE WHEN v.v > p95 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hi,
+      |  CAST(SUM(v.v) AS BIGINT) AS sum_raw,
+      |  CAST(SUM(GREATEST(p05, LEAST(p95, v.v))) AS BIGINT)
+      |    AS sum_wins
+      |FROM v, fences""".stripMargin
+
   /** Theil–Sen robust trend estimator over the monthly revenue
     * series: the MEDIAN of all pairwise slopes
     * `(rev_j − rev_i)/(month_j − month_i)`, i<j — outlier-resistant
@@ -2225,6 +2287,7 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> (behaviorLshGate _),
         "ts_theil_sen"      -> (theilSen _),
         "ts_ohlc_bars"      -> (ohlcBars _),
+        "ts_winsorize"      -> (tsWinsorize _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
@@ -2255,5 +2318,6 @@ object TimeSeries {
         "ts_behavior_topk_lsh" -> behaviorLshSql,
         "ts_theil_sen"      -> theilSenSql,
         "ts_ohlc_bars"      -> ohlcBarsSql,
+        "ts_winsorize"      -> tsWinsorizeSql,
         "ts_gaps_islands"   -> tsGapsIslandsSql)
 }
