@@ -1080,7 +1080,130 @@ object Learn {
       |FROM g
       |ORDER BY feature""".stripMargin
 
+  /** Linear-SVM full-batch subgradient steps — the hinge-loss
+    * max-margin sibling of [[logregSteps]] (same features, labels
+    * remapped to ±1): the subgradient of `max(0, 1 − y·w·x)` is
+    * `−y·x` on margin-violating rows and 0 elsewhere, so one step is
+    * ONE conditional aggregation. At w=0 every margin is 0 < 1, so
+    * step 1 needs no indicator at all; step 2's indicator compares
+    * identical doubles on both engines (margins built from the
+    * step-1 snapped gradients). Gradients snap to 1e9-scaled longs
+    * before the weight update (the logreg discipline) — the sums
+    * are order-independent BIGINTs.
+    *
+    * Scale: each step is a map-combinable aggregate; weights are a
+    * broadcast single row. */
+  def svmSteps(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(s, dir).select(
+      lit(1.0).as("x0"),
+      (col("n_chars").cast(DoubleType) / lit(1000.0)).as("x1"),
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))) /
+        col("n_chars").cast(DoubleType)).as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(-1.0).as("y"))
+    def g9(xj: Column, active: Column): Column =
+      sum(when(active,
+        floor(-col("y") * xj * 1e9 + 0.5).cast(LongType)).otherwise(0L))
+    // Step 1: w = 0 ⇒ all rows active.
+    val g1 = feats.agg(
+      g9(col("x0"), lit(true)).as("g0"),
+      g9(col("x1"), lit(true)).as("g1"),
+      g9(col("x2"), lit(true)).as("g2"),
+      count(lit(1)).as("n"))
+    def upd(g: Column, n: Column): Column =
+      g.cast(DoubleType) / (n.cast(DoubleType) * 1e9)
+    val w1 = g1.select(
+      (-upd(col("g0"), col("n"))).as("b0"),
+      (-upd(col("g1"), col("n"))).as("b1"),
+      (-upd(col("g2"), col("n"))).as("b2"),
+      col("n").as("n_active"))
+    // Step 2: only margin violators contribute.
+    val scored = feats.crossJoin(broadcast(w1.select(
+        col("b0"), col("b1"), col("b2"))))
+      .withColumn("active",
+        col("y") * (col("b0") * col("x0") + col("b1") * col("x1") +
+          col("b2") * col("x2")) < 1.0)
+    val g2 = scored.agg(
+      g9(col("x0"), col("active")).as("g0"),
+      g9(col("x1"), col("active")).as("g1"),
+      g9(col("x2"), col("active")).as("g2"),
+      count(lit(1)).as("n"),
+      sum(when(col("active"), 1L).otherwise(0L)).as("n_active"),
+      min(col("b0")).as("b0"), min(col("b1")).as("b1"),
+      min(col("b2")).as("b2"))
+    val w2 = g2.select(
+      (col("b0") - upd(col("g0"), col("n"))).as("b0"),
+      (col("b1") - upd(col("g1"), col("n"))).as("b1"),
+      (col("b2") - upd(col("g2"), col("n"))).as("b2"),
+      col("n_active"))
+    w1.select(lit(1L).as("step"), col("b0"), col("b1"), col("b2"),
+        col("n_active"))
+      .union(w2.select(lit(2L).as("step"), col("b0"), col("b1"),
+        col("b2"), col("n_active")))
+      .orderBy(col("step"))
+  }
+
+  val svmSql: String =
+    """WITH feats AS (
+      |  SELECT CAST(1 AS DOUBLE) AS x0,
+      |    CAST(n_chars AS DOUBLE) / 1000 AS x1,
+      |    (length(text) - length(replace(text, ' ', '')))
+      |      / CAST(n_chars AS DOUBLE) AS x2,
+      |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+      |         ELSE CAST(-1 AS DOUBLE) END AS y
+      |  FROM documents),
+      |g1 AS (
+      |  SELECT
+      |    CAST(SUM(CAST(floor(-y * x0 * 1e9 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS g0,
+      |    CAST(SUM(CAST(floor(-y * x1 * 1e9 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS g1,
+      |    CAST(SUM(CAST(floor(-y * x2 * 1e9 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS g2,
+      |    COUNT(*) AS n
+      |  FROM feats),
+      |w1 AS (
+      |  SELECT
+      |    -(CAST(g0 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)) AS b0,
+      |    -(CAST(g1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)) AS b1,
+      |    -(CAST(g2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)) AS b2,
+      |    CAST(n AS BIGINT) AS n_active
+      |  FROM g1),
+      |scored AS (
+      |  SELECT f.*, w1.b0, w1.b1, w1.b2,
+      |    f.y * (w1.b0 * f.x0 + w1.b1 * f.x1 + w1.b2 * f.x2) < 1.0
+      |      AS active
+      |  FROM feats f, w1),
+      |g2 AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN active THEN
+      |      CAST(floor(-y * x0 * 1e9 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS g0,
+      |    CAST(SUM(CASE WHEN active THEN
+      |      CAST(floor(-y * x1 * 1e9 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS g1,
+      |    CAST(SUM(CASE WHEN active THEN
+      |      CAST(floor(-y * x2 * 1e9 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS g2,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_active,
+      |    MIN(b0) AS b0, MIN(b1) AS b1, MIN(b2) AS b2
+      |  FROM scored),
+      |w2 AS (
+      |  SELECT
+      |    b0 - CAST(g0 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS b0,
+      |    b1 - CAST(g1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS b1,
+      |    b2 - CAST(g2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS b2,
+      |    n_active
+      |  FROM g2)
+      |SELECT CAST(1 AS BIGINT) AS step, b0, b1, b2, n_active FROM w1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), b0, b1, b2, n_active FROM w2
+      |ORDER BY step""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_svm_step" -> (svmSteps _),
     "learn_anova_f" -> (anovaF _),
     "learn_target_encode" -> (targetEncode _),
     "learn_feature_hash" -> (featureHash _),
@@ -1097,6 +1220,7 @@ object Learn {
     "learn_ridge" -> (ridge _))
 
   def oracle: Map[String, String] = Map(
+    "learn_svm_step" -> svmSql,
     "learn_anova_f" -> anovaFSql,
     "learn_target_encode" -> targetEncodeSql,
     "learn_feature_hash" -> featureHashSql,

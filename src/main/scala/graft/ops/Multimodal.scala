@@ -208,13 +208,48 @@ object Multimodal {
       |FROM groups GROUP BY kind
       |ORDER BY kind""".stripMargin
 
+  /** Byte-range chunk plan for parallel decode — the scheduling step
+    * before a heavy codec pass: split every payload into fixed
+    * 256-byte ranges (doc, chunk_idx, off, len) so decode workers
+    * can fan out WITHIN a blob (at 100 TB single multi-GB videos
+    * otherwise serialize on one task). The plan is pure arithmetic
+    * over `n_bytes` — the payload column itself is never read
+    * (column pruning does the work), which is the point: plan
+    * cheaply, decode once. Empty payloads yield no chunks by
+    * contract. */
+  def byteChunks(s: SparkSession, dir: String): DataFrame = {
+    mediaTable(s, dir)
+      .filter(col("doc_id") < 50 && col("n_bytes") > 0)
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(0L),
+          expr("(n_bytes + 255) div 256 - 1"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * 256).as("off"),
+        least(lit(256L), col("n_bytes") - col("chunk_idx") * 256)
+          .as("len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val byteChunksSql: String =
+    """SELECT doc_id, chunk_idx, chunk_idx * 256 AS off,
+      |  LEAST(256, n_bytes - chunk_idx * 256) AS len
+      |FROM (
+      |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    unnest(generate_series(0,
+      |      (CAST(strlen(text) AS BIGINT) + 255) // 256 - 1))
+      |      AS chunk_idx
+      |  FROM documents WHERE doc_id < 50 AND strlen(text) > 0)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_chunks" -> (byteChunks _),
     "multimodal_dedup" -> (binaryDedup _),
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (featureSummary _),
     "multimodal_frames"   -> (frames _))
 
   def oracle: Map[String, String] = Map(
+    "multimodal_chunks"   -> byteChunksSql,
     "multimodal_dedup"    -> binaryDedupSql,
     "multimodal_meta"     -> metaSql,
     "multimodal_features" -> featureSummarySql,

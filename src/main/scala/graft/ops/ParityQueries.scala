@@ -1677,9 +1677,53 @@ object ParityQueries {
       |FROM documents
       |ORDER BY col_name""".stripMargin
 
+  /** Footer key-value metadata round-trip — column-level LINEAGE
+    * stamping: field metadata attached at write time must land in
+    * the parquet footer's key-value store (under Spark's
+    * row-metadata key) AND be restored onto the schema by a plain
+    * read-back, so downstream consumers inherit provenance without a
+    * side-channel catalog. Verified BOTH ways: a raw
+    * `ParquetFileReader` footer read (no Spark reader involved) and
+    * the re-read schema's field metadata; row counts reconcile the
+    * footer against the data. */
+  def convFooterKv(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "footer_kv")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("lineage", "ingest-v2").build()
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("lang", meta))
+      .repartition(1)
+      .write.mode("overwrite").parquet(out)
+    val part = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        s.sparkContext.hadoopConfiguration))
+    val footerJson = try {
+      reader.getFooter.getFileMetaData.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata")
+    } finally reader.close()
+    val inFooter = footerJson != null &&
+      footerJson.contains("lineage") && footerJson.contains("ingest-v2")
+    val back = s.read.parquet(out)
+    val f = back.schema("lang")
+    val restored = f.metadata.contains("lineage") &&
+      f.metadata.getString("lineage") == "ingest-v2"
+    import s.implicits._
+    Seq((inFooter, restored, back.count()))
+      .toDF("footer_kv", "metadata_restored", "n_rows")
+  }
+
+  val convFooterKvSql: String =
+    """SELECT true AS footer_kv, true AS metadata_restored,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_rowgroup_stats"   -> (convRowgroupStats _),
     "conv_dict_encoding"    -> (convDictEncoding _),
+    "conv_footer_kv"        -> (convFooterKv _),
     "purge_subject_export"  -> (purgeSubjectExport _),
     "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
@@ -1719,6 +1763,7 @@ object ParityQueries {
   def oracle: Map[String, String] = Map(
     "conv_rowgroup_stats"   -> convRowgroupStatsSql,
     "conv_dict_encoding"    -> convDictEncodingSql,
+    "conv_footer_kv"        -> convFooterKvSql,
     "purge_subject_export"  -> purgeSubjectExportSql,
     "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,

@@ -1616,9 +1616,41 @@ object Relational {
       |WHERE c.c_custkey < 200
       |ORDER BY c_custkey, k NULLS FIRST""".stripMargin
 
+  /** Calendar-arithmetic surface — the date-function corners where
+    * engines classically diverge, pinned: `last_day`, month addition
+    * WITH end-of-month clamping (Jan 31 + 3mo = Apr 30 on both),
+    * ISO week truncation (Monday on both), day-of-week (Spark is
+    * 1=Sunday, DuckDB 0=Sunday — the oracle shifts explicitly rather
+    * than trusting a shared default), and day differencing from a
+    * fixed epoch. Pure projection — the gate is about SEMANTICS, not
+    * shape. */
+  def q54DateFunctions(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        last_day(col("o_orderdate")).as("eom"),
+        add_months(col("o_orderdate"), 3).as("plus3"),
+        date_trunc("week", col("o_orderdate")).cast(DateType).as("wk"),
+        dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1995-01-01").cast(DateType)).cast(LongType).as("dd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q54Sql: String =
+    """SELECT o_orderkey,
+      |  last_day(o_orderdate) AS eom,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+      |  CAST(datediff('day', DATE '1995-01-01',
+      |    CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+      |FROM orders WHERE o_orderkey < 100
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_date_functions" -> (q54DateFunctions _),
     "q53_explode_outer" -> (q53ExplodeOuter _),
     "q52_map_hof" -> (q52MapHof _),
     "q51_percentile_disc" -> (q51PercentileDisc _),
@@ -1726,5 +1758,6 @@ object Relational {
     "q49_mode"           -> q49Sql,
     "q51_percentile_disc" -> q51Sql,
     "q52_map_hof" -> q52Sql,
-    "q53_explode_outer" -> q53Sql)
+    "q53_explode_outer" -> q53Sql,
+    "q54_date_functions" -> q54Sql)
 }
