@@ -1469,7 +1469,111 @@ object DataQuality {
       |FROM levels, chosen
       |ORDER BY level""".stripMargin
 
+  /** Outlier ENSEMBLE over the daily-revenue series: a day is
+    * anomalous only when at least 2 of 3 independent exact screens
+    * agree — |x−median| > 3·MAD, outside the 1.5·IQR Tukey fences,
+    * or outside the discrete p05/p95 band. Single-screen alarms are
+    * noisy in opposite ways (MAD under-flags bimodal series, IQR
+    * over-flags heavy tails); the production practice is the vote.
+    * Every fence is a discrete observed value from a cumulative
+    * value histogram; all comparisons are exact BIGINTs — no screen
+    * touches a double.
+    *
+    * Scale: the corpus collapses to O(days) in one groupBy; both
+    * histogram windows run over the bounded day/value domain. */
+  def outlierEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = daily.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(n))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("cents")))
+          .as("med"),
+        min(when(col("cum") >= expr("(n * 25 + 99) div 100"),
+          col("cents"))).as("q1"),
+        min(when(col("cum") >= expr("(n * 75 + 99) div 100"),
+          col("cents"))).as("q3"),
+        min(when(col("cum") >= expr("(n * 5 + 99) div 100"),
+          col("cents"))).as("p05"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"),
+          col("cents"))).as("p95"))
+    val wd = Window.orderBy(col("adev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = daily.crossJoin(broadcast(q))
+      .select(abs(col("cents") - col("med")).as("adev"))
+      .groupBy(col("adev")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wd))
+      .crossJoin(broadcast(n))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("adev")))
+        .as("mad"))
+    daily.crossJoin(broadcast(q)).crossJoin(broadcast(mad))
+      .select(col("day"), col("cents"),
+        (abs(col("cents") - col("med")) > col("mad") * 3).as("f_mad"),
+        (col("cents") < expr("q1 - (3 * (q3 - q1)) div 2") ||
+          col("cents") > expr("q3 + (3 * (q3 - q1)) div 2")).as("f_iqr"),
+        (col("cents") < col("p05") || col("cents") > col("p95"))
+          .as("f_pct"))
+      .withColumn("n_flags",
+        expr("CAST(f_mad AS BIGINT) + CAST(f_iqr AS BIGINT) + " +
+          "CAST(f_pct AS BIGINT)"))
+      .filter(col("n_flags") >= 2)
+      .orderBy(col("day"))
+  }
+
+  val outlierEnsembleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+      |cum AS (
+      |  SELECT h.cents, SUM(h.c) OVER (ORDER BY h.cents) AS cum, n.n
+      |  FROM (SELECT cents, COUNT(*) AS c FROM daily GROUP BY cents)
+      |    h, n),
+      |q AS (
+      |  SELECT
+      |    CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+      |      AS BIGINT) AS med,
+      |    CAST(MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN cents
+      |      END) AS BIGINT) AS q1,
+      |    CAST(MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN cents
+      |      END) AS BIGINT) AS q3,
+      |    CAST(MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN cents
+      |      END) AS BIGINT) AS p05,
+      |    CAST(MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN cents
+      |      END) AS BIGINT) AS p95
+      |  FROM cum),
+      |dcum AS (
+      |  SELECT h.adev, SUM(h.c) OVER (ORDER BY h.adev) AS cum, n.n
+      |  FROM (SELECT abs(d.cents - q.med) AS adev, COUNT(*) AS c
+      |        FROM daily d, q GROUP BY 1) h, n),
+      |mad AS (
+      |  SELECT CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN adev END)
+      |    AS BIGINT) AS mad FROM dcum),
+      |flagged AS (
+      |  SELECT d.day, d.cents,
+      |    abs(d.cents - q.med) > mad.mad * 3 AS f_mad,
+      |    (d.cents < q.q1 - (3 * (q.q3 - q.q1)) // 2 OR
+      |     d.cents > q.q3 + (3 * (q.q3 - q.q1)) // 2) AS f_iqr,
+      |    (d.cents < q.p05 OR d.cents > q.p95) AS f_pct
+      |  FROM daily d, q, mad)
+      |SELECT day, cents, f_mad, f_iqr, f_pct,
+      |  CAST(CAST(f_mad AS BIGINT) + CAST(f_iqr AS BIGINT)
+      |    + CAST(f_pct AS BIGINT) AS BIGINT) AS n_flags
+      |FROM flagged
+      |WHERE CAST(f_mad AS BIGINT) + CAST(f_iqr AS BIGINT)
+      |  + CAST(f_pct AS BIGINT) >= 2
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_outlier_ensemble" -> (outlierEnsemble _),
     "dq_generalize_k" -> ((s: SparkSession, d: String) =>
       generalizeK(s, d)),
     "dq_gini" -> (gini _),
@@ -1498,6 +1602,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_outlier_ensemble" -> outlierEnsembleSql,
     "dq_generalize_k" -> generalizeKSql,
     "dq_gini" -> giniSql,
     "dq_inclusion_dep" -> inclusionDepSql,

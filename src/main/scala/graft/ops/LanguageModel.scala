@@ -374,6 +374,87 @@ object LanguageModel {
        |FROM wc JOIN enc USING (w)
        |GROUP BY wc.doc_id ORDER BY wc.doc_id""".stripMargin
 
+  /** Tokenizer FERTILITY per language — subword tokens emitted per
+    * word under the learned BPE model: the number that decides
+    * whether a tokenizer is fair to a language (high fertility ⇒
+    * more compute per content word ⇒ underserved language). Same
+    * learn-on-subset / encode-whole-corpus discipline as
+    * [[bpeApply]], aggregated per `lang` with the ratio as an exact
+    * ppm division.
+    *
+    * Scale: identical to bpeApply — the merge model is 4 rows, the
+    * per-word encoder is a broadcast dimension; one groupBy(lang). */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(s, dir).collect() // 4-row model
+    val docWords = Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+    val wc = docWords.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    var dim = docWords.select(col("w")).distinct()
+      .withColumn("toks", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    merges.foreach { m =>
+      dim = dim.select(col("w"),
+        expr(bpeMergeExpr(m.getString(1), m.getString(2))).as("toks"))
+    }
+    val enc = dim.select(col("w"), size(col("toks")).cast(LongType)
+      .as("n_sub"))
+    wc.join(broadcast(enc), "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sub")).as("n_tok"))
+      .select(col("lang"), col("n_words"), col("n_tok"),
+        expr("n_tok * 1000000L div n_words").as("fertility_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val bpeFertilitySql: String =
+    s"""WITH words0 AS (
+       |  SELECT list_transform(generate_series(1, length(w)),
+       |           i -> substr(w, CAST(i AS INTEGER), 1)) AS toks,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |        FROM documents WHERE doc_id < 500) t
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
+       |  GROUP BY w),
+       |pairs1 AS (${bpePairsSql("words0")}),
+       |top1 AS (${bpeTopSql("pairs1")}),
+       |words1 AS (${bpeMergeSql("words0", "top1")}),
+       |pairs2 AS (${bpePairsSql("words1")}),
+       |top2 AS (${bpeTopSql("pairs2")}),
+       |words2 AS (${bpeMergeSql("words1", "top2")}),
+       |pairs3 AS (${bpePairsSql("words2")}),
+       |top3 AS (${bpeTopSql("pairs3")}),
+       |words3 AS (${bpeMergeSql("words2", "top3")}),
+       |pairs4 AS (${bpePairsSql("words3")}),
+       |top4 AS (${bpeTopSql("pairs4")}),
+       |docw AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang,
+       |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')),
+       |wc AS (SELECT lang, w, COUNT(*) AS n FROM docw
+       |       GROUP BY lang, w),
+       |dim0 AS (
+       |  SELECT DISTINCT w,
+       |    list_transform(generate_series(1, length(w)),
+       |      i -> substr(w, CAST(i AS INTEGER), 1)) AS toks
+       |  FROM docw),
+       |dim1 AS (${bpeMergeDimSql("dim0", "top1")}),
+       |dim2 AS (${bpeMergeDimSql("dim1", "top2")}),
+       |dim3 AS (${bpeMergeDimSql("dim2", "top3")}),
+       |dim4 AS (${bpeMergeDimSql("dim3", "top4")}),
+       |enc AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub FROM dim4)
+       |SELECT wc.lang, CAST(SUM(wc.n) AS BIGINT) AS n_words,
+       |  CAST(SUM(wc.n * enc.n_sub) AS BIGINT) AS n_tok,
+       |  CAST(SUM(wc.n * enc.n_sub) * 1000000 // SUM(wc.n) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM wc JOIN enc USING (w)
+       |GROUP BY wc.lang ORDER BY wc.lang""".stripMargin
+
   private def bpePairsSql(w: String): String =
     s"""SELECT toks[i] AS pa, toks[i+1] AS pb, SUM(freq) AS cnt
        |  FROM $w, UNNEST(generate_series(1, len(toks) - 1)) u(i)
@@ -698,6 +779,7 @@ object LanguageModel {
       pmiBigrams(s, d)),
     "text_kneser_ney" -> ((s, d) => kneserNey(s, d)),
     "text_bpe_apply" -> (bpeApply _),
+    "text_bpe_fertility" -> (bpeFertility _),
     "text_collocations" -> ((s, d) => collocations(s, d)),
     "text_zipf" -> ((s, d) => zipfFit(s, d)),
     "text_bigram_lm" -> (bigramLm _),
@@ -709,6 +791,7 @@ object LanguageModel {
     "text_pmi_bigrams" -> pmiBigramsSql,
     "text_kneser_ney" -> kneserNeySql,
     "text_bpe_apply" -> bpeApplySql,
+    "text_bpe_fertility" -> bpeFertilitySql,
     "text_bigram_lm" -> bigramLmSql,
     "text_collocations" -> collocationsSql,
     "text_zipf" -> zipfFitSql,

@@ -1647,9 +1647,42 @@ object Relational {
       |FROM orders WHERE o_orderkey < 100
       |ORDER BY o_orderkey""".stripMargin
 
+  /** String-function surface parity: the padding/truncation,
+    * reversal, repetition, splitting, and 1-based search semantics
+    * both engines share — pinned on real part names. lpad/rpad also
+    * exercise the TRUNCATE-to-length branch (a 20-char pad of a
+    * longer name cuts it — both engines do, but it's the kind of
+    * semantics nobody checks until it corrupts a fixed-width
+    * export). Pure projection. */
+  def q55StringSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).filter(col("p_partkey") < 100)
+      .select(col("p_partkey"),
+        lpad(col("p_name"), 20, ".").as("lp"),
+        rpad(col("p_name"), 20, ".").as("rp"),
+        reverse(col("p_name")).as("rev"),
+        expr("repeat(left(p_name, 3), 2)").as("rep"),
+        expr("replace(p_name, ' ', '_')").as("repl"),
+        expr("split_part(p_name, ' ', 2)").as("sp2"),
+        expr("CAST(instr(p_name, 'a') AS BIGINT)").as("pos_a"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q55Sql: String =
+    """SELECT p_partkey,
+      |  lpad(p_name, 20, '.') AS lp,
+      |  rpad(p_name, 20, '.') AS rp,
+      |  reverse(p_name) AS rev,
+      |  repeat(left(p_name, 3), 2) AS rep,
+      |  replace(p_name, ' ', '_') AS repl,
+      |  split_part(p_name, ' ', 2) AS sp2,
+      |  CAST(instr(p_name, 'a') AS BIGINT) AS pos_a
+      |FROM part WHERE p_partkey < 100
+      |ORDER BY p_partkey""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_string_surface" -> (q55StringSurface _),
     "q54_date_functions" -> (q54DateFunctions _),
     "q53_explode_outer" -> (q53ExplodeOuter _),
     "q52_map_hof" -> (q52MapHof _),
@@ -1759,5 +1792,6 @@ object Relational {
     "q51_percentile_disc" -> q51Sql,
     "q52_map_hof" -> q52Sql,
     "q53_explode_outer" -> q53Sql,
-    "q54_date_functions" -> q54Sql)
+    "q54_date_functions" -> q54Sql,
+    "q55_string_surface" -> q55Sql)
 }
