@@ -1720,10 +1720,55 @@ object ParityQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_rows
       |FROM documents""".stripMargin
 
+  /** CSV schema-inference contract: a typed table round-tripped
+    * through headered CSV WITHOUT a declared schema must come back
+    * with the inferred types a user relies on — int-range integers
+    * as int, decimals as double, ISO timestamps as timestamp, text
+    * as string — and exact content equality on a checksum (the
+    * inference is useless if values were mangled to get there). The
+    * oracle states the expected dtypes as constants plus the same
+    * checksum from the original table. */
+  def convCsvInfer(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "csv_infer")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .repartition(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val back = s.read.option("header", "true")
+      .option("inferSchema", "true").csv(out)
+    val types = back.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString))
+    val sums = back.agg(
+      sum(col("o_orderkey").cast(LongType)).as("key_sum"),
+      sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents_sum")).head()
+    import s.implicits._
+    types.map { case (n, t) =>
+      (n, t, sums.getAs[Long]("key_sum"), sums.getAs[Long]("cents_sum"))
+    }.toDF("col_name", "dtype", "key_sum", "cents_sum")
+      .orderBy(col("col_name"))
+  }
+
+  val convCsvInferSql: String =
+    """WITH sums AS (
+      |  SELECT CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents_sum
+      |  FROM orders)
+      |SELECT c.col_name, c.dtype, s.key_sum, s.cents_sum
+      |FROM (VALUES ('o_orderdate', 'timestamp'),
+      |             ('o_orderkey', 'int'),
+      |             ('o_orderstatus', 'string'),
+      |             ('o_totalprice', 'double'))
+      |  AS c(col_name, dtype), sums s
+      |ORDER BY c.col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_rowgroup_stats"   -> (convRowgroupStats _),
     "conv_dict_encoding"    -> (convDictEncoding _),
     "conv_footer_kv"        -> (convFooterKv _),
+    "conv_csv_infer"        -> (convCsvInfer _),
     "purge_subject_export"  -> (purgeSubjectExport _),
     "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
@@ -1764,6 +1809,7 @@ object ParityQueries {
     "conv_rowgroup_stats"   -> convRowgroupStatsSql,
     "conv_dict_encoding"    -> convDictEncodingSql,
     "conv_footer_kv"        -> convFooterKvSql,
+    "conv_csv_infer"        -> convCsvInferSql,
     "purge_subject_export"  -> purgeSubjectExportSql,
     "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,

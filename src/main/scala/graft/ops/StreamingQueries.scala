@@ -303,6 +303,74 @@ object StreamingQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Keyed-state EXPIRY via event-time timeout
+    * ([[EventStreams.sessionTtlCloseouts]]): batch 1 streams the
+    * whole corpus, batch 2 appends a single far-future nudge event
+    * that drags the watermark past every user's `last_seen + gap`,
+    * so every corpus user's state times out, emits its close-out
+    * record exactly once, and is REMOVED. The nudge user itself
+    * never times out and therefore never appears — which is itself
+    * part of the contract. Oracle = plain per-user GROUP BY, since
+    * each user's full history precedes its close. */
+  def stateTtl(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcDir = s"/tmp/graft_scratch/$tag/stream_ttl_src"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    graft.Scaffold.setup {
+      rm(srcDir)
+      ev.repartition(2).write.mode("overwrite").parquet(srcDir)
+    }
+    val stream = s.readStream.schema(ev.schema).parquet(srcDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = "stream_ttl_" + tag.replace(".", "_")
+    val ck = graft.streaming.EventStreams.gateCheckpoint(name)
+    val q =
+      try EventStreams
+        .sessionTtlCloseouts(stream, gapSec = 3600, delaySec = 60)
+        .toDF.writeStream
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      q.processAllAvailable()
+      graft.Scaffold.setup {
+        // nudge: one event a year past the corpus drags the
+        // watermark beyond every user's last_seen + gap
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val nudgeTs = new java.sql.Timestamp(
+          maxTs.getTime + 365L * 86400000L)
+        import s.implicits._
+        Seq((-1L, nudgeTs, -1L, "nudge", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .write.mode("append").parquet(srcDir)
+      }
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.streaming.EventStreams.dropCheckpoint(ck)
+    }
+    s.table(name).orderBy(col("user_id"))
+  }
+
+  val stateTtlSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
+      |  CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val lateDropSql: String =
     """WITH ontime AS (
       |  SELECT * FROM events
@@ -431,6 +499,7 @@ object StreamingQueries {
     "stream_rocksdb"  -> (runningRocksDb _),
     "stream_tws"      -> (runningTws _),
     "stream_late_drop" -> (lateDrop _),
+    "stream_state_ttl" -> (stateTtl _),
     "stream_outer_miss" -> (outerMiss _),
     "stream_tumbling" -> (tumbling _),
     "stream_trending" -> (trending _),
@@ -447,6 +516,7 @@ object StreamingQueries {
     "stream_rocksdb"  -> runningSql,
     "stream_tws"      -> runningSql,
     "stream_late_drop" -> lateDropSql,
+    "stream_state_ttl" -> stateTtlSql,
     "stream_outer_miss" -> outerMissSql,
     "stream_tumbling" -> tumblingSql,
     "stream_trending" -> trendingSql,

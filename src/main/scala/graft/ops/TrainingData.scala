@@ -1323,7 +1323,112 @@ object TrainingData {
       |FROM a
       |ORDER BY strategy""".stripMargin
 
+  /** PII DETECTION report — the measurement half of `pii_scrub`
+    * (scrub rewrites; this one tells you how much there is to scrub,
+    * per detector, before you pay for the rewrite pass): emails,
+    * NANP phone numbers, and 16-digit card candidates split into
+    * LUHN-VALID and merely card-shaped — the checksum is what keeps
+    * random digit runs out of the alarm. Luhn runs as a codegen'd
+    * HOF fold over the extracted digits (double every second digit
+    * from the right, subtract 9 on overflow, sum ≡ 0 mod 10) —
+    * identical integer folds on both engines. Planted PII rows
+    * (doc_id+40000) prove every detector fires; the detectors also
+    * scan the whole natural corpus.
+    *
+    * Scale: one projection + explode pass; counts map-side combine;
+    * output is O(detectors). */
+  def piiDetect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 40000).as("doc_id"),
+      concat(col("text"), lit(" reach user"), col("doc_id"),
+        lit("@example.com or +1-415-555-0100 card 4111111111111111" +
+          " alt 4111111111111112")).as("text"))
+    val corpus = docs.union(planted)
+    val luhnOk =
+      """aggregate(transform(sequence(1, 16), i ->
+        |  CASE WHEN i % 2 = 1 THEN
+        |    CASE WHEN 2 * CAST(substring(card, i, 1) AS INT) > 9
+        |      THEN 2 * CAST(substring(card, i, 1) AS INT) - 9
+        |      ELSE 2 * CAST(substring(card, i, 1) AS INT) END
+        |  ELSE CAST(substring(card, i, 1) AS INT) END),
+        |  0, (a, x) -> a + x) % 10 = 0""".stripMargin
+    val counted = corpus.select(
+      size(expr("regexp_extract_all(text, " +
+        "'[a-z0-9._]+@[a-z0-9.-]+\\\\.[a-z]{2,}', 0)")).as("n_email"),
+      size(expr("regexp_extract_all(text, " +
+        "'\\\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)")).as("n_phone"),
+      expr("transform(regexp_extract_all(text, '[0-9]{16}', 0), " +
+        s"card -> $luhnOk)").as("luhn"))
+      .select(col("n_email"), col("n_phone"),
+        size(col("luhn")).as("n_card_like"),
+        size(filter(col("luhn"), x => x)).as("n_card_valid"))
+    def row(name: String, c: Column) = counted.agg(
+      sum(when(c > 0, 1L).otherwise(0L)).as("n_docs"),
+      sum(c.cast("long")).as("n_hits"))
+      .select(lit(name).as("detector"), col("n_docs"), col("n_hits"))
+    row("card_like", col("n_card_like"))
+      .unionByName(row("card_valid", col("n_card_valid")))
+      .unionByName(row("email", col("n_email")))
+      .unionByName(row("phone", col("n_phone")))
+      .orderBy(col("detector"))
+  }
+
+  val piiDetectSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 40000,
+      |    text || ' reach user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com or +1-415-555-0100 card'
+      |      || ' 4111111111111111 alt 4111111111111112'
+      |  FROM documents WHERE doc_id < 20),
+      |counted AS (
+      |  SELECT
+      |    CAST(len(regexp_extract_all(text,
+      |      '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+      |      AS n_email,
+      |    CAST(len(regexp_extract_all(text,
+      |      '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+      |    list_transform(regexp_extract_all(text, '[0-9]{16}'),
+      |      card -> list_sum(list_transform(generate_series(1, 16),
+      |        i -> CASE WHEN i % 2 = 1 THEN
+      |          CASE WHEN 2 * CAST(substr(card, CAST(i AS INTEGER), 1)
+      |            AS INTEGER) > 9
+      |          THEN 2 * CAST(substr(card, CAST(i AS INTEGER), 1)
+      |            AS INTEGER) - 9
+      |          ELSE 2 * CAST(substr(card, CAST(i AS INTEGER), 1)
+      |            AS INTEGER) END
+      |        ELSE CAST(substr(card, CAST(i AS INTEGER), 1)
+      |          AS INTEGER) END)) % 10 = 0) AS luhn
+      |  FROM corpus),
+      |wide AS (
+      |  SELECT n_email, n_phone,
+      |    CAST(len(luhn) AS BIGINT) AS n_card_like,
+      |    CAST(len(list_filter(luhn, x -> x)) AS BIGINT)
+      |      AS n_card_valid
+      |  FROM counted)
+      |SELECT 'card_like' AS detector,
+      |  CAST(SUM(CASE WHEN n_card_like > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_card_like) AS BIGINT) AS n_hits FROM wide
+      |UNION ALL
+      |SELECT 'card_valid',
+      |  CAST(SUM(CASE WHEN n_card_valid > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(SUM(n_card_valid) AS BIGINT) FROM wide
+      |UNION ALL
+      |SELECT 'email',
+      |  CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(n_email) AS BIGINT) FROM wide
+      |UNION ALL
+      |SELECT 'phone',
+      |  CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(n_phone) AS BIGINT) FROM wide
+      |ORDER BY detector""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_detect" -> (piiDetect _),
     "pack_padding_waste" -> (paddingWaste _),
     "pack_resume_cursor" -> (resumeCursor _),
     "pack_interleave" -> (interleave _),
@@ -1349,6 +1454,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pii_detect" -> piiDetectSql,
     "pack_padding_waste" -> paddingWasteSql,
     "pack_resume_cursor" -> resumeCursorSql,
     "pack_interleave" -> interleaveSql,

@@ -228,6 +228,56 @@ object EventStreams {
       }
   }
 
+  case class UserTtl(user_id: Long, n_events: Long, first_ms: Long,
+      last_ms: Long)
+
+  /** State EXPIRY via event-time timeout — the lifecycle corner the
+    * NoTimeout gates above never exercise: per-user activity state
+    * accumulates (order-independent count/min/max longs), a timeout
+    * timestamp is re-armed at `last_seen + gap` on every update, and
+    * when the WATERMARK passes it the state is emitted as a closed
+    * record and REMOVED. This is how unbounded keyed state stays
+    * bounded at 100 TB: without expiry, one state record per ever-
+    * seen user lives forever.
+    *
+    * Emission is exactly-once per user regardless of which
+    * micro-batch fires the timeout (all of a user's data precedes
+    * the close), so the batch oracle is a plain GROUP BY. */
+  def sessionTtlCloseouts(events: DataFrame, gapSec: Int,
+      delaySec: Int): Dataset[UserTtl] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$delaySec seconds")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTtl, UserTtl](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[UserTtl]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val prev = state.getOption
+              .getOrElse(UserTtl(uid, 0L, Long.MaxValue, Long.MinValue))
+            var n = prev.n_events
+            var lo = prev.first_ms
+            var hi = prev.last_ms
+            rows.foreach { case (_, t) =>
+              n += 1
+              val ms = t.getTime
+              if (ms < lo) lo = ms
+              if (ms > hi) hi = ms
+            }
+            state.update(UserTtl(uid, n, lo, hi))
+            state.setTimeoutTimestamp(hi + gapSec * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** [[runningUserTotalsExact]] on the arbitrary-state v2 API
     * (`transformWithState`, Spark 4): explicit named [[ValueState]]
     * acquired in `init` from the processor handle, instead of the
