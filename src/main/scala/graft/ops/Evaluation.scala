@@ -1608,7 +1608,130 @@ object Evaluation {
       |    AS alpha_ppm
       |FROM tot, margins""".stripMargin
 
+  /** Corpus-level BLEU-2 over the same bucketed within-source
+    * adjacent pairs as [[rougePairs]] (previous doc = reference,
+    * next = candidate): micro-averaged clipped unigram/bigram
+    * precisions from exact integer counts, the brevity penalty
+    * `exp(1 − r/c)` when the candidates run short, and the geometric
+    * mean — the one fixed-shape double at the end, floored to ppm.
+    * ROUGE answers "how much of the reference reappears"; BLEU's
+    * precision-with-BP answers "how much of the candidate is
+    * copied" — the pair of them brackets boilerplate detection.
+    *
+    * Scale: same shapes as rougePairs — equi/bucketed joins, counts
+    * map-side combined, ONE output row. */
+  def bleuPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        filter(split(lower(col("text")), " "), t => t =!= "").as("ts"))
+    val lens = toks.select(col("doc_id"), size(col("ts")).as("n"),
+      greatest(size(col("ts")) - 1, lit(0)).as("n2"))
+    val ucnt = toks.select(col("doc_id"), explode(col("ts")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val bcnt = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val wb = Window
+      .partitionBy(col("source"), expr("ia div 1000"))
+      .orderBy(col("ia"))
+    val pairs = toks
+      .select(col("doc_id").as("ia"), col("source"))
+      .withColumn("ib", lead(col("ia"), 1).over(wb))
+      .filter(col("ib").isNotNull)
+      .select(col("ia"), col("ib"))
+    def clip(cnt: DataFrame) = pairs
+      .join(cnt.toDF("ia", "g", "cr"), "ia")
+      .join(cnt.toDF("ib", "g", "cc"), Seq("ib", "g"))
+      .agg(sum(least(col("cr"), col("cc"))).as("clip"))
+    val den = pairs
+      .join(lens.toDF("ia", "nr", "nr2"), "ia")
+      .join(lens.toDF("ib", "nc", "nc2"), "ib")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("nr")).as("r_len"), sum(col("nc")).as("c_len"),
+        sum(col("nc2")).as("c2_len"))
+    den
+      .crossJoin(clip(ucnt).toDF("clip1"))
+      .crossJoin(clip(bcnt).toDF("clip2"))
+      .na.fill(0L, Seq("clip1", "clip2"))
+      .select(col("n_pairs"), col("r_len"), col("c_len"),
+        col("clip1"), col("clip2"),
+        expr("""CAST(FLOOR(
+          CASE WHEN clip1 = 0 OR clip2 = 0 OR c_len = 0 OR c2_len = 0
+            THEN 0.0
+          ELSE
+            (CASE WHEN c_len < r_len
+              THEN exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+              ELSE 1.0 END)
+            * exp((ln(CAST(clip1 AS DOUBLE) / CAST(c_len AS DOUBLE))
+                 + ln(CAST(clip2 AS DOUBLE) / CAST(c2_len AS DOUBLE)))
+                / 2.0)
+          END * 1000000.0) AS BIGINT)""").as("bleu2_ppm"))
+  }
+
+  val bleuPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+      |      AS ts
+      |  FROM documents),
+      |lens AS (SELECT doc_id, len(ts) AS n,
+      |           GREATEST(len(ts) - 1, 0) AS n2 FROM toks),
+      |ucnt AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(ts) AS g FROM toks)
+      |  GROUP BY doc_id, g),
+      |bcnt AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i + 1])) AS g FROM toks)
+      |  GROUP BY doc_id, g),
+      |pairs AS (
+      |  SELECT ia, ib FROM (
+      |    SELECT doc_id AS ia,
+      |      LEAD(doc_id) OVER (PARTITION BY source, doc_id // 1000
+      |        ORDER BY doc_id) AS ib
+      |    FROM toks)
+      |  WHERE ib IS NOT NULL),
+      |c1 AS (
+      |  SELECT SUM(LEAST(x.c, y.c)) AS clip FROM pairs p
+      |  JOIN ucnt x ON x.doc_id = p.ia
+      |  JOIN ucnt y ON y.doc_id = p.ib AND y.g = x.g),
+      |c2 AS (
+      |  SELECT SUM(LEAST(x.c, y.c)) AS clip FROM pairs p
+      |  JOIN bcnt x ON x.doc_id = p.ia
+      |  JOIN bcnt y ON y.doc_id = p.ib AND y.g = x.g),
+      |den AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(lr.n) AS BIGINT) AS r_len,
+      |    CAST(SUM(lc.n) AS BIGINT) AS c_len,
+      |    CAST(SUM(lc.n2) AS BIGINT) AS c2_len
+      |  FROM pairs p
+      |  JOIN lens lr ON lr.doc_id = p.ia
+      |  JOIN lens lc ON lc.doc_id = p.ib)
+      |SELECT d.n_pairs, d.r_len, d.c_len,
+      |  CAST(COALESCE(c1.clip, 0) AS BIGINT) AS clip1,
+      |  CAST(COALESCE(c2.clip, 0) AS BIGINT) AS clip2,
+      |  CAST(FLOOR(
+      |    CASE WHEN COALESCE(c1.clip, 0) = 0 OR COALESCE(c2.clip, 0) = 0
+      |      OR d.c_len = 0 OR d.c2_len = 0 THEN 0.0
+      |    ELSE
+      |      (CASE WHEN d.c_len < d.r_len
+      |        THEN exp(1.0 - CAST(d.r_len AS DOUBLE)
+      |          / CAST(d.c_len AS DOUBLE))
+      |        ELSE 1.0 END)
+      |      * exp((ln(CAST(COALESCE(c1.clip, 0) AS DOUBLE)
+      |            / CAST(d.c_len AS DOUBLE))
+      |          + ln(CAST(COALESCE(c2.clip, 0) AS DOUBLE)
+      |            / CAST(d.c2_len AS DOUBLE))) / 2.0)
+      |    END * 1000000.0) AS BIGINT) AS bleu2_ppm
+      |FROM den d, c1, c2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_bleu_pairs" -> (bleuPairs _),
     "eval_krippendorff" -> (krippendorffAlpha _),
     "eval_rouge_pairs" -> (rougePairs _),
     "eval_fleiss_kappa" -> (fleissKappa _),
@@ -1633,6 +1756,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_bleu_pairs" -> bleuPairsSql,
     "eval_krippendorff" -> krippendorffAlphaSql,
     "eval_rouge_pairs" -> rougePairsSql,
     "eval_fleiss_kappa" -> fleissKappaSql,

@@ -1501,6 +1501,61 @@ object ParityQueries {
       |    - (SELECT COUNT(*) FROM m WHERE o_custkey % 97 <> 0)
       |    AS n_after""".stripMargin
 
+  /** GDPR Art. 16 RECTIFICATION — the UPDATE leg of the privacy
+    * surface (Art. 17 delete = the purge gates, Art. 15 read =
+    * subject export): correct the named subjects' records IN PLACE
+    * via rewrite-and-atomic-swap (non-subject rows pass through the
+    * rewrite byte-identical), then prove from the ON-DISK table that
+    * (a) every subject row now carries the corrected segment, and
+    * (b) non-subject content is untouched — pinned by an exact
+    * cents checksum over the non-subject rows, not just a count.
+    *
+    * Scale: the rewrite is one anti-join + union projection; the
+    * swap is O(1) renames; no row is read twice. */
+  def purgeRectify(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir, "rectify/customer")
+    graft.Scaffold.setup {
+      Tables.customer(s, dir).write.mode("overwrite").parquet(base)
+    }
+    val c = s.read.parquet(base)
+    val subject = col("c_custkey") % 97 === 0
+    val nBefore = c.count()
+    val corrected = c.filter(subject)
+      .withColumn("c_mktsegment", lit("RECTIFIED"))
+    val staging = base + ".staging"
+    c.filter(!subject).unionByName(corrected)
+      .write.mode("overwrite").parquet(staging)
+    TableSwap.swapIn(s, base, staging)
+    val after = s.read.parquet(base)
+    val audit = after.agg(
+      count(lit(1)).as("n_after"),
+      sum(when(col("c_mktsegment") === "RECTIFIED", 1L).otherwise(0L))
+        .as("n_rectified"),
+      sum(when(col("c_custkey") % 97 === 0 &&
+        col("c_mktsegment") =!= "RECTIFIED", 1L).otherwise(0L))
+        .as("n_missed"),
+      sum(when(col("c_custkey") % 97 =!= 0,
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")).otherwise(0L))
+        .as("untouched_cents")).head()
+    import s.implicits._
+    Seq((nBefore, audit.getAs[Long]("n_after"),
+      audit.getAs[Long]("n_rectified"), audit.getAs[Long]("n_missed"),
+      audit.getAs[Long]("untouched_cents")))
+      .toDF("n_before", "n_after", "n_rectified", "n_missed",
+        "untouched_cents")
+  }
+
+  val purgeRectifySql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+      |  CAST(COUNT(*) AS BIGINT) AS n_after,
+      |  CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_rectified,
+      |  CAST(0 AS BIGINT) AS n_missed,
+      |  CAST(SUM(CASE WHEN c_custkey % 97 <> 0
+      |    THEN CAST(ROUND(c_acctbal * 100) AS BIGINT) ELSE 0 END)
+      |    AS BIGINT) AS untouched_cents
+      |FROM customer""".stripMargin
+
   /** Data-subject access request (DSAR) export — the read half of
     * the reference's purge/compliance surface (`Main.java` purge
     * dispatch; GDPR Art. 15 precedes Art. 17): for every requesting
@@ -1769,6 +1824,7 @@ object ParityQueries {
     "conv_dict_encoding"    -> (convDictEncoding _),
     "conv_footer_kv"        -> (convFooterKv _),
     "conv_csv_infer"        -> (convCsvInfer _),
+    "purge_rectify"         -> (purgeRectify _),
     "purge_subject_export"  -> (purgeSubjectExport _),
     "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
@@ -1810,6 +1866,7 @@ object ParityQueries {
     "conv_dict_encoding"    -> convDictEncodingSql,
     "conv_footer_kv"        -> convFooterKvSql,
     "conv_csv_infer"        -> convCsvInferSql,
+    "purge_rectify"         -> purgeRectifySql,
     "purge_subject_export"  -> purgeSubjectExportSql,
     "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,

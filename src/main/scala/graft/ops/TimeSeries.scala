@@ -1979,6 +1979,103 @@ object TimeSeries {
       |FROM fin, hs
       |ORDER BY h""".stripMargin
 
+  /** Holt–Winters ADDITIVE seasonal smoothing (period 7) — the
+    * seasonal extension [[tsHolt]] deliberately omits: level reads
+    * the DESEASONALIZED observation, the seasonal index re-learns
+    * from each residual, and the h-step forecast adds the matching
+    * seasonal back. α=β=γ=0.5, every intermediate rounded to 6dp
+    * (the tsHolt determinism discipline), initialization from the
+    * first two weeks (l₀ = week-1 mean, b₀ = week-over-week mean
+    * slope / 7, s₀ᵢ = yᵢ − l₀ — all from EXACT decimal sums).
+    *
+    * Scale: identical to tsHolt — the corpus collapses to the
+    * O(days) series in one groupBy; the linear recurrence then runs
+    * driver-side over metadata (the Markov/audit-chain precedent),
+    * and the oracle replays it as a recursive CTE carrying the
+    * rolling 7-slot seasonal LIST. */
+  def tsHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .orderBy(col("day"))
+      .select(col("rev"))
+      .collect().map(_.getDecimal(0))
+    // Float-multiply rounding, NOT BigDecimal: the oracle's round()
+    // computes floor(x·10⁶ + 0.5)/10⁶ on the double (sign-peeled),
+    // and over ~2400 recurrence steps the exact-decimal-expansion
+    // rounding drifts from it at the 6th decimal.
+    def r6(x: Double): Double = {
+      val y = x * 1e6
+      (if (y < 0) -math.floor(-y + 0.5) else math.floor(y + 0.5)) / 1e6
+    }
+    val w1 = rows.take(7).reduce(_ add _)
+    val w2 = rows.slice(7, 14).reduce(_ add _)
+    val l0 = r6(w1.doubleValue / 7.0)
+    val b0 = r6((w2.doubleValue - w1.doubleValue) / 49.0)
+    val y = rows.map(_.doubleValue)
+    val seas = scala.collection.mutable.ArrayBuffer[Double]()
+    (0 until 7).foreach(i => seas += r6(y(i) - l0))
+    var l = l0
+    var b = b0
+    (8 to y.length).foreach { t =>
+      val yt = y(t - 1)
+      val s7 = seas(t - 8)
+      val l1 = r6(0.5 * (yt - s7) + 0.5 * (l + b))
+      val b1 = r6(0.5 * (l1 - l) + 0.5 * b)
+      seas += r6(0.5 * (yt - l1) + 0.5 * s7)
+      l = l1; b = b1
+    }
+    val lastSeas = seas.takeRight(7)
+    import s.implicits._
+    (1 to 7).map { h =>
+      (h.toLong, l, b, lastSeas(h - 1),
+        r6(l + h * b + lastSeas(h - 1)))
+    }.toDF("h", "level", "trend", "seasonal", "forecast")
+      .orderBy(col("h"))
+  }
+
+  val tsHoltWintersSql: String = {
+    val l1 =
+      "round(0.5 * (ys.y - h.sl[1]) + 0.5 * (h.l + h.b), 6)"
+    s"""WITH RECURSIVE days AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+       |ys AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+       |    CAST(rev AS DOUBLE) AS y
+       |  FROM days),
+       |n AS (SELECT MAX(t) AS tmax FROM ys),
+       |init AS (
+       |  SELECT
+       |    round(CAST((SELECT SUM(CAST(y AS DECIMAL(18,2))) FROM ys
+       |      WHERE t <= 7) AS DOUBLE) / 7, 6) AS l0,
+       |    round((CAST((SELECT SUM(CAST(y AS DECIMAL(18,2))) FROM ys
+       |      WHERE t BETWEEN 8 AND 14) AS DOUBLE)
+       |      - CAST((SELECT SUM(CAST(y AS DECIMAL(18,2))) FROM ys
+       |      WHERE t <= 7) AS DOUBLE)) / 49, 6) AS b0),
+       |hw(t, l, b, sl) AS (
+       |  SELECT 7, i.l0, i.b0,
+       |    (SELECT list(round(y - i.l0, 6) ORDER BY t) FROM ys
+       |     WHERE t <= 7)
+       |  FROM init i
+       |  UNION ALL
+       |  SELECT h.t + 1,
+       |    $l1,
+       |    round(0.5 * ($l1 - h.l) + 0.5 * h.b, 6),
+       |    list_append(h.sl[2:7],
+       |      round(0.5 * (ys.y - $l1) + 0.5 * h.sl[1], 6))
+       |  FROM hw h JOIN ys ON ys.t = h.t + 1),
+       |fin AS (SELECT l, b, sl FROM hw, n WHERE hw.t = n.tmax),
+       |hs AS (SELECT unnest(generate_series(1, 7)) AS h)
+       |SELECT CAST(hs.h AS BIGINT) AS h, l AS level, b AS trend,
+       |  sl[CAST(hs.h AS INTEGER)] AS seasonal,
+       |  round(l + hs.h * b + sl[CAST(hs.h AS INTEGER)], 6)
+       |    AS forecast
+       |FROM fin, hs
+       |ORDER BY h""".stripMargin
+  }
+
   /** Row-major DTW cell expressions for two 8-long profiles bound to
     * columns `u0..u7` (the user) and `g0..g7` (the reference): cost
     * `|uᵢ − gⱼ|`, recurrence `D(i,j) = cost + min(D(i−1,j),
@@ -2288,6 +2385,7 @@ object TimeSeries {
         "ts_theil_sen"      -> (theilSen _),
         "ts_ohlc_bars"      -> (ohlcBars _),
         "ts_winsorize"      -> (tsWinsorize _),
+        "ts_holt_winters"   -> (tsHoltWinters _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
@@ -2319,5 +2417,6 @@ object TimeSeries {
         "ts_theil_sen"      -> theilSenSql,
         "ts_ohlc_bars"      -> ohlcBarsSql,
         "ts_winsorize"      -> tsWinsorizeSql,
+        "ts_holt_winters"   -> tsHoltWintersSql,
         "ts_gaps_islands"   -> tsGapsIslandsSql)
 }
