@@ -1572,7 +1572,69 @@ object DataQuality {
       |  + CAST(f_pct AS BIGINT) >= 2
       |ORDER BY day""".stripMargin
 
+  /** Candidate-KEY discovery — profile every orders column for
+    * uniqueness: n_distinct, null count, and the is-unique verdict
+    * (distinct + nulls = rows). The audit that finds the join/merge
+    * key when a table arrives undocumented — `dq_uniqueness` checks
+    * a DECLARED key; this one searches. All six columns profile in
+    * ONE pass of count_distinct aggregates (map-side partials), no
+    * per-column scans.
+    *
+    * Exact-distinct note: count_distinct here, not approx — key
+    * discovery is wrong if the cardinality is approximate. */
+  def keyDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"))
+    } :+ count(lit(1)).as("rows")
+    val r = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*).head()
+    import s.implicits._
+    cols.map { c =>
+      val d = r.getAs[Long](s"d_$c")
+      val nn = r.getAs[Long](s"n_$c")
+      (c, d, nn, d + nn == r.getAs[Long]("rows"))
+    }.toDF("col_name", "n_distinct", "n_nulls", "is_unique")
+      .orderBy(col("col_name"))
+  }
+
+  val keyDiscoverySql: String =
+    """WITH p AS (
+      |  SELECT COUNT(*) AS rows_n,
+      |    COUNT(DISTINCT o_orderkey) AS d1,
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    COUNT(DISTINCT o_custkey) AS d2,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n2,
+      |    COUNT(DISTINCT o_orderstatus) AS d3,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n3,
+      |    COUNT(DISTINCT o_totalprice) AS d4,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n4,
+      |    COUNT(DISTINCT o_orderdate) AS d5,
+      |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n5,
+      |    COUNT(DISTINCT o_orderpriority) AS d6,
+      |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n6
+      |  FROM orders)
+      |SELECT 'o_custkey' AS col_name, d2 AS n_distinct, n2 AS n_nulls,
+      |  d2 + n2 = rows_n AS is_unique FROM p
+      |UNION ALL SELECT 'o_orderdate', d5, n5, d5 + n5 = rows_n FROM p
+      |UNION ALL SELECT 'o_orderkey', d1, n1, d1 + n1 = rows_n FROM p
+      |UNION ALL
+      |SELECT 'o_orderpriority', d6, n6, d6 + n6 = rows_n FROM p
+      |UNION ALL
+      |SELECT 'o_orderstatus', d3, n3, d3 + n3 = rows_n FROM p
+      |UNION ALL
+      |SELECT 'o_totalprice', d4, n4, d4 + n4 = rows_n FROM p
+      |ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_key_discovery" -> (keyDiscovery _),
     "dq_outlier_ensemble" -> (outlierEnsemble _),
     "dq_generalize_k" -> ((s: SparkSession, d: String) =>
       generalizeK(s, d)),
@@ -1602,6 +1664,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_key_discovery" -> keyDiscoverySql,
     "dq_outlier_ensemble" -> outlierEnsembleSql,
     "dq_generalize_k" -> generalizeKSql,
     "dq_gini" -> giniSql,

@@ -235,6 +235,63 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** FILTERED vector search — top-k under a metadata predicate (the
+    * headline vector-store feature ANN benchmarks now lead with):
+    * each query retrieves its cosine top-3 among ONLY the corpus
+    * vectors sharing its `label`. This gate pins the PRE-FILTER
+    * strategy (predicate pushed into the scan before any scoring —
+    * exact by construction, right whenever the filter is selective);
+    * the post-filter-with-oversampling alternative for weakly
+    * selective predicates composes the existing ANN tiers with this
+    * oracle unchanged. Norms precompute per side; the filter rides
+    * the scan as a pushed predicate, so the scored candidate set is
+    * `selectivity × N`, not N.
+    *
+    * Scale: the label filter prunes BEFORE the distance work — the
+    * whole point; everything else is the [[topK]] discipline. */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(s)
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label"))
+    val q = base.filter(col("vec_id") < 5)
+      .withColumn("qn", norm(col("v")))
+      .toDF("query_id", "qv", "qlabel", "qn")
+    val t = base
+      .withColumn("tn", norm(col("v")))
+      .toDF("target_id", "tv", "tlabel", "tn")
+    val par = s.sparkContext.defaultParallelism
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    q.join(t.repartition(par), col("qlabel") === col("tlabel") &&
+        col("query_id") =!= col("target_id"))
+      .withColumn("sim", dot(col("qv"), col("tv")) /
+        (col("qn") * col("tn")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("target_id"), col("rank").cast(LongType).as("rank"),
+        col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val filteredTopKSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE)) AS v, label
+       |  FROM embeddings)
+       |SELECT query_id, label, target_id, rank, sim FROM (
+       |  SELECT a.vec_id AS query_id, a.label AS label,
+       |    b.vec_id AS target_id,
+       |    ${CosineSql} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${CosineSql} DESC, b.vec_id) AS rank
+       |  FROM vecs a, vecs b
+       |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+       |    AND a.label = b.label)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Cosine top-5 via the bounded-heap [[graft.plans.TopK]]
     * aggregator instead of a window: partial aggregation truncates to
     * k map-side, so the shuffle carries ≤ k×partitions rows per query
@@ -2705,6 +2762,7 @@ object Similarity {
     "sim_range_search"    -> ((s: SparkSession, d: String) =>
       rangeSearch(s, d)),
     "embed_drift_psi"     -> (embedDriftPsi _),
+    "sim_filtered_topk"   -> (filteredTopK _),
     "sim_ann_lsh"         -> (annLshGate _),
     "sim_ann_ivf"         -> (annIvfGate _),
     "sim_ann_lsh_recall"  -> (annLshRecall _),
@@ -2745,6 +2803,7 @@ object Similarity {
     "sim_near_dup"        -> nearDupPairsSql,
     "sim_range_search"    -> rangeSearchSql,
     "embed_drift_psi"     -> embedDriftPsiSql,
+    "sim_filtered_topk"   -> filteredTopKSql,
     "sim_ann_lsh"         -> annListGateSql,
     "sim_ann_ivf"         -> annListGateSql,
     "sim_ann_lsh_recall"  -> annRecallSql,

@@ -1215,7 +1215,67 @@ object TextAnalysis {
       |GROUP BY w
       |ORDER BY n DESC, w LIMIT 20""".stripMargin
 
+  /** Source-pair VOCABULARY OVERLAP — the corpus-mixing diagnostic:
+    * Jaccard similarity of the distinct-token vocabularies of every
+    * source pair, in exact ppm (|∩| / (|A|+|B|−|∩|)). Two sources
+    * with near-identical vocabularies are redundant in a training
+    * mixture; near-zero overlap marks a domain worth upweighting.
+    * Pairwise over SOURCES (O(sources²) output — dozens), not over
+    * documents: the corpus-sized work is one distinct per (source,
+    * token), then the intersection counts ride a token-keyed
+    * self-join.
+    *
+    * Scale: (source, token) distinct ≤ sources × vocab; the self-
+    * join is keyed on token, map-side combinable counts; no payload
+    * wider than a word ever shuffles. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val sizes = vocab.groupBy(col("source"))
+      .agg(count(lit(1)).as("nv"))
+    val inter = vocab.toDF("src_a", "w")
+      .join(vocab.toDF("src_b", "w"), "w")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.toDF("src_a", "nv_a")), "src_a")
+      .join(broadcast(sizes.toDF("src_b", "nv_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        expr("n_common * 1000000L div (nv_a + nv_b - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
+  val sourceOverlapSql: String =
+    """WITH vocab AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |sizes AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM vocab
+      |  GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM vocab a JOIN vocab b
+      |    ON a.w = b.w AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT i.src_a, i.src_b, i.n_common,
+      |  CAST(i.n_common * 1000000
+      |    // (sa.nv + sb.nv - i.n_common) AS BIGINT) AS jaccard_ppm
+      |FROM inter i
+      |JOIN sizes sa ON sa.source = i.src_a
+      |JOIN sizes sb ON sb.source = i.src_b
+      |ORDER BY jaccard_ppm DESC, i.src_a, i.src_b
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_overlap" -> (sourceOverlap _),
     "text_regex_extract_all" -> (regexExtractAll _),
     "text_hapax" -> (textHapax _),
     "text_ttr" -> (textTtr _),
@@ -1240,6 +1300,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_source_overlap" -> sourceOverlapSql,
     "text_regex_extract_all" -> regexExtractAllSql,
     "text_hapax" -> textHapaxSql,
     "text_ttr" -> textTtrSql,
