@@ -1501,6 +1501,55 @@ object ParityQueries {
       |    - (SELECT COUNT(*) FROM m WHERE o_custkey % 97 <> 0)
       |    AS n_after""".stripMargin
 
+  /** DYNAMIC partition overwrite — the INSERT OVERWRITE semantics
+    * every partitioned lakehouse table depends on: with
+    * `partitionOverwriteMode=dynamic`, an overwrite REPLACES only
+    * the partitions present in the incoming batch and leaves every
+    * other partition byte-untouched (static mode would truncate the
+    * whole table first — the classic data-loss foot-gun this gate
+    * exists to pin). Drives a real two-write sequence: full
+    * partitioned write, then a restated batch for ONE month with
+    * doubled prices; the audit re-reads disk and checks the restated
+    * month changed and a control month did not, by exact cents.
+    *
+    * Scale: overwrite cost is proportional to the restated
+    * partitions, not the table — the entire point at 100 TB. */
+  def convDynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir, "dyn_overwrite/orders")
+    val o = Tables.orders(s, dir)
+      .withColumn("mon", date_format(col("o_orderdate"), "yyyy-MM"))
+    graft.Scaffold.setup {
+      o.write.mode("overwrite").partitionBy("mon").parquet(base)
+    }
+    val target = "1995-03"
+    val control = "1995-06"
+    val restated = o.filter(col("mon") === target)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try restated.write.mode("overwrite").partitionBy("mon")
+      .parquet(base)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val after = s.read.parquet(base)
+    def cents(mon: String) = after.filter(col("mon") === mon)
+      .agg(coalesce(sum(expr(
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT)")), lit(0L)))
+      .head().getLong(0)
+    import s.implicits._
+    Seq((after.count(), cents(target), cents(control)))
+      .toDF("n_rows", "restated_cents", "control_cents")
+  }
+
+  val convDynamicOverwriteSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-03'
+      |    THEN CAST(ROUND(o_totalprice * 2.0 * 100) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS restated_cents,
+      |  CAST(SUM(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-06'
+      |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS control_cents
+      |FROM orders""".stripMargin
+
   /** GDPR Art. 16 RECTIFICATION — the UPDATE leg of the privacy
     * surface (Art. 17 delete = the purge gates, Art. 15 read =
     * subject export): correct the named subjects' records IN PLACE
@@ -1825,6 +1874,7 @@ object ParityQueries {
     "conv_footer_kv"        -> (convFooterKv _),
     "conv_csv_infer"        -> (convCsvInfer _),
     "purge_rectify"         -> (purgeRectify _),
+    "conv_dynamic_overwrite" -> (convDynamicOverwrite _),
     "purge_subject_export"  -> (purgeSubjectExport _),
     "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
@@ -1867,6 +1917,7 @@ object ParityQueries {
     "conv_footer_kv"        -> convFooterKvSql,
     "conv_csv_infer"        -> convCsvInferSql,
     "purge_rectify"         -> purgeRectifySql,
+    "conv_dynamic_overwrite" -> convDynamicOverwriteSql,
     "purge_subject_export"  -> purgeSubjectExportSql,
     "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,

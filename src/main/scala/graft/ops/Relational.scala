@@ -1679,9 +1679,51 @@ object Relational {
       |FROM part WHERE p_partkey < 100
       |ORDER BY p_partkey""".stripMargin
 
+  /** NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * semantics corner where a plain equi-join silently drops rows:
+    * NULL = NULL is NULL under three-valued logic, so NULL-keyed
+    * rows never match themselves; the null-safe operator makes NULL
+    * a first-class join key. The gate self-joins a priority column
+    * with planted NULLs (keys ≡0 mod 11) and accounts for exactly
+    * where the extra matches come from: the NULL×NULL block.
+    *
+    * Planner note: Spark executes `<=>` joins as hash joins (the
+    * operator is an equi-key for partitioning purposes — NULLs hash
+    * together), NOT as a nested loop; that is the reason to prefer
+    * it over the `(a = b OR (a IS NULL AND b IS NULL))` rewrite,
+    * which falls off the equi-join path entirely. */
+  def q56NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderkey") < 300)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("p"))
+    val a = o.toDF("ka", "pa")
+    val b = o.toDF("kb", "pb")
+    a.join(b, col("pa") <=> col("pb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("pa").isNull && col("pb").isNull, 1L)
+          .otherwise(0L)).as("n_null_pairs"),
+        sum(when(col("pa").isNotNull, 1L).otherwise(0L))
+          .as("n_value_pairs"))
+  }
+
+  val q56Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |      ELSE o_orderpriority END AS p
+      |  FROM orders WHERE o_orderkey < 300)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN a.p IS NULL AND b.p IS NULL THEN 1
+      |    ELSE 0 END) AS BIGINT) AS n_null_pairs,
+      |  CAST(SUM(CASE WHEN a.p IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_value_pairs
+      |FROM o a JOIN o b ON a.p IS NOT DISTINCT FROM b.p""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_null_safe_join" -> (q56NullSafeJoin _),
     "q55_string_surface" -> (q55StringSurface _),
     "q54_date_functions" -> (q54DateFunctions _),
     "q53_explode_outer" -> (q53ExplodeOuter _),
@@ -1793,5 +1835,6 @@ object Relational {
     "q52_map_hof" -> q52Sql,
     "q53_explode_outer" -> q53Sql,
     "q54_date_functions" -> q54Sql,
-    "q55_string_surface" -> q55Sql)
+    "q55_string_surface" -> q55Sql,
+    "q56_null_safe_join" -> q56Sql)
 }

@@ -1979,6 +1979,78 @@ object TimeSeries {
       |FROM fin, hs
       |ORDER BY h""".stripMargin
 
+  /** Forecast-residual anomaly screen: a day is anomalous when its
+    * SEASONAL-NAIVE residual (revenue minus the same weekday one
+    * week earlier) sits more than 3 MADs from the median residual —
+    * anomaly detection on the FORECAST ERROR rather than the raw
+    * level, so ordinary weekly seasonality never false-alarms (the
+    * raw-level screens in dq_* flag every weekend). Residuals pair
+    * by DATE ARITHMETIC (day−7 equi-join), not row offsets, so
+    * calendar gaps can't misalign the lag; medians are discrete
+    * histogram values; everything is exact cents BIGINTs.
+    *
+    * Scale: one groupBy to days, one self-join on the day key,
+    * histogram windows over the bounded residual domain. */
+  def tsForecastAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val resid = daily.toDF("day", "c")
+      .join(daily.select(date_add(col("day"), 7).as("day"),
+        col("cents").as("c7")), "day")
+      .select(col("day"), (col("c") - col("c7")).as("r"))
+    val n = resid.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = resid.groupBy(col("r")).agg(count(lit(1)).as("cc"))
+      .withColumn("cum", sum(col("cc")).over(w))
+      .crossJoin(broadcast(n))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("r")))
+        .as("med"))
+    val wd = Window.orderBy(col("adev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = resid.crossJoin(broadcast(med))
+      .select(abs(col("r") - col("med")).as("adev"))
+      .groupBy(col("adev")).agg(count(lit(1)).as("cc"))
+      .withColumn("cum", sum(col("cc")).over(wd))
+      .crossJoin(broadcast(n))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("adev")))
+        .as("mad"))
+    resid.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .filter(abs(col("r") - col("med")) > col("mad") * 3)
+      .select(col("day"), col("r"), col("med"), col("mad"))
+      .orderBy(col("day"))
+  }
+
+  val tsForecastAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |resid AS (
+      |  SELECT a.day, a.cents - b.cents AS r
+      |  FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 7 DAY),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM resid),
+      |med AS (
+      |  SELECT CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN r END)
+      |    AS BIGINT) AS med
+      |  FROM (SELECT h.r, SUM(h.cc) OVER (ORDER BY h.r) AS cum, n.n
+      |        FROM (SELECT r, COUNT(*) AS cc FROM resid GROUP BY r)
+      |          h, n)),
+      |mad AS (
+      |  SELECT CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN adev END)
+      |    AS BIGINT) AS mad
+      |  FROM (SELECT h.adev, SUM(h.cc) OVER (ORDER BY h.adev) AS cum,
+      |          n.n
+      |        FROM (SELECT abs(r.r - med.med) AS adev, COUNT(*) AS cc
+      |              FROM resid r, med GROUP BY 1) h, n))
+      |SELECT r.day, r.r, med.med, mad.mad
+      |FROM resid r, med, mad
+      |WHERE abs(r.r - med.med) > mad.mad * 3
+      |ORDER BY r.day""".stripMargin
+
   /** Holt–Winters ADDITIVE seasonal smoothing (period 7) — the
     * seasonal extension [[tsHolt]] deliberately omits: level reads
     * the DESEASONALIZED observation, the seasonal index re-learns
@@ -2386,6 +2458,7 @@ object TimeSeries {
         "ts_ohlc_bars"      -> (ohlcBars _),
         "ts_winsorize"      -> (tsWinsorize _),
         "ts_holt_winters"   -> (tsHoltWinters _),
+        "ts_forecast_anomaly" -> (tsForecastAnomaly _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
@@ -2418,5 +2491,6 @@ object TimeSeries {
         "ts_ohlc_bars"      -> ohlcBarsSql,
         "ts_winsorize"      -> tsWinsorizeSql,
         "ts_holt_winters"   -> tsHoltWintersSql,
+        "ts_forecast_anomaly" -> tsForecastAnomalySql,
         "ts_gaps_islands"   -> tsGapsIslandsSql)
 }
