@@ -2031,7 +2031,98 @@ object Graph {
       |   WHERE ab.src <> bc.dst AND ab.src < ab.dst
       |     AND ab.src < bc.dst) AS n_cycle""".stripMargin
 
+  /** TEMPORAL reachability (time-respecting BFS): earliest arrival
+    * at every event type from the lexicographically-first type,
+    * where a transition (u→v, departs t₁, arrives t₂) is usable
+    * only if you've REACHED u by t₁ — the semantics static BFS gets
+    * wrong on temporal graphs (a path that uses an edge from last
+    * week after arriving this week isn't a path). Relaxation:
+    * arrival(v) = min t_arr over edges with t_dep ≥ arrival(u),
+    * iterated to an ASSERTED fixpoint (the sssp discipline).
+    *
+    * Scale: edge INSTANCES stay distributed (corpus-sized — unlike
+    * the static gates' aggregated type pairs, temporal edges cannot
+    * pre-aggregate away their timestamps); each round broadcasts the
+    * O(types) arrival vector into them and reduces min per dst. */
+  def temporalBfs(s: SparkSession, dir: String, iters: Int = 6)
+      : DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev.select(
+        col("event_type").as("src"),
+        unix_millis(col("ts")).as("t_dep"),
+        lead(col("event_type"), 1).over(w).as("dst"),
+        lead(unix_millis(col("ts")), 1).over(w).as("t_arr"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .cache() // reused every round; corpus-sized, so cache not ckpt
+    val srcType = ev.agg(min(col("event_type"))).head().getString(0)
+    def relaxOnce(arr: DataFrame): DataFrame = {
+      val relax = edges
+        .join(broadcast(arr.filter(col("arrival").isNotNull)
+          .select(col("node").as("src"), col("arrival"))), "src")
+        .filter(col("t_dep") >= col("arrival"))
+        .groupBy(col("dst")).agg(min(col("t_arr")).as("cand"))
+      arr.join(relax.withColumnRenamed("dst", "node"),
+          Seq("node"), "left")
+        .select(col("node"), expr(
+          """CASE WHEN arrival IS NULL THEN cand
+            |WHEN cand IS NULL THEN arrival
+            |ELSE LEAST(arrival, cand) END""".stripMargin)
+          .as("arrival"))
+    }
+    var arr = ev.select(col("event_type").as("node")).distinct()
+      .withColumn("arrival",
+        when(col("node") === srcType, 0L).otherwise(
+          lit(null).cast("long")))
+      .localCheckpoint() // O(types)
+    for (_ <- 1 to iters) arr = relaxOnce(arr).localCheckpoint()
+    val changed = relaxOnce(arr)
+      .except(arr).count() // fixpoint assertion, the sssp discipline
+    require(changed == 0,
+      s"temporalBfs: $iters rounds did not reach the fixpoint — " +
+        "raise iters")
+    arr.orderBy(col("node"))
+  }
+
+  def temporalBfsSql(iters: Int = 6): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src, epoch_ms(ts) AS t_dep,
+        |    LEAD(event_type) OVER w AS dst,
+        |    LEAD(epoch_ms(ts)) OVER w AS t_arr
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tedges AS (
+        |  SELECT src, CAST(t_dep AS BIGINT) AS t_dep, dst,
+        |    CAST(t_arr AS BIGINT) AS t_arr
+        |  FROM ord WHERE dst IS NOT NULL AND dst <> src),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |it0 AS (
+        |  SELECT node,
+        |    CASE WHEN node = (SELECT MIN(event_type) FROM events)
+        |      THEN CAST(0 AS BIGINT) END AS arrival
+        |  FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT p.node,
+         |    CASE WHEN p.arrival IS NULL THEN v.cand
+         |      WHEN v.cand IS NULL THEN p.arrival
+         |      ELSE LEAST(p.arrival, v.cand) END AS arrival
+         |  FROM it${i - 1} p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(MIN(e.t_arr) AS BIGINT)
+         |      AS cand
+         |    FROM tedges e JOIN it${i - 1} q ON q.node = e.src
+         |    WHERE q.arrival IS NOT NULL AND e.t_dep >= q.arrival
+         |    GROUP BY e.dst) v ON v.node = p.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, arrival FROM it$iters ORDER BY node"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_temporal_bfs" -> ((s, d) => temporalBfs(s, d)),
     "graph_motif_census" -> (motifCensus _),
     "graph_topo_layers" -> (topoLayers _),
     "graph_assortativity" -> (assortativity _),
@@ -2060,6 +2151,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_temporal_bfs" -> temporalBfsSql(),
     "graph_motif_census" -> motifCensusSql,
     "graph_topo_layers" -> topoLayersSql,
     "graph_assortativity" -> assortativitySql,

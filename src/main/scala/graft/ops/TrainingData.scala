@@ -1427,7 +1427,72 @@ object TrainingData {
       |  CAST(SUM(n_phone) AS BIGINT) FROM wide
       |ORDER BY detector""".stripMargin
 
+  /** Keyed PSEUDONYMIZATION — the reversible-only-with-the-key
+    * middle ground between raw ids and crypto-shredding: every
+    * customer key is replaced by `md5(salt ‖ key)` CONSISTENTLY
+    * across tables, so referential structure survives (orders still
+    * join customers on the pseudonym with exactly the original
+    * cardinalities) while the raw identifier disappears from the
+    * released data. The gate proves all three contract clauses:
+    * pseudonyms are injective (distinct count preserved), the
+    * cross-table join count is unchanged, and no released pseudonym
+    * equals a raw key's text form.
+    *
+    * md5 rather than xxhash because the ORACLE must reproduce the
+    * mapping bit-for-bit — both engines ship md5; the salt keeps
+    * rainbow lookups out. Scale: two projections + one pseudonym-
+    * keyed join, same shuffle the raw-key join would pay. */
+  def pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val salt = "graft-release-2026"
+    def pseudo(c: Column): Column =
+      md5(concat(lit(salt), c.cast("string")))
+    val cust = Tables.customer(s, dir)
+      .select(pseudo(col("c_custkey")).as("pid"),
+        col("c_custkey").cast("string").as("raw"))
+    val ords = Tables.orders(s, dir)
+      .select(pseudo(col("o_custkey")).as("pid"))
+    val joinRaw = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey")).count()
+    val joinPseudo = ords.join(cust.select(col("pid")), "pid").count()
+    val stats = cust.agg(
+      count(lit(1)).as("n_cust"),
+      countDistinct(col("pid")).as("n_pid"),
+      sum(when(col("pid") === col("raw"), 1L).otherwise(0L))
+        .as("n_leaked")).head()
+    import s.implicits._
+    Seq((stats.getAs[Long]("n_cust"), stats.getAs[Long]("n_pid"),
+      stats.getAs[Long]("n_leaked"), joinRaw, joinPseudo,
+      joinRaw == joinPseudo))
+      .toDF("n_cust", "n_pid", "n_leaked", "join_raw", "join_pseudo",
+        "join_preserved")
+  }
+
+  val pseudonymizeSql: String =
+    """WITH cust AS (
+      |  SELECT md5('graft-release-2026'
+      |      || CAST(c_custkey AS VARCHAR)) AS pid,
+      |    CAST(c_custkey AS VARCHAR) AS raw
+      |  FROM customer),
+      |j AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS join_raw
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |jp AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS join_pseudo
+      |  FROM (SELECT md5('graft-release-2026'
+      |          || CAST(o_custkey AS VARCHAR)) AS pid FROM orders) o
+      |  JOIN cust c ON o.pid = c.pid)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_pid,
+      |  CAST(SUM(CASE WHEN pid = raw THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_leaked,
+      |  j.join_raw, jp.join_pseudo,
+      |  j.join_raw = jp.join_pseudo AS join_preserved
+      |FROM cust, j, jp
+      |GROUP BY j.join_raw, jp.join_pseudo""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_pseudonymize" -> (pseudonymize _),
     "pii_detect" -> (piiDetect _),
     "pack_padding_waste" -> (paddingWaste _),
     "pack_resume_cursor" -> (resumeCursor _),
@@ -1454,6 +1519,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pii_pseudonymize" -> pseudonymizeSql,
     "pii_detect" -> piiDetectSql,
     "pack_padding_waste" -> paddingWasteSql,
     "pack_resume_cursor" -> resumeCursorSql,
