@@ -1730,7 +1730,89 @@ object Evaluation {
       |    END * 1000000.0) AS BIGINT) AS bleu2_ppm
       |FROM den d, c1, c2""".stripMargin
 
+  /** Mean Average Precision@10 — the order-sensitive ranking metric
+    * the nDCG/MRR pair still leaves out: AP rewards EVERY relevant
+    * hit by the precision at its own rank, so front-loading two hits
+    * scores differently from spreading them (recall@k can't see
+    * that, MRR only sees the first). Binary relevance = same label.
+    * Exact integer form: each hit contributes `(hits_so_far · 10⁶)
+    * div rank`, the sum divides by min(k, R) — both divisions
+    * non-negative, so Spark `div` and DuckDB `//` agree, and the
+    * whole metric is a BIGINT with no float anywhere.
+    *
+    * Scale: reuses the bounded [[systemTopK]] plan; everything after
+    * is O(queries·k). */
+  def mapGate(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val sys = systemTopK(s, dir, nQueries = 8, k = k)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perHit = sys
+      .withColumn("rel", when(col("tlabel") === col("qlabel"), 1L)
+        .otherwise(0L))
+      .withColumn("cum", sum(col("rel")).over(wq))
+      .withColumn("term",
+        when(col("rel") === 1L, expr("cum * 1000000L div rank"))
+          .otherwise(0L))
+    val agg = perHit.groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(col("term")).as("ap_num"), sum(col("rel")).as("hits"))
+    val hist = Tables.embeddings(s, dir).groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    agg
+      .join(broadcast(hist.withColumnRenamed("label", "qlabel")),
+        "qlabel")
+      .select(col("query_id"), (col("cnt") - 1).as("n_rel"),
+        col("hits"),
+        expr(s"""CASE WHEN least(${k}L, cnt - 1) = 0 THEN 0L
+          |ELSE ap_num div least(${k}L, cnt - 1) END""".stripMargin)
+          .as("ap_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val mapSql: String =
+    """WITH vecs AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, a.label AS qlabel,
+      |    b.label AS tlabel,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |      list_reduce(list_transform(generate_series(1, len(a.v)),
+      |          i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      |        / (sqrt(list_reduce(list_transform(
+      |             generate_series(1, len(a.v)),
+      |             i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+      |         * sqrt(list_reduce(list_transform(
+      |             generate_series(1, len(b.v)),
+      |             i -> b.v[i] * b.v[i]), (x, y) -> x + y)))
+      |      DESC, b.vec_id) AS rank
+      |  FROM vecs a, vecs b
+      |  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id),
+      |perhit AS (
+      |  SELECT query_id, qlabel, rank,
+      |    CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END AS rel,
+      |    SUM(CASE WHEN tlabel = qlabel THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY query_id ORDER BY rank) AS cum
+      |  FROM scored WHERE rank <= 10),
+      |agg AS (
+      |  SELECT query_id, qlabel,
+      |    CAST(SUM(CASE WHEN rel = 1
+      |      THEN (cum * 1000000) // rank ELSE 0 END) AS BIGINT)
+      |      AS ap_num,
+      |    CAST(SUM(rel) AS BIGINT) AS hits
+      |  FROM perhit GROUP BY query_id, qlabel),
+      |hist AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM vecs GROUP BY label)
+      |SELECT a.query_id, g.cnt - 1 AS n_rel, a.hits,
+      |  CAST(CASE WHEN LEAST(10, g.cnt - 1) = 0 THEN 0
+      |    ELSE a.ap_num // LEAST(10, g.cnt - 1) END AS BIGINT)
+      |    AS ap_ppm
+      |FROM agg a JOIN hist g ON g.label = a.qlabel
+      |ORDER BY a.query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_map" -> (mapGate _),
     "eval_bleu_pairs" -> (bleuPairs _),
     "eval_krippendorff" -> (krippendorffAlpha _),
     "eval_rouge_pairs" -> (rougePairs _),
@@ -1756,6 +1838,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_map" -> mapSql,
     "eval_bleu_pairs" -> bleuPairsSql,
     "eval_krippendorff" -> krippendorffAlphaSql,
     "eval_rouge_pairs" -> rougePairsSql,

@@ -1501,6 +1501,35 @@ object ParityQueries {
       |    - (SELECT COUNT(*) FROM m WHERE o_custkey % 97 <> 0)
       |    AS n_after""".stripMargin
 
+  /** File-level PROVENANCE tagging (`input_file_name`) — the
+    * debugging primitive every 100 TB incident response starts with:
+    * which physical file did this bad row come from? The gate writes
+    * a 2-file table, re-reads it with per-row file provenance, and
+    * proves the tags partition the rows exactly (2 distinct files,
+    * row counts reconcile, zero untagged rows). The provenance
+    * column is plan-level metadata — no data is widened or
+    * shuffled to carry it. */
+  def convProvenance(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "provenance")
+    Tables.orders(s, dir).repartition(2)
+      .write.mode("overwrite").parquet(out)
+    val perFile = s.read.parquet(out)
+      .select(input_file_name().as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n"))
+    val r = perFile.agg(count(lit(1)).as("n_files"),
+      sum(col("n")).as("n_rows"),
+      sum(when(col("f") === "" || col("f").isNull, 1L).otherwise(0L))
+        .as("n_untagged")).head()
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2) == 0L))
+      .toDF("n_files", "n_rows", "all_tagged")
+  }
+
+  val convProvenanceSql: String =
+    """SELECT CAST(2 AS BIGINT) AS n_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows, true AS all_tagged
+      |FROM orders""".stripMargin
+
   /** DYNAMIC partition overwrite — the INSERT OVERWRITE semantics
     * every partitioned lakehouse table depends on: with
     * `partitionOverwriteMode=dynamic`, an overwrite REPLACES only
@@ -1875,6 +1904,7 @@ object ParityQueries {
     "conv_csv_infer"        -> (convCsvInfer _),
     "purge_rectify"         -> (purgeRectify _),
     "conv_dynamic_overwrite" -> (convDynamicOverwrite _),
+    "conv_provenance"       -> (convProvenance _),
     "purge_subject_export"  -> (purgeSubjectExport _),
     "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
@@ -1918,6 +1948,7 @@ object ParityQueries {
     "conv_csv_infer"        -> convCsvInferSql,
     "purge_rectify"         -> purgeRectifySql,
     "conv_dynamic_overwrite" -> convDynamicOverwriteSql,
+    "conv_provenance"       -> convProvenanceSql,
     "purge_subject_export"  -> purgeSubjectExportSql,
     "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,
