@@ -2121,7 +2121,100 @@ object Graph {
       s"\nSELECT node, arrival FROM it$iters ORDER BY node"
   }
 
+  /** Viterbi over the behavioral Markov chain: the MOST PROBABLE
+    * k-step path from the lexicographically-first event type, using
+    * the same maximum-likelihood transition probabilities the
+    * [[transitions]] gate estimates. DP in ppm-scaled integers —
+    * score(v,k) = max over edges u→v of score(u,k−1)·p(u,v) div 10⁶
+    * — so the recurrence is exact; the argmax predecessor is the
+    * MIN pred among score-achievers (deterministic without relying
+    * on either engine's arg_max tie rules). This is the "what is a
+    * user most likely doing 3 steps from here" query, the max-⊕
+    * counterpart of [[ts_attribution_markov]]'s sum-⊕ chain.
+    *
+    * Scale: k joins of the O(types²) probability edges against the
+    * O(types) score vector — metadata by the type-vocabulary
+    * premise; the corpus is scanned once for the counts. */
+  def viterbiPath(s: SparkSession, dir: String, k: Int = 3)
+      : DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val probs = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wn"))
+      .withColumn("ow", sum(col("wn")).over(
+        Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"),
+        expr("(wn * 1000000) div ow").as("p_ppm"))
+      .localCheckpoint() // O(types²)
+    val srcType = ev.agg(min(col("event_type"))).head().getString(0)
+    import s.implicits._
+    var scores = Seq((srcType, 1000000L, "-"))
+      .toDF("node", "score_ppm", "best_prev")
+    val out = Seq.newBuilder[DataFrame]
+    for (step <- 1 to k) {
+      val cand = probs
+        .join(scores.select(col("node").as("src"),
+          col("score_ppm").as("ps")), "src")
+        .select(col("dst").as("node"), col("src"),
+          expr("(ps * p_ppm) div 1000000").as("sc"))
+      val best = cand.groupBy(col("node")).agg(max(col("sc"))
+        .as("score_ppm"))
+      scores = best
+        .join(cand.toDF("node", "src", "sc"),
+          Seq("node"))
+        .filter(col("sc") === col("score_ppm"))
+        .groupBy(col("node"), col("score_ppm"))
+        .agg(min(col("src")).as("best_prev"))
+        .localCheckpoint() // O(types)
+      out += scores.select(lit(step.toLong).as("k"), col("node"),
+        col("score_ppm"), col("best_prev"))
+    }
+    out.result().reduce(_ unionByName _)
+      .orderBy(col("k"), col("node"))
+  }
+
+  def viterbiPathSql(k: Int = 3): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |probs AS (
+        |  SELECT src, dst, (wn * 1000000) // ow AS p_ppm FROM (
+        |    SELECT src, dst, COUNT(*) AS wn,
+        |      SUM(COUNT(*)) OVER (PARTITION BY src) AS ow
+        |    FROM ord WHERE dst IS NOT NULL GROUP BY src, dst)),
+        |s0 AS (
+        |  SELECT (SELECT MIN(event_type) FROM events) AS node,
+        |    CAST(1000000 AS BIGINT) AS score_ppm)""".stripMargin
+    val steps = (1 to k).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""c$i AS (
+         |  SELECT p.dst AS node, p.src,
+         |    CAST((q.score_ppm * p.p_ppm) // 1000000 AS BIGINT) AS sc
+         |  FROM probs p JOIN $prev q ON q.node = p.src),
+         |s$i AS (
+         |  SELECT node, CAST(MAX(sc) AS BIGINT) AS score_ppm,
+         |    MIN(CASE WHEN sc = best THEN src END) AS best_prev
+         |  FROM (SELECT node, src, sc,
+         |          MAX(sc) OVER (PARTITION BY node) AS best
+         |        FROM c$i)
+         |  GROUP BY node)""".stripMargin
+    }
+    val finals = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS k, node, score_ppm, best_prev " +
+        s"FROM s$i")
+    (base +: steps).mkString(",\n") + "\n" +
+      finals.mkString("\nUNION ALL\n") + "\nORDER BY k, node"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_viterbi_path" -> ((s, d) => viterbiPath(s, d)),
     "graph_temporal_bfs" -> ((s, d) => temporalBfs(s, d)),
     "graph_motif_census" -> (motifCensus _),
     "graph_topo_layers" -> (topoLayers _),
@@ -2151,6 +2244,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_viterbi_path" -> viterbiPathSql(),
     "graph_temporal_bfs" -> temporalBfsSql(),
     "graph_motif_census" -> motifCensusSql,
     "graph_topo_layers" -> topoLayersSql,

@@ -1501,6 +1501,47 @@ object ParityQueries {
       |    - (SELECT COUNT(*) FROM m WHERE o_custkey % 97 <> 0)
       |    AS n_after""".stripMargin
 
+  /** Whole-CATALOG inventory — the reference's single-table stats
+    * probe (`AutoPurge.sql` row-count guards) widened to the full
+    * catalog: one row per physical table with its row count and
+    * physical column count, straight from the parquet footers and
+    * schemas. The first report any migration, audit, or capacity
+    * plan asks for; counts are footer metadata reads, not scans. */
+  def reportCatalog(s: SparkSession, dir: String): DataFrame = {
+    val tables = Seq("customer", "documents", "embeddings", "events",
+      "lineitem", "nation", "orders", "part", "region", "supplier")
+    import s.implicits._
+    tables.map { t =>
+      val df = s.read.parquet(s"$dir/$t.parquet")
+      (t, df.count(), df.schema.fields.length.toLong)
+    }.toDF("table_name", "n_rows", "n_cols")
+      .orderBy(col("table_name"))
+  }
+
+  val reportCatalogSql: String =
+    """SELECT 'customer' AS table_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(5 AS BIGINT) AS n_cols FROM customer
+      |UNION ALL SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+      |  CAST(5 AS BIGINT) FROM documents
+      |UNION ALL SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+      |  CAST(3 AS BIGINT) FROM embeddings
+      |UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT),
+      |  CAST(6 AS BIGINT) FROM events
+      |UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+      |  CAST(11 AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+      |  CAST(3 AS BIGINT) FROM nation
+      |UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+      |  CAST(6 AS BIGINT) FROM orders
+      |UNION ALL SELECT 'part', CAST(COUNT(*) AS BIGINT),
+      |  CAST(6 AS BIGINT) FROM part
+      |UNION ALL SELECT 'region', CAST(COUNT(*) AS BIGINT),
+      |  CAST(2 AS BIGINT) FROM region
+      |UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+      |  CAST(4 AS BIGINT) FROM supplier
+      |ORDER BY table_name""".stripMargin
+
   /** File-level PROVENANCE tagging (`input_file_name`) — the
     * debugging primitive every 100 TB incident response starts with:
     * which physical file did this bad row come from? The gate writes
@@ -1905,6 +1946,7 @@ object ParityQueries {
     "purge_rectify"         -> (purgeRectify _),
     "conv_dynamic_overwrite" -> (convDynamicOverwrite _),
     "conv_provenance"       -> (convProvenance _),
+    "report_catalog"        -> (reportCatalog _),
     "purge_subject_export"  -> (purgeSubjectExport _),
     "purge_legal_hold"      -> (purgeLegalHold _),
     "conv_csv_multichar"    -> (convCsvMultichar _),
@@ -1949,6 +1991,7 @@ object ParityQueries {
     "purge_rectify"         -> purgeRectifySql,
     "conv_dynamic_overwrite" -> convDynamicOverwriteSql,
     "conv_provenance"       -> convProvenanceSql,
+    "report_catalog"        -> reportCatalogSql,
     "purge_subject_export"  -> purgeSubjectExportSql,
     "purge_legal_hold"      -> purgeLegalHoldSql,
     "conv_csv_multichar"    -> convCsvMulticharSql,
