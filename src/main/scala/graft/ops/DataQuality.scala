@@ -708,7 +708,9 @@ object DataQuality {
     * from ONE observed-count aggregate; expected counts come from the
     * marginals of that same tiny grid (types × 24), so the raw table
     * is scanned once. Per-cell terms are computed in an IDENTICAL
-    * expression tree in both engines ((O·N − rt·ct)² in exact longs,
+    * expression tree in both engines (O·N − rt·ct in exact longs,
+    * squared in DOUBLE — exact below 2^53, and overflow-proof where
+    * the long square would silently wrap past ~3e9 rows —
     * two IEEE divisions), then 1e-6-snapped to longs BEFORE the
     * per-type sum — long sums commute, double sums don't (the
     * [[LanguageModel]] determinism discipline).
@@ -729,7 +731,13 @@ object DataQuality {
       .withColumn("n", sum(col("o")).over(all))
       .withColumn("dev", col("o") * col("n") - col("rt") * col("ct"))
       .withColumn("cell",
-        floor((col("dev") * col("dev")).cast(DoubleType)
+        // dev is cast to DOUBLE BEFORE squaring: |dev| can reach
+        // n*min(rt,ct), so the LONG square silently wraps past
+        // ~3e9 rows in non-ANSI Spark while the oracle's checked
+        // BIGINT raises — divergent failure modes at scale. The
+        // double square is exact below 2^53 and the term is
+        // 1e-6-snapped right after anyway.
+        floor(col("dev").cast(DoubleType) * col("dev").cast(DoubleType)
           / (col("rt") * col("ct")).cast(DoubleType)
           / col("n").cast(DoubleType) * 1000000.0 + 0.5)
           .cast(LongType))
@@ -752,7 +760,8 @@ object DataQuality {
       |cells AS (
       |  SELECT event_type,
       |    CAST(floor(
-      |      CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+      |      CAST(o * n - rt * ct AS DOUBLE)
+      |        * CAST(o * n - rt * ct AS DOUBLE)
       |        / CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)
       |        * 1000000.0 + 0.5) AS BIGINT) AS cell
       |  FROM m)
@@ -787,7 +796,13 @@ object DataQuality {
       .withColumn("n", sum(col("o")).over(all))
       .withColumn("dev", col("o") * col("n") - col("rt") * col("ct"))
       .withColumn("cell",
-        floor((col("dev") * col("dev")).cast(DoubleType)
+        // dev is cast to DOUBLE BEFORE squaring: |dev| can reach
+        // n*min(rt,ct), so the LONG square silently wraps past
+        // ~3e9 rows in non-ANSI Spark while the oracle's checked
+        // BIGINT raises — divergent failure modes at scale. The
+        // double square is exact below 2^53 and the term is
+        // 1e-6-snapped right after anyway.
+        floor(col("dev").cast(DoubleType) * col("dev").cast(DoubleType)
           / (col("rt") * col("ct")).cast(DoubleType)
           / col("n").cast(DoubleType) * 1000000.0 + 0.5)
           .cast(LongType))
@@ -814,7 +829,8 @@ object DataQuality {
       |cells AS (
       |  SELECT n,
       |    CAST(floor(
-      |      CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+      |      CAST(o * n - rt * ct AS DOUBLE)
+      |        * CAST(o * n - rt * ct AS DOUBLE)
       |        / CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)
       |        * 1000000.0 + 0.5) AS BIGINT) AS cell,
       |    event_type, h

@@ -1236,8 +1236,11 @@ object Evaluation {
     * SC/(9N²)`, so `κ = (3N·S1 − 2·SC)/(18N² − 2·SC)` — one signed
     * integer division, sign peeled before `div` (the cross-engine
     * floor-vs-truncate discipline). 1e6 scaling keeps every product
-    * in BIGINT to N≈4e6 items; beyond that route the two products
-    * through DECIMAL(38,0) on both engines.
+    * in BIGINT only to N≈7×10⁵ items (the binding term is the
+    * numerator |3N·S1 − 2·SC|·10⁶ ≤ 18N²·10⁶, with S1 ≤ 6N and
+    * SC ≤ 9N²); beyond that the products MUST route through
+    * DECIMAL(38,0) on both engines — Spark would wrap silently where
+    * DuckDB raises, so the bound is a hard contract, not advice.
     *
     * Scale: per-item cells are a map-side-combined groupBy on
     * (item, category ≤ 3 rows/item); category totals are an

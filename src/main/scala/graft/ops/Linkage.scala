@@ -197,24 +197,32 @@ object Linkage {
     * DuckDB's `arg_max` changed across releases), so there's no
     * window, no distinct, no self-join; a
     * 100 TB update log folds to one record per entity in a single
-    * shuffle on the entity key. */
+    * shuffle on the entity key.
+    *
+    * The balance survives as integer CENTS (BIGINT), never DECIMAL:
+    * routing a DECIMAL through `arg_max` exposed cross-release
+    * decimal canonicalization differences in the oracle engine (the
+    * gate hash-failed two rounds with value-identical rows), so the
+    * final projection is version-insensitive by construction —
+    * BIGINT/VARCHAR only. `DECIMAL(12,2) * 100 → BIGINT` is exact. */
   def goldenRecord(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(s, dir)
+    val cents = (col("c_acctbal")
+      .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * lit(100))
+      .cast(LongType)
     val g1 = base.select(col("c_custkey").as("id"), lit(1L).as("gen"),
       col("c_name").as("name"),
-      col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(12, 2))
-        .as("acctbal"),
+      cents.as("acctbal_cents"),
       col("c_mktsegment").as("segment"))
     val g2 = base.filter(col("c_custkey") % 3 === 0)
       .select(col("c_custkey").as("id"), lit(2L).as("gen"),
         lit(null).cast("string").as("name"),
-        lit(null).cast("decimal(12,2)").as("acctbal"),
+        lit(null).cast("bigint").as("acctbal_cents"),
         concat(lit("UPD-"), col("c_mktsegment")).as("segment"))
     val g3 = base.filter(col("c_custkey") % 5 === 0)
       .select(col("c_custkey").as("id"), lit(3L).as("gen"),
         lit(null).cast("string").as("name"),
-        (col("c_acctbal") + lit(100.0))
-          .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("acctbal"),
+        (cents + lit(10000L)).as("acctbal_cents"),
         lit(null).cast("string").as("segment"))
     g1.unionByName(g2).unionByName(g3)
       .groupBy(col("id"))
@@ -225,8 +233,9 @@ object Linkage {
         // the null rows out of the aggregate's input explicitly.
         expr("max_by(name, gen) FILTER (WHERE name IS NOT NULL)")
           .as("name"),
-        expr("max_by(acctbal, gen) FILTER (WHERE acctbal IS NOT NULL)")
-          .as("acctbal"),
+        expr("max_by(acctbal_cents, gen)" +
+            " FILTER (WHERE acctbal_cents IS NOT NULL)")
+          .as("acctbal_cents"),
         expr("max_by(segment, gen) FILTER (WHERE segment IS NOT NULL)")
           .as("segment"))
       .orderBy(col("id"))
@@ -235,21 +244,23 @@ object Linkage {
   val goldenRecordSql: String =
     """WITH updates AS (
       |  SELECT c_custkey AS id, 1 AS gen, c_name AS name,
-      |    CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS acctbal_cents,
       |    c_mktsegment AS segment
       |  FROM customer
       |  UNION ALL
       |  SELECT c_custkey, 2, NULL,
-      |    CAST(NULL AS DECIMAL(12,2)), 'UPD-' || c_mktsegment
+      |    CAST(NULL AS BIGINT), 'UPD-' || c_mktsegment
       |  FROM customer WHERE c_custkey % 3 = 0
       |  UNION ALL
       |  SELECT c_custkey, 3, NULL,
-      |    CAST(c_acctbal + 100.0 AS DECIMAL(12,2)), NULL
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      + 10000, NULL
       |  FROM customer WHERE c_custkey % 5 = 0)
       |SELECT id, COUNT(*) AS n_versions,
       |  arg_max(name, gen) FILTER (WHERE name IS NOT NULL) AS name,
-      |  arg_max(acctbal, gen) FILTER (WHERE acctbal IS NOT NULL)
-      |    AS acctbal,
+      |  arg_max(acctbal_cents, gen)
+      |    FILTER (WHERE acctbal_cents IS NOT NULL) AS acctbal_cents,
       |  arg_max(segment, gen) FILTER (WHERE segment IS NOT NULL)
       |    AS segment
       |FROM updates GROUP BY id ORDER BY id""".stripMargin

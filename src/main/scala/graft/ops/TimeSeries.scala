@@ -1036,7 +1036,15 @@ object TimeSeries {
     * rows), then windows partitioned BY TYPE over day-count-sized
     * frames — nothing corpus-sized shuffles twice, no driver loop.
     * Ties break on earliest day via (score desc, day asc) ordering.
-    */
+    *
+    * The score is emitted as `cusum_dev_e4 BIGINT` — the exact
+    * integer ten-thousandths of the DECIMAL(38,4) deviation (4-dp
+    * operands times integers keep scale 4, so ·1e4 is an integer by
+    * construction). Emitting the wide decimal itself hash-failed two
+    * rounds running on cross-release decimal canonicalization in the
+    * oracle engine despite value-identical rows; the final projection
+    * is now BIGINT/VARCHAR/DATE only, version-insensitive by
+    * construction. */
   def tsChangepoint(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"),
@@ -1072,7 +1080,11 @@ object TimeSeries {
       .filter(col("rk") === 1)
       .select(col("event_type"), col("day").as("cp_day"),
         col("k").as("cp_index"), col("n_days"),
-        col("dev").cast(DecimalType(38, 4)).as("cusum_dev"))
+        // DECIMAL(30,4)·DECIMAL(5,0) → DECIMAL(36,4), exact in both
+        // engines; the cast to BIGINT drops a .0000 fraction only.
+        (col("dev").cast(DecimalType(30, 4)) *
+          lit(10000L).cast(DecimalType(5, 0)))
+          .cast(LongType).as("cusum_dev_e4"))
       .orderBy(col("event_type"))
   }
 
@@ -1106,7 +1118,8 @@ object TimeSeries {
       |    ORDER BY dev DESC, day) AS rk
       |  FROM dev)
       |SELECT event_type, day AS cp_day, k AS cp_index, n_days,
-      |  CAST(dev AS DECIMAL(38,4)) AS cusum_dev
+      |  CAST(CAST(dev AS DECIMAL(30,4)) * CAST(10000 AS DECIMAL(5,0))
+      |    AS BIGINT) AS cusum_dev_e4
       |FROM pick WHERE rk = 1
       |ORDER BY event_type""".stripMargin
 
@@ -1936,9 +1949,15 @@ object TimeSeries {
       .orderBy(col("day"))
       .select(col("rev").cast(DoubleType))
       .collect().map(_.getDouble(0))
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
+    // Float-multiply rounding, NOT BigDecimal: DuckDB round(x,6) is
+    // floor(x·10⁶ + 0.5)/10⁶ on the double (sign-peeled); BigDecimal
+    // HALF_UP on the exact binary expansion drifts from it at the
+    // 6th decimal over a ~2400-step recurrence (the tsHoltWinters
+    // lesson — same pairing, same fix).
+    def r6(x: Double): Double = {
+      val y = x * 1e6
+      (if (y < 0) -math.floor(-y + 0.5) else math.floor(y + 0.5)) / 1e6
+    }
     var l = days(0)
     var b = r6(days(1) - days(0))
     days.drop(1).foreach { y =>

@@ -131,22 +131,26 @@ class RoundFiveBatchTwoSpec extends SparkSpec {
   test("link_golden_record: each field survives from its own latest generation") {
     val golden = Linkage.goldenRecord(spark, sf).collect()
       .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getString(2), r.getDecimal(3), r.getString(4)))
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getString(4)))
       .toMap
     val base = Tables.customer(spark, sf).collect()
       .map(r => r.getLong(0) ->
         (r.getString(1), r.getDouble(3), r.getString(4))).toMap
     assert(golden.keySet == base.keySet)
     base.foreach { case (id, (name, bal, seg)) =>
-      val (nv, gName, gBal, gSeg) = golden(id)
+      val (nv, gName, gBalCents, gSeg) = golden(id)
       val expectedVersions =
         1L + (if (id % 3 == 0) 1L else 0L) + (if (id % 5 == 0) 1L else 0L)
       assert(nv == expectedVersions, s"id $id versions")
       assert(gName == name, s"id $id name must come from gen 1")
-      val expBal = new java.math.BigDecimal(
-        if (id % 5 == 0) bal + 100.0 else bal).setScale(2,
-        java.math.RoundingMode.HALF_UP)
-      assert(gBal.compareTo(expBal) == 0, s"id $id bal $gBal != $expBal")
+      // Balance survives as integer cents (BIGINT): round the base
+      // balance to 2 dp FIRST, then +100.00 for gen-3 ids — matching
+      // the operator's round-then-add construction on both engines.
+      val expCents = new java.math.BigDecimal(bal)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact() +
+        (if (id % 5 == 0) 10000L else 0L)
+      assert(gBalCents == expCents, s"id $id bal $gBalCents != $expCents")
       val expSeg = if (id % 3 == 0) s"UPD-$seg" else seg
       assert(gSeg == expSeg, s"id $id segment")
     }
