@@ -601,16 +601,21 @@ object Similarity {
     * computed only on candidates. No SQL oracle (approximate by
     * construction) — recall is asserted in DedupSimilaritySpec
     * against the brute-force baseline. */
-  def annLsh(s: SparkSession, dir: String, nTables: Int = 8,
-      bits: Int = 4, k: Int = 5): DataFrame = {
-    val base = vecs(s, dir)
-    // All nTables×bits hyperplane projections in ONE pass: posexplode
-    // the vector, one sum-aggregate per (table, bit) — codegen'd with
-    // map-side partial aggregation (the per-row HOF fold in
-    // [[lshBucket]] evaluates interpreted and re-walks the vector 32×).
-    // A vector's exploded rows stay contiguous in one partition, so
-    // each sum accumulates in position order — the same IEEE fold as
-    // the sequential formulation.
+  /** All-tables LSH bucket assignment as (vec_id, table, bucket) —
+    * all nTables×bits hyperplane projections in ONE pass: posexplode
+    * the vector, one sum-aggregate per (table, bit) — codegen'd with
+    * map-side partial aggregation (the per-row HOF fold in
+    * [[lshBucket]] evaluates interpreted and re-walks the vector 32×).
+    * A vector's exploded rows stay contiguous in one partition, so
+    * each sum accumulates in position order — the same IEEE fold as
+    * the sequential formulation.
+    *
+    * Bucket tables carry (vec_id, table, bucket) ONLY — ~24 B/row.
+    * Vectors are re-joined after candidate pairs are deduped, so
+    * neither the bucket join nor the distinct exchange ever shuffles
+    * a ~1 KB embedding (at 100 TB that width difference is ~60×). */
+  private def lshTables(base: DataFrame, nTables: Int,
+      bits: Int): DataFrame = {
     val projCols = for (t <- 0 until nTables; b <- 0 until bits)
       yield sum(col("x") * planeComponent(t, b, col("d"))).as(s"_p${t}_$b")
     val sigs = base
@@ -623,16 +628,18 @@ object Similarity {
           .otherwise(lit(0L)))
         .reduce[Column](_.bitwiseOR(_)).as(s"_bkt$t")
     }
-    // Bucket tables carry (vec_id, table, bucket) ONLY — ~24 B/row.
-    // Vectors are re-joined after the candidate pairs are deduped, so
-    // neither the bucket join nor the distinct exchange ever shuffles
-    // a ~1 KB embedding (at 100 TB that width difference is ~60×).
-    val tables = sigs
+    sigs
       .select(col("vec_id") +: bucketCols: _*)
       .select(col("vec_id"), posexplode(
         array((0 until nTables).map(t => col(s"_bkt$t")): _*)))
       .select(col("vec_id"),
         col("pos").as("table"), col("col").as("bucket"))
+  }
+
+  def annLsh(s: SparkSession, dir: String, nTables: Int = 8,
+      bits: Int = 4, k: Int = 5): DataFrame = {
+    val base = vecs(s, dir)
+    val tables = lshTables(base, nTables, bits)
     val q = tables.filter(col("vec_id") < 5)
       .toDF("query_id", "table", "bucket")
     val t = tables.toDF("target_id", "table", "bucket")
@@ -2615,6 +2622,16 @@ object Similarity {
         >= eps)
       .select(col("id_a"), col("id_b"))
       .cache() // id pairs only — reused for degree, edges, borders
+    dbscanDownstream(base, nbrs, minPts)
+  }
+
+  /** The DBSCAN labeling downstream shared verbatim by the
+    * bounded-exact [[dbscan]] and the LSH-bucketed [[dbscanLsh]]:
+    * degree count → core set → core-core components → border argmin
+    * → noise anti-join. `nbrs` must be the DIRECTED eps-neighbor
+    * pair set (both (a,b) and (b,a) present). */
+  private def dbscanDownstream(base: DataFrame, nbrs: DataFrame,
+      minPts: Int): DataFrame = {
     val cores = nbrs.groupBy(col("id_a")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= minPts).select(col("id_a").as("id"))
     val coreEdges = nbrs
@@ -2681,6 +2698,58 @@ object Similarity {
        |SELECT vec_id, role, CAST(cluster AS BIGINT) AS cluster
        |FROM labeled ORDER BY vec_id""".stripMargin
 
+  /** [[dbscan]]'s 100 TB scale path, GATED: the ε-neighborhood pair
+    * stage comes from multi-table random-hyperplane LSH bucket
+    * collisions (equi hash join on (table, bucket) — NO broadcast
+    * cross join anywhere in the plan), exact cosine runs only on the
+    * deduped candidates, and the labeling downstream is
+    * [[dbscanDownstream]] — the SAME code object the exact baseline
+    * runs. The gate's oracle is the exact DBSCAN labeling
+    * ([[dbscanSql]]), so green means the LSH path reproduced every
+    * core/border/noise label — candidate recall at this (eps,
+    * parameter) point is exactly 1 or the hash fails.
+    *
+    * Parameters: at cos = 0.35 a hyperplane splits a pair with
+    * p ≈ 0.386, so a 3-bit signature collides with p ≈ 0.231 per
+    * table and 32 tables leave a per-pair miss of (1−0.231)³² ≈
+    * 2e-4 — ~0.06 expected missed pairs over this corpus's 271
+    * threshold pairs (and the planes are deterministic, so a green
+    * gate stays green). At 100 TB you raise `bits` so buckets stay
+    * ~executor-sized (candidates shrink 4× per bit) and raise
+    * `nTables` to hold recall; the plan shape — linear signature
+    * pass, 24 B/row bucket shuffle, equi-join, exact verify on
+    * candidates, component rounds — is unchanged.
+    *
+    * Cost note: the signature pass is O(n·tables·bits) sums and the
+    * candidate join shuffles id pairs only; nothing is quadratic in
+    * the corpus except within-bucket collisions, which `bits`
+    * bounds. */
+  def dbscanLsh(s: SparkSession, dir: String, eps: Double = 0.35,
+      minPts: Int = 3, nTables: Int = 32, bits: Int = 3): DataFrame = {
+    val base = vecs(s, dir).withColumn("n", norm(col("v")))
+    val tables = lshTables(base.select(col("vec_id"), col("v")),
+      nTables, bits)
+    val cand = tables.toDF("id_a", "table", "bucket")
+      .join(tables.toDF("id_b", "table", "bucket"),
+        Seq("table", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // Exact cosine on candidates only, via the SAME precomputed-norm
+    // expression as the exact baseline, so the eps comparison is
+    // bit-identical where a pair is examined by both paths.
+    val nbrs = cand
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("n").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("n").as("nb")), "id_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= eps)
+      .select(col("id_a"), col("id_b"))
+      .cache() // id pairs only — reused for degree, edges, borders
+    dbscanDownstream(base, nbrs, minPts)
+  }
+
   /** IVF nProbe tuning sweep — the recall-vs-cost curve an operator
     * reads before fixing a serving configuration: probe the SAME
     * persisted index at nProbe ∈ {1, 2, 4, 8} and compare each
@@ -2693,26 +2762,72 @@ object Similarity {
     * deterministic but scale-dependent, so the gate pins structure,
     * not constants (the [[annListGate]] philosophy).
     *
-    * Scale: one index build (shared via [[ensureBaseIndex]]); each
-    * probe reads nProbe/nCells of the index through partition
-    * pruning — the sweep costs 4 probes, not 4 builds. */
+    * Scale: one index build (shared via [[ensureBaseIndex]]) and ONE
+    * probe/scoring pass for the whole sweep: probed cell sets are
+    * nested, so a cell's probe RANK r (its position in the query's
+    * centroid ordering) says "probed at every nprobe ≥ r" — the
+    * sweep tags each scored candidate with its first-probing rank,
+    * explodes the four sweep points, and ranks per (nprobe, query)
+    * in one window, collapsing what used to be four sequential probe
+    * jobs into a single scheduler round. The list scan is still
+    * partition-pruned to the widest point's cells. */
   def ivfNprobeSweep(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureBaseIndex(s, dir)
     val bf = bruteForcePairs(s, dir)
-    val bfN = bf.count()
-    val hits = Seq(1, 2, 4, 8).map { p =>
-      val h = annIvfProbeIndex(s, dir, idx, nProbe = p)
-        .select(col("query_id"), col("target_id"))
-        .join(bf, Seq("query_id", "target_id"), "left_semi")
-        .count()
-      (p.toLong, h)
-    }
+    val queries = vecs(s, dir).filter(col("vec_id") < 5)
+    val cents = s.read.parquet(s"$idx/centroids")
+    val wc = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 8)
+      .select(col("cell"), col("vec_id").as("query_id"), col("crn"))
+    // queries × 8 cell ids — metadata-sized; collecting them is what
+    // turns the list read into a static partition prune.
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val lists = s.read.parquet(s"$idx/lists")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val cand = broadcast(probes)
+      .join(lists.select(col("cell"), col("target_id")), "cell")
+      .filter(col("query_id") =!= col("target_id"))
+      .groupBy(col("query_id"), col("target_id"))
+      .agg(min(col("crn")).as("first_probe"))
+    val scored = cand
+      .join(lists.select(col("target_id"), col("tv")), "target_id")
+      .join(broadcast(queries.toDF("query_id", "qv")), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .select(col("query_id"), col("target_id"),
+        col("first_probe"), col("sim"))
+    val sweep = scored
+      .withColumn("nprobe", explode(array(Seq(1, 2, 4, 8).map(lit): _*)))
+      .filter(col("first_probe") <= col("nprobe"))
+    val wk = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    val hits = sweep
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= 5)
+      // bf is the persisted k·|Q|-row exact baseline — broadcast it
+      // (persisted frames have no stats, so the static planner would
+      // fall back to a sort-merge join otherwise)
+      .join(broadcast(bf), Seq("query_id", "target_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    val bfN = bf.groupBy().agg(count(lit(1)).as("bf_n"))
     import s.implicits._
-    hits.zip(0L +: hits.map(_._2)).map { case ((p, h), prev) =>
-      (p, h >= prev, h <= bfN,
-        p < 8 || h.toDouble / bfN >= 0.3)
-    }.toDF("nprobe", "hits_nondecreasing", "hits_bounded",
-      "recall_ok").orderBy(col("nprobe"))
+    val points = Seq(1, 2, 4, 8).toDF("nprobe")
+    val wOrd = Window.orderBy(col("nprobe")) // 4 rows — single task
+    points.join(broadcast(hits), Seq("nprobe"), "left")
+      .na.fill(0L, Seq("hits"))
+      .crossJoin(broadcast(bfN))
+      .withColumn("prev", lag(col("hits"), 1, 0L).over(wOrd))
+      .select(col("nprobe").cast(LongType).as("nprobe"),
+        (col("hits") >= col("prev")).as("hits_nondecreasing"),
+        (col("hits") <= col("bf_n")).as("hits_bounded"),
+        (col("nprobe") < 8 ||
+          col("hits").cast(DoubleType) / col("bf_n") >= 0.3)
+          .as("recall_ok"))
+      .orderBy(col("nprobe"))
   }
 
   val ivfNprobeSweepSql: String =
@@ -2725,6 +2840,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dbscan" -> ((s: SparkSession, d: String) => dbscan(s, d)),
+    "sim_dbscan_lsh" -> ((s: SparkSession, d: String) => dbscanLsh(s, d)),
     "sim_ivf_nprobe_sweep" -> (ivfNprobeSweep _),
     "embed_norm_stats" -> (normStats _),
     "sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
@@ -2778,6 +2894,8 @@ object Similarity {
 
   def oracle: Map[String, String] = Map(
     "sim_dbscan" -> dbscanSql,
+    // the LSH scale path must reproduce the EXACT labeling — same oracle
+    "sim_dbscan_lsh" -> dbscanSql,
     "sim_ivf_nprobe_sweep" -> ivfNprobeSweepSql,
     "embed_norm_stats" -> normStatsSql,
     "sim_knn_graph" -> knnGraphSql(),

@@ -780,7 +780,7 @@ object TrainingData {
        |ORDER BY source, lang""".stripMargin
 
   /** Deterministic train/val/test split: bucket =
-    * `((doc_id mod 1000003) · Knuth + 40503) mod 1000` → 80/10/10.
+    * `rowHash32(doc_id) mod 1000` → 80/10/10.
     * Hash-threshold selection — bit-reproducible across runs,
     * engines, and repartitions (same rationale as [[mixtureSample]]),
     * each row decides independently so the split is a pure projection
@@ -789,16 +789,14 @@ object TrainingData {
     * membership stable as the corpus grows — the property that stops
     * eval contamination when shards are re-cut.
     *
-    * The pre-reduction `mod 1000003` keeps the multiply inside 2⁶³
-    * for ANY 64-bit id: a bare `id · 2654435761` wraps silently in
-    * Spark but errors in DuckDB (and wrapped negatives make `pmod`
-    * vs `%` diverge), so the naive mix stops being engine-portable
-    * once ids pass ~3.5·10⁹. Both `pmod` steps keep the Scala API
-    * total for negative ids as well. */
+    * The bucket comes from the full-width [[rowHash32]] mix (the
+    * overflow-safe multiply–carry chain the mixture gates use), so
+    * membership depends on ALL 64 id bits: the earlier
+    * `mod 1000003` pre-reduction put ids exactly 1,000,003 apart in
+    * the SAME split forever — a correlation a 100 TB corpus with
+    * structured id allocation would expose as eval contamination. */
   def trainValTestSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L) + lit(40503L),
-      lit(1000L))
+    val bucket = pmod(rowHash32(col("doc_id")), lit(1000L))
     Tables.documents(s, dir)
       .select(col("source"),
         when(bucket < 800, "train").when(bucket < 900, "val")
@@ -809,9 +807,9 @@ object TrainingData {
   }
 
   val trainValTestSplitSql: String =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT source,
-      |    ((doc_id % 1000003) * 2654435761 + 40503) % 1000 AS bucket
+      |    ($rowHash32Sql) % 1000 AS bucket
       |  FROM documents)
       |SELECT source,
       |  CASE WHEN bucket < 800 THEN 'train'

@@ -62,6 +62,29 @@ class JoinStrategySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dbscan LSH scale path: no all-pairs stage, labels equal the exact baseline") {
+    // Plan contract: the exact baseline's pair stage IS a broadcast
+    // nested loop (bounded oracle by design); the LSH path must have
+    // replaced it with an equi hash join on (table, bucket) — any
+    // nested loop or cartesian in this plan is the scale-killer the
+    // path exists to eliminate. (The explicit broadcast() hints on
+    // metadata-sized label frames downstream are BroadcastHashJoins
+    // and are fine.)
+    val lsh = graft.ops.Similarity.dbscanLsh(spark, sf)
+    val plan = planOf(lsh)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // Label equality with the exact baseline at fixture scale: the
+    // sf0.01 oracle gate asserts this against DuckDB; this spec pins
+    // it in-engine so a parameter regression fails fast.
+    val exact = graft.ops.Similarity.dbscan(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val approx = lsh
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(exact.sameElements(approx),
+      s"labels diverge: ${exact.diff(approx).take(5).mkString(",")}")
+  }
+
   test("pagerank shuffle mode: rank joins shuffle, never broadcast") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
