@@ -1814,7 +1814,193 @@ object Evaluation {
       |FROM agg a JOIN hist g ON g.label = a.qlabel
       |ORDER BY a.query_id""".stripMargin
 
+  /** Bradley–Terry pairwise strength estimation (Bradley & Terry
+    * 1952; Hunter's MM algorithm, Ann. Stat. 2004) — the arena-style
+    * "which variant wins head-to-head" ranking an eval pipeline runs
+    * on pairwise preferences. Comparisons are derived
+    * deterministically: within each (user, day), event type a beats
+    * type b when the user fired a more often that day (ties skipped).
+    * Two MM steps from the uniform start: π¹_a = 2·W_a/N_a (with π
+    * uniform the MM denominator collapses to N_a/2 — exact ppm
+    * integers), then the genuinely-pairwise
+    * π²_a = W_a / Σ_b n_ab/(π¹_a + π¹_b), whose per-opponent terms
+    * are one fixed double tree 1e-9-snapped to longs BEFORE the sum
+    * (the jsDivergence discipline) and whose final division is one
+    * fixed tree snapped to e6.
+    *
+    * Scale: the per-(user, day, type) count is one map-combinable
+    * aggregate; the comparison join is WITHIN (user, day) groups
+    * (bounded ×types fanout, never corpus×corpus); everything after
+    * runs on the O(types²) win matrix. */
+  def bradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = counts.toDF("user_id", "day", "ta", "ca")
+    val b = counts.toDF("user_id", "day", "tb", "cb")
+    // directed win counts per ordered pair (both directions emitted
+    // by the a<b join + the symmetric union)
+    val duels = a.join(b, Seq("user_id", "day"))
+      .filter(col("ta") < col("tb"))
+      .filter(col("ca") =!= col("cb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("wa"))
+    val sym = duels.select(col("ta").as("item"), col("tb").as("opp"),
+        col("n"), col("wa").as("w"))
+      .unionByName(duels.select(col("tb").as("item"),
+        col("ta").as("opp"), col("n"), (col("n") - col("wa")).as("w")))
+    val items = sym.groupBy(col("item"))
+      .agg(sum(col("w")).as("wins"), sum(col("n")).as("comparisons"))
+      .withColumn("pi1_ppm",
+        expr("(2 * wins * 1000000) div comparisons"))
+    // O(types²) joins — broadcast by size
+    val pi = items.select(col("item"), col("pi1_ppm"))
+    val denom = sym
+      .join(broadcast(pi.toDF("item", "p_item")), "item")
+      .join(broadcast(pi.toDF("opp", "p_opp")), "opp")
+      .withColumn("term9",
+        floor(col("n").cast(DoubleType)
+          / ((col("p_item") + col("p_opp")).cast(DoubleType) / 1e6)
+          * 1e9 + 0.5).cast(LongType))
+      .groupBy(col("item")).agg(sum(col("term9")).as("d9"))
+    items.join(broadcast(denom), "item")
+      .select(col("item"), col("wins"), col("comparisons"),
+        col("pi1_ppm"),
+        floor(col("wins").cast(DoubleType)
+          / (col("d9").cast(DoubleType) / 1e9) * 1e6 + 0.5)
+          .cast(LongType).as("pi2_ppm"))
+      .orderBy(col("item"))
+  }
+
+  val bradleyTerrySql: String =
+    """WITH counts AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |duels AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN a.cnt > b.cnt THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS wa
+      |  FROM counts a JOIN counts b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |   AND a.event_type < b.event_type
+      |  WHERE a.cnt <> b.cnt
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT ta AS item, tb AS opp, n, wa AS w FROM duels
+      |  UNION ALL
+      |  SELECT tb, ta, n, n - wa FROM duels),
+      |items AS (
+      |  SELECT item, CAST(SUM(w) AS BIGINT) AS wins,
+      |    CAST(SUM(n) AS BIGINT) AS comparisons,
+      |    (2 * CAST(SUM(w) AS BIGINT) * 1000000)
+      |      // CAST(SUM(n) AS BIGINT) AS pi1_ppm
+      |  FROM sym GROUP BY item),
+      |denom AS (
+      |  SELECT s.item,
+      |    CAST(SUM(CAST(floor(CAST(s.n AS DOUBLE)
+      |      / (CAST(pi.pi1_ppm + po.pi1_ppm AS DOUBLE) / 1e6)
+      |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS d9
+      |  FROM sym s
+      |  JOIN items pi ON pi.item = s.item
+      |  JOIN items po ON po.item = s.opp
+      |  GROUP BY s.item)
+      |SELECT i.item, i.wins, i.comparisons,
+      |  CAST(i.pi1_ppm AS BIGINT) AS pi1_ppm,
+      |  CAST(floor(CAST(i.wins AS DOUBLE)
+      |    / (CAST(d.d9 AS DOUBLE) / 1e9) * 1e6 + 0.5) AS BIGINT)
+      |    AS pi2_ppm
+      |FROM items i JOIN denom d ON d.item = i.item
+      |ORDER BY i.item""".stripMargin
+
+  /** Cliff's delta — the nonparametric ordinal effect size
+    * δ = (#(x>y) − #(x<y)) / (n_x·n_y) between two groups (here:
+    * BUILDING vs MACHINERY customers' account balances in exact
+    * cents), the robust companion of a t-test an eval pipeline
+    * reports alongside significance. All pair counts are EXACT
+    * integers computed WITHOUT the n_x·n_y cross join: merge the two
+    * groups' value histograms, and #(x>y) = Σ_v nx(v) · (cumulative
+    * ny strictly below v) via one ordered prefix sum over the
+    * distinct-value table (the Wilcoxon/Spearman histogram
+    * discipline); ties contribute to neither count. δ is emitted as
+    * sign-peeled ppm (`div` truncates, `//` floors — they agree only
+    * after the sign is peeled).
+    *
+    * Scale: two map-combinable histograms; the window runs over
+    * O(distinct cents values); at corpus scale the prefix sum
+    * becomes the two-phase range-partitioned form. */
+  def cliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("g"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("v"))
+    val hist = cust.groupBy(col("v"))
+      .agg(sum(when(col("g") === "BUILDING", 1L).otherwise(0L))
+          .as("nx"),
+        sum(when(col("g") === "MACHINERY", 1L).otherwise(0L))
+          .as("ny"))
+    val wOrd = Window.orderBy(col("v")) // O(distinct values)
+    val cum = hist
+      .withColumn("xbelow", coalesce(sum(col("nx"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("ybelow", coalesce(sum(col("ny"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    cum.agg(
+        sum(col("nx")).as("n_x"), sum(col("ny")).as("n_y"),
+        sum(col("nx") * col("ybelow")).as("gt"),
+        sum(col("ny") * col("xbelow")).as("lt"))
+      .select(col("n_x"), col("n_y"), col("gt"), col("lt"),
+        expr("CASE WHEN gt >= lt THEN" +
+          " ((gt - lt) * 1000000) div (n_x * n_y)" +
+          " ELSE -(((lt - gt) * 1000000) div (n_x * n_y)) END")
+          .as("delta_ppm"))
+  }
+
+  val cliffsDeltaSql: String =
+    """WITH vals AS (
+      |  SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS v,
+      |    c_mktsegment AS g
+      |  FROM customer
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |hist AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nx,
+      |    CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ny
+      |  FROM vals GROUP BY v),
+      |cum AS (
+      |  SELECT nx, ny,
+      |    CAST(COALESCE(SUM(nx) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS xbelow,
+      |    CAST(COALESCE(SUM(ny) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS ybelow
+      |  FROM hist),
+      |tot AS (
+      |  SELECT CAST(SUM(nx) AS BIGINT) AS n_x,
+      |    CAST(SUM(ny) AS BIGINT) AS n_y,
+      |    CAST(SUM(nx * ybelow) AS BIGINT) AS gt,
+      |    CAST(SUM(ny * xbelow) AS BIGINT) AS lt
+      |  FROM cum)
+      |SELECT n_x, n_y, gt, lt,
+      |  CAST(CASE WHEN gt >= lt THEN
+      |      ((gt - lt) * 1000000) // (n_x * n_y)
+      |    ELSE -(((lt - gt) * 1000000) // (n_x * n_y)) END
+      |    AS BIGINT) AS delta_ppm
+      |FROM tot""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_bradley_terry" -> (bradleyTerry _),
+    "eval_cliffs_delta" -> (cliffsDelta _),
     "eval_map" -> (mapGate _),
     "eval_bleu_pairs" -> (bleuPairs _),
     "eval_krippendorff" -> (krippendorffAlpha _),
@@ -1841,6 +2027,8 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_bradley_terry" -> bradleyTerrySql,
+    "eval_cliffs_delta" -> cliffsDeltaSql,
     "eval_map" -> mapSql,
     "eval_bleu_pairs" -> bleuPairsSql,
     "eval_krippendorff" -> krippendorffAlphaSql,

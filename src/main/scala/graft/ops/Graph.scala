@@ -2213,7 +2213,93 @@ object Graph {
       finals.mkString("\nUNION ALL\n") + "\nORDER BY k, node"
   }
 
+  /** Rich-club coefficient curve (Zhou & Mondragón 2004; Colizza et
+    * al., Nature Physics 2006 for the density form): for each degree
+    * threshold k, φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) — how densely
+    * the hubs of the UNDIRECTED type-transition graph connect to each
+    * other. Emits one row per k from 0 to max degree − 1 with the
+    * exact member/edge counts and φ as ppm (`div` on non-negative
+    * operands, so truncate == floor).
+    *
+    * Scale: the corpus collapses to the O(types²) undirected edge
+    * set in one windowed pass + aggregate; degrees are one groupBy
+    * on that edge set; the k-sweep explodes O(maxdeg) thresholds
+    * against the O(types²) edge frame — all metadata-sized, joined
+    * by broadcast. */
+  def richClub(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val und = ev
+      .select(col("event_type").as("a"),
+        lead(col("event_type"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val maxDeg = deg.agg(max(col("deg"))).head().getLong(0)
+    import s.implicits._
+    val ks = (0L until maxDeg).toDF("k")
+    val nk = ks.join(broadcast(deg),
+        col("deg") > col("k"), "left")
+      .groupBy(col("k"))
+      .agg(count(col("node")).as("n_rich"))
+    val edged = und
+      .join(broadcast(deg.toDF("u", "du")), "u")
+      .join(broadcast(deg.toDF("v", "dv")), "v")
+    val ek = ks.join(broadcast(edged),
+        col("du") > col("k") && col("dv") > col("k"), "left")
+      .groupBy(col("k"))
+      .agg(count(col("u")).as("e_rich"))
+    nk.join(broadcast(ek), "k")
+      .select(col("k"), col("n_rich"), col("e_rich"),
+        when(col("n_rich") >= 2,
+          expr("(2 * e_rich * 1000000) div (n_rich * (n_rich - 1))"))
+          .as("phi_ppm"))
+      .orderBy(col("k"))
+  }
+
+  val richClubSql: String =
+    """WITH ord AS (
+      |  SELECT event_type AS a,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS b
+      |  FROM events),
+      |und AS (
+      |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      |  FROM ord WHERE b IS NOT NULL AND a <> b),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT u AS node FROM und
+      |    UNION ALL SELECT v FROM und)
+      |  GROUP BY node),
+      |ks AS (
+      |  SELECT unnest(range(0, (SELECT MAX(deg) FROM deg))) AS k),
+      |nk AS (
+      |  SELECT k, CAST(COUNT(d.node) AS BIGINT) AS n_rich
+      |  FROM ks LEFT JOIN deg d ON d.deg > ks.k
+      |  GROUP BY k),
+      |edged AS (
+      |  SELECT und.u, und.v, du.deg AS du, dv.deg AS dv
+      |  FROM und
+      |  JOIN deg du ON du.node = und.u
+      |  JOIN deg dv ON dv.node = und.v),
+      |ek AS (
+      |  SELECT k, CAST(COUNT(e.u) AS BIGINT) AS e_rich
+      |  FROM ks LEFT JOIN edged e ON e.du > ks.k AND e.dv > ks.k
+      |  GROUP BY k)
+      |SELECT CAST(ks.k AS BIGINT) AS k, nk.n_rich, ek.e_rich,
+      |  CASE WHEN nk.n_rich >= 2 THEN
+      |    (2 * ek.e_rich * 1000000) // (nk.n_rich * (nk.n_rich - 1))
+      |  END AS phi_ppm
+      |FROM ks JOIN nk ON nk.k = ks.k JOIN ek ON ek.k = ks.k
+      |ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_rich_club" -> (richClub _),
     "graph_viterbi_path" -> ((s, d) => viterbiPath(s, d)),
     "graph_temporal_bfs" -> ((s, d) => temporalBfs(s, d)),
     "graph_motif_census" -> (motifCensus _),
@@ -2244,6 +2330,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_rich_club" -> richClubSql,
     "graph_viterbi_path" -> viterbiPathSql(),
     "graph_temporal_bfs" -> temporalBfsSql(),
     "graph_motif_census" -> motifCensusSql,

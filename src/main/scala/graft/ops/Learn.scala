@@ -1202,7 +1202,66 @@ object Learn {
       |SELECT CAST(2 AS BIGINT), b0, b1, b2, n_active FROM w2
       |ORDER BY step""".stripMargin
 
+  /** UCB1 bandit scoring (Auer et al., ML 2002) — the deterministic
+    * exploration policy an experimentation pipeline evaluates
+    * offline: treat each event type as an arm, reward = 1 when the
+    * event's value clears 50.0 (a Bernoulli-ized payoff in exact
+    * integers), and score every arm with
+    * `mean + sqrt(2·ln N / n_a)`. The mean is exact ppm integer
+    * arithmetic (`rewards·10⁶ div n`); only the bonus touches
+    * doubles — ONE fixed sqrt/ln tree snapped to e6 (the dqChi2
+    * discipline) — and the "pull next" pick is the (ucb desc, arm
+    * asc) argmin, deterministic without engine tie rules.
+    *
+    * Scale: one map-combinable per-arm aggregate; everything after
+    * runs on the O(arms) frame. */
+  def ucb1(s: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(s, dir)
+      .groupBy(col("event_type").as("arm"))
+      .agg(count(lit(1)).as("n_pulls"),
+        sum(when(col("value") > 50.0, 1L).otherwise(0L))
+          .as("rewards"))
+    val wAll = Window.partitionBy()
+    val scored = arms
+      .withColumn("n_total", sum(col("n_pulls")).over(wAll))
+      .withColumn("mean_ppm",
+        expr("(rewards * 1000000) div n_pulls"))
+      .withColumn("bonus_ppm",
+        floor(sqrt(lit(2.0) * log(col("n_total").cast(DoubleType))
+          / col("n_pulls").cast(DoubleType)) * 1e6 + 0.5)
+          .cast(LongType))
+      .withColumn("ucb_ppm", col("mean_ppm") + col("bonus_ppm"))
+    val wPick = Window.orderBy(col("ucb_ppm").desc, col("arm"))
+    scored
+      .withColumn("chosen", row_number().over(wPick) === 1)
+      .select(col("arm"), col("n_pulls"), col("rewards"),
+        col("mean_ppm"), col("bonus_ppm"), col("ucb_ppm"),
+        col("chosen"))
+      .orderBy(col("arm"))
+  }
+
+  val ucb1Sql: String =
+    """WITH arms AS (
+      |  SELECT event_type AS arm, COUNT(*) AS n_pulls,
+      |    CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS rewards
+      |  FROM events GROUP BY event_type),
+      |scored AS (
+      |  SELECT arm, n_pulls, rewards,
+      |    (rewards * 1000000) // n_pulls AS mean_ppm,
+      |    CAST(floor(sqrt(2.0 * ln(CAST(SUM(n_pulls) OVER ()
+      |        AS DOUBLE)) / CAST(n_pulls AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS bonus_ppm
+      |  FROM arms)
+      |SELECT arm, n_pulls, rewards,
+      |  CAST(mean_ppm AS BIGINT) AS mean_ppm, bonus_ppm,
+      |  CAST(mean_ppm + bonus_ppm AS BIGINT) AS ucb_ppm,
+      |  row_number() OVER (ORDER BY mean_ppm + bonus_ppm DESC, arm)
+      |    = 1 AS chosen
+      |FROM scored ORDER BY arm""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_ucb1" -> (ucb1 _),
     "learn_svm_step" -> (svmSteps _),
     "learn_anova_f" -> (anovaF _),
     "learn_target_encode" -> (targetEncode _),
@@ -1220,6 +1279,7 @@ object Learn {
     "learn_ridge" -> (ridge _))
 
   def oracle: Map[String, String] = Map(
+    "learn_ucb1" -> ucb1Sql,
     "learn_svm_step" -> svmSql,
     "learn_anova_f" -> anovaFSql,
     "learn_target_encode" -> targetEncodeSql,

@@ -2444,8 +2444,117 @@ object TimeSeries {
       |FROM cum c, tot t WHERE c.cum >= (t.n_pairs + 1) // 2
       |GROUP BY t.n_pairs, t.n_pos""".stripMargin
 
+  /** Kaplan–Meier survival + Nelson–Aalen cumulative hazard over
+    * order time-to-ship: each (lineitem, order) pair contributes one
+    * observation — duration = days from order to ship; items that
+    * would ship after the fixed administrative cutoff (2001-01-01)
+    * are RIGHT-CENSORED at the cutoff (the textbook construction:
+    * duration = min(ship, C) − order, event = shipped ≤ C). Rows
+    * with ship < order (synthetic noise) are excluded, as are orders
+    * placed after the cutoff (their duration would be negative).
+    *
+    * Determinism: the risk table is exact integers (d, c, n_risk);
+    * the Nelson–Aalen hazard accumulates exact ppm terms
+    * `d·10⁶ div n` (non-negative, so div == //); the KM survival is
+    * carried in LOG space — per-step ln((n−d)/n) from one fixed
+    * double tree, 1e-9-snapped to longs BEFORE the cumulative sum
+    * (the jsDivergence discipline; floor(x·1e9+0.5) rounds
+    * identically for either sign in both engines) — so no product of
+    * doubles ever crosses engines. A step where d = n_risk (survival
+    * hits exactly 0) would be log-undefined and contributes 0 to the
+    * log column by convention; the hazard column still records it
+    * exactly.
+    *
+    * Scale: one equi join + one map-combinable (t) aggregate; the
+    * windows run over the O(distinct durations) risk table (~2.2k
+    * rows — metadata), not the corpus. */
+  def tsKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_date(lit("2001-01-01"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+    val obs = li.join(ord, "l_orderkey")
+      .filter(col("ship") >= col("od") && col("od") <= cutoff)
+      .select(
+        when(col("ship") <= cutoff, datediff(col("ship"), col("od")))
+          .otherwise(datediff(cutoff, col("od")))
+          .cast(LongType).as("t"),
+        when(col("ship") <= cutoff, 1L).otherwise(0L).as("is_event"))
+    val byT = obs.groupBy(col("t"))
+      .agg(sum(col("is_event")).as("d"),
+        sum(lit(1L) - col("is_event")).as("c"))
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("t")) // O(distinct durations)
+    byT
+      .withColumn("total", sum(col("d") + col("c")).over(wAll))
+      .withColumn("before", coalesce(
+        sum(col("d") + col("c"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_risk", col("total") - col("before"))
+      .withColumn("hz", expr("(d * 1000000) div n_risk"))
+      .withColumn("lt",
+        when(col("d") > 0 && col("n_risk") > col("d"),
+          floor(log((col("n_risk") - col("d")).cast(DoubleType)
+              / col("n_risk").cast(DoubleType)) * 1e9 + 0.5)
+            .cast(LongType))
+          .otherwise(0L))
+      .withColumn("cum_hazard_ppm", sum(col("hz"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("log_surv_e9", sum(col("lt"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t"), col("n_risk"), col("d").as("events"),
+        col("c").as("censored"), col("cum_hazard_ppm"),
+        col("log_surv_e9"))
+      .orderBy(col("t"))
+  }
+
+  val tsKaplanMeierSql: String =
+    """WITH obs AS (
+      |  SELECT CASE WHEN CAST(l_shipdate AS DATE) <= DATE '2001-01-01'
+      |      THEN datediff('day', CAST(o_orderdate AS DATE),
+      |                    CAST(l_shipdate AS DATE))
+      |      ELSE datediff('day', CAST(o_orderdate AS DATE),
+      |                    DATE '2001-01-01') END AS t,
+      |    CASE WHEN CAST(l_shipdate AS DATE) <= DATE '2001-01-01'
+      |      THEN 1 ELSE 0 END AS is_event
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+      |    AND CAST(o_orderdate AS DATE) <= DATE '2001-01-01'),
+      |byt AS (
+      |  SELECT CAST(t AS BIGINT) AS t,
+      |    CAST(SUM(is_event) AS BIGINT) AS d,
+      |    CAST(SUM(1 - is_event) AS BIGINT) AS c
+      |  FROM obs GROUP BY t),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    CAST(SUM(d + c) OVER () -
+      |      COALESCE(SUM(d + c) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM byt),
+      |terms AS (
+      |  SELECT t, n_risk, d, c,
+      |    (d * 1000000) // n_risk AS hz,
+      |    CASE WHEN d > 0 AND n_risk > d THEN
+      |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+      |        / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+      |      ELSE 0 END AS lt
+      |  FROM risk)
+      |SELECT t, n_risk, d AS events, c AS censored,
+      |  CAST(SUM(hz) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_hazard_ppm,
+      |  CAST(SUM(lt) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS log_surv_e9
+      |FROM terms ORDER BY t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ts_sax"            -> (tsSax _),
+    Map("ts_kaplan_meier"   -> (tsKaplanMeier _),
+        "ts_sax"            -> (tsSax _),
         "ts_holt"           -> (tsHolt _),
         "ts_hampel"         -> (tsHampel _),
         "ts_dtw"            -> (tsDtw _),
@@ -2480,7 +2589,8 @@ object TimeSeries {
         "ts_forecast_anomaly" -> (tsForecastAnomaly _),
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
-    Map("ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
+    Map("ts_kaplan_meier" -> tsKaplanMeierSql,
+        "ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
         "ts_hampel" -> tsHampelSql, "ts_dtw" -> tsDtwSql) ++
     Map("ts_peaks"          -> tsPeaksSql,
         "ts_burstiness"     -> tsBurstinessSql,
