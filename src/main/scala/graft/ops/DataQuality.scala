@@ -1649,7 +1649,58 @@ object DataQuality {
       |SELECT 'o_totalprice', d4, n4, d4 + n4 = rows_n FROM p
       |ORDER BY col_name""".stripMargin
 
+  /** HLL++ cardinality-estimate error audit — the calibration check
+    * behind every `approx_count_distinct` this engine serves
+    * (q37/q41's sketches): for a fixed probe set of high- and
+    * low-cardinality keys, compute the EXACT distinct count and the
+    * HLL++ estimate side by side and assert the relative error is
+    * inside 15% (3× the default 5% rsd — a bound the sketch clears
+    * with enormous margin, so the boolean is stable). The estimate
+    * itself is deterministic (hash-max sketch, order- and
+    * partition-independent) but implementation-specific, so the
+    * emitted columns are the exact count and the BOUND boolean —
+    * facts the oracle can state.
+    *
+    * Scale: the exact side is one distinct-shuffle per probe at gate
+    * scale (the audit needs the truth); the HLL side is the O(1)-
+    * state single-pass path you actually run at 100 TB. */
+  def hllError(s: SparkSession, dir: String): DataFrame = {
+    def probe(df: DataFrame, name: String, c: String): DataFrame =
+      df.agg(countDistinct(col(c)).as("exact_distinct"),
+          approx_count_distinct(col(c)).as("approx"))
+        .select(lit(name).as("probe"), col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct"))
+            .cast(DoubleType)
+            <= lit(0.15) * col("exact_distinct").cast(DoubleType))
+            .as("within_15pct"))
+    probe(Tables.lineitem(s, dir), "lineitem.l_partkey", "l_partkey")
+      .unionByName(probe(Tables.orders(s, dir),
+        "orders.o_custkey", "o_custkey"))
+      .unionByName(probe(Tables.events(s, dir),
+        "events.user_id", "user_id"))
+      .unionByName(probe(Tables.documents(s, dir),
+        "documents.source", "source"))
+      .orderBy(col("probe"))
+  }
+
+  val hllErrorSql: String =
+    """SELECT probe, exact_distinct, TRUE AS within_15pct FROM (
+      |  SELECT 'lineitem.l_partkey' AS probe,
+      |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey',
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'events.user_id',
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'documents.source',
+      |    CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+      |ORDER BY probe""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_hll_error" -> (hllError _),
     "dq_key_discovery" -> (keyDiscovery _),
     "dq_outlier_ensemble" -> (outlierEnsemble _),
     "dq_generalize_k" -> ((s: SparkSession, d: String) =>
@@ -1680,6 +1731,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_hll_error" -> hllErrorSql,
     "dq_key_discovery" -> keyDiscoverySql,
     "dq_outlier_ensemble" -> outlierEnsembleSql,
     "dq_generalize_k" -> generalizeKSql,

@@ -774,7 +774,100 @@ object LanguageModel {
       |CROSS JOIN tt CROSS JOIN t1
       |ORDER BY pmi_e6 DESC, bg LIMIT 50""".stripMargin
 
+  /** Held-out language-model evaluation — the TRUE perplexity
+    * protocol, unlike [[bigramLm]]'s self-scoring: the add-one
+    * bigram model is estimated on the TRAIN split of the corpus
+    * (the [[TrainingData.trainValTestSplit]] buckets — full-width
+    * rowHash32, bucket < 800) and evaluated on the VAL split
+    * (bucket 800–899) it never saw. Unseen eval bigrams/contexts
+    * fall back to c=0 smoothing mass by construction (LEFT joins),
+    * exactly as a held-out scorer must. Emits corpus-level counts,
+    * the EXACT snapped-long NLL sum, and the mean NLL in nats
+    * (perplexity = e^nll_mean; the exp is left to the reader so no
+    * cross-libm transcendental reaches the hash).
+    *
+    * Scale: model tables are O(train bigrams)/O(vocab) — the vocab
+    * scalar broadcast, the bigram join on the gram key; the val side
+    * is one explode + two equi joins + one global reduce. */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val docs = Tables.documents(s, dir)
+      .withColumn("bucket",
+        pmod(TrainingData.rowHash32(col("doc_id")), lit(1000L)))
+    val train = docs.filter(col("bucket") < 800)
+    val valid = docs.filter(col("bucket") >= 800 && col("bucket") < 900)
+    val uni = train.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bgc = train.select(
+        explode(graft.plans.TextExpressions.tokenNGrams(
+          words(col("text")), 2, emitWholeShortDoc = false)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val evalBg = valid.select(col("doc_id"),
+        explode(graft.plans.TextExpressions.tokenNGrams(
+          words(col("text")), 2, emitWholeShortDoc = false)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val scored = evalBg
+      .join(bgc, Seq("bg"), "left")
+      .join(broadcast(uni), col("w1") === uni("w"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", snap(log(
+        (coalesce(col("c2"), lit(0L)) + lit(1)).cast(DoubleType) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))
+            .cast(DoubleType))))
+    val nTrain = train.agg(count(lit(1)).as("n_train_docs"))
+    val nVal = valid.agg(count(lit(1)).as("n_val_docs"))
+    scored.agg(count(lit(1)).as("n_bigrams"),
+        sum(-col("lp")).as("nll_sum_e6"))
+      .crossJoin(broadcast(nTrain)).crossJoin(broadcast(nVal))
+      .select(col("n_train_docs"), col("n_val_docs"),
+        col("n_bigrams"), col("nll_sum_e6"),
+        (col("nll_sum_e6").cast(DoubleType) /
+          (col("n_bigrams") * 1000000.0)).as("nll_mean"))
+  }
+
+  val lmPerplexitySql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text,
+      |    (${TrainingData.rowHash32Sql}) % 1000 AS bucket
+      |  FROM documents),
+      |train AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |          FROM d WHERE bucket < 800),
+      |val AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |        FROM d WHERE bucket >= 800 AND bucket < 900),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS c1 FROM (
+      |    SELECT unnest(t) AS w FROM train) GROUP BY w),
+      |vocab AS (SELECT COUNT(*) AS v FROM uni),
+      |bgc AS (
+      |  SELECT bg, COUNT(*) AS c2 FROM (
+      |    SELECT array_to_string(t[i:i+1], ' ') AS bg FROM (
+      |      SELECT t, unnest(range(1, greatest(len(t), 1))) AS i
+      |      FROM train)) GROUP BY bg),
+      |ebig AS (
+      |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg,
+      |    t[i] AS w1
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t), 1))) AS i FROM val)),
+      |scored AS (
+      |  SELECT CAST(floor(ln(CAST(COALESCE(bgc.c2, 0) + 1 AS DOUBLE)
+      |    / CAST(COALESCE(uni.c1, 0) + vocab.v AS DOUBLE))
+      |    * 1000000.0 + 0.5) AS BIGINT) AS lp
+      |  FROM ebig
+      |  LEFT JOIN bgc USING (bg)
+      |  LEFT JOIN uni ON ebig.w1 = uni.w
+      |  CROSS JOIN vocab),
+      |nt AS (SELECT COUNT(*) AS n_train_docs FROM train),
+      |nv AS (SELECT COUNT(*) AS n_val_docs FROM val)
+      |SELECT nt.n_train_docs, nv.n_val_docs,
+      |  COUNT(*) AS n_bigrams,
+      |  CAST(SUM(-lp) AS BIGINT) AS nll_sum_e6,
+      |  CAST(SUM(-lp) AS DOUBLE) / (COUNT(*) * 1000000.0) AS nll_mean
+      |FROM scored, nt, nv
+      |GROUP BY nt.n_train_docs, nv.n_val_docs""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_perplexity" -> (lmPerplexity _),
     "text_pmi_bigrams" -> ((s: SparkSession, d: String) =>
       pmiBigrams(s, d)),
     "text_kneser_ney" -> ((s, d) => kneserNey(s, d)),
@@ -788,6 +881,7 @@ object LanguageModel {
     "text_oov_rate" -> ((s, d) => oovRate(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "text_lm_perplexity" -> lmPerplexitySql,
     "text_pmi_bigrams" -> pmiBigramsSql,
     "text_kneser_ney" -> kneserNeySql,
     "text_bpe_apply" -> bpeApplySql,

@@ -1274,7 +1274,101 @@ object TextAnalysis {
       |ORDER BY jaccard_ppm DESC, i.src_a, i.src_b
       |LIMIT 20""".stripMargin
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the word co-occurrence graph — tokens ≥ 4 chars
+    * (the deterministic, dialect-free stopword surrogate), an
+    * undirected edge between CONSECUTIVE surviving tokens, edge
+    * weight = co-occurrence count. Ranks run 5 damped iterations in
+    * the EXACT scaled-long recurrence of [[Graph.pageRank]] (rank ×
+    * 10¹², `(r·w) div ow`, `(85·c) div 100` — reusing
+    * [[Graph.rankStep]] verbatim), so the keyword scores are
+    * hash-exact; the oracle unrolls the same integer recurrence.
+    * Emits the top 20 words by (rank desc, word asc).
+    *
+    * Scale: tokenization + the filtered-adjacency window are one
+    * per-doc pass (partitioned by doc); the graph collapses to
+    * O(vocab²) weighted edges. Vocab here is broadcast-sized; for
+    * open-vocabulary corpora rankStep's shuffle mode drops in
+    * unchanged (the pagerank_shuffle contract). Top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def textRank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) >= 4)
+    val und = toks
+      .withColumn("nxt", lead(col("w"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("w") =!= col("nxt"))
+      .select(least(col("w"), col("nxt")).as("u"),
+        greatest(col("w"), col("nxt")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    val edges = und.select(col("u").as("src"), col("v").as("dst"),
+        col("w"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst"),
+        col("w")))
+      .localCheckpoint() // O(vocab²)
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("r", lit(1000000000000L / n))
+    for (_ <- 1 to 5) {
+      ranks = Graph.rankStep(edges, outw, nodes, ranks, n,
+        broadcastRanks = true).localCheckpoint()
+    }
+    ranks.select(col("node").as("word"), col("r"))
+      .orderBy(col("r").desc, col("word")).limit(20)
+  }
+
+  def textRankSql(iters: Int = 5): String = {
+    val base =
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t[i] AS w, i
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(1, len(t) + 1)) AS i FROM tok)
+        |  WHERE length(t[i]) >= 4),
+        |adj AS (
+        |  SELECT w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS nxt
+        |  FROM pos),
+        |und AS (
+        |  SELECT LEAST(w, nxt) AS u, GREATEST(w, nxt) AS v,
+        |    COUNT(*) AS wt
+        |  FROM adj WHERE nxt IS NOT NULL AND w <> nxt
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT u AS src, v AS dst, wt AS w FROM und
+        |  UNION ALL SELECT v, u, wt FROM und),
+        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |it0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+        |        FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT nd.node,
+         |    150000000000 // (SELECT n FROM nn)
+         |      + COALESCE((85 * s.c) // 100, 0) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((p.r * e.w) // o.ow) AS c
+         |    FROM edges e
+         |    JOIN it${i - 1} p ON p.node = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""\nSELECT node AS word, CAST(r AS BIGINT) AS r
+         |FROM it$iters ORDER BY r DESC, word LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_textrank" -> ((s: SparkSession, d: String) => textRank(s, d)),
     "text_source_overlap" -> (sourceOverlap _),
     "text_regex_extract_all" -> (regexExtractAll _),
     "text_hapax" -> (textHapax _),
@@ -1300,6 +1394,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_textrank" -> textRankSql(),
     "text_source_overlap" -> sourceOverlapSql,
     "text_regex_extract_all" -> regexExtractAllSql,
     "text_hapax" -> textHapaxSql,

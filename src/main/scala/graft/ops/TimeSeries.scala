@@ -2552,8 +2552,193 @@ object TimeSeries {
       |    AS BIGINT) AS log_surv_e9
       |FROM terms ORDER BY t""".stripMargin
 
+  /** Local-level Kalman filter (Harvey's structural form: random-walk
+    * state, observation noise) over the daily order-revenue series —
+    * the optimal-in-quadratic-loss online smoother, the principled
+    * upgrade of [[tsEwma]] whose gain ADAPTS instead of being fixed.
+    * Fixed variances q = 0.5 (process), r = 2.0 (observation),
+    * diffuse start (level = y₁, P = 1). Per step: P⁺ = P + q,
+    * K = P⁺/(P⁺+r), level += K·(y − level), P = (1−K)·P⁺ — gain,
+    * level and variance each snapped to 6 dp with float-multiply
+    * rounding (the [[tsHoltWinters]] pairing with DuckDB round(x,6)),
+    * so the ~2.4k-step recurrence is bit-reproducible.
+    *
+    * Scale: corpus work is ONE map-combinable day groupBy; the
+    * recurrence folds the metadata-sized daily series driver-side
+    * (the tsHolt/Markov-chain precedent) while the oracle replays it
+    * as a recursive CTE. Emits the last 7 filtered days. */
+  def tsKalman(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .orderBy(col("day"))
+      .select(col("rev").cast(DoubleType))
+      .collect().map(_.getDouble(0))
+    def r6(x: Double): Double = {
+      val y = x * 1e6
+      (if (y < 0) -math.floor(-y + 0.5) else math.floor(y + 0.5)) / 1e6
+    }
+    val (q, r) = (0.5, 2.0)
+    var level = days(0)
+    var p = 1.0
+    val states = Array.newBuilder[(Long, Double, Double, Double)]
+    states += ((1L, level, 0.0, p))
+    days.zipWithIndex.drop(1).foreach { case (y, i) =>
+      val pp = p + q
+      val k = r6(pp / (pp + r))
+      level = r6(level + k * (y - level))
+      p = r6((1.0 - k) * pp)
+      states += (((i + 1).toLong, level, k, p))
+    }
+    import s.implicits._
+    states.result().takeRight(7).toSeq
+      .toDF("t", "level", "gain", "variance")
+      .orderBy(col("t"))
+  }
+
+  val tsKalmanSql: String =
+    """WITH RECURSIVE days AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+      |ys AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+      |    CAST(rev AS DOUBLE) AS y
+      |  FROM days),
+      |n AS (SELECT MAX(t) AS tmax FROM ys),
+      |kal(t, l, g, p) AS (
+      |  SELECT 1, y, CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+      |  FROM ys WHERE t = 1
+      |  UNION ALL
+      |  SELECT k.t + 1,
+      |    round(k.l + round((k.p + 0.5) / (k.p + 0.5 + 2.0), 6)
+      |      * (ys.y - k.l), 6),
+      |    round((k.p + 0.5) / (k.p + 0.5 + 2.0), 6),
+      |    round((1.0 - round((k.p + 0.5) / (k.p + 0.5 + 2.0), 6))
+      |      * (k.p + 0.5), 6)
+      |  FROM kal k JOIN ys ON ys.t = k.t + 1),
+      |fin AS (SELECT * FROM kal, n WHERE kal.t > n.tmax - 7)
+      |SELECT CAST(t AS BIGINT) AS t, l AS level, g AS gain,
+      |  p AS variance
+      |FROM fin ORDER BY t""".stripMargin
+
+  /** Granger-causality screen (Granger 1969) at lag 1 between two
+    * behavioral series — does yesterday's CLICK volume improve
+    * today's PURCHASE-volume forecast beyond purchase's own history?
+    * Daily value sums per type are EXACT decimal aggregates; the two
+    * OLS fits (restricted: own lag; unrestricted: own + cross lag)
+    * are closed-form over centered power sums — Cramer's rule on the
+    * 2×2 normal equations, no iterative solver — in ONE fixed double
+    * tree per emitted figure, each 1e-6-snapped (the dqChi2
+    * discipline). Emits n, both unrestricted betas, both RSS and the
+    * F statistic (RSS_r − RSS_u)/(RSS_u/(n−3)).
+    *
+    * Scale: the corpus collapses to O(days) rows in one
+    * map-combinable aggregate; the lag alignment and power sums run
+    * on that metadata-sized series. */
+  def tsGranger(s: SparkSession, dir: String): DataFrame = {
+    val z = lit(0).cast(DecimalType(18, 4))
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 4)))), z).as("py"),
+        coalesce(sum(when(col("event_type") === "click",
+          col("value").cast(DecimalType(18, 4)))), z).as("cx"))
+    val w = Window.orderBy(col("day")) // O(days) series
+    val lagged = daily
+      .withColumn("d", col("py"))
+      .withColumn("u", lag(col("py"), 1).over(w))
+      .withColumn("v", lag(col("cx"), 1).over(w))
+      .filter(col("u").isNotNull)
+    // power sums stay EXACT decimals through the aggregate (double
+    // sums don't commute across partitions); each is cast to double
+    // ONCE, then every figure is one fixed IEEE tree, e6-snapped
+    val sums = lagged.agg(
+        count(lit(1)).as("n"),
+        sum(col("d")).as("sd"), sum(col("u")).as("su"),
+        sum(col("v")).as("sv"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(col("d") * col("u")).as("sdu"),
+        sum(col("d") * col("v")).as("sdv"),
+        sum(col("u") * col("v")).as("suv"))
+      .select(col("n").cast(DoubleType).as("n"),
+        col("sd").cast(DoubleType).as("sd"),
+        col("su").cast(DoubleType).as("su"),
+        col("sv").cast(DoubleType).as("sv"),
+        col("sdd").cast(DoubleType).as("sdd"),
+        col("suu").cast(DoubleType).as("suu"),
+        col("svv").cast(DoubleType).as("svv"),
+        col("sdu").cast(DoubleType).as("sdu"),
+        col("sdv").cast(DoubleType).as("sdv"),
+        col("suv").cast(DoubleType).as("suv"))
+    sums.select((col("n").cast(LongType).as("n") +:
+      grangerFigures.map { case (name, f) =>
+        expr(s"CAST(floor(($f) * 1e6 + 0.5) AS BIGINT)").as(name)
+      }): _*)
+  }
+
+  /** The Granger figures as SQL-text formula fragments over the ten
+    * double power sums — interpolated into BOTH the Spark `expr` and
+    * the DuckDB oracle, so the IEEE expression trees are identical
+    * by construction. */
+  private val grangerFigures: Seq[(String, String)] = {
+    val cd = "(sdd - sd*sd/n)"
+    val cu = "(suu - su*su/n)"
+    val cv = "(svv - sv*sv/n)"
+    val cdu = "(sdu - sd*su/n)"
+    val cdv = "(sdv - sd*sv/n)"
+    val cuv = "(suv - su*sv/n)"
+    val det = s"($cu*$cv - $cuv*$cuv)"
+    val bOwn = s"(($cdu*$cv - $cdv*$cuv) / $det)"
+    val bCross = s"(($cdv*$cu - $cdu*$cuv) / $det)"
+    val rssR = s"($cd - $cdu*$cdu/$cu)"
+    val rssU = s"($cd - ($bOwn*$cdu + $bCross*$cdv))"
+    val f = s"(($rssR - $rssU) / ($rssU / (n - 3)))"
+    Seq("beta_own_e6" -> bOwn, "beta_cross_e6" -> bCross,
+      "rss_r_e6" -> rssR, "rss_u_e6" -> rssU, "f_e6" -> f)
+  }
+
+  val tsGrangerSql: String = {
+    val figs = grangerFigures.map { case (name, f) =>
+      s"CAST(floor(($f) * 1e6 + 0.5) AS BIGINT) AS $name"
+    }.mkString(",\n      |  ")
+    s"""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,4)) END),
+      |      CAST(0 AS DECIMAL(18,4))) AS py,
+      |    COALESCE(SUM(CASE WHEN event_type = 'click'
+      |      THEN CAST(value AS DECIMAL(18,4)) END),
+      |      CAST(0 AS DECIMAL(18,4))) AS cx
+      |  FROM events GROUP BY 1),
+      |lagged AS (
+      |  SELECT py AS d,
+      |    LAG(py) OVER (ORDER BY day) AS u,
+      |    LAG(cx) OVER (ORDER BY day) AS v
+      |  FROM daily),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(d) AS DOUBLE) AS sd, CAST(SUM(u) AS DOUBLE) AS su,
+      |    CAST(SUM(v) AS DOUBLE) AS sv,
+      |    CAST(SUM(d*d) AS DOUBLE) AS sdd,
+      |    CAST(SUM(u*u) AS DOUBLE) AS suu,
+      |    CAST(SUM(v*v) AS DOUBLE) AS svv,
+      |    CAST(SUM(d*u) AS DOUBLE) AS sdu,
+      |    CAST(SUM(d*v) AS DOUBLE) AS sdv,
+      |    CAST(SUM(u*v) AS DOUBLE) AS suv
+      |  FROM lagged WHERE u IS NOT NULL)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  $figs
+      |FROM sums""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_kaplan_meier"   -> (tsKaplanMeier _),
+        "ts_kalman"         -> (tsKalman _),
+        "ts_granger"        -> (tsGranger _),
         "ts_sax"            -> (tsSax _),
         "ts_holt"           -> (tsHolt _),
         "ts_hampel"         -> (tsHampel _),
@@ -2590,6 +2775,8 @@ object TimeSeries {
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_kaplan_meier" -> tsKaplanMeierSql,
+        "ts_kalman" -> tsKalmanSql,
+        "ts_granger" -> tsGrangerSql,
         "ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
         "ts_hampel" -> tsHampelSql, "ts_dtw" -> tsDtwSql) ++
     Map("ts_peaks"          -> tsPeaksSql,

@@ -407,7 +407,7 @@ object TrainingData {
     * bits, so per-doc keep decisions stay independent at any corpus
     * size (the previous `mod 1000003` pre-reduction tied together
     * ids a multiple of 1,000,003 apart). */
-  private def rowHash32(id: Column): Column = {
+  private[ops] def rowHash32(id: Column): Column = {
     val m = lit(4294967296L)
     val c = lit(73244475L)
     val lo = id.bitwiseAND(lit(4294967295L))
@@ -420,7 +420,7 @@ object TrainingData {
 
   /** The same mix as SQL text (macro-expanded; DuckDB's CSE dedupes
     * the repeated subtrees, and the oracle only runs at dev SF). */
-  private val rowHash32Sql: String = {
+  private[ops] val rowHash32Sql: String = {
     val m = "4294967296"
     val lo = "(doc_id & 4294967295)"
     val hi = "((doc_id >> 32) & 4294967295)"
