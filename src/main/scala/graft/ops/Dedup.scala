@@ -1521,7 +1521,120 @@ object Dedup {
       |  AND starts_with(b.text, a.text)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash Jaccard-ESTIMATION audit (Broder 1997) — the
+    * calibration gate behind [[minhashLsh]]: for every same-source
+    * document pair (doc, doc+20 — sources are strided doc_id % 20),
+    * compute the EXACT 3-gram Jaccard and the 64-hash MinHash
+    * estimate side by side, with BOTH reproduced by the oracle —
+    * unlike the xxhash64 production signatures, these hashes are the
+    * portable `(a_j·roll + b_j) mod 1e9+7` family over the repo's
+    * `acc·31 + code` string roll, so the estimate itself is
+    * hash-checked, not just bounded. The expected |est − exact|
+    * is ≤ sqrt(J(1−J)/64) ≈ 0.06; the gate emits both ppm values.
+    *
+    * Scale: signatures cost O(shingles · k) with map-side MIN
+    * combine — the standard MinHash build; the pair compare joins
+    * k-row signatures on (pair, j); exact Jaccard joins shingle
+    * sets only for the audited pairs. Nothing is corpus×corpus. */
+  def minhashEstimate(s: SparkSession, dir: String, k: Int = 64)
+      : DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val docs = Tables.documents(s, dir)
+    val sh = docs.select(col("doc_id"),
+        explode(graft.plans.TextExpressions.tokenNGrams(
+          split(lower(col("text")), " "), 3,
+          emitWholeShortDoc = false)).as("sh"))
+      .distinct()
+    val hashed = sh.withColumn("x", expr(
+      "aggregate(transform(sequence(1, length(sh))," +
+        " i -> CAST(ascii(substring(sh, i, 1)) AS BIGINT))," +
+        " CAST(0 AS BIGINT)," +
+        " (acc, c) -> (acc * 31 + c) % 1000000007)"))
+    val sigs = hashed
+      .withColumn("j", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("hj", expr(
+        "(((2654435761 * (j + 1)) % 1000000007) * x" +
+          " + (40503 * (j + 1) + 104729) % 1000000007) % 1000000007"))
+      .groupBy(col("doc_id"), col("j")).agg(min(col("hj")).as("mh"))
+    // self-join disambiguation: shift doc_id on the B side up front
+    val sa = sigs.toDF("doc_a", "j", "ma")
+    val sb = sigs.select((col("doc_id") - 20).as("doc_a"),
+      col("j"), col("mh").as("mb"))
+    val matches = sa.join(sb, Seq("doc_a", "j"))
+      .groupBy(col("doc_a"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+        .as("m"))
+      .select(col("doc_a"), expr(s"(m * 1000000) div $k").as("est_ppm"))
+    val shA = sh.toDF("doc_a", "sh")
+    val shB = sh.select((col("doc_id") - 20).as("doc_a"), col("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shA.join(shB, Seq("doc_a", "sh"))
+      .groupBy(col("doc_a")).agg(count(lit(1)).as("inter"))
+    sizes.toDF("doc_a", "n_a")
+      .join(sizes.select((col("doc_id") - 20).as("doc_a"),
+        col("n").as("n_b")), "doc_a")
+      .join(inter, Seq("doc_a"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(matches, "doc_a")
+      .select(col("doc_a"), (col("doc_a") + 20).as("doc_b"),
+        col("n_a"), col("n_b"), col("inter"),
+        expr("(inter * 1000000) div (n_a + n_b - inter)")
+          .as("exact_ppm"),
+        col("est_ppm"))
+      .orderBy(col("doc_a"))
+  }
+
+  def minhashEstimateSql(k: Int = 64): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |        FROM tok)),
+      |hashed AS (
+      |  SELECT doc_id, sh,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(sh)),
+      |        i -> CAST(ascii(substring(sh, i, 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS x
+      |  FROM sh),
+      |sigs AS (
+      |  SELECT doc_id, j,
+      |    MIN((((2654435761 * (j + 1)) % 1000000007) * x
+      |      + (40503 * (j + 1) + 104729) % 1000000007)
+      |      % 1000000007) AS mh
+      |  FROM hashed, (SELECT unnest(range(0, $k)) AS j)
+      |  GROUP BY doc_id, j),
+      |m AS (
+      |  SELECT a.doc_id AS doc_a,
+      |    CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m
+      |  FROM sigs a JOIN sigs b
+      |    ON b.doc_id = a.doc_id + 20 AND b.j = a.j
+      |  GROUP BY a.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM sh a JOIN sh b
+      |    ON b.doc_id = a.doc_id + 20 AND b.sh = a.sh
+      |  GROUP BY a.doc_id)
+      |SELECT sa.doc_id AS doc_a, sa.doc_id + 20 AS doc_b,
+      |  sa.n AS n_a, sb.n AS n_b,
+      |  COALESCE(i.inter, 0) AS inter,
+      |  (COALESCE(i.inter, 0) * 1000000)
+      |    // (sa.n + sb.n - COALESCE(i.inter, 0)) AS exact_ppm,
+      |  (m.m * 1000000) // $k AS est_ppm
+      |FROM sizes sa
+      |JOIN sizes sb ON sb.doc_id = sa.doc_id + 20
+      |LEFT JOIN inter i ON i.doc_a = sa.doc_id
+      |JOIN m ON m.doc_a = sa.doc_id
+      |ORDER BY doc_a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_estimate" ->
+      ((s: SparkSession, d: String) => minhashEstimate(s, d)),
     "dedup_prefix_truncation" -> (prefixTruncation _),
     "dedup_url_canonical" -> (urlCanonical _),
     "dedup_hamming_banded" -> (hammingBanded _),
@@ -1548,6 +1661,7 @@ object Dedup {
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_minhash_estimate" -> minhashEstimateSql(),
     "dedup_prefix_truncation" -> prefixTruncationSql,
     "dedup_url_canonical" -> urlCanonicalSql,
     "dedup_hamming_banded" -> hammingBandedSql,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1013,7 +1014,67 @@ object Maintenance {
       |SELECT '3_published', (SELECT COUNT(*) + 2 FROM orders), true
       |ORDER BY step""".stripMargin
 
+  /** Compaction PLANNER — the bin-packing step that decides which
+    * small files coalesce into which target file BEFORE
+    * [[compactRoundtrip]] moves any bytes (the OPTIMIZE planning
+    * phase in Delta/Iceberg terms). Inventory rows (file, bytes)
+    * are packed size-DESCENDING by prefix sum: bin =
+    * `cum_before div target` — each target file lands within one
+    * input file of the target size, deterministically, with no
+    * sequential first-fit loop (the prefix sum IS the assignment,
+    * so the planner itself scales to million-file manifests as one
+    * window over the metadata-sized inventory). Emits per-bin file
+    * counts, byte totals and fill ratio.
+    *
+    * The gate derives a deterministic inventory from `documents`
+    * (one "file" per source, bytes = Σ n_chars) so the oracle can
+    * state it; the spec runs the SAME planner over a real parquet
+    * directory listing. */
+  def compactionPlan(s: SparkSession, dir: String,
+      targetBytes: Long = 16384L): DataFrame =
+    compactionPlanOver(
+      Tables.documents(s, dir)
+        .groupBy(col("source").as("file"))
+        .agg(sum(col("n_chars")).as("bytes")),
+      targetBytes)
+
+  /** The planner itself, inventory-agnostic: (file, bytes) in,
+    * per-bin plan out. */
+  def compactionPlanOver(inventory: DataFrame,
+      targetBytes: Long): DataFrame = {
+    val w = Window.orderBy(col("bytes").desc, col("file"))
+    inventory
+      .withColumn("cum_before", coalesce(sum(col("bytes"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${targetBytes}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+      .select(col("bin"), col("n_files"), col("bytes"),
+        expr(s"(bytes * 1000000) div ${targetBytes}L")
+          .as("fill_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  val compactionPlanSql: String =
+    """WITH inv AS (
+      |  SELECT source AS file, CAST(SUM(n_chars) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY source),
+      |assigned AS (
+      |  SELECT file, bytes,
+      |    CAST(COALESCE(SUM(bytes) OVER (
+      |      ORDER BY bytes DESC, file
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) // 16384 AS bin
+      |  FROM inv)
+      |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_files,
+      |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+      |  (CAST(SUM(bytes) AS BIGINT) * 1000000) // 16384 AS fill_ppm
+      |FROM assigned GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_compaction_plan" -> ((s: SparkSession, d: String) =>
+      compactionPlan(s, d)),
     "maint_orphan_gc" -> (orphanGc _),
     "maint_wap_publish" -> (wapPublish _),
     "maint_partition_evolution" -> (partitionEvolution _),
@@ -1032,6 +1093,7 @@ object Maintenance {
     "stream_cdc_apply" -> (cdcApply _),
     "stream_idempotent_sink" -> (idempotentSink _))
   def oracle: Map[String, String] = Map(
+    "maint_compaction_plan" -> compactionPlanSql,
     "maint_orphan_gc" -> orphanGcSql,
     "maint_wap_publish" -> wapPublishSql,
     "maint_partition_evolution" -> partitionEvolutionSql,

@@ -241,7 +241,78 @@ object Multimodal {
       |  FROM documents WHERE doc_id < 50 AND strlen(text) > 0)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Perceptual hash over the decoded media stream (the blockHash /
+    * aHash family: average-intensity grid → sign bits): the payload's
+    * code stream is folded into a 32-cell "luma grid" (cell = mean
+    * code over its contiguous slice — the stub decode, exactly
+    * [[FakeDecoder]]'s byte-histogram spirit but position-aware), and
+    * bit i is set when cell i's mean clears the per-doc grid mean.
+    * Near-identical payloads (crop/append a few bytes) move few cell
+    * means, so phash Hamming distance is small — the
+    * [[graft.ops.Dedup]] banded-hamming join runs on these codes
+    * unchanged (spec-proven). All arithmetic is exact integer
+    * (`·10⁶ div` means, strict > threshold), so the 32-bit code is
+    * hash-portable; a real deployment swaps the char-code stream for
+    * decoded pixels with the same plan.
+    *
+    * Scale: one explode over payload length (the decode pass a real
+    * codec would do anyway), two map-combinable aggregates, zero
+    * joins wider than (doc, 32 cells). */
+  def phash(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        posexplode(expr("transform(sequence(1, length(text))," +
+          " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+          .as(Seq("p", "code")))
+      .withColumn("cell", expr("(p * 32) div len"))
+      .groupBy(col("doc_id"), col("cell"))
+      .agg(sum(col("code")).as("cs"), count(lit(1)).as("cn"))
+      .withColumn("mean_e6", expr("(cs * 1000000) div cn"))
+    cells
+      .withColumn("thr", expr("sum(mean_e6) over" +
+        " (partition by doc_id) div count(1) over (partition by doc_id)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("mean_e6") > col("thr"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(cell AS INT))"))
+          .otherwise(0L)).as("phash"),
+        sum(when(col("mean_e6") > col("thr"), 1L).otherwise(0L))
+          .as("n_bits"),
+        count(lit(1)).as("n_cells"))
+      .orderBy(col("doc_id"))
+  }
+
+  val phashSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, len, i - 1 AS p,
+      |    CAST(ascii(substring(text, CAST(i AS INTEGER), 1))
+      |      AS BIGINT) AS code
+      |  FROM (SELECT doc_id, text, length(text) AS len,
+      |          unnest(range(1, length(text) + 1)) AS i
+      |        FROM documents WHERE length(text) > 0)),
+      |cells AS (
+      |  SELECT doc_id, (p * 32) // len AS cell,
+      |    (CAST(SUM(code) AS BIGINT) * 1000000) // COUNT(*) AS mean_e6
+      |  FROM chars GROUP BY doc_id, (p * 32) // len),
+      |thr AS (
+      |  SELECT doc_id, cell, mean_e6,
+      |    CAST(SUM(mean_e6) OVER (PARTITION BY doc_id) AS BIGINT)
+      |      // CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+      |      AS thr
+      |  FROM cells)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN mean_e6 > thr
+      |    THEN CAST(1 AS BIGINT) << CAST(cell AS INTEGER)
+      |    ELSE 0 END) AS BIGINT) AS phash,
+      |  CAST(SUM(CASE WHEN mean_e6 > thr THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_bits,
+      |  COUNT(*) AS n_cells
+      |FROM thr GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash" -> (phash _),
     "multimodal_chunks" -> (byteChunks _),
     "multimodal_dedup" -> (binaryDedup _),
     "multimodal_meta"     -> (meta _),
@@ -249,6 +320,7 @@ object Multimodal {
     "multimodal_frames"   -> (frames _))
 
   def oracle: Map[String, String] = Map(
+    "multimodal_phash" -> phashSql,
     "multimodal_chunks"   -> byteChunksSql,
     "multimodal_dedup"    -> binaryDedupSql,
     "multimodal_meta"     -> metaSql,

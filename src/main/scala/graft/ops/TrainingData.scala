@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 
@@ -1489,7 +1491,78 @@ object TrainingData {
       |FROM cust, j, jp
       |GROUP BY j.join_raw, jp.join_pseudo""".stripMargin
 
+  /** Preference-pair construction (the DPO/RLHF data shape:
+    * chosen/rejected document pairs): within each source, rank
+    * documents by a deterministic quality proxy — type-token ratio
+    * in exact ppm (`distinct words · 10⁶ div words`, the vocabulary-
+    * richness screen) with doc_id tie-break — and pair the best with
+    * the worst, second-best with second-worst, inward
+    * (rank i ↔ rank n+1−i for i ≤ n div 2; the odd middle doc is
+    * unpaired). Emits (source, pair_rank, chosen/rejected ids, both
+    * scores and the margin) — margin ≥ 0 by construction.
+    *
+    * Scale: the score is one map-combinable (doc, word)
+    * distinct + count; ranking is per-SOURCE windows (thousands of
+    * independent partitions at corpus scale, never a global sort);
+    * the pairing is a self-join on (source, mirrored rank) — equi,
+    * O(docs). */
+  def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+    val scored = toks
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("w")).as("dw"), count(lit(1)).as("nw"))
+      .select(col("doc_id"), col("source"),
+        expr("(dw * 1000000) div nw").as("ttr_ppm"))
+    val bySrc = Window.partitionBy(col("source"))
+    val w = bySrc.orderBy(col("ttr_ppm").desc, col("doc_id"))
+    val ranked = scored
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    val top = ranked.filter(expr("rk <= n div 2"))
+      .select(col("source"), col("rk").as("pair_rank"),
+        col("doc_id").as("chosen_doc"),
+        col("ttr_ppm").as("chosen_ttr_ppm"), col("n"))
+    val bottom = ranked
+      .select(col("source"), (col("n") + 1 - col("rk")).as("pair_rank"),
+        col("doc_id").as("rejected_doc"),
+        col("ttr_ppm").as("rejected_ttr_ppm"))
+    top.join(bottom, Seq("source", "pair_rank"))
+      .select(col("source"), col("pair_rank"), col("chosen_doc"),
+        col("rejected_doc"), col("chosen_ttr_ppm"),
+        col("rejected_ttr_ppm"),
+        (col("chosen_ttr_ppm") - col("rejected_ttr_ppm"))
+          .as("margin_ppm"))
+      .orderBy(col("source"), col("pair_rank"))
+  }
+
+  val preferencePairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    (COUNT(DISTINCT w) * 1000000) // COUNT(*) AS ttr_ppm
+      |  FROM toks GROUP BY doc_id, source),
+      |ranked AS (
+      |  SELECT doc_id, source, CAST(ttr_ppm AS BIGINT) AS ttr_ppm,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY ttr_ppm DESC, doc_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM scored)
+      |SELECT t.source, t.rk AS pair_rank,
+      |  t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+      |  t.ttr_ppm AS chosen_ttr_ppm, b.ttr_ppm AS rejected_ttr_ppm,
+      |  t.ttr_ppm - b.ttr_ppm AS margin_ppm
+      |FROM ranked t JOIN ranked b
+      |  ON b.source = t.source AND b.rk = t.n + 1 - t.rk
+      |WHERE t.rk <= t.n // 2
+      |ORDER BY t.source, pair_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_preference_pairs" -> (preferencePairs _),
     "pii_pseudonymize" -> (pseudonymize _),
     "pii_detect" -> (piiDetect _),
     "pack_padding_waste" -> (paddingWaste _),
@@ -1517,6 +1590,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_preference_pairs" -> preferencePairsSql,
     "pii_pseudonymize" -> pseudonymizeSql,
     "pii_detect" -> piiDetectSql,
     "pack_padding_waste" -> paddingWasteSql,
