@@ -1998,7 +1998,103 @@ object Evaluation {
       |    AS BIGINT) AS delta_ppm
       |FROM tot""".stripMargin
 
+  /** Murphy decomposition of the Brier score (Murphy 1973):
+    * reliability − resolution + uncertainty over forecast deciles —
+    * the diagnosis behind [[brierScore]]'s single number (is the
+    * model bad because it's MISCALIBRATED (high rel) or because it
+    * can't SEPARATE classes (low res)?). Same deterministic
+    * forecast/label pair as the Brier gate (p = min(n_chars,4000)/
+    * 4000, y = lang='en'). Per-bin sums are exact integers in
+    * 1/4000 forecast units; each bin's rel/res term is ONE fixed
+    * double tree 1e-9-snapped BEFORE the sum (the jsDivergence
+    * discipline); uncertainty is one snapped tree over exact
+    * totals.
+    *
+    * Scale: one map-combinable (bin) aggregate over the corpus,
+    * then O(10) rows. */
+  def brierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(
+      least(col("n_chars"), lit(4000L)).as("f4000"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .withColumn("bin",
+        least(expr("(f4000 * 10) div 4000"), lit(9L)))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("f4000")).as("sf"),
+        sum(col("y")).as("ok"))
+    val wAll = Window.partitionBy()
+    val terms = bins
+      .withColumn("n", sum(col("nk")).over(wAll))
+      .withColumn("o", sum(col("ok")).over(wAll))
+      .withColumn("rel9", expr(
+        "CAST(floor(CAST(nk AS DOUBLE)" +
+          " * (CAST(sf AS DOUBLE)/(4000.0*CAST(nk AS DOUBLE))" +
+          "    - CAST(ok AS DOUBLE)/CAST(nk AS DOUBLE))" +
+          " * (CAST(sf AS DOUBLE)/(4000.0*CAST(nk AS DOUBLE))" +
+          "    - CAST(ok AS DOUBLE)/CAST(nk AS DOUBLE))" +
+          " * 1e9 + 0.5) AS BIGINT)"))
+      .withColumn("res9", expr(
+        "CAST(floor(CAST(nk AS DOUBLE)" +
+          " * (CAST(ok AS DOUBLE)/CAST(nk AS DOUBLE)" +
+          "    - CAST(o AS DOUBLE)/CAST(n AS DOUBLE))" +
+          " * (CAST(ok AS DOUBLE)/CAST(nk AS DOUBLE)" +
+          "    - CAST(o AS DOUBLE)/CAST(n AS DOUBLE))" +
+          " * 1e9 + 0.5) AS BIGINT)"))
+    terms.groupBy(col("n"), col("o"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("rel9")).as("rel_sum9"),
+        sum(col("res9")).as("res_sum9"))
+      .select(col("n"), col("o"), col("n_bins"),
+        expr("CAST(floor(CAST(rel_sum9 AS DOUBLE)/CAST(n AS DOUBLE)" +
+          " + 0.5) AS BIGINT)").as("reliability_e9"),
+        expr("CAST(floor(CAST(res_sum9 AS DOUBLE)/CAST(n AS DOUBLE)" +
+          " + 0.5) AS BIGINT)").as("resolution_e9"),
+        expr("CAST(floor(CAST(o AS DOUBLE)/CAST(n AS DOUBLE)" +
+          " * (1.0 - CAST(o AS DOUBLE)/CAST(n AS DOUBLE))" +
+          " * 1e9 + 0.5) AS BIGINT)").as("uncertainty_e9"))
+  }
+
+  val brierDecompositionSql: String =
+    """WITH scored AS (
+      |  SELECT LEAST(n_chars, 4000) AS f4000,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    LEAST((LEAST(n_chars, 4000) * 10) // 4000, 9) AS bin
+      |  FROM documents),
+      |bins AS (
+      |  SELECT bin, COUNT(*) AS nk,
+      |    CAST(SUM(f4000) AS BIGINT) AS sf,
+      |    CAST(SUM(y) AS BIGINT) AS ok
+      |  FROM scored GROUP BY bin),
+      |terms AS (
+      |  SELECT nk, sf, ok,
+      |    CAST(SUM(nk) OVER () AS BIGINT) AS n,
+      |    CAST(SUM(ok) OVER () AS BIGINT) AS o,
+      |    CAST(floor(CAST(nk AS DOUBLE)
+      |      * (CAST(sf AS DOUBLE)/(4000.0*CAST(nk AS DOUBLE))
+      |         - CAST(ok AS DOUBLE)/CAST(nk AS DOUBLE))
+      |      * (CAST(sf AS DOUBLE)/(4000.0*CAST(nk AS DOUBLE))
+      |         - CAST(ok AS DOUBLE)/CAST(nk AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS rel9,
+      |    CAST(floor(CAST(nk AS DOUBLE)
+      |      * (CAST(ok AS DOUBLE)/CAST(nk AS DOUBLE)
+      |         - CAST(SUM(ok) OVER () AS DOUBLE)
+      |           /CAST(SUM(nk) OVER () AS DOUBLE))
+      |      * (CAST(ok AS DOUBLE)/CAST(nk AS DOUBLE)
+      |         - CAST(SUM(ok) OVER () AS DOUBLE)
+      |           /CAST(SUM(nk) OVER () AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS res9
+      |  FROM bins)
+      |SELECT n, o, COUNT(*) AS n_bins,
+      |  CAST(floor(CAST(SUM(rel9) AS DOUBLE)/CAST(n AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS reliability_e9,
+      |  CAST(floor(CAST(SUM(res9) AS DOUBLE)/CAST(n AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS resolution_e9,
+      |  CAST(floor(CAST(o AS DOUBLE)/CAST(n AS DOUBLE)
+      |    * (1.0 - CAST(o AS DOUBLE)/CAST(n AS DOUBLE))
+      |    * 1e9 + 0.5) AS BIGINT) AS uncertainty_e9
+      |FROM terms GROUP BY n, o""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_brier_decomp" -> (brierDecomposition _),
     "eval_bradley_terry" -> (bradleyTerry _),
     "eval_cliffs_delta" -> (cliffsDelta _),
     "eval_map" -> (mapGate _),
@@ -2027,6 +2123,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_brier_decomp" -> brierDecompositionSql,
     "eval_bradley_terry" -> bradleyTerrySql,
     "eval_cliffs_delta" -> cliffsDeltaSql,
     "eval_map" -> mapSql,

@@ -2298,7 +2298,62 @@ object Graph {
       |FROM ks JOIN nk ON nk.k = ks.k JOIN ek ON ek.k = ks.k
       |ORDER BY k""".stripMargin
 
+  /** Bipartite projection of the user–event-type graph onto types
+    * (Newman 2001's collaboration-weight idea, cosine-normalized):
+    * types are linked by the users they SHARE, weight = distinct
+    * shared users, normalized `shared/√(n_u·n_v)` so a hub type's
+    * overlaps don't swamp the niche ones — the "users who do A also
+    * do B" co-engagement matrix behaviors pipelines feed to
+    * recommenders.
+    *
+    * Scale: the (user, type) distinct is one map-combinable reduce;
+    * the pair join is WITHIN user groups (fanout bounded by
+    * types-per-user, never corpus×corpus — the [[Mining]] basket
+    * discipline); the normalization joins the O(types) degree frame
+    * by broadcast. Cosine is one fixed sqrt tree e6-snapped. */
+  def bipartiteProject(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val deg = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = ut.toDF("user_id", "ta")
+      .join(ut.toDF("user_id", "tb"), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(deg.toDF("ta", "n_a")), "ta")
+      .join(broadcast(deg.toDF("tb", "n_b")), "tb")
+      .select(col("ta"), col("tb"), col("shared"),
+        col("n_a"), col("n_b"),
+        expr("CAST(floor(CAST(shared AS DOUBLE)" +
+          " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))" +
+          " * 1e6 + 0.5) AS BIGINT)").as("cosine_e6"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val bipartiteProjectSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |deg AS (
+      |  SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    COUNT(*) AS shared
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.ta, p.tb, p.shared, da.n AS n_a, db.n AS n_b,
+      |  CAST(floor(CAST(p.shared AS DOUBLE)
+      |    / sqrt(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE))
+      |    * 1e6 + 0.5) AS BIGINT) AS cosine_e6
+      |FROM pairs p
+      |JOIN deg da ON da.event_type = p.ta
+      |JOIN deg db ON db.event_type = p.tb
+      |ORDER BY p.ta, p.tb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bipartite_project" -> (bipartiteProject _),
     "graph_rich_club" -> (richClub _),
     "graph_viterbi_path" -> ((s, d) => viterbiPath(s, d)),
     "graph_temporal_bfs" -> ((s, d) => temporalBfs(s, d)),
@@ -2330,6 +2385,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_bipartite_project" -> bipartiteProjectSql,
     "graph_rich_club" -> richClubSql,
     "graph_viterbi_path" -> viterbiPathSql(),
     "graph_temporal_bfs" -> temporalBfsSql(),

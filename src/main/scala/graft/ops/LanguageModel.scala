@@ -866,7 +866,89 @@ object LanguageModel {
       |FROM scored, nt, nv
       |GROUP BY nt.n_train_docs, nv.n_val_docs""".stripMargin
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    * every document under the corpus bigram model ([[bigramLm]]'s
+    * construction, exact snapped-long NLL sums per doc) and split
+    * the corpus into head/middle/tail TERCILES of mean NLL — the
+    * published recipe for "keep the head, maybe the middle, drop
+    * the tail". Bucket boundaries come from NTILE(3) over
+    * (nll_mean, doc_id) — identical tie-break both engines. Emits
+    * per-bucket doc/bigram counts and the exact summed NLL.
+    *
+    * Scale: the scoring pass is [[bigramLm]]'s (model broadcast /
+    * gram-keyed join); the NTILE here is a single global window
+    * over O(docs) score rows — at corpus scale the terciles come
+    * from two-pass quantile cutpoints instead, same downstream. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = docs.select(col("doc_id"),
+        explode(graft.plans.TextExpressions.tokenNGrams(
+          words(col("text")), 2, emitWholeShortDoc = false)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val bgc = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val perDoc = big.join(bgc, "bg")
+      .join(broadcast(uni), col("w1") === uni("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", snap(log((col("c2") + lit(1))
+        .cast(DoubleType) / (col("c1") + col("v")).cast(DoubleType))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(-col("lp")).as("nll_e6"))
+      .withColumn("nll_mean", col("nll_e6").cast(DoubleType)
+        / (col("nb") * 1000000.0))
+    val w = Window.orderBy(col("nll_mean"), col("doc_id"))
+    perDoc
+      .withColumn("bucket", ntile(3).over(w).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bigrams"),
+        sum(col("nll_e6")).as("nll_sum_e6"))
+      .select(col("bucket"), col("n_docs"), col("n_bigrams"),
+        col("nll_sum_e6"),
+        (col("nll_sum_e6").cast(DoubleType) /
+          (col("n_bigrams") * 1000000.0)).as("nll_mean"))
+      .orderBy(col("bucket"))
+  }
+
+  val pplBucketsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(t) AS w FROM tok),
+      |uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+      |vocab AS (SELECT COUNT(*) AS v FROM uni),
+      |pos AS (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+      |big AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg,
+      |               t[i] AS w1 FROM pos),
+      |bgc AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+      |per_doc AS (
+      |  SELECT big.doc_id, COUNT(*) AS nb,
+      |    CAST(SUM(-CAST(floor(ln(CAST(bgc.c2 + 1 AS DOUBLE)
+      |      / CAST(uni.c1 + vocab.v AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS nll_e6
+      |  FROM big JOIN bgc USING (bg) JOIN uni ON big.w1 = uni.w
+      |  CROSS JOIN vocab
+      |  GROUP BY big.doc_id),
+      |bucketed AS (
+      |  SELECT nb, nll_e6,
+      |    CAST(ntile(3) OVER (ORDER BY
+      |      CAST(nll_e6 AS DOUBLE) / (nb * 1000000.0), doc_id)
+      |      AS BIGINT) AS bucket
+      |  FROM per_doc)
+      |SELECT bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(nll_e6) AS BIGINT) AS nll_sum_e6,
+      |  CAST(SUM(nll_e6) AS DOUBLE)
+      |    / (CAST(SUM(nb) AS BIGINT) * 1000000.0) AS nll_mean
+      |FROM bucketed GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ppl_buckets" -> (pplBuckets _),
     "text_lm_perplexity" -> (lmPerplexity _),
     "text_pmi_bigrams" -> ((s: SparkSession, d: String) =>
       pmiBigrams(s, d)),
@@ -881,6 +963,7 @@ object LanguageModel {
     "text_oov_rate" -> ((s, d) => oovRate(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "text_ppl_buckets" -> pplBucketsSql,
     "text_lm_perplexity" -> lmPerplexitySql,
     "text_pmi_bigrams" -> pmiBigramsSql,
     "text_kneser_ney" -> kneserNeySql,

@@ -1260,7 +1260,64 @@ object Learn {
       |    = 1 AS chosen
       |FROM scored ORDER BY arm""".stripMargin
 
+  /** Quantile regression by pinball-loss grid search (Koenker &
+    * Bassett 1978's check loss, minimized over a deterministic
+    * candidate grid instead of by simplex iteration): for τ = 0.9,
+    * score 16 equi-spaced candidates between min and max order
+    * price and emit each candidate's EXACT integer pinball loss
+    * (cents, ×10 so the 0.9/0.1 weights stay integer:
+    * `y>c → 9·(y−c), else 1·(c−y)`), with the argmin flagged
+    * deterministically (loss asc, candidate asc). The winner
+    * approximates the 0.9-quantile without any percentile kernel —
+    * the form that generalizes to quantile LOSS over model
+    * predictions.
+    *
+    * Scale: one min/max pass, then ONE map-side 16× conditional
+    * expansion feeding a 16-group aggregate — map-combinable, no
+    * corpus shuffle; the grid refines recursively at scale (each
+    * round is the same single pass). */
+  def quantileGrid(s: SparkSession, dir: String, tau10: Int = 9)
+      : DataFrame = {
+    val cents = Tables.orders(s, dir)
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("y"))
+    val mm = cents.agg(min(col("y")).as("mn"), max(col("y")).as("mx"))
+    val wPick = Window.orderBy(col("loss10"), col("c_cents"))
+    cents.crossJoin(broadcast(mm))
+      .withColumn("i", explode(sequence(lit(1L), lit(16L))))
+      .withColumn("c_cents",
+        expr("mn + (i * (mx - mn)) div 16"))
+      .groupBy(col("i"), col("c_cents"))
+      .agg(sum(expr(s"CASE WHEN y > c_cents THEN $tau10 * (y - c_cents)" +
+        s" ELSE ${10 - tau10} * (c_cents - y) END")).as("loss10"))
+      .withColumn("is_argmin", row_number().over(wPick) === 1)
+      .select(col("i"), col("c_cents"), col("loss10"), col("is_argmin"))
+      .orderBy(col("i"))
+  }
+
+  val quantileGridSql: String =
+    """WITH cents AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS y
+      |  FROM orders),
+      |mm AS (SELECT MIN(y) AS mn, MAX(y) AS mx FROM cents),
+      |grid AS (
+      |  SELECT i, mn + (i * (mx - mn)) // 16 AS c_cents
+      |  FROM mm, (SELECT unnest(range(1, 17)) AS i)),
+      |losses AS (
+      |  SELECT g.i, g.c_cents,
+      |    CAST(SUM(CASE WHEN c.y > g.c_cents
+      |      THEN 9 * (c.y - g.c_cents)
+      |      ELSE 1 * (g.c_cents - c.y) END) AS BIGINT) AS loss10
+      |  FROM grid g CROSS JOIN cents c
+      |  GROUP BY g.i, g.c_cents)
+      |SELECT CAST(i AS BIGINT) AS i, c_cents, loss10,
+      |  row_number() OVER (ORDER BY loss10, c_cents) = 1 AS is_argmin
+      |FROM losses ORDER BY i""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_quantile_grid" ->
+      ((s: SparkSession, d: String) => quantileGrid(s, d)),
     "learn_ucb1" -> (ucb1 _),
     "learn_svm_step" -> (svmSteps _),
     "learn_anova_f" -> (anovaF _),
@@ -1279,6 +1336,7 @@ object Learn {
     "learn_ridge" -> (ridge _))
 
   def oracle: Map[String, String] = Map(
+    "learn_quantile_grid" -> quantileGridSql,
     "learn_ucb1" -> ucb1Sql,
     "learn_svm_step" -> svmSql,
     "learn_anova_f" -> anovaFSql,

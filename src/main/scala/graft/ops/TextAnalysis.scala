@@ -1367,7 +1367,80 @@ object TextAnalysis {
          |FROM it$iters ORDER BY r DESC, word LIMIT 20""".stripMargin
   }
 
+  /** Gopher-style repetition/quality rule bundle (Rae et al. 2021,
+    * §A1.1 — the published pre-training filter this family of
+    * pipelines actually runs): per document, the named rules
+    * `word_count` (3 ≤ n ≤ 10⁵), `mean_word_len` (1 ≤ ℓ̄ ≤ 12),
+    * `symbol_ratio` (non-alphanumeric-non-space chars ≤ 10%), and
+    * `alpha_word_ratio` (≥ 80% of words contain a letter), plus the
+    * conjunction `keep`. All measures are exact integer ppm/e2
+    * (`div` on non-negative counts); the character classes are
+    * dialect-neutral regexes so Java regex and RE2 count the same
+    * bytes.
+    *
+    * Scale: one codegen projection per doc (regexp_replace lengths
+    * + one split), one shuffle nowhere — the classic "scan text,
+    * emit flags" shape; the corpus-level pass-rate rollup is the
+    * caller's one-line groupBy. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        length(col("text")).cast(LongType).as("n_chars_m"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+          .cast(LongType).as("n_symbols"),
+        size(expr("filter(split(text, ' '), w -> w rlike '[a-zA-Z]')"))
+          .cast(LongType).as("n_alpha_words"))
+      .select(col("doc_id"), col("n_words"),
+        expr("((n_chars_m - n_words + 1) * 100) div n_words")
+          .as("mwl_e2"),
+        expr("(n_symbols * 1000000) div n_chars_m").as("sym_ppm"),
+        expr("(n_alpha_words * 1000000) div n_words").as("alpha_ppm"))
+      .select(col("doc_id"), col("n_words"), col("mwl_e2"),
+        col("sym_ppm"), col("alpha_ppm"),
+        (col("n_words") >= 3 && col("n_words") <= 100000L)
+          .as("ok_word_count"),
+        (col("mwl_e2") >= 100L && col("mwl_e2") <= 1200L)
+          .as("ok_mean_word_len"),
+        (col("sym_ppm") <= 100000L).as("ok_symbol_ratio"),
+        (col("alpha_ppm") >= 800000L).as("ok_alpha_words"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_words"))
+      .orderBy(col("doc_id"))
+
+  val gopherRulesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+      |      AS BIGINT) AS n_symbols,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+      |      AS n_alpha_words
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_words,
+      |    ((n_chars_m - n_words + 1) * 100) // n_words AS mwl_e2,
+      |    (n_symbols * 1000000) // n_chars_m AS sym_ppm,
+      |    (n_alpha_words * 1000000) // n_words AS alpha_ppm
+      |  FROM m)
+      |SELECT doc_id, n_words, mwl_e2, sym_ppm, alpha_ppm,
+      |  n_words >= 3 AND n_words <= 100000 AS ok_word_count,
+      |  mwl_e2 >= 100 AND mwl_e2 <= 1200 AS ok_mean_word_len,
+      |  sym_ppm <= 100000 AS ok_symbol_ratio,
+      |  alpha_ppm >= 800000 AS ok_alpha_words,
+      |  (n_words >= 3 AND n_words <= 100000)
+      |    AND (mwl_e2 >= 100 AND mwl_e2 <= 1200)
+      |    AND sym_ppm <= 100000 AND alpha_ppm >= 800000 AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" ->
+      ((s: SparkSession, d: String) => gopherRules(s, d)),
     "text_textrank" -> ((s: SparkSession, d: String) => textRank(s, d)),
     "text_source_overlap" -> (sourceOverlap _),
     "text_regex_extract_all" -> (regexExtractAll _),
@@ -1394,6 +1467,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_gopher_rules" -> gopherRulesSql,
     "text_textrank" -> textRankSql(),
     "text_source_overlap" -> sourceOverlapSql,
     "text_regex_extract_all" -> regexExtractAllSql,
