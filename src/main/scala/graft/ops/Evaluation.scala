@@ -2093,7 +2093,155 @@ object Evaluation {
       |    * 1e9 + 0.5) AS BIGINT) AS uncertainty_e9
       |FROM terms GROUP BY n, o""".stripMargin
 
+  /** pass@k estimation (Chen et al. 2021, the Codex estimator) —
+    * the unbiased "would at least one of k samples pass" metric
+    * every code/reasoning eval reports:
+    * `pass@k = 1 − C(n−c, k)/C(n, k)` per task from n samples with
+    * c passes. Tasks here are customers, samples their first ≤ 16
+    * orders (window-capped, deterministic by orderkey), "pass" =
+    * status 'F'. The binomial ratio telescopes to
+    * `Π_{i<k}(n−c−i)/(n−i)` — EXACT integer products under the
+    * n ≤ 16 cap, one ppm division, no factorials, no floats.
+    * Emits per-task pass@1/pass@4 plus the corpus means.
+    *
+    * Scale: one window cap + one map-combinable (task) aggregate;
+    * the estimator is a pure projection on the O(tasks) frame. */
+  def passAtK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+    val capped = Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 16)
+    val tasks = capped.groupBy(col("o_custkey").as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("c"))
+      .filter(col("n") >= 4)
+      .select(col("task"), col("n"), col("c"),
+        expr("(c * 1000000) div n").as("pass1_ppm"),
+        expr("CASE WHEN n - c < 4 THEN 1000000 ELSE 1000000" +
+          " - (((n-c) * (n-c-1) * (n-c-2) * (n-c-3)) * 1000000)" +
+          " div (n * (n-1) * (n-2) * (n-3)) END").as("pass4_ppm"))
+    tasks.agg(count(lit(1)).as("n_tasks"),
+        expr("sum(pass1_ppm) div count(1)").as("mean_pass1_ppm"),
+        expr("sum(pass4_ppm) div count(1)").as("mean_pass4_ppm"),
+        sum(col("n")).as("n_samples"), sum(col("c")).as("n_passes"))
+  }
+
+  val passAtKSql: String =
+    """WITH capped AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderkey) AS rk
+      |  FROM orders),
+      |tasks AS (
+      |  SELECT o_custkey AS task, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c
+      |  FROM capped WHERE rk <= 16
+      |  GROUP BY o_custkey HAVING COUNT(*) >= 4),
+      |scored AS (
+      |  SELECT task, n, c,
+      |    (c * 1000000) // n AS pass1_ppm,
+      |    CASE WHEN n - c < 4 THEN 1000000 ELSE 1000000
+      |      - (((n-c) * (n-c-1) * (n-c-2) * (n-c-3)) * 1000000)
+      |      // (n * (n-1) * (n-2) * (n-3)) END AS pass4_ppm
+      |  FROM tasks)
+      |SELECT COUNT(*) AS n_tasks,
+      |  CAST(SUM(pass1_ppm) AS BIGINT) // COUNT(*) AS mean_pass1_ppm,
+      |  CAST(SUM(pass4_ppm) AS BIGINT) // COUNT(*) AS mean_pass4_ppm,
+      |  CAST(SUM(n) AS BIGINT) AS n_samples,
+      |  CAST(SUM(c) AS BIGINT) AS n_passes
+      |FROM scored""".stripMargin
+
+  /** Approximate-randomization significance test (Noreen 1989; the
+    * Fisher-permutation idea with deterministic hash relabelings) on
+    * the en-vs-other mean n_chars gap: 64 pseudo-random relabelings
+    * (rowHash32-parity of doc_id ⊕ permutation index, so the split
+    * is exchangeable under H₀ and REPRODUCIBLE), p =
+    * (1 + #{|perm stat| ≥ |observed|}) / 65. Group sums are exact
+    * integers; each |mean gap| is ONE fixed double tree e6-snapped
+    * before comparison, so the count is engine-exact.
+    *
+    * Scale: the 64 relabelings evaluate in ONE pass — a map-side
+    * 64× explode feeding a (perm) aggregate — never 64 scans. */
+  def permTest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val obs = docs.agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("n1"),
+      sum(when(col("y") === 1, col("n_chars"))).as("s1"),
+      sum(col("n_chars")).as("st"))
+      .select(expr("CAST(floor(abs(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)" +
+        " - CAST(st - s1 AS DOUBLE)/CAST(n - n1 AS DOUBLE))" +
+        " * 1e6 + 0.5) AS BIGINT)").as("obs_gap_e6"))
+    val perms = docs
+      .withColumn("p", explode(sequence(lit(1L), lit(64L))))
+      .withColumn("py",
+        pmod(TrainingData.rowHash32(col("doc_id") * 64 + col("p")),
+          lit(2L)))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("py")).as("n1"),
+        sum(when(col("py") === 1, col("n_chars"))).as("s1"),
+        sum(col("n_chars")).as("st"))
+      .filter(col("n1") > 0 && col("n1") < col("n"))
+      .select(expr("CAST(floor(abs(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)" +
+        " - CAST(st - s1 AS DOUBLE)/CAST(n - n1 AS DOUBLE))" +
+        " * 1e6 + 0.5) AS BIGINT)").as("gap_e6"))
+    perms.crossJoin(broadcast(obs))
+      .agg(max(col("obs_gap_e6")).as("obs_gap_e6"),
+        count(lit(1)).as("n_perms"),
+        sum(when(col("gap_e6") >= col("obs_gap_e6"), 1L).otherwise(0L))
+          .as("n_ge"))
+      .select(col("obs_gap_e6"), col("n_perms"), col("n_ge"),
+        expr("((1 + n_ge) * 1000000) div (n_perms + 1)")
+          .as("p_value_ppm"))
+  }
+
+  val permTestSql: String = {
+    val mix = graft.ops.TrainingData.rowHash32Sql
+      .replace("doc_id", "(doc_id * 64 + p)")
+    s"""WITH docs AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |obs AS (
+      |  SELECT CAST(floor(abs(
+      |      CAST(SUM(CASE WHEN y = 1 THEN n_chars END) AS DOUBLE)
+      |        / CAST(SUM(y) AS DOUBLE)
+      |      - CAST(SUM(n_chars)
+      |          - SUM(CASE WHEN y = 1 THEN n_chars END) AS DOUBLE)
+      |        / CAST(COUNT(*) - SUM(y) AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) AS obs_gap_e6
+      |  FROM docs),
+      |perms AS (
+      |  SELECT p, COUNT(*) AS n,
+      |    CAST(SUM(($mix) % 2) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN ($mix) % 2 = 1 THEN n_chars END)
+      |      AS BIGINT) AS s1,
+      |    CAST(SUM(n_chars) AS BIGINT) AS st
+      |  FROM docs, (SELECT unnest(range(1, 65)) AS p)
+      |  GROUP BY p),
+      |gaps AS (
+      |  SELECT CAST(floor(abs(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+      |    - CAST(st - s1 AS DOUBLE)/CAST(n - n1 AS DOUBLE))
+      |    * 1e6 + 0.5) AS BIGINT) AS gap_e6
+      |  FROM perms WHERE n1 > 0 AND n1 < n)
+      |SELECT o.obs_gap_e6, COUNT(*) AS n_perms,
+      |  CAST(SUM(CASE WHEN g.gap_e6 >= o.obs_gap_e6 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_ge,
+      |  ((1 + CAST(SUM(CASE WHEN g.gap_e6 >= o.obs_gap_e6
+      |      THEN 1 ELSE 0 END) AS BIGINT)) * 1000000)
+      |    // (COUNT(*) + 1) AS p_value_ppm
+      |FROM gaps g, obs o
+      |GROUP BY o.obs_gap_e6""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_pass_at_k" -> (passAtK _),
+    "eval_perm_test" -> (permTest _),
     "eval_brier_decomp" -> (brierDecomposition _),
     "eval_bradley_terry" -> (bradleyTerry _),
     "eval_cliffs_delta" -> (cliffsDelta _),
@@ -2123,6 +2271,8 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_pass_at_k" -> passAtKSql,
+    "eval_perm_test" -> permTestSql,
     "eval_brier_decomp" -> brierDecompositionSql,
     "eval_bradley_terry" -> bradleyTerrySql,
     "eval_cliffs_delta" -> cliffsDeltaSql,

@@ -1938,7 +1938,108 @@ object ParityQueries {
       |  AS c(col_name, dtype), sums s
       |ORDER BY c.col_name""".stripMargin
 
+  /** Erasure PROOF for the purge engine (the GDPR "prove you deleted
+    * it" follow-up to the audit log): a two-level Merkle-style
+    * digest over the key space — keys bucket by `k mod 64`, each
+    * bucket folds to an order-invariant digest (count + the
+    * tableChecksum split-multiply key mix, so layout never matters),
+    * and the ROOT is the ordered `acc·31 + d mod 1e9+7` fold over
+    * the 64 bucket digests. Deleting any key strictly drops its
+    * bucket's count, so the bucket digest — and therefore the root —
+    * MUST change; the gate emits pre/post roots, the deleted-key
+    * bucket set size, and the changed-bucket count, which must
+    * match exactly (every touched bucket changed, no untouched
+    * bucket did).
+    *
+    * Scale: two map-combinable bucket aggregates + one 64-row fold;
+    * the proof artifact is O(buckets), shippable to an auditor
+    * without any row data. */
+  def purgeMerkleProof(s: SparkSession, dir: String): DataFrame = {
+    val mix = "((k % 1048576) * 2654435761 + (k div 1048576) * 40503)" +
+      " % 4294967296"
+    val keys = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey"))
+      .withColumn("doomed", col("o_custkey") % 97 === 0)
+    def buckets(df: DataFrame): DataFrame =
+      df.groupBy((col("k") % 64).as("b"))
+        .agg(count(lit(1)).as("n"), sum(expr(mix)).as("msum"))
+        .withColumn("d", expr("(msum + n * 40503) % 4294967296"))
+    def root(bdf: DataFrame): DataFrame =
+      bdf.agg(
+        expr("aggregate(array_sort(collect_list(struct(b, d)))," +
+          " CAST(0 AS BIGINT)," +
+          " (acc, x) -> (acc * 31 + x.d) % 1000000007)").as("root"),
+        sum(col("n")).as("n_keys"))
+    val pre = buckets(keys)
+    val post = buckets(keys.filter(!col("doomed")))
+    val changed = pre.toDF("b", "n1", "m1", "d1")
+      .join(post.toDF("b", "n2", "m2", "d2"), Seq("b"), "left")
+      .agg(sum(when(col("d2").isNull ||
+        col("d1") =!= col("d2"), 1L).otherwise(0L))
+        .as("buckets_changed"))
+    val touched = keys.filter(col("doomed"))
+      .select((col("k") % 64).as("b")).distinct()
+      .agg(count(lit(1)).as("buckets_touched"))
+    val deleted = keys.filter(col("doomed"))
+      .agg(count(lit(1)).as("n_deleted"))
+    root(pre).toDF("root_pre", "n_pre")
+      .crossJoin(root(post).toDF("root_post", "n_post"))
+      .crossJoin(deleted).crossJoin(touched).crossJoin(changed)
+      .select(col("n_pre"), col("n_post"), col("n_deleted"),
+        col("buckets_touched"), col("buckets_changed"),
+        col("root_pre"), col("root_post"),
+        (col("root_pre") =!= col("root_post")).as("roots_differ"),
+        (col("buckets_touched") === col("buckets_changed"))
+          .as("proof_exact"))
+  }
+
+  val purgeMerkleProofSql: String = {
+    val mixSql = "((k % 1048576) * 2654435761 + (k // 1048576)" +
+      " * 40503) % 4294967296"
+    s"""WITH keys AS (
+      |  SELECT o_orderkey AS k,
+      |    o_custkey % 97 = 0 AS doomed
+      |  FROM orders),
+      |pre AS (
+      |  SELECT k % 64 AS b, COUNT(*) AS n,
+      |    (CAST(SUM($mixSql) AS BIGINT) + COUNT(*) * 40503)
+      |      % 4294967296 AS d
+      |  FROM keys GROUP BY k % 64),
+      |post AS (
+      |  SELECT k % 64 AS b, COUNT(*) AS n,
+      |    (CAST(SUM($mixSql) AS BIGINT) + COUNT(*) * 40503)
+      |      % 4294967296 AS d
+      |  FROM keys WHERE NOT doomed GROUP BY k % 64),
+      |rpre AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list(d ORDER BY b)),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS root_pre,
+      |    CAST(SUM(n) AS BIGINT) AS n_pre
+      |  FROM pre),
+      |rpost AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list(d ORDER BY b)),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS root_post,
+      |    CAST(SUM(n) AS BIGINT) AS n_post
+      |  FROM post),
+      |del AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted,
+      |    CAST(COUNT(DISTINCT k % 64) AS BIGINT) AS buckets_touched
+      |  FROM keys WHERE doomed),
+      |chg AS (
+      |  SELECT CAST(SUM(CASE WHEN post.d IS NULL
+      |      OR pre.d <> post.d THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS buckets_changed
+      |  FROM pre LEFT JOIN post ON post.b = pre.b)
+      |SELECT n_pre, n_post, n_deleted, buckets_touched,
+      |  buckets_changed, root_pre, root_post,
+      |  root_pre <> root_post AS roots_differ,
+      |  buckets_touched = buckets_changed AS proof_exact
+      |FROM rpre, rpost, del, chg""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "purge_merkle_proof"    -> (purgeMerkleProof _),
     "conv_rowgroup_stats"   -> (convRowgroupStats _),
     "conv_dict_encoding"    -> (convDictEncoding _),
     "conv_footer_kv"        -> (convFooterKv _),
@@ -1984,6 +2085,7 @@ object ParityQueries {
     "purge_missing_table"   -> (purgeMissingTable _))
 
   def oracle: Map[String, String] = Map(
+    "purge_merkle_proof"    -> purgeMerkleProofSql,
     "conv_rowgroup_stats"   -> convRowgroupStatsSql,
     "conv_dict_encoding"    -> convDictEncodingSql,
     "conv_footer_kv"        -> convFooterKvSql,

@@ -2838,7 +2838,56 @@ object Similarity {
       |FROM (SELECT unnest([1, 2, 4, 8]) AS nprobe)
       |ORDER BY nprobe""".stripMargin
 
+  /** ANN recall CURVE — recall@k for k = 1..5 of the LSH index
+    * against this engine's exact top-k, the operating-point table a
+    * serving team reads before fixing k (single-point recall is
+    * [[annLshRecall]]; the curve shows where it saturates). Gates
+    * the PROVABLE facts — true-hit counts non-decreasing in k, hits
+    * bounded by both cut depths, and the full-depth recall clearing
+    * the LSH threshold — as oracle-stated constants (the
+    * [[annListGate]] philosophy: actual recall numbers are
+    * scale-dependent, structure is not).
+    *
+    * Scale: both rank lists are id-only k·|Q| frames; the curve is
+    * one non-equi join of a 5-row k table against the ≤ k·|Q|
+    * intersection — metadata all the way. */
+  def recallCurve(s: SparkSession, dir: String): DataFrame = {
+    val ann = annLsh(s, dir)
+      .select(col("query_id"), col("target_id"),
+        col("rank").as("ann_rank"))
+    val bf = topK(s, dir)
+      .select(col("query_id"), col("target_id"),
+        col("rank").as("bf_rank"))
+    val both = ann.join(bf, Seq("query_id", "target_id"))
+    val nQ = bf.agg(countDistinct(col("query_id")).as("q"))
+    import s.implicits._
+    val ks = Seq(1L, 2L, 3L, 4L, 5L).toDF("k")
+    val hits = ks.join(broadcast(both),
+        col("ann_rank") <= col("k") && col("bf_rank") <= col("k"),
+        "left")
+      .groupBy(col("k")).agg(count(col("query_id")).as("hits"))
+    val wOrd = Window.orderBy(col("k")) // 5 rows
+    hits.crossJoin(broadcast(nQ))
+      .withColumn("prev", lag(col("hits"), 1, 0L).over(wOrd))
+      .select(col("k"),
+        (col("hits") >= col("prev")).as("hits_nondecreasing"),
+        (col("hits") <= col("q") * col("k")).as("hits_bounded"),
+        (col("k") < 5 ||
+          col("hits").cast(DoubleType) / (col("q") * 5).cast(DoubleType)
+            >= 0.3).as("recall_ok"))
+      .orderBy(col("k"))
+  }
+
+  val recallCurveSql: String =
+    """SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(1 AS BOOLEAN) AS hits_nondecreasing,
+      |  CAST(1 AS BOOLEAN) AS hits_bounded,
+      |  CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM (SELECT unnest([1, 2, 3, 4, 5]) AS k)
+      |ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_curve" -> (recallCurve _),
     "sim_dbscan" -> ((s: SparkSession, d: String) => dbscan(s, d)),
     "sim_dbscan_lsh" -> ((s: SparkSession, d: String) => dbscanLsh(s, d)),
     "sim_ivf_nprobe_sweep" -> (ivfNprobeSweep _),
@@ -2893,6 +2942,7 @@ object Similarity {
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "sim_recall_curve" -> recallCurveSql,
     "sim_dbscan" -> dbscanSql,
     // the LSH scale path must reproduce the EXACT labeling — same oracle
     "sim_dbscan_lsh" -> dbscanSql,

@@ -1561,7 +1561,63 @@ object TrainingData {
       |WHERE t.rk <= t.n // 2
       |ORDER BY t.source, pair_rank""".stripMargin
 
+  /** Chat-template rendering — the SFT-data formatting step that
+    * turns (conversation, turn, role, text) rows into the single
+    * training string a tokenizer consumes: documents group into
+    * 3-turn conversations (`conv = doc_id div 3`), roles cycle
+    * system/user/assistant by turn, each turn renders as
+    * `<|role|>text`, and turns concatenate IN TURN ORDER. The gate
+    * emits per conversation the turn count, rendered length, and a
+    * portable `acc·31 + code mod 1e9+7` roll of the rendered string
+    * — so the exact rendered BYTES are hash-checked, not just
+    * counted (a mis-ordered or mis-tagged render cannot pass).
+    *
+    * Scale: one groupBy(conv) with an in-group sort of ≤ 3 turns —
+    * the shuffle carries each doc once; rendering and the roll are
+    * pure codegen projections. */
+  def chatTemplate(s: SparkSession, dir: String): DataFrame = {
+    val msgs = Tables.documents(s, dir)
+      .select(expr("doc_id div 3").as("conv_id"),
+        col("doc_id"),
+        concat(lit("<|"),
+          element_at(array(lit("system"), lit("user"),
+            lit("assistant")), (col("doc_id") % 3 + 1).cast("int")),
+          lit("|>"), col("text")).as("tagged"))
+    msgs.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        expr("array_join(transform(" +
+          "array_sort(collect_list(struct(doc_id, tagged)))," +
+          " x -> x.tagged), '')").as("rendered"))
+      .select(col("conv_id"), col("n_turns"),
+        length(col("rendered")).cast(LongType).as("n_chars_rendered"),
+        expr("aggregate(transform(sequence(1, length(rendered))," +
+          " i -> CAST(ascii(substring(rendered, i, 1)) AS BIGINT))," +
+          " CAST(0 AS BIGINT)," +
+          " (acc, c) -> (acc * 31 + c) % 1000000007)").as("roll_hash"))
+      .orderBy(col("conv_id"))
+  }
+
+  val chatTemplateSql: String =
+    """WITH msgs AS (
+      |  SELECT doc_id // 3 AS conv_id, doc_id,
+      |    '<|' || ['system','user','assistant']
+      |      [CAST(doc_id % 3 AS INTEGER) + 1] || '|>' || text
+      |      AS tagged
+      |  FROM documents),
+      |conv AS (
+      |  SELECT conv_id, COUNT(*) AS n_turns,
+      |    string_agg(tagged, '' ORDER BY doc_id) AS rendered
+      |  FROM msgs GROUP BY conv_id)
+      |SELECT conv_id, n_turns,
+      |  CAST(length(rendered) AS BIGINT) AS n_chars_rendered,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(rendered)),
+      |      i -> CAST(ascii(substring(rendered, i, 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash
+      |FROM conv ORDER BY conv_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_chat_template" -> (chatTemplate _),
     "pack_preference_pairs" -> (preferencePairs _),
     "pii_pseudonymize" -> (pseudonymize _),
     "pii_detect" -> (piiDetect _),
@@ -1590,6 +1646,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_chat_template" -> chatTemplateSql,
     "pack_preference_pairs" -> preferencePairsSql,
     "pii_pseudonymize" -> pseudonymizeSql,
     "pii_detect" -> piiDetectSql,
