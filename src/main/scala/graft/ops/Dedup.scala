@@ -1632,7 +1632,53 @@ object Dedup {
       |JOIN m ON m.doc_a = sa.doc_id
       |ORDER BY doc_a""".stripMargin
 
+  /** Suffix–prefix overlap detection (the "contrail" dedup a crawl
+    * pipeline runs for documents split across page boundaries: A's
+    * tail continues as B's head): pairs where A's LAST `affixLen`
+    * characters equal B's FIRST `affixLen` — an EXACT equi join on
+    * the two affix keys, zero false negatives for overlaps ≥
+    * affixLen by construction (any such overlap contains the
+    * affix-length window). Directed (a → b), self-pairs excluded.
+    *
+    * Scale: the shuffle carries (id, 12-char key) projections only
+    * — two linear passes; the join is equi on the affix, so the
+    * candidate cost is Σ per-key head×tail, bounded by affix
+    * entropy. At 100 TB raise affixLen (cost shrinks as keys
+    * sharpen) — the join shape is unchanged. */
+  def suffixPrefixPairs(s: SparkSession, dir: String,
+      affixLen: Int = 12): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(length(col("text")) >= affixLen)
+    val tails = docs.select(col("doc_id").as("doc_a"),
+      substring(col("text"), -affixLen, affixLen).as("affix"))
+    val heads = docs.select(col("doc_id").as("doc_b"),
+      substring(col("text"), 1, affixLen).as("affix"))
+    tails.join(heads, "affix")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("affix"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def suffixPrefixSql(affixLen: Int = 12): String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) >= $affixLen),
+      |tails AS (
+      |  SELECT doc_id AS doc_a,
+      |    substring(text, length(text) - ${affixLen - 1}, $affixLen)
+      |      AS affix
+      |  FROM d),
+      |heads AS (
+      |  SELECT doc_id AS doc_b, substring(text, 1, $affixLen) AS affix
+      |  FROM d)
+      |SELECT t.doc_a, h.doc_b, t.affix
+      |FROM tails t JOIN heads h ON h.affix = t.affix
+      |WHERE t.doc_a <> h.doc_b
+      |ORDER BY t.doc_a, h.doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_suffix_prefix" ->
+      ((s: SparkSession, d: String) => suffixPrefixPairs(s, d)),
     "dedup_minhash_estimate" ->
       ((s: SparkSession, d: String) => minhashEstimate(s, d)),
     "dedup_prefix_truncation" -> (prefixTruncation _),
@@ -1661,6 +1707,7 @@ object Dedup {
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_suffix_prefix" -> suffixPrefixSql(),
     "dedup_minhash_estimate" -> minhashEstimateSql(),
     "dedup_prefix_truncation" -> prefixTruncationSql,
     "dedup_url_canonical" -> urlCanonicalSql,

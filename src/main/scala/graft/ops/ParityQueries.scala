@@ -2038,7 +2038,47 @@ object ParityQueries {
       |FROM rpre, rpost, del, chg""".stripMargin
   }
 
+  /** JSONL DROPMALFORMED contract — the third corner of the JSON
+    * recovery-mode triangle (quarantine = row-level PERMISSIVE
+    * triage, [[convJsonlQuarantine]]; FAILFAST = abort): records
+    * with BROKEN SYNTAX (truncated JSON, not just a bad field type)
+    * are silently dropped and every well-formed record survives
+    * intact. The gate writes a scratch JSONL where every 10th
+    * record is truncated mid-object, reads it back under
+    * `mode=DROPMALFORMED`, and aggregates — the oracle states the
+    * surviving set from the construction rule, so an over- or
+    * under-drop cannot hash green.
+    *
+    * Scale: text write + schema-bound JSON scan, both linear; the
+    * recovery mode is a per-record parser flag, no extra pass. */
+  def convJsonlDropMalformed(s: SparkSession, dir: String): DataFrame = {
+    val txtDir = scratch(dir, "conv_jsonl_dropmalformed")
+    graft.Scaffold.setup {
+      Tables.documents(s, dir)
+        .select(when(col("doc_id") % 10 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id")))
+          .otherwise(concat(lit("{\"doc_id\": "), col("doc_id"),
+            lit(", \"n_chars\": "), col("n_chars"), lit("}")))
+          .as("value"))
+        .write.mode("overwrite").text(txtDir)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).option("mode", "DROPMALFORMED").json(txtDir)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val convJsonlDropMalformedSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 10 <> 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conv_jsonl_dropmalformed" -> (convJsonlDropMalformed _),
     "purge_merkle_proof"    -> (purgeMerkleProof _),
     "conv_rowgroup_stats"   -> (convRowgroupStats _),
     "conv_dict_encoding"    -> (convDictEncoding _),
@@ -2085,6 +2125,7 @@ object ParityQueries {
     "purge_missing_table"   -> (purgeMissingTable _))
 
   def oracle: Map[String, String] = Map(
+    "conv_jsonl_dropmalformed" -> convJsonlDropMalformedSql,
     "purge_merkle_proof"    -> purgeMerkleProofSql,
     "conv_rowgroup_stats"   -> convRowgroupStatsSql,
     "conv_dict_encoding"    -> convDictEncodingSql,

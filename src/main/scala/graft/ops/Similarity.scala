@@ -2886,7 +2886,55 @@ object Similarity {
       |FROM (SELECT unnest([1, 2, 3, 4, 5]) AS k)
       |ORDER BY k""".stripMargin
 
+  /** Pairwise-cosine histogram over a bounded probe sample — the
+    * embedding-collapse / anisotropy diagnostic (Ethayarajh 2019;
+    * the "uniformity" half of Wang & Isola 2020): if the corpus'
+    * pairwise cosines pile up near 1 the space has collapsed and
+    * nearest-neighbor search degrades. Probes the first 64 vectors
+    * (all 2016 pairs, exact-by-premise), bins cosine into 20
+    * equal [−1, 1) buckets, and emits per-bin counts plus the
+    * e6-snapped exact cosine sum (term-snapped BEFORE the sum, so
+    * the bin means are engine-exact).
+    *
+    * Scale: the probe stays O(sample²) by design — it's a fixed-
+    * size diagnostic, not a corpus scan; the corpus-side cost is
+    * reading 64 rows. */
+  def cosHist(s: SparkSession, dir: String): DataFrame = {
+    val sample = vecs(s, dir).filter(col("vec_id") < 64)
+      .withColumn("n", norm(col("v")))
+    val a = sample.toDF("ia", "va", "na")
+    val b = sample.toDF("ib", "vb", "nb")
+    a.crossJoin(broadcast(b))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(
+        least(greatest(floor((col("cos") + 1.0) * 10.0), lit(0.0)),
+          lit(19.0)).cast(LongType).as("bin"),
+        floor(col("cos") * 1e6 + 0.5).cast(LongType).as("cos_e6"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cos_e6")).as("sum_cos_e6"))
+      .orderBy(col("bin"))
+  }
+
+  val cosHistSql: String =
+    s"""WITH vecs AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 64),
+      |pairs AS (
+      |  SELECT LEAST(GREATEST(floor((${CosineSql} + 1.0) * 10.0),
+      |      0.0), 19.0) AS binf,
+      |    CAST(floor(${CosineSql} * 1e6 + 0.5) AS BIGINT) AS cos_e6
+      |  FROM vecs a, vecs b WHERE a.vec_id < b.vec_id)
+      |SELECT CAST(binf AS BIGINT) AS bin, COUNT(*) AS n_pairs,
+      |  CAST(SUM(cos_e6) AS BIGINT) AS sum_cos_e6
+      |FROM pairs GROUP BY binf
+      |ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_cos_hist" -> (cosHist _),
     "sim_recall_curve" -> (recallCurve _),
     "sim_dbscan" -> ((s: SparkSession, d: String) => dbscan(s, d)),
     "sim_dbscan_lsh" -> ((s: SparkSession, d: String) => dbscanLsh(s, d)),
@@ -2942,6 +2990,7 @@ object Similarity {
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "embed_cos_hist" -> cosHistSql,
     "sim_recall_curve" -> recallCurveSql,
     "sim_dbscan" -> dbscanSql,
     // the LSH scale path must reproduce the EXACT labeling — same oracle

@@ -2735,8 +2735,80 @@ object TimeSeries {
       |FROM sums""".stripMargin
   }
 
+  /** Diurnal DFT power spectrum — the frequency-domain view of
+    * [[tsSeasonality]]: goodness of k cycles/day for k = 1..4 over
+    * the hour-of-day count profile per event type,
+    * `P_k = A_k² + B_k²` with `A_k = Σ_t x_t·cos(2πkt/24)` (and sin
+    * for B). The trig factors are FROZEN SHARED LITERALS — computed
+    * once in Scala and interpolated into BOTH engines' SQL (the ewma
+    * frozen-weights discipline), so no libm cos/sin difference can
+    * ever reach the hash; per-term products are e6-snapped longs
+    * summed exactly, and the final square is one double tree.
+    *
+    * Scale: one map-combinable (type, hour) count; the transform
+    * runs on the O(types × 24) grid. */
+  def tsSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast(LongType).as("hod"))
+      .agg(count(lit(1)).as("x"))
+    val ks = Seq(1, 2, 3, 4)
+    def lits(f: Int => Double): String =
+      (0 until 24).map(t => f(t).toString).mkString("array(", ", ", ")")
+    val terms = ks.map { k =>
+      val cosA = lits(t => math.cos(2.0 * math.Pi * k * t / 24.0))
+      val sinA = lits(t => math.sin(2.0 * math.Pi * k * t / 24.0))
+      (k,
+        s"CAST(floor(x * element_at($cosA, CAST(hod AS INT) + 1)" +
+          s" * 1e6 + 0.5) AS BIGINT)",
+        s"CAST(floor(x * element_at($sinA, CAST(hod AS INT) + 1)" +
+          s" * 1e6 + 0.5) AS BIGINT)")
+    }
+    val perK = terms.map { case (k, ce, se) =>
+      grid.select(col("event_type"), lit(k.toLong).as("k"),
+        expr(ce).as("ct"), expr(se).as("st"))
+    }.reduce(_ unionByName _)
+    perK.groupBy(col("event_type"), col("k"))
+      .agg(sum(col("ct")).as("a_e6"), sum(col("st")).as("b_e6"))
+      .select(col("event_type"), col("k"), col("a_e6"), col("b_e6"),
+        expr("CAST(floor((CAST(a_e6 AS DOUBLE) * CAST(a_e6 AS DOUBLE)" +
+          " + CAST(b_e6 AS DOUBLE) * CAST(b_e6 AS DOUBLE)) / 1e12" +
+          " + 0.5) AS BIGINT)").as("power"))
+      .orderBy(col("event_type"), col("k"))
+  }
+
+  val tsSpectrumSql: String = {
+    def lits(f: Int => Double): String =
+      (0 until 24).map(t => f(t).toString).mkString("[", ", ", "]")
+    val ks = Seq(1, 2, 3, 4)
+    val arms = ks.map { k =>
+      val cosA = lits(t => math.cos(2.0 * math.Pi * k * t / 24.0))
+      val sinA = lits(t => math.sin(2.0 * math.Pi * k * t / 24.0))
+      s"""  SELECT event_type, CAST($k AS BIGINT) AS k,
+         |    CAST(floor(x * ($cosA)[CAST(hod AS INTEGER) + 1]
+         |      * 1e6 + 0.5) AS BIGINT) AS ct,
+         |    CAST(floor(x * ($sinA)[CAST(hod AS INTEGER) + 1]
+         |      * 1e6 + 0.5) AS BIGINT) AS st
+         |  FROM grid""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH grid AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |terms AS (
+      |$arms)
+      |SELECT event_type, k,
+      |  CAST(SUM(ct) AS BIGINT) AS a_e6,
+      |  CAST(SUM(st) AS BIGINT) AS b_e6,
+      |  CAST(floor((CAST(SUM(ct) AS DOUBLE) * CAST(SUM(ct) AS DOUBLE)
+      |    + CAST(SUM(st) AS DOUBLE) * CAST(SUM(st) AS DOUBLE)) / 1e12
+      |    + 0.5) AS BIGINT) AS power
+      |FROM terms GROUP BY event_type, k
+      |ORDER BY event_type, k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_kaplan_meier"   -> (tsKaplanMeier _),
+        "ts_spectrum"       -> (tsSpectrum _),
         "ts_kalman"         -> (tsKalman _),
         "ts_granger"        -> (tsGranger _),
         "ts_sax"            -> (tsSax _),
@@ -2775,6 +2847,7 @@ object TimeSeries {
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_kaplan_meier" -> tsKaplanMeierSql,
+        "ts_spectrum" -> tsSpectrumSql,
         "ts_kalman" -> tsKalmanSql,
         "ts_granger" -> tsGrangerSql,
         "ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
