@@ -2239,7 +2239,62 @@ object Evaluation {
       |GROUP BY o.obs_gap_e6""".stripMargin
   }
 
+  /** Per-slice AUC — the fairness/robustness audit behind
+    * [[aucGate]]'s single corpus number: the same tie-aware
+    * Mann–Whitney rank statistic computed PER SOURCE, so a scorer
+    * that discriminates well overall but fails on one slice is
+    * visible (the "disaggregated evaluation" discipline, Barocas et
+    * al.). Identical integer histogram machinery, with the
+    * cumulative-negatives window partitioned by slice; slices
+    * missing a class emit NULL AUC rather than a misleading number.
+    *
+    * Scale: one map-combinable (slice, score) histogram; windows
+    * run over O(distinct scores) rows per slice. */
+  def aucSlices(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("source"), col("score"))
+      .agg(sum(col("pos")).as("np"),
+        sum(lit(1L) - col("pos")).as("nn"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(lit(2L) * col("np") * col("below")
+          + col("np") * col("nn")).as("u2"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast(DoubleType) /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast(DoubleType))
+          .as("auc"))
+      .orderBy(col("source"))
+  }
+
+  val aucSlicesSql: String =
+    """WITH hist AS (
+      |  SELECT source, n_chars AS score,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+      |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+      |  FROM documents GROUP BY source, n_chars),
+      |cum AS (
+      |  SELECT source, np, nn,
+      |    COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS below
+      |  FROM hist)
+      |SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+      |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+      |    CAST(SUM(2 * np * below + np * nn) AS DOUBLE)
+      |      / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE) END AS auc
+      |FROM cum GROUP BY source
+      |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_auc_slices" -> (aucSlices _),
     "eval_pass_at_k" -> (passAtK _),
     "eval_perm_test" -> (permTest _),
     "eval_brier_decomp" -> (brierDecomposition _),
@@ -2271,6 +2326,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_auc_slices" -> aucSlicesSql,
     "eval_pass_at_k" -> passAtKSql,
     "eval_perm_test" -> permTestSql,
     "eval_brier_decomp" -> brierDecompositionSql,

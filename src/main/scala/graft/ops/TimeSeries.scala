@@ -2806,9 +2806,81 @@ object TimeSeries {
       |ORDER BY event_type, k""".stripMargin
   }
 
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) over the
+    * monthly revenue series — the SIGNIFICANCE companion of
+    * [[theilSen]] (Sen gives the slope, MK says whether a monotone
+    * trend exists at all): S = Σ_{i<j} sign(x_j − x_i) in exact
+    * integers from the same cents-exact monthly frame, the tie-
+    * corrected variance `18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`
+    * kept as an exact BIGINT (×18 so no division ever happens), and
+    * the continuity-corrected Z = (S ∓ 1)/√Var as one snapped double
+    * tree.
+    *
+    * Scale: the corpus collapses to O(months) in one map-combinable
+    * aggregate; the pair stage is the bounded months² broadcast
+    * cross join (the theilSen/kendall precedent — ~80² pairs is
+    * metadata; a merge-sort S computation swaps in for unbounded
+    * series, same outputs). */
+  def tsMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate"))).as("mi"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val pairs = monthly.toDF("mi_a", "c_a")
+      .crossJoin(broadcast(monthly.toDF("mi_b", "c_b")))
+      .filter(col("mi_a") < col("mi_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("c_b") > col("c_a"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("c_b") < col("c_a"), 1L).otherwise(0L)).as("m"))
+    val nRow = monthly.agg(count(lit(1)).as("n"))
+    val ties = monthly.groupBy(col("cents"))
+      .agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie_term"))
+    pairs.crossJoin(broadcast(nRow)).crossJoin(broadcast(ties))
+      .select(col("n"), col("n_pairs"), (col("p") - col("m")).as("s"),
+        expr("n * (n - 1) * (2 * n + 5) - tie_term").as("var18"))
+      .select(col("n"), col("n_pairs"), col("s"), col("var18"),
+        expr("CASE WHEN s = 0 THEN 0 ELSE CAST(floor(" +
+          "(CAST(s AS DOUBLE) - CAST(SIGN(s) AS DOUBLE))" +
+          " / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6 + 0.5)" +
+          " AS BIGINT) END").as("z_e6"))
+  }
+
+  val tsMannKendallSql: String =
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT COUNT(*) AS n_pairs,
+      |    CAST(SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS p,
+      |    CAST(SUM(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m
+      |  FROM m a, m b WHERE a.mi < b.mi),
+      |nn AS (SELECT COUNT(*) AS n FROM m),
+      |ties AS (
+      |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+      |    AS BIGINT) AS tie_term
+      |  FROM (SELECT COUNT(*) AS t FROM m GROUP BY cents)),
+      |f AS (
+      |  SELECT nn.n, pairs.n_pairs, pairs.p - pairs.m AS s,
+      |    nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS var18
+      |  FROM pairs, nn, ties)
+      |SELECT n, n_pairs, s, CAST(var18 AS BIGINT) AS var18,
+      |  CASE WHEN s = 0 THEN 0 ELSE CAST(floor(
+      |    (CAST(s AS DOUBLE) - CAST(SIGN(s) AS DOUBLE))
+      |    / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6 + 0.5)
+      |    AS BIGINT) END AS z_e6
+      |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_kaplan_meier"   -> (tsKaplanMeier _),
         "ts_spectrum"       -> (tsSpectrum _),
+        "ts_mann_kendall"   -> (tsMannKendall _),
         "ts_kalman"         -> (tsKalman _),
         "ts_granger"        -> (tsGranger _),
         "ts_sax"            -> (tsSax _),
@@ -2848,6 +2920,7 @@ object TimeSeries {
   def oracle: Map[String, String] =
     Map("ts_kaplan_meier" -> tsKaplanMeierSql,
         "ts_spectrum" -> tsSpectrumSql,
+        "ts_mann_kendall" -> tsMannKendallSql,
         "ts_kalman" -> tsKalmanSql,
         "ts_granger" -> tsGrangerSql,
         "ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,

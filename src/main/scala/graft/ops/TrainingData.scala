@@ -1616,7 +1616,134 @@ object TrainingData {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash
       |FROM conv ORDER BY conv_id""".stripMargin
 
+  /** Cross-document attention waste of the [[concatChunk]] packer —
+    * the number a training-efficiency review actually asks for: with
+    * document-boundary masking, a packed sequence of segments
+    * ℓ₁..ℓ_m only trains Σ ℓᵢ(ℓᵢ+1)/2 causal pairs of the full
+    * T(T+1)/2, and the gap is attention compute either wasted (no
+    * masking: cross-doc leakage) or lost (masking: idle pairs). All
+    * quantities are exact BIGINTs from the same two-phase-prefix-sum
+    * spans as the packer itself, so packer and audit can never
+    * disagree on boundaries.
+    *
+    * Scale: identical fan-out shape to [[concatChunk]] (a doc
+    * touches sequences proportional to its own length), map-
+    * combinable per-sequence reduce. */
+  def maskWaste(s: SparkSession, dir: String,
+      seqLen: Long = 512L): DataFrame = {
+    val l = lit(seqLen)
+    shardAssignments(s, dir, budget = Long.MaxValue, bucketWidth = 64L)
+      .select(col("doc_id"), col("cum_before").as("start"),
+        (col("cum_before") + col("n_tok")).as("e"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start div $seqLen"), expr(s"(e - 1) div $seqLen"))))
+      .withColumn("seg",
+        least(col("e"), (col("seq_id") + 1L) * l)
+          - greatest(col("start"), col("seq_id") * l))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("seg")).as("t"),
+        sum(expr("seg * (seg + 1) div 2")).as("within_pairs"))
+      .select(col("seq_id"), col("n_segments"), col("t"),
+        col("within_pairs"),
+        expr("t * (t + 1) div 2").as("full_pairs"),
+        expr("((t * (t + 1) div 2 - within_pairs) * 1000000)" +
+          " div (t * (t + 1) div 2)").as("waste_ppm"))
+      .orderBy(col("seq_id"))
+  }
+
+  val maskWasteSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS start
+      |  FROM t),
+      |x AS (
+      |  SELECT start, start + n_tok AS e,
+      |    unnest(range(start // 512, (start + n_tok - 1) // 512 + 1))
+      |      AS seq_id
+      |  FROM c),
+      |segs AS (
+      |  SELECT seq_id,
+      |    LEAST(e, (seq_id + 1) * 512)
+      |      - GREATEST(start, seq_id * 512) AS seg
+      |  FROM x),
+      |per_seq AS (
+      |  SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |    COUNT(*) AS n_segments,
+      |    CAST(SUM(seg) AS BIGINT) AS t,
+      |    CAST(SUM(seg * (seg + 1) // 2) AS BIGINT) AS within_pairs
+      |  FROM segs GROUP BY seq_id)
+      |SELECT seq_id, n_segments, t, within_pairs,
+      |  t * (t + 1) // 2 AS full_pairs,
+      |  ((t * (t + 1) // 2 - within_pairs) * 1000000)
+      |    // (t * (t + 1) // 2) AS waste_ppm
+      |FROM per_seq ORDER BY seq_id""".stripMargin
+
+  /** GRPO-style group-relative advantages (Shao et al. 2024's
+    * group-normalized reward shape): samples group by prompt (here:
+    * customer, the first ≤ 8 orders by key), reward = price cents,
+    * and each sample's advantage is (r − group mean)/group std. Both
+    * are emitted EXACTLY: the numerator as the integer `r·n − Σr`
+    * (mean cleared of its division) and the z-score via the
+    * algebraic identity `(r·n − Σr)/√(n·Σr² − (Σr)²)` — ONE fixed
+    * sqrt tree e6-snapped, no intermediate mean/std doubles.
+    * Constant-reward groups (zero variance) emit NULL z by
+    * convention.
+    *
+    * Scale: one window cap + one map-combinable group aggregate +
+    * an equi re-join on the group key — the standard RLVR batch
+    * shape; nothing quadratic. */
+  def grpoAdvantage(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+    val capped = Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select(col("o_custkey").as("task"),
+        col("o_orderkey").as("sample_id"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("r"))
+    val groups = capped.groupBy(col("task"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+        sum(col("r") * col("r")).as("srr"))
+      .filter(col("n") >= 4)
+    capped.join(groups, "task")
+      .select(col("task"), col("sample_id"), col("r"), col("n"),
+        expr("r * n - sr").as("adv_num"),
+        expr("CASE WHEN n * srr - sr * sr > 0 THEN" +
+          " CAST(floor(CAST(r * n - sr AS DOUBLE)" +
+          " / sqrt(CAST(n * srr - sr * sr AS DOUBLE))" +
+          " * 1e6 + 0.5) AS BIGINT) END").as("z_e6"))
+      .orderBy(col("task"), col("sample_id"))
+  }
+
+  val grpoAdvantageSql: String =
+    """WITH capped AS (
+      |  SELECT o_custkey AS task, o_orderkey AS sample_id,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS r,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderkey) AS rk
+      |  FROM orders),
+      |c AS (SELECT task, sample_id, r FROM capped WHERE rk <= 8),
+      |g AS (
+      |  SELECT task, COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS sr,
+      |    CAST(SUM(r * r) AS BIGINT) AS srr
+      |  FROM c GROUP BY task HAVING COUNT(*) >= 4)
+      |SELECT c.task, c.sample_id, c.r, g.n,
+      |  c.r * g.n - g.sr AS adv_num,
+      |  CASE WHEN g.n * g.srr - g.sr * g.sr > 0 THEN
+      |    CAST(floor(CAST(c.r * g.n - g.sr AS DOUBLE)
+      |      / sqrt(CAST(g.n * g.srr - g.sr * g.sr AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) END AS z_e6
+      |FROM c JOIN g USING (task)
+      |ORDER BY c.task, c.sample_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_mask_waste" -> ((s: SparkSession, d: String) => maskWaste(s, d)),
+    "pack_grpo_advantage" -> (grpoAdvantage _),
     "pack_chat_template" -> (chatTemplate _),
     "pack_preference_pairs" -> (preferencePairs _),
     "pii_pseudonymize" -> (pseudonymize _),
@@ -1646,6 +1773,8 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_mask_waste" -> maskWasteSql,
+    "pack_grpo_advantage" -> grpoAdvantageSql,
     "pack_chat_template" -> chatTemplateSql,
     "pack_preference_pairs" -> preferencePairsSql,
     "pii_pseudonymize" -> pseudonymizeSql,
