@@ -2352,7 +2352,76 @@ object Graph {
       |JOIN deg db ON db.event_type = p.tb
       |ORDER BY p.ta, p.tb""".stripMargin
 
+  /** Per-state transition entropy over the behavioral Markov chain —
+    * "how predictable is what happens after X": H(dst | src) =
+    * −Σ p·ln p over [[transitions]]' maximum-likelihood rows, plus
+    * the normalized uncertainty H/ln(out-degree) (1 = uniform, 0 =
+    * deterministic). Per-edge terms are computed from EXACT counts
+    * in one fixed double tree and 1e-9-snapped BEFORE the per-state
+    * sum (the jsDivergence discipline); single-successor states emit
+    * 0 entropy and NULL normalized form.
+    *
+    * Scale: the corpus collapses to O(types²) weighted edges in one
+    * windowed pass; everything here is arithmetic on that grid. */
+  def transitionEntropy(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wn"))
+      .withColumn("ow", sum(col("wn")).over(
+        Window.partitionBy(col("src"))))
+    edges
+      .withColumn("term9", expr(
+        "CAST(floor(-(CAST(wn AS DOUBLE)/CAST(ow AS DOUBLE))" +
+          " * ln(CAST(wn AS DOUBLE)/CAST(ow AS DOUBLE))" +
+          " * 1e9 + 0.5) AS BIGINT)"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_out"), max(col("ow")).as("out_w"),
+        sum(col("term9")).as("entropy_e9"))
+      .select(col("src"), col("n_out"), col("out_w"),
+        col("entropy_e9"),
+        when(col("n_out") > 1, expr(
+          "CAST(floor(CAST(entropy_e9 AS DOUBLE)" +
+            " / ln(CAST(n_out AS DOUBLE)) / 1e9 * 1e6 + 0.5)" +
+            " AS BIGINT)")).as("norm_ppm"))
+      .orderBy(col("src"))
+  }
+
+  val transitionEntropySql: String =
+    """WITH ord AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |edges AS (
+      |  SELECT src, dst, COUNT(*) AS wn FROM ord
+      |  WHERE dst IS NOT NULL GROUP BY src, dst),
+      |ow AS (
+      |  SELECT src, dst, wn,
+      |    CAST(SUM(wn) OVER (PARTITION BY src) AS BIGINT) AS ow
+      |  FROM edges),
+      |terms AS (
+      |  SELECT src, ow,
+      |    CAST(floor(-(CAST(wn AS DOUBLE)/CAST(ow AS DOUBLE))
+      |      * ln(CAST(wn AS DOUBLE)/CAST(ow AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS term9
+      |  FROM ow)
+      |SELECT src, COUNT(*) AS n_out,
+      |  CAST(MAX(ow) AS BIGINT) AS out_w,
+      |  CAST(SUM(term9) AS BIGINT) AS entropy_e9,
+      |  CASE WHEN COUNT(*) > 1 THEN
+      |    CAST(floor(CAST(SUM(term9) AS DOUBLE)
+      |      / ln(CAST(COUNT(*) AS DOUBLE)) / 1e9 * 1e6 + 0.5)
+      |      AS BIGINT) END AS norm_ppm
+      |FROM terms GROUP BY src
+      |ORDER BY src""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_transition_entropy" -> (transitionEntropy _),
     "graph_bipartite_project" -> (bipartiteProject _),
     "graph_rich_club" -> (richClub _),
     "graph_viterbi_path" -> ((s, d) => viterbiPath(s, d)),
@@ -2385,6 +2454,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_transition_entropy" -> transitionEntropySql,
     "graph_bipartite_project" -> bipartiteProjectSql,
     "graph_rich_club" -> richClubSql,
     "graph_viterbi_path" -> viterbiPathSql(),

@@ -2077,7 +2077,46 @@ object ParityQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE doc_id % 10 <> 0""".stripMargin
 
+  /** CSV comment-line contract: lines opening with the configured
+    * comment char are skipped by the READER (not quarantined as bad
+    * rows — they are not records at all). The gate interleaves a
+    * deterministic `# audit note` line per fifth order into a
+    * scratch CSV, reads it back under `option("comment", "#")`, and
+    * aggregates; the oracle states the record set from the
+    * construction, so an over-skip (real rows starting with #
+    * inside quotes are NOT comments) or under-skip cannot hash
+    * green.
+    *
+    * Scale: text write + CSV scan, both linear; comment handling is
+    * a per-line parser flag. */
+  def convCsvComments(s: SparkSession, dir: String): DataFrame = {
+    val txtDir = scratch(dir, "conv_csv_comments")
+    graft.Scaffold.setup {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .select(when(col("o_orderkey") % 5 === 0,
+            concat(lit("# audit note for "), col("o_orderkey"),
+              lit("\n"), col("o_orderkey"), lit(","),
+              col("o_custkey")))
+          .otherwise(concat(col("o_orderkey"), lit(","),
+            col("o_custkey"))).as("value"))
+        .write.mode("overwrite").text(txtDir)
+    }
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ck", LongType)))
+    s.read.schema(schema).option("comment", "#").csv(txtDir)
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_keys"),
+        sum(col("ck")).as("sum_cust"))
+  }
+
+  val convCsvCommentsSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+      |FROM orders""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conv_csv_comments" -> (convCsvComments _),
     "conv_jsonl_dropmalformed" -> (convJsonlDropMalformed _),
     "purge_merkle_proof"    -> (purgeMerkleProof _),
     "conv_rowgroup_stats"   -> (convRowgroupStats _),
@@ -2125,6 +2164,7 @@ object ParityQueries {
     "purge_missing_table"   -> (purgeMissingTable _))
 
   def oracle: Map[String, String] = Map(
+    "conv_csv_comments" -> convCsvCommentsSql,
     "conv_jsonl_dropmalformed" -> convJsonlDropMalformedSql,
     "purge_merkle_proof"    -> purgeMerkleProofSql,
     "conv_rowgroup_stats"   -> convRowgroupStatsSql,

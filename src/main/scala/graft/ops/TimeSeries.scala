@@ -2877,10 +2877,101 @@ object TimeSeries {
       |    AS BIGINT) END AS z_e6
       |FROM f""".stripMargin
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) over the daily
+    * order-revenue series: sample autocorrelations ρ_k for lags
+    * 1..7 and Q = n(n+2)·Σ ρ_k²/(n−k) — "is there ANY linear
+    * structure left", the residual-whiteness check run after every
+    * forecast fit ([[tsHolt]]/[[tsHoltWinters]]'s missing
+    * diagnosis). Deviations come from exact decimal day sums; each
+    * ρ_k is one fixed double tree over a lag-k product sum
+    * e9-snapped; Q sums the snapped terms exactly and re-snaps once.
+    *
+    * Scale: one map-combinable day aggregate; the 7 lag joins run
+    * on the O(days) series keyed by day index — metadata. */
+  def tsLjungBox(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.orderBy(col("day")) // O(days)
+    val idx = daily.withColumn("t", row_number().over(w).cast(LongType))
+      .select(col("t"), col("rev"))
+    val base = idx.agg(count(lit(1)).as("n"), sum(col("rev")).as("sr"),
+      sum(col("rev") * col("rev")).as("srr"))
+    // lag join as an EQUI join: each row fans out to its 7 lag
+    // targets (t+k), so the pair stage is hash-joinable — no
+    // nested-loop range join even at unbounded series length
+    val lags = idx.toDF("t", "ra")
+      .withColumn("k", explode(sequence(lit(1L), lit(7L))))
+      .withColumn("t2", col("t") + col("k"))
+      .join(idx.toDF("t2", "rb"), "t2")
+      .select(col("k"), (col("ra") * col("rb")).as("prod"))
+      .groupBy(col("k")).agg(sum(col("prod")).as("sxy"))
+    val rho = lags.crossJoin(broadcast(base))
+      .select(col("k"),
+        expr("CAST(floor(" +
+          "(CAST(sxy AS DOUBLE) - CAST(n - k AS DOUBLE)" +
+          "   * (CAST(sr AS DOUBLE)/CAST(n AS DOUBLE))" +
+          "   * (CAST(sr AS DOUBLE)/CAST(n AS DOUBLE)))" +
+          " / (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)" +
+          "   * CAST(sr AS DOUBLE)/CAST(n AS DOUBLE))" +
+          " * 1e9 + 0.5) AS BIGINT)").as("rho_e9"),
+        col("n"))
+    rho
+      .withColumn("term9", expr(
+        "CAST(floor(CAST(rho_e9 AS DOUBLE) * CAST(rho_e9 AS DOUBLE)" +
+          " / 1e9 / CAST(n - k AS DOUBLE) + 0.5) AS BIGINT)"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_lags"), sum(col("term9")).as("tsum9"))
+      .select(col("n").cast(LongType).as("n"), col("n_lags"),
+        expr("CAST(floor(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)" +
+          " * CAST(tsum9 AS DOUBLE) / 1e9 * 1e6 + 0.5) AS BIGINT)")
+          .as("q_e6"))
+  }
+
+  val tsLjungBoxSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    rev
+      |  FROM daily),
+      |base AS (
+      |  SELECT COUNT(*) AS n, SUM(rev) AS sr, SUM(rev * rev) AS srr
+      |  FROM idx),
+      |lags AS (
+      |  SELECT b.t - a.t AS k, SUM(a.rev * b.rev) AS sxy
+      |  FROM idx a JOIN idx b
+      |    ON b.t - a.t BETWEEN 1 AND 7
+      |  GROUP BY b.t - a.t),
+      |rho AS (
+      |  SELECT k,
+      |    CAST(floor(
+      |      (CAST(sxy AS DOUBLE) - CAST(n - k AS DOUBLE)
+      |         * (CAST(sr AS DOUBLE)/CAST(n AS DOUBLE))
+      |         * (CAST(sr AS DOUBLE)/CAST(n AS DOUBLE)))
+      |      / (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+      |         * CAST(sr AS DOUBLE)/CAST(n AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS rho_e9,
+      |    n
+      |  FROM lags, base),
+      |terms AS (
+      |  SELECT n, rho_e9,
+      |    CAST(floor(CAST(rho_e9 AS DOUBLE) * CAST(rho_e9 AS DOUBLE)
+      |      / 1e9 / CAST(n - k AS DOUBLE) + 0.5) AS BIGINT) AS term9
+      |  FROM rho)
+      |SELECT CAST(n AS BIGINT) AS n, COUNT(*) AS n_lags,
+      |  CAST(floor(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+      |    * CAST(SUM(term9) AS DOUBLE) / 1e9 * 1e6 + 0.5) AS BIGINT)
+      |    AS q_e6
+      |FROM terms GROUP BY n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_kaplan_meier"   -> (tsKaplanMeier _),
         "ts_spectrum"       -> (tsSpectrum _),
         "ts_mann_kendall"   -> (tsMannKendall _),
+        "ts_ljung_box"      -> (tsLjungBox _),
         "ts_kalman"         -> (tsKalman _),
         "ts_granger"        -> (tsGranger _),
         "ts_sax"            -> (tsSax _),
@@ -2921,6 +3012,7 @@ object TimeSeries {
     Map("ts_kaplan_meier" -> tsKaplanMeierSql,
         "ts_spectrum" -> tsSpectrumSql,
         "ts_mann_kendall" -> tsMannKendallSql,
+        "ts_ljung_box" -> tsLjungBoxSql,
         "ts_kalman" -> tsKalmanSql,
         "ts_granger" -> tsGrangerSql,
         "ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,

@@ -1741,7 +1741,78 @@ object TrainingData {
       |FROM c JOIN g USING (task)
       |ORDER BY c.task, c.sample_id""".stripMargin
 
+  /** MLM masking plan (Devlin et al. 2018's 15% / 80-10-10 recipe):
+    * every token position draws a deterministic full-width hash of
+    * (doc, position); 15% of positions mask, and of those 80% become
+    * [MASK], 10% a random token, 10% stay — the BERT-style
+    * pre-training data plan as a shuffle-free projection whose
+    * decisions are REPRODUCIBLE across runs, engines, and epochs
+    * (the [[trainValTestSplit]] stable-hash discipline, per token).
+    * The gate audits the plan per source: exact position counts per
+    * decision class plus the realized mask rate in ppm.
+    *
+    * Scale: one explode over token positions (the tokenizer pass a
+    * real pipeline already pays) + one map-combinable aggregate;
+    * each position decides independently. */
+  def mlmMask(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      .withColumn("h",
+        rowHash32(col("doc_id") * 100003L + col("p")))
+      .withColumn("masked", col("h") % 100 < 15)
+      .withColumn("cls",
+        when(!col("masked"), "pass")
+          .when(expr("(h div 100) % 10") < 8, "mask")
+          .when(expr("(h div 100) % 10") === 8, "random")
+          .otherwise("keep"))
+    toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cls") === "mask", 1L).otherwise(0L))
+          .as("n_mask"),
+        sum(when(col("cls") === "random", 1L).otherwise(0L))
+          .as("n_random"),
+        sum(when(col("cls") === "keep", 1L).otherwise(0L))
+          .as("n_keep"))
+      .select(col("source"), col("n_tokens"), col("n_mask"),
+        col("n_random"), col("n_keep"),
+        expr("((n_mask + n_random + n_keep) * 1000000)" +
+          " div n_tokens").as("rate_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val mlmMaskSql: String = {
+    val mix = rowHash32Sql.replace("doc_id", "(doc_id * 100003 + p)")
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, i - 1 AS p
+      |  FROM (SELECT doc_id, source,
+      |          unnest(range(1, len(string_split(text, ' ')) + 1))
+      |            AS i
+      |        FROM documents)),
+      |dec AS (
+      |  SELECT source, ($mix) AS h FROM toks),
+      |cls AS (
+      |  SELECT source,
+      |    CASE WHEN h % 100 >= 15 THEN 'pass'
+      |      WHEN (h // 100) % 10 < 8 THEN 'mask'
+      |      WHEN (h // 100) % 10 = 8 THEN 'random'
+      |      ELSE 'keep' END AS cls
+      |  FROM dec)
+      |SELECT source, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cls = 'mask' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_mask,
+      |  CAST(SUM(CASE WHEN cls = 'random' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_random,
+      |  CAST(SUM(CASE WHEN cls = 'keep' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_keep,
+      |  ((CAST(SUM(CASE WHEN cls <> 'pass' THEN 1 ELSE 0 END)
+      |    AS BIGINT)) * 1000000) // COUNT(*) AS rate_ppm
+      |FROM cls GROUP BY source
+      |ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_mlm_mask" -> (mlmMask _),
     "pack_mask_waste" -> ((s: SparkSession, d: String) => maskWaste(s, d)),
     "pack_grpo_advantage" -> (grpoAdvantage _),
     "pack_chat_template" -> (chatTemplate _),
@@ -1773,6 +1844,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_mlm_mask" -> mlmMaskSql,
     "pack_mask_waste" -> maskWasteSql,
     "pack_grpo_advantage" -> grpoAdvantageSql,
     "pack_chat_template" -> chatTemplateSql,
