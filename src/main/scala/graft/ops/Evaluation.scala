@@ -2293,7 +2293,82 @@ object Evaluation {
       |FROM cum GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Exact-match span F1 — the NER/extraction-eval metric (CoNLL
+    * scoring): predicted spans count only when (start, end) match a
+    * gold span exactly. Gold spans are maximal runs of tokens longer
+    * than 5 chars; the "system" extracts maximal runs of tokens
+    * longer than 4 — a deterministic, realistically sloppier
+    * extractor, so the gate exercises partial overlap, split and
+    * spurious spans. Runs come from the gaps-islands identity
+    * (pos − rank over qualifying tokens is constant within a run) —
+    * per-doc windows; TP is one equi join on (doc, start, end);
+    * P/R/F1 are exact ppm divisions.
+    *
+    * Scale: two windowed passes partitioned by doc + one equi join
+    * on span identity — nothing quadratic, no per-pair overlap
+    * scan. */
+  def spanF1(s: SparkSession, dir: String): DataFrame = {
+    def spans(minLen: Int): DataFrame = {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        .filter(length(col("w")) > minLen)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      toks
+        .withColumn("isl", col("p") - row_number().over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("p")).as("start"), max(col("p")).as("e"))
+        .select(col("doc_id"), col("start"), col("e"))
+    }
+    val gold = spans(5)
+    val pred = spans(4)
+    val tp = pred.join(gold, Seq("doc_id", "start", "e"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    val np = pred.agg(count(lit(1)).as("n_pred"))
+    val ng = gold.agg(count(lit(1)).as("n_gold"))
+    tp.crossJoin(broadcast(np)).crossJoin(broadcast(ng))
+      .select(col("tp"), col("n_pred"), col("n_gold"),
+        expr("(tp * 1000000) div n_pred").as("precision_ppm"),
+        expr("(tp * 1000000) div n_gold").as("recall_ppm"),
+        expr("(2 * tp * 1000000) div (n_pred + n_gold)").as("f1_ppm"))
+  }
+
+  val spanF1Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, i - 1 AS p,
+      |    length(string_split(text, ' ')[i]) AS wl
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(1, len(string_split(text, ' ')) + 1))
+      |            AS i
+      |        FROM documents)),
+      |gold AS (
+      |  SELECT doc_id, MIN(p) AS start, MAX(p) AS e FROM (
+      |    SELECT doc_id, p,
+      |      p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+      |        AS isl
+      |    FROM toks WHERE wl > 5)
+      |  GROUP BY doc_id, isl),
+      |pred AS (
+      |  SELECT doc_id, MIN(p) AS start, MAX(p) AS e FROM (
+      |    SELECT doc_id, p,
+      |      p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+      |        AS isl
+      |    FROM toks WHERE wl > 4)
+      |  GROUP BY doc_id, isl),
+      |agg AS (
+      |  SELECT
+      |    (SELECT COUNT(*) FROM pred JOIN gold
+      |       USING (doc_id, start, e)) AS tp,
+      |    (SELECT COUNT(*) FROM pred) AS n_pred,
+      |    (SELECT COUNT(*) FROM gold) AS n_gold)
+      |SELECT tp, n_pred, n_gold,
+      |  (tp * 1000000) // n_pred AS precision_ppm,
+      |  (tp * 1000000) // n_gold AS recall_ppm,
+      |  (2 * tp * 1000000) // (n_pred + n_gold) AS f1_ppm
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_span_f1" -> (spanF1 _),
     "eval_auc_slices" -> (aucSlices _),
     "eval_pass_at_k" -> (passAtK _),
     "eval_perm_test" -> (permTest _),
@@ -2326,6 +2401,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_span_f1" -> spanF1Sql,
     "eval_auc_slices" -> aucSlicesSql,
     "eval_pass_at_k" -> passAtKSql,
     "eval_perm_test" -> permTestSql,

@@ -2420,7 +2420,86 @@ object Graph {
       |FROM terms GROUP BY src
       |ORDER BY src""".stripMargin
 
+  /** Distinct-path counting over the type DAG (src < dst transition
+    * edges — acyclic by construction, the [[topoLayers]] premise):
+    * paths(v) = [v is a source] + Σ_{u→v} paths(u), iterated to the
+    * DAG depth so every path from any in-degree-0 source to v is
+    * counted exactly once — the "how many distinct funnels reach
+    * this state" combinatorial census. Pure exact integer DP; the
+    * oracle unrolls the identical recurrence.
+    *
+    * Scale: each round joins the O(types²) edge frame against the
+    * O(types) count vector (broadcast; rankStep's shuffle swap
+    * applies verbatim at vocabulary scale); depth ≤ node count. */
+  def dagPaths(s: SparkSession, dir: String, iters: Int = 5)
+      : DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+      .localCheckpoint()
+    val sources = nodes.join(edges.select(col("dst").as("node"))
+      .distinct(), Seq("node"), "left_anti")
+      .withColumn("p0", lit(1L))
+    var p = nodes.join(sources.select(col("node"), col("p0")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("p0"), lit(0L)).as("p"))
+      .localCheckpoint()
+    val base = p
+    for (_ <- 1 to iters) {
+      val flow = edges.join(broadcast(p.toDF("src", "ps")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("ps")).as("inflow"))
+      p = base.toDF("node", "p0")
+        .join(broadcast(flow), Seq("node"), "left")
+        .select(col("node"),
+          (col("p0") + coalesce(col("inflow"), lit(0L))).as("p"))
+        .localCheckpoint()
+    }
+    p.select(col("node"), col("p").as("n_paths"))
+      .orderBy(col("node"))
+  }
+
+  def dagPathsSql(iters: Int = 5): String = {
+    val base =
+      """WITH ord AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM ord
+        |  WHERE dst IS NOT NULL AND src < dst),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |p0 AS (
+        |  SELECT node,
+        |    CASE WHEN node NOT IN (SELECT dst FROM edges)
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS p
+        |  FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT n.node,
+         |    b.p + COALESCE(f.inflow, 0) AS p
+         |  FROM nodes n
+         |  JOIN p0 b ON b.node = n.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(q.p) AS BIGINT) AS inflow
+         |    FROM edges e JOIN p${i - 1} q ON q.node = e.src
+         |    GROUP BY e.dst) f ON f.node = n.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(p AS BIGINT) AS n_paths FROM p$iters" +
+      " ORDER BY node"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_dag_paths" -> ((s, d) => dagPaths(s, d)),
     "graph_transition_entropy" -> (transitionEntropy _),
     "graph_bipartite_project" -> (bipartiteProject _),
     "graph_rich_club" -> (richClub _),
@@ -2454,6 +2533,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_dag_paths" -> dagPathsSql(),
     "graph_transition_entropy" -> transitionEntropySql,
     "graph_bipartite_project" -> bipartiteProjectSql,
     "graph_rich_club" -> richClubSql,

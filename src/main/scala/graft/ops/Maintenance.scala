@@ -1072,7 +1072,63 @@ object Maintenance {
       |FROM assigned GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  /** ANALYZE TABLE / CBO statistics contract — the catalog-stats
+    * path a 1000-executor cluster actually plans with: register
+    * scratch managed tables, run `ANALYZE TABLE ... COMPUTE
+    * STATISTICS`, and read the ROW COUNTS back from the catalog
+    * stats (NOT by scanning) — proving the stats pipeline records
+    * truth the optimizer can plan from (join-side choice, AQE
+    * seeds). The oracle states the same counts from the source
+    * relations, so stale or missing stats cannot hash green;
+    * AnalyzeCboSpec pins the plan-level consequence (a
+    * stats-known under-threshold dim broadcasts without a hint).
+    *
+    * Scale: ANALYZE is one count-style scan per table — the
+    * standard nightly stats job; reading stats back is catalog
+    * metadata only. */
+  def analyzeCbo(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tables = Seq(
+      ("nation", Tables.nation(s, dir)),
+      ("region", Tables.region(s, dir)),
+      ("supplier", Tables.supplier(s, dir)))
+    import s.implicits._
+    val rows = tables.map { case (name, df) =>
+      val t = s"graft_stats_${tag}_$name"
+      graft.Scaffold.setup {
+        // a previous JVM's managed-table dir may survive the catalog
+        // (fresh session, old warehouse) — clear both sides
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new Path(s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+        df.write.mode("overwrite").saveAsTable(t)
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      }
+      // read the CATALOG stats (what ANALYZE recorded) — the
+      // optimizedPlan only surfaces rowCount under CBO mode
+      val stats = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).stats
+      (name,
+        stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L),
+        stats.exists(_.sizeInBytes > 0))
+    }
+    rows.toDF("tbl", "stats_row_count", "size_known")
+      .orderBy(col("tbl"))
+  }
+
+  val analyzeCboSql: String =
+    """SELECT tbl, stats_row_count, TRUE AS size_known FROM (
+      |  SELECT 'nation' AS tbl,
+      |    (SELECT COUNT(*) FROM nation) AS stats_row_count
+      |  UNION ALL
+      |  SELECT 'region', (SELECT COUNT(*) FROM region)
+      |  UNION ALL
+      |  SELECT 'supplier', (SELECT COUNT(*) FROM supplier))
+      |ORDER BY tbl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_analyze_cbo" -> (analyzeCbo _),
     "maint_compaction_plan" -> ((s: SparkSession, d: String) =>
       compactionPlan(s, d)),
     "maint_orphan_gc" -> (orphanGc _),
@@ -1093,6 +1149,7 @@ object Maintenance {
     "stream_cdc_apply" -> (cdcApply _),
     "stream_idempotent_sink" -> (idempotentSink _))
   def oracle: Map[String, String] = Map(
+    "maint_analyze_cbo" -> analyzeCboSql,
     "maint_compaction_plan" -> compactionPlanSql,
     "maint_orphan_gc" -> orphanGcSql,
     "maint_wap_publish" -> wapPublishSql,

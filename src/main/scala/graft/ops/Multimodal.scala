@@ -311,7 +311,50 @@ object Multimodal {
       |FROM thr GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Media RESIZE — the box-filter downsample every image/audio
+    * pipeline runs before featurization: the decoded stream is
+    * partitioned into 16 contiguous cells and each cell emits its
+    * EXACT integer mean intensity (·100, `div` on non-negative
+    * counts), i.e. anti-aliased nearest-rate resampling on the stub
+    * decode. Rows come out long-form (doc, cell, n_in_cell,
+    * mean_e2) so the oracle hash-checks every resampled value; a
+    * real codec swaps the char-code stream for pixels with the
+    * same plan (the [[phash]] plumbing, kept as the value-emitting
+    * op rather than the sign-bit sketch).
+    *
+    * Scale: one explode over payload length + one map-combinable
+    * (doc, cell) aggregate — the decode pass a real pipeline pays
+    * anyway; output is 16 rows per media item. */
+  def resize(s: SparkSession, dir: String, cells: Int = 16)
+      : DataFrame =
+    Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        posexplode(expr("transform(sequence(1, length(text))," +
+          " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+          .as(Seq("p", "code")))
+      .withColumn("cell", expr(s"(p * $cells) div len"))
+      .groupBy(col("doc_id"), col("cell"))
+      .agg(count(lit(1)).as("n_in_cell"),
+        expr("(sum(code) * 100) div count(1)").as("mean_e2"))
+      .orderBy(col("doc_id"), col("cell"))
+
+  def resizeSql(cells: Int = 16): String =
+    s"""WITH chars AS (
+      |  SELECT doc_id, len, i - 1 AS p,
+      |    CAST(ascii(substring(text, CAST(i AS INTEGER), 1))
+      |      AS BIGINT) AS code
+      |  FROM (SELECT doc_id, text, length(text) AS len,
+      |          unnest(range(1, length(text) + 1)) AS i
+      |        FROM documents WHERE length(text) > 0))
+      |SELECT doc_id, (p * $cells) // len AS cell,
+      |  COUNT(*) AS n_in_cell,
+      |  (CAST(SUM(code) AS BIGINT) * 100) // COUNT(*) AS mean_e2
+      |FROM chars GROUP BY doc_id, (p * $cells) // len
+      |ORDER BY doc_id, cell""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_resize" -> ((s: SparkSession, d: String) => resize(s, d)),
     "multimodal_phash" -> (phash _),
     "multimodal_chunks" -> (byteChunks _),
     "multimodal_dedup" -> (binaryDedup _),
@@ -320,6 +363,7 @@ object Multimodal {
     "multimodal_frames"   -> (frames _))
 
   def oracle: Map[String, String] = Map(
+    "multimodal_resize" -> resizeSql(),
     "multimodal_phash" -> phashSql,
     "multimodal_chunks"   -> byteChunksSql,
     "multimodal_dedup"    -> binaryDedupSql,

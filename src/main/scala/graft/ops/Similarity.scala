@@ -2727,8 +2727,10 @@ object Similarity {
   def dbscanLsh(s: SparkSession, dir: String, eps: Double = 0.35,
       minPts: Int = 3, nTables: Int = 32, bits: Int = 3): DataFrame = {
     val base = vecs(s, dir).withColumn("n", norm(col("v")))
+    // materialized once: the signature pass (nTables×bits sum
+    // aggregates) would otherwise run twice through the self-join
     val tables = lshTables(base.select(col("vec_id"), col("v")),
-      nTables, bits)
+      nTables, bits).localCheckpoint()
     val cand = tables.toDF("id_a", "table", "bucket")
       .join(tables.toDF("id_b", "table", "bucket"),
         Seq("table", "bucket"))
@@ -2858,7 +2860,9 @@ object Similarity {
     val bf = topK(s, dir)
       .select(col("query_id"), col("target_id"),
         col("rank").as("bf_rank"))
-    val both = ann.join(bf, Seq("query_id", "target_id"))
+    // both rank lists are k·|Q| rows — broadcast one side (the
+    // static planner has no stats for either)
+    val both = ann.join(broadcast(bf), Seq("query_id", "target_id"))
     val nQ = bf.agg(countDistinct(col("query_id")).as("q"))
     import s.implicits._
     val ks = Seq(1L, 2L, 3L, 4L, 5L).toDF("k")
