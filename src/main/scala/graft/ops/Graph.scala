@@ -2498,7 +2498,80 @@ object Graph {
       " ORDER BY node"
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) — the
+    * rarity-weighted upgrade of [[linkPredict]]'s common-neighbor
+    * count: candidates score Σ_z 1/ln(deg z) over shared neighbors
+    * z, so a hub "friend" contributes little and a rare one a lot.
+    * Same planted chain+skip graph as the link-predict gate; each
+    * per-neighbor term is snapped to 1e-9 longs BEFORE the sum
+    * (deg ≥ 2 for any common neighbor, so ln never hits 0), exact
+    * top-30 by (score desc, pair).
+    *
+    * Scale: the wedge join is the triangle-counting shape (per-
+    * neighbor fan-out bounded by degree); the degree table joins
+    * the WEDGE CENTER before grouping, so terms price in one pass. */
+  def adamicAdar(s: SparkSession, dir: String, k: Int = 30)
+      : DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 128)
+    val chain = d.toDF("id_a")
+      .join(d.toDF("id_b"), col("id_b") === col("id_a") + 1)
+      .filter(col("id_a") % 8 =!= 7)
+    val skip = d.toDF("id_a")
+      .join(d.toDF("id_b"), col("id_b") === col("id_a") + 2)
+      .filter(col("id_a") % 2 === 0)
+    val edges = chain.unionByName(skip)
+    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val cand = sym.toDF("n", "a")
+      .join(sym.toDF("n", "b"), "n")
+      .filter(col("a") < col("b"))
+      .join(broadcast(deg.toDF("n", "dn")), "n")
+      .withColumn("term9", expr(
+        "CAST(floor(1e9 / ln(CAST(dn AS DOUBLE)) + 0.5) AS BIGINT)"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("term9")).as("aa_e9"))
+      .join(sym.toDF("a", "b"), Seq("a", "b"), "left_anti")
+    cand.orderBy(col("aa_e9").desc, col("a"), col("b")).limit(k)
+      .select(col("a"), col("b"), col("cn"), col("aa_e9"))
+  }
+
+  def adamicAdarSql(k: Int = 30): String =
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 128),
+      |chain AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 8 <> 7),
+      |skip AS (
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 2
+      |  WHERE a.doc_id % 2 = 0),
+      |edges AS (SELECT * FROM chain UNION ALL SELECT * FROM skip),
+      |sym AS (
+      |  SELECT DISTINCT id_a AS u, id_b AS v FROM edges
+      |  UNION SELECT id_b, id_a FROM edges),
+      |deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+      |cand AS (
+      |  SELECT x.a, x.b, COUNT(*) AS cn,
+      |    CAST(SUM(CAST(floor(1e9 / ln(CAST(dg.deg AS DOUBLE)) + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS aa_e9
+      |  FROM (SELECT s1.u AS n, s1.v AS a, s2.v AS b
+      |        FROM sym s1 JOIN sym s2 ON s2.u = s1.u
+      |        WHERE s1.v < s2.v) x
+      |  JOIN deg dg ON dg.node = x.n
+      |  GROUP BY x.a, x.b),
+      |nonadj AS (
+      |  SELECT c.* FROM cand c
+      |  LEFT JOIN sym s ON s.u = c.a AND s.v = c.b
+      |  WHERE s.u IS NULL)
+      |SELECT a, b, cn, aa_e9 FROM nonadj
+      |ORDER BY aa_e9 DESC, a, b LIMIT $k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_adamic_adar" -> ((s, d) => adamicAdar(s, d)),
     "graph_dag_paths" -> ((s, d) => dagPaths(s, d)),
     "graph_transition_entropy" -> (transitionEntropy _),
     "graph_bipartite_project" -> (bipartiteProject _),
@@ -2533,6 +2606,7 @@ object Graph {
     "graph_hits"        -> ((s, d) => hits(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "graph_adamic_adar" -> adamicAdarSql(),
     "graph_dag_paths" -> dagPathsSql(),
     "graph_transition_entropy" -> transitionEntropySql,
     "graph_bipartite_project" -> bipartiteProjectSql,

@@ -2967,11 +2967,140 @@ object TimeSeries {
       |    AS q_e6
       |FROM terms GROUP BY n""".stripMargin
 
+  /** Forecast accuracy metrics for the [[tsForecastSnaive]] baseline:
+    * MAE (exact cents), WAPE (Σ|a−f| / Σa as exact ppm), and sMAPE
+    * (per-day 2|a−f|/(a+f) terms 1e-9-snapped BEFORE the mean) over
+    * the daily revenue series paired with its own value one week
+    * earlier — the scorecard a forecasting pipeline publishes next
+    * to every model. Every numerator/denominator is an exact
+    * decimal-cents BIGINT; divisions happen once, at the end.
+    *
+    * Scale: one map-combinable day aggregate + one date-arithmetic
+    * equi self-join on the O(days) frame. */
+  def tsForecastMetrics(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val paired = daily.toDF("day", "a")
+      .join(daily.select(date_add(col("day"), 7).as("day"),
+        col("cents").as("f")), "day")
+    paired
+      .select(col("a"), col("f"),
+        abs(col("a") - col("f")).as("err"),
+        expr("CAST(floor(2.0 * CAST(abs(a - f) AS DOUBLE)" +
+          " / CAST(a + f AS DOUBLE) * 1e9 + 0.5) AS BIGINT)")
+          .as("sm9"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("err")).as("sum_err"), sum(col("a")).as("sum_a"),
+        sum(col("sm9")).as("sm9s"))
+      .select(col("n_days"),
+        expr("sum_err div n_days").as("mae_cents"),
+        expr("(sum_err * 1000000) div sum_a").as("wape_ppm"),
+        expr("CAST(floor(CAST(sm9s AS DOUBLE)" +
+          " / CAST(n_days AS DOUBLE) / 1e9 * 1e6 + 0.5) AS BIGINT)")
+          .as("smape_ppm"))
+  }
+
+  val tsForecastMetricsSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |paired AS (
+      |  SELECT a.cents AS a, f.cents AS f
+      |  FROM daily a JOIN daily f ON a.day = f.day + INTERVAL 7 DAY),
+      |terms AS (
+      |  SELECT a, f, abs(a - f) AS err,
+      |    CAST(floor(2.0 * CAST(abs(a - f) AS DOUBLE)
+      |      / CAST(a + f AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS sm9
+      |  FROM paired)
+      |SELECT COUNT(*) AS n_days,
+      |  CAST(SUM(err) AS BIGINT) // COUNT(*) AS mae_cents,
+      |  (CAST(SUM(err) AS BIGINT) * 1000000)
+      |    // CAST(SUM(a) AS BIGINT) AS wape_ppm,
+      |  CAST(floor(CAST(SUM(sm9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    / 1e9 * 1e6 + 0.5) AS BIGINT) AS smape_ppm
+      |FROM terms""".stripMargin
+
+  /** Seasonal STRENGTH (Hyndman's FPP measure, eta² form): how much
+    * of the (day, hour) count series' variance the hour-of-day
+    * profile explains, per event type —
+    * `F_s = SSB/SST = (Σ_h (Σx_h)²/n_h − (Σx)²/n) / (Σx² − (Σx)²/n)`.
+    * Cell counts are exact integers; each hod's between-group term
+    * is one fixed double tree 1e-6-snapped BEFORE the sum; the final
+    * ratio snaps once to ppm.
+    *
+    * Scale: one map-combinable (type, day, hod) count, one (type,
+    * hod) reduce, then O(types × 24) arithmetic. */
+  def tsSeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("x"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val hods = cells.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("nh"), sum(col("x")).as("sxh"))
+      .withColumn("bterm6", expr(
+        "CAST(floor(CAST(sxh AS DOUBLE) * CAST(sxh AS DOUBLE)" +
+          " / CAST(nh AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("bterm6")).as("bsum6"))
+    tot.join(hods, "event_type")
+      .select(col("event_type"), col("n"), col("sx"),
+        expr("CAST(floor(" +
+          "(CAST(bsum6 AS DOUBLE) / 1e6" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)" +
+          "   / CAST(n AS DOUBLE))" +
+          " / (CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)" +
+          "   / CAST(n AS DOUBLE))" +
+          " * 1e6 + 0.5) AS BIGINT)").as("strength_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsSeasonalStrengthSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hod,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM cells GROUP BY event_type),
+      |hods AS (
+      |  SELECT event_type,
+      |    CAST(SUM(bterm6) AS BIGINT) AS bsum6
+      |  FROM (
+      |    SELECT event_type,
+      |      CAST(floor(CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |        AS bterm6
+      |    FROM cells GROUP BY event_type, hod)
+      |  GROUP BY event_type)
+      |SELECT t.event_type, t.n, t.sx,
+      |  CAST(floor(
+      |    (CAST(h.bsum6 AS DOUBLE) / 1e6
+      |     - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE)
+      |       / CAST(t.n AS DOUBLE))
+      |    / (CAST(t.sxx AS DOUBLE)
+      |     - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE)
+      |       / CAST(t.n AS DOUBLE))
+      |    * 1e6 + 0.5) AS BIGINT) AS strength_ppm
+      |FROM tot t JOIN hods h ON h.event_type = t.event_type
+      |ORDER BY t.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_kaplan_meier"   -> (tsKaplanMeier _),
         "ts_spectrum"       -> (tsSpectrum _),
         "ts_mann_kendall"   -> (tsMannKendall _),
         "ts_ljung_box"      -> (tsLjungBox _),
+        "ts_forecast_metrics" -> (tsForecastMetrics _),
+        "ts_seasonal_strength" -> (tsSeasonalStrength _),
         "ts_kalman"         -> (tsKalman _),
         "ts_granger"        -> (tsGranger _),
         "ts_sax"            -> (tsSax _),
@@ -3013,6 +3142,8 @@ object TimeSeries {
         "ts_spectrum" -> tsSpectrumSql,
         "ts_mann_kendall" -> tsMannKendallSql,
         "ts_ljung_box" -> tsLjungBoxSql,
+        "ts_forecast_metrics" -> tsForecastMetricsSql,
+        "ts_seasonal_strength" -> tsSeasonalStrengthSql,
         "ts_kalman" -> tsKalmanSql,
         "ts_granger" -> tsGrangerSql,
         "ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,

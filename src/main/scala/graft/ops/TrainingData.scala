@@ -1811,7 +1811,54 @@ object TrainingData {
       |ORDER BY source""".stripMargin
   }
 
+  /** SFT loss masking — the companion audit of [[chatTemplate]]:
+    * in supervised fine-tuning only ASSISTANT-turn tokens carry
+    * loss; system/user (prompt) tokens are masked out. Per
+    * conversation: prompt vs loss token counts and the loss
+    * fraction in exact ppm, plus corpus totals a budget review
+    * reads ("how many of the tokens we pay for actually train").
+    * Roles derive from the same `doc_id % 3` cycle as the renderer,
+    * so mask and template can never disagree.
+    *
+    * Scale: one projection (token counts per turn) + one
+    * map-combinable (conversation) aggregate. */
+  def lossMask(s: SparkSession, dir: String): DataFrame = {
+    val turns = Tables.documents(s, dir)
+      .select(expr("doc_id div 3").as("conv_id"),
+        (col("doc_id") % 3 === 2).as("is_assistant"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    turns.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("is_assistant"), col("n_tok")).otherwise(0L))
+          .as("loss_tok"),
+        sum(when(!col("is_assistant"), col("n_tok")).otherwise(0L))
+          .as("prompt_tok"))
+      .select(col("conv_id"), col("n_turns"), col("prompt_tok"),
+        col("loss_tok"),
+        expr("(loss_tok * 1000000) div (prompt_tok + loss_tok)")
+          .as("loss_frac_ppm"))
+      .orderBy(col("conv_id"))
+  }
+
+  val lossMaskSql: String =
+    """WITH turns AS (
+      |  SELECT doc_id // 3 AS conv_id,
+      |    doc_id % 3 = 2 AS is_assistant,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT conv_id, COUNT(*) AS n_turns,
+      |  CAST(SUM(CASE WHEN NOT is_assistant THEN n_tok ELSE 0 END)
+      |    AS BIGINT) AS prompt_tok,
+      |  CAST(SUM(CASE WHEN is_assistant THEN n_tok ELSE 0 END)
+      |    AS BIGINT) AS loss_tok,
+      |  (CAST(SUM(CASE WHEN is_assistant THEN n_tok ELSE 0 END)
+      |    AS BIGINT) * 1000000)
+      |    // CAST(SUM(n_tok) AS BIGINT) AS loss_frac_ppm
+      |FROM turns GROUP BY conv_id
+      |ORDER BY conv_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_loss_mask" -> (lossMask _),
     "pack_mlm_mask" -> (mlmMask _),
     "pack_mask_waste" -> ((s: SparkSession, d: String) => maskWaste(s, d)),
     "pack_grpo_advantage" -> (grpoAdvantage _),
@@ -1844,6 +1891,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_loss_mask" -> lossMaskSql,
     "pack_mlm_mask" -> mlmMaskSql,
     "pack_mask_waste" -> maskWasteSql,
     "pack_grpo_advantage" -> grpoAdvantageSql,
