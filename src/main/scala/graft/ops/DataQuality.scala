@@ -1699,7 +1699,62 @@ object DataQuality {
       |    CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
       |ORDER BY probe""".stripMargin
 
+  /** Poisson c-chart volume monitoring (Shewhart control charts —
+    * the pipeline-health alarm behind "did yesterday's load look
+    * right"): per event type, flag days whose count leaves the
+    * mean ± 3√mean band. The test runs in EXACT integers via
+    * cross-multiplication — with T = Σx and D = days, "x outside
+    * band" ⇔ (x·D − T)² > 9·T·D — so no sqrt or division ever
+    * crosses engines, and the boundary day is classified
+    * identically by construction.
+    *
+    * Scale: one map-combinable (type, day) count + one (type)
+    * reduce + one re-join of the O(types) stats — two passes over
+    * the tiny grid, zero corpus re-scan. */
+  def controlChart(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("x")).as("t"))
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("d"), col("t"),
+        (col("x") * col("d") - col("t")).as("dev"),
+        col("x"))
+      .groupBy(col("event_type"))
+      .agg(max(col("d")).as("n_days"), max(col("t")).as("total"),
+        sum(when(col("dev") > 0 &&
+          col("dev") * col("dev") > lit(9L) * col("t") * col("d"),
+          1L).otherwise(0L)).as("n_above"),
+        sum(when(col("dev") < 0 &&
+          col("dev") * col("dev") > lit(9L) * col("t") * col("d"),
+          1L).otherwise(0L)).as("n_below"))
+      .orderBy(col("event_type"))
+  }
+
+  val controlChartSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS d,
+      |    CAST(SUM(x) AS BIGINT) AS t
+      |  FROM daily GROUP BY event_type),
+      |dev AS (
+      |  SELECT daily.event_type, s.d, s.t,
+      |    daily.x * s.d - s.t AS dev
+      |  FROM daily JOIN stats s ON s.event_type = daily.event_type)
+      |SELECT event_type, CAST(MAX(d) AS BIGINT) AS n_days,
+      |  MAX(t) AS total,
+      |  CAST(SUM(CASE WHEN dev > 0 AND dev * dev > 9 * t * d
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |  CAST(SUM(CASE WHEN dev < 0 AND dev * dev > 9 * t * d
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+      |FROM dev GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_control_chart" -> (controlChart _),
     "dq_hll_error" -> (hllError _),
     "dq_key_discovery" -> (keyDiscovery _),
     "dq_outlier_ensemble" -> (outlierEnsemble _),
@@ -1731,6 +1786,7 @@ object DataQuality {
     "dq_anomaly" -> (dqAnomaly _),
     "dq_histogram" -> (dqHistogram _))
   def oracle: Map[String, String] = Map(
+    "dq_control_chart" -> controlChartSql,
     "dq_hll_error" -> hllErrorSql,
     "dq_key_discovery" -> keyDiscoverySql,
     "dq_outlier_ensemble" -> outlierEnsembleSql,

@@ -3094,8 +3094,79 @@ object TimeSeries {
       |FROM tot t JOIN hods h ON h.event_type = t.event_type
       |ORDER BY t.event_type""".stripMargin
 
+  /** Maximum drawdown over the cumulative-revenue curve — the
+    * worst peak-to-trough loss an equity/health-metric monitor
+    * reports: with C_t the running total and P_t its running max,
+    * drawdown_t = P_t − C_t (exact cents) and the gate emits the
+    * max drawdown, its depth in ppm of the peak, and the day it
+    * bottomed (earliest on ties). Daily deltas here are net revenue
+    * minus a fixed burn (the mean), so the curve actually goes
+    * down — a pure cumsum of positives has zero drawdown by
+    * construction.
+    *
+    * Scale: one map-combinable day aggregate; the two cumulative
+    * windows run over the O(days) series. */
+  def tsDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("cents")).over(wAll))
+      // net = cents − mean (floor); exact integers, same both engines
+      .withColumn("net", col("cents") - expr("tot div n"))
+      .withColumn("c", sum(col("net")).over(wCum))
+      .withColumn("peak", max(col("c")).over(wCum))
+      .withColumn("dd", col("peak") - col("c"))
+    val wPick = Window.orderBy(col("dd").desc, col("day"))
+    curve
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("day").as("trough_day"), col("peak"), col("c"),
+        col("dd").as("max_drawdown"),
+        when(col("peak") > 0,
+          expr("(dd * 1000000) div peak")).as("depth_ppm"))
+  }
+
+  val tsDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |net AS (
+      |  SELECT day,
+      |    cents - CAST(SUM(cents) OVER () AS BIGINT)
+      |      // CAST(COUNT(*) OVER () AS BIGINT) AS net
+      |  FROM daily),
+      |curve AS (
+      |  SELECT day,
+      |    CAST(SUM(net) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS c
+      |  FROM net),
+      |dd AS (
+      |  SELECT day, c,
+      |    CAST(MAX(c) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS peak
+      |  FROM curve),
+      |pick AS (
+      |  SELECT day, peak, c, peak - c AS dd,
+      |    row_number() OVER (ORDER BY peak - c DESC, day) AS rk
+      |  FROM dd)
+      |SELECT day AS trough_day, peak, c, dd AS max_drawdown,
+      |  CASE WHEN peak > 0 THEN (dd * 1000000) // peak END
+      |    AS depth_ppm
+      |FROM pick WHERE rk = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_kaplan_meier"   -> (tsKaplanMeier _),
+        "ts_drawdown"       -> (tsDrawdown _),
         "ts_spectrum"       -> (tsSpectrum _),
         "ts_mann_kendall"   -> (tsMannKendall _),
         "ts_ljung_box"      -> (tsLjungBox _),
@@ -3139,6 +3210,7 @@ object TimeSeries {
         "ts_gaps_islands"   -> (tsGapsIslands _))
   def oracle: Map[String, String] =
     Map("ts_kaplan_meier" -> tsKaplanMeierSql,
+        "ts_drawdown" -> tsDrawdownSql,
         "ts_spectrum" -> tsSpectrumSql,
         "ts_mann_kendall" -> tsMannKendallSql,
         "ts_ljung_box" -> tsLjungBoxSql,
