@@ -1676,7 +1676,107 @@ object Dedup {
       |WHERE t.doc_a <> h.doc_b
       |ORDER BY t.doc_a, h.doc_b""".stripMargin
 
+  /** Content-defined chunking (the rsync/LBFS/restic boundary
+    * discipline; Muthitacharoen et al., SOSP'01): a chunk boundary
+    * falls AFTER position i whenever the rolling hash of the last 8
+    * characters ≡ 0 (mod 64) — boundaries depend only on LOCAL
+    * content, so inserting a prefix shifts which bytes each chunk
+    * holds but re-synchronizes immediately: shared segments between
+    * different documents produce IDENTICAL chunks, which fixed-size
+    * blocking never achieves. The gate emits per-doc chunk
+    * statistics plus an order-invariant sum of portable chunk
+    * fingerprints, so the exact chunking (boundaries AND contents)
+    * is hash-checked; the spec plants a shared segment behind
+    * different prefixes and watches the same chunk fingerprint
+    * surface in both docs.
+    *
+    * Scale: O(len) rolling-hash evaluations per document in one
+    * projection — the same single pass a production chunker makes;
+    * cross-doc chunk dedup is then exact-dedup machinery on the
+    * fingerprint key (8 B/chunk shuffle). */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val roll8 =
+      "aggregate(transform(sequence(i - 7, i)," +
+        " j -> CAST(ascii(substring(text, CAST(j AS INT), 1))" +
+        " AS BIGINT)), CAST(0 AS BIGINT)," +
+        " (acc, c) -> (acc * 31 + c) % 1000000007)"
+    val chunkRoll =
+      "aggregate(transform(sequence(st + 1, en)," +
+        " j -> CAST(ascii(substring(text, CAST(j AS INT), 1))" +
+        " AS BIGINT)), CAST(0 AS BIGINT)," +
+        " (acc, c) -> (acc * 31 + c) % 1000000007)"
+    Tables.documents(s, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast(LongType).as("len"))
+      .withColumn("bs", expr(
+        s"filter(transform(sequence(8L, len)," +
+          s" i -> CASE WHEN $roll8 % 64 = 0 THEN i END)," +
+          " x -> x IS NOT NULL)"))
+      .withColumn("fps", expr(
+        "filter(zip_with(concat(array(0L), bs)," +
+          " concat(bs, array(len))," +
+          s" (st, en) -> CASE WHEN en > st THEN $chunkRoll END)," +
+          " x -> x IS NOT NULL)"))
+      .withColumn("lens", expr(
+        "filter(zip_with(concat(array(0L), bs)," +
+          " concat(bs, array(len)), (st, en) -> en - st)," +
+          " x -> x > 0)"))
+      .select(col("doc_id"), size(col("fps")).cast(LongType)
+          .as("n_chunks"),
+        expr("aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_len"),
+        expr("aggregate(lens, CAST(0 AS BIGINT)," +
+          " (a, x) -> greatest(a, x))").as("max_chunk"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cdcChunksSql: String = {
+    val roll8 =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(i - 7, i),
+        |          j -> CAST(ascii(substring(text, CAST(j AS INTEGER),
+        |            1)) AS BIGINT))),
+        |        (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+    val chunkRoll =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(st + 1, en),
+        |          j -> CAST(ascii(substring(text, CAST(j AS INTEGER),
+        |            1)) AS BIGINT))),
+        |        (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+    s"""WITH d AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+      |  FROM documents WHERE length(text) >= 8),
+      |b AS (
+      |  SELECT doc_id, text, len,
+      |    list_filter(list_transform(generate_series(8, len),
+      |      i -> CASE WHEN $roll8 % 64 = 0 THEN i END),
+      |      x -> x IS NOT NULL) AS bs
+      |  FROM d),
+      |idx AS (
+      |  SELECT doc_id, text, len, bs,
+      |    unnest(generate_series(1, len(bs) + 1)) AS k
+      |  FROM b),
+      |chunks AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN k = 1 THEN CAST(0 AS BIGINT)
+      |      ELSE bs[CAST(k AS INTEGER) - 1] END AS st,
+      |    CASE WHEN k = len(bs) + 1 THEN len
+      |      ELSE bs[CAST(k AS INTEGER)] END AS en
+      |  FROM idx)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(en - st) AS BIGINT) AS sum_len,
+      |  CAST(MAX(en - st) AS BIGINT) AS max_chunk,
+      |  CAST(SUM($chunkRoll) AS BIGINT) AS fp_sum
+      |FROM chunks WHERE en > st GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" ->
+      ((s: SparkSession, d: String) => cdcChunks(s, d)),
     "dedup_suffix_prefix" ->
       ((s: SparkSession, d: String) => suffixPrefixPairs(s, d)),
     "dedup_minhash_estimate" ->
@@ -1707,6 +1807,7 @@ object Dedup {
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_suffix_prefix" -> suffixPrefixSql(),
     "dedup_minhash_estimate" -> minhashEstimateSql(),
     "dedup_prefix_truncation" -> prefixTruncationSql,
