@@ -1695,20 +1695,24 @@ object Dedup {
     * cross-doc chunk dedup is then exact-dedup machinery on the
     * fingerprint key (8 B/chunk shuffle). */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    // codes are materialized ONCE per doc (split is a single linear
+    // pass); every window/chunk roll then slices the array — O(len·8)
+    // total, where per-position substring() would re-scan the string
+    // from the start each time (O(len²), the 30 s version of this op)
     val roll8 =
-      "aggregate(transform(sequence(i - 7, i)," +
-        " j -> CAST(ascii(substring(text, CAST(j AS INT), 1))" +
-        " AS BIGINT)), CAST(0 AS BIGINT)," +
+      "aggregate(slice(codes, CAST(i AS INT) - 7, 8)," +
+        " CAST(0 AS BIGINT)," +
         " (acc, c) -> (acc * 31 + c) % 1000000007)"
     val chunkRoll =
-      "aggregate(transform(sequence(st + 1, en)," +
-        " j -> CAST(ascii(substring(text, CAST(j AS INT), 1))" +
-        " AS BIGINT)), CAST(0 AS BIGINT)," +
+      "aggregate(slice(codes, CAST(st AS INT) + 1," +
+        " CAST(en - st AS INT)), CAST(0 AS BIGINT)," +
         " (acc, c) -> (acc * 31 + c) % 1000000007)"
     Tables.documents(s, dir)
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast(LongType).as("len"))
+      .withColumn("codes", expr(
+        "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
       .withColumn("bs", expr(
         s"filter(transform(sequence(8L, len)," +
           s" i -> CASE WHEN $roll8 % 64 = 0 THEN i END)," +
@@ -1736,31 +1740,29 @@ object Dedup {
   val cdcChunksSql: String = {
     val roll8 =
       """list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(generate_series(i - 7, i),
-        |          j -> CAST(ascii(substring(text, CAST(j AS INTEGER),
-        |            1)) AS BIGINT))),
+        |        codes[CAST(i AS INTEGER) - 7:CAST(i AS INTEGER)]),
         |        (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
     val chunkRoll =
       """list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(generate_series(st + 1, en),
-        |          j -> CAST(ascii(substring(text, CAST(j AS INTEGER),
-        |            1)) AS BIGINT))),
+        |        codes[CAST(st AS INTEGER) + 1:CAST(en AS INTEGER)]),
         |        (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
     s"""WITH d AS (
-      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      |    list_transform(string_split(text, ''),
+      |      c -> CAST(ascii(c) AS BIGINT)) AS codes
       |  FROM documents WHERE length(text) >= 8),
       |b AS (
-      |  SELECT doc_id, text, len,
+      |  SELECT doc_id, codes, len,
       |    list_filter(list_transform(generate_series(8, len),
       |      i -> CASE WHEN $roll8 % 64 = 0 THEN i END),
       |      x -> x IS NOT NULL) AS bs
       |  FROM d),
       |idx AS (
-      |  SELECT doc_id, text, len, bs,
+      |  SELECT doc_id, codes, len, bs,
       |    unnest(generate_series(1, len(bs) + 1)) AS k
       |  FROM b),
       |chunks AS (
-      |  SELECT doc_id, text,
+      |  SELECT doc_id, codes,
       |    CASE WHEN k = 1 THEN CAST(0 AS BIGINT)
       |      ELSE bs[CAST(k AS INTEGER) - 1] END AS st,
       |    CASE WHEN k = len(bs) + 1 THEN len
