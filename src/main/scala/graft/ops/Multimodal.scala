@@ -262,9 +262,8 @@ object Multimodal {
     val cells = Tables.documents(s, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), length(col("text")).as("len"),
-        posexplode(expr("transform(sequence(1, length(text))," +
-          " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
-          .as(Seq("p", "code")))
+        posexplode(expr("transform(split(text, '')," +
+          " c -> CAST(ascii(c) AS BIGINT))")).as(Seq("p", "code")))
       .withColumn("cell", expr("(p * 32) div len"))
       .groupBy(col("doc_id"), col("cell"))
       .agg(sum(col("code")).as("cs"), count(lit(1)).as("cn"))
@@ -330,9 +329,8 @@ object Multimodal {
     Tables.documents(s, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), length(col("text")).as("len"),
-        posexplode(expr("transform(sequence(1, length(text))," +
-          " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
-          .as(Seq("p", "code")))
+        posexplode(expr("transform(split(text, '')," +
+          " c -> CAST(ascii(c) AS BIGINT))")).as(Seq("p", "code")))
       .withColumn("cell", expr(s"(p * $cells) div len"))
       .groupBy(col("doc_id"), col("cell"))
       .agg(count(lit(1)).as("n_in_cell"),

@@ -1590,8 +1590,10 @@ object TrainingData {
           " x -> x.tagged), '')").as("rendered"))
       .select(col("conv_id"), col("n_turns"),
         length(col("rendered")).cast(LongType).as("n_chars_rendered"),
-        expr("aggregate(transform(sequence(1, length(rendered))," +
-          " i -> CAST(ascii(substring(rendered, i, 1)) AS BIGINT))," +
+        // one linear split pass, not per-position substring scans
+        // (identical roll values — same codes, same fold)
+        expr("aggregate(transform(split(rendered, '')," +
+          " c -> CAST(ascii(c) AS BIGINT))," +
           " CAST(0 AS BIGINT)," +
           " (acc, c) -> (acc * 31 + c) % 1000000007)").as("roll_hash"))
       .orderBy(col("conv_id"))
