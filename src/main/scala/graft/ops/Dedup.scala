@@ -1776,7 +1776,50 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source duplicate-rate scoreboard — the one-line answer to
+    * "which ingest feeds are polluting the corpus": exact-content
+    * duplicate share per source (1 − distinct/total, ppm) plus the
+    * redundant byte volume, the prioritization table read BEFORE
+    * running the expensive near-dup passes. Distinct counting is on
+    * the text fingerprint (the exact-dedup key discipline), so the
+    * shuffle carries hashes, not payloads.
+    *
+    * Scale: one distinct-reduce on (source, fingerprint) + one
+    * O(sources) rollup — the exact-dedup plan shape with a group
+    * key. */
+  def dupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"), md5(col("text")).as("fp"))
+    val perFp = docs.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("copies"), sum(col("n_chars")).as("bytes"),
+        min(col("n_chars")).as("one"))
+    perFp.groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("bytes")) - sum(col("one"))).as("redundant_chars"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        expr("((n_docs - n_distinct) * 1000000) div n_docs")
+          .as("dup_rate_ppm"),
+        col("redundant_chars"))
+      .orderBy(col("source"))
+  }
+
+  val dupRateBySourceSql: String =
+    """WITH per_fp AS (
+      |  SELECT source, md5(text) AS fp, COUNT(*) AS copies,
+      |    CAST(SUM(n_chars) AS BIGINT) AS bytes,
+      |    CAST(MIN(n_chars) AS BIGINT) AS one
+      |  FROM documents GROUP BY source, md5(text))
+      |SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_distinct,
+      |  ((CAST(SUM(copies) AS BIGINT) - COUNT(*)) * 1000000)
+      |    // CAST(SUM(copies) AS BIGINT) AS dup_rate_ppm,
+      |  CAST(SUM(bytes) - SUM(one) AS BIGINT) AS redundant_chars
+      |FROM per_fp GROUP BY source
+      |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_rate_by_source" -> (dupRateBySource _),
     "dedup_cdc_chunks" ->
       ((s: SparkSession, d: String) => cdcChunks(s, d)),
     "dedup_suffix_prefix" ->
@@ -1809,6 +1852,7 @@ object Dedup {
     "dedup_incremental"   -> (incremental _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_rate_by_source" -> dupRateBySourceSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_suffix_prefix" -> suffixPrefixSql(),
     "dedup_minhash_estimate" -> minhashEstimateSql(),

@@ -61,4 +61,24 @@ class RoundSevenBatchTwelveSpec extends SparkSpec {
     assert(got(1L) == summarize(ca), s"doc 1: ${got(1L)}")
     assert(got(2L) == summarize(cb), s"doc 2: ${got(2L)}")
   }
+
+  test("dedup_rate_by_source: exact duplicate share and redundant bytes") {
+    val dir = tmpDir("r7b12_dr")
+    // s0: 3 docs, two identical → 1/3 dup rate, 9 redundant chars
+    // s1: all distinct → zero
+    val rows = Seq(
+      Row(1L, "same text", "en", "s0", 9L),
+      Row(2L, "same text", "en", "s0", 9L),
+      Row(3L, "different", "en", "s0", 9L),
+      Row(4L, "unique a", "en", "s1", 8L),
+      Row(5L, "unique b", "en", "s1", 8L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dupRateBySource(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got("s0") == ((3L, 2L, 333333L, 9L)))
+    assert(got("s1") == ((2L, 2L, 0L, 0L)))
+  }
 }
