@@ -427,9 +427,15 @@ object Dedup {
   /** DataFrame-first components: nodes (`id`) + undirected pair list
     * (`id_a`, `id_b`) from ANY dedup detector → (doc_id, component). */
   def componentsOver(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // Mirror by explode, not union: a union doubles the cached
+    // partition count (cached plans keep their physical partitioning),
+    // and every propagation round below pays that task count again.
     val edges = pairs
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").cache()
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     // Min-label propagation only ever DECREASES labels, so an
     // unchanged label SUM is an exact fixpoint test — one aggregate

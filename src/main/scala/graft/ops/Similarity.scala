@@ -2717,38 +2717,97 @@ object Similarity {
     * gate stays green). At 100 TB you raise `bits` so buckets stay
     * ~executor-sized (candidates shrink 4× per bit) and raise
     * `nTables` to hold recall; the plan shape — linear signature
-    * pass, 24 B/row bucket shuffle, equi-join, exact verify on
-    * candidates, component rounds — is unchanged.
+    * pass, bucket shuffle, equi-join, exact verify on candidates,
+    * component rounds — is unchanged.
     *
-    * Cost note: the signature pass is O(n·tables·bits) sums and the
-    * candidate join shuffles id pairs only; nothing is quadratic in
-    * the corpus except within-bucket collisions, which `bits`
-    * bounds. */
+    * Cost note: the signature pass is O(n·tables·bits·d) codegen'd
+    * fused multiply-adds; the bucket shuffle is O(n·tables) rows
+    * (carrying the vector — see the crossover note in the body);
+    * nothing is quadratic in the corpus except within-bucket
+    * collisions, which `bits` bounds, and those are consumed by an
+    * inline codegen'd cosine, never materialized or re-shuffled. */
   def dbscanLsh(s: SparkSession, dir: String, eps: Double = 0.35,
       minPts: Int = 3, nTables: Int = 32, bits: Int = 3): DataFrame = {
     val base = vecs(s, dir).withColumn("n", norm(col("v")))
-    // materialized once: the signature pass (nTables×bits sum
-    // aggregates) would otherwise run twice through the self-join
-    val tables = lshTables(base.select(col("vec_id"), col("v")),
-      nTables, bits).localCheckpoint()
-    val cand = tables.toDF("id_a", "table", "bucket")
-      .join(tables.toDF("id_b", "table", "bucket"),
+    // Metadata-sized probe (one row): the plane literals below must
+    // cover the embedding dimensionality.
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    // The SAME hyperplanes as [[lshTables]] (planeComponent's xxhash64
+    // map evaluated driver-side on the literal coordinates), baked as
+    // literal arrays so the signature pass is nTables×bits codegen'd
+    // [[dot]] kernels per row — no posexplode, no groupBy, and the
+    // vector STAYS IN THE ROW, which is what makes verify-inline (the
+    // step below) possible.
+    val planes: IndexedSeq[Array[Double]] =
+      for (t <- 0 until nTables; b <- 0 until bits) yield
+        Array.tabulate(dim) { d =>
+          org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+            org.apache.spark.sql.catalyst.expressions.Literal(t * 1000 + b),
+            org.apache.spark.sql.catalyst.expressions.Literal(d)), 42L)
+            .eval(null).asInstanceOf[Long].toDouble /
+            Long.MaxValue.toDouble
+        }
+    val bucketCols = (0 until nTables).map { t =>
+      (0 until bits).map { b =>
+        when(dot(col("v"), lit(planes(t * bits + b))) > 0.0,
+          shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce[Column](_.bitwiseOR(_)).as(s"_bkt$t")
+    }
+    // One row per (vector, table) CARRYING the vector: at this
+    // operating point (low threshold, bulk |cos| ≈ 0.1) nearly every
+    // pair collides in some table, so the candidate set is ~n² — far
+    // larger than the n·nTables signature frame. Joining id-only
+    // buckets and re-fetching vectors for the candidates (the
+    // high-bits production shape, kept in [[annLsh]]) would shuffle
+    // the ~n² pair set TWICE through vec_id exchanges plus a ~n²
+    // distinct; carrying the d·8-byte vector through the
+    // (table, bucket) join instead costs O(n·nTables·d) shuffle —
+    // here ~40 MB vs ~n² rows — and lets the exact-cosine verify run
+    // INLINE on the join output, so the only distinct is over the
+    // surviving threshold pairs (hundreds, not millions). The
+    // crossover: carry vectors while candidates ≫ n·nTables (low
+    // bits); switch to id-only buckets + re-join once bits are high
+    // enough that candidates ≪ corpus×tables.
+    val sig = base.select(col("vec_id"), col("v"), col("n"),
+      posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
+    // Equi hash join on (table, bucket) — identical subplans, so the
+    // exchange is planned once and reused; shuffle_hash keeps the
+    // documented hash-join shape (sorting ~n² collision rows for an
+    // SMJ is pure waste).
+    val cand = sig.toDF("id_a", "va", "na", "table", "bucket")
+      .hint("shuffle_hash")
+      .join(sig.toDF("id_b", "vb", "nb", "table", "bucket"),
         Seq("table", "bucket"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // Exact cosine on candidates only, via the SAME precomputed-norm
-    // expression as the exact baseline, so the eps comparison is
-    // bit-identical where a pair is examined by both paths.
-    val nbrs = cand
-      .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("n").as("na")), "id_a")
-      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("n").as("nb")), "id_b")
+      .filter(col("id_a") < col("id_b"))
+      // Exact cosine verify INLINE on collision rows, via the SAME
+      // precomputed-norm expression as the exact baseline, so the eps
+      // comparison is bit-identical where a pair is examined by both
+      // paths (multiplication order under a<b is elementwise-
+      // commutative; the sequential fold order is unchanged).
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
         >= eps)
       .select(col("id_a"), col("id_b"))
-      .cache() // id pairs only — reused for degree, edges, borders
+      .distinct()
+    // Restore the DIRECTED pair set dbscanDownstream expects — by
+    // explode, not unionAll: a union DOUBLES the cached partition
+    // count (cached plans keep their physical partitioning — AQE
+    // does not re-coalesce them), and every downstream component
+    // round then pays the doubled task count. Measured at sf0.1:
+    // the same 8 k-pair frame costs 12.5 s vs 4.0 s through
+    // componentsOver purely on this shape difference.
+    val nbrs = cand
+      .select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // localCheckpoint, not cache: the downstream runs ~25 actions
+      // (component rounds, borders, noise), and each would re-OPTIMIZE
+      // a plan whose candidate subtree carries 96 64-double plane
+      // literals — lineage truncation moves that planning cost out of
+      // every round. (Pairs only — metadata-sized; recompute-on-loss
+      // is a rerun, as with componentsOver's checkpoints.)
+      .localCheckpoint()
     dbscanDownstream(base, nbrs, minPts)
   }
 
