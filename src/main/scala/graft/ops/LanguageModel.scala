@@ -240,7 +240,7 @@ object LanguageModel {
       .filter(col("w").rlike("^[a-z]{2,}$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        "split(w, '')")
         .as("toks"), col("freq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
@@ -305,7 +305,7 @@ object LanguageModel {
       .agg(count(lit(1)).as("n"))
     var dim = docWords.select(col("w")).distinct()
       .withColumn("toks", expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        "split(w, '')"))
     merges.foreach { m =>
       dim = dim.select(col("w"),
         expr(bpeMergeExpr(m.getString(1), m.getString(2))).as("toks"))
@@ -394,7 +394,7 @@ object LanguageModel {
       .agg(count(lit(1)).as("n"))
     var dim = docWords.select(col("w")).distinct()
       .withColumn("toks", expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        "split(w, '')"))
     merges.foreach { m =>
       dim = dim.select(col("w"),
         expr(bpeMergeExpr(m.getString(1), m.getString(2))).as("toks"))

@@ -2729,6 +2729,38 @@ object Similarity {
   def dbscanLsh(s: SparkSession, dir: String, eps: Double = 0.35,
       minPts: Int = 3, nTables: Int = 32, bits: Int = 3): DataFrame = {
     val base = vecs(s, dir).withColumn("n", norm(col("v")))
+    val cand = dbscanLshPairs(s, dir, eps, nTables, bits)
+    // Restore the DIRECTED pair set dbscanDownstream expects — by
+    // explode, not unionAll: a union DOUBLES the cached partition
+    // count (cached plans keep their physical partitioning — AQE
+    // does not re-coalesce them), and every downstream component
+    // round then pays the doubled task count. Measured at sf0.1:
+    // the same 8 k-pair frame costs 12.5 s vs 4.0 s through
+    // componentsOver purely on this shape difference.
+    val nbrs = cand
+      .select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // localCheckpoint, not cache: the downstream runs ~25 actions
+      // (component rounds, borders, noise), and each would re-OPTIMIZE
+      // a plan whose candidate subtree carries 96 64-double plane
+      // literals — lineage truncation moves that planning cost out of
+      // every round. (Pairs only — metadata-sized; recompute-on-loss
+      // is a rerun, as with componentsOver's checkpoints.)
+      .localCheckpoint()
+    dbscanDownstream(base, nbrs, minPts)
+  }
+
+  /** The LSH candidate/verify pair stage of [[dbscanLsh]], exposed
+    * un-checkpointed so plan-contract specs can assert its shape
+    * (the eager checkpoint in the caller otherwise truncates it out
+    * of the returned plan). Emits each verified unordered ε-pair
+    * once as (id_a < id_b). */
+  private[graft] def dbscanLshPairs(s: SparkSession, dir: String,
+      eps: Double = 0.35, nTables: Int = 32, bits: Int = 3): DataFrame = {
+    val base = vecs(s, dir).withColumn("n", norm(col("v")))
     // Metadata-sized probe (one row): the plane literals below must
     // cover the embedding dimensionality.
     val dim = base.select(size(col("v"))).head.getInt(0)
@@ -2788,27 +2820,7 @@ object Similarity {
         >= eps)
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // Restore the DIRECTED pair set dbscanDownstream expects — by
-    // explode, not unionAll: a union DOUBLES the cached partition
-    // count (cached plans keep their physical partitioning — AQE
-    // does not re-coalesce them), and every downstream component
-    // round then pays the doubled task count. Measured at sf0.1:
-    // the same 8 k-pair frame costs 12.5 s vs 4.0 s through
-    // componentsOver purely on this shape difference.
-    val nbrs = cand
-      .select(explode(array(
-        struct(col("id_a"), col("id_b")),
-        struct(col("id_b").as("id_a"), col("id_a").as("id_b"))))
-        .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      // localCheckpoint, not cache: the downstream runs ~25 actions
-      // (component rounds, borders, noise), and each would re-OPTIMIZE
-      // a plan whose candidate subtree carries 96 64-double plane
-      // literals — lineage truncation moves that planning cost out of
-      // every round. (Pairs only — metadata-sized; recompute-on-loss
-      // is a rerun, as with componentsOver's checkpoints.)
-      .localCheckpoint()
-    dbscanDownstream(base, nbrs, minPts)
+    cand
   }
 
   /** IVF nProbe tuning sweep — the recall-vs-cost curve an operator
