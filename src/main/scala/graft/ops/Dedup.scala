@@ -1824,7 +1824,96 @@ object Dedup {
       |FROM per_fp GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Streaming twin of [[dupRateBySource]] (round-7 verdict's
+    * suggested growth): the duplicate-rate scoreboard maintained
+    * INCREMENTALLY as document batches arrive, via the
+    * [[Maintenance.streamMvMaintain]] foreachBatch-merge pattern. The
+    * maintained state is the per-(source, fingerprint) frame — copies,
+    * total chars, min chars — which is exactly the mergeable form:
+    * counts and sums add across batches, min re-minimizes, and the
+    * scoreboard (docs, distincts, dup-rate ppm, redundant chars) is a
+    * pure aggregate over the state, recomputed per refresh. Two
+    * micro-batches replay the corpus split by doc_id parity; the final
+    * scoreboard must equal the batch operator's — the oracle IS
+    * [[dupRateBySourceSql]] verbatim.
+    *
+    * Scale: state size is the number of DISTINCT (source, fp) keys —
+    * the dedup universe, not the stream; each refresh shuffles one
+    * batch's partials plus the state once (hash equi-merge, no
+    * broadcast of either side). At 100 TB the parquet state swaps for
+    * a keyed store (Delta MERGE / RocksDB via transformWithState —
+    * both patterns already gated: `stream_rocksdb`, `merge_upsert`);
+    * the partial-aggregate shape is unchanged. */
+  def streamDupRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def scratch(name: String): String =
+      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    val srcDir = scratch("dupstream/src")
+    val mvDir = scratch("dupstream/mv")
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "dupstream_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def rm(p: String): Unit = {
+      val path = new Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    }
+    val docs = Tables.documents(s, dir)
+    graft.Scaffold.setup {
+      Seq(srcDir, mvDir, ck).foreach(rm)
+      docs.filter(col("doc_id") % 2 === 0).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    val fs = new Path(mvDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val q = s.readStream.schema(docs.schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val part = batch
+          .select(col("source"), col("n_chars"), md5(col("text")).as("fp"))
+          .groupBy(col("source"), col("fp"))
+          .agg(count(lit(1)).as("copies"),
+            sum(col("n_chars")).as("bytes"),
+            min(col("n_chars")).as("one"))
+        val merged =
+          if (fs.exists(new Path(s"$mvDir/_SUCCESS")))
+            batch.sparkSession.read.parquet(mvDir).unionByName(part)
+              .groupBy(col("source"), col("fp"))
+              .agg(sum(col("copies")).as("copies"),
+                sum(col("bytes")).as("bytes"),
+                min(col("one")).as("one"))
+          else part
+        val staging = s"$mvDir.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        rm(mvDir)
+        fs.rename(new Path(staging), new Path(mvDir)): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.Scaffold.setup {
+        docs.filter(col("doc_id") % 2 =!= 0).write
+          .mode("append").parquet(srcDir)
+      }
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.streaming.EventStreams.dropCheckpoint(ck)
+    }
+    s.read.parquet(mvDir)
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("bytes")) - sum(col("one"))).as("redundant_chars"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        expr("((n_docs - n_distinct) * 1000000) div n_docs")
+          .as("dup_rate_ppm"),
+        col("redundant_chars"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_rate" -> (streamDupRate _),
     "dedup_rate_by_source" -> (dupRateBySource _),
     "dedup_cdc_chunks" ->
       ((s: SparkSession, d: String) => cdcChunks(s, d)),
@@ -1859,6 +1948,8 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "dedup_rate_by_source" -> dupRateBySourceSql,
+    // the incremental twin must converge to the batch scoreboard
+    "stream_dedup_rate" -> dupRateBySourceSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_suffix_prefix" -> suffixPrefixSql(),
     "dedup_minhash_estimate" -> minhashEstimateSql(),

@@ -1530,6 +1530,102 @@ object Similarity {
        |FROM lab GROUP BY component
        |ORDER BY component""".stripMargin
 
+  /** SemDeDup-style cluster-scoped near-dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): partition the corpus into k cells, compute
+    * cosine pairs ONLY within a cell, and drop every vector that has
+    * a ≥θ neighbor with a smaller id in its cell (the kept vector is
+    * the cell-local min-id representative). Output: one row per
+    * vector — (vec_id, cell, kept).
+    *
+    * This is the composition the round-7 verdict prescribed: the
+    * k-means family's assignment step + within-cluster cosine pairs.
+    * The pair stage costs Σ n_c² ≈ n²/k instead of n² — SemDeDup's
+    * entire point at web scale — in exchange for the documented
+    * recall caveat: a ≥θ pair whose members land in DIFFERENT cells
+    * is missed by construction (with the planted twins at cos≈0.9999
+    * assignment agreement is near-certain but not a theorem, so the
+    * gate corpus keeps θ high and the oracle REPLICATES the
+    * assignment rather than assuming twin co-residency).
+    *
+    * Determinism (the oracle replays every stage exactly): seeds are
+    * the k smallest (vec_id·2654435761 mod 999983, vec_id) corpus
+    * vectors — integer arithmetic both engines evaluate identically
+    * (the [[negativeSample]] convention; Spark's xxhash64 seed rule
+    * from [[ivfSeeds]] has no DuckDB twin) — and the argmax-cosine
+    * assignment tie-breaks by cell then relies on the sequential-fold
+    * cosine contract, so cell ids match bit-for-bit.
+    *
+    * Scale: the assignment is a broadcast argmax over k seed rows
+    * (corpus untouched by any shuffle); the pair stage is ONE equi
+    * hash join on cell (never a corpus broadcast); production swaps
+    * the seed rule for [[kmeans]] centroids and raises k so cells
+    * stay executor-sized — the plan shape is unchanged. */
+  def semDedupCluster(s: SparkSession, dir: String, k: Int = 8,
+      theta: Double = 0.99): DataFrame = {
+    val base = withNearDuplicates(s, dir).withColumn("n", norm(col("v")))
+    val w0 = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = base
+      .withColumn("h", pmod(col("vec_id") * lit(2654435761L), lit(999983L)))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("cell", (row_number().over(w0) - 1).cast(LongType))
+      .select(col("cell"), col("v").as("cv"))
+    val wc = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val assigned = base.crossJoin(broadcast(seeds))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("n"))
+    val dropped = assigned.toDF("id_a", "cell", "va", "na")
+      .hint("shuffle_hash")
+      .join(assigned.toDF("id_b", "cell", "vb", "nb"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= theta)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(dropped), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("is_dropped"), lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semDedupClusterSql: String = {
+    def cos(a: String, b: String): String =
+      s"""list_reduce(list_transform(generate_series(1, len($a)),
+         |      i -> $a[i] * $b[i]), (x, y) -> x + y)
+         |  / (sqrt(list_reduce(list_transform(generate_series(1, len($a)),
+         |        i -> $a[i] * $a[i]), (x, y) -> x + y))
+         |   * sqrt(list_reduce(list_transform(generate_series(1, len($b)),
+         |        i -> $b[i] * $b[i]), (x, y) -> x + y)))""".stripMargin
+    s"""WITH ${VecCorpusSql},
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (
+       |      ORDER BY (vec_id * 2654435761) % 999983, vec_id) - 1 AS cell,
+       |    v AS cv
+       |  FROM vecs
+       |  ORDER BY (vec_id * 2654435761) % 999983, vec_id LIMIT 8),
+       |assigned AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT a.vec_id, s.cell, a.v,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cos("a.v", "s.cv")} DESC, s.cell) AS crn
+       |    FROM vecs a, seeds s)
+       |  WHERE crn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.v", "b.v")} >= 0.99)
+       |SELECT x.vec_id, CAST(x.cell AS BIGINT) AS cell,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM assigned x LEFT JOIN dropped d ON x.vec_id = d.vec_id
+       |ORDER BY x.vec_id""".stripMargin
+  }
+
   /** Signed random projection (Achlioptas-style ±1 matrix) from 64 to
     * 8 dimensions — the dimensionality-reduction front end a 100 TB
     * ANN build runs before indexing: dot products against 8 FIXED
@@ -3062,9 +3158,12 @@ object Similarity {
       hardNegatives(s, d)),
     "sim_topk_mips"       -> ((s: SparkSession, d: String) =>
       topKMips(s, d)),
-    "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)))
+    "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)),
+    "sim_semdedup_cluster" -> ((s: SparkSession, d: String) =>
+      semDedupCluster(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "sim_semdedup_cluster" -> semDedupClusterSql,
     "embed_cos_hist" -> cosHistSql,
     "sim_recall_curve" -> recallCurveSql,
     "sim_dbscan" -> dbscanSql,
