@@ -430,12 +430,16 @@ object Dedup {
     // Mirror by explode, not union: a union doubles the cached
     // partition count (cached plans keep their physical partitioning),
     // and every propagation round below pays that task count again.
+    // localCheckpoint, not cache: every round re-plans the join below,
+    // and a cache keeps the DETECTOR's whole plan subtree (LSH
+    // explodes, literal planes, n-gram joins) inside that per-round
+    // optimization; the checkpoint truncates it to a LogicalRDD once.
     val edges = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
+      .localCheckpoint()
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     // Min-label propagation only ever DECREASES labels, so an
     // unchanged label SUM is an exact fixpoint test — one aggregate
