@@ -2367,7 +2367,69 @@ object Evaluation {
       |  (2 * tp * 1000000) // (n_pred + n_gold) AS f1_ppm
       |FROM agg""".stripMargin
 
+  /** Preference-data consistency audit: the fraction of CYCLIC triads
+    * (i≻j≻k≻i) in a pairwise-preference tournament — the first number
+    * an RLHF data pipeline reads before fitting Bradley–Terry (a
+    * transitive annotator set has ~0; heavy cycling means label noise
+    * or genuinely non-transitive raters, and BT margins are then
+    * fiction). Matches are a complete deterministic tournament over
+    * the first 60 doc ids with winners from the multiplicative-hash
+    * convention ((a·2654435761 + b·40503) mod 97 — integer arithmetic
+    * both engines evaluate identically).
+    *
+    * Counting uses the tournament identity (Moon): cyclic triads =
+    * C(n,3) − Σ_v C(outdeg(v), 2) — ONE groupBy over the match list
+    * plus integer algebra, instead of the O(n³) triple join a naive
+    * census would plan. Scale: the match list shuffles once on
+    * winner; everything downstream is a scalar. All-BIGINT output. */
+  def prefCycles(s: SparkSession, dir: String, n: Int = 60): DataFrame = {
+    val ids = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < n).select(col("doc_id").as("a"))
+    val matches = ids.crossJoin(broadcast(ids.toDF("b")))
+      .filter(col("a") < col("b"))
+      .select(when(
+        pmod(col("a") * lit(2654435761L) + col("b") * lit(40503L),
+          lit(97)) < 49, col("a")).otherwise(col("b")).as("winner"))
+    matches.groupBy(col("winner"))
+      .agg(count(lit(1)).as("outdeg"))
+      .agg(sum(col("outdeg")).as("n_matches"),
+        sum(col("outdeg") * (col("outdeg") - 1)).as("trans2"))
+      .select(
+        lit(n.toLong).as("n_items"),
+        col("n_matches"),
+        lit(n.toLong * (n - 1) * (n - 2) / 6).as("n_triads"),
+        (lit(n.toLong * (n - 1) * (n - 2) / 6) -
+          expr("trans2 div 2")).as("n_cyclic"))
+      .select(col("n_items"), col("n_matches"), col("n_triads"),
+        col("n_cyclic"),
+        expr("(n_cyclic * 1000000) div n_triads").as("cyclic_ppm"))
+  }
+
+  def prefCyclesSql(n: Int = 60): String =
+    s"""WITH ids AS (
+       |  SELECT doc_id AS a FROM documents WHERE doc_id < $n),
+       |matches AS (
+       |  SELECT CASE WHEN (a.a * 2654435761 + b.a * 40503) % 97 < 49
+       |    THEN a.a ELSE b.a END AS winner
+       |  FROM ids a JOIN ids b ON a.a < b.a),
+       |deg AS (
+       |  SELECT winner, COUNT(*) AS outdeg FROM matches GROUP BY winner),
+       |agg AS (
+       |  SELECT CAST(SUM(outdeg) AS BIGINT) AS n_matches,
+       |    CAST(SUM(outdeg * (outdeg - 1)) AS BIGINT) AS trans2
+       |  FROM deg)
+       |SELECT CAST($n AS BIGINT) AS n_items, n_matches,
+       |  CAST($n * ($n - 1) * ($n - 2) / 6 AS BIGINT) AS n_triads,
+       |  CAST($n * ($n - 1) * ($n - 2) / 6 - trans2 / 2 AS BIGINT)
+       |    AS n_cyclic,
+       |  (CAST($n * ($n - 1) * ($n - 2) / 6 - trans2 / 2 AS BIGINT)
+       |    * 1000000)
+       |    // CAST($n * ($n - 1) * ($n - 2) / 6 AS BIGINT) AS cyclic_ppm
+       |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_pref_cycles" -> ((s: SparkSession, d: String) =>
+      prefCycles(s, d)),
     "eval_span_f1" -> (spanF1 _),
     "eval_auc_slices" -> (aucSlices _),
     "eval_pass_at_k" -> (passAtK _),
@@ -2401,6 +2463,7 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_pref_cycles" -> prefCyclesSql(),
     "eval_span_f1" -> spanF1Sql,
     "eval_auc_slices" -> aucSlicesSql,
     "eval_pass_at_k" -> passAtKSql,

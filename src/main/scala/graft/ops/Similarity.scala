@@ -2528,6 +2528,76 @@ object Similarity {
        |WHERE f.a < f.b
        |ORDER BY f.a, f.b""".stripMargin
 
+  /** Label-noise screening by kNN agreement (the confident-learning
+    * heuristic): for each vector, how many of its k nearest cosine
+    * neighbors share its label — a vector out-voted by its own
+    * neighborhood (`agree·2 < k`) is a mislabeling SUSPECT, the
+    * standard pre-training screen before a labeled corpus feeds a
+    * classifier head. Exact-integer outputs: the agreement count is
+    * a BIGINT in [0, k], the flag a boolean.
+    *
+    * Same bounded premise as [[knnGraph]] (vec_id < n sub-corpus,
+    * exact brute-force kNN as the oracle-checkable baseline — ranks
+    * are deterministic under the cosine + vec_id tiebreak); at
+    * corpus scale the neighbor stage swaps for the [[annLsh]]/
+    * [[annIvf]] bucketed candidates, and the label-agreement
+    * aggregate — one groupBy over n·k id pairs — is unchanged. */
+  def labelNoiseKnn(s: SparkSession, dir: String, k: Int = 5,
+      n: Int = 100): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val lbl = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < n)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    val sub = vecs(s, dir).filter(col("vec_id") < n)
+      .withColumn("nm", norm(col("v"))).localCheckpoint()
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("sim").desc, col("b"))
+    val knn = sub.toDF("a", "av", "an").repartition(par)
+      .crossJoin(broadcast(sub.toDF("b", "bv", "bn")))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim",
+        dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"))
+    val agree = knn
+      .join(broadcast(lbl.toDF("a", "la")), "a")
+      .join(broadcast(lbl.toDF("b", "lb")), "b")
+      .groupBy(col("a"))
+      .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+        .as("agree_at_k"))
+    lbl.join(broadcast(agree.withColumnRenamed("a", "vec_id")),
+        "vec_id")
+      .select(col("vec_id"), col("label"), col("agree_at_k"),
+        (col("agree_at_k") * 2 < k).as("suspect"))
+      .orderBy(col("vec_id"))
+  }
+
+  def labelNoiseKnnSql(k: Int = 5, n: Int = 100): String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < $n),
+       |knn AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      $CosineSql
+       |      DESC, b.vec_id) AS rank
+       |  FROM vecs a, vecs b WHERE a.vec_id <> b.vec_id),
+       |agree AS (
+       |  SELECT t.a AS vec_id,
+       |    CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS agree_at_k
+       |  FROM knn t
+       |  JOIN embeddings la ON la.vec_id = t.a
+       |  JOIN embeddings lb ON lb.vec_id = t.b
+       |  WHERE t.rank <= $k
+       |  GROUP BY t.a)
+       |SELECT g.vec_id, CAST(e.label AS BIGINT) AS label,
+       |  g.agree_at_k, (g.agree_at_k * 2 < $k) AS suspect
+       |FROM agree g JOIN embeddings e ON e.vec_id = g.vec_id
+       |ORDER BY g.vec_id""".stripMargin
+
   /** Triplet mining for metric-learning — per anchor, the training
     * triple (anchor, hardest positive, hardest negative): the
     * FARTHEST same-label vector (the positive the model must pull
@@ -3160,10 +3230,13 @@ object Similarity {
       topKMips(s, d)),
     "embed_kmeans" -> ((s: SparkSession, d: String) => kmeans(s, d)),
     "sim_semdedup_cluster" -> ((s: SparkSession, d: String) =>
-      semDedupCluster(s, d)))
+      semDedupCluster(s, d)),
+    "embed_label_noise" -> ((s: SparkSession, d: String) =>
+      labelNoiseKnn(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_semdedup_cluster" -> semDedupClusterSql,
+    "embed_label_noise" -> labelNoiseKnnSql(),
     "embed_cos_hist" -> cosHistSql,
     "sim_recall_curve" -> recallCurveSql,
     "sim_dbscan" -> dbscanSql,

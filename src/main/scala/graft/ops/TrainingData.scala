@@ -1859,7 +1859,63 @@ object TrainingData {
       |FROM turns GROUP BY conv_id
       |ORDER BY conv_id""".stripMargin
 
+  /** Shared-prefix reuse audit (the data-side view of automatic
+    * prefix caching / radix-attention KV reuse): among sequences at
+    * least L tokens long, how many share their first-L-token prefix
+    * with an earlier sequence, and how many prompt tokens a
+    * prefix-cached server would NOT recompute (duplicate copies ×
+    * L). Read per candidate prefix length L ∈ {4, 8, 16} before
+    * choosing a cache block size — savings grow with duplicate mass
+    * but shrink with L, and this emits the whole tradeoff curve in
+    * one pass.
+    *
+    * Scale: one explode of 3 L-values per doc (no joins), then a
+    * (L, prefix) groupBy whose shuffle carries prefix strings capped
+    * at L words — map-side combinable, state = distinct prefixes.
+    * All-BIGINT output. The trailing-space document format yields a
+    * final empty split token, so "at least L words" is
+    * `size(split)−1 ≥ L` — identical in DuckDB's string_split. */
+  def prefixShare(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
+    val grouped = toks
+      .select(explode(lit(Array(4, 8, 16))).as("l"), col("w"))
+      .filter(size(col("w")) - 1 >= col("l"))
+      .select(col("l"),
+        array_join(slice(col("w"), lit(1), col("l")), " ").as("p"))
+      .groupBy(col("l"), col("p"))
+      .agg(count(lit(1)).as("copies"))
+    grouped.groupBy(col("l"))
+      .agg(sum(col("copies")).as("n_seqs"),
+        count(lit(1)).as("n_distinct_prefixes"),
+        sum(col("copies") - 1).as("dup_seqs"),
+        sum((col("copies") - 1) * col("l")).as("saved_tokens"))
+      .select(col("l").cast(LongType).as("prefix_words"),
+        col("n_seqs"), col("n_distinct_prefixes"), col("dup_seqs"),
+        col("saved_tokens"))
+      .orderBy(col("prefix_words"))
+  }
+
+  val prefixShareSql: String =
+    """WITH t AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents),
+      |ls AS (SELECT 4 AS l UNION ALL SELECT 8 UNION ALL SELECT 16),
+      |e AS (
+      |  SELECT ls.l,
+      |    array_to_string(list_slice(t.w, 1, ls.l), ' ') AS p
+      |  FROM t, ls
+      |  WHERE len(t.w) - 1 >= ls.l),
+      |g AS (SELECT l, p, COUNT(*) AS copies FROM e GROUP BY l, p)
+      |SELECT CAST(l AS BIGINT) AS prefix_words,
+      |  CAST(SUM(copies) AS BIGINT) AS n_seqs,
+      |  COUNT(*) AS n_distinct_prefixes,
+      |  CAST(SUM(copies - 1) AS BIGINT) AS dup_seqs,
+      |  CAST(SUM((copies - 1) * l) AS BIGINT) AS saved_tokens
+      |FROM g GROUP BY l
+      |ORDER BY prefix_words""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_prefix_share" -> (prefixShare _),
     "pack_loss_mask" -> (lossMask _),
     "pack_mlm_mask" -> (mlmMask _),
     "pack_mask_waste" -> ((s: SparkSession, d: String) => maskWaste(s, d)),
@@ -1893,6 +1949,7 @@ object TrainingData {
     "pii_scrub"          -> ((s, d) => piiScrub(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "pack_prefix_share" -> prefixShareSql,
     "pack_loss_mask" -> lossMaskSql,
     "pack_mlm_mask" -> mlmMaskSql,
     "pack_mask_waste" -> maskWasteSql,
