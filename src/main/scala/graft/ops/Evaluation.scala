@@ -1832,6 +1832,111 @@ object Evaluation {
     * aggregate; the comparison join is WITHIN (user, day) groups
     * (bounded ×types fanout, never corpus×corpus); everything after
     * runs on the O(types²) win matrix. */
+  /** Wilson 95% score intervals on pairwise win rates — the
+    * closed-form binomial CI an A/B or preference-eval readout uses
+    * when bootstrap is overkill: per ordered pair, the interval for
+    * P(a beats b) and whether it excludes 1/2 (a DECIDED pair). Same
+    * duel source as [[bradleyTerry]] (within-(user, day) count
+    * comparisons — bounded ×types fanout).
+    *
+    * Determinism: wins/n are exact BIGINTs; the interval is ONE fixed
+    * syntactic float expression per bound (z written as 1.96·1.96,
+    * never a pre-multiplied literal — the product and the constant
+    * parse to DIFFERENT doubles), floored at 1e6. sqrt/division only
+    * (the cross-engine-safe float set). Scale: one groupBy over the
+    * duel list; output is O(types²) metadata. */
+  def wilsonWinCi(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = counts.toDF("user_id", "day", "ta", "ca")
+    val b = counts.toDF("user_id", "day", "tb", "cb")
+    val duels = a.join(b, Seq("user_id", "day"))
+      .filter(col("ta") < col("tb"))
+      .filter(col("ca") =!= col("cb"))
+      .groupBy(col("ta").as("item_a"), col("tb").as("item_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("wins_a"))
+    duels
+      .withColumn("lo_e6", expr(
+        "CAST(floor(((CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)" +
+        " + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))" +
+        " - 1.96 * sqrt(CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)" +
+        "   * (1.0 - CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE))" +
+        "   / CAST(n AS DOUBLE)" +
+        "   + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))" +
+        " / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)" +
+        " AS BIGINT)"))
+      .withColumn("hi_e6", expr(
+        "CAST(floor(((CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)" +
+        " + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))" +
+        " + 1.96 * sqrt(CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)" +
+        "   * (1.0 - CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE))" +
+        "   / CAST(n AS DOUBLE)" +
+        "   + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))" +
+        " / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)" +
+        " AS BIGINT)"))
+      .select(col("item_a"), col("item_b"), col("n"), col("wins_a"),
+        expr("(wins_a * 1000000) div n").as("p_ppm"),
+        col("lo_e6"), col("hi_e6"),
+        (col("lo_e6") > 500000L || col("hi_e6") < 500000L)
+          .as("decided"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  val wilsonWinCiSql: String =
+    """WITH counts AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE), event_type),
+      |duels AS (
+      |  SELECT a.event_type AS item_a, b.event_type AS item_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN a.cnt > b.cnt THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS wins_a
+      |  FROM counts a JOIN counts b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |    AND a.event_type < b.event_type
+      |  WHERE a.cnt <> b.cnt
+      |  GROUP BY a.event_type, b.event_type)
+      |SELECT item_a, item_b, n, wins_a,
+      |  (wins_a * 1000000) // n AS p_ppm,
+      |  CAST(floor(((CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+      |    - 1.96 * sqrt(CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * (1.0 - CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+      |    AS BIGINT) AS lo_e6,
+      |  CAST(floor(((CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+      |    + 1.96 * sqrt(CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * (1.0 - CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+      |    AS BIGINT) AS hi_e6,
+      |  (CAST(floor(((CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+      |    - 1.96 * sqrt(CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * (1.0 - CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+      |    AS BIGINT) > 500000
+      |   OR CAST(floor(((CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+      |    + 1.96 * sqrt(CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * (1.0 - CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+      |    AS BIGINT) < 500000) AS decided
+      |FROM duels
+      |ORDER BY item_a, item_b""".stripMargin
+
   def bradleyTerry(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"),
@@ -2430,6 +2535,7 @@ object Evaluation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_pref_cycles" -> ((s: SparkSession, d: String) =>
       prefCycles(s, d)),
+    "eval_wilson_ci" -> (wilsonWinCi _),
     "eval_span_f1" -> (spanF1 _),
     "eval_auc_slices" -> (aucSlices _),
     "eval_pass_at_k" -> (passAtK _),
@@ -2464,6 +2570,7 @@ object Evaluation {
 
   def oracle: Map[String, String] = Map(
     "eval_pref_cycles" -> prefCyclesSql(),
+    "eval_wilson_ci" -> wilsonWinCiSql,
     "eval_span_f1" -> spanF1Sql,
     "eval_auc_slices" -> aucSlicesSql,
     "eval_pass_at_k" -> passAtKSql,

@@ -2528,6 +2528,83 @@ object Similarity {
        |WHERE f.a < f.b
        |ORDER BY f.a, f.b""".stripMargin
 
+  /** Hybrid-retrieval fusion by reciprocal rank (RRF, Cormack et al.
+    * 2009): fuse the BM25 lexical top-k ([[TextAnalysis.bm25TopK]],
+    * the gate's own term query) with the cosine semantic top-k
+    * (query vector 0's neighborhood, vec_id ≡ doc_id in the shared
+    * id space) as Σ 1/(c + rank) over the lists a document appears
+    * in — the standard RAG-era trick that needs NO score calibration
+    * between the two retrievers because only ranks enter.
+    *
+    * Exactness: each reciprocal term is floored at 1e9 scale BEFORE
+    * the (integer) sum — `10⁹ div (c + rank)` — the
+    * snapped-term-before-sum convention, so the fused score is an
+    * exact BIGINT both engines compute identically.
+    *
+    * Scale: both input rankings are top-k lists (metadata); the
+    * fusion is a k-row FULL OUTER join + one ordered limit. The
+    * retrievers themselves carry the scale story (BM25's pushed
+    * `isin` scan + TakeOrdered; ANN tiers for the semantic side). */
+  def rrfFusion(s: SparkSession, dir: String, k: Int = 20,
+      kOut: Int = 10, c: Int = 60): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val wLex = Window.orderBy(col("score6").desc, col("doc_id"))
+    val lex = graft.ops.TextAnalysis.bm25TopK(s, dir, k = k)
+      .withColumn("lex_rank", row_number().over(wLex))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val base = vecs(s, dir)
+    val q = base.filter(col("vec_id") === 0)
+      .withColumn("qn", norm(col("v"))).toDF("qid", "qv", "qn")
+    val semTop = base.withColumn("tn", norm(col("v")))
+      .toDF("target_id", "tv", "tn").repartition(par)
+      .crossJoin(broadcast(q))
+      .filter(col("target_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qv"), col("tv")) /
+        (col("qn") * col("tn")))
+      .select(col("target_id"), col("sim"))
+      .orderBy(col("sim").desc, col("target_id")).limit(k)
+    val wSem = Window.orderBy(col("sim").desc, col("target_id"))
+    val sem = semTop.withColumn("sem_rank", row_number().over(wSem))
+      .select(col("target_id").as("id"), col("sem_rank"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(expr(s"1000000000 div ($c + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($c + sem_rank)"), lit(0L)))
+          .as("rrf_e9"),
+        col("lex_rank").isNotNull.as("in_lex"),
+        col("sem_rank").isNotNull.as("in_sem"))
+      .orderBy(col("rrf_e9").desc, col("id"))
+      .limit(kOut)
+  }
+
+  def rrfFusionSql(k: Int = 20, kOut: Int = 10, c: Int = 60): String =
+    s"""WITH bm AS (${graft.ops.TextAnalysis.bm25TopKSql}),
+       |lex AS (
+       |  SELECT doc_id AS id,
+       |    ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id) AS lex_rank
+       |  FROM bm),
+       |vecs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |sem_scored AS (
+       |  SELECT b.vec_id AS target_id, ${CosineSql} AS sim
+       |  FROM vecs a, vecs b
+       |  WHERE a.vec_id = 0 AND b.vec_id <> 0),
+       |sem AS (
+       |  SELECT target_id AS id,
+       |    ROW_NUMBER() OVER (ORDER BY sim DESC, target_id) AS sem_rank
+       |  FROM sem_scored
+       |  ORDER BY sim DESC, target_id LIMIT $k)
+       |SELECT COALESCE(lex.id, sem.id) AS id,
+       |  CAST(COALESCE(1000000000 // ($c + lex_rank), 0)
+       |     + COALESCE(1000000000 // ($c + sem_rank), 0) AS BIGINT)
+       |    AS rrf_e9,
+       |  (lex_rank IS NOT NULL) AS in_lex,
+       |  (sem_rank IS NOT NULL) AS in_sem
+       |FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+       |ORDER BY rrf_e9 DESC, id
+       |LIMIT $kOut""".stripMargin
+
   /** Label-noise screening by kNN agreement (the confident-learning
     * heuristic): for each vector, how many of its k nearest cosine
     * neighbors share its label — a vector out-voted by its own
@@ -3232,11 +3309,14 @@ object Similarity {
     "sim_semdedup_cluster" -> ((s: SparkSession, d: String) =>
       semDedupCluster(s, d)),
     "embed_label_noise" -> ((s: SparkSession, d: String) =>
-      labelNoiseKnn(s, d)))
+      labelNoiseKnn(s, d)),
+    "sim_rrf_fusion" -> ((s: SparkSession, d: String) =>
+      rrfFusion(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_semdedup_cluster" -> semDedupClusterSql,
     "embed_label_noise" -> labelNoiseKnnSql(),
+    "sim_rrf_fusion" -> rrfFusionSql(),
     "embed_cos_hist" -> cosHistSql,
     "sim_recall_curve" -> recallCurveSql,
     "sim_dbscan" -> dbscanSql,
