@@ -2542,9 +2542,10 @@ object Similarity {
     * exact BIGINT both engines compute identically.
     *
     * Scale: both input rankings are top-k lists (metadata); the
-    * fusion is a k-row FULL OUTER join + one ordered limit. The
-    * retrievers themselves carry the scale story (BM25's pushed
-    * `isin` scan + TakeOrdered; ANN tiers for the semantic side). */
+    * fusion is a UNION + groupBy(id) — no join at all, and the same
+    * shape fuses m retrievers, not just two. The retrievers
+    * themselves carry the scale story (BM25's pushed `isin` scan +
+    * TakeOrdered; ANN tiers for the semantic side). */
   def rrfFusion(s: SparkSession, dir: String, k: Int = 20,
       kOut: Int = 10, c: Int = 60): DataFrame = {
     val par = s.sparkContext.defaultParallelism
@@ -2566,13 +2567,16 @@ object Similarity {
     val wSem = Window.orderBy(col("sim").desc, col("target_id"))
     val sem = semTop.withColumn("sem_rank", row_number().over(wSem))
       .select(col("target_id").as("id"), col("sem_rank"))
-    lex.join(sem, Seq("id"), "full_outer")
-      .select(col("id"),
-        (coalesce(expr(s"1000000000 div ($c + lex_rank)"), lit(0L)) +
-          coalesce(expr(s"1000000000 div ($c + sem_rank)"), lit(0L)))
-          .as("rrf_e9"),
-        col("lex_rank").isNotNull.as("in_lex"),
-        col("sem_rank").isNotNull.as("in_sem"))
+    lex.select(col("id"),
+        expr(s"1000000000 div ($c + lex_rank)").as("term"),
+        lit(1L).as("lex"), lit(0L).as("sem"))
+      .unionByName(sem.select(col("id"),
+        expr(s"1000000000 div ($c + sem_rank)").as("term"),
+        lit(0L).as("lex"), lit(1L).as("sem")))
+      .groupBy(col("id"))
+      .agg(sum(col("term")).as("rrf_e9"),
+        (max(col("lex")) === 1L).as("in_lex"),
+        (max(col("sem")) === 1L).as("in_sem"))
       .orderBy(col("rrf_e9").desc, col("id"))
       .limit(kOut)
   }
@@ -2595,13 +2599,15 @@ object Similarity {
        |    ROW_NUMBER() OVER (ORDER BY sim DESC, target_id) AS sem_rank
        |  FROM sem_scored
        |  ORDER BY sim DESC, target_id LIMIT $k)
-       |SELECT COALESCE(lex.id, sem.id) AS id,
-       |  CAST(COALESCE(1000000000 // ($c + lex_rank), 0)
-       |     + COALESCE(1000000000 // ($c + sem_rank), 0) AS BIGINT)
-       |    AS rrf_e9,
-       |  (lex_rank IS NOT NULL) AS in_lex,
-       |  (sem_rank IS NOT NULL) AS in_sem
-       |FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+       |, terms AS (
+       |  SELECT id, 1000000000 // ($c + lex_rank) AS term,
+       |    1 AS lex, 0 AS sem FROM lex
+       |  UNION ALL
+       |  SELECT id, 1000000000 // ($c + sem_rank) AS term,
+       |    0 AS lex, 1 AS sem FROM sem)
+       |SELECT id, CAST(SUM(term) AS BIGINT) AS rrf_e9,
+       |  (MAX(lex) = 1) AS in_lex, (MAX(sem) = 1) AS in_sem
+       |FROM terms GROUP BY id
        |ORDER BY rrf_e9 DESC, id
        |LIMIT $kOut""".stripMargin
 
