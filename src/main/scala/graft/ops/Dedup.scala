@@ -434,11 +434,19 @@ object Dedup {
     // and a cache keeps the DETECTOR's whole plan subtree (LSH
     // explodes, literal planes, n-gram joins) inside that per-round
     // optimization; the checkpoint truncates it to a LogicalRDD once.
+    // The repartition(src) before the checkpoint is SIZE-ADAPTIVE
+    // round-cost control: it gives AQE a shuffle to coalesce, so a
+    // metadata-sized edge set materializes as 1–2 partitions (each
+    // propagation round then schedules ~2 map tasks, not 32× the
+    // detector's partitioning) while a corpus-sized edge set keeps
+    // its width — and either way the rounds inherit a standing
+    // hash(src) clustering.
     val edges = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
       .localCheckpoint()
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     // Min-label propagation only ever DECREASES labels, so an
