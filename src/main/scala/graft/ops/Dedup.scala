@@ -1924,7 +1924,113 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Streaming twin of [[minhashLsh]]: near-duplicate PAIR MINING as
+    * batches arrive, with genuinely incremental state — per batch the
+    * engine computes band keys and shingle sets for the NEW docs
+    * only, joins the new keys against the accumulated band table
+    * (equi join on (band, bucket) — new×all, never all×all again),
+    * verifies candidates with exact Jaccard against the accumulated
+    * shingle store, and appends. Each unordered pair is emitted
+    * exactly once: a candidate needs a new-side member, so within-
+    * batch pairs appear once (least/greatest + distinct) and
+    * new×state pairs can never recur in a later batch.
+    *
+    * Convergence gate: after the two-batch replay of the SAME mutated
+    * corpus the batch operator reads, the accumulated pair set must
+    * equal [[minhashLsh]]'s output — the oracle IS the batch gate's
+    * SQL verbatim. State size: band keys are 24 B/doc-band and the
+    * shingle store is the dedup working set (both append-only
+    * parquet here; a keyed store at 100 TB — the same swap
+    * [[streamDupRate]] documents). */
+  def streamMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.functions.TextFunctions
+    def scratch(name: String): String =
+      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    val srcDir = scratch("mhstream/src")
+    val keysDir = scratch("mhstream/keys")
+    val hashDir = scratch("mhstream/hashes")
+    val pairsDir = scratch("mhstream/pairs")
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "mhstream_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val fs = new Path(srcDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def rm(p: String): Unit =
+      fs.delete(new Path(p), true): Unit
+    def existing(p: String): Option[DataFrame] =
+      if (fs.exists(new Path(p))) Some(s.read.parquet(p)) else None
+    val corpus = DocCorpus.withDuplicates(s, dir)
+      .select(col("doc_id"), col("text"))
+    graft.Scaffold.setup {
+      Seq(srcDir, keysDir, hashDir, pairsDir, ck).foreach(rm)
+      corpus.filter(col("doc_id") % 2 === 0).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    val q = s.readStream.schema(corpus.schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val hashed = batch
+          .select(col("doc_id"),
+            shingleHashes(lower(col("text")), 3).as("hashes"))
+          .filter(size(col("hashes")) > 0)
+          .localCheckpoint()
+        val newKeys = hashed
+          .select(col("doc_id"), posexplode(TextFunctions.minhashBands(
+            TextFunctions.minhashSignatureOfHashes(col("hashes")),
+            8, 4)))
+          .select(col("doc_id"),
+            col("col.band").as("band"), col("col.bucket").as("bucket"))
+          // consumed twice (candidate join + state append) and unioned
+          // into allKeys — materialize once or the posexplode subplan
+          // lands on both join sides (measured 7.9 → 17.8 s without)
+          .localCheckpoint()
+        val allKeys = existing(keysDir)
+          .map(_.unionByName(newKeys)).getOrElse(newKeys)
+        val allHashes = existing(hashDir)
+          .map(_.unionByName(hashed)).getOrElse(hashed)
+        val cand = newKeys.toDF("id_x", "band", "bucket")
+          .join(allKeys.toDF("id_y", "band", "bucket"),
+            Seq("band", "bucket"))
+          .filter(col("id_x") =!= col("id_y"))
+          .select(least(col("id_x"), col("id_y")).as("id_a"),
+            greatest(col("id_x"), col("id_y")).as("id_b"))
+          .distinct()
+        val hof = allHashes.select(col("doc_id"), col("hashes"))
+        val newPairs = cand
+          .join(hof.toDF("id_a", "h_a"), "id_a")
+          .join(hof.toDF("id_b", "h_b"), "id_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("h_a"), col("h_b")))
+              .cast(DoubleType) /
+            size(array_union(col("h_a"), col("h_b"))).cast(DoubleType))
+          .filter(col("jaccard") >= 0.6)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+        newPairs.write.mode("append").parquet(pairsDir)
+        newKeys.write.mode("append").parquet(keysDir)
+        hashed.write.mode("append").parquet(hashDir)
+        ss.catalog.clearCache()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.Scaffold.setup {
+        corpus.filter(col("doc_id") % 2 =!= 0).write
+          .mode("append").parquet(srcDir)
+      }
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.streaming.EventStreams.dropCheckpoint(ck)
+    }
+    s.read.parquet(pairsDir)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_minhash_lsh" -> (streamMinhashLsh _),
     "stream_dedup_rate" -> (streamDupRate _),
     "dedup_rate_by_source" -> (dupRateBySource _),
     "dedup_cdc_chunks" ->
@@ -1962,6 +2068,8 @@ object Dedup {
     "dedup_rate_by_source" -> dupRateBySourceSql,
     // the incremental twin must converge to the batch scoreboard
     "stream_dedup_rate" -> dupRateBySourceSql,
+    // the incremental pair miner must converge to the batch pair set
+    "stream_minhash_lsh" -> minhashLshSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_suffix_prefix" -> suffixPrefixSql(),
     "dedup_minhash_estimate" -> minhashEstimateSql(),

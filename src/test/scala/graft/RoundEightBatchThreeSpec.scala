@@ -34,6 +34,17 @@ class RoundEightBatchThreeSpec extends SparkSpec {
       assert(both.max >= single.min)
   }
 
+  test("streaming minhash pair miner converges to the batch operator, " +
+      "each pair exactly once") {
+    val streamed = graft.ops.Dedup.streamMinhashLsh(spark, sf).collect()
+    val batch = graft.ops.Dedup.minhashLsh(spark, sf).collect()
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)),
+      s"stream=${streamed.length} batch=${batch.length}")
+    // exactly-once: no pair appears twice in the accumulated state
+    val keys = streamed.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("wilson ci: interval brackets the point estimate, decided is the definition") {
     val rows = graft.ops.Evaluation.wilsonWinCi(spark, sf).collect()
     assert(rows.length == 10) // C(5,2) event-type pairs
