@@ -2029,7 +2029,74 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Survivorship report — the per-document "why was I dropped"
+    * verdict a curation pipeline's debugging pass reads: for every
+    * doc, which dedup stage claims it (`exact` — an earlier doc with
+    * identical normalized text; else `near` — an earlier doc at
+    * shingle-Jaccard ≥ 0.6; else `kept`) and WHICH earlier doc is the
+    * keeper (first-stage-wins, min-id partner; −1 for kept). Composes
+    * the two gated stages verbatim: the exact stage is
+    * [[exactSurvivors]]' fingerprint groups (same hash-not-payload
+    * shuffle, same collision stance), the near stage is
+    * [[minhashLshPairs]] (LSH candidates + exact-Jaccard verify).
+    *
+    * Scale: one fp self-join (the exact-dedup shuffle), the LSH pair
+    * pipeline, then two hash left-joins of id-only partner frames —
+    * shuffle_hash-hinted since partner frames are dup-count-sized
+    * (not broadcastable by premise at 100 TB). */
+  def survivorship(s: SparkSession, dir: String): DataFrame = {
+    val corpus = DocCorpus.withDuplicates(s, dir)
+    val fp = corpus.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val exactPartner = fp
+      .join(fp.toDF("e_id", "fp"), "fp")
+      .filter(col("e_id") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("e_id")).as("ex_partner"))
+    val nearPartner = minhashLshPairs(corpus)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("nr_partner"))
+    corpus.select(col("doc_id"))
+      .hint("shuffle_hash")
+      .join(exactPartner, Seq("doc_id"), "left")
+      .hint("shuffle_hash")
+      .join(nearPartner, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_partner").isNotNull, lit("exact"))
+          .when(col("nr_partner").isNotNull, lit("near"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("ex_partner"), col("nr_partner"), lit(-1L))
+          .as("partner"))
+      .orderBy(col("doc_id"))
+  }
+
+  val survivorshipSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |normed AS (
+       |  SELECT doc_id, ${DocCorpus.NormalizeSql} AS norm FROM corpus),
+       |ex AS (
+       |  SELECT n.doc_id, MIN(e.doc_id) AS partner
+       |  FROM normed n JOIN normed e
+       |    ON e.norm = n.norm AND e.doc_id < n.doc_id
+       |  GROUP BY n.doc_id),
+       |${FullShingleSetsSql},
+       |nr AS (
+       |  SELECT b.doc_id, MIN(a.doc_id) AS partner
+       |  FROM shingled a, shingled b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+       |  GROUP BY b.doc_id)
+       |SELECT c.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+       |       ELSE 'kept' END AS verdict,
+       |  CAST(COALESCE(ex.partner, nr.partner, -1) AS BIGINT) AS partner
+       |FROM corpus c
+       |LEFT JOIN ex ON ex.doc_id = c.doc_id
+       |LEFT JOIN nr ON nr.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_survivorship" -> (survivorship _),
     "stream_minhash_lsh" -> (streamMinhashLsh _),
     "stream_dedup_rate" -> (streamDupRate _),
     "dedup_rate_by_source" -> (dupRateBySource _),
@@ -2070,6 +2137,7 @@ object Dedup {
     "stream_dedup_rate" -> dupRateBySourceSql,
     // the incremental pair miner must converge to the batch pair set
     "stream_minhash_lsh" -> minhashLshSql,
+    "dedup_survivorship" -> survivorshipSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_suffix_prefix" -> suffixPrefixSql(),
     "dedup_minhash_estimate" -> minhashEstimateSql(),

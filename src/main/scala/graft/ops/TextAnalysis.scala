@@ -1438,7 +1438,64 @@ object TextAnalysis {
       |    AND sym_ppm <= 100000 AND alpha_ppm >= 800000 AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Distinct-n diversity (the standard text-generation diversity
+    * metric, Li et al. 2016, applied corpus-side): per source and
+    * n ∈ {1,2,3}, the ratio of DISTINCT word n-grams to total n-gram
+    * instances, as exact ppm — low distinct-n means templated or
+    * repetitive text, the signal a curation pass uses to downweight a
+    * feed before any model sees it.
+    *
+    * Scale: one explode of n-gram instances (O(corpus tokens · 3)),
+    * then a (source, n)-keyed aggregate whose distinct-count shuffles
+    * gram strings bounded by 3 words — map-side combinable; no joins.
+    * All-BIGINT output. */
+  def distinctN(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        graft.functions.TextFunctions.tokens(lower(col("text")))
+          .as("toks"))
+    val grams = toks
+      .select(col("source"), explode(lit(Array(1, 2, 3))).as("n"),
+        col("toks"))
+      .filter(size(col("toks")) >= col("n"))
+      .select(col("source"), col("n"),
+        explode(expr("transform(sequence(1, size(toks) - n + 1)," +
+          " i -> array_join(slice(toks, i, n), ' '))")).as("gram"))
+    grams.groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("gram")).as("distinct_ngrams"))
+      .select(col("source"), col("n").cast(LongType).as("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        expr("(distinct_ngrams * 1000000) div total_ngrams")
+          .as("distinct_ppm"))
+      .orderBy(col("source"), col("n"))
+  }
+
+  val distinctNSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |ns AS (SELECT 1 AS n UNION ALL SELECT 2 UNION ALL SELECT 3),
+      |grams AS (
+      |  SELECT t.source, ns.n,
+      |    unnest(list_transform(
+      |      generate_series(1, len(t.toks) - ns.n + 1),
+      |      i -> array_to_string(list_slice(t.toks, i, i + ns.n - 1),
+      |        ' '))) AS gram
+      |  FROM toks t, ns
+      |  WHERE len(t.toks) >= ns.n)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+      |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+      |  (CAST(COUNT(DISTINCT gram) AS BIGINT) * 1000000)
+      |    // CAST(COUNT(*) AS BIGINT) AS distinct_ppm
+      |FROM grams GROUP BY source, n
+      |ORDER BY source, n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_distinct_n" -> (distinctN _),
     "text_gopher_rules" ->
       ((s: SparkSession, d: String) => gopherRules(s, d)),
     "text_textrank" -> ((s: SparkSession, d: String) => textRank(s, d)),
@@ -1467,6 +1524,7 @@ object TextAnalysis {
     "text_tfidf"   -> (tfidfTop _))
 
   def oracle: Map[String, String] = Map(
+    "text_distinct_n" -> distinctNSql,
     "text_gopher_rules" -> gopherRulesSql,
     "text_textrank" -> textRankSql(),
     "text_source_overlap" -> sourceOverlapSql,
