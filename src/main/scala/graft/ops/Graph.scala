@@ -1267,7 +1267,12 @@ object Graph {
     * rounds shuffle O(reached pairs). For node sets where all-pairs
     * is meaningless, the standard swap is sampled-source closeness —
     * the same loop seeded with a hash-sampled source frame. */
-  def closeness(s: SparkSession, dir: String, iters: Int = 6): DataFrame = {
+  /** All-pairs BFS distances over the event-type transition graph —
+    * the shared front end of [[closeness]] and [[harmonic]]: per
+    * source, min-hop distance to every reachable node, with the
+    * post-loop fixpoint assertion (no pair still improvable). */
+  private def typeGraphDistances(s: SparkSession, dir: String,
+      iters: Int): DataFrame = {
     val ev = Tables.events(s, dir)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -1296,9 +1301,14 @@ object Graph {
       .filter(col("cur").isNull || col("cand") < col("cur"))
       .count()
     require(more == 0L,
-      s"closeness: $iters BFS rounds did not reach the fixpoint " +
+      s"type-graph BFS: $iters rounds did not reach the fixpoint " +
       s"($more pairs still improvable) — raise iters on BOTH the " +
       "engine and the unrolled oracle")
+    dist
+  }
+
+  def closeness(s: SparkSession, dir: String, iters: Int = 6): DataFrame = {
+    val dist = typeGraphDistances(s, dir, iters)
     dist.groupBy(col("s").as("node"))
       .agg((count(lit(1)) - 1L).as("n_reach"),
         sum(col("d")).as("sum_d"))
@@ -1309,7 +1319,25 @@ object Graph {
       .orderBy(col("node"))
   }
 
-  def closenessSql(iters: Int = 6): String = {
+  /** Harmonic centrality — Σ 1/d(s, t) over reached nodes, the
+    * disconnected-graph-correct sibling of [[closeness]] (unreached
+    * nodes contribute 0 instead of poisoning a mean): per term
+    * `10⁶ div d` floored BEFORE the integer sum (the snapped-term
+    * convention), so the score is an exact BIGINT. Same BFS front
+    * end, same fixpoint assertion; one aggregate over the distance
+    * table. */
+  def harmonic(s: SparkSession, dir: String, iters: Int = 6): DataFrame = {
+    val dist = typeGraphDistances(s, dir, iters)
+    dist.filter(col("d") > 0)
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr("1000000 div d")).as("harmonic_e6"))
+      .orderBy(col("node"))
+  }
+
+  /** Unrolled BFS CTE chain over the event-type graph — shared by
+    * the closeness and harmonic oracles. */
+  private def typeGraphBfsCte(iters: Int): String = {
     val base =
       """WITH ord AS (
         |  SELECT event_type AS src,
@@ -1330,7 +1358,18 @@ object Graph {
          |    FROM it${i - 1} q JOIN edges e ON e.src = q.node)
          |  GROUP BY s, node)""".stripMargin
     }
-    (base +: steps).mkString(",\n") +
+    (base +: steps).mkString(",\n")
+  }
+
+  def harmonicSql(iters: Int = 6): String =
+    typeGraphBfsCte(iters) +
+      s"""
+         |SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS n_reach,
+         |  CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_e6
+         |FROM it$iters WHERE d > 0 GROUP BY s ORDER BY node""".stripMargin
+
+  def closenessSql(iters: Int = 6): String = {
+    typeGraphBfsCte(iters) +
       s"""
          |SELECT s AS node,
          |  COUNT(*) - 1 AS n_reach,
@@ -2590,6 +2629,7 @@ object Graph {
     "graph_scc" -> ((s, d) => scc(s, d)),
     "graph_betweenness" -> ((s, d) => betweenness(s, d)),
     "graph_closeness" -> ((s, d) => closeness(s, d)),
+    "graph_harmonic" -> ((s, d) => harmonic(s, d)),
     "graph_modularity" -> ((s, d) => modularity(s, d)),
     "graph_degree_stats" -> (degreeStats _),
     "graph_link_predict" -> (linkPredictGate _),
@@ -2625,6 +2665,7 @@ object Graph {
     "graph_scc"         -> sccSql(),
     "graph_betweenness" -> betweennessSql(),
     "graph_closeness"   -> closenessSql(),
+    "graph_harmonic"    -> harmonicSql(),
     "graph_modularity"  -> modularitySql(),
     "graph_link_predict" -> linkPredictSql,
     "graph_label_prop"  -> labelPropagationSql(),

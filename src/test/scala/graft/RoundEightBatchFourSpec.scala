@@ -33,6 +33,22 @@ class RoundEightBatchFourSpec extends SparkSpec {
     assert(keptTruncated < 20, s"$keptTruncated truncated twins kept")
   }
 
+  test("harmonic centrality: bounded by closeness's reach, exact terms") {
+    val h = graft.ops.Graph.harmonic(spark, sf).collect()
+    val c = graft.ops.Graph.closeness(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h.nonEmpty)
+    h.foreach { r =>
+      val (node, nReach, he6) = (r.getString(0), r.getLong(1),
+        r.getLong(2))
+      assert(c(node)._1 == nReach, r.toString) // same BFS, same reach
+      // each of n terms is 10⁶ div d ∈ [10⁶ div maxd, 10⁶]
+      assert(he6 <= nReach * 1000000L, r.toString)
+      assert(he6 >= nReach * (1000000L / math.max(1L, c(node)._2)),
+        r.toString)
+    }
+  }
+
   test("distinct-n: identities and the vocabulary-driven n-gram growth") {
     val rows = graft.ops.TextAnalysis.distinctN(spark, sf).collect()
     assert(rows.length % 3 == 0 && rows.nonEmpty)
