@@ -169,8 +169,23 @@ object TextFunctions {
 
   /** Signature from PRECOMPUTED shingle hashes — for callers that
     * also need the hash array itself (e.g. an empty-shingle-set
-    * guard) and must not compute the shingling twice. */
-  def minhashSignatureOfHashes(hashes: Column, k: Int = 32): Column =
+    * guard) and must not compute the shingling twice. Built on the
+    * codegen'd [[graft.plans.MinhashSignature]] kernel (the HOF
+    * formulation is k interpreted `transform` arms re-walking the
+    * hash array — measured as the dominant projection cost of every
+    * minhash gate); signatures are bit-identical, so every band
+    * bucket and recorded LSH study is unchanged (pinned by spec). */
+  def minhashSignatureOfHashes(hashes: Column, k: Int = 32): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.TextExpressions.register)
+    graft.plans.TextExpressions.minhashSignature(hashes, k)
+  }
+
+  /** The interpreted-HOF signature formulation [[MinhashSignature]]
+    * replaced — kept as the bit-identity witness the kernel's spec
+    * compares against. */
+  private[graft] def minhashSignatureOfHashesHof(hashes: Column,
+      k: Int = 32): Column =
     array((0 until k).map { seed =>
       array_min(transform(hashes, h => xxhash64(h, lit(seed))))
     }: _*)

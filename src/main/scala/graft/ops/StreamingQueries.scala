@@ -220,17 +220,10 @@ object StreamingQueries {
     graft.Scaffold.setup {
       ev.repartition(4).write.mode("overwrite").parquet(srcDir)
     }
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    val out =
-      try EventStreams.runAsStream(s, srcDir, ev.schema,
+    val out = EventStreams.withRocksDb(s) {
+      EventStreams.runAsStream(s, srcDir, ev.schema,
         name + "_" + tag.replace(".", "_"), transform)
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+    }
     out.groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("total_v4"))).as("m"))
       .select(col("user_id"), col("m.n_events").as("n_events"),

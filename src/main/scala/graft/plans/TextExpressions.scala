@@ -175,6 +175,94 @@ case class XxHashArray(child: Expression, seed: Long)
       newChild: Expression): XxHashArray = copy(child = newChild)
 }
 
+/** k-permutation MinHash signature from shingle hashes (array<long>
+  * → array<long> of length k) — the compiled equivalent of
+  * `array((0 until k).map(s => array_min(transform(hashes, h =>
+  * xxhash64(h, lit(s))))))`: k interpreted ArrayTransform arms that
+  * each re-walk the hash array with a lambda alloc per element
+  * (O(n·k) interpreted evals — measured as the dominant cost of every
+  * minhash gate's projection stage). This kernel is ONE pass: per
+  * element the seed-independent inner mix is computed once and the k
+  * seed mixes fold into a running-min array — tight JVM longs, inside
+  * whole-stage codegen.
+  *
+  * Bit-identity contract: Spark's `xxhash64(h, lit(s))` folds BOTH
+  * children into the running hash starting at seed 42 —
+  * `hashInt(s, hashLong(h, 42))` (the seed literal is IntegerType, so
+  * the second fold is hashInt) — and the kernel reproduces exactly
+  * that composition, so signatures, band buckets, and every recorded
+  * LSH study are unchanged. Empty input yields the HOF formulation's
+  * k nulls (array_min of an empty array); callers guard with
+  * `size(hashes) > 0` regardless. */
+case class MinhashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<long> input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) {
+      new GenericArrayData(new Array[Any](k))
+    } else {
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val inner = XXH64.hashLong(arr.getLong(i), 42L)
+        var s = 0
+        while (s < k) {
+          val v = XXH64.hashInt(s, inner)
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val inner = ctx.freshName("inner")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      val boxed = ctx.freshName("boxed")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util
+         |    .GenericArrayData(new Object[$k]);
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $inner = $xxh.hashLong($arr.getLong($i), 42L);
+         |    for (int $s = 0; $s < $k; $s++) {
+         |      long $v = $xxh.hashInt($s, $inner);
+         |      if ($v < $mins[$s]) $mins[$s] = $v;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinhashSignature = copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array: per-bit majority vote of the
   * xxhash64 (seed 42) of each token; bit i is set iff strictly more
   * than half the tokens have it set. Compiled replacement for the
@@ -593,6 +681,7 @@ object TextExpressions {
   val CharEntropyFnName = "graft_char_entropy"
   val JaroWinklerFnName = "graft_jaro_winkler"
   val DamerauFnName = "graft_damerau_levenshtein"
+  val MinhashSigFnName = "graft_minhash_signature"
 
   /** Idempotent per-session registration. n and the short-doc flag
     * must be literals — they parameterize the generated code. */
@@ -611,6 +700,11 @@ object TextExpressions {
           case l: Long => l
           case i: Int => i.toLong
         }),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinhashSigFnName,
+      exprs => MinhashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       SimHashFnName,
@@ -669,6 +763,12 @@ object TextExpressions {
   def xxhashArray(arr: Column, seed: Long = 42L): Column =
     call_function(HashArrayFnName, arr,
       org.apache.spark.sql.functions.lit(seed))
+
+  /** Codegen'd k-permutation MinHash signature over an array<long>
+    * shingle-hash column (see [[MinhashSignature]]). */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    call_function(MinhashSigFnName, hashes,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Codegen'd 64-bit SimHash over a token-array column. */
   def simhash64(tokens: Column): Column =

@@ -328,6 +328,48 @@ object EventStreams {
 
   // ---------------------------------------------------------------- //
 
+  /** Run `f` with the RocksDB state-store provider + changelog
+    * checkpointing scoped to the streaming queries it starts (the
+    * conf is captured at query START, so set-and-restore confines it
+    * to this block). RocksDB keeps keyed state on local disk instead
+    * of executor heap — the 100 TB posture — and changelog
+    * checkpointing ships only the keys a micro-batch TOUCHED to the
+    * checkpoint (vs. a full SST snapshot per batch), which is what
+    * makes per-batch checkpoint I/O proportional to the batch rather
+    * than to accumulated state.
+    *
+    * `statePartitions` (when ≥ 1) additionally scopes
+    * `spark.sql.shuffle.partitions`, which a stateful streaming query
+    * CAPTURES AT START as its state-store partition count, immutable
+    * for the checkpoint's life — the one sizing decision that cannot
+    * be re-planned later (AQE is disabled for stateful workloads).
+    * Every micro-batch pays a fixed open+commit per state store
+    * instance regardless of data, so the count must be sized to
+    * STATE VOLUME, not to the session's batch-shuffle width: a
+    * gate-scale corpus wants a handful, a 100 TB stream wants
+    * thousands. Callers whose state is gate-sized pass a small
+    * count; production reuses the same transform with a count sized
+    * to keys÷(target keys per store). */
+  private[graft] def withRocksDb[T](s: SparkSession,
+      statePartitions: Int = -1)(f: => T): T = {
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider"),
+      ("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled") -> "true") ++
+      (if (statePartitions >= 1)
+        Seq("spark.sql.shuffle.partitions" -> statePartitions.toString)
+      else Seq.empty)
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Checkpoint base for the bounded gate replays: tmpfs when the
     * host offers it, else /tmp. The replays are finite
     * (processAllAvailable over a fixed parquet source) and the

@@ -223,4 +223,43 @@ class TextExpressionsSpec extends SparkSpec {
       .as[Long].collect()(0)
     assert(via === 2L)
   }
+
+  test("minhash signature kernel is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    // real corpus docs + edge shapes (empty set is guarded by callers,
+    // but the kernel must still mirror the HOF's k nulls)
+    val docs = graft.ops.DocCorpus
+      .withDuplicates(spark, "/root/testdata/sf0.001")
+      .limit(200)
+      .select(graft.functions.TextFunctions
+        .shingleHashes(lower(col("text")), 3).as("hashes"))
+      .union(Seq(Seq.empty[Long], Seq(0L), Seq(Long.MinValue, Long.MaxValue, 42L))
+        .toDF("hashes"))
+    for (k <- Seq(1, 32)) {
+      val got = docs.select(
+        graft.functions.TextFunctions
+          .minhashSignatureOfHashes(col("hashes"), k).as("sig")).collect()
+      val want = docs.select(
+        graft.functions.TextFunctions
+          .minhashSignatureOfHashesHof(col("hashes"), k).as("sig")).collect()
+      assert(got.map(r => Option(r.get(0)).map(_.toString)).toSeq ==
+        want.map(r => Option(r.get(0)).map(_.toString)).toSeq, s"k=$k")
+    }
+    // interpreted eval path agrees with the codegen'd column path
+    val kernel = graft.plans.MinhashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), 32)
+    val sample = Array[Any](7L, -9L, 123456789L)
+    val viaEval = kernel.nullSafeEval(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sample))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .array.map(_.asInstanceOf[Long]).toSeq
+    val viaCol = Seq(Seq(7L, -9L, 123456789L)).toDF("hashes")
+      .select(graft.functions.TextFunctions
+        .minhashSignatureOfHashes(col("hashes")).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaEval == viaCol)
+  }
 }
