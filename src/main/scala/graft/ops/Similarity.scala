@@ -2582,7 +2582,7 @@ object Similarity {
   }
 
   def rrfFusionSql(k: Int = 20, kOut: Int = 10, c: Int = 60): String =
-    s"""WITH bm AS (${graft.ops.TextAnalysis.bm25TopKSql}),
+    s"""WITH bm AS (${graft.ops.TextAnalysis.bm25TopKSql(k)}),
        |lex AS (
        |  SELECT doc_id AS id,
        |    ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id) AS lex_rank

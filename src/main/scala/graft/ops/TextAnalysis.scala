@@ -281,7 +281,7 @@ object TextAnalysis {
       .limit(k)
   }
 
-  val bm25TopKSql: String = {
+  def bm25TopKSql(k: Int = 20): String = {
     val terms = Seq("vector", "stream", "merge")
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val tfSel = terms.zipWithIndex.map { case (t, i) =>
@@ -321,7 +321,7 @@ object TextAnalysis {
        |  round($contrib, 6) AS score6
        |FROM per_doc CROSS JOIN stats
        |ORDER BY score6 DESC, doc_id
-       |LIMIT 20""".stripMargin
+       |LIMIT $k""".stripMargin
   }
 
   /** Unigram surprisal — the cheap, deterministic stand-in for
@@ -1542,7 +1542,7 @@ object TextAnalysis {
     "text_pretokenize" -> pretokenizeSql,
     "text_normalize" -> textNormalizeSql,
     "text_heavy_hitters" -> heavyHittersSql,
-    "text_bm25"    -> bm25TopKSql,
+    "text_bm25"    -> bm25TopKSql(),
     "text_chunk"   -> chunkSql,
     "text_surprisal" -> unigramSurprisalSql,
     "text_stats"   -> textStatsSql,

@@ -1872,15 +1872,16 @@ object TrainingData {
     * Scale: one explode of 3 L-values per doc (no joins), then a
     * (L, prefix) groupBy whose shuffle carries prefix strings capped
     * at L words — map-side combinable, state = distinct prefixes.
-    * All-BIGINT output. The trailing-space document format yields a
-    * final empty split token, so "at least L words" is
-    * `size(split)−1 ≥ L` — identical in DuckDB's string_split. */
+    * All-BIGINT output. Tokenization is the shared trim-split-drop-
+    * empties convention ([[graft.functions.TextFunctions.tokens]]),
+    * NOT a trailing-separator assumption — a doc with exactly L words
+    * qualifies whether or not it ends in whitespace. */
   def prefixShare(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
-      .select(split(col("text"), " ").as("w"))
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("w"))
     val grouped = toks
       .select(explode(lit(Array(4, 8, 16))).as("l"), col("w"))
-      .filter(size(col("w")) - 1 >= col("l"))
+      .filter(size(col("w")) >= col("l"))
       .select(col("l"),
         array_join(slice(col("w"), lit(1), col("l")), " ").as("p"))
       .groupBy(col("l"), col("p"))
@@ -1898,13 +1899,15 @@ object TrainingData {
 
   val prefixShareSql: String =
     """WITH t AS (
-      |  SELECT string_split(text, ' ') AS w FROM documents),
+      |  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                     x -> len(x) > 0) AS w
+      |  FROM documents),
       |ls AS (SELECT 4 AS l UNION ALL SELECT 8 UNION ALL SELECT 16),
       |e AS (
       |  SELECT ls.l,
       |    array_to_string(list_slice(t.w, 1, ls.l), ' ') AS p
       |  FROM t, ls
-      |  WHERE len(t.w) - 1 >= ls.l),
+      |  WHERE len(t.w) >= ls.l),
       |g AS (SELECT l, p, COUNT(*) AS copies FROM e GROUP BY l, p)
       |SELECT CAST(l AS BIGINT) AS prefix_words,
       |  CAST(SUM(copies) AS BIGINT) AS n_seqs,
