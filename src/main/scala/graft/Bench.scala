@@ -116,8 +116,31 @@ object Bench {
         name -> Sample(math.max(0.0, total - setup), setup, ok)
       }.toMap
 
+    // Constant-cost canary (round-8 verdict task 3b): a fixed 1e8-row
+    // codegen projection with NO I/O, NO shuffle, NO fixture — pure
+    // CPU through the same noop sink. Its cost is invariant to every
+    // engine change, so when a whole bench tail drifts together (the
+    // r7→r8 driver read +23% on untouched queries), the canary says
+    // in one glance whether the drift is the HOST/session (canary
+    // moved too) or the ENGINE (canary flat). Timed once per pass,
+    // reported per-pass + min alongside the query timings.
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L,
+          spark.sparkContext.defaultParallelism)
+        .select(xxhash64(col("id")).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // JIT warm, outside the measured window
+
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val passes = (1 to nPasses).map(sample)
+    val canaries = new scala.collection.mutable.ArrayBuffer[Double]
+    val passes = (1 to nPasses).map { p =>
+      canaries += canary()
+      sample(p)
+    }
 
     val failed = names.filter(n => !passes.exists(_(n).ok))
     val results = names.filterNot(failed.contains).map { name =>
@@ -137,7 +160,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"setup_sec":$setups,"failed":$failedJson,"sf":"$sfDir"}""")
+    val canaryMin = if (canaries.nonEmpty) canaries.min else 0.0
+    val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"setup_sec":$setups,"canary_sec":$canaryMin%.3f,"canary_passes":$canaryJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     // Explicit exit: non-zero iff a query produced no valid sample —
     // never let a lingering non-daemon thread or shutdown-hook race

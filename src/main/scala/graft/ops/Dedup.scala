@@ -1861,9 +1861,58 @@ object Dedup {
     * struct IS the last emission), the same convention the
     * `stream_running*` gates use. State size: the dedup universe
     * (distinct keys), on local SSD, not heap, not the stream. */
+  /** The keyed-state update transform behind [[streamDupRate]],
+    * exposed for the plan contract: (source, fp, n_chars) rows →
+    * cumulative per-key totals via [[graft.streaming.DupRateProcessor]].
+    * Works over a streaming OR batch frame (batch = one micro-batch
+    * with empty initial state — Spark 4 executes transformWithState
+    * in batch with a transient store), which is what lets the spec
+    * pin the TransformWithState-no-join shape. */
+  private[graft] def dupRateStateUpdates(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.streaming.SourceFpTotals] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import docs.sparkSession.implicits._
+    org.apache.spark.sql.GraftSqlBridge
+      .ensureStateStoreCoordinator(docs.sparkSession)
+    docs
+      .select(col("source"), md5(col("text")).as("fp"), col("n_chars"))
+      .as[(String, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new graft.streaming.DupRateProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The banding projection + keyed-state pair miner behind
+    * [[streamMinhashLsh]], exposed for the plan contract and the
+    * batch≡stream identity: in batch mode every doc arrives in one
+    * "micro-batch", so the miner's within-batch pairing alone must
+    * reproduce the full [[minhashLshPairs]] set (after the reader's
+    * bucket-multiplicity distinct). */
+  private[graft] def minhashStateMiner(corpus: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.streaming.NearDupPair] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.functions.TextFunctions
+    import corpus.sparkSession.implicits._
+    org.apache.spark.sql.GraftSqlBridge
+      .ensureStateStoreCoordinator(corpus.sparkSession)
+    corpus
+      .select(col("doc_id"),
+        shingleHashes(lower(col("text")), 3).as("hashes"))
+      .filter(size(col("hashes")) > 0)
+      .select(col("doc_id"), col("hashes"),
+        posexplode(TextFunctions.minhashBands(
+          TextFunctions.minhashSignatureOfHashes(col("hashes")),
+          8, 4)))
+      .select(col("col.band").as("band"), col("col.bucket").as("bucket"),
+        col("doc_id"), col("hashes"))
+      .as[(Int, Long, Long, Array[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new graft.streaming.LshBucketProcessor(0.6),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def streamDupRate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     def scratch(name: String): String =
       s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
     val srcDir = scratch("dupstream/src")
@@ -1881,15 +1930,10 @@ object Dedup {
       docs.filter(col("doc_id") % 3 === 0).coalesce(2).write
         .mode("overwrite").parquet(srcDir)
     }
-    import s.implicits._
     graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
-      val updates = s.readStream.schema(docs.schema).parquet(srcDir)
-        .select(col("source"), md5(col("text")).as("fp"), col("n_chars"))
-        .as[(String, String, Long)]
-        .groupByKey(r => (r._1, r._2))
-        .transformWithState(new graft.streaming.DupRateProcessor,
-          TimeMode.None(), OutputMode.Append())
-      val q = updates.toDF.writeStream
+      val updates = dupRateStateUpdates(
+        s.readStream.schema(docs.schema).parquet(srcDir))
+      val q = updates.toDF().writeStream
         .format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", ck)
@@ -1955,7 +1999,6 @@ object Dedup {
     * batch gate's SQL verbatim. */
   def streamMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import graft.functions.TextFunctions
     def scratch(name: String): String =
       s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
@@ -1974,23 +2017,10 @@ object Dedup {
       corpus.filter(col("doc_id") % 3 === 0).coalesce(2).write
         .mode("overwrite").parquet(srcDir)
     }
-    import s.implicits._
     graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
-      val pairs = s.readStream.schema(corpus.schema).parquet(srcDir)
-        .select(col("doc_id"),
-          shingleHashes(lower(col("text")), 3).as("hashes"))
-        .filter(size(col("hashes")) > 0)
-        .select(col("doc_id"), col("hashes"),
-          posexplode(TextFunctions.minhashBands(
-            TextFunctions.minhashSignatureOfHashes(col("hashes")),
-            8, 4)))
-        .select(col("col.band").as("band"), col("col.bucket").as("bucket"),
-          col("doc_id"), col("hashes"))
-        .as[(Int, Long, Long, Array[Long])]
-        .groupByKey(r => (r._1, r._2))
-        .transformWithState(new graft.streaming.LshBucketProcessor(0.6),
-          TimeMode.None(), OutputMode.Append())
-      val q = pairs.toDF.writeStream
+      val pairs = minhashStateMiner(
+        s.readStream.schema(corpus.schema).parquet(srcDir))
+      val q = pairs.toDF().writeStream
         .format("parquet")
         .option("path", pairsDir)
         .option("checkpointLocation", ck)

@@ -12,4 +12,17 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Force-create the lazy StateStoreCoordinator driver endpoint.
+    * Streaming queries create it on start; BATCH execution of
+    * `transformWithState` (Spark 4 runs arbitrary state in batch as
+    * one implicit micro-batch over a transient store) only LOOKS IT
+    * UP, so on a session that never started a stream it dies with
+    * RpcEndpointNotFound. Touching the manager's lazy val makes
+    * batch-mode stateful transforms self-contained. */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit = {
+    spark.asInstanceOf[classic.SparkSession]
+      .streams.stateStoreCoordinator
+    ()
+  }
 }
