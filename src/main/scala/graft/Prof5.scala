@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming scaling study (round-8 verdict task 7): the batch-gate
+  * study (Prof3/PerfFixture, BASELINE.md) never measured the STATEFUL
+  * streaming gates above sf0.1 or beyond their fixed replay length.
+  * This main drives the three keyed-state transforms —
+  * `stream_minhash_lsh`'s bucket miner, `stream_dedup_rate`'s totals
+  * state, and `stream_running_v2`'s transformWithState running totals
+  * — over a chosen corpus dir at a chosen MICRO-BATCH COUNT, and
+  * prints per-batch `triggerExecution` plus end-of-batch state rows
+  * straight from the streaming progress events.
+  *
+  * The claim under test is the round-9 keyed-store rewrite's whole
+  * point: per-batch cost must be flat in BATCH INDEX (state touched
+  * per batch ∝ that batch's keys, never the accumulated store — the
+  * round-8 foreachBatch version re-read all state per batch, so its
+  * per-batch cost grew linearly in batch count). Batches split the
+  * corpus by key mod B, so each batch carries ~1/B of the data while
+  * state grows monotonically — a flat per-batch line IS the proof.
+  *
+  * Usage: `Prof5 <dir> <gate> <batches>` where gate ∈
+  * {minhash, duprate, running}; dir is a testdata sf dir or a
+  * PerfFixture clone. Results are recorded in BASELINE.md's
+  * "streaming scaling study" table.
+  */
+object Prof5 {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val gate = if (args.length > 1) args(1) else "minhash"
+    val nBatches = if (args.length > 2) args(2).toInt else 4
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-prof5")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, dir, gate, nBatches)
+    spark.stop()
+  }
+
+  // (source rows, batch-split key, stream transform, sink distinct?)
+  private def gateDef(s: SparkSession, dir: String, gate: String)
+      : (DataFrame, String, DataFrame => DataFrame) = gate match {
+    case "minhash" =>
+      (graft.ops.DocCorpus.withDuplicates(s, dir)
+         .select(col("doc_id"), col("text")),
+       "doc_id",
+       df => graft.ops.Dedup.minhashStateMiner(df).toDF())
+    case "duprate" =>
+      (Tables.documents(s, dir), "doc_id",
+       df => graft.ops.Dedup.dupRateStateUpdates(df).toDF())
+    case "running" =>
+      (Tables.events(s, dir)
+         .select(col("event_id"), col("user_id"), col("value")),
+       "event_id",
+       df => graft.streaming.EventStreams
+         .runningUserTotalsTws(df).toDF())
+    case other => sys.error(s"unknown gate $other")
+  }
+
+  def run(s: SparkSession, dir: String, gate: String,
+      nBatches: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tag = s"${gate}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$nBatches"
+    val srcDir = s"/tmp/graft_prof5/$tag/src"
+    val outDir = s"/tmp/graft_prof5/$tag/out"
+    val ck = graft.streaming.EventStreams.gateCheckpoint("prof5_" + tag)
+    val fs = new Path(srcDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def rm(p: String): Unit = fs.delete(new Path(p), true): Unit
+    val (rowsDf, key, transform) = gateDef(s, dir, gate)
+    Seq(srcDir, outDir, ck).foreach(rm)
+    rowsDf.filter(col(key) % nBatches === 0).coalesce(2)
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
+      val q = transform(s.readStream.schema(rowsDf.schema).parquet(srcDir))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        (1 until nBatches).foreach { b =>
+          rowsDf.filter(col(key) % nBatches === b).coalesce(2)
+            .write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        }
+        println(s"[prof5] gate=$gate dir=$dir batches=$nBatches")
+        q.recentProgress.foreach { p =>
+          val st = p.stateOperators.headOption
+          println(f"[prof5]   batch=${p.batchId}%2d rows=${p.numInputRows}%7d " +
+            f"trigger_ms=${p.durationMs.get("triggerExecution")}%6d " +
+            f"state_rows=${st.map(_.numRowsTotal).getOrElse(-1L)}%9d " +
+            f"state_commit_ms=${st.map(_.commitTimeMs).getOrElse(-1L)}%6d")
+        }
+      } finally {
+        q.stop()
+        graft.streaming.EventStreams.dropCheckpoint(ck)
+      }
+    }
+    val n = s.read.parquet(outDir).count()
+    println(s"[prof5]   sink_rows=$n")
+  }
+}
