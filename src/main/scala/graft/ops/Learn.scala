@@ -1315,7 +1315,128 @@ object Learn {
       |  row_number() OVER (ORDER BY loss10, c_cents) = 1 AS is_argmin
       |FROM losses ORDER BY i""".stripMargin
 
+  /** Frozen-weights hashed-feature quality scorer (round-8 verdict
+    * growth item b): the in-engine keep/drop pass a fastText-style
+    * quality filter runs over a corpus (Joulin et al. 2016 — a linear
+    * classifier over averaged hashed token features), composing the
+    * two gated building blocks: [[featureHash]]'s portable polynomial
+    * token hash (64 buckets, no vocabulary, no dictionary join —
+    * Weinberger et al. 2009) and [[logregSteps]]' exact full-batch GD
+    * step. Training is ONE logistic step from w = 0 on the proxy
+    * label lang = 'en' (σ = 0.5 exactly, so the gradient has no
+    * transcendental: w_b = −Σ x_b·(0.5−y) / (n·1e9) over 1e9-snapped
+    * terms); SCORING then freezes those 64 weights and emits, per
+    * document, the 1e12-snapped margin Σ_b w_b·tf_b/n_tok and the
+    * keep verdict (margin > 0). Token-free docs score 0 → keep=false.
+    *
+    * Determinism: per-(doc,bucket) features are exact integer ratios
+    * (tf/n_tok — one IEEE division), gradient and margin terms snap
+    * to scaled longs BEFORE their commutative sums, and the weight is
+    * one integer→double division — no libm anywhere (the sigmoid
+    * never needs evaluating: keep ⟺ margin > 0).
+    *
+    * Scale: hashing is a per-token projection; tf and the gradient
+    * are map-combinable groupBys; the model is 64 rows BROADCAST into
+    * the scoring join; the margin is one more map-combinable groupBy;
+    * the final all-docs left join is shuffle_hash-hinted (both sides
+    * corpus-keyed by doc_id — not broadcastable by premise, and the
+    * hash build avoids sorting the corpus). No shuffle carries
+    * anything wider than (doc, bucket, counts). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(col("doc_id"),
+        when(col("lang") === "en", -0.5).otherwise(0.5).as("gy"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok").rlike("^[a-z0-9]+$"))
+    val tf = toks
+      .withColumn("bucket", expr(
+        "aggregate(transform(sequence(1, length(tok))," +
+          " i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))," +
+          " CAST(0 AS BIGINT)," +
+          " (acc, x) -> (acc * 31 + x) % 1000000007) % 64"))
+      .groupBy(col("doc_id"), col("gy"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val nt = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"))
+    val xf = tf.join(nt, "doc_id")
+      .select(col("doc_id"), col("gy"), col("bucket"), col("n_tok"),
+        (col("tf").cast(DoubleType) / col("n_tok").cast(DoubleType))
+          .as("x"))
+    val g = xf.groupBy(col("bucket"))
+      .agg(sum(floor(col("x") * col("gy") * 1e9 + 0.5)
+        .cast(LongType)).as("g9"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = g.crossJoin(broadcast(n))
+      .select(col("bucket"),
+        (-(col("g9").cast(DoubleType) /
+          (col("n").cast(DoubleType) * 1e9))).as("w"))
+    val sc = xf.join(broadcast(w), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_tok")).as("n_tok"),
+        sum(floor(col("w") * col("x") * 1e12 + 0.5).cast(LongType))
+          .as("score_e12"))
+    docs.select(col("doc_id"))
+      .hint("shuffle_hash")
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("score_e12"), lit(0L)).as("score_e12"),
+        (coalesce(col("score_e12"), lit(0L)) > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN CAST(-0.5 AS DOUBLE)
+      |         ELSE CAST(0.5 AS DOUBLE) END AS gy,
+      |    unnest(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      t -> regexp_matches(t, '^[a-z0-9]+$'))) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, gy,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(tok)),
+      |        i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket
+      |  FROM toks),
+      |tf AS (
+      |  SELECT doc_id, gy, bucket, COUNT(*) AS tf
+      |  FROM h GROUP BY doc_id, gy, bucket),
+      |nt AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok
+      |  FROM tf GROUP BY doc_id),
+      |xf AS (
+      |  SELECT t.doc_id, t.gy, t.bucket, n.n_tok,
+      |    CAST(t.tf AS DOUBLE) / CAST(n.n_tok AS DOUBLE) AS x
+      |  FROM tf t JOIN nt n USING (doc_id)),
+      |g AS (
+      |  SELECT bucket,
+      |    CAST(SUM(CAST(floor(x * gy * 1e9 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS g9
+      |  FROM xf GROUP BY bucket),
+      |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |w AS (
+      |  SELECT bucket,
+      |    -(CAST(g9 AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1e9)) AS w
+      |  FROM g, nn),
+      |sc AS (
+      |  SELECT xf.doc_id, MIN(xf.n_tok) AS n_tok,
+      |    CAST(SUM(CAST(floor(w.w * xf.x * 1e12 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS score_e12
+      |  FROM xf JOIN w USING (bucket)
+      |  GROUP BY xf.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(sc.n_tok, 0) AS BIGINT) AS n_tok,
+      |  CAST(COALESCE(sc.score_e12, 0) AS BIGINT) AS score_e12,
+      |  COALESCE(sc.score_e12, 0) > 0 AS keep
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_quality_score" -> (qualityScore _),
     "learn_quantile_grid" ->
       ((s: SparkSession, d: String) => quantileGrid(s, d)),
     "learn_ucb1" -> (ucb1 _),
@@ -1336,6 +1457,7 @@ object Learn {
     "learn_ridge" -> (ridge _))
 
   def oracle: Map[String, String] = Map(
+    "learn_quality_score" -> qualityScoreSql,
     "learn_quantile_grid" -> quantileGridSql,
     "learn_ucb1" -> ucb1Sql,
     "learn_svm_step" -> svmSql,

@@ -84,6 +84,81 @@ case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
   * of the batch's band keys to the (statically hash-partitioned)
   * state operator, RocksDB point reads on touched buckets. State
   * never streams past the operator. */
+/** One resident of a SemDeDup cell: the vector id, components, and
+  * precomputed norm, carried into the cell's keyed state so arrival-
+  * time θ-checks are inline (the same carry-vectors discipline as
+  * [[BucketDoc]]). */
+case class CellVec(vec_id: Long, v: Array[Double], n: Double)
+
+/** A SemDeDup verdict event: `dropped = false` rows are cell
+  * ASSIGNMENTS (one per vector, emitted on arrival); `dropped = true`
+  * rows are KILLS (the larger id of a ≥θ within-cell pair). The
+  * reader folds events per vec_id: kept = no kill ever emitted. */
+case class SemDedupEvent(vec_id: Long, cell: Long, dropped: Boolean)
+
+/** Keyed-store state machine for STREAMING SemDeDup (round-8 verdict
+  * task 8a): one [[ListState]] of [[CellVec]] per cell under RocksDB.
+  * Cell assignment happens UPSTREAM as a pure projection (argmax
+  * cosine against the k seed vectors baked in as plan literals — the
+  * corpus never shuffles for assignment, only for its cell key), so
+  * this processor receives rows already keyed by cell. On arrival a
+  * vector emits its assignment event, is θ-checked inline against the
+  * cell's accumulated residents plus earlier same-batch arrivals
+  * (i<j, once per pair), and every ≥θ pair emits a kill for its
+  * LARGER id — which makes the final verdict independent of arrival
+  * order: whichever side arrives later, the same (min survives) edge
+  * is found exactly once, and a resident emitted as an assignment in
+  * an earlier batch is retracted by a later kill event rather than by
+  * state rewrite. Kill multiplicity (several neighbors killing the
+  * same id) collapses in the reader's aggregate.
+  *
+  * Per-batch cost: the batch's rows + point access to the cells they
+  * land in; state never streams past the operator. θ-margin note:
+  * planted twins sit at cos ≈ 0.9999 and natural pairs below ~0.52,
+  * so the Scala-side sequential-fold cosine cannot disagree with the
+  * batch engine's VectorDot at θ = 0.99. */
+class SemDedupCellProcessor(theta: Double)
+    extends StatefulProcessor[Long, (Long, Long, Array[Double], Double),
+      SemDedupEvent] {
+  @transient private var residents: ListState[CellVec] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    residents = getHandle.getListState[CellVec]("residents",
+      Encoders.product[CellVec], TTLConfig.NONE)
+
+  override def handleInputRows(cell: Long,
+      rows: Iterator[(Long, Long, Array[Double], Double)],
+      timerValues: TimerValues): Iterator[SemDedupEvent] = {
+    val incoming = rows
+      .map { case (_, id, v, n) => CellVec(id, v, n) }.toArray
+    val out = ArrayBuffer.empty[SemDedupEvent]
+    incoming.foreach(x => out += SemDedupEvent(x.vec_id, cell, false))
+    def kill(a: CellVec, b: CellVec): Unit =
+      if (a.vec_id != b.vec_id) {
+        var d = 0.0
+        var i = 0
+        val va = a.v; val vb = b.v
+        while (i < va.length) { d += va(i) * vb(i); i += 1 }
+        if (d / (a.n * b.n) >= theta)
+          out += SemDedupEvent(math.max(a.vec_id, b.vec_id), cell, true)
+      }
+    val existing = residents.get()
+    while (existing.hasNext) {
+      val m = existing.next()
+      var i = 0
+      while (i < incoming.length) { kill(incoming(i), m); i += 1 }
+    }
+    var i = 0
+    while (i < incoming.length) {
+      var j = 0
+      while (j < i) { kill(incoming(i), incoming(j)); j += 1 }
+      i += 1
+    }
+    residents.appendList(incoming)
+    out.iterator
+  }
+}
+
 class LshBucketProcessor(threshold: Double)
     extends StatefulProcessor[(Int, Long), (Int, Long, Long, Array[Long]),
       NearDupPair] {
