@@ -2115,11 +2115,73 @@ object Dedup {
        |LEFT JOIN nr ON nr.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Source-mixture drift under exact dedup — the curation readout
+    * that tells you WHOSE tokens dedup is removing: per source, the
+    * corpus share (ppm of docs) before and after global exact dedup
+    * (md5 fingerprint, keep the min doc_id — so a doc duplicated
+    * across sources credits the earliest source), and the signed
+    * drift. A pipeline rebalancing its mixture AFTER dedup reads this
+    * table, not the raw scoreboard: duplicate-heavy feeds shrink and
+    * every other source's share mechanically rises.
+    *
+    * Integer discipline: shares are `(n · 1e6) div total` on
+    * non-negative counts; the drift is a plain BIGINT difference of
+    * two ppm values (never a signed division — the Spark-truncate vs
+    * DuckDB-floor trap).
+    *
+    * Scale: one fingerprint distinct-reduce (the exact-dedup shuffle,
+    * hashes not payloads) + two O(sources) aggregates. */
+  def mixtureDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val before = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"))
+    val surv = docs
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+    val totB = docs.agg(count(lit(1)).as("tb"))
+    val totA = docs.select(col("fp")).distinct()
+      .agg(count(lit(1)).as("ta"))
+    // both sides are O(sources) aggregates — broadcast, never sort
+    before.join(broadcast(surv), Seq("source"), "left")
+      .na.fill(0L, Seq("n_after"))
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totA))
+      .select(col("source"), col("n_before"), col("n_after"),
+        expr("(n_before * 1000000) div tb").as("share_before_ppm"),
+        expr("(n_after * 1000000) div ta").as("share_after_ppm"))
+      .withColumn("drift_ppm",
+        col("share_after_ppm") - col("share_before_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureDriftSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, md5(text) AS fp FROM documents),
+      |surv AS (
+      |  SELECT d.source
+      |  FROM (SELECT fp, MIN(doc_id) AS doc_id FROM docs GROUP BY fp) k
+      |  JOIN docs d ON d.doc_id = k.doc_id),
+      |b AS (SELECT source, COUNT(*) AS n_before FROM docs GROUP BY source),
+      |a AS (SELECT source, COUNT(*) AS n_after FROM surv GROUP BY source),
+      |tb AS (SELECT COUNT(*) AS tb FROM docs),
+      |ta AS (SELECT COUNT(DISTINCT fp) AS ta FROM docs)
+      |SELECT b.source, b.n_before,
+      |  CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+      |  (b.n_before * 1000000) // tb.tb AS share_before_ppm,
+      |  (CAST(COALESCE(a.n_after, 0) AS BIGINT) * 1000000) // ta.ta
+      |    AS share_after_ppm,
+      |  (CAST(COALESCE(a.n_after, 0) AS BIGINT) * 1000000) // ta.ta
+      |    - (b.n_before * 1000000) // tb.tb AS drift_ppm
+      |FROM b LEFT JOIN a USING (source), tb, ta
+      |ORDER BY b.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_survivorship" -> (survivorship _),
     "stream_minhash_lsh" -> (streamMinhashLsh _),
     "stream_dedup_rate" -> (streamDupRate _),
     "dedup_rate_by_source" -> (dupRateBySource _),
+    "dedup_mixture_drift" -> (mixtureDrift _),
     "dedup_cdc_chunks" ->
       ((s: SparkSession, d: String) => cdcChunks(s, d)),
     "dedup_suffix_prefix" ->
@@ -2153,6 +2215,7 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "dedup_rate_by_source" -> dupRateBySourceSql,
+    "dedup_mixture_drift" -> mixtureDriftSql,
     // the incremental twin must converge to the batch scoreboard
     "stream_dedup_rate" -> dupRateBySourceSql,
     // the incremental pair miner must converge to the batch pair set

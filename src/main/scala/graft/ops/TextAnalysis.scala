@@ -1494,7 +1494,69 @@ object TextAnalysis {
       |FROM grams GROUP BY source, n
       |ORDER BY source, n""".stripMargin
 
+  /** RAG chunking with overlap and provenance — the retrieval-side
+    * twin of the packing gates: every document split into W-token
+    * windows at stride S (trailing window keeps the tail; a doc
+    * shorter than W is one whole-doc chunk), each chunk carrying its
+    * 1-based token span and a content fingerprint (md5 of the joined
+    * window — both engines' md5 agree on UTF-8 text), the stable id a
+    * vector store keys embeddings by. Chunk count per doc is
+    * 1 + ceil(max(0, n−W)/S) — integer arithmetic both engines
+    * evaluate identically.
+    *
+    * Scale: one tokens() projection + one explode of the per-doc
+    * start positions — no join, no corpus-keyed shuffle except the
+    * output sort; at 100 TB the chunk table partitions by doc_id and
+    * feeds the embedding UDF stage directly. */
+  def chunkWindows(s: SparkSession, dir: String, w: Int = 32,
+      stride: Int = 24): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+    toks
+      .withColumn("n_chunks",
+        lit(1) + greatest(lit(0L),
+          ceil((col("n") - lit(w)).cast(DoubleType) / lit(stride))
+            .cast(LongType)))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+      .select(col("doc_id"), col("i").as("chunk_idx"),
+        (col("i") * stride + 1).as("start_tok"),
+        least(col("i") * stride + w, col("n")).as("end_tok"),
+        md5(array_join(slice(col("tk"),
+          (col("i") * stride + 1).cast(IntegerType),
+          (least(col("i") * stride + w, col("n"))
+            - col("i") * stride).cast(IntegerType)), " ")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkWindowsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, tk, len(tk) AS n,
+      |    1 + greatest(0, CAST(ceil(CAST(len(tk) - 32 AS DOUBLE) / 24)
+      |      AS BIGINT)) AS n_chunks
+      |  FROM t WHERE len(tk) > 0),
+      |e AS (
+      |  SELECT doc_id, tk, n,
+      |    unnest(generate_series(0, n_chunks - 1)) AS i
+      |  FROM d)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(i * 24 + 1 AS BIGINT) AS start_tok,
+      |  CAST(least(i * 24 + 32, n) AS BIGINT) AS end_tok,
+      |  md5(array_to_string(list_slice(tk, CAST(i * 24 + 1 AS INTEGER),
+      |    CAST(least(i * 24 + 32, n) AS INTEGER)), ' ')) AS chunk_fp
+      |FROM e
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_windows" ->
+      ((s: SparkSession, d: String) => chunkWindows(s, d)),
     "text_distinct_n" -> (distinctN _),
     "text_gopher_rules" ->
       ((s: SparkSession, d: String) => gopherRules(s, d)),
@@ -1525,6 +1587,7 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "text_distinct_n" -> distinctNSql,
+    "text_chunk_windows" -> chunkWindowsSql,
     "text_gopher_rules" -> gopherRulesSql,
     "text_textrank" -> textRankSql(),
     "text_source_overlap" -> sourceOverlapSql,

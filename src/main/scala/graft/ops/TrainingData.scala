@@ -1917,8 +1917,61 @@ object TrainingData {
       |FROM g GROUP BY l
       |ORDER BY prefix_words""".stripMargin
 
+  /** Context-window truncation-loss curve — the pre-training sizing
+    * readout [[prefixShare]]'s docstring pattern reads BEFORE fixing
+    * a sequence length: for L ∈ {16, 32, 64} words, how many docs
+    * overflow the window, what fraction of corpus tokens a
+    * truncate-at-L policy discards (ppm), and the worst single-doc
+    * loss. Read against [[lengthBuckets]]' histogram this is the
+    * integral the histogram only implies; the three L values bracket
+    * the corpus's 10–100-word band so the curve is non-degenerate.
+    *
+    * Scale: one tokens() projection, one explode of 3 L values, one
+    * map-combinable groupBy(L) — no joins. All-BIGINT output. */
+  def contextOverflow(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(graft.functions.TextFunctions
+        .tokenCount(col("text")).as("n"))
+    toks
+      .select(explode(lit(Array(16, 32, 64))).as("l"), col("n"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > col("l"), 1L).otherwise(0L))
+          .as("n_overflow"),
+        sum(col("n")).as("corpus_tok"),
+        sum(greatest(col("n") - col("l"), lit(0L))).as("lost_tok"),
+        max(greatest(col("n") - col("l"), lit(0L))).as("worst_doc_loss"))
+      .select(col("l").cast(LongType).as("window_words"),
+        col("n_docs"), col("n_overflow"), col("corpus_tok"),
+        col("lost_tok"),
+        expr("(lost_tok * 1000000) div corpus_tok").as("lost_ppm"),
+        col("worst_doc_loss"))
+      .orderBy(col("window_words"))
+  }
+
+  val contextOverflowSql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0)) AS BIGINT) AS n
+      |  FROM documents),
+      |ls AS (SELECT 16 AS l UNION ALL SELECT 32 UNION ALL SELECT 64),
+      |e AS (SELECT ls.l, t.n FROM t, ls)
+      |SELECT CAST(l AS BIGINT) AS window_words,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n > l THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overflow,
+      |  CAST(SUM(n) AS BIGINT) AS corpus_tok,
+      |  CAST(SUM(greatest(n - l, 0)) AS BIGINT) AS lost_tok,
+      |  (CAST(SUM(greatest(n - l, 0)) AS BIGINT) * 1000000)
+      |    // CAST(SUM(n) AS BIGINT) AS lost_ppm,
+      |  CAST(MAX(greatest(n - l, 0)) AS BIGINT) AS worst_doc_loss
+      |FROM e GROUP BY l
+      |ORDER BY window_words""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_prefix_share" -> (prefixShare _),
+    "pack_context_overflow" -> (contextOverflow _),
     "pack_loss_mask" -> (lossMask _),
     "pack_mlm_mask" -> (mlmMask _),
     "pack_mask_waste" -> ((s: SparkSession, d: String) => maskWaste(s, d)),
@@ -1953,6 +2006,7 @@ object TrainingData {
 
   def oracle: Map[String, String] = Map(
     "pack_prefix_share" -> prefixShareSql,
+    "pack_context_overflow" -> contextOverflowSql,
     "pack_loss_mask" -> lossMaskSql,
     "pack_mlm_mask" -> mlmMaskSql,
     "pack_mask_waste" -> maskWasteSql,
