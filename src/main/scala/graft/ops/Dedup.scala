@@ -1550,10 +1550,16 @@ object Dedup {
     * hash-checked, not just bounded. The expected |est − exact|
     * is ≤ sqrt(J(1−J)/64) ≈ 0.06; the gate emits both ppm values.
     *
-    * Scale: signatures cost O(shingles · k) with map-side MIN
-    * combine — the standard MinHash build; the pair compare joins
-    * k-row signatures on (pair, j); exact Jaccard joins shingle
-    * sets only for the audited pairs. Nothing is corpus×corpus. */
+    * Scale: signatures are ONE pass over the per-doc hash array via
+    * the codegen'd [[graft.plans.PolyMinhashSignature]] kernel (the
+    * earlier explode(k)×shingles → groupBy-min formulation shuffled
+    * shingles·k rows — 64× row amplification through an exchange,
+    * measured as this gate's whole cost); the shuffle now carries one
+    * hash per shingle into a collect_list (min is order-independent,
+    * so the list's nondeterministic order is harmless), the pair
+    * compare is one array zip per pair, and exact Jaccard joins
+    * shingle sets only for the audited pairs. Nothing is
+    * corpus×corpus. */
   def minhashEstimate(s: SparkSession, dir: String, k: Int = 64)
       : DataFrame = {
     graft.plans.TextExpressions.register(s)
@@ -1569,20 +1575,19 @@ object Dedup {
         " CAST(0 AS BIGINT)," +
         " (acc, c) -> (acc * 31 + c) % 1000000007)"))
     val sigs = hashed
-      .withColumn("j", explode(sequence(lit(0L), lit(k - 1L))))
-      .withColumn("hj", expr(
-        "(((2654435761 * (j + 1)) % 1000000007) * x" +
-          " + (40503 * (j + 1) + 104729) % 1000000007) % 1000000007"))
-      .groupBy(col("doc_id"), col("j")).agg(min(col("hj")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("x")).as("xs"))
+      .select(col("doc_id"),
+        graft.plans.TextExpressions.polyMinhash(col("xs"), k).as("sig"))
     // self-join disambiguation: shift doc_id on the B side up front
-    val sa = sigs.toDF("doc_a", "j", "ma")
+    val sa = sigs.toDF("doc_a", "sig_a")
     val sb = sigs.select((col("doc_id") - 20).as("doc_a"),
-      col("j"), col("mh").as("mb"))
-    val matches = sa.join(sb, Seq("doc_a", "j"))
-      .groupBy(col("doc_a"))
-      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
-        .as("m"))
-      .select(col("doc_a"), expr(s"(m * 1000000) div $k").as("est_ppm"))
+      col("sig").as("sig_b"))
+    val matches = sa.join(sb, Seq("doc_a"))
+      .select(col("doc_a"), expr(
+        s"(aggregate(zip_with(sig_a, sig_b," +
+          s" (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)" +
+          s" * 1000000) div $k").as("est_ppm"))
     val shA = sh.toDF("doc_a", "sh")
     val shB = sh.select((col("doc_id") - 20).as("doc_a"), col("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -263,6 +263,94 @@ case class MinhashSignature(child: Expression, k: Int)
       newChild: Expression): MinhashSignature = copy(child = newChild)
 }
 
+/** k-permutation MinHash over PRECOMPUTED shingle hashes with the
+  * portable affine family `h_j(x) = (a_j·x + b_j) mod p`,
+  * a_j = 2654435761·(j+1) mod p, b_j = (40503·(j+1)+104729) mod p,
+  * p = 1e9+7 — the cross-engine family `dedup_minhash_estimate` uses
+  * (a plain arithmetic statement DuckDB evaluates identically, unlike
+  * xxhash). Compiled replacement for the explode(k)×shingles →
+  * groupBy-min formulation, which shuffles shingles·k rows (the
+  * measured cost of the estimate gate: 64× row amplification through
+  * an exchange); here the signature is one pass over the per-doc hash
+  * array — shuffle carries shingle counts, not shingle×k. Inputs are
+  * in [0, p), so a_j·x < p² ≈ 1e18 stays inside a long. Empty input
+  * yields k nulls (callers' docs always have ≥1 shingle). */
+case class PolyMinhashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  private val P = 1000000007L
+  private val as: Array[Long] =
+    Array.tabulate(k)(j => (2654435761L * (j + 1)) % P)
+  private val bs: Array[Long] =
+    Array.tabulate(k)(j => (40503L * (j + 1) + 104729L) % P)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"poly_minhash expects array<long> input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) {
+      new GenericArrayData(new Array[Any](k))
+    } else {
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val x = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * x + bs(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util
+         |    .GenericArrayData(new Object[$k]);
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $x = $arr.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($asRef[$j] * $x + $bsRef[$j]) % ${P}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PolyMinhashSignature = copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array: per-bit majority vote of the
   * xxhash64 (seed 42) of each token; bit i is set iff strictly more
   * than half the tokens have it set. Compiled replacement for the
@@ -682,6 +770,7 @@ object TextExpressions {
   val JaroWinklerFnName = "graft_jaro_winkler"
   val DamerauFnName = "graft_damerau_levenshtein"
   val MinhashSigFnName = "graft_minhash_signature"
+  val PolyMinhashFnName = "graft_poly_minhash"
 
   /** Idempotent per-session registration. n and the short-doc flag
     * must be literals — they parameterize the generated code. */
@@ -700,6 +789,11 @@ object TextExpressions {
           case l: Long => l
           case i: Int => i.toLong
         }),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PolyMinhashFnName,
+      exprs => PolyMinhashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       MinhashSigFnName,
@@ -763,6 +857,13 @@ object TextExpressions {
   def xxhashArray(arr: Column, seed: Long = 42L): Column =
     call_function(HashArrayFnName, arr,
       org.apache.spark.sql.functions.lit(seed))
+
+  /** Codegen'd affine-family (portable, cross-engine) MinHash
+    * signature over an array<long> column (see
+    * [[PolyMinhashSignature]]). */
+  def polyMinhash(hashes: Column, k: Int): Column =
+    call_function(PolyMinhashFnName, hashes,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Codegen'd k-permutation MinHash signature over an array<long>
     * shingle-hash column (see [[MinhashSignature]]). */

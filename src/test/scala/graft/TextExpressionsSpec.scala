@@ -262,4 +262,41 @@ class TextExpressionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(viaEval == viaCol)
   }
+
+  test("poly minhash kernel matches the explode/groupBy-min affine formulation") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    val xs = Seq(
+      Seq(0L, 1L, 999999999L),
+      Seq(123456789L),
+      Seq.empty[Long],
+      (1L to 50L).map(i => (i * 97003L) % 1000000007L))
+    val df = xs.toDF("xs")
+    val got = df.select(TextExpressions.polyMinhash(col("xs"), 8).as("s"))
+      .collect().map(r => Option(r.get(0)).map(_.toString))
+    val want = xs.map { l =>
+      if (l.isEmpty) Some(Seq.fill(8)(null).toString)
+      else Some((0 until 8).map { j =>
+        l.map { x =>
+          val a = (2654435761L * (j + 1)) % 1000000007L
+          val b = (40503L * (j + 1) + 104729L) % 1000000007L
+          (a * x + b) % 1000000007L
+        }.min
+      }.toString)
+    }
+    // compare element-wise via the rendered arrays
+    val wantRendered = xs.map { l =>
+      if (l.isEmpty) "WrappedArray(null, null, null, null, null, null, null, null)"
+      else (0 until 8).map { j =>
+        l.map { x =>
+          val a = (2654435761L * (j + 1)) % 1000000007L
+          val b = (40503L * (j + 1) + 104729L) % 1000000007L
+          (a * x + b) % 1000000007L
+        }.min
+      }.mkString("WrappedArray(", ", ", ")")
+    }
+    got.zip(wantRendered).foreach { case (g, w) =>
+      assert(g.exists(_.replace("ArraySeq", "WrappedArray") == w), s"$g vs $w")
+    }
+  }
 }
