@@ -215,29 +215,28 @@ object Dedup {
     * the banding and the verification join read them) and the
     * exploded (doc_id, band, bucket) keys.
     *
-    * Signature via explode + 32 min-aggregates, NOT 32 interpreted
-    * array_min(transform(...)) per row: higher-order functions have
-    * no doGenCode, so the HOF formulation evaluates interpreted
-    * (~10× slower, measured). Exploded, the 32 xxhash64+min run in
-    * whole-stage codegen, and partial aggregation means the shuffle
-    * carries one 32-long row per doc per mapper, not the shingles.
-    * The bucket shuffle then carries only (doc_id, band, bucket) —
-    * the shingle hash arrays stay behind and re-join per candidate. */
+    * Signature via the codegen'd [[graft.plans.MinhashSignature]]
+    * kernel — a pure per-row projection, NO shuffle at all (the
+    * round-9 kernel obsoleted both earlier formulations: 32
+    * interpreted array_min(transform(...)) arms, and the explode + 32
+    * min-aggregates rewrite that avoided them at the price of
+    * shuffling one 32-long row per doc per mapper). Signatures are
+    * bit-identical to both (pinned by TextExpressionsSpec), so every
+    * bucket and every recorded study is unchanged. Docs whose shingle
+    * set is empty emit no keys — the explode formulation dropped them
+    * too. The bucket shuffle carries only (doc_id, band, bucket); the
+    * shingle hash arrays stay behind and re-join per candidate. */
   private def bandKeysOf(hashed: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val minCols = (0 until 32).map(seed =>
-      min(xxhash64(col("h"), lit(seed))).as(s"_m$seed"))
-    val docs = hashed
-      .select(col("doc_id"), explode(col("hashes")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+      rowsPerBand: Int): DataFrame =
+    hashed
+      .filter(size(col("hashes")) > 0)
       .select(col("doc_id"),
-        array((0 until 32).map(i => col(s"_m$i")): _*).as("sig"))
-    docs.select(col("doc_id"),
-        posexplode(minhashBands(col("sig"), bands, rowsPerBand)))
+        posexplode(minhashBands(
+          graft.functions.TextFunctions
+            .minhashSignatureOfHashes(col("hashes")),
+          bands, rowsPerBand)))
       .select(col("doc_id"),
         col("col.band").as("band"), col("col.bucket").as("bucket"))
-  }
 
   private def hashedAndBands(corpus: DataFrame, bands: Int = 8,
       rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
