@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -317,7 +318,244 @@ object CurationPipeline {
         |ORDER BY round""".stripMargin
   }
 
+  /** One DoReMi domain-reweighting step (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * 2023): per-domain (= source) EXCESS loss under the engine's
+    * reference model — the corpus's own add-one-smoothed bigram LM,
+    * the [[graft.ops.LanguageModel.bigramLm]] scorer regrouped by
+    * source — drives one multiplicative-weights update
+    * `w_i ∝ exp(η · excess_i)` from the uniform prior (which cancels
+    * in the normalization), η = 1. Domains whose text the reference
+    * model fits WORST gain weight, the paper's core move; iterating
+    * this step with a re-trained proxy is the full algorithm, and
+    * this gate is exactly one such step.
+    *
+    * Determinism: per-token log terms are 1e-6-snapped longs (the
+    * LanguageModel discipline) so per-source NLL sums are exact;
+    * mean and excess are integer `div`/`−` on non-negative operands;
+    * each exp term is 1e9-snapped BEFORE the exact long total, so
+    * the final weights are pure integer divisions.
+    *
+    * Scale: the two model tables are O(bigrams)/O(vocab) — the same
+    * shuffles bigramLm already pays; everything after the per-source
+    * reduce is O(domains) metadata broadcast through scalar cross
+    * joins. */
+  def doremiStep(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    def snapE6(x: org.apache.spark.sql.Column) =
+      floor(x * 1000000.0 + 0.5).cast(LongType)
+    val docs = Tables.documents(s, dir)
+    val w = split(lower(col("text")), " ")
+    val toks = docs.select(explode(w).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = docs.select(col("source"),
+        explode(graft.plans.TextExpressions.tokenNGrams(
+          w, 2, emitWholeShortDoc = false)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val bgc = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val perSource = big.join(bgc, "bg")
+      .join(broadcast(uni), col("w1") === uni("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", snapE6(
+        log((col("c2") + lit(1)).cast(DoubleType) /
+          (col("c1") + col("v")).cast(DoubleType))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(-col("lp")).as("nll_sum"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // localCheckpoint: the O(domains) frames feed THREE consumers
+    // (min, total, final projection) — without truncation each scalar
+    // cross-join branch would replay the whole bigram-scoring subtree
+    val means = perSource.join(broadcast(nd), "source")
+      .withColumn("mean_nll_e6", expr("nll_sum div n_terms"))
+      .localCheckpoint()
+    val m0 = means.agg(min(col("mean_nll_e6")).as("m0"))
+    val terms = means.crossJoin(broadcast(m0))
+      .withColumn("excess_e6", col("mean_nll_e6") - col("m0"))
+      .withColumn("t9",
+        floor(exp(col("excess_e6").cast(DoubleType) / 1e6) * 1e9 + 0.5)
+          .cast(LongType))
+      .localCheckpoint()
+    val tot = terms.agg(sum(col("t9")).as("total9"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_terms"),
+        col("mean_nll_e6"), col("excess_e6"),
+        expr("(t9 * 1000000) div total9").as("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val doremiStepSql: String =
+    """WITH tok AS (
+      |  SELECT source, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |toks AS (SELECT unnest(t) AS w FROM tok),
+      |uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+      |vocab AS (SELECT COUNT(*) AS v FROM uni),
+      |pos AS (SELECT source, t,
+      |          unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+      |big AS (SELECT source, array_to_string(t[i:i+1], ' ') AS bg,
+      |               t[i] AS w1 FROM pos),
+      |bgc AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+      |scored AS (
+      |  SELECT big.source,
+      |    CAST(floor(ln(CAST(bgc.c2 + 1 AS DOUBLE) /
+      |      CAST(uni.c1 + vocab.v AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS lp
+      |  FROM big JOIN bgc USING (bg) JOIN uni ON big.w1 = uni.w
+      |  CROSS JOIN vocab),
+      |src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(-lp) AS BIGINT) AS nll_sum
+      |  FROM scored GROUP BY source),
+      |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |       FROM documents GROUP BY source),
+      |means AS (
+      |  SELECT s.source, nd.n_docs, s.n_terms,
+      |    s.nll_sum // s.n_terms AS mean_nll_e6
+      |  FROM src s JOIN nd USING (source)),
+      |mn AS (SELECT MIN(mean_nll_e6) AS m0 FROM means),
+      |terms AS (
+      |  SELECT means.*, mean_nll_e6 - m0 AS excess_e6,
+      |    CAST(floor(exp(CAST(mean_nll_e6 - m0 AS DOUBLE) / 1e6)
+      |      * 1e9 + 0.5) AS BIGINT) AS t9
+      |  FROM means, mn),
+      |tot AS (SELECT CAST(SUM(t9) AS BIGINT) AS total9 FROM terms)
+      |SELECT source, n_docs, n_terms,
+      |  CAST(mean_nll_e6 AS BIGINT) AS mean_nll_e6,
+      |  CAST(excess_e6 AS BIGINT) AS excess_e6,
+      |  (t9 * 1000000) // total9 AS weight_ppm
+      |FROM terms, tot
+      |ORDER BY source""".stripMargin
+
+  /** RHO-loss batch selection (Mindermann et al., "Prioritized
+    * Training on Points that are Learnable, Worth Learning, and Not
+    * Yet Learnt", 2022): score every current-split training document
+    * by its REDUCIBLE loss — training loss under the current model
+    * minus irreducible loss under a model trained on a disjoint
+    * holdout — and select the top quartile. High training loss alone
+    * selects noise; subtracting the holdout model's loss cancels the
+    * noise term, the paper's point. Models here are add-one-smoothed
+    * unigram LMs (the [[graft.ops.LanguageModel.dsirWeights]]
+    * stand-in): current = docs with even doc_id, holdout = odd;
+    * smoothing V is the shared whole-corpus vocabulary so both
+    * models price unseen tokens identically.
+    *
+    * Determinism: per-token log terms 1e-6-snapped; per-doc NLLs are
+    * integer `div` on positive operands; rho is an exact integer
+    * difference (never divided, so its sign is safe); the quartile
+    * cutoff is the smallest rho value whose cumulative count reaches
+    * 3/4 of the split (4·cum ≥ 3·n in cross-multiplied integers) and
+    * selection is strictly-above-cutoff — ties at the cutoff drop,
+    * so the selected set is deterministic without an exact-k sort.
+    *
+    * Scale: both model tables are O(vocab) and broadcast; the corpus
+    * pays one explode + one per-doc reduce; the cutoff runs a window
+    * over O(distinct rho values), never over docs. */
+  def rhoLoss(s: SparkSession, dir: String): DataFrame = {
+    def snapE6(x: org.apache.spark.sql.Column) =
+      floor(x * 1000000.0 + 0.5).cast(LongType)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).as("isa"),
+        explode(split(lower(col("text")), " ")).as("w"))
+    val cA = toks.filter(col("isa")).groupBy(col("w"))
+      .agg(count(lit(1)).as("ca"))
+    val cB = toks.filter(!col("isa")).groupBy(col("w"))
+      .agg(count(lit(1)).as("cb"))
+    val totals = toks.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("isa"), 0L).otherwise(1L)).as("nb"),
+      countDistinct(col("w")).as("v"))
+    val weights = toks.select(col("w")).distinct()
+      .join(cA, Seq("w"), "left").join(cB, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("w"),
+        snapE6(log((coalesce(col("ca"), lit(0L)) + lit(1))
+          .cast(DoubleType) /
+          (col("na") + col("v")).cast(DoubleType))).as("lpa"),
+        snapE6(log((coalesce(col("cb"), lit(0L)) + lit(1))
+          .cast(DoubleType) /
+          (col("nb") + col("v")).cast(DoubleType))).as("lpb"))
+    val scored = toks.filter(col("isa"))
+      .join(broadcast(weights), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(-col("lpa")).as("sa"), sum(-col("lpb")).as("sb"))
+      .withColumn("nll_cur_e6", expr("sa div n_tok"))
+      .withColumn("nll_irred_e6", expr("sb div n_tok"))
+      .withColumn("rho_e6", col("nll_cur_e6") - col("nll_irred_e6"))
+      // O(split docs) after the reduce; three consumers (count,
+      // cutoff histogram, final projection) — truncate the lineage so
+      // the token-scoring subtree runs once, not three times
+      .localCheckpoint()
+    val n = scored.agg(count(lit(1)).as("n"))
+    val wOrd = Window.orderBy(col("v")) // O(distinct rho values)
+    val cutoff = scored.groupBy(col("rho_e6").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(n))
+      .filter(col("cum") * 4 >= col("n") * 3)
+      .agg(min(col("v")).as("cutoff"))
+    scored.crossJoin(broadcast(cutoff))
+      .select(col("doc_id"), col("n_tok"), col("nll_cur_e6"),
+        col("nll_irred_e6"), col("rho_e6"),
+        (col("rho_e6") > col("cutoff")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val rhoLossSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, doc_id % 2 = 0 AS isa,
+      |    unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |ca AS (SELECT w, COUNT(*) AS ca FROM tok WHERE isa GROUP BY w),
+      |cb AS (SELECT w, COUNT(*) AS cb FROM tok WHERE NOT isa
+      |       GROUP BY w),
+      |tot AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+      |    CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      |  FROM tok),
+      |wts AS (
+      |  SELECT d.w,
+      |    CAST(floor(ln(CAST(COALESCE(ca.ca, 0) + 1 AS DOUBLE) /
+      |      CAST(tot.na + tot.v AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS lpa,
+      |    CAST(floor(ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE) /
+      |      CAST(tot.nb + tot.v AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS lpb
+      |  FROM (SELECT DISTINCT w FROM tok) d
+      |  LEFT JOIN ca USING (w) LEFT JOIN cb USING (w)
+      |  CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    CAST(SUM(-lpa) AS BIGINT) AS sa,
+      |    CAST(SUM(-lpb) AS BIGINT) AS sb
+      |  FROM tok JOIN wts USING (w) WHERE isa GROUP BY doc_id),
+      |r AS (
+      |  SELECT doc_id, n_tok, sa // n_tok AS nll_cur_e6,
+      |    sb // n_tok AS nll_irred_e6,
+      |    sa // n_tok - sb // n_tok AS rho_e6
+      |  FROM scored),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+      |cum AS (
+      |  SELECT v, SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT rho_e6 AS v, COUNT(*) AS c FROM r GROUP BY 1)),
+      |cut AS (SELECT MIN(v) AS cutoff FROM cum, nn
+      |        WHERE cum * 4 >= n * 3)
+      |SELECT doc_id, n_tok,
+      |  CAST(nll_cur_e6 AS BIGINT) AS nll_cur_e6,
+      |  CAST(nll_irred_e6 AS BIGINT) AS nll_irred_e6,
+      |  CAST(rho_e6 AS BIGINT) AS rho_e6,
+      |  rho_e6 > cutoff AS selected
+      |FROM r, cut
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_doremi_step" -> (doremiStep _),
+    "curate_rho_loss" -> (rhoLoss _),
     "curate_set_cover" -> ((s, d) => setCover(s, d)),
     "curate_token_budget" -> (tokenBudget _),
     "pipeline_curate" -> (summary _),
@@ -326,6 +564,8 @@ object CurationPipeline {
       stratifiedSample(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "curate_doremi_step" -> doremiStepSql,
+    "curate_rho_loss" -> rhoLossSql,
     "curate_set_cover" -> setCoverSql,
     "curate_token_budget" -> tokenBudgetSql,
     "pipeline_curate" -> summarySql,

@@ -2532,7 +2532,231 @@ object Evaluation {
        |    // CAST($n * ($n - 1) * ($n - 2) / 6 AS BIGINT) AS cyclic_ppm
        |FROM agg""".stripMargin
 
+  /** Online Elo ratings (Elo 1978) — the Chatbot-Arena-style
+    * leaderboard fold — over the same behavioral duel source as
+    * [[bradleyTerry]], sequenced as DAILY head-to-head tallies per
+    * ordered type pair (day, ta < tb): n_a users favored a, n_b
+    * favored b. Each tally is one rated game with fractional score
+    * S_a = n_a/(n_a+n_b); expected score E_a = 1/(1+10^((r_b−r_a)/400)),
+    * K = 32, start 1000. Unlike [[bradleyTerry]]'s order-free MM fit,
+    * Elo is an ORDER-DEPENDENT recurrence — the arrival-sequence fold
+    * a live leaderboard actually maintains — so the duel sequence is
+    * pinned by (day, ta, tb) and every intermediate quantity (S, E,
+    * the K·(S−E) delta, both updated ratings) is snapped to 6 dp with
+    * sign-peeled float-multiply rounding, pairing with the oracle's
+    * `round(x, 6)` (the [[graft.ops.TimeSeries.tsKalman]] discipline),
+    * so the ~O(days·pairs)-step recurrence is bit-reproducible.
+    *
+    * Scale: corpus work is ONE map-combinable (user, day, type)
+    * count + the within-(user, day) pair reduce — the duel frame is
+    * O(days × type-pairs) METADATA by data shape (types are an enum),
+    * independent of row count, and only that folds driver-side (the
+    * tsHolt/tsKalman precedent). The oracle replays the fold as a
+    * recursive CTE carrying the ratings as a k-slot list. */
+  def eloRatings(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = counts.toDF("user_id", "day", "ta", "ca")
+    val b = counts.toDF("user_id", "day", "tb", "cb")
+    val daily = a.join(b, Seq("user_id", "day"))
+      .filter(col("ta") < col("tb")).filter(col("ca") =!= col("cb"))
+      .groupBy(col("day"), col("ta"), col("tb"))
+      .agg(sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("ca") < col("cb"), 1L).otherwise(0L)).as("nb"))
+      .orderBy(col("day"), col("ta"), col("tb"))
+      .collect() // O(days × type-pairs) metadata by premise
+    def r6(x: Double): Double = {
+      val y = x * 1e6
+      (if (y < 0) -math.floor(-y + 0.5) else math.floor(y + 0.5)) / 1e6
+    }
+    val items = daily.flatMap(r => Seq(r.getString(1), r.getString(2)))
+      .distinct.sorted
+    val rating = scala.collection.mutable.Map(
+      items.map(_ -> 1000.0).toSeq: _*)
+    val nDuels = scala.collection.mutable.Map(
+      items.map(_ -> 0L).toSeq: _*)
+    daily.foreach { r =>
+      val (ta, tb) = (r.getString(1), r.getString(2))
+      val (na, nb) = (r.getLong(3), r.getLong(4))
+      val (ra, rb) = (rating(ta), rating(tb))
+      val ea = r6(1.0 / (1.0 + math.pow(10.0, (rb - ra) / 400.0)))
+      val sa = r6(na.toDouble / (na + nb).toDouble)
+      val delta = r6(32.0 * (sa - ea))
+      rating(ta) = r6(ra + delta)
+      rating(tb) = r6(rb - delta)
+      nDuels(ta) += 1L
+      nDuels(tb) += 1L
+    }
+    import s.implicits._
+    items.toSeq.map { t =>
+      val y = rating(t) * 1e6
+      val e6 =
+        (if (y < 0) -math.floor(-y + 0.5) else math.floor(y + 0.5)).toLong
+      (t, nDuels(t), e6)
+    }.toDF("item", "n_duels", "rating_e6").orderBy(col("item"))
+  }
+
+  val eloRatingsSql: String =
+    """WITH RECURSIVE counts AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |daily AS (
+      |  SELECT a.day, a.event_type AS ta, b.event_type AS tb,
+      |    CAST(SUM(CASE WHEN a.cnt > b.cnt THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN a.cnt < b.cnt THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nb
+      |  FROM counts a JOIN counts b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |   AND a.event_type < b.event_type
+      |  WHERE a.cnt <> b.cnt
+      |  GROUP BY 1, 2, 3),
+      |items AS (
+      |  SELECT item, ROW_NUMBER() OVER (ORDER BY item) AS idx
+      |  FROM (SELECT ta AS item FROM daily
+      |        UNION SELECT tb FROM daily)),
+      |seq AS (
+      |  SELECT d.na, d.nb, ia.idx AS ia, ib.idx AS ib,
+      |    ROW_NUMBER() OVER (ORDER BY d.day, d.ta, d.tb) AS t
+      |  FROM daily d JOIN items ia ON ia.item = d.ta
+      |               JOIN items ib ON ib.item = d.tb),
+      |nseq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seq FROM seq),
+      |elo(t, ratings) AS (
+      |  SELECT CAST(0 AS BIGINT),
+      |    (SELECT list_transform(range(1, CAST(COUNT(*) AS INTEGER) + 1),
+      |       x -> CAST(1000.0 AS DOUBLE)) FROM items)
+      |  UNION ALL
+      |  SELECT e.t + 1,
+      |    list_transform(e.ratings, (r, i) -> CASE
+      |      WHEN i = s.ia THEN round(r + round(32.0 * (
+      |          round(CAST(s.na AS DOUBLE) / CAST(s.na + s.nb AS DOUBLE), 6)
+      |        - round(1.0 / (1.0 + pow(10.0,
+      |            (e.ratings[s.ib] - e.ratings[s.ia]) / 400.0)), 6)), 6), 6)
+      |      WHEN i = s.ib THEN round(r - round(32.0 * (
+      |          round(CAST(s.na AS DOUBLE) / CAST(s.na + s.nb AS DOUBLE), 6)
+      |        - round(1.0 / (1.0 + pow(10.0,
+      |            (e.ratings[s.ib] - e.ratings[s.ia]) / 400.0)), 6)), 6), 6)
+      |      ELSE r END)
+      |  FROM elo e JOIN seq s ON s.t = e.t + 1),
+      |fin AS (SELECT ratings FROM elo, nseq WHERE t = n_seq),
+      |dcount AS (
+      |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_duels FROM (
+      |    SELECT ta AS item FROM daily
+      |    UNION ALL SELECT tb FROM daily)
+      |  GROUP BY item)
+      |SELECT i.item, d.n_duels,
+      |  CAST(CASE WHEN f.ratings[CAST(i.idx AS INTEGER)] < 0
+      |    THEN -floor(-(f.ratings[CAST(i.idx AS INTEGER)]) * 1e6 + 0.5)
+      |    ELSE floor(f.ratings[CAST(i.idx AS INTEGER)] * 1e6 + 0.5) END
+      |    AS BIGINT) AS rating_e6
+      |FROM items i JOIN dcount d ON d.item = i.item, fin f
+      |ORDER BY i.item""".stripMargin
+
+  /** Judge length-bias audit — the systematic check behind
+    * length-controlled win rates (Dubois et al., AlpacaEval 2.0,
+    * 2024): when a judge ranks paired responses, how often does the
+    * LONGER one win, overall and by length-gap bucket? Near 500 000
+    * ppm = length-neutral; a large bucket-monotone excess is the bias
+    * signature. Pairs are within-source adjacent documents (the
+    * [[rougePairs]] pairing), the judge is the deterministic
+    * stopword-density score in exact integer ppm (the fluency proxy
+    * the quality gates share — a real LLM judge's verdict column
+    * slots into the same shape), and score ties or equal lengths
+    * drop as no-decisions.
+    *
+    * Scale: one window per source (a single exchange on source) +
+    * two map-combinable aggregates; output is O(buckets). All
+    * figures are exact-integer ppm. */
+  def lengthBias(s: SparkSession, dir: String): DataFrame = {
+    val stopList = graft.functions.TextFunctions.EnStopwords
+      .map(w => s"'$w'").mkString(", ")
+    val scored = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast(LongType).as("nc"),
+        size(split(col("text"), " ")).cast(LongType).as("nw"),
+        size(expr(s"filter(split(lower(text), ' '), " +
+          s"x -> x IN ($stopList))")).cast(LongType).as("nstop"))
+      .filter(col("nc") > 0)
+      .withColumn("score", expr("(nstop * 1000000) div nw"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val pairs = scored
+      .withColumn("nc2", lead(col("nc"), 1).over(w))
+      .withColumn("score2", lead(col("score"), 1).over(w))
+      .filter(col("nc2").isNotNull)
+      .filter(col("score") =!= col("score2"))
+      .filter(col("nc") =!= col("nc2"))
+      .withColumn("lw", when((col("nc") > col("nc2")) ===
+        (col("score") > col("score2")), 1L).otherwise(0L))
+      .withColumn("dlen", abs(col("nc") - col("nc2")))
+      .withColumn("bucket",
+        when(col("dlen") <= 10, "d01_1_10")
+          .when(col("dlen") <= 100, "d02_11_100")
+          .when(col("dlen") <= 1000, "d03_101_1000")
+          .otherwise("d04_1000plus"))
+    // buckets PARTITION the pair set, so the ALL row folds out of the
+    // O(buckets) rollup — the corpus is scanned exactly once
+    val byBucket = pairs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("lw")).as("longer_wins"))
+      .localCheckpoint()
+    val overall = byBucket
+      .agg(sum(col("n_pairs")).as("n_pairs"),
+        sum(col("longer_wins")).as("longer_wins"))
+      .select(lit("ALL").as("bucket"), col("n_pairs"),
+        col("longer_wins"))
+    byBucket.unionByName(overall)
+      .withColumn("longer_win_ppm",
+        expr("(longer_wins * 1000000) div n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
+  val lengthBiasSql: String = {
+    val stopList = graft.functions.TextFunctions.EnStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+      |  SELECT source, doc_id,
+      |    CAST(length(text) AS BIGINT) AS nc,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      x -> x IN ($stopList))) AS BIGINT) AS nstop
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, doc_id, nc,
+      |    (nstop * 1000000) // nw AS score
+      |  FROM m WHERE nc > 0),
+      |p AS (
+      |  SELECT nc, score,
+      |    lead(nc) OVER (PARTITION BY source ORDER BY doc_id) AS nc2,
+      |    lead(score) OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS score2
+      |  FROM s),
+      |pairs AS (
+      |  SELECT abs(nc - nc2) AS dlen,
+      |    CASE WHEN (nc > nc2) = (score > score2)
+      |      THEN 1 ELSE 0 END AS lw,
+      |    CASE WHEN abs(nc - nc2) <= 10 THEN 'd01_1_10'
+      |         WHEN abs(nc - nc2) <= 100 THEN 'd02_11_100'
+      |         WHEN abs(nc - nc2) <= 1000 THEN 'd03_101_1000'
+      |         ELSE 'd04_1000plus' END AS bucket
+      |  FROM p
+      |  WHERE nc2 IS NOT NULL AND score <> score2 AND nc <> nc2),
+      |b AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(lw) AS BIGINT) AS longer_wins
+      |  FROM pairs GROUP BY bucket
+      |  UNION ALL
+      |  SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(lw) AS BIGINT) FROM pairs)
+      |SELECT bucket, n_pairs, longer_wins,
+      |  (longer_wins * 1000000) // n_pairs AS longer_win_ppm
+      |FROM b ORDER BY bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_elo" -> (eloRatings _),
+    "eval_length_bias" -> (lengthBias _),
     "eval_pref_cycles" -> ((s: SparkSession, d: String) =>
       prefCycles(s, d)),
     "eval_wilson_ci" -> (wilsonWinCi _),
@@ -2569,6 +2793,8 @@ object Evaluation {
     "eval_calibration" -> (calibrationGate _))
 
   def oracle: Map[String, String] = Map(
+    "eval_elo" -> eloRatingsSql,
+    "eval_length_bias" -> lengthBiasSql,
     "eval_pref_cycles" -> prefCyclesSql(),
     "eval_wilson_ci" -> wilsonWinCiSql,
     "eval_span_f1" -> spanF1Sql,

@@ -149,12 +149,152 @@ object Spectral {
        |SELECT j AS i, x FROM x$iters ORDER BY i""".stripMargin
   }
 
+  /** All-but-the-top diagnostic (Mu & Viswanath, "All-but-the-Top:
+    * Simple and Effective Postprocessing for Word Representations",
+    * ICLR 2018): embeddings share a large common component; centering
+    * and projecting out the top principal direction measurably
+    * improves similarity tasks. This gate computes, per vector, the
+    * projection onto the dominant CENTERED principal direction and
+    * the share of the vector's centered energy that direction
+    * explains — the before/after evidence for applying the
+    * postprocess.
+    *
+    * Exactness: the centered Gram is formed without ever dividing by
+    * n — `n·G − S·Sᵀ` (S = per-dim component sums) is an exact BIGINT
+    * matrix with the same eigenvectors as the covariance; the power
+    * iteration replays [[pcaPower]]'s integer recurrence on it.
+    * Per-vector n-scaled centered components `c_i = n·q_i − S_i` are
+    * exact longs, so the projection t = ⟨c, v⟩ and energy c² = ⟨c, c⟩
+    * are exact (no i64 overflow through n = 10⁵ at d = 64, |q| ≤ 10³;
+    * the centered Gram is additionally floor-div rescaled ×1e-3 so
+    * the matvec holds the same bound); the emitted share
+    * t²/(c²·‖v‖²) is ONE fixed-shape double tree, 1e6-snapped —
+    * long→double casts round identically in both engines, so
+    * exceeding 2⁵³ only loses resolution, never cross-engine
+    * agreement.
+    *
+    * Scale: corpus passes are the one [[GramUpper]] aggregation +
+    * one per-dim sum + the final per-vector projection — a pure
+    * codegen HOF projection with v and S broadcast as literals;
+    * everything between runs on d×d metadata driver-side. */
+  def abtt(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val upper = gramMatrix(s, dir).collect()
+    val d = upper.iterator.map(_.getLong(1)).max.toInt
+    val sums = quantized(s, dir).groupBy(col("i"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0).toInt - 1, r.getLong(1),
+        r.getLong(2)))
+    val n = sums.head._3
+    val sArr = Array.ofDim[Long](d)
+    sums.foreach { case (i, v, _) => sArr(i) = v }
+    val gc = Array.ofDim[Long](d, d)
+    upper.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1,
+        r.getLong(2))
+      // Integer rescale (×1e-3) keeps the matvec under 2⁶³ through
+      // n = 10⁵ (eigenvectors are scale-invariant). The entries are
+      // signed, so the division is SIGN-PEELED on both sides — the
+      // engines' native integer divisions disagree on negatives.
+      val raw = n * v - sArr(i) * sArr(j)
+      val c = if (raw < 0) -((-raw) / 1000L) else raw / 1000L
+      gc(i)(j) = c
+      gc(j)(i) = c
+    }
+    var x = Array.fill(d)(10000L)
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(d) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += gc(i)(j) * x(j); j += 1 }
+        acc
+      }
+      val m = y.iterator.map(math.abs).max
+      x = y.map(v =>
+        math.floor(v.toDouble / m.toDouble * 10000.0 + 0.5).toLong)
+    }
+    val v2 = x.map(v => v * v).sum
+    val vLit = array(x.map(lit(_)): _*)
+    val sLit = array(sArr.map(lit(_)): _*)
+    val qarr = transform(col("embedding"), e =>
+      floor(e.cast(DoubleType) * 1000.0 + 0.5).cast(LongType))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        zip_with(qarr, sLit, (q, sv) => lit(n) * q - sv).as("c"))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("c"), vLit, (c, v) => c * v),
+          lit(0L), (a, t) => a + t).as("proj_t"),
+        aggregate(transform(col("c"), c => c * c),
+          lit(0L), (a, t) => a + t).as("c2"))
+      .select(col("vec_id"), col("proj_t"),
+        when(col("c2") === 0L, 0L).otherwise(
+          floor(col("proj_t").cast(DoubleType)
+            * col("proj_t").cast(DoubleType)
+            / (col("c2").cast(DoubleType) * lit(v2).cast(DoubleType))
+            * 1000000.0 + 0.5).cast(LongType)).as("top_share_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
+  def abttSql(iters: Int = 4): String = {
+    val steps = (1 to iters).map { k =>
+      s"""y$k AS (
+         |  SELECT gc.i, CAST(SUM(gc.g * x${k - 1}.x) AS BIGINT) AS y
+         |  FROM gc JOIN x${k - 1} ON gc.j = x${k - 1}.j GROUP BY gc.i),
+         |m$k AS (SELECT MAX(ABS(y)) AS m FROM y$k),
+         |x$k AS (
+         |  SELECT i AS j,
+         |    CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+         |      * 10000.0 + 0.5) AS BIGINT) AS x
+         |  FROM y$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+       |      AS BIGINT) AS qv
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) AS u(i)),
+       |sums AS (SELECT i, CAST(SUM(qv) AS BIGINT) AS s
+       |         FROM q GROUP BY i),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |g AS (
+       |  SELECT a.i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id
+       |  GROUP BY a.i, b.i),
+       |gc AS (
+       |  SELECT g.i, g.j,
+       |    CAST(CASE WHEN nn.n * g.g - sa.s * sb.s < 0
+       |      THEN -((-(nn.n * g.g - sa.s * sb.s)) // 1000)
+       |      ELSE (nn.n * g.g - sa.s * sb.s) // 1000 END
+       |      AS BIGINT) AS g
+       |  FROM g CROSS JOIN nn
+       |  JOIN sums sa ON sa.i = g.i JOIN sums sb ON sb.i = g.j),
+       |x0 AS (
+       |  SELECT DISTINCT i AS j, CAST(10000 AS BIGINT) AS x FROM gc),
+       |$steps,
+       |v2 AS (SELECT CAST(SUM(x * x) AS BIGINT) AS v2 FROM x$iters),
+       |c AS (
+       |  SELECT q.vec_id, q.i,
+       |    CAST(nn.n * q.qv - sums.s AS BIGINT) AS c
+       |  FROM q CROSS JOIN nn JOIN sums ON sums.i = q.i),
+       |pv AS (
+       |  SELECT c.vec_id, CAST(SUM(c.c * x$iters.x) AS BIGINT) AS t,
+       |    CAST(SUM(c.c * c.c) AS BIGINT) AS c2
+       |  FROM c JOIN x$iters ON x$iters.j = c.i GROUP BY c.vec_id)
+       |SELECT vec_id, t AS proj_t,
+       |  CASE WHEN c2 = 0 THEN 0 ELSE
+       |    CAST(floor(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+       |      / (CAST(c2 AS DOUBLE) * CAST(v2 AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) END AS top_share_ppm
+       |FROM pv, v2 ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_gram_matrix" -> (gramMatrix _),
+    "embed_abtt" -> ((s: SparkSession, d: String) => abtt(s, d)),
     "embed_pca_power" -> ((s: SparkSession, d: String) =>
       pcaPower(s, d)))
 
   def oracle: Map[String, String] = Map(
     "embed_gram_matrix" -> gramMatrixSql,
+    "embed_abtt" -> abttSql(),
     "embed_pca_power" -> pcaPowerSql())
 }

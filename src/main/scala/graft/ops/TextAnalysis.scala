@@ -1554,7 +1554,94 @@ object TextAnalysis {
       |FROM e
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** LLM-watermark detection (Kirchenbauer et al., "A Watermark for
+    * Large Language Models", ICML 2023) — the screen a training-data
+    * pipeline runs to keep WATERMARKED MODEL OUTPUT out of the
+    * pre-training corpus. The published detector: a generator with
+    * the watermark seeds a PRNG with the previous token and biases
+    * sampling toward a "green list" (here γ = 1/4 of the hash
+    * space); the detector recomputes each token's green-list
+    * membership from the (prev, cur) pair and tests the green count
+    * against Binomial(n, γ) — z = (g − γn)/√(nγ(1−γ)), flag at
+    * z > 4, the paper's operating point. On organic text z ≈ 0, the
+    * honest null readout this corpus shows.
+    *
+    * Determinism: green membership is pure modular arithmetic over
+    * the engine-portable polynomial char roll (the
+    * [[graft.ops.Learn.featureHash]] primitive) — no runtime libm
+    * in the decision; the z statistic's single √ is one fixed
+    * double tree 1e6-snapped via floor (identical on both engines,
+    * sign-safe because floor, not integer division).
+    *
+    * Scale: a pure codegen projection (per-doc bigram explode) +
+    * one map-combinable per-doc reduce — no joins, no model table,
+    * nothing broadcast. */
+  def watermarkDetect(s: SparkSession, dir: String): DataFrame = {
+    def roll(c: String) =
+      s"aggregate(transform(sequence(1, length($c))," +
+        s" i -> CAST(ascii(substring($c, i, 1)) AS BIGINT))," +
+        s" CAST(0 AS BIGINT)," +
+        s" (acc, x) -> (acc * 31 + x) % 1000000007)"
+    val docs = Tables.documents(s, dir)
+    // (w1, w2) from the token ARRAY by position — never re-split a
+    // joined bigram string (Spark's split drops trailing empties, so
+    // a doc with doubled spaces would desync from the oracle there)
+    docs.select(col("doc_id"),
+        split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(col("t")).as(Seq("p", "w1")))
+      .filter(col("p") < size(col("t")) - 1)
+      .withColumn("w2", element_at(col("t"), col("p") + 2))
+      .withColumn("green", expr(
+        s"((${roll("w1")} * 100003 + ${roll("w2")})" +
+          " % 1000000007) % 4 = 0"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("green"), 1L).otherwise(0L)).as("n_green"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_green"),
+        expr("(n_green * 1000000) div n_bigrams").as("green_ppm"),
+        floor((col("n_green") * 4 - col("n_bigrams")).cast(DoubleType)
+          / sqrt(lit(3.0) * col("n_bigrams").cast(DoubleType))
+          / lit(4.0) * 4000000.0 + 0.5).cast(LongType).as("z_e6"))
+      .withColumn("flagged", col("z_e6") > 4000000L)
+      .orderBy(col("doc_id"))
+  }
+
+  val watermarkDetectSql: String = {
+    def roll(c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT)," +
+        s" list_transform(generate_series(1, length($c))," +
+        s" i -> CAST(ascii(substring($c, i, 1)) AS BIGINT)))," +
+        s" (acc, x) -> (acc * 31 + x) % 1000000007)"
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |pos AS (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+      |big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+      |dec AS (
+      |  SELECT doc_id,
+      |    ((${roll("w1")} * 100003 + ${roll("w2")})
+      |      % 1000000007) % 4 = 0 AS green
+      |  FROM big),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN green THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_green
+      |  FROM dec GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, n_green,
+      |  (n_green * 1000000) // n_bigrams AS green_ppm,
+      |  CAST(floor(CAST(n_green * 4 - n_bigrams AS DOUBLE)
+      |    / sqrt(3.0 * CAST(n_bigrams AS DOUBLE)) / 4.0
+      |    * 4000000.0 + 0.5) AS BIGINT) AS z_e6,
+      |  CAST(floor(CAST(n_green * 4 - n_bigrams AS DOUBLE)
+      |    / sqrt(3.0 * CAST(n_bigrams AS DOUBLE)) / 4.0
+      |    * 4000000.0 + 0.5) AS BIGINT) > 4000000 AS flagged
+      |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_watermark_detect" -> (watermarkDetect _),
     "text_chunk_windows" ->
       ((s: SparkSession, d: String) => chunkWindows(s, d)),
     "text_distinct_n" -> (distinctN _),
@@ -1594,6 +1681,7 @@ object TextAnalysis {
     "text_regex_extract_all" -> regexExtractAllSql,
     "text_hapax" -> textHapaxSql,
     "text_ttr" -> textTtrSql,
+    "text_watermark_detect" -> watermarkDetectSql,
     "text_vocab_growth" -> vocabGrowthSql,
     "text_boilerplate_strip" -> boilerplateStripSql,
     "text_rake_keywords" -> rakeKeywordsSql,
