@@ -1435,7 +1435,121 @@ object Learn {
       |FROM documents d LEFT JOIN sc USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The OLS figures of [[conformal]] as shared SQL-text fragments
+    * over the train split's double power sums — pasted verbatim into
+    * BOTH engines' plans (the [[linreg]]/granger determinism idiom),
+    * so the per-row residual trees are identical by construction. */
+  private val confSlope: String =
+    "((tn*sxy - sx*sy) / (tn*sxx - sx*sx))"
+  private val confIcept: String =
+    s"((sy - $confSlope * sx) / tn)"
+
+  /** Split-conformal prediction interval (Vovk et al. 2005;
+    * Papadopoulos et al. 2002; Lei et al., JASA 2018) for the
+    * [[linreg]] price~quantity model — the DISTRIBUTION-FREE
+    * uncertainty wrapper an eval pipeline puts around any point
+    * predictor: fit on the train split (even l_orderkey), take the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual on the DISJOINT
+    * calibration split (odd keys, α = 0.1), and ŷ ± q covers with
+    * probability ≥ 90% by exchangeability alone — no Gaussian
+    * assumption. Emits the model, the interval half-width q, and the
+    * finite-sample calibration coverage the guarantee implies.
+    *
+    * Determinism: power sums are exact decimals cast to double once;
+    * slope/intercept/residuals are fixed shared-text double trees;
+    * each |residual| snaps to cents BEFORE ranking; the conformal
+    * rank ⌈0.9·(n+1)⌉ is exact integer arithmetic and the quantile
+    * is a conditional MIN over the residual histogram — the
+    * percentile_disc discipline, never a global row sort.
+    *
+    * Scale: one power-sum pass over train, one residual pass over
+    * calibration, a window over O(distinct cent values); everything
+    * after is scalar. */
+  def conformal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.Tables.lineitem(s, dir)
+      .select((col("l_orderkey") % 2 === 0).as("train"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    val sums = li.filter(col("train")).agg(
+        count(lit(1)).cast(DoubleType).as("tn"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sxy"))
+    val resid = li.filter(!col("train"))
+      .crossJoin(broadcast(sums))
+      .withColumn("r_e2", expr(
+        s"CAST(floor(abs(CAST(y AS DOUBLE) - ($confIcept" +
+          s" + $confSlope * CAST(x AS DOUBLE))) * 100.0 + 0.5)" +
+          " AS BIGINT)"))
+      .select(col("r_e2"))
+      .localCheckpoint() // three consumers: count, histogram, coverage
+    val nCal = resid.agg(count(lit(1)).as("n_cal"))
+    val wOrd = Window.orderBy(col("v")) // O(distinct cent residuals)
+    val q = resid.groupBy(col("r_e2").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(nCal))
+      // conformal rank k = ⌈0.9·(n+1)⌉ = (9·(n+1) + 9) div 10
+      .filter(col("cum") * 10 >= (col("n_cal") + 1) * 9)
+      .agg(min(col("v")).as("q_e2"))
+    val cov = resid.crossJoin(broadcast(q))
+      .agg(sum(when(col("r_e2") <= col("q_e2"), 1L).otherwise(0L))
+        .as("covered"))
+    sums.crossJoin(broadcast(nCal)).crossJoin(broadcast(q))
+      .crossJoin(broadcast(cov))
+      .select(col("tn").cast(LongType).as("n_train"), col("n_cal"),
+        expr(s"CAST(floor($confSlope * 1e6 + 0.5) AS BIGINT)")
+          .as("slope_e6"),
+        expr(s"CAST(floor($confIcept * 100.0 + 0.5) AS BIGINT)")
+          .as("intercept_e2"),
+        col("q_e2"),
+        expr("(covered * 1000000) div n_cal").as("cov_ppm"))
+  }
+
+  val conformalSql: String = {
+    s"""WITH li AS (
+      |  SELECT l_orderkey % 2 = 0 AS train,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS tn,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+      |  FROM li WHERE train),
+      |resid AS (
+      |  SELECT CAST(floor(abs(CAST(y AS DOUBLE) - ($confIcept
+      |      + $confSlope * CAST(x AS DOUBLE))) * 100.0 + 0.5)
+      |      AS BIGINT) AS r_e2
+      |  FROM li, sums WHERE NOT train),
+      |ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM resid),
+      |cum AS (
+      |  SELECT v, SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT r_e2 AS v, COUNT(*) AS c FROM resid GROUP BY 1)),
+      |q AS (SELECT MIN(v) AS q_e2 FROM cum, ncal
+      |      WHERE cum * 10 >= (n_cal + 1) * 9),
+      |cov AS (
+      |  SELECT CAST(SUM(CASE WHEN r_e2 <= q_e2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS covered
+      |  FROM resid, q)
+      |SELECT CAST(tn AS BIGINT) AS n_train, n_cal,
+      |  CAST(floor($confSlope * 1e6 + 0.5) AS BIGINT) AS slope_e6,
+      |  CAST(floor($confIcept * 100.0 + 0.5) AS BIGINT)
+      |    AS intercept_e2,
+      |  q_e2, (covered * 1000000) // n_cal AS cov_ppm
+      |FROM sums, ncal, q, cov""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "learn_conformal" -> (conformal _),
     "learn_quality_score" -> (qualityScore _),
     "learn_quantile_grid" ->
       ((s: SparkSession, d: String) => quantileGrid(s, d)),
@@ -1457,6 +1571,7 @@ object Learn {
     "learn_ridge" -> (ridge _))
 
   def oracle: Map[String, String] = Map(
+    "learn_conformal" -> conformalSql,
     "learn_quality_score" -> qualityScoreSql,
     "learn_quantile_grid" -> quantileGridSql,
     "learn_ucb1" -> ucb1Sql,

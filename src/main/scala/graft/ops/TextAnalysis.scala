@@ -1576,12 +1576,18 @@ object TextAnalysis {
     * Scale: a pure codegen projection (per-doc bigram explode) +
     * one map-combinable per-doc reduce — no joins, no model table,
     * nothing broadcast. */
+  /** The engine-portable polynomial char roll as Spark SQL text —
+    * lambda variables are prefixed so the fragment can nest inside
+    * an OUTER higher-order lambda (the streaming projection binds
+    * `i` there). */
+  private def polyRollExpr(c: String): String =
+    s"aggregate(transform(sequence(1, length($c))," +
+      s" pj -> CAST(ascii(substring($c, pj, 1)) AS BIGINT))," +
+      s" CAST(0 AS BIGINT)," +
+      s" (pacc, px) -> (pacc * 31 + px) % 1000000007)"
+
   def watermarkDetect(s: SparkSession, dir: String): DataFrame = {
-    def roll(c: String) =
-      s"aggregate(transform(sequence(1, length($c))," +
-        s" i -> CAST(ascii(substring($c, i, 1)) AS BIGINT))," +
-        s" CAST(0 AS BIGINT)," +
-        s" (acc, x) -> (acc * 31 + x) % 1000000007)"
+    def roll(c: String) = polyRollExpr(c)
     val docs = Tables.documents(s, dir)
     // (w1, w2) from the token ARRAY by position — never re-split a
     // joined bigram string (Spark's split drops trailing empties, so
@@ -1640,8 +1646,150 @@ object TextAnalysis {
       |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document watermark counts (n_bigrams, n_green) as a PURE
+    * PROJECTION — no explode, no aggregation — so the frame is legal
+    * upstream of a streaming stateful operator in append mode, and
+    * identical in value to [[watermarkDetect]]'s explode+reduce
+    * formulation (same roll, same green rule, pinned by spec). */
+  private[graft] def watermarkCountsProjection(docs: DataFrame)
+      : DataFrame =
+    docs.select(col("source"), split(lower(col("text")), " ").as("t"))
+      .withColumn("n", (size(col("t")) - 1).cast(LongType))
+      .filter(col("n") > 0)
+      .withColumn("g", expr(
+        "CAST(size(filter(sequence(1, size(t) - 1), i -> " +
+          s"((${polyRollExpr("element_at(t, i)")} * 100003 + " +
+          s"${polyRollExpr("element_at(t, i + 1)")})" +
+          " % 1000000007) % 4 = 0)) AS BIGINT)"))
+      .select(col("source"), col("n"), col("g"))
+
+  /** The keyed-state transform behind [[streamWatermarkRate]],
+    * exposed for the plan contract (TransformWithState, zero
+    * joins). */
+  private[graft] def watermarkStateUpdates(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.streaming.SourceWmTotals] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import docs.sparkSession.implicits._
+    org.apache.spark.sql.GraftSqlBridge
+      .ensureStateStoreCoordinator(docs.sparkSession)
+    watermarkCountsProjection(docs)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.WatermarkRateProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming watermark-rate scoreboard — [[watermarkDetect]]'s
+    * corpus rollup maintained INCREMENTALLY as batches arrive: the
+    * screen a live ingestion pipeline runs so model-generated
+    * (green-list-watermarked) text is caught while streaming in, not
+    * in a nightly batch. Per-document counts are a scan-side
+    * projection ([[watermarkCountsProjection]]); per-source totals
+    * live in RocksDB `transformWithState` ValueState
+    * ([[graft.streaming.WatermarkRateProcessor]] — the
+    * `stream_dedup_rate` keyed-store pattern: per-batch I/O ∝ batch +
+    * touched sources, changelog checkpointing, exactly-once via the
+    * sink commit log). Totals are component-wise monotone, so the
+    * reader's max-struct fold recovers each source's terminal state
+    * with no ordering metadata. Three micro-batches replay the corpus
+    * split by doc_id mod 3; the converged scoreboard must equal the
+    * batch rollup — the oracle is the batch SQL verbatim. */
+  def streamWatermarkRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def scratch(name: String): String =
+      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    val srcDir = scratch("wmstream/src")
+    val outDir = scratch("wmstream/updates")
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "wmstream_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def rm(p: String): Unit = {
+      val path = new Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    }
+    val docs = Tables.documents(s, dir)
+    graft.Scaffold.setup {
+      Seq(srcDir, outDir, ck).foreach(rm)
+      docs.filter(col("doc_id") % 3 === 0).coalesce(2).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
+      val updates = watermarkStateUpdates(
+        s.readStream.schema(docs.schema).parquet(srcDir))
+      val q = updates.toDF().writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          docs.filter(col("doc_id") % 3 === 1).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          docs.filter(col("doc_id") % 3 === 2).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        graft.streaming.EventStreams.dropCheckpoint(ck)
+      }
+    }
+    s.read.parquet(outDir)
+      .groupBy(col("source"))
+      .agg(max(struct(col("bigrams"), col("docs"), col("green")))
+        .as("m"))
+      .select(col("source"), col("m.docs").as("n_docs"),
+        col("m.bigrams").as("n_bigrams"), col("m.green").as("n_green"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("n_green"),
+        expr("(n_green * 1000000) div n_bigrams").as("green_ppm"),
+        floor((col("n_green") * 4 - col("n_bigrams")).cast(DoubleType)
+          / sqrt(lit(3.0) * col("n_bigrams").cast(DoubleType))
+          / lit(4.0) * 4000000.0 + 0.5).cast(LongType).as("z_e6"))
+      .orderBy(col("source"))
+  }
+
+  val streamWatermarkRateSql: String = {
+    def roll(c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT)," +
+        s" list_transform(generate_series(1, length($c))," +
+        s" i -> CAST(ascii(substring($c, i, 1)) AS BIGINT)))," +
+        s" (acc, x) -> (acc * 31 + x) % 1000000007)"
+    s"""WITH tok AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |pos AS (SELECT doc_id, source, t,
+      |          unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+      |big AS (SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+      |        FROM pos),
+      |dec AS (
+      |  SELECT doc_id, source,
+      |    ((${roll("w1")} * 100003 + ${roll("w2")})
+      |      % 1000000007) % 4 = 0 AS green
+      |  FROM big),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN green THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_green
+      |  FROM dec GROUP BY source)
+      |SELECT source, n_docs, n_bigrams, n_green,
+      |  (n_green * 1000000) // n_bigrams AS green_ppm,
+      |  CAST(floor(CAST(n_green * 4 - n_bigrams AS DOUBLE)
+      |    / sqrt(3.0 * CAST(n_bigrams AS DOUBLE)) / 4.0
+      |    * 4000000.0 + 0.5) AS BIGINT) AS z_e6
+      |FROM agg ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_watermark_detect" -> (watermarkDetect _),
+    "stream_watermark_rate" -> (streamWatermarkRate _),
     "text_chunk_windows" ->
       ((s: SparkSession, d: String) => chunkWindows(s, d)),
     "text_distinct_n" -> (distinctN _),
@@ -1682,6 +1830,7 @@ object TextAnalysis {
     "text_hapax" -> textHapaxSql,
     "text_ttr" -> textTtrSql,
     "text_watermark_detect" -> watermarkDetectSql,
+    "stream_watermark_rate" -> streamWatermarkRateSql,
     "text_vocab_growth" -> vocabGrowthSql,
     "text_boilerplate_strip" -> boilerplateStripSql,
     "text_rake_keywords" -> rakeKeywordsSql,
