@@ -2754,8 +2754,224 @@ object Evaluation {
       |FROM b ORDER BY bucket""".stripMargin
   }
 
+  /** 1PL IRT (Rasch 1960) item-difficulty fit — the benchmark
+    * calibration behind modern eval-subset work (Polo et al.,
+    * "tinyBenchmarks", ICML 2024: fit IRT to the response matrix,
+    * keep the informative items): P(correct) = σ(θ_subject − b_item),
+    * fit by two full-batch gradient steps from zeros. Subjects are
+    * users, items are event types, and the response is engagement in
+    * the corpus's final week (deterministic binarization of the same
+    * behavioral matrix the duel gates rank). Step 1 is EXACT — at
+    * θ = b = 0 every σ is 1/2 exactly (the [[graft.ops.Learn]]
+    * no-libm trick), so θ₁/b₁ are one snapped division each; step
+    * 2's σ terms are e6-snapped longs BEFORE the per-item sums (the
+    * doremi exp discipline), so the emitted difficulties are fixed
+    * double trees over exact integers.
+    *
+    * Scale: responses are one map-combinable (user, type) reduce;
+    * the σ-term frame is |users|×|items| with the item vector
+    * broadcast — the response-matrix shape IRT needs by definition;
+    * output is O(items). */
+  def irtRasch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val maxd = ev.agg(max(to_date(col("ts"))).as("maxd"))
+    // y(u, i) = 1 iff user u touched item i in the final week
+    val resp = ev.crossJoin(broadcast(maxd))
+      .filter(datediff(col("maxd"), to_date(col("ts"))) <= 6)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint() // feeds user sums, item sums, and the grid
+    val users = ev.select(col("user_id")).distinct()
+      .localCheckpoint()
+    val items = ev.select(col("event_type")).distinct()
+      .localCheckpoint()
+    val nU = users.agg(count(lit(1)).as("nu"))
+    val nT = items.agg(count(lit(1)).as("nt"))
+    val su = users
+      .join(resp.groupBy(col("user_id")).agg(count(lit(1)).as("su")),
+        Seq("user_id"), "left")
+      .na.fill(0L, Seq("su"))
+      .crossJoin(broadcast(nT))
+      // θ₁ = (S_u − T/2)/T exactly (σ(0) = 1/2), e6-snapped
+      .withColumn("theta1_e6", floor(
+        (col("su") * 2 - col("nt")).cast(DoubleType)
+          / (col("nt") * 2).cast(DoubleType) * 1e6 + 0.5)
+        .cast(LongType))
+      .select(col("user_id"), col("theta1_e6"))
+      .localCheckpoint() // O(users); feeds the σ grid
+    val si = items
+      .join(resp.groupBy(col("event_type")).agg(count(lit(1)).as("si")),
+        Seq("event_type"), "left")
+      .na.fill(0L, Seq("si"))
+      .crossJoin(broadcast(nU))
+      .withColumn("b1_e6", floor(
+        -(col("si") * 2 - col("nu")).cast(DoubleType)
+          / (col("nu") * 2).cast(DoubleType) * 1e6 + 0.5)
+        .cast(LongType))
+      .localCheckpoint() // O(items)
+    // step-2 σ terms over the users × items grid, e6-snapped longs
+    val sig = su.crossJoin(broadcast(si.select(col("event_type"),
+        col("b1_e6"))))
+      .withColumn("t_e6", floor(lit(1e6)
+        / (lit(1.0) + exp(-(col("theta1_e6") - col("b1_e6"))
+          .cast(DoubleType) / 1e6)) + 0.5).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t_e6")).as("sum_sig_e6"))
+    si.join(broadcast(sig), "event_type")
+      .select(col("event_type").as("item"), col("nu").as("n_users"),
+        col("si").as("n_correct"), col("b1_e6"),
+        // b₂ = b₁ − (S_i − Σσ)/U, one fixed tree over exact longs
+        floor(col("b1_e6").cast(DoubleType)
+          - (col("si").cast(DoubleType)
+            - col("sum_sig_e6").cast(DoubleType) / 1e6)
+          / col("nu").cast(DoubleType) * 1e6 + 0.5)
+          .cast(LongType).as("b2_e6"))
+      .orderBy(col("item"))
+  }
+
+  val irtRaschSql: String =
+    """WITH maxd AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+      |resp AS (
+      |  SELECT DISTINCT user_id, event_type
+      |  FROM events, maxd
+      |  WHERE datediff('day', CAST(ts AS DATE), maxd) <= 6),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |items AS (SELECT DISTINCT event_type FROM events),
+      |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM users),
+      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM items),
+      |su AS (
+      |  SELECT u.user_id,
+      |    CAST(floor(CAST(COALESCE(r.su, 0) * 2 - nt.nt AS DOUBLE)
+      |      / CAST(nt.nt * 2 AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS theta1_e6
+      |  FROM users u
+      |  LEFT JOIN (SELECT user_id, COUNT(*) AS su FROM resp
+      |             GROUP BY user_id) r ON r.user_id = u.user_id
+      |  CROSS JOIN nt),
+      |si AS (
+      |  SELECT i.event_type, nu.nu,
+      |    CAST(COALESCE(r.si, 0) AS BIGINT) AS si,
+      |    CAST(floor(-CAST(COALESCE(r.si, 0) * 2 - nu.nu AS DOUBLE)
+      |      / CAST(nu.nu * 2 AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS b1_e6
+      |  FROM items i
+      |  LEFT JOIN (SELECT event_type, COUNT(*) AS si FROM resp
+      |             GROUP BY event_type) r
+      |    ON r.event_type = i.event_type
+      |  CROSS JOIN nu),
+      |sig AS (
+      |  SELECT si.event_type,
+      |    CAST(SUM(CAST(floor(1e6 / (1.0
+      |      + exp(-CAST(su.theta1_e6 - si.b1_e6 AS DOUBLE) / 1e6))
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS sum_sig_e6
+      |  FROM su CROSS JOIN si GROUP BY si.event_type)
+      |SELECT si.event_type AS item, si.nu AS n_users,
+      |  si.si AS n_correct, si.b1_e6,
+      |  CAST(floor(CAST(si.b1_e6 AS DOUBLE)
+      |    - (CAST(si.si AS DOUBLE) - CAST(sig.sum_sig_e6 AS DOUBLE)
+      |      / 1e6)
+      |    / CAST(si.nu AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS b2_e6
+      |FROM si JOIN sig ON sig.event_type = si.event_type
+      |ORDER BY item""".stripMargin
+
+  /** Platt scaling (Platt, "Probabilistic Outputs for Support Vector
+    * Machines", 1999) — the PARAMETRIC calibration map σ(A·s + B)
+    * fitted to the same (score, label) source as [[aucGate]] and
+    * [[isotonicGate]] (its non-parametric sibling): two full-batch
+    * NLL gradient steps from (A, B) = (0, 0). Step 1 is EXACT — at
+    * zero every σ is 1/2, so both gradients are signed integer sums
+    * (Σ s·(1 − 2y) and N − 2P) over one divisor; step 2's per-row σ
+    * terms snap to e6 longs BEFORE the sums (the irt/doremi
+    * discipline), so the emitted coefficients are fixed double trees
+    * over exact integers. Scores enter as s/1000 (doc lengths are
+    * O(500), so the logit stays in σ's active range).
+    *
+    * Scale: two map-combinable passes over the corpus (one per
+    * step), O(1) state — no histogram, no sort, nothing broadcast
+    * but two scalar rows. */
+  def plattScaling(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("n_chars").cast(LongType).as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .localCheckpoint() // two gradient passes over the same frame
+    val g1 = base.agg(
+        count(lit(1)).as("n"), sum(col("y")).as("p"),
+        sum(col("sc") * (lit(1L) - lit(2L) * col("y"))).as("ga2"))
+      // A₁ = −Σ s·(1−2y) / (2000·N), B₁ = −(N − 2P) / (2N), e6 ints
+      .select(col("n"), col("p"),
+        floor(-col("ga2").cast(DoubleType)
+          / (col("n") * 2000L).cast(DoubleType) * 1e6 + 0.5)
+          .cast(LongType).as("a1_e6"),
+        floor(-(col("n") - lit(2L) * col("p")).cast(DoubleType)
+          / (col("n") * 2L).cast(DoubleType) * 1e6 + 0.5)
+          .cast(LongType).as("b1_e6"))
+    val g2 = base.crossJoin(broadcast(g1))
+      .withColumn("t_e6", floor(lit(1e6) / (lit(1.0)
+        + exp(-(col("a1_e6").cast(DoubleType) / 1e6
+          * col("sc").cast(DoubleType) / 1000.0
+          + col("b1_e6").cast(DoubleType) / 1e6))) + 0.5)
+        .cast(LongType))
+      .withColumn("u_e6", col("t_e6") - lit(1000000L) * col("y"))
+      .agg(first(col("n")).as("n"), first(col("p")).as("p"),
+        first(col("a1_e6")).as("a1_e6"),
+        first(col("b1_e6")).as("b1_e6"),
+        sum(floor(col("sc").cast(DoubleType)
+          * col("u_e6").cast(DoubleType) / 1000.0 + 0.5)
+          .cast(LongType)).as("sa_e6"),
+        sum(col("u_e6")).as("sb_e6"))
+    g2.select(col("n"), col("p").as("n_pos"),
+        col("a1_e6"), col("b1_e6"),
+        floor(col("a1_e6").cast(DoubleType)
+          - col("sa_e6").cast(DoubleType) / col("n").cast(DoubleType)
+          + 0.5).cast(LongType).as("a2_e6"),
+        floor(col("b1_e6").cast(DoubleType)
+          - col("sb_e6").cast(DoubleType) / col("n").cast(DoubleType)
+          + 0.5).cast(LongType).as("b2_e6"))
+  }
+
+  val plattScalingSql: String =
+    """WITH base AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS sc,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS p,
+      |    CAST(floor(-CAST(SUM(sc * (1 - 2 * y)) AS DOUBLE)
+      |      / CAST(COUNT(*) * 2000 AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS a1_e6,
+      |    CAST(floor(-CAST(COUNT(*) - 2 * SUM(y) AS DOUBLE)
+      |      / CAST(COUNT(*) * 2 AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS b1_e6
+      |  FROM base),
+      |g2 AS (
+      |  SELECT g1.n, g1.p, g1.a1_e6, g1.b1_e6,
+      |    CAST(SUM(CAST(floor(CAST(sc AS DOUBLE)
+      |      * CAST(CAST(floor(1e6 / (1.0
+      |        + exp(-(CAST(a1_e6 AS DOUBLE) / 1e6
+      |          * CAST(sc AS DOUBLE) / 1000.0
+      |          + CAST(b1_e6 AS DOUBLE) / 1e6))) + 0.5) AS BIGINT)
+      |        - 1000000 * y AS DOUBLE) / 1000.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS sa_e6,
+      |    CAST(SUM(CAST(floor(1e6 / (1.0
+      |      + exp(-(CAST(a1_e6 AS DOUBLE) / 1e6
+      |        * CAST(sc AS DOUBLE) / 1000.0
+      |        + CAST(b1_e6 AS DOUBLE) / 1e6))) + 0.5) AS BIGINT)
+      |      - 1000000 * y) AS BIGINT) AS sb_e6
+      |  FROM base, g1
+      |  GROUP BY g1.n, g1.p, g1.a1_e6, g1.b1_e6)
+      |SELECT n, p AS n_pos, a1_e6, b1_e6,
+      |  CAST(floor(CAST(a1_e6 AS DOUBLE)
+      |    - CAST(sa_e6 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS a2_e6,
+      |  CAST(floor(CAST(b1_e6 AS DOUBLE)
+      |    - CAST(sb_e6 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS b2_e6
+      |FROM g2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_elo" -> (eloRatings _),
+    "eval_irt_rasch" -> (irtRasch _),
+    "eval_platt" -> (plattScaling _),
     "eval_length_bias" -> (lengthBias _),
     "eval_pref_cycles" -> ((s: SparkSession, d: String) =>
       prefCycles(s, d)),
@@ -2794,6 +3010,8 @@ object Evaluation {
 
   def oracle: Map[String, String] = Map(
     "eval_elo" -> eloRatingsSql,
+    "eval_irt_rasch" -> irtRaschSql,
+    "eval_platt" -> plattScalingSql,
     "eval_length_bias" -> lengthBiasSql,
     "eval_pref_cycles" -> prefCyclesSql(),
     "eval_wilson_ci" -> wilsonWinCiSql,

@@ -70,4 +70,51 @@ class RoundNineBatchFourSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("irt: one row per item, exact step-1 difficulty replicated " +
+      "from first principles, step-2 move bounded by the learning " +
+      "rate") {
+    val rows = graft.ops.Evaluation.irtRasch(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+      .collect()
+    val maxd = ev.map(_.getDate(2).toLocalDate).max
+    val resp = ev.filter { r =>
+      val d = r.getDate(2).toLocalDate
+      java.time.temporal.ChronoUnit.DAYS.between(d, maxd) <= 6
+    }.map(r => (r.getLong(0), r.getString(1))).distinct
+    val nU = ev.map(_.getLong(0)).distinct.length
+    val items = ev.map(_.getString(1)).distinct.sorted
+    assert(rows.map(_.getString(0)).sameElements(items))
+    rows.foreach { r =>
+      val si = resp.count(_._2 == r.getString(0)).toLong
+      assert(r.getLong(1) == nU && r.getLong(2) == si, r.toString)
+      val b1 = math.floor(
+        -(si * 2 - nU).toDouble / (nU * 2).toDouble * 1e6 + 0.5).toLong
+      assert(r.getLong(3) == b1, r.toString)
+      // one η = 1 step moves b by at most 1 (e6-scaled) + rounding
+      assert(math.abs(r.getLong(4) - r.getLong(3)) <= 1000001L,
+        r.toString)
+    }
+  }
+
+  test("platt: step-1 coefficients replicated exactly from first " +
+      "principles; step-2 moves bounded") {
+    val r = graft.ops.Evaluation.plattScaling(spark, sf).collect().head
+    val base = Tables.documents(spark, sf)
+      .select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = base.length.toLong
+    val p = base.map(_._2).sum
+    val ga = base.map { case (sc, y) => sc * (1 - 2 * y) }.sum
+    val a1 = math.floor(-ga.toDouble / (n * 2000L).toDouble * 1e6 + 0.5)
+      .toLong
+    val b1 = math.floor(-(n - 2 * p).toDouble / (n * 2L).toDouble * 1e6
+      + 0.5).toLong
+    assert(r.getLong(0) == n && r.getLong(1) == p, r.toString)
+    assert(r.getLong(2) == a1 && r.getLong(3) == b1, r.toString)
+    assert(math.abs(r.getLong(4) - r.getLong(2)) <= 1000001L, r.toString)
+    assert(math.abs(r.getLong(5) - r.getLong(3)) <= 1000001L, r.toString)
+  }
 }
