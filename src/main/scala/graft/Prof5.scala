@@ -61,6 +61,15 @@ object Prof5 {
        "event_id",
        df => graft.streaming.EventStreams
          .runningUserTotalsTws(df).toDF())
+    case "watermark" =>
+      (Tables.documents(s, dir), "doc_id",
+       df => graft.ops.TextAnalysis.watermarkStateUpdates(df).toDF())
+    case "semdedup" =>
+      val base = graft.ops.Similarity.streamSemDedupBase(s, dir)
+      val seeds = graft.ops.Similarity.streamSemDedupSeeds(base, 8)
+      (base, "vec_id",
+       df => graft.ops.Similarity
+         .semDedupStateEvents(df, seeds, 0.99).toDF())
     case other => sys.error(s"unknown gate $other")
   }
 

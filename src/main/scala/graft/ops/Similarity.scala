@@ -1682,10 +1682,27 @@ object Similarity {
     * changelog checkpointing; state = the corpus partitioned by cell,
     * on local SSD. Recall caveat inherited from the batch gate:
     * cross-cell ≥θ pairs are missed by construction. */
+  /** The (vec_id, v, n) source frame [[streamSemDedup]] streams,
+    * exposed for the Prof5 scaling runner. */
+  private[graft] def streamSemDedupBase(s: SparkSession,
+      dir: String): DataFrame =
+    withNearDuplicates(s, dir).withColumn("n", norm(col("v")))
+
+  /** The batch gate's deterministic mult-hash seed pick, collected
+    * driver-side (k rows of 64 doubles — metadata-sized). */
+  private[graft] def streamSemDedupSeeds(base: DataFrame,
+      k: Int): Array[(Seq[Double], Double)] =
+    base
+      .withColumn("h",
+        pmod(col("vec_id") * lit(2654435761L), lit(999983L)))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("v"), col("n")).collect()
+      .map(r => (r.getSeq[Double](0), r.getDouble(1)))
+
   def streamSemDedup(s: SparkSession, dir: String, k: Int = 8,
       theta: Double = 0.99): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val base = withNearDuplicates(s, dir).withColumn("n", norm(col("v")))
+    val base = streamSemDedupBase(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val srcDir = s"/tmp/graft_scratch/$tag/semstream/src"
     val outDir = s"/tmp/graft_scratch/$tag/semstream/events"
@@ -1700,12 +1717,7 @@ object Similarity {
       Seq(srcDir, outDir, ck).foreach(rm)
       base.filter(col("vec_id") % 3 === 0).coalesce(2)
         .write.mode("overwrite").parquet(srcDir)
-      base
-        .withColumn("h",
-          pmod(col("vec_id") * lit(2654435761L), lit(999983L)))
-        .orderBy(col("h"), col("vec_id")).limit(k)
-        .select(col("v"), col("n")).collect()
-        .map(r => (r.getSeq[Double](0), r.getDouble(1)))
+      streamSemDedupSeeds(base, k)
     }
     graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
       val events = semDedupStateEvents(
