@@ -45,6 +45,85 @@ object TrainingData {
     * `xxhash64`-ed to 8-byte keys before the broadcast; kept as
     * strings here so the oracle can reproduce them exactly.
     */
+  /** Contamination RUN-LENGTH audit — the GPT-3/PaLM-style
+    * contiguous-overlap rule ([[decontaminate]] counts SET overlap;
+    * training-data audits flag a doc when a CONTIGUOUS span of ≥13
+    * tokens appears verbatim in the benchmark, Brown et al. 2020
+    * §C): per (corpus doc, benchmark doc), matched 3-gram positions
+    * on a common DIAGONAL (pd − pb) that are consecutive form a run;
+    * a run of g grams is an overlap of g + 2 tokens. Emits, per
+    * contaminated doc, the longest overlap and the run census, with
+    * the 13-token flag.
+    *
+    * Scale: the gram equi join is [[decontaminate]]'s shape with the
+    * benchmark side broadcast (positions add 8 B per gram); the
+    * gaps-islands window runs ONLY over matched rows — O(hits), not
+    * O(corpus) — partitioned by (doc, bench, diag). */
+  def contaminationRuns(s: SparkSession, dir: String): DataFrame = {
+    val pg = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(wordGrams(col("text"), 3)).as(Seq("p", "gram")))
+    val corpus = pg.filter(col("doc_id") % 101 =!= 0)
+    val bench = pg.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("bench_id"), col("p").as("pb"),
+        col("gram"))
+    val w = Window.partitionBy(col("doc_id"), col("bench_id"),
+      col("diag")).orderBy(col("pd"))
+    val runs = corpus.join(broadcast(bench), "gram")
+      .select(col("doc_id"), col("bench_id"), col("p").as("pd"),
+        col("pb"))
+      .withColumn("diag", col("pd") - col("pb"))
+      .withColumn("island", col("pd") - row_number().over(w))
+      .groupBy(col("doc_id"), col("bench_id"), col("diag"),
+        col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("max_run_grams"),
+        count(lit(1)).as("n_runs"))
+    val ng = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    runs.join(ng, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_runs"),
+        col("max_run_grams"),
+        (col("max_run_grams") + 2).as("max_overlap_tokens"),
+        (col("max_run_grams") + 2 >= 13).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationRunsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |        FROM tok),
+      |grams AS (SELECT doc_id, i - 1 AS p,
+      |            array_to_string(t[i:i+2], ' ') AS gram FROM pos),
+      |m AS (
+      |  SELECT c.doc_id, b.doc_id AS bench_id, c.p AS pd,
+      |    c.p - b.p AS diag
+      |  FROM grams c JOIN grams b USING (gram)
+      |  WHERE c.doc_id % 101 <> 0 AND b.doc_id % 101 = 0),
+      |isl AS (
+      |  SELECT doc_id, bench_id, diag, pd,
+      |    pd - ROW_NUMBER() OVER (PARTITION BY doc_id, bench_id, diag
+      |                            ORDER BY pd) AS island
+      |  FROM m),
+      |runs AS (
+      |  SELECT doc_id, COUNT(*) AS run
+      |  FROM isl GROUP BY doc_id, bench_id, diag, island),
+      |agg AS (
+      |  SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run_grams,
+      |    CAST(COUNT(*) AS BIGINT) AS n_runs
+      |  FROM runs GROUP BY doc_id),
+      |ng AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      |  FROM grams WHERE doc_id % 101 <> 0 GROUP BY doc_id)
+      |SELECT a.doc_id, ng.n_grams, a.n_runs, a.max_run_grams,
+      |  a.max_run_grams + 2 AS max_overlap_tokens,
+      |  a.max_run_grams + 2 >= 13 AS flagged
+      |FROM agg a JOIN ng USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
+
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     // array_distinct BEFORE explode: per-doc gram dedup is array-local
     // work inside the scan task, so the corpus side needs NO distinct()
@@ -1992,6 +2071,7 @@ object TrainingData {
     "pack_split" -> ((s, d) => trainValTestSplit(s, d)),
     "report_dataset_card" -> ((s, d) => datasetCard(s, d)),
     "pack_export_jsonl"  -> ((s, d) => exportJsonlGate(s, d)),
+    "text_contam_runs" -> (contaminationRuns _),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "text_decontam_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "text_repetition"    -> ((s, d) => repetition(s, d)),
@@ -2027,6 +2107,7 @@ object TrainingData {
     "pack_split" -> trainValTestSplitSql,
     "report_dataset_card" -> datasetCardSql,
     "pack_export_jsonl"  -> packShardsSql,
+    "text_contam_runs" -> contaminationRunsSql,
     "text_decontaminate" -> decontaminateSql,
     "text_decontam_bloom" -> decontaminateSql,
     "text_repetition"    -> repetitionSql,

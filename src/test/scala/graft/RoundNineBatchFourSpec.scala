@@ -98,6 +98,50 @@ class RoundNineBatchFourSpec extends SparkSpec {
     }
   }
 
+  test("contamination runs: full brute-force diagonal-run " +
+      "replication, flags are the 13-token rule") {
+    val rows = graft.ops.TrainingData.contaminationRuns(spark, sf)
+      .collect()
+    // plain-Scala reference: per (corpus doc, bench doc, diagonal),
+    // longest consecutive matched-3-gram run
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).toSeq).toMap
+    def grams(t: Seq[String]) =
+      if (t.length < 3) Seq.empty
+      else t.sliding(3).map(_.mkString(" ")).toSeq
+    val bench = docs.filter(_._1 % 101 == 0).map { case (id, t) =>
+      id -> grams(t).zipWithIndex
+        .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2) }
+    }
+    val expect = docs.filter(_._1 % 101 != 0).flatMap { case (id, t) =>
+      val gs = grams(t).zipWithIndex
+      val runs = scala.collection.mutable.Map
+        .empty[(Long, Long), List[Int]] // (bench, diag) -> pds
+      for ((g, pd) <- gs; (bid, pmap) <- bench;
+           pb <- pmap.getOrElse(g, Nil))
+        runs((bid, (pd - pb).toLong)) =
+          pd :: runs.getOrElse((bid, (pd - pb).toLong), Nil)
+      if (runs.isEmpty) None
+      else {
+        val lens = runs.values.flatMap { pds =>
+          val s = pds.sorted
+          s.zipWithIndex.groupBy { case (p, i) => p - i }
+            .values.map(_.size)
+        }
+        Some(id -> (lens.max.toLong, lens.size.toLong))
+      }
+    }
+    val got = rows.map(r =>
+      r.getLong(0) -> (r.getLong(3), r.getLong(2))).toMap
+    assert(got == expect.toMap)
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(4) >= 13L), r.toString)
+      assert(r.getLong(4) == r.getLong(3) + 2, r.toString)
+    }
+  }
+
   test("platt: step-1 coefficients replicated exactly from first " +
       "principles; step-2 moves bounded") {
     val r = graft.ops.Evaluation.plattScaling(spark, sf).collect().head
