@@ -2968,9 +2968,148 @@ object Evaluation {
       |    AS BIGINT) AS b2_e6
       |FROM g2""".stripMargin
 
+  /** Length-CONTROLLED win rate (Dubois et al., "Length-Controlled
+    * AlpacaEval", 2024) — the published FIX for the bias
+    * [[lengthBias]] measures: regress the pairwise verdict on the
+    * length difference, then report the win rate AT ZERO length
+    * difference, i.e. what the judge says when length can't speak.
+    * Model: P(first wins) = σ(A·Δlen/1000 + B) over the same
+    * oriented pair frame as [[lengthBias]]; fit = two full-batch NLL
+    * GD steps from (0, 0) (the [[plattScaling]] recurrence verbatim —
+    * step 1 exact via σ(0) = 1/2, step-2 σ terms e6-snapped);
+    * LC win rate = σ(B₂), snapped ppm. A₂'s sign IS the bias
+    * direction, stated alongside.
+    *
+    * Scale: one window per source builds the pairs; both gradient
+    * passes are map-combinable; O(1) state. */
+  def lcWinRate(s: SparkSession, dir: String): DataFrame = {
+    val stopList = graft.functions.TextFunctions.EnStopwords
+      .map(w => s"'$w'").mkString(", ")
+    val scored = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast(LongType).as("nc"),
+        size(split(col("text"), " ")).cast(LongType).as("nw"),
+        size(expr(s"filter(split(lower(text), ' '), " +
+          s"x -> x IN ($stopList))")).cast(LongType).as("nstop"))
+      .filter(col("nc") > 0)
+      .withColumn("score", expr("(nstop * 1000000) div nw"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val pairs = scored
+      .withColumn("nc2", lead(col("nc"), 1).over(w))
+      .withColumn("score2", lead(col("score"), 1).over(w))
+      .filter(col("nc2").isNotNull)
+      .filter(col("score") =!= col("score2"))
+      .filter(col("nc") =!= col("nc2"))
+      .select((col("nc") - col("nc2")).as("dx"),
+        when(col("score") > col("score2"), 1L).otherwise(0L).as("y"))
+      .localCheckpoint() // two gradient passes over the same frame
+    val g1 = pairs.agg(
+        count(lit(1)).as("n"), sum(col("y")).as("p"),
+        sum(col("dx") * (lit(1L) - lit(2L) * col("y"))).as("ga2"))
+      .select(col("n"), col("p"),
+        floor(-col("ga2").cast(DoubleType)
+          / (col("n") * 2000L).cast(DoubleType) * 1e6 + 0.5)
+          .cast(LongType).as("a1_e6"),
+        floor(-(col("n") - lit(2L) * col("p")).cast(DoubleType)
+          / (col("n") * 2L).cast(DoubleType) * 1e6 + 0.5)
+          .cast(LongType).as("b1_e6"))
+    val g2 = pairs.crossJoin(broadcast(g1))
+      .withColumn("t_e6", floor(lit(1e6) / (lit(1.0)
+        + exp(-(col("a1_e6").cast(DoubleType) / 1e6
+          * col("dx").cast(DoubleType) / 1000.0
+          + col("b1_e6").cast(DoubleType) / 1e6))) + 0.5)
+        .cast(LongType))
+      .withColumn("u_e6", col("t_e6") - lit(1000000L) * col("y"))
+      .agg(first(col("n")).as("n"), first(col("p")).as("p"),
+        first(col("a1_e6")).as("a1_e6"),
+        first(col("b1_e6")).as("b1_e6"),
+        sum(floor(col("dx").cast(DoubleType)
+          * col("u_e6").cast(DoubleType) / 1000.0 + 0.5)
+          .cast(LongType)).as("sa_e6"),
+        sum(col("u_e6")).as("sb_e6"))
+    g2.select(col("n").as("n_pairs"),
+        expr("(p * 1000000) div n").as("raw_win_ppm"),
+        floor(col("a1_e6").cast(DoubleType)
+          - col("sa_e6").cast(DoubleType) / col("n").cast(DoubleType)
+          + 0.5).cast(LongType).as("a2_e6"),
+        floor(col("b1_e6").cast(DoubleType)
+          - col("sb_e6").cast(DoubleType) / col("n").cast(DoubleType)
+          + 0.5).cast(LongType).as("b2_e6"))
+      .withColumn("lc_win_ppm", floor(lit(1e6) / (lit(1.0)
+        + exp(-col("b2_e6").cast(DoubleType) / 1e6)) + 0.5)
+        .cast(LongType))
+  }
+
+  val lcWinRateSql: String = {
+    val stopList = graft.functions.TextFunctions.EnStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+      |  SELECT source, doc_id,
+      |    CAST(length(text) AS BIGINT) AS nc,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      x -> x IN ($stopList))) AS BIGINT) AS nstop
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, doc_id, nc,
+      |    (nstop * 1000000) // nw AS score
+      |  FROM m WHERE nc > 0),
+      |pp AS (
+      |  SELECT nc, score,
+      |    lead(nc) OVER (PARTITION BY source ORDER BY doc_id) AS nc2,
+      |    lead(score) OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS score2
+      |  FROM s),
+      |pairs AS (
+      |  SELECT nc - nc2 AS dx,
+      |    CASE WHEN score > score2 THEN 1 ELSE 0 END AS y
+      |  FROM pp
+      |  WHERE nc2 IS NOT NULL AND score <> score2 AND nc <> nc2),
+      |g1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS p,
+      |    CAST(floor(-CAST(SUM(dx * (1 - 2 * y)) AS DOUBLE)
+      |      / CAST(COUNT(*) * 2000 AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS a1_e6,
+      |    CAST(floor(-CAST(COUNT(*) - 2 * SUM(y) AS DOUBLE)
+      |      / CAST(COUNT(*) * 2 AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS b1_e6
+      |  FROM pairs),
+      |g2 AS (
+      |  SELECT g1.n, g1.p, g1.a1_e6, g1.b1_e6,
+      |    CAST(SUM(CAST(floor(CAST(dx AS DOUBLE)
+      |      * CAST(CAST(floor(1e6 / (1.0
+      |        + exp(-(CAST(a1_e6 AS DOUBLE) / 1e6
+      |          * CAST(dx AS DOUBLE) / 1000.0
+      |          + CAST(b1_e6 AS DOUBLE) / 1e6))) + 0.5) AS BIGINT)
+      |        - 1000000 * y AS DOUBLE) / 1000.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS sa_e6,
+      |    CAST(SUM(CAST(floor(1e6 / (1.0
+      |      + exp(-(CAST(a1_e6 AS DOUBLE) / 1e6
+      |        * CAST(dx AS DOUBLE) / 1000.0
+      |        + CAST(b1_e6 AS DOUBLE) / 1e6))) + 0.5) AS BIGINT)
+      |      - 1000000 * y) AS BIGINT) AS sb_e6
+      |  FROM pairs, g1
+      |  GROUP BY g1.n, g1.p, g1.a1_e6, g1.b1_e6)
+      |SELECT n AS n_pairs, (p * 1000000) // n AS raw_win_ppm,
+      |  CAST(floor(CAST(a1_e6 AS DOUBLE)
+      |    - CAST(sa_e6 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS a2_e6,
+      |  CAST(floor(CAST(b1_e6 AS DOUBLE)
+      |    - CAST(sb_e6 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS b2_e6,
+      |  CAST(floor(1e6 / (1.0
+      |    + exp(-CAST(CAST(floor(CAST(b1_e6 AS DOUBLE)
+      |      - CAST(sb_e6 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+      |      AS BIGINT) AS DOUBLE) / 1e6)) + 0.5) AS BIGINT)
+      |    AS lc_win_ppm
+      |FROM g2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_elo" -> (eloRatings _),
     "eval_irt_rasch" -> (irtRasch _),
+    "eval_lc_winrate" -> (lcWinRate _),
     "eval_platt" -> (plattScaling _),
     "eval_length_bias" -> (lengthBias _),
     "eval_pref_cycles" -> ((s: SparkSession, d: String) =>
@@ -3011,6 +3150,7 @@ object Evaluation {
   def oracle: Map[String, String] = Map(
     "eval_elo" -> eloRatingsSql,
     "eval_irt_rasch" -> irtRaschSql,
+    "eval_lc_winrate" -> lcWinRateSql,
     "eval_platt" -> plattScalingSql,
     "eval_length_bias" -> lengthBiasSql,
     "eval_pref_cycles" -> prefCyclesSql(),

