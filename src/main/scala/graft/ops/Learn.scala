@@ -1548,8 +1548,101 @@ object Learn {
       |FROM sums, ncal, q, cov""".stripMargin
   }
 
+  /** The LMG figures as shared SQL-text fragments over the nine
+    * double power sums — pasted verbatim into BOTH engines. Centered
+    * moments in n-scaled form (n·Σxy − Σx·Σy) so no mean divides
+    * early. */
+  private val lmgV1 = "(n*sxx1 - sx1*sx1)"
+  private val lmgV2 = "(n*sxx2 - sx2*sx2)"
+  private val lmgVy = "(n*syy - sy*sy)"
+  private val lmgC12 = "(n*sx12 - sx1*sx2)"
+  private val lmgC1y = "(n*sx1y - sx1*sy)"
+  private val lmgC2y = "(n*sx2y - sx2*sy)"
+  private val lmgR1 = s"(($lmgC1y*$lmgC1y) / ($lmgV1*$lmgVy))"
+  private val lmgR2 = s"(($lmgC2y*$lmgC2y) / ($lmgV2*$lmgVy))"
+  private val lmgR12 =
+    s"(($lmgC1y*($lmgC1y*$lmgV2 - $lmgC2y*$lmgC12)" +
+      s" + $lmgC2y*($lmgC2y*$lmgV1 - $lmgC1y*$lmgC12))" +
+      s" / (($lmgV1*$lmgV2 - $lmgC12*$lmgC12)*$lmgVy))"
+
+  /** LMG relative importance (Lindeman–Merenda–Gold 1980; Grömping,
+    * "Relative Importance for Linear Regression in R", JSS 2006) —
+    * the Shapley decomposition of R² over regressors: each feature's
+    * share is its incremental R² averaged over all orderings. For
+    * the two-regressor price ~ quantity + discount model this is
+    * CLOSED FORM over the same nine power sums [[ridge]] collects:
+    * LMG₁ = (R²{1} + R²{12} − R²{2})/2, symmetric for 2, and
+    * LMG₁ + LMG₂ = R²{12} exactly — the additivity that makes it a
+    * Shapley value (the spec pins it). All three R² terms are
+    * shared-text double trees over n-scaled centered moments,
+    * e6-snapped.
+    *
+    * Scale: one map-combinable power-sum pass; everything after is
+    * one row. */
+  def lmgImportance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d = graft.Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast(DecimalType(18, 2)).as("x1"),
+        col("l_discount").cast(DecimalType(18, 2)).as("x2"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    d.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x1")).cast(DoubleType).as("sx1"),
+        sum(col("x2")).cast(DoubleType).as("sx2"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum((col("x1") * col("x1")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sxx1"),
+        sum((col("x1") * col("x2")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sx12"),
+        sum((col("x2") * col("x2")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sxx2"),
+        sum((col("x1") * col("y")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sx1y"),
+        sum((col("x2") * col("y")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("sx2y"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as("syy"))
+      .selectExpr("CAST(n AS BIGINT) AS n",
+        s"CAST(floor($lmgR1 * 1e6 + 0.5) AS BIGINT) AS r2_x1_e6",
+        s"CAST(floor($lmgR2 * 1e6 + 0.5) AS BIGINT) AS r2_x2_e6",
+        s"CAST(floor($lmgR12 * 1e6 + 0.5) AS BIGINT) AS r2_both_e6",
+        s"CAST(floor(($lmgR1 + $lmgR12 - $lmgR2) / 2.0 * 1e6 + 0.5)" +
+          " AS BIGINT) AS lmg_x1_e6",
+        s"CAST(floor(($lmgR2 + $lmgR12 - $lmgR1) / 2.0 * 1e6 + 0.5)" +
+          " AS BIGINT) AS lmg_x2_e6")
+  }
+
+  val lmgImportanceSql: String =
+    s"""WITH d AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+      |    CAST(l_discount AS DECIMAL(18,2)) AS x2,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x1) AS DOUBLE) AS sx1,
+      |    CAST(SUM(x2) AS DOUBLE) AS sx2,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,4))) AS DOUBLE) AS sxx1,
+      |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,4))) AS DOUBLE) AS sx12,
+      |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,4))) AS DOUBLE) AS sxx2,
+      |    CAST(SUM(CAST(x1 * y AS DECIMAL(38,4))) AS DOUBLE) AS sx1y,
+      |    CAST(SUM(CAST(x2 * y AS DECIMAL(38,4))) AS DOUBLE) AS sx2y,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM d)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(floor($lmgR1 * 1e6 + 0.5) AS BIGINT) AS r2_x1_e6,
+      |  CAST(floor($lmgR2 * 1e6 + 0.5) AS BIGINT) AS r2_x2_e6,
+      |  CAST(floor($lmgR12 * 1e6 + 0.5) AS BIGINT) AS r2_both_e6,
+      |  CAST(floor(($lmgR1 + $lmgR12 - $lmgR2) / 2.0 * 1e6 + 0.5)
+      |    AS BIGINT) AS lmg_x1_e6,
+      |  CAST(floor(($lmgR2 + $lmgR12 - $lmgR1) / 2.0 * 1e6 + 0.5)
+      |    AS BIGINT) AS lmg_x2_e6
+      |FROM sums""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "learn_conformal" -> (conformal _),
+    "learn_lmg_importance" -> (lmgImportance _),
     "learn_quality_score" -> (qualityScore _),
     "learn_quantile_grid" ->
       ((s: SparkSession, d: String) => quantileGrid(s, d)),
@@ -1572,6 +1665,7 @@ object Learn {
 
   def oracle: Map[String, String] = Map(
     "learn_conformal" -> conformalSql,
+    "learn_lmg_importance" -> lmgImportanceSql,
     "learn_quality_score" -> qualityScoreSql,
     "learn_quantile_grid" -> quantileGridSql,
     "learn_ucb1" -> ucb1Sql,

@@ -3164,6 +3164,85 @@ object TimeSeries {
       |    AS depth_ppm
       |FROM pick WHERE rk = 1""".stripMargin
 
+  /** Matrix profile (Yeh et al., "Matrix Profile I", ICDM 2016) over
+    * the daily order-revenue series — for every length-7 window, the
+    * distance to its nearest NON-TRIVIAL match anywhere in the
+    * series and that match's position. Low profile points are motifs
+    * (repeated structure), the peaks are discords (the series' most
+    * anomalous week) — THE modern time-series-mining primitive.
+    * Distance is plain squared Euclidean over exact $10-granular
+    * integers (cents floor-div 1000 — non-negative, so the engines'
+    * integer divisions agree; the rescale keeps Σ7 diff² under 2⁶³
+    * through 100× the sf0.1 daily volume), so profile AND index are
+    * hash-exact; the exclusion zone |i − j| ≥ 3 (⌊m/2⌋, the paper's
+    * convention) removes trivial self-matches; argmin ties break to
+    * the smaller j.
+    *
+    * Scale: the series is O(calendar days) METADATA by premise (the
+    * corpus collapses through one map-combinable day reduce —
+    * n ≈ 2.4k regardless of SF, so the all-pairs stage is ~5.7M
+    * tiny codegen rows, embarrassingly parallel). Fleet scale comes
+    * from many SERIES, each bounded — per-entity profiles reuse this
+    * shape partitioned by key; a single unbounded series swaps in
+    * the STOMP recurrence, plan shape unchanged. */
+  def tsMatrixProfile(s: SparkSession, dir: String, m: Int = 7)
+      : DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))" +
+        " * 100 AS BIGINT) div 1000 AS BIGINT)").as("v"))
+    val wOrd = Window.orderBy(col("day")) // O(days) series
+    val sub = days
+      .withColumn("i", row_number().over(wOrd).cast(LongType))
+      .withColumn("s", collect_list(col("v"))
+        .over(wOrd.rowsBetween(0, m - 1)))
+      .filter(size(col("s")) === m)
+      .select(col("i"), col("s"))
+      .localCheckpoint() // both sides of the bounded all-pairs join
+    val a = sub.toDF("i", "sa")
+    val b = sub.toDF("j", "sb")
+    // bounded O(days²) nested-loop by premise — the prefCycles class
+    a.join(b, abs(col("i") - col("j")) >= m / 2)
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sa, sb, (p, q) -> (p - q) * (p - q)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .groupBy(col("i"))
+      .agg(min(struct(col("d2"), col("j"))).as("mp"))
+      .select(col("i"), col("mp.d2").as("mp_d2"),
+        col("mp.j").as("mp_idx"))
+      .orderBy(col("i"))
+  }
+
+  val tsMatrixProfileSql: String =
+    """WITH days AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) // 1000 AS v
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, v
+      |  FROM days),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+      |pos AS (
+      |  SELECT s.i, k.k, t.v AS x
+      |  FROM idx s CROSS JOIN nn
+      |  JOIN (SELECT unnest(range(0, 7)) AS k) k ON TRUE
+      |  JOIN idx t ON t.i = s.i + k.k
+      |  WHERE s.i + 6 <= nn.n),
+      |pairs AS (
+      |  SELECT a.i, b.i AS j,
+      |    CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+      |  FROM pos a JOIN pos b ON a.k = b.k
+      |  WHERE abs(a.i - b.i) >= 3
+      |  GROUP BY a.i, b.i),
+      |mins AS (
+      |  SELECT i, CAST(MIN(d2) AS BIGINT) AS mp_d2
+      |  FROM pairs GROUP BY i)
+      |SELECT m.i, m.mp_d2, CAST(MIN(p.j) AS BIGINT) AS mp_idx
+      |FROM mins m JOIN pairs p ON p.i = m.i AND p.d2 = m.mp_d2
+      |GROUP BY m.i, m.mp_d2
+      |ORDER BY m.i""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ts_kaplan_meier"   -> (tsKaplanMeier _),
         "ts_drawdown"       -> (tsDrawdown _),
@@ -3178,6 +3257,8 @@ object TimeSeries {
         "ts_holt"           -> (tsHolt _),
         "ts_hampel"         -> (tsHampel _),
         "ts_dtw"            -> (tsDtw _),
+        "ts_matrix_profile" -> ((s: SparkSession, d: String) =>
+          tsMatrixProfile(s, d)),
         "ts_peaks"          -> (tsPeaks _),
         "ts_burstiness"     -> (tsBurstiness _),
         "ts_interpolate"    -> (tsInterpolate _),
@@ -3219,7 +3300,8 @@ object TimeSeries {
         "ts_kalman" -> tsKalmanSql,
         "ts_granger" -> tsGrangerSql,
         "ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
-        "ts_hampel" -> tsHampelSql, "ts_dtw" -> tsDtwSql) ++
+        "ts_hampel" -> tsHampelSql, "ts_dtw" -> tsDtwSql,
+        "ts_matrix_profile" -> tsMatrixProfileSql) ++
     Map("ts_peaks"          -> tsPeaksSql,
         "ts_burstiness"     -> tsBurstinessSql,
         "ts_interpolate"    -> tsInterpolateSql,

@@ -157,6 +157,48 @@ class RoundNineBatchFourSpec extends SparkSpec {
     assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, r.toString)
   }
 
+  test("lmg importance: Shapley additivity holds exactly, shares " +
+      "and R² are valid, full model dominates each single") {
+    val r = graft.ops.Learn.lmgImportance(spark, sf).collect().head
+    val (r1, r2, r12) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    val (l1, l2) = (r.getLong(4), r.getLong(5))
+    assert(math.abs(l1 + l2 - r12) <= 1L, r.toString)
+    Seq(r1, r2, r12).foreach(v =>
+      assert(v >= 0L && v <= 1000000L, r.toString))
+    assert(r12 + 1 >= math.max(r1, r2), r.toString)
+  }
+
+  test("matrix profile: full brute-force replication on the daily " +
+      "series, exclusion zone respected") {
+    val rows = graft.ops.TimeSeries.tsMatrixProfile(spark, sf)
+      .collect()
+    val v = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))" +
+        " * 100 AS BIGINT) div 1000 AS BIGINT)").as("v"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val n = v.length
+    val m = 7
+    assert(rows.length == n - m + 1)
+    val subs = (0 to n - m).map(i => v.slice(i, i + m))
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt - 1
+      var best = (Long.MaxValue, Long.MaxValue)
+      for (j <- 0 to n - m if math.abs(i - j) >= m / 2) {
+        var d2 = 0L
+        var k = 0
+        while (k < m) {
+          val d = subs(i)(k) - subs(j)(k); d2 += d * d; k += 1
+        }
+        if (d2 < best._1 || (d2 == best._1 && (j + 1).toLong < best._2))
+          best = (d2, (j + 1).toLong)
+      }
+      assert(r.getLong(1) == best._1 && r.getLong(2) == best._2,
+        s"$r vs $best")
+      assert(math.abs(r.getLong(0) - r.getLong(2)) >= m / 2, r.toString)
+    }
+  }
+
   test("platt: step-1 coefficients replicated exactly from first " +
       "principles; step-2 moves bounded") {
     val r = graft.ops.Evaluation.plattScaling(spark, sf).collect().head
