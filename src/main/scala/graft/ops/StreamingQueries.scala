@@ -486,7 +486,118 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** The keyed-state transform behind [[streamAnomalyZ]], exposed
+    * for the plan contract (TransformWithState, zero joins). */
+  private[graft] def anomalyStateUpdates(events: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.streaming.UserAnomTotals] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    org.apache.spark.sql.GraftSqlBridge
+      .ensureStateStoreCoordinator(events.sparkSession)
+    events
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.AnomalyZProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming per-user anomaly screen — the control-chart z-test
+    * maintained INCREMENTALLY: every arriving event value is judged
+    * against the user's OWN history as of the previous micro-batch
+    * (|z| > 3 in the cross-multiplied exact-integer form — no
+    * division, no sqrt, so the flag decision is hash-exact and, by
+    * judging against pre-batch state only, independent of
+    * within-batch arrival order). Per-user (n, Σx, Σx², flags) live
+    * in RocksDB `transformWithState` ValueState
+    * ([[graft.streaming.AnomalyZProcessor]] — the keyed-store
+    * pattern: per-batch I/O ∝ batch + touched users, changelog
+    * checkpointing). Three micro-batches replay the events split by
+    * event_id mod 3; the oracle states the SAME semantics in batch
+    * SQL — each row tested against the stats of strictly earlier
+    * batches via a RANGE window on the batch index. */
+  def streamAnomalyZ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def scratch(name: String): String =
+      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    val srcDir = scratch("anomstream/src")
+    val outDir = scratch("anomstream/updates")
+    val ck = EventStreams.gateCheckpoint(
+      "anomstream_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def rm(p: String): Unit = {
+      val path = new Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    }
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    graft.Scaffold.setup {
+      Seq(srcDir, outDir, ck).foreach(rm)
+      ev.filter(col("event_id") % 3 === 0).coalesce(2).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    EventStreams.withRocksDb(s, statePartitions = 8) {
+      val updates = anomalyStateUpdates(
+        s.readStream.schema(ev.schema).parquet(srcDir))
+      val q = updates.toDF().writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          ev.filter(col("event_id") % 3 === 1).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          ev.filter(col("event_id") % 3 === 2).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        EventStreams.dropCheckpoint(ck)
+      }
+    }
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("sum"), col("sumsq"),
+        col("flags"))).as("m"))
+      .select(col("user_id"), col("m.n").as("n_events"),
+        col("m.flags").as("n_flagged"),
+        expr("m.sum div m.n").as("mean_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamAnomalyZSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id % 3 AS b,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      |  FROM events),
+      |pre AS (
+      |  SELECT user_id, x,
+      |    COUNT(*) OVER w AS n0,
+      |    SUM(x) OVER w AS s0,
+      |    SUM(x * x) OVER w AS q0
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY b
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN n0 >= 2
+      |      AND (x * n0 - s0) * (x * n0 - s0)
+      |        > 9 * (n0 * q0 - s0 * s0)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+      |    AS mean_cents
+      |FROM pre GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_anomaly_z" -> (streamAnomalyZ _),
     "stream_window_distinct" -> (windowDistinct _),
     "stream_running"  -> (running _),
     "stream_rocksdb"  -> (runningRocksDb _),
@@ -504,6 +615,7 @@ object StreamingQueries {
     "stream_enrich"   -> (enrich _))
 
   def oracle: Map[String, String] = Map(
+    "stream_anomaly_z" -> streamAnomalyZSql,
     "stream_window_distinct" -> windowDistinctSql,
     "stream_running"  -> runningSql,
     "stream_rocksdb"  -> runningSql,

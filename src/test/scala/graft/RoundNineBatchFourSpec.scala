@@ -54,6 +54,50 @@ class RoundNineBatchFourSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly screen: full plain-Scala replication of " +
+      "the judged-against-earlier-batches semantics; batch-mode " +
+      "transform plans TransformWithState with zero joins and zero " +
+      "flags") {
+    val rows = graft.ops.StreamingQueries.streamAnomalyZ(spark, sf)
+      .collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._2).map { case (u, rs) =>
+      val byBatch = rs.groupBy(r => (r._1 % 3).toInt)
+      var (n, s, q, f) = (0L, 0L, 0L, 0L)
+      (0 to 2).foreach { b =>
+        val xs = byBatch.getOrElse(b, Array.empty[(Long, Long, Long)])
+          .map(_._3)
+        if (n >= 2L) {
+          val varTerm = n * q - s * s
+          xs.foreach { x =>
+            val d = x * n - s
+            if (d * d > 9L * varTerm) f += 1L
+          }
+        }
+        xs.foreach { x => s += x; q += x * x }
+        n += xs.length
+      }
+      u -> (n, f, s / n)
+    }
+    val got = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect.toMap)
+    graft.streaming.EventStreams.withRocksDb(spark) {
+      val updates = graft.ops.StreamingQueries.anomalyStateUpdates(
+        Tables.events(spark, sf)
+          .select(col("event_id"), col("user_id"), col("value")))
+        .toDF()
+      val plan = updates.queryExecution.executedPlan.toString
+      assert(plan.contains("TransformWithState"), plan)
+      assert(!plan.linesIterator.exists(_.contains("Join")), plan)
+      // one "micro-batch" = no prior state anywhere = zero flags
+      assert(updates.collect().forall(_.getLong(4) == 0L))
+    }
+  }
+
   test("conformal: splits partition the table, coverage meets the " +
       "90% guarantee, half-width non-negative") {
     val r = graft.ops.Learn.conformal(spark, sf).collect().head
