@@ -553,8 +553,113 @@ object CurationPipeline {
       |FROM r, cut
       |ORDER BY doc_id""".stripMargin
 
+  /** Filter-ablation matrix — the survivor table every pipeline
+    * paper publishes (Gopher table A2, RefinedWeb table 2, Dolma §4:
+    * how many documents/tokens does EACH filter and each filter
+    * COMBINATION remove?): every corpus doc is flagged by the three
+    * gated stages — Gopher quality rules ([[TextAnalysis.gopherRules]]
+    * verbatim), exact-dedup canonicality (md5 min-id survivor), and
+    * benchmark decontamination ([[TrainingData.decontaminate]]'s hit
+    * set) — and the 2³ grid of (ok_quality, is_canonical, is_clean)
+    * reports docs, tokens, and exact token-share ppm. The gate is
+    * deliberately a COMPOSITION of the existing gated operators, so
+    * its oracle replays their SQL verbatim; at 100 TB the three flag
+    * projections fuse into the one corpus scan (the id-keyed joins
+    * here make the composition visible and testable).
+    *
+    * Scale: one fingerprint reduce + two id-keyed joins + one
+    * O(8)-row grid; the share denominators are one broadcast scalar
+    * row. */
+  def filterAblation(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir)
+      .filter(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    val quality = TextAnalysis.gopherRules(s, dir)
+      .select(col("doc_id"), col("keep"))
+    val canon = corpus.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val contam = TrainingData.decontaminate(s, dir)
+      .select(col("doc_id"), lit(true).as("hit"))
+    val grid = corpus
+      .join(quality, "doc_id")
+      .join(canon, "fp")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("n_tokens"), col("keep").as("ok_quality"),
+        (col("doc_id") === col("keeper")).as("is_canonical"),
+        coalesce(col("hit"), lit(false)).unary_!.as("is_clean"))
+      .groupBy(col("ok_quality"), col("is_canonical"), col("is_clean"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .localCheckpoint() // O(8) rows; feeds the total and the output
+    val tot = grid.agg(sum(col("n_tokens")).as("t"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("ok_quality"), col("is_canonical"), col("is_clean"),
+        col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div t").as("token_share_ppm"))
+      .orderBy(col("ok_quality"), col("is_canonical"), col("is_clean"))
+  }
+
+  val filterAblationSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, md5(text) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id % 101 <> 0),
+      |gm AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+      |      AS BIGINT) AS n_symbols,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+      |      AS n_alpha_words
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |    (n_words >= 3 AND n_words <= 100000)
+      |    AND (((n_chars_m - n_words + 1) * 100) // n_words >= 100
+      |      AND ((n_chars_m - n_words + 1) * 100) // n_words <= 1200)
+      |    AND (n_symbols * 1000000) // n_chars_m <= 100000
+      |    AND (n_alpha_words * 1000000) // n_words >= 800000 AS keep
+      |  FROM gm),
+      |canon AS (SELECT fp, MIN(doc_id) AS keeper
+      |          FROM corpus GROUP BY fp),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM documents),
+      |pos AS (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |        FROM tok),
+      |grams AS (SELECT doc_id,
+      |            array_to_string(t[i:i+2], ' ') AS gram FROM pos),
+      |hits AS (
+      |  SELECT DISTINCT g.doc_id
+      |  FROM (SELECT DISTINCT doc_id, gram FROM grams
+      |        WHERE doc_id % 101 <> 0) g
+      |  JOIN (SELECT DISTINCT gram FROM grams
+      |        WHERE doc_id % 101 = 0) b USING (gram)),
+      |flags AS (
+      |  SELECT c.n_tokens, q.keep AS ok_quality,
+      |    c.doc_id = canon.keeper AS is_canonical,
+      |    h.doc_id IS NULL AS is_clean
+      |  FROM corpus c
+      |  JOIN q USING (doc_id)
+      |  JOIN canon USING (fp)
+      |  LEFT JOIN hits h ON h.doc_id = c.doc_id),
+      |grid AS (
+      |  SELECT ok_quality, is_canonical, is_clean,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      |  FROM flags GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM grid)
+      |SELECT ok_quality, is_canonical, is_clean, n_docs, n_tokens,
+      |  (n_tokens * 1000000) // t AS token_share_ppm
+      |FROM grid, tot
+      |ORDER BY ok_quality, is_canonical, is_clean""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_doremi_step" -> (doremiStep _),
+    "curate_filter_ablation" -> (filterAblation _),
     "curate_rho_loss" -> (rhoLoss _),
     "curate_set_cover" -> ((s, d) => setCover(s, d)),
     "curate_token_budget" -> (tokenBudget _),
@@ -565,6 +670,7 @@ object CurationPipeline {
 
   def oracle: Map[String, String] = Map(
     "curate_doremi_step" -> doremiStepSql,
+    "curate_filter_ablation" -> filterAblationSql,
     "curate_rho_loss" -> rhoLossSql,
     "curate_set_cover" -> setCoverSql,
     "curate_token_budget" -> tokenBudgetSql,

@@ -98,6 +98,24 @@ class RoundNineBatchFourSpec extends SparkSpec {
     }
   }
 
+  test("filter ablation: the grid partitions the corpus, shares sum " +
+      "to ~1e6, and each margin matches its source gate") {
+    val rows = graft.ops.CurationPipeline.filterAblation(spark, sf)
+      .collect()
+    val corpus = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 101 =!= 0)
+    assert(rows.map(_.getLong(3)).sum == corpus.count())
+    assert(math.abs(rows.map(_.getLong(5)).sum - 1000000L)
+      <= rows.length)
+    // dirty margin == the decontaminate gate's corpus-hit count
+    val nHit = graft.ops.TrainingData.decontaminate(spark, sf).count()
+    assert(rows.filter(!_.getBoolean(2)).map(_.getLong(3)).sum == nHit)
+    // quality margin == gopherRules keeps restricted to the corpus
+    val nKeep = graft.ops.TextAnalysis.gopherRules(spark, sf)
+      .filter(col("doc_id") % 101 =!= 0).filter(col("keep")).count()
+    assert(rows.filter(_.getBoolean(0)).map(_.getLong(3)).sum == nKeep)
+  }
+
   test("conformal: splits partition the table, coverage meets the " +
       "90% guarantee, half-width non-negative") {
     val r = graft.ops.Learn.conformal(spark, sf).collect().head
