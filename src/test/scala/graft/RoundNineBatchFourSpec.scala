@@ -133,6 +133,21 @@ class RoundNineBatchFourSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("matrix profile plan: the bounded nested loop carries an " +
+      "INLINE codegen distance — the zip_with HOF (9.2 s " +
+      "interpreted) must never come back; contamination runs joins " +
+      "on the gram key, no SMJ, no cartesian") {
+    val mp = graft.ops.TimeSeries.tsMatrixProfile(spark, sf)
+    val mpPlan = planOf(mp)
+    assert(mpPlan.contains("BroadcastNestedLoopJoin"), mpPlan)
+    assert(!mpPlan.contains("zip_with") && !mpPlan.contains("ZipWith"),
+      "interpreted HOF distance leaked back:\n" + mpPlan)
+    assert(!mpPlan.contains("SortMergeJoin"), mpPlan)
+    val cr = planOf(graft.ops.TrainingData.contaminationRuns(spark, sf))
+    assert(!cr.contains("CartesianProduct"), cr)
+    assert(!cr.contains("SortMergeJoin"), cr)
+  }
+
   test("irt: one row per item, exact step-1 difficulty replicated " +
       "from first principles, step-2 move bounded by the learning " +
       "rate") {
