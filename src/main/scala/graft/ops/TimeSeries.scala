@@ -3164,6 +3164,116 @@ object TimeSeries {
       |    AS depth_ppm
       |FROM pick WHERE rk = 1""".stripMargin
 
+  /** The per-lag ACF figure as shared SQL text over the exact sums:
+    * r(k) = (Σ head·tail − x̄·(Σhead + Σtail) + m·x̄²) / Σ(x − x̄)²
+    * with x̄ = s/n and the denominator in its n-scaled closed form.
+    * `m` = n − k pairs. One fixed double tree per lag, e6-snapped. */
+  private def acfFigure(k: Int): String = {
+    val m = s"(n - $k)"
+    val xbar = "(s / n)"
+    s"((sxy$k - $xbar * (sh$k + st$k) + $m * $xbar * $xbar)" +
+      s" / ((sq - s * s / n)))"
+  }
+
+  /** Autocorrelation function table, lags 1..14, over the daily
+    * order-revenue series — the Box–Jenkins identification
+    * diagnostic ([[tsAutocorr]] is the lag-1 point; [[tsLjungBox]]
+    * tests the first 7 jointly; this emits the CURVE with the
+    * ±1.96/√n significance band). Convention: global mean and
+    * global-variance denominator (the standard ACF estimator), over
+    * the observed-day sequence.
+    *
+    * Determinism: all sums are exact DECIMAL aggregates cast to
+    * double once; each r(k) is ONE shared-text double tree
+    * ([[tsGranger]]'s discipline), e6-snapped; the significance
+    * bound cross-multiplies against 1.96²·1e12 in the snapped
+    * integers, so no sqrt crosses engines.
+    *
+    * Scale: ONE corpus reduce to O(days), 14 lead columns on one
+    * window sort, ONE aggregate row carrying 3·14 + 3 sums — no
+    * joins, no per-lag passes. */
+  def tsAcf(s: SparkSession, dir: String, maxLag: Int = 14)
+      : DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .as("rev"))
+    val wOrd = Window.orderBy(col("day")) // O(days) series
+    val leads = (1 to maxLag).map(k =>
+      lead(col("rev"), k).over(wOrd).as(s"l$k"))
+    val lagged = days.select((col("rev") +: leads): _*)
+    val perLag = (1 to maxLag).flatMap { k =>
+      Seq(
+        sum((col("rev") * col(s"l$k")).cast(DecimalType(38, 4)))
+          .cast(DoubleType).as(s"sxy$k"),
+        sum(when(col(s"l$k").isNotNull, col("rev"))
+          .cast(DecimalType(38, 4))).cast(DoubleType).as(s"sh$k"),
+        sum(col(s"l$k").cast(DecimalType(38, 4)))
+          .cast(DoubleType).as(s"st$k"))
+    }
+    val aggCols: Seq[org.apache.spark.sql.Column] = Seq(
+      sum(col("rev").cast(DecimalType(38, 4)))
+        .cast(DoubleType).as("s"),
+      sum((col("rev") * col("rev")).cast(DecimalType(38, 4)))
+        .cast(DoubleType).as("sq")) ++ perLag
+    val sums = lagged.agg(
+      count(lit(1)).cast(DoubleType).as("n"), aggCols: _*)
+      .localCheckpoint() // one row; two consumers (lags + the band)
+    val rows = (1 to maxLag).map { k =>
+      s"struct(CAST($k AS BIGINT) AS lag," +
+        s" CAST(n - $k AS BIGINT) AS n_pairs," +
+        s" CAST(floor(${acfFigure(k)} * 1e6 + 0.5) AS BIGINT)" +
+        s" AS r_e6)"
+    }.mkString(", ")
+    sums
+      .select(expr(s"explode(array($rows))").as("x"))
+      .select(col("x.lag"), col("x.n_pairs"), col("x.r_e6"))
+      .crossJoin(broadcast(sums.select(col("n"))))
+      // |r| > 1.96/√n ⇔ r_e6² · n > 1.96² · 1e12, exact integers
+      .withColumn("significant",
+        col("r_e6") * col("r_e6") * col("n").cast(LongType)
+          > lit(3841600000000L))
+      .drop("n")
+      .orderBy(col("lag"))
+  }
+
+  def tsAcfSql(maxLag: Int = 14): String = {
+    val leadDefs = (1 to maxLag).map(k =>
+      s"lead(rev, $k) OVER (ORDER BY day) AS l$k").mkString(",\n      |    ")
+    val sumDefs = (1 to maxLag).map { k =>
+      s"CAST(SUM(CAST(rev * l$k AS DECIMAL(38,4))) AS DOUBLE) AS sxy$k,\n" +
+        s"      |    CAST(SUM(CAST(CASE WHEN l$k IS NOT NULL THEN rev" +
+        s" END AS DECIMAL(38,4))) AS DOUBLE) AS sh$k,\n" +
+        s"      |    CAST(SUM(CAST(l$k AS DECIMAL(38,4))) AS DOUBLE)" +
+        s" AS st$k"
+    }.mkString(",\n      |    ")
+    val rowSelects = (1 to maxLag).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS lag," +
+        s" CAST(n - $k AS BIGINT) AS n_pairs," +
+        s" CAST(floor(${acfFigure(k)} * 1e6 + 0.5) AS BIGINT) AS r_e6," +
+        s" n FROM sums"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH days AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT rev,
+      |    $leadDefs
+      |  FROM days),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(rev AS DECIMAL(38,4))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE) AS sq,
+      |    $sumDefs
+      |  FROM lagged),
+      |rows_ AS (
+      |  $rowSelects)
+      |SELECT lag, n_pairs, r_e6,
+      |  r_e6 * r_e6 * CAST(n AS BIGINT) > 3841600000000 AS significant
+      |FROM rows_ ORDER BY lag""".stripMargin
+  }
+
   /** Matrix profile (Yeh et al., "Matrix Profile I", ICDM 2016) over
     * the daily order-revenue series — for every length-7 window, the
     * distance to its nearest NON-TRIVIAL match anywhere in the
@@ -3264,6 +3374,7 @@ object TimeSeries {
         "ts_dtw"            -> (tsDtw _),
         "ts_matrix_profile" -> ((s: SparkSession, d: String) =>
           tsMatrixProfile(s, d)),
+        "ts_acf" -> ((s: SparkSession, d: String) => tsAcf(s, d)),
         "ts_peaks"          -> (tsPeaks _),
         "ts_burstiness"     -> (tsBurstiness _),
         "ts_interpolate"    -> (tsInterpolate _),
@@ -3306,7 +3417,8 @@ object TimeSeries {
         "ts_granger" -> tsGrangerSql,
         "ts_sax" -> tsSaxSql, "ts_holt" -> tsHoltSql,
         "ts_hampel" -> tsHampelSql, "ts_dtw" -> tsDtwSql,
-        "ts_matrix_profile" -> tsMatrixProfileSql) ++
+        "ts_matrix_profile" -> tsMatrixProfileSql,
+        "ts_acf" -> tsAcfSql()) ++
     Map("ts_peaks"          -> tsPeaksSql,
         "ts_burstiness"     -> tsBurstinessSql,
         "ts_interpolate"    -> tsInterpolateSql,

@@ -116,6 +116,23 @@ class RoundNineBatchFourSpec extends SparkSpec {
     assert(rows.filter(_.getBoolean(0)).map(_.getLong(3)).sum == nKeep)
   }
 
+  test("acf: 14 lags, pair counts step down by one, r bounded, " +
+      "significance is the cross-multiplied band rule") {
+    val rows = graft.ops.TimeSeries.tsAcf(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1 to 14).map(_.toLong))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) - b.getLong(1) == 1L, s"$a $b")
+      case _ =>
+    }
+    val n = rows.head.getLong(1) + 1 // n_pairs(1) = n − 1
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(2)) <= 1100000L, r.toString)
+      assert(r.getBoolean(3) ==
+        (r.getLong(2) * r.getLong(2) * n > 3841600000000L), r.toString)
+    }
+  }
+
   test("conformal: splits partition the table, coverage meets the " +
       "90% guarantee, half-width non-negative") {
     val r = graft.ops.Learn.conformal(spark, sf).collect().head
