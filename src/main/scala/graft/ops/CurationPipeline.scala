@@ -372,8 +372,14 @@ object CurationPipeline {
     val m0 = means.agg(min(col("mean_nll_e6")).as("m0"))
     val terms = means.crossJoin(broadcast(m0))
       .withColumn("excess_e6", col("mean_nll_e6") - col("m0"))
+      // Clamp the exponent input at 9 nats: beyond that t9 > ~8.1e12
+      // and the (t9 * 1e6) ppm multiply would exceed Long.MaxValue —
+      // Spark's non-ANSI multiply wraps silently where DuckDB raises,
+      // so an unclamped skewed corpus diverges the two engines. 9 nats
+      // of excess NLL already means weight_ppm ≈ 1e6 (total dominance).
       .withColumn("t9",
-        floor(exp(col("excess_e6").cast(DoubleType) / 1e6) * 1e9 + 0.5)
+        floor(exp(least(col("excess_e6"), lit(9000000L)).cast(DoubleType) / 1e6)
+          * 1e9 + 0.5)
           .cast(LongType))
       .localCheckpoint()
     val tot = terms.agg(sum(col("t9")).as("total9"))
@@ -416,7 +422,7 @@ object CurationPipeline {
       |mn AS (SELECT MIN(mean_nll_e6) AS m0 FROM means),
       |terms AS (
       |  SELECT means.*, mean_nll_e6 - m0 AS excess_e6,
-      |    CAST(floor(exp(CAST(mean_nll_e6 - m0 AS DOUBLE) / 1e6)
+      |    CAST(floor(exp(CAST(least(mean_nll_e6 - m0, 9000000) AS DOUBLE) / 1e6)
       |      * 1e9 + 0.5) AS BIGINT) AS t9
       |  FROM means, mn),
       |tot AS (SELECT CAST(SUM(t9) AS BIGINT) AS total9 FROM terms)

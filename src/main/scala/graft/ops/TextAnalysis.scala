@@ -1590,8 +1590,10 @@ object TextAnalysis {
     def roll(c: String) = polyRollExpr(c)
     val docs = Tables.documents(s, dir)
     // (w1, w2) from the token ARRAY by position — never re-split a
-    // joined bigram string (Spark's split drops trailing empties, so
-    // a doc with doubled spaces would desync from the oracle there)
+    // joined bigram string: positional extraction avoids any
+    // dependence on a join/split round-trip agreeing byte-for-byte
+    // between the two engines (e.g. around empty tokens from doubled
+    // spaces), so the pair is correct by construction
     docs.select(col("doc_id"),
         split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"), col("t"),
