@@ -105,9 +105,17 @@ object Prof5 {
         println(s"[prof5] gate=$gate dir=$dir batches=$nBatches")
         q.recentProgress.foreach { p =>
           val st = p.stateOperators.headOption
+          // memoryUsedBytes = RocksDB total memory usage; the SST
+          // file size custom metric is the on-disk store footprint —
+          // together they are the retention-cost line the round-9
+          // verdict asked recorded per batch (task 4).
+          val sst = st.flatMap(o => Option(o.customMetrics
+            .get("rocksdbSstFileSize"))).map(_.longValue).getOrElse(-1L)
           println(f"[prof5]   batch=${p.batchId}%2d rows=${p.numInputRows}%7d " +
             f"trigger_ms=${p.durationMs.get("triggerExecution")}%6d " +
             f"state_rows=${st.map(_.numRowsTotal).getOrElse(-1L)}%9d " +
+            f"state_mem_bytes=${st.map(_.memoryUsedBytes).getOrElse(-1L)}%10d " +
+            f"sst_bytes=$sst%10d " +
             f"state_commit_ms=${st.map(_.commitTimeMs).getOrElse(-1L)}%6d")
         }
       } finally {

@@ -1626,6 +1626,139 @@ object Similarity {
        |ORDER BY x.vec_id""".stripMargin
   }
 
+  /** SemDeDup cross-cell recall audit (round-9 verdict task 3):
+    * QUANTIFIES the one approximation [[semDedupCluster]] makes — a
+    * ≥θ pair whose members land in DIFFERENT cells is never compared
+    * — the way every LSH tier already carries a recall gate. For
+    * k ∈ {4, 8, 16} cells: the exact ≥θ pair count (bounded
+    * brute-force baseline, the [[dbscan]] pair shape), the count of
+    * those pairs that are co-resident under the k-cell assignment,
+    * and recall in ppm. This is the number a user needs before
+    * trusting cluster-scoped dedup at corpus scale: recall falls as
+    * k grows (cells shrink, boundaries multiply), and the audit says
+    * by how much on THIS corpus.
+    *
+    * Determinism: the seed rule is [[semDedupCluster]]'s exactly, and
+    * because seeds are the k SMALLEST (mult-hash, vec_id) rows, the
+    * k=4 seed set is a prefix of k=8 is a prefix of k=16 — one
+    * 16-seed scoring pass serves all three assignments (per-k argmax
+    * over the cell<k prefix, row_number tie-break by cell, the
+    * sequential-fold cosine contract on both engines).
+    *
+    * Scale: assignments are one broadcast argmax over ≤16 seed rows;
+    * the exact pair stage is the audit's intrinsic O(n²) cost — at
+    * 100 TB this gate runs on a SAMPLE (the recall estimate needs
+    * thousands of pairs, not the corpus), while the production dedup
+    * path stays Σn_c² ≈ n²/k. */
+  def semDedupRecall(s: SparkSession, dir: String,
+      theta: Double = 0.99): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val base = withNearDuplicates(s, dir).withColumn("n", norm(col("v")))
+    val w0 = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = base
+      .withColumn("h", pmod(col("vec_id") * lit(2654435761L), lit(999983L)))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .withColumn("cell", (row_number().over(w0) - 1).cast(LongType))
+      .select(col("cell"), col("v").as("cv"))
+    val scored = base.crossJoin(broadcast(seeds))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+    def cellK(k: Int): DataFrame = {
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cell"))
+      scored.filter(col("cell") < k)
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cell").as(s"c$k"))
+    }
+    val cells = cellK(4).join(cellK(8), "vec_id")
+      .join(cellK(16), "vec_id")
+    val a = base.toDF("id_a", "va", "na").repartition(par)
+    val b = base.toDF("id_b", "vb", "nb")
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= theta)
+      .select(col("id_a"), col("id_b"))
+    val ca = cells.toDF("id_a", "a4", "a8", "a16")
+    val cb = cells.toDF("id_b", "b4", "b8", "b16")
+    val sums = pairs.join(ca, "id_a").join(cb, "id_b")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a4") === col("b4"), 1L).otherwise(0L)).as("f4"),
+        sum(when(col("a8") === col("b8"), 1L).otherwise(0L)).as("f8"),
+        sum(when(col("a16") === col("b16"), 1L).otherwise(0L)).as("f16"))
+    sums.select(expr(
+        "explode(array(" +
+          "struct(CAST(4 AS BIGINT) AS k, n_exact, f4 AS n_found), " +
+          "struct(CAST(8 AS BIGINT) AS k, n_exact, f8 AS n_found), " +
+          "struct(CAST(16 AS BIGINT) AS k, n_exact, f16 AS n_found)))")
+        .as("x"))
+      .select(col("x.k").as("k"),
+        col("x.n_exact").as("n_exact_pairs"),
+        col("x.n_found").as("n_found_pairs"))
+      .withColumn("recall_ppm", expr("CASE WHEN n_exact_pairs > 0" +
+        " THEN (n_found_pairs * 1000000) div n_exact_pairs END"))
+      .orderBy(col("k"))
+  }
+
+  val semDedupRecallSql: String = {
+    def cos(a: String, b: String): String =
+      s"""list_reduce(list_transform(generate_series(1, len($a)),
+         |      i -> $a[i] * $b[i]), (x, y) -> x + y)
+         |  / (sqrt(list_reduce(list_transform(generate_series(1, len($a)),
+         |        i -> $a[i] * $a[i]), (x, y) -> x + y))
+         |   * sqrt(list_reduce(list_transform(generate_series(1, len($b)),
+         |        i -> $b[i] * $b[i]), (x, y) -> x + y)))""".stripMargin
+    def cellsK(k: Int): String =
+      s"""cells$k AS (
+         |  SELECT vec_id, cell AS c$k FROM (
+         |    SELECT a.vec_id, s.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${cos("a.v", "s.cv")} DESC, s.cell) AS crn
+         |    FROM vecs a, (SELECT * FROM seeds WHERE cell < $k) s)
+         |  WHERE crn = 1)""".stripMargin
+    s"""WITH ${VecCorpusSql},
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (
+       |      ORDER BY (vec_id * 2654435761) % 999983, vec_id) - 1 AS cell,
+       |    v AS cv
+       |  FROM vecs
+       |  ORDER BY (vec_id * 2654435761) % 999983, vec_id LIMIT 16),
+       |${cellsK(4)},
+       |${cellsK(8)},
+       |${cellsK(16)},
+       |cells AS (
+       |  SELECT vec_id, c4, c8, c16
+       |  FROM cells4 JOIN cells8 USING (vec_id)
+       |       JOIN cells16 USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+       |  WHERE ${cos("a.v", "b.v")} >= 0.99),
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(CASE WHEN ca.a4 = cb.b4 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS f4,
+       |    CAST(SUM(CASE WHEN ca.a8 = cb.b8 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS f8,
+       |    CAST(SUM(CASE WHEN ca.a16 = cb.b16 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS f16
+       |  FROM pairs p
+       |  JOIN (SELECT vec_id, c4 AS a4, c8 AS a8, c16 AS a16
+       |        FROM cells) ca ON p.id_a = ca.vec_id
+       |  JOIN (SELECT vec_id, c4 AS b4, c8 AS b8, c16 AS b16
+       |        FROM cells) cb ON p.id_b = cb.vec_id)
+       |SELECT k, n_exact AS n_exact_pairs, n_found AS n_found_pairs,
+       |  CASE WHEN n_exact > 0 THEN (n_found * 1000000) // n_exact END
+       |    AS recall_ppm
+       |FROM (
+       |  SELECT CAST(4 AS BIGINT) AS k, n_exact, f4 AS n_found FROM sums
+       |  UNION ALL
+       |  SELECT CAST(8 AS BIGINT), n_exact, f8 FROM sums
+       |  UNION ALL
+       |  SELECT CAST(16 AS BIGINT), n_exact, f16 FROM sums)
+       |ORDER BY k""".stripMargin
+  }
+
   /** The assignment projection + keyed-state event transform behind
     * [[streamSemDedup]], exposed for the plan contract and the
     * batch≡stream identity. `seeds` are the k (vector, norm) rows in
@@ -3442,6 +3575,8 @@ object Similarity {
       streamSemDedup(s, d)),
     "sim_semdedup_cluster" -> ((s: SparkSession, d: String) =>
       semDedupCluster(s, d)),
+    "sim_semdedup_recall" -> ((s: SparkSession, d: String) =>
+      semDedupRecall(s, d)),
     "embed_label_noise" -> ((s: SparkSession, d: String) =>
       labelNoiseKnn(s, d)),
     "sim_rrf_fusion" -> ((s: SparkSession, d: String) =>
@@ -3449,6 +3584,7 @@ object Similarity {
 
   def oracle: Map[String, String] = Map(
     "sim_semdedup_cluster" -> semDedupClusterSql,
+    "sim_semdedup_recall" -> semDedupRecallSql,
     // the streaming twin must converge to the batch verdicts
     "stream_semdedup" -> semDedupClusterSql,
     "embed_label_noise" -> labelNoiseKnnSql(),

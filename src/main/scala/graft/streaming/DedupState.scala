@@ -83,7 +83,23 @@ case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
   * Per-batch cost: shingling/banding of the batch only, one shuffle
   * of the batch's band keys to the (statically hash-partitioned)
   * state operator, RocksDB point reads on touched buckets. State
-  * never streams past the operator. */
+  * never streams past the operator.
+  *
+  * Retention contract: `TTLConfig.NONE` is a STATEMENT, not an
+  * omission — dedup state is the corpus universe by definition (a
+  * pair can only be discovered if the earlier member is still
+  * resident), so the store grows linearly in corpus ingested,
+  * measured at ~712 bytes per (band,bucket) member (BASELINE.md
+  * "state-footprint-vs-batches" table: sf0.1 reaches 27 MB over 8
+  * batches at flat per-batch latency — footprint and latency are
+  * decoupled because access is per-key point reads on local SSD;
+  * ~5.7 TB fleet-wide for 1 B docs at 8 bands ≈ 6 GB per executor
+  * across 1000). A deployment that wants BOUNDED state chooses a
+  * horizon instead — pass a finite [[TTLConfig]] so the ListState
+  * means "dedup against the trailing N days" — accepting that a
+  * duplicate of an expired doc goes undetected: the same
+  * recall-for-resources trade the batch gate's band geometry and
+  * SemDeDup's cell partitioning already price explicitly. */
 /** One resident of a SemDeDup cell: the vector id, components, and
   * precomputed norm, carried into the cell's keyed state so arrival-
   * time θ-checks are inline (the same carry-vectors discipline as

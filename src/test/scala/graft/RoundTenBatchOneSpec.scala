@@ -1,0 +1,41 @@
+package graft
+
+/** Round-10 batch one: the SemDeDup cross-cell recall audit (round-9
+  * verdict task 3) — the number a user needs before trusting
+  * cluster-scoped dedup, now measured instead of merely documented. */
+class RoundTenBatchOneSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("semdedup recall audit: three k rows, exact pairs found, " +
+      "recall bounded and consistent with the found counts") {
+    val rows = graft.ops.Similarity.semDedupRecall(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).sameElements(Array(4L, 8L, 16L)))
+    val nExact = rows.head.getLong(1)
+    // the planted twins guarantee a non-empty exact >=theta pair set
+    assert(nExact > 0)
+    rows.foreach { r =>
+      assert(r.getLong(1) == nExact, "exact set must not vary with k")
+      val found = r.getLong(2)
+      assert(found >= 0 && found <= nExact, r.toString)
+      val ppm = r.getLong(3)
+      assert(ppm == found * 1000000L / nExact, r.toString)
+      assert(ppm >= 0 && ppm <= 1000000L, r.toString)
+    }
+  }
+
+  test("semdedup recall audit: found pairs at k=8 equal the batch " +
+      "gate's within-cell drops (same seed rule, same assignment)") {
+    // Every exact >=theta pair that is co-resident at k=8 is exactly
+    // a pair the batch gate compares; with theta high and one drop
+    // per duplicate, found-at-8 must equal the dropped-row count
+    // whenever each dropped vector has exactly one >=theta partner.
+    val recall8 = graft.ops.Similarity.semDedupRecall(spark, sf)
+      .filter("k = 8").collect().head.getLong(2)
+    val dropped = graft.ops.Similarity.semDedupCluster(spark, sf)
+      .filter("NOT kept").count()
+    assert(recall8 >= dropped,
+      s"found-at-8 $recall8 < batch drops $dropped")
+  }
+}
