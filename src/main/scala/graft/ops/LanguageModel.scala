@@ -455,6 +455,133 @@ object LanguageModel {
        |FROM wc JOIN enc USING (w)
        |GROUP BY wc.lang ORDER BY wc.lang""".stripMargin
 
+  /** Tokenizer-fertility-weighted mixture (round-9 verdict growth
+    * item c): temperature rebalancing with the budget priced in
+    * TOKENS, not documents. A mixture that equalizes document counts
+    * still starves languages whose tokenizer fragments words into
+    * more subwords (high [[bpeFertility]] — the "do all languages
+    * cost the same?" inequity: same content, more tokens, smaller
+    * share of a fixed token budget). Here each document's cost is its
+    * ENCODED token count under the learned BPE, per-language totals
+    * set the temperature rate min(1, c·√(T_total/T_lang)) — rare-BY-
+    * TOKENS languages are upsampled — and the keep decision is the
+    * [[TrainingData.mixtureTemperature]] deterministic row-hash
+    * Bernoulli. Output per language: document and token totals before
+    * and after, the audit a budget owner reads.
+    *
+    * Determinism: the rate is one IEEE double tree (√ of a BIGINT
+    * ratio, correctly rounded in both engines — the
+    * mixtureTemperature discipline); everything else is integer.
+    *
+    * Scale: the merge model is 4 rows; the per-word encoder is a
+    * broadcast dimension; per-doc costs are two map-side-combinable
+    * aggregates; the rate table is O(languages) broadcast. No new
+    * shuffle beyond [[bpeFertility]]'s own. */
+  def fertilityMixture(s: SparkSession, dir: String,
+      c: Double = 0.2): DataFrame = {
+    val merges = bpeLearn(s, dir).collect() // 4-row model
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+    val wc = docWords.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    var dim = docWords.select(col("w")).distinct()
+      .withColumn("toks", expr("split(w, '')"))
+    merges.foreach { m =>
+      dim = dim.select(col("w"),
+        expr(bpeMergeExpr(m.getString(1), m.getString(2))).as("toks"))
+    }
+    val enc = dim.select(col("w"), size(col("toks")).cast(LongType)
+      .as("n_sub"))
+    val perDoc = wc.join(broadcast(enc), "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n") * col("n_sub")).as("tok"))
+    val tot = perDoc.groupBy(col("lang"))
+      .agg(sum(col("tok")).as("t_lang"))
+      .withColumn("t_total", sum(col("t_lang")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val rates = tot.select(col("lang"),
+      least(lit(1.0), lit(c) * sqrt(
+        col("t_total").cast("double") / col("t_lang").cast("double")))
+        .as("rate"))
+    perDoc.join(broadcast(rates), "lang")
+      .withColumn("keep", TrainingData.rowHash32(col("doc_id"))
+        .cast("double") < col("rate") * lit(4294967296.0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tok_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("tok")).otherwise(0L)).as("tok_kept"))
+      .orderBy(col("lang"))
+  }
+
+  lazy val fertilityMixtureSql: String =
+    s"""WITH words0 AS (
+       |  SELECT list_transform(generate_series(1, length(w)),
+       |           i -> substr(w, CAST(i AS INTEGER), 1)) AS toks,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |        FROM documents WHERE doc_id < 500) t
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
+       |  GROUP BY w),
+       |pairs1 AS (${bpePairsSql("words0")}),
+       |top1 AS (${bpeTopSql("pairs1")}),
+       |words1 AS (${bpeMergeSql("words0", "top1")}),
+       |pairs2 AS (${bpePairsSql("words1")}),
+       |top2 AS (${bpeTopSql("pairs2")}),
+       |words2 AS (${bpeMergeSql("words1", "top2")}),
+       |pairs3 AS (${bpePairsSql("words2")}),
+       |top3 AS (${bpeTopSql("pairs3")}),
+       |words3 AS (${bpeMergeSql("words2", "top3")}),
+       |pairs4 AS (${bpePairsSql("words3")}),
+       |top4 AS (${bpeTopSql("pairs4")}),
+       |docw AS (
+       |  SELECT doc_id, lang, w FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')),
+       |wc AS (SELECT doc_id, lang, w, COUNT(*) AS n FROM docw
+       |       GROUP BY doc_id, lang, w),
+       |dim0 AS (
+       |  SELECT DISTINCT w,
+       |    list_transform(generate_series(1, length(w)),
+       |      i -> substr(w, CAST(i AS INTEGER), 1)) AS toks
+       |  FROM docw),
+       |dim1 AS (${bpeMergeDimSql("dim0", "top1")}),
+       |dim2 AS (${bpeMergeDimSql("dim1", "top2")}),
+       |dim3 AS (${bpeMergeDimSql("dim2", "top3")}),
+       |dim4 AS (${bpeMergeDimSql("dim3", "top4")}),
+       |enc AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub FROM dim4),
+       |perdoc AS (
+       |  SELECT wc.doc_id, wc.lang,
+       |    CAST(SUM(wc.n * enc.n_sub) AS BIGINT) AS tok
+       |  FROM wc JOIN enc USING (w)
+       |  GROUP BY wc.doc_id, wc.lang),
+       |tot AS (
+       |  SELECT lang, CAST(SUM(tok) AS BIGINT) AS t_lang,
+       |    CAST(SUM(SUM(tok)) OVER () AS BIGINT) AS t_total
+       |  FROM perdoc GROUP BY lang),
+       |rates AS (
+       |  SELECT lang,
+       |    least(1.0, 0.2 * sqrt(CAST(t_total AS DOUBLE)
+       |                          / CAST(t_lang AS DOUBLE))) AS rate
+       |  FROM tot),
+       |kp AS (
+       |  SELECT p.lang, p.tok,
+       |    CAST(${TrainingData.rowHash32Sql} AS DOUBLE)
+       |      < r.rate * 4294967296 AS keep
+       |  FROM (SELECT doc_id, lang, tok FROM perdoc) p
+       |  JOIN rates r USING (lang))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS tok_total,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT)
+       |    AS tok_kept
+       |FROM kp GROUP BY lang ORDER BY lang""".stripMargin
+
   private def bpePairsSql(w: String): String =
     s"""SELECT toks[i] AS pa, toks[i+1] AS pb, SUM(freq) AS cnt
        |  FROM $w, UNNEST(generate_series(1, len(toks) - 1)) u(i)
@@ -960,6 +1087,7 @@ object LanguageModel {
     "text_bigram_lm" -> (bigramLm _),
     "curate_dsir" -> (dsirWeights _),
     "text_bpe_learn" -> ((s, d) => bpeLearn(s, d)),
+    "pack_fertility_mixture" -> ((s, d) => fertilityMixture(s, d)),
     "text_oov_rate" -> ((s, d) => oovRate(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -974,5 +1102,6 @@ object LanguageModel {
     "text_zipf" -> zipfFitSql,
     "curate_dsir" -> dsirWeightsSql,
     "text_bpe_learn" -> bpeLearnSql,
+    "pack_fertility_mixture" -> fertilityMixtureSql,
     "text_oov_rate" -> oovRateSql)
 }

@@ -685,8 +685,8 @@ object Similarity {
     * plan shape is unchanged. Approximate by construction → no SQL
     * oracle (rows-only check); recall vs the brute-force baseline
     * is asserted in DedupSimilaritySpec. */
-  private def nearestCells(df: DataFrame, cents: DataFrame, n: Int,
-      vCol: String): DataFrame = {
+  private[graft] def nearestCells(df: DataFrame, cents: DataFrame,
+      n: Int, vCol: String): DataFrame = {
     val wc = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cell"))
     df.crossJoin(broadcast(cents))
@@ -940,6 +940,139 @@ object Similarity {
       |  CAST(1 AS BOOLEAN) AS twin_sim_high
       |FROM embeddings WHERE vec_id < 5
       |ORDER BY query_id""".stripMargin
+
+  /** The assignment projection + keyed posting-list transform behind
+    * [[streamAnnAppend]], exposed for the plan contract
+    * (TransformWithState, zero joins) and the batch≡stream assignment
+    * identity. `cents` are the frozen centroid vectors in cell order;
+    * assignment is a PURE PROJECTION against them as plan literals
+    * (array_position of the max picks the smallest cell on ties —
+    * [[nearestCells]]'s row_number tie-break), so an arriving batch
+    * shuffles exactly once, on its cell key, into
+    * [[graft.streaming.IvfPostingProcessor]]. */
+  private[graft] def annAppendStateEvents(stream: DataFrame,
+      cents: Array[Seq[Double]])
+      : org.apache.spark.sql.Dataset[graft.streaming.AnnPosting] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import stream.sparkSession.implicits._
+    graft.plans.VectorExpressions.register(stream.sparkSession)
+    org.apache.spark.sql.GraftSqlBridge
+      .ensureStateStoreCoordinator(stream.sparkSession)
+    val csims = cents.zipWithIndex.map { case (cv, j) =>
+      cosine(col("v"), array(cv.map(lit): _*)).as(s"c$j")
+    }
+    stream
+      .select((col("vec_id") +: col("v") +: csims.toSeq): _*)
+      .withColumn("cs", array(cents.indices.map(j => col(s"c$j")): _*))
+      .withColumn("cell",
+        (array_position(col("cs"), array_max(col("cs"))) - 1)
+          .cast(LongType))
+      .select(col("cell"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.IvfPostingProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** STREAMING IVF index maintenance (round-9 verdict growth item b —
+    * the streaming twin of [[annIndexAppendGate]]): new vectors
+    * arrive as micro-batches, are assigned to the FROZEN centroids by
+    * a scan-side projection, and append into per-cell posting-list
+    * keyed state ([[graft.streaming.IvfPostingProcessor]]); the
+    * emitted posting events ARE the index increment, materialized by
+    * the sink. The standing base index (built WITHOUT the perturbed
+    * twins) is never re-read, re-shuffled, or rewritten — per-batch
+    * ingest cost is the batch's rows plus point access to touched
+    * cells, the property that makes continuous index maintenance
+    * viable at corpus scale (the batch path's `mode("append")`
+    * partitioned write has the same contract per scheduled run; this
+    * is the per-arrival version). Three micro-batches replay the 100
+    * twins split by vec_id mod 3; the probe then runs over base lists
+    * ∪ streamed postings, and each query's appended twin must surface
+    * as its rank-1 neighbor — the SAME oracle constants as the batch
+    * append gate, so stream-vs-batch equivalence is the gate. */
+  def streamAnnAppend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val baseDir = ensureBaseIndex(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcDir = s"/tmp/graft_scratch/$tag/annstream/src"
+    val outDir = s"/tmp/graft_scratch/$tag/annstream/postings"
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "annstream_" + tag)
+    def rm(p: String): Unit = {
+      val path = new Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    }
+    val cents = s.read.parquet(s"$baseDir/centroids")
+    val centArr = cents.select(col("cell"), col("cv"))
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1))
+    val twins = withNearDuplicates(s, dir)
+      .filter(col("vec_id") >= 10000)
+      .select(col("vec_id"), col("v"))
+    graft.Scaffold.setup {
+      Seq(srcDir, outDir, ck).foreach(rm)
+      twins.filter(col("vec_id") % 3 === 0).coalesce(2).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
+      val postings = annAppendStateEvents(
+        s.readStream.schema(twins.schema).parquet(srcDir), centArr)
+      val q = postings.toDF().writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          twins.filter(col("vec_id") % 3 === 1).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          twins.filter(col("vec_id") % 3 === 2).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        graft.streaming.EventStreams.dropCheckpoint(ck)
+      }
+    }
+    // Probe the maintained index: standing base lists UNION the
+    // streamed posting increment (disjoint id ranges by construction)
+    val lists = s.read.parquet(s"$baseDir/lists")
+      .select(col("cell").cast(LongType).as("cell"),
+        col("target_id"), col("tv"))
+      .union(s.read.parquet(outDir)
+        .select(col("cell"), col("target_id"), col("tv")))
+    val queries = vecs(s, dir).filter(col("vec_id") < 5)
+    val probes = nearestCells(queries, cents, 4, "v")
+      .select(col("cell").cast(LongType).as("cell"),
+        col("vec_id").as("query_id"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    val top1 = broadcast(probes)
+      .join(lists.select(col("cell"), col("target_id")), "cell")
+      .filter(col("query_id") =!= col("target_id"))
+      .select(col("query_id"), col("target_id"))
+      .distinct()
+      .join(lists.select(col("target_id"), col("tv")), "target_id")
+      .join(broadcast(queries.toDF("query_id", "qv")), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("target_id"), col("sim"))
+      .collect()
+    import s.implicits._
+    top1.toSeq.map(r => (r.getLong(0),
+        r.getLong(1) == r.getLong(0) + 10000L,
+        r.getDouble(2) >= 0.999))
+      .toDF("query_id", "twin_is_top1", "twin_sim_high")
+      .orderBy(col("query_id"))
+  }
 
   /** Full multi-iteration spherical k-means (cosine objective) — the
     * clustering [[annIvf]]'s single Lloyd step is a special case of.
@@ -1662,16 +1795,16 @@ object Similarity {
       .select(col("cell"), col("v").as("cv"))
     val scored = base.crossJoin(broadcast(seeds))
       .withColumn("csim", cosine(col("v"), col("cv")))
-    def cellK(k: Int): DataFrame = {
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cell"))
-      scored.filter(col("cell") < k)
-        .withColumn("crn", row_number().over(wc))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("cell").as(s"c$k"))
-    }
-    val cells = cellK(4).join(cellK(8), "vec_id")
-      .join(cellK(16), "vec_id")
+    // All three per-k argmaxes in ONE map-combinable aggregate (max
+    // over struct(csim, -cell) = highest cosine, lowest cell on ties —
+    // the batch gate's row_number rule) instead of three windowed
+    // frames re-joined on vec_id, which planned two corpus SMJs.
+    def best(k: Int) = max(when(col("cell") < k,
+      struct(col("csim").as("s"), (-col("cell")).as("nc"))))
+    val cells = scored.groupBy(col("vec_id"))
+      .agg(best(4).as("m4"), best(8).as("m8"), best(16).as("m16"))
+      .select(col("vec_id"), (-col("m4.nc")).as("c4"),
+        (-col("m8.nc")).as("c8"), (-col("m16.nc")).as("c16"))
     val a = base.toDF("id_a", "va", "na").repartition(par)
     val b = base.toDF("id_b", "vb", "nb")
     val pairs = a.crossJoin(broadcast(b))
@@ -1681,7 +1814,12 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     val ca = cells.toDF("id_a", "a4", "a8", "a16")
     val cb = cells.toDF("id_b", "b4", "b8", "b16")
-    val sums = pairs.join(ca, "id_a").join(cb, "id_b")
+    // The >=theta pair set is metadata-sized by the audit's premise
+    // (near-dup rate x sample) — broadcast it through both tagging
+    // joins so the corpus-sized assignment frames stream map-side
+    // instead of planning two SMJs.
+    val withA = ca.join(broadcast(pairs), "id_a")
+    val sums = cb.join(broadcast(withA), "id_b")
       .agg(count(lit(1)).as("n_exact"),
         sum(when(col("a4") === col("b4"), 1L).otherwise(0L)).as("f4"),
         sum(when(col("a8") === col("b8"), 1L).otherwise(0L)).as("f8"),
@@ -3565,6 +3703,7 @@ object Similarity {
     "sim_ann_ivf_recall"  -> (annIvfRecall _),
     "sim_ann_index_recall" -> (annIndexRecall _),
     "sim_ann_index_append" -> (annIndexAppendGate _),
+    "stream_ann_append" -> (streamAnnAppend _),
     "sim_negative_sample" -> ((s: SparkSession, d: String) => negativeSample(s, d)),
     "sim_hard_negatives"  -> ((s: SparkSession, d: String) =>
       hardNegatives(s, d)),
@@ -3626,6 +3765,8 @@ object Similarity {
     "sim_ann_ivf_recall"  -> annRecallSql,
     "sim_ann_index_recall" -> annRecallSql,
     "sim_ann_index_append" -> annIndexAppendSql,
+    // the streaming maintenance twin must reach the same verdicts
+    "stream_ann_append" -> annIndexAppendSql,
     "sim_negative_sample" -> negativeSampleSql,
     "sim_hard_negatives"  -> hardNegativesSql,
     "sim_topk_mips"       -> topKMipsSql,

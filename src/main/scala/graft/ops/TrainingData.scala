@@ -212,6 +212,191 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document decontamination counts as a PURE PROJECTION — no
+    * join, no aggregation — so the frame is legal upstream of a
+    * streaming stateful operator in append mode (the
+    * [[graft.ops.TextAnalysis.watermarkCountsProjection]]
+    * discipline). Composition is [[decontaminateBloom]]'s exactly:
+    * each document's distinct 3-grams stream through the 16 KiB
+    * benchmark Bloom (map-side, no false negatives), and the
+    * surviving sliver is exact-verified — here against the benchmark
+    * gram set carried as a single plan-literal HashSet probe
+    * ([[graft.plans.TokenCountInSet]], one reference object, not a
+    * literal-per-gram tree) instead of the batch path's equi-join,
+    * because a projection can't join. At a benchmark too large to
+    * carry as a set, production swaps the exact step for a
+    * stream-static join downstream of the bloom — the scoreboard
+    * transform is unchanged. */
+  private[graft] def decontamCountsProjection(docs: DataFrame,
+      benchGrams: Seq[String], bloomWords: Seq[Long],
+      mBits: Int, k: Int): DataFrame = {
+    val bits = typedlit(bloomWords)
+    def probe(g: Column): Column = (0 until k).map { seed =>
+      val p = pmod(xxhash64(lit(seed), g), lit(mBits.toLong))
+        .cast("int")
+      element_at(bits, (call_function("shiftright", p, lit(6)) + 1)
+          .cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          p.bitwiseAND(lit(63)))) =!= lit(0L)
+    }.reduce(_ && _)
+    docs
+      .select(col("source"),
+        array_distinct(wordGrams(col("text"), 3)).as("grams"))
+      .select(col("source"),
+        size(col("grams")).cast(LongType).as("n_grams"),
+        call_function(graft.plans.TextExpressions.CountInSetFnName,
+          filter(col("grams"), g => probe(g)), typedlit(benchGrams))
+          .cast(LongType).as("n_hits"))
+  }
+
+  /** The keyed-state transform behind [[streamDecontaminate]],
+    * exposed for the plan contract (TransformWithState, zero
+    * joins). */
+  private[graft] def decontamStateUpdates(docs: DataFrame,
+      benchGrams: Seq[String], bloomWords: Seq[Long],
+      mBits: Int = 1 << 17, k: Int = 3)
+      : org.apache.spark.sql.Dataset[graft.streaming.SourceDecontamTotals] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import docs.sparkSession.implicits._
+    org.apache.spark.sql.GraftSqlBridge
+      .ensureStateStoreCoordinator(docs.sparkSession)
+    decontamCountsProjection(docs, benchGrams, bloomWords, mBits, k)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.DecontamTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** STREAMING decontamination scoreboard (round-9 verdict growth
+    * item a — the last batch-only curation stage gets its streaming
+    * twin): [[decontaminate]]'s benchmark-overlap census maintained
+    * INCREMENTALLY as document batches arrive — the screen a live
+    * ingestion pipeline runs so eval-set leakage is caught while
+    * streaming in, not in a nightly batch. The benchmark (here
+    * `doc_id % 101 = 0`, the standing eval-suite convention) is
+    * FIXED: its Bloom filter and gram set are built once, driver-side
+    * (16 KiB + the gram strings — an eval suite, metadata-sized by
+    * premise), and baked into the scan projection; per-source totals
+    * (docs, contaminated docs, grams, hit grams) live in RocksDB
+    * `transformWithState` ValueState
+    * ([[graft.streaming.DecontamTotalsProcessor]] — the keyed-store
+    * pattern: per-batch I/O ∝ batch + touched sources, changelog
+    * checkpointing). Totals are component-wise monotone, so the
+    * reader's max-struct fold recovers terminal state. Three
+    * micro-batches replay the corpus split by doc_id mod 3; the
+    * converged scoreboard must equal the batch census — the oracle
+    * states the same semantics in batch SQL. */
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val mBits = 1 << 17
+    val k = 3
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcDir = s"/tmp/graft_scratch/$tag/dcstream/src"
+    val outDir = s"/tmp/graft_scratch/$tag/dcstream/updates"
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "dcstream_" + tag)
+    def rm(p: String): Unit = {
+      val path = new Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    }
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 101 =!= 0)
+    // Benchmark artifacts, built once driver-side (Scaffold: shared
+    // reference construction, not the streaming operator under test)
+    var benchGrams: Seq[String] = null
+    val words = new Array[Long](mBits / 64)
+    graft.Scaffold.setup {
+      val bench = docs.filter(col("doc_id") % 101 === 0)
+        .select(explode(array_distinct(wordGrams(col("text"), 3)))
+          .as("gram"))
+        .distinct()
+      benchGrams = bench.collect().map(_.getString(0)).toSeq.sorted
+      def positions(g: Column): Column = array((0 until k).map(seed =>
+        pmod(xxhash64(lit(seed), g), lit(mBits.toLong)).cast("int")): _*)
+      bench.select(explode(positions(col("gram"))).as("p")).distinct()
+        .collect().foreach { r =>
+          val p = r.getInt(0); words(p >>> 6) |= (1L << (p & 63))
+        }
+      Seq(srcDir, outDir, ck).foreach(rm)
+      corpus.filter(col("doc_id") % 3 === 0).coalesce(2).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
+      val updates = decontamStateUpdates(
+        s.readStream.schema(docs.schema).parquet(srcDir),
+        benchGrams, words.toSeq, mBits, k)
+      val q = updates.toDF().writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          corpus.filter(col("doc_id") % 3 === 1).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          corpus.filter(col("doc_id") % 3 === 2).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        graft.streaming.EventStreams.dropCheckpoint(ck)
+      }
+    }
+    s.read.parquet(outDir)
+      .groupBy(col("source"))
+      .agg(max(struct(col("docs"), col("contam"), col("grams"),
+        col("hits"))).as("m"))
+      .select(col("source"), col("m.docs").as("n_docs"),
+        col("m.contam").as("n_contam_docs"),
+        col("m.grams").as("n_grams"), col("m.hits").as("n_hit_grams"))
+      .withColumn("contam_doc_ppm",
+        expr("(n_contam_docs * 1000000) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val streamDecontaminateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents WHERE doc_id % 101 <> 0),
+      |pos AS (SELECT doc_id, source, t,
+      |          unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |grams AS (SELECT DISTINCT doc_id, source,
+      |            array_to_string(t[i:i+2], ' ') AS gram FROM pos),
+      |btok AS (
+      |  SELECT string_split(text, ' ') AS t
+      |  FROM documents WHERE doc_id % 101 = 0),
+      |bpos AS (SELECT t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |         FROM btok),
+      |bench AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram
+      |          FROM bpos),
+      |perdoc AS (
+      |  SELECT g.doc_id, g.source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_hits
+      |  FROM grams g LEFT JOIN bench b USING (gram)
+      |  GROUP BY g.doc_id, g.source),
+      |alld AS (
+      |  SELECT t.source,
+      |    coalesce(p.n_grams, 0) AS n_grams,
+      |    coalesce(p.n_hits, 0) AS n_hits
+      |  FROM tok t LEFT JOIN perdoc p ON t.doc_id = p.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contam_docs,
+      |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+      |  CAST(SUM(n_hits) AS BIGINT) AS n_hit_grams,
+      |  (CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000) // CAST(COUNT(*) AS BIGINT) AS contam_doc_ppm
+      |FROM alld GROUP BY source ORDER BY source""".stripMargin
+
   /** Repetition-quality metrics (Gopher-style): per document, the
     * duplicate word-2-gram fraction (1 − distinct/total) and the
     * most-frequent-2-gram fraction. High values mark boilerplate /
@@ -2074,6 +2259,7 @@ object TrainingData {
     "text_contam_runs" -> (contaminationRuns _),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "text_decontam_bloom" -> ((s, d) => decontaminateBloom(s, d)),
+    "stream_decontaminate" -> (streamDecontaminate _),
     "text_repetition"    -> ((s, d) => repetition(s, d)),
     "pack_shards"        -> ((s, d) => packShards(s, d)),
     "pack_concat_chunk"  -> ((s, d) => concatChunk(s, d)),
@@ -2110,6 +2296,7 @@ object TrainingData {
     "text_contam_runs" -> contaminationRunsSql,
     "text_decontaminate" -> decontaminateSql,
     "text_decontam_bloom" -> decontaminateSql,
+    "stream_decontaminate" -> streamDecontaminateSql,
     "text_repetition"    -> repetitionSql,
     "pack_shards"        -> packShardsSql,
     "pack_concat_chunk"  -> concatChunkSql,

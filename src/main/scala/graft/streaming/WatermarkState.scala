@@ -44,3 +44,48 @@ class WatermarkRateProcessor
     Iterator.single(next)
   }
 }
+
+/** Cumulative per-source decontamination totals — the mergeable state
+  * record behind the streaming decontamination scoreboard. All four
+  * counters add across batches (component-wise monotone), so the
+  * reader's max-struct fold (leading on `docs`) recovers each
+  * source's terminal state without ordering metadata. */
+case class SourceDecontamTotals(source: String, docs: Long,
+    contam: Long, grams: Long, hits: Long)
+
+/** Keyed-store state machine for the streaming decontamination
+  * scoreboard: one [[ValueState]] per source (the
+  * [[WatermarkRateProcessor]] pattern). Input rows are per-DOCUMENT
+  * (source, n_grams, n_hit_grams) counts computed scan-side as a
+  * pure projection — bloom prefilter + exact set probe, no join and
+  * no pre-state aggregation — so the transform is legal in append
+  * mode and per-batch I/O is the batch's rows plus point lookups on
+  * the sources it touches. A document counts as contaminated when
+  * any of its distinct 3-grams hits the benchmark set. */
+class DecontamTotalsProcessor
+    extends StatefulProcessor[String, (String, Long, Long),
+      SourceDecontamTotals] {
+  @transient private var state: ValueState[SourceDecontamTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SourceDecontamTotals]("dc_totals",
+      Encoders.product[SourceDecontamTotals], TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Long)],
+      timerValues: TimerValues): Iterator[SourceDecontamTotals] = {
+    val prev =
+      if (state.exists()) state.get()
+      else SourceDecontamTotals(key, 0L, 0L, 0L, 0L)
+    var d = prev.docs
+    var c = prev.contam
+    var g = prev.grams
+    var h = prev.hits
+    rows.foreach { case (_, n, hit) =>
+      d += 1; if (hit > 0) c += 1; g += n; h += hit
+    }
+    val next = SourceDecontamTotals(key, d, c, g, h)
+    state.update(next)
+    Iterator.single(next)
+  }
+}
