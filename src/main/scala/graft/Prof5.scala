@@ -70,6 +70,44 @@ object Prof5 {
       (base, "vec_id",
        df => graft.ops.Similarity
          .semDedupStateEvents(df, seeds, 0.99).toDF())
+    case "decontam" =>
+      // benchmark artifacts built once, driver-side — reference
+      // construction, not the per-batch transform under test
+      graft.plans.TextExpressions.register(s)
+      val mBits = 1 << 17
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 101 === 0)
+        .select(explode(array_distinct(
+          graft.plans.TextExpressions.tokenNGrams(
+            split(col("text"), " "), 3, emitWholeShortDoc = false)))
+          .as("gram"))
+        .distinct()
+      val grams = bench.collect().map(_.getString(0)).toSeq.sorted
+      val words = new Array[Long](mBits / 64)
+      bench.select(explode(array((0 until 3).map(seed =>
+          pmod(xxhash64(lit(seed), col("gram")), lit(mBits.toLong))
+            .cast("int")): _*)).as("p")).distinct()
+        .collect().foreach { r =>
+          val p = r.getInt(0); words(p >>> 6) |= (1L << (p & 63))
+        }
+      (docs.filter(col("doc_id") % 101 =!= 0), "doc_id",
+       df => graft.ops.TrainingData
+         .decontamStateUpdates(df, grams, words.toSeq).toDF())
+    case "annappend" =>
+      // the WHOLE corpus streamed as the appended batch sequence —
+      // index maintenance under sustained ingest, not just the 100
+      // gate twins
+      val dirTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val indexDir = s"/tmp/graft_prof5/${dirTag}_annidx"
+      graft.ops.Similarity.annIvfBuildIndex(s, dir, indexDir)
+      val cents = s.read.parquet(s"$indexDir/centroids")
+        .select(col("cell"), col("cv")).orderBy(col("cell"))
+        .collect().map(_.getSeq[Double](1))
+      val base = graft.ops.Similarity.withNearDuplicates(s, dir)
+        .select(col("vec_id"), col("v"))
+      (base, "vec_id",
+       df => graft.ops.Similarity
+         .annAppendStateEvents(df, cents).toDF())
     case other => sys.error(s"unknown gate $other")
   }
 
