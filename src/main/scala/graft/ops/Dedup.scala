@@ -1717,45 +1717,24 @@ object Dedup {
     * cross-doc chunk dedup is then exact-dedup machinery on the
     * fingerprint key (8 B/chunk shuffle). */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    // codes are materialized ONCE per doc (split is a single linear
-    // pass); every window/chunk roll then slices the array — O(len·8)
-    // total, where per-position substring() would re-scan the string
-    // from the start each time (O(len²), the 30 s version of this op)
-    val roll8 =
-      "aggregate(slice(codes, CAST(i AS INT) - 7, 8)," +
-        " CAST(0 AS BIGINT)," +
-        " (acc, c) -> (acc * 31 + c) % 1000000007)"
-    val chunkRoll =
-      "aggregate(slice(codes, CAST(st AS INT) + 1," +
-        " CAST(en - st AS INT)), CAST(0 AS BIGINT)," +
-        " (acc, c) -> (acc * 31 + c) % 1000000007)"
+    graft.plans.TextExpressions.register(s)
+    // One compiled pass per doc (CdcChunkStats kernel): the HOF
+    // formulation (transform/filter/zip_with over the code array,
+    // with an `aggregate(slice)` roll PER POSITION) was interpreted —
+    // CodegenFallback at every level — and stood as the suite's most
+    // expensive gate (4.4 s isolated at sf0.1; the kernel reads the
+    // same O(len·8) window rolls but compiled, and the oracle and
+    // every value are unchanged).
     Tables.documents(s, dir)
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), col("text"),
-        length(col("text")).cast(LongType).as("len"))
-      .withColumn("codes", expr(
-        "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
-      .withColumn("bs", expr(
-        s"filter(transform(sequence(8L, len)," +
-          s" i -> CASE WHEN $roll8 % 64 = 0 THEN i END)," +
-          " x -> x IS NOT NULL)"))
-      .withColumn("fps", expr(
-        "filter(zip_with(concat(array(0L), bs)," +
-          " concat(bs, array(len))," +
-          s" (st, en) -> CASE WHEN en > st THEN $chunkRoll END)," +
-          " x -> x IS NOT NULL)"))
-      .withColumn("lens", expr(
-        "filter(zip_with(concat(array(0L), bs)," +
-          " concat(bs, array(len)), (st, en) -> en - st)," +
-          " x -> x > 0)"))
-      .select(col("doc_id"), size(col("fps")).cast(LongType)
-          .as("n_chunks"),
-        expr("aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x)")
-          .as("sum_len"),
-        expr("aggregate(lens, CAST(0 AS BIGINT)," +
-          " (a, x) -> greatest(a, x))").as("max_chunk"),
-        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)")
-          .as("fp_sum"))
+      .select(col("doc_id"),
+        graft.plans.TextExpressions.cdcChunkStats(col("text"))
+          .as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_chunks"),
+        col("st").getItem(1).as("sum_len"),
+        col("st").getItem(2).as("max_chunk"),
+        col("st").getItem(3).as("fp_sum"))
       .orderBy(col("doc_id"))
   }
 

@@ -259,15 +259,20 @@ object Multimodal {
     * codec would do anyway), two map-combinable aggregates, zero
     * joins wider than (doc, 32 cells). */
   def phash(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    // Per-cell sums in ONE compiled scan pass (CellByteStats kernel):
+    // the posexplode(per-char transform) formulation interpreted a
+    // CodegenFallback lambda per CHARACTER and shuffled one row per
+    // character into the (doc, cell) groupBy — measured as the whole
+    // 4 s cost of the gate; the kernel emits the 32 aggregated cells
+    // directly, so the only exploded rows are cells.
     val cells = Tables.documents(s, dir)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), length(col("text")).as("len"),
-        posexplode(expr("transform(split(text, '')," +
-          " c -> CAST(ascii(c) AS BIGINT))")).as(Seq("p", "code")))
-      .withColumn("cell", expr("(p * 32) div len"))
-      .groupBy(col("doc_id"), col("cell"))
-      .agg(sum(col("code")).as("cs"), count(lit(1)).as("cn"))
-      .withColumn("mean_e6", expr("(cs * 1000000) div cn"))
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.cellStats(col("text"), 32))
+          .as("s"))
+      .select(col("doc_id"), col("s.cell").as("cell"),
+        expr("(s.sum * 1000000) div s.cnt").as("mean_e6"))
     cells
       .withColumn("thr", expr("sum(mean_e6) over" +
         " (partition by doc_id) div count(1) over (partition by doc_id)"))
@@ -325,17 +330,21 @@ object Multimodal {
     * (doc, cell) aggregate — the decode pass a real pipeline pays
     * anyway; output is 16 rows per media item. */
   def resize(s: SparkSession, dir: String, cells: Int = 16)
-      : DataFrame =
+      : DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    // One compiled scan pass (CellByteStats kernel — see [[phash]]):
+    // the per-char explode + (doc, cell) shuffle is gone; output rows
+    // and values are bit-identical, the oracle is unchanged.
     Tables.documents(s, dir)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), length(col("text")).as("len"),
-        posexplode(expr("transform(split(text, '')," +
-          " c -> CAST(ascii(c) AS BIGINT))")).as(Seq("p", "code")))
-      .withColumn("cell", expr(s"(p * $cells) div len"))
-      .groupBy(col("doc_id"), col("cell"))
-      .agg(count(lit(1)).as("n_in_cell"),
-        expr("(sum(code) * 100) div count(1)").as("mean_e2"))
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions
+          .cellStats(col("text"), cells)).as("s"))
+      .select(col("doc_id"), col("s.cell").as("cell"),
+        col("s.cnt").as("n_in_cell"),
+        expr("(s.sum * 100) div s.cnt").as("mean_e2"))
       .orderBy(col("doc_id"), col("cell"))
+  }
 
   def resizeSql(cells: Int = 16): String =
     s"""WITH chars AS (

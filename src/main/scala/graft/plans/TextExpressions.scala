@@ -759,6 +759,160 @@ case class CharEntropyStats(child: Expression) extends UnaryExpression {
       newChild: Expression): CharEntropyStats = copy(child = newChild)
 }
 
+object CellByteKernel extends Serializable {
+  /** Per-cell (cell, count, codepoint-sum) rows over the string's
+    * code points, non-empty cells only, ascending cell order —
+    * bit-identical to `posexplode(per-char codes) → groupBy(doc,
+    * (p*cells) div len)`, evaluated in one compiled pass with zero
+    * shuffle rows. Cell rule `(p * cells) div len` on non-negative
+    * ints, exactly the explode formulation's. */
+  def apply(s: UTF8String, cells: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val cnt = new Array[Long](cells)
+    val sum = new Array[Long](cells)
+    var p = 0
+    while (p < n) {
+      val c = ((p.toLong * cells) / n).toInt
+      cnt(c) += 1
+      sum(c) += cps(p)
+      p += 1
+    }
+    var nonEmpty = 0
+    var c = 0
+    while (c < cells) { if (cnt(c) > 0) nonEmpty += 1; c += 1 }
+    val rows = new Array[Any](nonEmpty)
+    var i = 0
+    c = 0
+    while (c < cells) {
+      if (cnt(c) > 0) {
+        rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+          c.toLong, cnt(c), sum(c))
+        i += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+object CdcChunkKernel extends Serializable {
+  private val Mod = 1000000007L
+
+  /** Content-defined chunking statistics in one compiled pass —
+    * bit-identical to the HOF formulation (transform/filter/zip_with
+    * over the code array), which interpreted an `aggregate(slice)`
+    * roll PER POSITION and was the suite's most expensive gate.
+    * Boundary rule: after 1-based position i ∈ [8, len] whenever the
+    * (acc·31 + c) mod 1e9+7 fold over the trailing 8 code points ≡ 0
+    * (mod 64). Output [n_chunks, sum_len, max_chunk, fp_sum] where fp
+    * is the same fold over each chunk's code points. Caller filters
+    * len ≥ 8. */
+  def apply(s: UTF8String): Array[Long] = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    var nChunks = 0L
+    var sumLen = 0L
+    var maxChunk = 0L
+    var fpSum = 0L
+    var st = 0
+    var i = 8 // 1-based boundary position
+    while (i <= n + 1) {
+      val isEnd = i == n + 1
+      var boundary = isEnd
+      if (!isEnd) {
+        var acc = 0L
+        var j = i - 8
+        while (j < i) { acc = (acc * 31L + cps(j)) % Mod; j += 1 }
+        boundary = acc % 64L == 0L
+      }
+      if (boundary) {
+        val en = if (isEnd) n else i
+        if (en > st) {
+          var fp = 0L
+          var j = st
+          while (j < en) { fp = (fp * 31L + cps(j)) % Mod; j += 1 }
+          nChunks += 1
+          sumLen += en - st
+          if (en - st > maxChunk) maxChunk = en - st
+          fpSum += fp
+          st = en
+        }
+      }
+      i += 1
+    }
+    Array(nChunks, sumLen, maxChunk, fpSum)
+  }
+}
+
+/** Per-document CDC chunk statistics as one compiled scan pass (see
+  * [[CdcChunkKernel]]). */
+case class CdcChunkStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks expects string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(CdcChunkKernel(a.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("graftCdcChunkKernel",
+      CdcChunkKernel, CdcChunkKernel.getClass.getName)
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"$kernel.apply($c))")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunkStats = copy(child = newChild)
+}
+
+/** Per-document cell statistics (box-filter bins over the decoded
+  * byte/char stream) as a single compiled scan-side pass — the
+  * replacement for the multimodal gates' `posexplode(per-char) →
+  * groupBy(doc, cell)`, which interpreted a CodegenFallback
+  * `transform` lambda per CHARACTER and shuffled one row per
+  * character of the corpus. Output `array<struct<cell, cnt, sum>>`
+  * for non-empty cells in cell order; values are bit-identical to
+  * the explode formulation, so the DuckDB oracles are unchanged. */
+case class CellByteStats(child: Expression, cells: Int)
+    extends UnaryExpression {
+
+  require(cells >= 1, s"cells must be >= 1, got $cells")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("sum", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cell_stats expects string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    CellByteKernel(a.asInstanceOf[UTF8String], cells)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("graftCellByteKernel",
+      CellByteKernel, CellByteKernel.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$kernel.apply($c, $cells)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CellByteStats = copy(child = newChild)
+}
+
 object TextExpressions {
 
   val NGramsFnName = "graft_token_ngrams"
@@ -771,6 +925,8 @@ object TextExpressions {
   val DamerauFnName = "graft_damerau_levenshtein"
   val MinhashSigFnName = "graft_minhash_signature"
   val PolyMinhashFnName = "graft_poly_minhash"
+  val CellStatsFnName = "graft_cell_stats"
+  val CdcChunksFnName = "graft_cdc_chunks"
 
   /** Idempotent per-session registration. n and the short-doc flag
     * must be literals — they parameterize the generated code. */
@@ -818,6 +974,15 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CharEntropyFnName,
       exprs => CharEntropyStats(exprs(0)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CellStatsFnName,
+      exprs => CellByteStats(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CdcChunksFnName,
+      exprs => CdcChunkStats(exprs(0)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       JaroWinklerFnName,
@@ -885,4 +1050,15 @@ object TextExpressions {
     * `[n_chars, n_distinct, term9_sum]`. */
   def charEntropyStats(text: Column): Column =
     call_function(CharEntropyFnName, text)
+
+  /** Codegen'd per-document cell stats (box-filter bins over the
+    * code-point stream) `array<struct<cell, cnt, sum>>`. */
+  def cellStats(text: Column, cells: Int): Column =
+    call_function(CellStatsFnName, text,
+      org.apache.spark.sql.functions.lit(cells))
+
+  /** Codegen'd per-document CDC chunk stats
+    * `[n_chunks, sum_len, max_chunk, fp_sum]`. */
+  def cdcChunkStats(text: Column): Column =
+    call_function(CdcChunksFnName, text)
 }

@@ -95,6 +95,31 @@ class RoundTenPlanSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks: the kernel keeps the whole gate out of " +
+      "CodegenFallback (the interpreted HOF form was the suite's " +
+      "most expensive gate) and the plan stays join-free") {
+    val df = graft.ops.Dedup.cdcChunks(spark, sf)
+    val fb = fallbackExprs(df)
+    assert(fb.isEmpty, s"CodegenFallback leaked back: $fb")
+    assert(joinLines(planOf(df)).isEmpty, planOf(df))
+  }
+
+  test("multimodal phash/resize: the CellByteStats kernel replaces " +
+      "the per-char transform+explode — no CodegenFallback, no " +
+      "(doc, cell) aggregation exchange upstream of the explode") {
+    Seq(graft.ops.Multimodal.phash(spark, sf),
+        graft.ops.Multimodal.resize(spark, sf)).foreach { df =>
+      val fb = fallbackExprs(df)
+      assert(fb.isEmpty, s"CodegenFallback leaked back: $fb")
+      assert(joinLines(planOf(df)).isEmpty, planOf(df))
+    }
+    // resize needs no aggregation at all now — the kernel IS the
+    // (doc, cell) aggregate; only the output sort remains wide
+    val rplan = planOf(graft.ops.Multimodal.resize(spark, sf))
+    assert(!rplan.contains("HashAggregate"),
+      s"the per-cell aggregate crept back in:\n$rplan")
+  }
+
   test("lsh band build: minhashBandKeys stays a pure projection — " +
       "zero exchanges, zero joins before the caller's bucket shuffle") {
     val corpus = graft.ops.DocCorpus.withDuplicates(spark, sf)
