@@ -39,6 +39,26 @@ object PlanAudit {
             "BatchEvalPython" -> "python UDF in plan")
             .collect { case (pat, msg) if plan.contains(pat) => msg }
           if (smells.nonEmpty) println(s"[smells] $name: ${smells.mkString("; ")}")
+          // Informational (NOT part of the pinned [smells] contract):
+          // interpreted expressions in the plan. Benign when the HOF
+          // runs once per row over a small array (the tokenizer-filter
+          // class); a per-element/per-char fallback in a hot loop is
+          // the matrix-profile/cdc-chunks 5-10x cost class.
+          def fbOf(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[String] = p.collect {
+            // AQE wrapper hides its plan from TreeNode.collect —
+            // recurse explicitly or the scan is vacuously empty
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => fbOf(a.executedPlan)
+            case n => n.expressions.flatMap(_.collect {
+              case e: org.apache.spark.sql.catalyst.expressions
+                  .codegen.CodegenFallback => e.prettyName
+            }).toSeq
+          }.flatten
+          val fallbacks =
+            fbOf(df.queryExecution.executedPlan).distinct.sorted
+          if (fallbacks.nonEmpty)
+            println(s"[fallback] $name: ${fallbacks.mkString(", ")}")
         } catch { case e: Throwable =>
           println(s"===== $name FAILED: ${e.getMessage}")
         }

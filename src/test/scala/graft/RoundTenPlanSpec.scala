@@ -26,13 +26,23 @@ class RoundTenPlanSpec extends SparkSpec {
 
   /** Every CodegenFallback expression anywhere in the physical plan
     * (the interpreted-eval escape hatch — a HOF like zip_with or
-    * aggregate lands here and costs ~5x on a hot inner loop). */
-  private def fallbackExprs(df: DataFrame): Seq[String] =
-    df.queryExecution.executedPlan.collect { case p =>
-      p.expressions.flatMap(_.collect {
+    * aggregate lands here and costs ~5x on a hot inner loop).
+    * AQE-aware: an AdaptiveSparkPlanExec hides its real plan from
+    * TreeNode.collect (it has no children until execution), so a
+    * naive scan is VACUOUSLY empty on any plan with an exchange —
+    * recurse into the wrapped plan explicitly. */
+  private def fallbacksOf(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => fallbacksOf(a.executedPlan)
+      case n => n.expressions.flatMap(_.collect {
         case e: CodegenFallback => e.prettyName
-      })
+      }).toSeq
     }.flatten.distinct
+
+  private def fallbackExprs(df: DataFrame): Seq[String] =
+    fallbacksOf(df.queryExecution.executedPlan)
 
   test("matrix profile: the per-pair distance codegens inline — no " +
       "CodegenFallback expression anywhere in the plan (the array + " +
