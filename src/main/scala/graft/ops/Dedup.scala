@@ -2159,8 +2159,70 @@ object Dedup {
       |FROM b LEFT JOIN a USING (source), tb, ta
       |ORDER BY b.source""".stripMargin
 
+  /** Memorization-risk histogram (Kandpal et al. 2022 "Deduplicating
+    * Training Data Mitigates Privacy Risks"; Carlini et al. 2023
+    * "Quantifying Memorization": a sequence's extraction probability
+    * scales with its corpus DUPLICATE COUNT — the curation signal is
+    * not "is this doc a duplicate" but "how many times does its
+    * most-repeated span occur corpus-wide"). Per document: the
+    * corpus-wide occurrence count of its most-duplicated word 8-gram;
+    * the gate emits the corpus histogram over power-of-2 risk tiers
+    * (freq_ceil = the smallest of 1/2/4/8/16/∞→32 covering that max),
+    * with doc and char mass per tier — the table a dedup budget is
+    * set from.
+    *
+    * Scale: one explode to 8-gram occurrences (O(corpus tokens)),
+    * one map-combinable count by gram, one equi-join back on gram
+    * that REUSES the count's hash partitioning, one map-combinable
+    * per-doc max, O(docs) histogram. No distinct, no windows, no
+    * driver data. Docs shorter than 8 words carry no 8-gram and sit
+    * outside the risk model by construction (excluded, as in the
+    * published measurements). */
+  def memorizationRisk(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(graft.plans.TextExpressions.tokenNGrams(
+          split(col("text"), " "), 8, emitWholeShortDoc = false))
+          .as("gram"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("f"))
+    val perDoc = grams.join(freq, "gram")
+      .groupBy(col("doc_id"))
+      .agg(max(col("f")).as("mf"), min(col("n_chars")).as("nc"))
+    perDoc
+      .withColumn("freq_ceil", expr(
+        "CAST(CASE WHEN mf <= 1 THEN 1 WHEN mf <= 2 THEN 2" +
+          " WHEN mf <= 4 THEN 4 WHEN mf <= 8 THEN 8" +
+          " WHEN mf <= 16 THEN 16 ELSE 32 END AS BIGINT)"))
+      .groupBy(col("freq_ceil"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"))
+      .orderBy(col("freq_ceil"))
+  }
+
+  val memorizationRiskSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS t
+      |  FROM documents),
+      |pos AS (SELECT doc_id, n_chars, t,
+      |          unnest(range(1, greatest(len(t) - 6, 1))) AS i FROM tok),
+      |grams AS (SELECT doc_id, n_chars,
+      |            array_to_string(t[i:i+7], ' ') AS gram FROM pos),
+      |freq AS (SELECT gram, COUNT(*) AS f FROM grams GROUP BY gram),
+      |perdoc AS (
+      |  SELECT g.doc_id, MAX(f.f) AS mf, MIN(g.n_chars) AS nc
+      |  FROM grams g JOIN freq f USING (gram)
+      |  GROUP BY g.doc_id)
+      |SELECT CAST(CASE WHEN mf <= 1 THEN 1 WHEN mf <= 2 THEN 2
+      |    WHEN mf <= 4 THEN 4 WHEN mf <= 8 THEN 8
+      |    WHEN mf <= 16 THEN 16 ELSE 32 END AS BIGINT) AS freq_ceil,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nc) AS BIGINT) AS n_chars
+      |FROM perdoc
+      |GROUP BY 1 ORDER BY freq_ceil""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_survivorship" -> (survivorship _),
+    "dedup_memorization_risk" -> (memorizationRisk _),
     "stream_minhash_lsh" -> (streamMinhashLsh _),
     "stream_dedup_rate" -> (streamDupRate _),
     "dedup_rate_by_source" -> (dupRateBySource _),
@@ -2206,6 +2268,7 @@ object Dedup {
     "dedup_survivorship" -> survivorshipSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_suffix_prefix" -> suffixPrefixSql(),
+    "dedup_memorization_risk" -> memorizationRiskSql,
     "dedup_minhash_estimate" -> minhashEstimateSql(),
     "dedup_prefix_truncation" -> prefixTruncationSql,
     "dedup_url_canonical" -> urlCanonicalSql,

@@ -25,6 +25,24 @@ class RoundTenBatchOneSpec extends SparkSpec {
     }
   }
 
+  test("memorization risk: tiers are the declared power-of-2 set, " +
+      "doc mass equals the >=8-word population, and the planted " +
+      "duplicate texts surface in a >=2 tier") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Dedup.memorizationRisk(spark, sf).collect()
+    val tiers = rows.map(_.getLong(0))
+    assert(tiers.toSet.subsetOf(Set(1L, 2L, 4L, 8L, 16L, 32L)))
+    assert(tiers.sameElements(tiers.sorted), tiers.mkString(","))
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 8).count()
+    assert(rows.map(_.getLong(1)).sum == eligible,
+      s"histogram mass ${rows.map(_.getLong(1)).sum} != $eligible")
+    // the corpus plants exact-duplicate texts — their 8-grams occur
+    // at least twice corpus-wide, so a >=2 tier must be populated
+    assert(rows.exists(r => r.getLong(0) >= 2 && r.getLong(1) > 0),
+      rows.mkString(";"))
+  }
+
   test("semdedup recall audit: found pairs at k=8 equal the batch " +
       "gate's within-cell drops (same seed rule, same assignment)") {
     // Every exact >=theta pair that is co-resident at k=8 is exactly
