@@ -47,13 +47,15 @@ object PlanAudit {
           def fbOf(p: org.apache.spark.sql.execution.SparkPlan)
               : Seq[String] = p.collect {
             // AQE wrapper hides its plan from TreeNode.collect —
-            // recurse explicitly or the scan is vacuously empty
+            // recurse explicitly or the scan is vacuously empty;
+            // subquery plans hang off expressions, not the operator
+            // tree, so scan node.subqueries recursively too
             case a: org.apache.spark.sql.execution.adaptive
                 .AdaptiveSparkPlanExec => fbOf(a.executedPlan)
             case n => n.expressions.flatMap(_.collect {
               case e: org.apache.spark.sql.catalyst.expressions
                   .codegen.CodegenFallback => e.prettyName
-            }).toSeq
+            }).toSeq ++ n.subqueries.flatMap(fbOf)
           }.flatten
           val fallbacks =
             fbOf(df.queryExecution.executedPlan).distinct.sorted

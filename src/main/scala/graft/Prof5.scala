@@ -69,7 +69,8 @@ object Prof5 {
       val seeds = graft.ops.Similarity.streamSemDedupSeeds(base, 8)
       (base, "vec_id",
        df => graft.ops.Similarity
-         .semDedupStateEvents(df, seeds, 0.99).toDF())
+         .semDedupStateEvents(df, seeds,
+           graft.ops.Similarity.SemDedupTheta).toDF())
     case "decontam" =>
       // benchmark artifacts built once, driver-side — reference
       // construction, not the per-batch transform under test

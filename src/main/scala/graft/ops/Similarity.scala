@@ -1694,8 +1694,15 @@ object Similarity {
     * hash join on cell (never a corpus broadcast); production swaps
     * the seed rule for [[kmeans]] centroids and raises k so cells
     * stay executor-sized — the plan shape is unchanged. */
-  def semDedupCluster(s: SparkSession, dir: String, k: Int = 8,
-      theta: Double = 0.99): DataFrame = {
+  /** The single θ shared by EVERY SemDeDup surface — batch cluster
+    * gate, streaming processor, recall audit — and interpolated into
+    * their oracle SQL, so the Scala side and the DuckDB side cannot
+    * silently diverge (the round-10 ADVICE find: a theta parameter
+    * whose SQL twin hard-coded 0.99 made any non-default call lie). */
+  val SemDedupTheta: Double = 0.99
+
+  def semDedupCluster(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val theta = SemDedupTheta
     val base = withNearDuplicates(s, dir).withColumn("n", norm(col("v")))
     val w0 = Window.orderBy(col("h"), col("vec_id"))
     val seeds = base
@@ -1752,7 +1759,7 @@ object Similarity {
        |  SELECT DISTINCT b.vec_id
        |  FROM assigned a JOIN assigned b
        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE ${cos("a.v", "b.v")} >= 0.99)
+       |  WHERE ${cos("a.v", "b.v")} >= $SemDedupTheta)
        |SELECT x.vec_id, CAST(x.cell AS BIGINT) AS cell,
        |  (d.vec_id IS NULL) AS kept
        |FROM assigned x LEFT JOIN dropped d ON x.vec_id = d.vec_id
@@ -1783,8 +1790,8 @@ object Similarity {
     * 100 TB this gate runs on a SAMPLE (the recall estimate needs
     * thousands of pairs, not the corpus), while the production dedup
     * path stays Σn_c² ≈ n²/k. */
-  def semDedupRecall(s: SparkSession, dir: String,
-      theta: Double = 0.99): DataFrame = {
+  def semDedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val theta = SemDedupTheta
     val par = s.sparkContext.defaultParallelism
     val base = withNearDuplicates(s, dir).withColumn("n", norm(col("v")))
     val w0 = Window.orderBy(col("h"), col("vec_id"))
@@ -1871,7 +1878,7 @@ object Similarity {
        |pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
-       |  WHERE ${cos("a.v", "b.v")} >= 0.99),
+       |  WHERE ${cos("a.v", "b.v")} >= $SemDedupTheta),
        |sums AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
        |    CAST(SUM(CASE WHEN ca.a4 = cb.b4 THEN 1 ELSE 0 END)
@@ -1970,8 +1977,8 @@ object Similarity {
       .select(col("v"), col("n")).collect()
       .map(r => (r.getSeq[Double](0), r.getDouble(1)))
 
-  def streamSemDedup(s: SparkSession, dir: String, k: Int = 8,
-      theta: Double = 0.99): DataFrame = {
+  def streamSemDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val theta = SemDedupTheta
     import org.apache.hadoop.fs.Path
     val base = streamSemDedupBase(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ListState, OutputMode,
+import org.apache.spark.sql.streaming.{OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One materialized IVF posting — the event a streaming index append
@@ -14,41 +14,51 @@ case class AnnPosting(cell: Long, target_id: Long, tv: Array[Double],
     n_members: Long)
 
 /** Keyed-store state machine for STREAMING IVF index maintenance:
-  * one posting list ([[ListState]] of vector ids) plus its length
-  * ([[ValueState]] — ListState has no O(1) size) per cell under
-  * RocksDB. Centroids are FROZEN (the standard IVF serving practice:
-  * retrain is a scheduled rebuild, not a per-batch event — the
+  * ONE per-cell length counter ([[ValueState]]) under RocksDB — and
+  * deliberately nothing else. The emitted posting stream IS the index
+  * increment (a sink materializing it holds exactly what the batch
+  * path's partitioned-parquet append would hold), so keeping a
+  * resident member list in state would double the RocksDB footprint
+  * for a value no read path ever touches (the round-10 ADVICE find);
+  * `n_members` is derived from the counter alone. Centroids are
+  * FROZEN (the standard IVF serving practice: retrain is a scheduled
+  * rebuild, not a per-batch event — the
   * [[graft.ops.Similarity.annIvfIndexAppend]] contract), so the
   * assignment happens UPSTREAM as a pure projection against the
-  * centroid plan literals and this processor only appends: per-batch
-  * I/O is the batch's rows plus point access to the cells they land
-  * in — the standing lists are never re-read, re-shuffled, or
-  * rewritten. The emitted posting stream IS the index increment: a
-  * sink materializing it holds exactly what the batch path's
-  * partitioned-parquet append would hold. */
+  * centroid plan literals and this processor only counts: per-batch
+  * I/O is the batch's rows plus one counter read/write per touched
+  * cell. Output is emitted LAZILY — the counter flushes when the
+  * framework exhausts the iterator, so a hot cell never buffers its
+  * micro-batch slice on the executor heap. */
 class IvfPostingProcessor
     extends StatefulProcessor[Long, (Long, Long, Array[Double]),
       AnnPosting] {
-  @transient private var members: ListState[Long] = _
   @transient private var count: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    members = getHandle.getListState[Long]("members",
-      Encoders.scalaLong, TTLConfig.NONE)
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     count = getHandle.getValueState[Long]("count",
       Encoders.scalaLong, TTLConfig.NONE)
-  }
 
   override def handleInputRows(cell: Long,
       rows: Iterator[(Long, Long, Array[Double])],
       timerValues: TimerValues): Iterator[AnnPosting] = {
     var c = if (count.exists()) count.get() else 0L
-    val out = rows.map { case (_, id, v) =>
-      members.appendValue(id)
+    val mapped = rows.map { case (_, id, v) =>
       c += 1
       AnnPosting(cell, id, v, c)
-    }.toArray
-    count.update(c)
-    out.iterator
+    }
+    // Streamed, not pre-materialized: the state commit happens on
+    // exhaustion (transformWithState drains the output iterator
+    // before committing the batch's state version).
+    val st = count
+    new Iterator[AnnPosting] {
+      private var flushed = false
+      override def hasNext: Boolean = {
+        val h = mapped.hasNext
+        if (!h && !flushed) { st.update(c); flushed = true }
+        h
+      }
+      override def next(): AnnPosting = mapped.next()
+    }
   }
 }

@@ -43,12 +43,16 @@ class RoundTenBatchOneSpec extends SparkSpec {
       rows.mkString(";"))
   }
 
-  test("semdedup recall audit: found pairs at k=8 equal the batch " +
-      "gate's within-cell drops (same seed rule, same assignment)") {
+  test("semdedup recall audit: found pairs at k=8 are at least the " +
+      "batch gate's within-cell drops (same seed rule, same " +
+      "assignment)") {
     // Every exact >=theta pair that is co-resident at k=8 is exactly
-    // a pair the batch gate compares; with theta high and one drop
-    // per duplicate, found-at-8 must equal the dropped-row count
-    // whenever each dropped vector has exactly one >=theta partner.
+    // a pair the batch gate compares, and each dropped vector
+    // witnesses at least one such pair (the one that killed it), so
+    // found-at-8 >= drops always. Equality additionally requires
+    // every dropped vector to have exactly ONE >=theta partner —
+    // true of the planted 1:1 twins but not guaranteed for natural
+    // near-pairs, so the invariant pinned here is the inequality.
     val recall8 = graft.ops.Similarity.semDedupRecall(spark, sf)
       .filter("k = 8").collect().head.getLong(2)
     val dropped = graft.ops.Similarity.semDedupCluster(spark, sf)

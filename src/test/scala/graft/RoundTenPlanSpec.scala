@@ -30,7 +30,10 @@ class RoundTenPlanSpec extends SparkSpec {
     * AQE-aware: an AdaptiveSparkPlanExec hides its real plan from
     * TreeNode.collect (it has no children until execution), so a
     * naive scan is VACUOUSLY empty on any plan with an exchange —
-    * recurse into the wrapped plan explicitly. */
+    * recurse into the wrapped plan explicitly. Subquery-aware too
+    * (the round-10 ADVICE find): a scalar/IN subquery's plan hangs
+    * off the expression, not the operator tree, so each node's
+    * `subqueries` are scanned recursively as well. */
   private def fallbacksOf(
       p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
     p.collect {
@@ -38,7 +41,7 @@ class RoundTenPlanSpec extends SparkSpec {
           .AdaptiveSparkPlanExec => fallbacksOf(a.executedPlan)
       case n => n.expressions.flatMap(_.collect {
         case e: CodegenFallback => e.prettyName
-      }).toSeq
+      }).toSeq ++ n.subqueries.flatMap(fallbacksOf)
     }.flatten.distinct
 
   private def fallbackExprs(df: DataFrame): Seq[String] =
