@@ -1203,6 +1203,116 @@ object Dedup {
       |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the suffix-array ExactSubstr
+    * pass ECC/NeoX-style pipelines run by name, the one named dedup
+    * shape this family lacked): any token run of length ≥ L occurring
+    * ≥ 2 times ANYWHERE in the corpus — including twice inside one
+    * document; the published tool counts occurrences, not documents —
+    * is a duplicated span a cut pass removes. The suffix-array
+    * formulation is single-node sequential; the Spark-first
+    * re-expression uses the L-gram identity: a ≥ L-token substring is
+    * duplicated iff each of its L-token windows is, and the union of
+    * duplicated stride-1 L-gram windows IS the union of duplicated
+    * ≥ L-token substrings — so compiled stride-1 token L-grams
+    * ([[graft.plans.TextExpressions.TokenNGrams]] under posexplode),
+    * one map-combinable occurrence count per gram, a join back on the
+    * same gram exchange, and [[spanUnion]]'s gaps-islands sweep
+    * reproduce the suffix-array answer exactly. ([[spanUnion]] is the
+    * strided char-level APPROXIMATION of this pass; this gate is the
+    * exact token-level one.) Emits per doc: token count, the merged
+    * duplicated-token union, the maximal-span count after merge, and
+    * the ppm fraction a cut pass would drop. L = 8 (the fixture-scale
+    * stand-in for the published 50-BPE-token knob; the plan shape is
+    * L-invariant). Docs under L tokens carry no gram and dedup
+    * nothing, as in the published tool.
+    *
+    * Scale: O(corpus tokens) gram rows; count and join-back share one
+    * hash(gram) exchange; the sweep windows over DUPLICATED positions
+    * only, partitioned by doc. No suffix array, no global sort, no
+    * driver state — the published pipeline's single-node suffix-array
+    * memory wall is precisely what this shape removes at 100 TB
+    * (production additionally pre-hashes grams to 64-bit before the
+    * shuffle and re-verifies survivors, trading one more scan for an
+    * 8× narrower exchange; the fixture gate ships the strings so the
+    * DuckDB oracle shares the exact grouping key). */
+  def exactSubstring(s: SparkSession, dir: String, l: Int = 8): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        col("text"))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(graft.plans.TextExpressions.tokenNGrams(
+          split(col("text"), " "), l, emitWholeShortDoc = false)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("st"),
+        col("col").as("gram"))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2).select(col("gram"))
+    val spans = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("st"), (col("st") + l).as("en"))
+    // Gaps-and-islands sweep (the spanUnion merge): reach = furthest
+    // end seen so far; -1 sentinel so a doc's first span (st = 0)
+    // still opens an island under the st > reach test.
+    val sweep = w.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val covered = spans
+      .withColumn("reach", coalesce(max(col("en")).over(sweep), lit(-1L)))
+      .select(col("doc_id"),
+        greatest(col("en") - greatest(col("st"), col("reach")), lit(0L))
+          .as("add"),
+        when(col("st") > col("reach"), 1L).otherwise(0L).as("isl"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("add")).as("dup_tokens"), sum(col("isl")).as("n_spans"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        expr("(coalesce(dup_tokens, 0L) * 1000000L) div n_tokens")
+          .as("dup_frac_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactSubstringSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM tok),
+      |pos AS (
+      |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i
+      |  FROM base),
+      |grams AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS st,
+      |    array_to_string(t[i:i+7], ' ') AS gram
+      |  FROM pos),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+      |spans AS (
+      |  SELECT g.doc_id, g.st, g.st + 8 AS en
+      |  FROM grams g JOIN dup USING (gram)),
+      |sweep AS (
+      |  SELECT doc_id, st, en,
+      |    COALESCE(MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      AS reach
+      |  FROM spans),
+      |cov AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(GREATEST(en - GREATEST(st, reach), 0)) AS BIGINT)
+      |      AS dup_tokens,
+      |    CAST(SUM(CASE WHEN st > reach THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_spans
+      |  FROM sweep GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens,
+      |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(COALESCE(cov.n_spans, 0) AS BIGINT) AS n_spans,
+      |  (COALESCE(cov.dup_tokens, 0) * 1000000) // b.n_tokens
+      |    AS dup_frac_ppm
+      |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   /** Incremental-novelty curve — the curation-ORDER diagnostic the
     * symmetric coverage gates ([[spanCoverage]]/[[spanUnion]]) can't
     * answer: processing docs in doc_id order, what fraction of each
@@ -1871,13 +1981,19 @@ object Dedup {
     * "micro-batch", so the miner's within-batch pairing alone must
     * reproduce the full [[minhashLshPairs]] set (after the reader's
     * bucket-multiplicity distinct). */
-  private[graft] def minhashStateMiner(corpus: DataFrame)
+  private[graft] def minhashStateMiner(corpus: DataFrame,
+      ttl: Option[java.time.Duration] = None)
       : org.apache.spark.sql.Dataset[graft.streaming.NearDupPair] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import graft.functions.TextFunctions
     import corpus.sparkSession.implicits._
     org.apache.spark.sql.GraftSqlBridge
       .ensureStateStoreCoordinator(corpus.sparkSession)
+    // State TTL is clocked by processing time, so the bounded-horizon
+    // variant must run the operator in ProcessingTime mode; the
+    // unbounded miner keeps TimeMode.None (no timers, no clock).
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     corpus
       .select(col("doc_id"),
         shingleHashes(lower(col("text")), 3).as("hashes"))
@@ -1890,8 +2006,9 @@ object Dedup {
         col("doc_id"), col("hashes"))
       .as[(Int, Long, Long, Array[Long])]
       .groupByKey(r => (r._1, r._2))
-      .transformWithState(new graft.streaming.LshBucketProcessor(0.6),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new graft.streaming.LshBucketProcessor(0.6, ttl),
+        timeMode, OutputMode.Append())
   }
 
   def streamDupRate(s: SparkSession, dir: String): DataFrame = {
@@ -2031,6 +2148,125 @@ object Dedup {
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Streaming LSH pair miner under a FINITE state horizon — the
+    * bounded-state deployment mode [[graft.streaming.LshBucketProcessor]]'s
+    * retention contract documents, exercised live (round-10 verdict
+    * task 3 — until now it was contract-only). Bucket members carry a
+    * per-element processing-time TTL; the corpus replays in TWO
+    * horizons separated by a wall-clock gap longer than the TTL
+    * (horizon = `(doc_id div 10000) % 2`, i.e. originals + truncated
+    * twins first, the whitespace/case twins after the gap — chosen
+    * because the planted pair families then straddle BOTH sides: the
+    * (id, id+20000) pairs are same-horizon and must still surface,
+    * while every (id, id+10000) and (id+10000, id+20000) pair is
+    * cross-horizon and must be LOST to expiry). The oracle prices the
+    * recall cut exactly: the TTL-free miner's full ≥0.6 pair set
+    * restricted to same-horizon pairs — so the gate proves expiry
+    * (cross-horizon pairs gone ⇒ the earlier horizon's bucket rows
+    * were dead at probe time) and the trade's cost in one artifact.
+    *
+    * Scale: identical per-batch shape to [[streamMinhashLsh]]; TTL
+    * additionally lets RocksDB retire dead bucket members during
+    * compaction, so state is O(docs in the trailing horizon), not
+    * O(corpus) — the knob that makes the miner deployable where the
+    * corpus outgrows fleet SSD. */
+  def streamMinhashLshTtl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ttl = java.time.Duration.ofMillis(2000L)
+    val gapMillis = 5000L // > ttl: the earlier horizon is provably dead
+    def scratch(name: String): String =
+      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    val srcDir = scratch("mhttl/src")
+    val pairsDir = scratch("mhttl/pairs")
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "mhttl_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val fs = new Path(srcDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def rm(p: String): Unit =
+      fs.delete(new Path(p), true): Unit
+    val corpus = DocCorpus.withDuplicates(s, dir)
+      .select(col("doc_id"), col("text"))
+    val horizon = expr("(doc_id div 10000) % 2")
+    graft.Scaffold.setup {
+      Seq(srcDir, pairsDir, ck).foreach(rm)
+      corpus.filter(horizon === 0).coalesce(2).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    // One query RUN per horizon, SHARING the checkpoint — the
+    // scheduled-ingest deployment shape (state and TTL timestamps
+    // persist in RocksDB across restarts). A ProcessingTime-mode
+    // stateful operator requests no-data batches back-to-back to
+    // advance its TTL clock, so neither processAllAvailable nor
+    // Trigger.AvailableNow ever settles (both measured live: >900
+    // batches and climbing); drain-detection is explicit instead —
+    // poll cumulative source rows until this run has ingested its
+    // horizon AND a trailing empty batch proves the sink committed,
+    // then stop the run.
+    def runHorizon(minRows: Long): Unit =
+      graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
+        val pairs = minhashStateMiner(
+          s.readStream.schema(corpus.schema).parquet(srcDir), Some(ttl))
+        val q = pairs.toDF().writeStream
+          .format("parquet")
+          .option("path", pairsDir)
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .start()
+        try {
+          val seen = scala.collection.mutable.Map.empty[Long, Long]
+          var done = false
+          while (!done) {
+            Thread.sleep(100L)
+            // recentProgress retains ~100 entries and empty RocksDB
+            // batches run >= tens of ms, so a 100 ms poll cannot lose
+            // the data batches off the window's leading edge.
+            q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+            val lp = q.lastProgress
+            done = seen.values.sum >= minRows &&
+              lp != null && lp.numInputRows == 0L
+          }
+        } finally q.stop()
+      }
+    try {
+      runHorizon(graft.Scaffold.setup {
+        corpus.filter(horizon === 0).count()
+      })
+      // The two-horizon gap: wall-clock, because state TTL is
+      // processing-time by definition. Expiry is guaranteed, not
+      // racy — gap > ttl and the TTL filter runs at read time.
+      // Scaffold-attributed: the gap simulates calendar time between
+      // scheduled ingests, it is not operator cost.
+      val n1 = graft.Scaffold.setup {
+        Thread.sleep(gapMillis)
+        corpus.filter(horizon === 1).coalesce(2).write
+          .mode("append").parquet(srcDir)
+        corpus.filter(horizon === 1).count()
+      }
+      runHorizon(n1)
+    } finally {
+      graft.streaming.EventStreams.dropCheckpoint(ck)
+    }
+    s.read.parquet(pairsDir)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** [[minhashLshSql]] restricted to same-horizon pairs — the exact
+    * price of the TTL: every cross-horizon duplicate is forgotten. */
+  val streamMinhashLshTtlSql: String =
+    s"""WITH ${DocCorpus.CorpusSql},
+       |${FullShingleSetsSql}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM shingled a, shingled b
+       |WHERE a.doc_id < b.doc_id
+       |  AND (a.doc_id // 10000) % 2 = (b.doc_id // 10000) % 2
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Survivorship report — the per-document "why was I dropped"
     * verdict a curation pipeline's debugging pass reads: for every
@@ -2224,6 +2460,7 @@ object Dedup {
     "dedup_survivorship" -> (survivorship _),
     "dedup_memorization_risk" -> (memorizationRisk _),
     "stream_minhash_lsh" -> (streamMinhashLsh _),
+    "stream_dedup_ttl" -> (streamMinhashLshTtl _),
     "stream_dedup_rate" -> (streamDupRate _),
     "dedup_rate_by_source" -> (dupRateBySource _),
     "dedup_mixture_drift" -> (mixtureDrift _),
@@ -2239,6 +2476,8 @@ object Dedup {
     "dedup_lsh_scurve"    -> (lshScurve _),
     "dedup_span_coverage" -> ((s: SparkSession, d: String) => spanCoverage(s, d)),
     "dedup_span_union" -> ((s: SparkSession, d: String) => spanUnion(s, d)),
+    "dedup_exact_substring" ->
+      ((s: SparkSession, d: String) => exactSubstring(s, d)),
     "dedup_novelty_curve" -> ((s: SparkSession, d: String) => noveltyCurve(s, d)),
     "dedup_paragraph"     -> ((s: SparkSession, d: String) => paragraphDedup(s, d)),
     "dedup_unicode"       -> (unicodeDedup _),
@@ -2265,6 +2504,7 @@ object Dedup {
     "stream_dedup_rate" -> dupRateBySourceSql,
     // the incremental pair miner must converge to the batch pair set
     "stream_minhash_lsh" -> minhashLshSql,
+    "stream_dedup_ttl" -> streamMinhashLshTtlSql,
     "dedup_survivorship" -> survivorshipSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_suffix_prefix" -> suffixPrefixSql(),
@@ -2276,6 +2516,7 @@ object Dedup {
     "dedup_lsh_scurve"    -> lshScurveSql,
     "dedup_span_coverage" -> spanCoverageSql,
     "dedup_span_union" -> spanUnionSql,
+    "dedup_exact_substring" -> exactSubstringSql,
     "dedup_novelty_curve" -> noveltyCurveSql,
     "dedup_latest"        -> latestSql,
     "dedup_paragraph"     -> paragraphDedupSql,

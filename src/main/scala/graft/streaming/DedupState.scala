@@ -175,14 +175,21 @@ class SemDedupCellProcessor(theta: Double)
   }
 }
 
-class LshBucketProcessor(threshold: Double)
+class LshBucketProcessor(threshold: Double,
+    ttl: Option[java.time.Duration] = None)
     extends StatefulProcessor[(Int, Long), (Int, Long, Long, Array[Long]),
       NearDupPair] {
   @transient private var docs: ListState[BucketDoc] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     docs = getHandle.getListState[BucketDoc]("docs",
-      Encoders.product[BucketDoc], TTLConfig.NONE)
+      Encoders.product[BucketDoc],
+      // Finite ttl = the documented trailing-horizon deployment mode
+      // made live (round-10 verdict task 3): bucket members expire
+      // per-element, so a duplicate of an expired doc passes through
+      // undetected — the priced recall-for-resources trade. Requires
+      // TimeMode.ProcessingTime upstream.
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
   override def handleInputRows(key: (Int, Long),
       rows: Iterator[(Int, Long, Long, Array[Long])],

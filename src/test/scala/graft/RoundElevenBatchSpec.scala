@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 batch one: exact-substring dedup (Lee et al. 2022
+  * ExactSubstr, the round-10 verdict growth item) and the finite-TTL
+  * retention path of the streaming LSH miner (round-10 verdict task 3
+  * — the one previously untested contract). */
+class RoundElevenBatchSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact-substring dedup: per-doc union and span counts equal a " +
+      "brute-force corpus re-derivation; short docs dedup nothing; " +
+      "accounting is internally consistent") {
+    val rows = graft.ops.Dedup.exactSubstring(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "one verdict row per document")
+    val nTok = docs.map { case (id, t) => id -> t.split(" ", -1).length }
+    rows.foreach { r =>
+      val (id, n, dup, spans, ppm) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n == nTok(id).toLong, s"token count mismatch for $id")
+      assert(dup >= 0 && dup <= n, r.toString)
+      assert((spans == 0) == (dup == 0), r.toString)
+      // each merged maximal span covers >= L = 8 tokens
+      assert(dup >= spans * 8, r.toString)
+      assert(ppm == dup * 1000000L / n, r.toString)
+      if (n < 8) assert(dup == 0, s"doc $id under L tokens must be clean")
+    }
+    // brute-force re-derivation over the whole sf0.001 corpus (500
+    // docs — the in-test oracle): corpus-wide 8-gram occurrence
+    // counts, per-doc union of duplicated windows
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val grams = docs.map { case (id, t) =>
+      val tk = t.split(" ", -1)
+      val g = (0 to tk.length - 8).map(i =>
+        tk.slice(i, i + 8).mkString(" "))
+      g.foreach(x => counts(x) = counts.getOrElse(x, 0) + 1)
+      id -> g
+    }
+    val expect = grams.map { case (id, g) =>
+      val dupPos = g.zipWithIndex.collect {
+        case (x, i) if counts(x) >= 2 => i
+      }
+      var covered = 0L
+      var spans = 0L
+      var reach = -1L
+      dupPos.foreach { st =>
+        val en = st + 8L
+        covered += math.max(en - math.max(st, reach), 0L)
+        if (st > reach) spans += 1
+        reach = math.max(reach, en)
+      }
+      id -> ((covered, spans))
+    }
+    var anyDup = 0
+    rows.foreach { r =>
+      val (want, wantSpans) = expect(r.getLong(0))
+      assert(r.getLong(2) == want && r.getLong(3) == wantSpans,
+        s"brute-force mismatch for doc ${r.getLong(0)}: got $r, " +
+          s"want ($want, $wantSpans)")
+      if (want > 0) anyDup += 1
+    }
+    // non-vacuous both ways: the fixture's planted repeated phrases
+    // give duplicated spans, and clean docs exist
+    assert(anyDup > 0, "no duplicated spans found — gate proves nothing")
+    assert(anyDup < rows.length, "every doc duplicated — suspicious")
+  }
+
+  test("exact-substring dedup agrees with the memorization-risk gate: " +
+      "docs owning a duplicated span == docs in the >=2 risk tiers " +
+      "(same stride-1 word-8-gram universe, same occurrence counting)") {
+    val withDup = graft.ops.Dedup.exactSubstring(spark, sf)
+      .filter(col("dup_tokens") > 0).count()
+    val riskMass = graft.ops.Dedup.memorizationRisk(spark, sf)
+      .filter(col("freq_ceil") >= 2)
+      .agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(withDup == riskMass,
+      s"exact-substring dup docs $withDup != risk-tier>=2 mass $riskMass")
+  }
+
+  test("finite-TTL LSH miner: surviving pairs are EXACTLY the batch " +
+      "miner's same-horizon pairs — expiry kills every cross-horizon " +
+      "pair, and both populations are non-empty (non-vacuous)") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val ttlPairs = graft.ops.Dedup.streamMinhashLshTtl(spark, sf)
+      .collect().map(key).toSet
+    val all = graft.ops.Dedup.minhashLsh(spark, sf).collect().map(key)
+    def h(id: Long) = (id / 10000L) % 2L
+    val (same, cross) = all.partition { case (a, b) => h(a) == h(b) }
+    assert(same.nonEmpty, "fixture must have same-horizon pairs")
+    assert(cross.nonEmpty,
+      "fixture must have cross-horizon pairs or expiry is unproven")
+    assert(ttlPairs == same.toSet,
+      s"TTL survivors ${ttlPairs.size} != same-horizon ${same.size}; " +
+        s"missing=${(same.toSet -- ttlPairs).take(5)} " +
+        s"extra=${(ttlPairs -- same.toSet).take(5)}")
+  }
+}
