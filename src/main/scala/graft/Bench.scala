@@ -135,6 +135,15 @@ object Bench {
     }
     canary() // JIT warm, outside the measured window
 
+    val gitSha =
+      try {
+        val pr = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(pr.getInputStream.readAllBytes, "UTF-8").trim
+        if (pr.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out
+        else "unknown"
+      } catch { case _: Throwable => "unknown" }
+
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val canaries = new scala.collection.mutable.ArrayBuffer[Double]
     val passes = (1 to nPasses).map { p =>
@@ -162,7 +171,19 @@ object Bench {
     val total = results.map(_._2).sum
     val canaryMin = if (canaries.nonEmpty) canaries.min else 0.0
     val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"setup_sec":$setups,"canary_sec":$canaryMin%.3f,"canary_passes":$canaryJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"setup_sec":$setups,"canary_sec":$canaryMin%.3f,"canary_passes":$canaryJson,"failed":$failedJson,"sf":"$sfDir","gates":${names.size},"passes":$nPasses,"git_sha":"$gitSha"}"""
+    println(line)
+    // Machine-readable close artifact (round-10 verdict task 1): the
+    // driver's BENCH_rN.json keeps only a 2000-char stdout tail, so
+    // round-over-round per-query comparison was recoverable for just
+    // 7 of 502 queries. SPARK_GRAFT_BENCH_OUT persists the FULL
+    // per-query JSON (best-of-N sec, setup_sec, canary passes, gate
+    // count, tree SHA) to a file the repo checks in per close.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] close artifact written to $p")
+    }
     spark.stop()
     // Explicit exit: non-zero iff a query produced no valid sample —
     // never let a lingering non-daemon thread or shutdown-hook race

@@ -6,12 +6,32 @@ import org.apache.spark.sql.execution.ExplainMode
 /** Dev tool: dump formatted physical plans for selected queries and
   * flag scale smells — missing filter pushdown, unexpected full-column
   * scans, non-broadcast joins of tiny dimensions, missing whole-stage
-  * codegen. Usage: runMain graft.PlanAudit <sfDir> [q1,q2,...]
+  * codegen.
+  *
+  * Usage: runMain graft.PlanAudit <sfDir> [q1,q2,... | all] [--strict | --write]
+  *
+  * The interpreted-expression inventory (round-10 verdict task 2 →
+  * round 11): `--write` snapshots every gate's CodegenFallback
+  * expression set to [[InventoryPath]]; `--strict` re-scans and FAILS
+  * (exit 1) on any (gate, expression) pair absent from the snapshot —
+  * so a per-element HOF creeping into a currently-clean gate is a
+  * close-protocol failure, not a bench diff rounds later. Pairs that
+  * DISAPPEAR are reported as stale (exit 0; refresh with --write).
+  * Exemption path: a genuinely intended new interpreted expression is
+  * admitted by re-running `--write` in the same commit and justifying
+  * the tolerance in the gate's docstring (the once-per-row small-array
+  * HOF class); COVERAGE.md's header records the inventory size.
   */
 object PlanAudit {
+  val InventoryPath = "tools/fallback_inventory.tsv"
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
-    val only = args.lift(1).map(_.split(",").toSet)
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val strict = flags.contains("--strict")
+    val write = flags.contains("--write")
+    val sfDir = pos.lift(0).getOrElse("/root/testdata/sf0.01")
+    val only = pos.lift(1).filterNot(_ == "all").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -24,6 +44,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val inventory = scala.collection.mutable.TreeMap.empty[String, Seq[String]]
+    var failures = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -59,12 +81,59 @@ object PlanAudit {
           }.flatten
           val fallbacks =
             fbOf(df.queryExecution.executedPlan).distinct.sorted
+          inventory(name) = fallbacks
           if (fallbacks.nonEmpty)
             println(s"[fallback] $name: ${fallbacks.mkString(", ")}")
         } catch { case e: Throwable =>
+          failures += 1
           println(s"===== $name FAILED: ${e.getMessage}")
         }
       }
     spark.stop()
+
+    def pairs(m: collection.Map[String, Seq[String]]): Set[(String, String)] =
+      m.toSeq.flatMap { case (g, es) => es.map(g -> _) }.toSet
+    if (write) {
+      val lines = inventory.toSeq.collect {
+        case (g, es) if es.nonEmpty => s"$g\t${es.mkString(",")}"
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(InventoryPath),
+        (Seq("# gate\tCodegenFallback expressions (sorted) — see " +
+          "PlanAudit Scaladoc for the exemption path") ++ lines)
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      println(s"[inventory] wrote ${lines.size} gates with fallbacks " +
+        s"(of ${inventory.size} scanned) to $InventoryPath")
+    }
+    if (strict) {
+      val snapFile = java.nio.file.Paths.get(InventoryPath)
+      require(java.nio.file.Files.exists(snapFile),
+        s"--strict needs $InventoryPath; generate with --write")
+      val snap = scala.io.Source.fromFile(snapFile.toFile, "UTF-8")
+        .getLines().filterNot(l => l.startsWith("#") || l.isEmpty)
+        .map { l =>
+          val Array(g, es) = l.split("\t", 2)
+          g -> es.split(",").toSeq
+        }.toMap
+      // Only diff gates actually scanned this run (subset runs stay
+      // usable); a NEW pair is a hard failure, a vanished pair is
+      // stale-snapshot info.
+      val scanned = inventory.keySet
+      val fresh = pairs(inventory) -- pairs(snap)
+      val stale = pairs(snap.view.filterKeys(scanned).toMap) -- pairs(inventory)
+      stale.toSeq.sorted.foreach { case (g, e) =>
+        println(s"[strict] stale snapshot entry (refresh with --write): $g: $e")
+      }
+      fresh.toSeq.sorted.foreach { case (g, e) =>
+        println(s"[strict] NEW interpreted expression: $g: $e")
+      }
+      if (fresh.nonEmpty || failures > 0) {
+        println(s"[strict] FAIL: ${fresh.size} new gate-expression " +
+          s"pair(s), $failures gate failure(s)")
+        sys.exit(1)
+      }
+      println(s"[strict] OK: ${scanned.size} gates scanned, no new " +
+        "interpreted expressions")
+    }
+    if (failures > 0) sys.exit(1)
   }
 }
