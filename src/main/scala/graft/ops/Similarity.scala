@@ -2932,6 +2932,171 @@ object Similarity {
        |WHERE f.a < f.b
        |ORDER BY f.a, f.b""".stripMargin
 
+  /** HNSW-style navigable-graph ANN search (Malkov & Yashunin 2016,
+    * reduced to its single-layer core: best-first search with a
+    * dynamic candidate list — `ef` = `beam` here — over a navigable
+    * small-world graph; the one modern ANN family member the
+    * LSH/IVF/PQ/BQ/matryoshka tiers didn't cover). Per query: start a
+    * width-`beam` frontier at a FIXED entry node (the deterministic
+    * mult-hash pick — the semDedup seed rule — over non-query nodes),
+    * and each round expand the frontier by its graph neighbors and
+    * keep the `beam` highest-cosine nodes of (frontier ∪ neighbors).
+    * Because the previous frontier stays in the candidate set, the
+    * kept set is monotone non-worsening — no cycles, and the `hops`
+    * unrolled rounds are idempotent past convergence (pure greedy
+    * ef = 1 was measured stalling in 1–4 hops at local optima; the
+    * beam is what HNSW actually runs). The navigable graph is the
+    * directed cosine k-NN graph made symmetric (edges both ways — the
+    * NSW construction). Emits per query: entry, the rank-1 node of
+    * the final frontier, the exact top-1 (audit baseline), and
+    * whether the search found it — the recall-shape every ANN tier
+    * here carries.
+    *
+    * Determinism across engines: every comparison is on cosines both
+    * engines compute with the identical sequential-fold tree (the
+    * [[knnGraph]] / semDedup contract), ties break on the smaller
+    * node id, frontier membership is a distinct (query, node) id set,
+    * and the output is all-BIGINT/BOOLEAN.
+    *
+    * Scale: the all-pairs k-NN build is BY ROLE the audit baseline
+    * (production builds the graph with the gated ANN tiers' candidate
+    * generation, same downstream shape); ONE n² pass feeds graph +
+    * exact stage (localCheckpoint). The search is `hops` rounds of
+    * (frontier ⋈ adjacency) point lookups with the metadata-sized
+    * frontier broadcast — the corpus-side adjacency streams map-side,
+    * never re-shuffles, which is what makes a graph-ANN serving scan
+    * viable when the index outgrows one node. */
+  def hnswSearch(s: SparkSession, dir: String, k: Int = 12,
+      beam: Int = 4, hops: Int = 12): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val nodes = withNearDuplicates(s, dir)
+      .withColumn("nm", norm(col("v"))).localCheckpoint()
+    val wA = Window.partitionBy(col("a"))
+      .orderBy(col("sim").desc, col("b"))
+    // ONE all-pairs pass serves both the graph build and the exact
+    // audit stage — materialized as the top-k slice (n*k rows).
+    val topk = nodes.toDF("a", "av", "an").repartition(par)
+      .crossJoin(broadcast(nodes.toDF("b", "bv", "bn")))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim",
+        dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= k)
+      .select(col("a"), col("b"), col("rnk"))
+      .localCheckpoint()
+    val adj = topk.select(col("a"), col("b"))
+      .union(topk.select(col("b"), col("a")))
+      .distinct().toDF("src", "dst").localCheckpoint()
+    val exact = topk.filter(col("a") < 5 && col("rnk") === 1)
+      .select(col("a").as("query_id"), col("b").as("exact_id"))
+    val entry = nodes.filter(col("vec_id") >= 5)
+      .withColumn("h",
+        pmod(col("vec_id") * lit(2654435761L), lit(999983L)))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("eid"))
+    val qframe = nodes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nm").as("qn")).localCheckpoint()
+    val tgt = nodes.toDF("dst", "dv", "dn")
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("ns").desc, col("dst"))
+    def score(cands: DataFrame): DataFrame =
+      tgt.join(broadcast(cands), Seq("dst"))
+        .join(broadcast(qframe), Seq("query_id"))
+        .withColumn("ns",
+          dot(col("dv"), col("qv")) / (col("dn") * col("qn")))
+        .withColumn("rn", row_number().over(wQ))
+    var frontier = qframe.select(col("query_id"))
+      .crossJoin(broadcast(entry))
+      .select(col("query_id"), col("eid").as("node"))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val expand = frontier
+        .join(adj, frontier("node") === adj("src"))
+        .filter(col("dst") =!= col("query_id"))
+        .select(col("query_id"), col("dst"))
+        .union(frontier.select(col("query_id"), col("node").as("dst")))
+        .distinct()
+      frontier = score(expand).filter(col("rn") <= beam)
+        .select(col("query_id"), col("dst").as("node"))
+        .localCheckpoint()
+    }
+    val found = score(frontier.select(col("query_id"),
+        col("node").as("dst")))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("dst").as("found_id"))
+    found.join(broadcast(exact), Seq("query_id"))
+      .crossJoin(broadcast(entry))
+      .select(col("query_id"),
+        col("eid").cast(LongType).as("entry_id"),
+        col("found_id").cast(LongType).as("found_id"),
+        col("exact_id").cast(LongType).as("exact_id"),
+        (col("found_id") === col("exact_id")).as("matched"))
+      .orderBy(col("query_id"))
+  }
+
+  def hnswSearchSql(k: Int = 12, beam: Int = 4, hops: Int = 12): String = {
+    def cos(a: String, b: String): String =
+      s"""list_reduce(list_transform(generate_series(1, len($a)),
+         |      i -> $a[i] * $b[i]), (x, y) -> x + y)
+         |  / (sqrt(list_reduce(list_transform(generate_series(1, len($a)),
+         |        i -> $a[i] * $a[i]), (x, y) -> x + y))
+         |   * sqrt(list_reduce(list_transform(generate_series(1, len($b)),
+         |        i -> $b[i] * $b[i]), (x, y) -> x + y)))""".stripMargin
+    // MATERIALIZED is load-bearing: each step references its
+    // predecessor twice (neighbor expansion + carry-through), so
+    // default CTE inlining re-expands the n^2 knn subtree 2^hops
+    // times (measured: the un-materialized form never finished).
+    val steps = (1 to hops).map { i =>
+      s"""cand$i AS MATERIALIZED (
+         |  SELECT s.query_id, a.dst FROM step${i - 1} s
+         |  JOIN adj a ON a.src = s.node
+         |  WHERE a.dst <> s.query_id
+         |  UNION
+         |  SELECT query_id, node FROM step${i - 1}),
+         |step$i AS MATERIALIZED (
+         |  SELECT query_id, dst AS node FROM (
+         |    SELECT c.query_id, c.dst,
+         |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${cos("q.v", "t.v")} DESC, c.dst) AS rn
+         |    FROM cand$i c JOIN vecs q ON q.vec_id = c.query_id
+         |      JOIN vecs t ON t.vec_id = c.dst)
+         |  WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${VecCorpusSql},
+       |knn AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cos("a.v", "b.v")} DESC, b.vec_id) AS rnk
+       |  FROM vecs a, vecs b WHERE a.vec_id <> b.vec_id),
+       |top AS MATERIALIZED (SELECT a, b, rnk FROM knn WHERE rnk <= $k),
+       |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM top
+       |        UNION SELECT b, a FROM top),
+       |exact AS (SELECT a AS query_id, b AS exact_id FROM top
+       |          WHERE rnk = 1 AND a < 5),
+       |entry AS MATERIALIZED (
+       |  SELECT vec_id AS eid FROM vecs WHERE vec_id >= 5
+       |  ORDER BY (vec_id * 2654435761) % 999983, vec_id LIMIT 1),
+       |step0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, e.eid AS node
+       |  FROM vecs q, entry e WHERE q.vec_id < 5),
+       |$steps,
+       |found AS (
+       |  SELECT query_id, node AS found_id FROM (
+       |    SELECT s.query_id, s.node,
+       |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |        ORDER BY ${cos("q.v", "t.v")} DESC, s.node) AS rn
+       |    FROM step$hops s JOIN vecs q ON q.vec_id = s.query_id
+       |      JOIN vecs t ON t.vec_id = s.node)
+       |  WHERE rn = 1)
+       |SELECT f.query_id, CAST(e.eid AS BIGINT) AS entry_id,
+       |  CAST(f.found_id AS BIGINT) AS found_id,
+       |  CAST(x.exact_id AS BIGINT) AS exact_id,
+       |  (f.found_id = x.exact_id) AS matched
+       |FROM found f JOIN exact x USING (query_id), entry e
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** Hybrid-retrieval fusion by reciprocal rank (RRF, Cormack et al.
     * 2009): fuse the BM25 lexical top-k ([[TextAnalysis.bm25TopK]],
     * the gate's own term query) with the cosine semantic top-k
@@ -3726,11 +3891,14 @@ object Similarity {
     "embed_label_noise" -> ((s: SparkSession, d: String) =>
       labelNoiseKnn(s, d)),
     "sim_rrf_fusion" -> ((s: SparkSession, d: String) =>
-      rrfFusion(s, d)))
+      rrfFusion(s, d)),
+    "sim_hnsw_search" -> ((s: SparkSession, d: String) =>
+      hnswSearch(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_semdedup_cluster" -> semDedupClusterSql,
     "sim_semdedup_recall" -> semDedupRecallSql,
+    "sim_hnsw_search" -> hnswSearchSql(),
     // the streaming twin must converge to the batch verdicts
     "stream_semdedup" -> semDedupClusterSql,
     "embed_label_noise" -> labelNoiseKnnSql(),

@@ -82,6 +82,39 @@ class RoundElevenBatchSpec extends SparkSpec {
       s"exact-substring dup docs $withDup != risk-tier>=2 mass $riskMass")
   }
 
+  test("hnsw beam search: planted twins are the exact top-1 for every " +
+      "query and the navigable-graph search finds them all; entry is " +
+      "the fixed mult-hash pick and never a query node") {
+    val rows = graft.ops.Similarity.hnswSearch(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 5)
+    val entries = rows.map(_.getLong(1)).distinct
+    assert(entries.length == 1 && entries.head >= 5L,
+      s"entry must be one fixed non-query node: ${entries.mkString(",")}")
+    rows.foreach { r =>
+      // each query's perturbed twin (cos ~0.9999 vs natural <~0.52)
+      // is its exact nearest neighbor by construction
+      assert(r.getLong(3) == r.getLong(0) + 10000L, r.toString)
+      assert(r.getBoolean(4) && r.getLong(2) == r.getLong(3),
+        s"beam search missed the twin: $r")
+    }
+  }
+
+  test("hnsw beam search degrades to a measured recall, not an " +
+      "error, when the graph is too sparse to navigate (ef=1 greedy " +
+      "regime)") {
+    // k=2, beam=1, 3 hops: pure greedy on a near-minimal graph —
+    // the search must still emit one deterministic verdict per query
+    val rows = graft.ops.Similarity
+      .hnswSearch(spark, sf, k = 2, beam = 1, hops = 3)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(3) == r.getLong(0) + 10000L,
+        r.toString)
+    }
+  }
+
   test("finite-TTL LSH miner: surviving pairs are EXACTLY the batch " +
       "miner's same-horizon pairs — expiry kills every cross-horizon " +
       "pair, and both populations are non-empty (non-vacuous)") {
