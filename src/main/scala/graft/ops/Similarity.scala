@@ -2971,18 +2971,28 @@ object Similarity {
     val par = s.sparkContext.defaultParallelism
     val nodes = withNearDuplicates(s, dir)
       .withColumn("nm", norm(col("v"))).localCheckpoint()
-    val wA = Window.partitionBy(col("a"))
-      .orderBy(col("sim").desc, col("b"))
     // ONE all-pairs pass serves both the graph build and the exact
-    // audit stage — materialized as the top-k slice (n*k rows).
+    // audit stage — materialized as the top-k slice (n*k rows). The
+    // per-node top-k is the MAP-SIDE bounded [[graft.plans.TopK]]
+    // aggregator, not a window: row_number() would shuffle and sort
+    // every scored pair (n² rows — measured 39 s at the 10× fixture),
+    // while the k-bounded buffer merges partials so the exchange
+    // carries ≤ k·partitions rows per node. Identical ordering
+    // contract (sim desc, id asc), so the emitted graph — and the
+    // DuckDB oracle — are unchanged.
+    val topkAgg = udaf(graft.plans.TopK(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
     val topk = nodes.toDF("a", "av", "an").repartition(par)
       .crossJoin(broadcast(nodes.toDF("b", "bv", "bn")))
       .filter(col("a") =!= col("b"))
       .withColumn("sim",
         dot(col("av"), col("bv")) / (col("an") * col("bn")))
-      .withColumn("rnk", row_number().over(wA))
-      .filter(col("rnk") <= k)
-      .select(col("a"), col("b"), col("rnk"))
+      .groupBy(col("a"))
+      .agg(topkAgg(col("sim"), col("b")).as("hits"))
+      .select(col("a"), posexplode(col("hits")))
+      .select(col("a"), col("col._2").as("b"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"))
       .localCheckpoint()
     val adj = topk.select(col("a"), col("b"))
       .union(topk.select(col("b"), col("a")))
@@ -3010,16 +3020,20 @@ object Similarity {
       .crossJoin(broadcast(entry))
       .select(col("query_id"), col("eid").as("node"))
       .localCheckpoint()
-    for (_ <- 1 to hops) {
+    for (i <- 1 to hops) {
       val expand = frontier
         .join(adj, frontier("node") === adj("src"))
         .filter(col("dst") =!= col("query_id"))
         .select(col("query_id"), col("dst"))
         .union(frontier.select(col("query_id"), col("node").as("dst")))
         .distinct()
-      frontier = score(expand).filter(col("rn") <= beam)
+      val next = score(expand).filter(col("rn") <= beam)
         .select(col("query_id"), col("dst").as("node"))
-        .localCheckpoint()
+      // checkpoint every 4th round, not every round: the eager
+      // materialization is one Spark job each, and 12 jobs of
+      // millisecond work cost more than the 4-round lineage they cut
+      frontier =
+        if (i % 4 == 0 || i == hops) next.localCheckpoint() else next
     }
     val found = score(frontier.select(col("query_id"),
         col("node").as("dst")))
