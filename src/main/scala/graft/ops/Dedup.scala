@@ -1678,11 +1678,12 @@ object Dedup {
           split(lower(col("text")), " "), 3,
           emitWholeShortDoc = false)).as("sh"))
       .distinct()
-    val hashed = sh.withColumn("x", expr(
-      "aggregate(transform(sequence(1, length(sh))," +
-        " i -> CAST(ascii(substring(sh, i, 1)) AS BIGINT))," +
-        " CAST(0 AS BIGINT)," +
-        " (acc, c) -> (acc * 31 + c) % 1000000007)"))
+    // Compiled scan-side kernel, not the HOF fold: the poly-31 roll
+    // over every shingle CHARACTER was this gate's hot loop (the
+    // CdcChunkKernel cost class); bit-identical output, oracle
+    // unchanged (the SQL keeps the spelled-out fold).
+    val hashed = sh.withColumn("x",
+      graft.plans.TextExpressions.poly31Hash(col("sh")))
     val sigs = hashed
       .groupBy(col("doc_id"))
       .agg(collect_list(col("x")).as("xs"))

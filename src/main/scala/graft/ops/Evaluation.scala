@@ -1417,6 +1417,7 @@ object Evaluation {
     * an accident. Overlap joins carry (doc, gram, count) rows,
     * hash-partitioned on the gram; output is O(sources). */
   def rougePairs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         filter(split(lower(col("text")), " "), t => t =!= "").as("ts"))
@@ -1424,11 +1425,11 @@ object Evaluation {
       greatest(size(col("ts")) - 1, lit(0)).as("n2"))
     val ucnt = toks.select(col("doc_id"), explode(col("ts")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    // compiled bigram kernel (identical "a b" strings to the
+    // zip_with(slice, slice, concat) form it replaces)
     val bcnt = toks.select(col("doc_id"),
-      explode(zip_with(
-        slice(col("ts"), lit(1), size(col("ts")) - 1),
-        slice(col("ts"), lit(2), size(col("ts")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("g"))
+      explode(graft.plans.TextExpressions.tokenNGrams(
+        col("ts"), 2, emitWholeShortDoc = false)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val wb = Window
       .partitionBy(col("source"), expr("ia div 1000"))
@@ -1624,6 +1625,7 @@ object Evaluation {
     * Scale: same shapes as rougePairs — equi/bucketed joins, counts
     * map-side combined, ONE output row. */
   def bleuPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TextExpressions.register(s)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         filter(split(lower(col("text")), " "), t => t =!= "").as("ts"))
@@ -1631,11 +1633,11 @@ object Evaluation {
       greatest(size(col("ts")) - 1, lit(0)).as("n2"))
     val ucnt = toks.select(col("doc_id"), explode(col("ts")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    // compiled bigram kernel (identical "a b" strings to the
+    // zip_with(slice, slice, concat) form it replaces)
     val bcnt = toks.select(col("doc_id"),
-      explode(zip_with(
-        slice(col("ts"), lit(1), size(col("ts")) - 1),
-        slice(col("ts"), lit(2), size(col("ts")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("g"))
+      explode(graft.plans.TextExpressions.tokenNGrams(
+        col("ts"), 2, emitWholeShortDoc = false)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val wb = Window
       .partitionBy(col("source"), expr("ia div 1000"))

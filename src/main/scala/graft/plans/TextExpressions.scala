@@ -913,9 +913,55 @@ case class CellByteStats(child: Expression, cells: Int)
       newChild: Expression): CellByteStats = copy(child = newChild)
 }
 
+object Poly31Kernel extends Serializable {
+  private val Mod = 1000000007L
+
+  /** `(acc·31 + codepoint) mod 1e9+7` over the string's code points —
+    * bit-identical to the HOF formulation
+    * `aggregate(transform(sequence(1, length(s)), i ->
+    * ascii(substring(s, i, 1))), 0L, (acc, c) -> (acc*31 + c) %
+    * 1000000007)`, which interprets three nested lambdas PER
+    * CHARACTER (the CdcChunkKernel cost class). Same code-point
+    * semantics as DuckDB `ascii(substring(...))`. */
+  def apply(s: UTF8String): Long = {
+    val cps = s.toString.codePoints().toArray
+    var acc = 0L
+    var i = 0
+    while (i < cps.length) { acc = (acc * 31L + cps(i)) % Mod; i += 1 }
+    acc
+  }
+}
+
+/** Rolling poly-31 string hash as one compiled pass (see
+  * [[Poly31Kernel]]). */
+case class Poly31Hash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"poly31 expects string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    Poly31Kernel(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("graftPoly31Kernel",
+      Poly31Kernel, Poly31Kernel.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$kernel.apply($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Poly31Hash = copy(child = newChild)
+}
+
 object TextExpressions {
 
   val NGramsFnName = "graft_token_ngrams"
+  val Poly31FnName = "graft_poly31"
   val NormalizeFnName = "graft_text_normalize"
   val HashArrayFnName = "graft_xxhash_array"
   val SimHashFnName = "graft_simhash64"
@@ -937,6 +983,10 @@ object TextExpressions {
         exprs(0),
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Boolean]),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Poly31FnName,
+      exprs => Poly31Hash(exprs(0)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HashArrayFnName,
@@ -1016,6 +1066,10 @@ object TextExpressions {
     call_function(NGramsFnName, tokens,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(emitWholeShortDoc))
+
+  /** Codegen'd rolling poly-31 string hash (see [[Poly31Kernel]]). */
+  def poly31Hash(text: Column): Column =
+    call_function(Poly31FnName, text)
 
   /** Codegen'd per-element xxhash64 over an array<string> column;
     * seed 42 = Spark's `xxhash64` default. */
