@@ -1238,7 +1238,6 @@ object Dedup {
     * DuckDB oracle shares the exact grouping key). */
   def exactSubstring(s: SparkSession, dir: String, l: Int = 8): DataFrame = {
     graft.plans.TextExpressions.register(s)
-    val w = org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
@@ -1251,11 +1250,21 @@ object Dedup {
         col("col").as("gram"))
     val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("f"))
       .filter(col("f") >= 2).select(col("gram"))
-    val spans = grams.join(dup, Seq("gram"))
+    val marked = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("st"))
+    substrCoverage(docs.select(col("doc_id"), col("n_tokens")), marked, l)
+  }
+
+  /** The exact-substring verdict tail shared by the batch and
+    * streaming gates: duplicated window starts → gaps-and-islands
+    * union per doc → per-doc (tokens, dup union, max-span count,
+    * cut-ppm). `-1` reach sentinel so a doc's first span (st = 0)
+    * still opens an island under the st > reach test. */
+  private def substrCoverage(docTokens: DataFrame, marked: DataFrame,
+      l: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val spans = marked
       .select(col("doc_id"), col("st"), (col("st") + l).as("en"))
-    // Gaps-and-islands sweep (the spanUnion merge): reach = furthest
-    // end seen so far; -1 sentinel so a doc's first span (st = 0)
-    // still opens an island under the st > reach test.
     val sweep = w.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
       .rowsBetween(w.unboundedPreceding, -1)
     val covered = spans
@@ -1266,7 +1275,7 @@ object Dedup {
         when(col("st") > col("reach"), 1L).otherwise(0L).as("isl"))
       .groupBy(col("doc_id"))
       .agg(sum(col("add")).as("dup_tokens"), sum(col("isl")).as("n_spans"))
-    docs.select(col("doc_id"), col("n_tokens"))
+    docTokens
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
@@ -1274,6 +1283,96 @@ object Dedup {
         expr("(coalesce(dup_tokens, 0L) * 1000000L) div n_tokens")
           .as("dup_frac_ppm"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The gram-keyed state transform behind [[streamExactSubstring]],
+    * exposed for the plan contract (TransformWithState, zero joins)
+    * and batch≡stream identity. One shuffle per batch, on the gram
+    * key, into [[graft.streaming.ExactSubstrProcessor]]. */
+  private[graft] def exactSubstrStateMarks(stream: DataFrame, l: Int = 8)
+      : org.apache.spark.sql.Dataset[graft.streaming.GramMark] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import stream.sparkSession.implicits._
+    graft.plans.TextExpressions.register(stream.sparkSession)
+    org.apache.spark.sql.GraftSqlBridge
+      .ensureStateStoreCoordinator(stream.sparkSession)
+    stream
+      .select(col("doc_id"),
+        posexplode(graft.plans.TextExpressions.tokenNGrams(
+          split(col("text"), " "), l, emitWholeShortDoc = false)))
+      .select(col("col").as("gram"), col("doc_id"),
+        col("pos").cast(LongType).as("st"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.ExactSubstrProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** STREAMING exact-substring dedup (round-10 verdict growth item
+    * 8b — the incremental twin of [[exactSubstring]]): documents
+    * arrive as micro-batches; per-gram first-occurrence keyed state
+    * marks every occurrence of a gram the moment its corpus count
+    * reaches 2 — including the FIRST occurrence, via an event-sourced
+    * RETRO mark (see [[graft.streaming.ExactSubstrProcessor]]) — so
+    * after the three-batch replay (doc_id mod 3) the marked-window
+    * set, and therefore the per-doc island verdict, equals the batch
+    * gate's EXACTLY: the oracle is [[exactSubstringSql]] verbatim.
+    *
+    * Per-batch cost: the batch's gram occurrences, one gram-keyed
+    * shuffle, point state access; the reader's island sweep runs once
+    * over the marked windows (≤ corpus grams, typically ≪). State =
+    * one record per distinct gram (the dedup-state-universe
+    * contract); a bounded deployment passes a TTL and accepts the
+    * trailing-horizon cut, as `stream_dedup_ttl` prices. */
+  def streamExactSubstring(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def scratch(name: String): String =
+      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    val srcDir = scratch("essstream/src")
+    val marksDir = scratch("essstream/marks")
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "essstream_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val fs = new Path(srcDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def rm(p: String): Unit = fs.delete(new Path(p), true): Unit
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+    graft.Scaffold.setup {
+      Seq(srcDir, marksDir, ck).foreach(rm)
+      docs.filter(col("doc_id") % 3 === 0).coalesce(2).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
+      val marks = exactSubstrStateMarks(
+        s.readStream.schema(docs.schema).parquet(srcDir))
+      val q = marks.toDF().writeStream
+        .format("parquet")
+        .option("path", marksDir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          docs.filter(col("doc_id") % 3 === 1).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          docs.filter(col("doc_id") % 3 === 2).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        graft.streaming.EventStreams.dropCheckpoint(ck)
+      }
+    }
+    val docTokens = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    substrCoverage(docTokens,
+      s.read.parquet(marksDir).select(col("doc_id"), col("st")), 8)
   }
 
   val exactSubstringSql: String =
@@ -2479,6 +2578,7 @@ object Dedup {
     "dedup_span_union" -> ((s: SparkSession, d: String) => spanUnion(s, d)),
     "dedup_exact_substring" ->
       ((s: SparkSession, d: String) => exactSubstring(s, d)),
+    "stream_exact_substring" -> (streamExactSubstring _),
     "dedup_novelty_curve" -> ((s: SparkSession, d: String) => noveltyCurve(s, d)),
     "dedup_paragraph"     -> ((s: SparkSession, d: String) => paragraphDedup(s, d)),
     "dedup_unicode"       -> (unicodeDedup _),
@@ -2518,6 +2618,8 @@ object Dedup {
     "dedup_span_coverage" -> spanCoverageSql,
     "dedup_span_union" -> spanUnionSql,
     "dedup_exact_substring" -> exactSubstringSql,
+    // the streaming twin must converge to the batch verdicts
+    "stream_exact_substring" -> exactSubstringSql,
     "dedup_novelty_curve" -> noveltyCurveSql,
     "dedup_latest"        -> latestSql,
     "dedup_paragraph"     -> paragraphDedupSql,

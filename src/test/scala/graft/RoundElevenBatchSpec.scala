@@ -115,6 +115,39 @@ class RoundElevenBatchSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact-substring: after the three-batch replay the " +
+      "per-doc verdicts equal the batch gate's EXACTLY, and the " +
+      "retro-mark path is provably exercised (grams whose first " +
+      "occurrence arrives a batch before their second)") {
+    val streamed = graft.ops.Dedup.streamExactSubstring(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val batch = graft.ops.Dedup.exactSubstring(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(streamed.sameElements(batch),
+      s"stream/batch diverge: ${streamed.toSet.diff(batch.toSet).take(3)}")
+    // non-vacuity of the retro path: without retro-marks, a gram
+    // whose FIRST occurrence arrived in an earlier batch than its
+    // second would leave that first window unmarked and the equality
+    // above would fail — prove such grams exist in the fixture
+    val occ = scala.collection.mutable.Map.empty[String,
+      List[(Long, Long)]]
+    Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val tk = r.getString(1).split(" ", -1)
+        (0 to tk.length - 8).foreach { i =>
+          val g = tk.slice(i, i + 8).mkString(" ")
+          occ(g) = (id % 3, id) :: occ.getOrElse(g, Nil)
+        }
+      }
+    val crossBatch = occ.valuesIterator.count(os =>
+      os.size >= 2 && os.map(_._1).distinct.size >= 2)
+    assert(crossBatch > 0,
+      "no duplicated gram straddles batches — retro path unproven")
+  }
+
   test("finite-TTL LSH miner: surviving pairs are EXACTLY the batch " +
       "miner's same-horizon pairs — expiry kills every cross-horizon " +
       "pair, and both populations are non-empty (non-vacuous)") {
