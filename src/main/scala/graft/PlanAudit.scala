@@ -21,6 +21,21 @@ import org.apache.spark.sql.execution.ExplainMode
   * admitted by re-running `--write` in the same commit and justifying
   * the tolerance in the gate's docstring (the once-per-row small-array
   * HOF class); COVERAGE.md's header records the inventory size.
+  *
+  * ==Coverage blind spot (structural — do NOT hand-patch the file)==
+  * The scanner records what the gate's FINAL `executedPlan` shows. A
+  * gate whose hot frames are `localCheckpoint`'d (e.g. the HNSW beam:
+  * the graph/frontier construction jobs run eagerly, and the final
+  * plan reads their materialized RDDs) truncates its plan at the
+  * checkpoint, so interpreted expressions inside construction jobs
+  * are INVISIBLE to `--write`/`--strict` — measured live in round 11:
+  * `sim_hnsw_search`'s final plan shows zero CodegenFallback while
+  * its pre-checkpoint build frames carry the usual vector-HOF class.
+  * Consequences: (a) never hand-add entries for checkpointed frames —
+  * `--write` could not reproduce them and stops being idempotent;
+  * (b) a checkpointed gate's construction expressions are pinned by
+  * SPEC instead (RoundTwelvePlanSpec recomputes one such gate's
+  * pre-checkpoint frames and asserts their fallback class directly).
   */
 object PlanAudit {
   val InventoryPath = "tools/fallback_inventory.tsv"
@@ -94,15 +109,32 @@ object PlanAudit {
     def pairs(m: collection.Map[String, Seq[String]]): Set[(String, String)] =
       m.toSeq.flatMap { case (g, es) => es.map(g -> _) }.toSet
     if (write) {
-      val lines = inventory.toSeq.collect {
+      // Subset-aware merge (round-11 ADVICE): a --write with a gate
+      // subset must not truncate the full inventory — fresh entries
+      // REPLACE the scanned gates' snapshot rows (including deleting
+      // a scanned gate that went clean), every unscanned gate's row
+      // is carried over verbatim.
+      val snapFile = java.nio.file.Paths.get(InventoryPath)
+      val carried: Seq[(String, Seq[String])] =
+        if (only.isDefined && java.nio.file.Files.exists(snapFile))
+          scala.io.Source.fromFile(snapFile.toFile, "UTF-8")
+            .getLines().filterNot(l => l.startsWith("#") || l.isEmpty)
+            .map { l =>
+              val Array(g, es) = l.split("\t", 2)
+              g -> es.split(",").toSeq
+            }.filterNot { case (g, _) => inventory.contains(g) }.toSeq
+        else Seq.empty
+      val merged = (carried ++ inventory.toSeq).sortBy(_._1)
+      val lines = merged.collect {
         case (g, es) if es.nonEmpty => s"$g\t${es.mkString(",")}"
       }
-      java.nio.file.Files.write(java.nio.file.Paths.get(InventoryPath),
+      java.nio.file.Files.write(snapFile,
         (Seq("# gate\tCodegenFallback expressions (sorted) — see " +
           "PlanAudit Scaladoc for the exemption path") ++ lines)
           .mkString("", "\n", "\n").getBytes("UTF-8"))
       println(s"[inventory] wrote ${lines.size} gates with fallbacks " +
-        s"(of ${inventory.size} scanned) to $InventoryPath")
+        s"(${inventory.size} scanned, ${carried.count(_._2.nonEmpty)} " +
+        s"carried) to $InventoryPath")
     }
     if (strict) {
       val snapFile = java.nio.file.Paths.get(InventoryPath)

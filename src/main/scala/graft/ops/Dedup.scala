@@ -2273,7 +2273,13 @@ object Dedup {
     * corpus outgrows fleet SSD. */
   def streamMinhashLshTtl(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val ttl = java.time.Duration.ofMillis(2000L)
+    // TTL 3 s / gap 5 s (round-11 ADVICE margin widening): expiry
+    // still guaranteed (gap > ttl by 2 s and the TTL filter runs at
+    // read time), while same-horizon survival gets a 3 s ingest+probe
+    // budget — and the drain loop below ASSERTS that each horizon's
+    // data batches landed inside it, so a GC-pause split fails loudly
+    // instead of producing a silently-wrong pair set.
+    val ttl = java.time.Duration.ofMillis(3000L)
     val gapMillis = 5000L // > ttl: the earlier horizon is provably dead
     def scratch(name: String): String =
       s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
@@ -2315,17 +2321,44 @@ object Dedup {
           .start()
         try {
           val seen = scala.collection.mutable.Map.empty[Long, Long]
+          // wall-clock ceiling (round-11 ADVICE): a dead query stops
+          // producing progress, so without it the poll loop would
+          // hang forever instead of erroring
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          var firstData = Long.MaxValue
+          var lastData = Long.MinValue
           var done = false
           while (!done) {
             Thread.sleep(100L)
+            q.exception.foreach(e => throw e)
+            require(q.isActive,
+              s"TTL gate: query terminated before draining $minRows rows")
+            require(System.nanoTime() < deadline,
+              "TTL gate: drain exceeded 120 s wall clock")
             // recentProgress retains ~100 entries and empty RocksDB
             // batches run >= tens of ms, so a 100 ms poll cannot lose
             // the data batches off the window's leading edge.
-            q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+            q.recentProgress.foreach { p =>
+              if (p.numInputRows > 0 && !seen.contains(p.batchId)) {
+                val t = java.time.Instant.parse(p.timestamp).toEpochMilli
+                firstData = math.min(firstData, t)
+                lastData = math.max(lastData, t)
+              }
+              seen(p.batchId) = p.numInputRows
+            }
             val lp = q.lastProgress
             done = seen.values.sum >= minRows &&
               lp != null && lp.numInputRows == 0L
           }
+          // Enforce the gate's timing premise rather than leaving it
+          // implicit: every data batch of this horizon must start
+          // within the TTL window of the first, else same-horizon
+          // bucket members could expire mid-ingest and the result
+          // would be silently partition-of-arrival-dependent.
+          require(firstData > lastData /* zero data batches */ ||
+            lastData - firstData < ttl.toMillis,
+            s"TTL gate: horizon ingested across ${lastData - firstData} ms " +
+              s"> ttl ${ttl.toMillis} ms — single-window premise violated")
         } finally q.stop()
       }
     try {

@@ -3007,6 +3007,30 @@ object Similarity {
     val qframe = nodes.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nm").as("qn")).localCheckpoint()
+    val found = beamWalk(nodes, adj, qframe, entry, beam, hops)
+    found.join(broadcast(exact), Seq("query_id"))
+      .crossJoin(broadcast(entry))
+      .select(col("query_id"),
+        col("eid").cast(LongType).as("entry_id"),
+        col("found_id").cast(LongType).as("found_id"),
+        col("exact_id").cast(LongType).as("exact_id"),
+        (col("found_id") === col("exact_id")).as("matched"))
+      .orderBy(col("query_id"))
+  }
+
+  /** The single-layer best-first beam shared by [[hnswSearch]] (exact
+    * audit-baseline graph) and [[hnswBucketed]] (LSH-candidate graph):
+    * `hops` rounds of (frontier join adjacency) point lookups, frontier
+    * union-carried so the kept set is monotone non-worsening, beam =
+    * the `ef` dynamic-candidate-list width. The frontier is
+    * metadata-sized (queries x beam) and broadcast every round; the
+    * corpus-side adjacency streams map-side and never re-shuffles —
+    * the property that keeps a graph-ANN serving scan viable when the
+    * index outgrows one node. Returns (query_id, found_id) — the
+    * rank-1 node of the final frontier per query. */
+  private def beamWalk(nodes: DataFrame, adj: DataFrame,
+      qframe: DataFrame, entry: DataFrame, beam: Int,
+      hops: Int): DataFrame = {
     val tgt = nodes.toDF("dst", "dv", "dn")
     val wQ = Window.partitionBy(col("query_id"))
       .orderBy(col("ns").desc, col("dst"))
@@ -3035,19 +3059,140 @@ object Similarity {
       frontier =
         if (i % 4 == 0 || i == hops) next.localCheckpoint() else next
     }
-    val found = score(frontier.select(col("query_id"),
-        col("node").as("dst")))
+    score(frontier.select(col("query_id"), col("node").as("dst")))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("dst").as("found_id"))
-    found.join(broadcast(exact), Seq("query_id"))
-      .crossJoin(broadcast(entry))
-      .select(col("query_id"),
-        col("eid").cast(LongType).as("entry_id"),
-        col("found_id").cast(LongType).as("found_id"),
-        col("exact_id").cast(LongType).as("exact_id"),
-        (col("found_id") === col("exact_id")).as("matched"))
-      .orderBy(col("query_id"))
   }
+
+  /** The UN-checkpointed bucketed k-NN edge build [[hnswBucketed]]
+    * materializes — exposed `private[graft]` so RoundTwelvePlanSpec
+    * can scan the PRE-checkpoint frames for interpreted expressions
+    * (`localCheckpoint` truncates the gate's own executedPlan at the
+    * materialized RDD, the PlanAudit blind spot documented in that
+    * tool's Scaladoc — construction-job expressions are pinned HERE,
+    * by spec, not in tools/fallback_inventory.tsv). */
+  private[graft] def bucketedKnnEdges(nodes: DataFrame, k: Int,
+      nTables: Int, bits: Int, par: Int): DataFrame = {
+    val tables = lshTables(nodes.select(col("vec_id"), col("v")),
+      nTables, bits)
+    // Bucket tables carry (id, table, bucket) only; the collision
+    // self-join and the pair-dedup exchange never shuffle a vector.
+    val cand = tables.toDF("a", "table", "bucket")
+      .join(tables.toDF("b", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    val topkAgg = udaf(graft.plans.TopK(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
+    // Same ordering contract as the exact build (sim desc, id asc via
+    // the TopK buffer), same map-side k-bounded merge — only the
+    // candidate set differs.
+    cand.repartition(par, col("a"))
+      .join(nodes.toDF("a", "av", "an"), "a")
+      .join(nodes.toDF("b", "bv", "bn"), "b")
+      .withColumn("sim",
+        dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .groupBy(col("a"))
+      .agg(topkAgg(col("sim"), col("b")).as("hits"))
+      .select(col("a"), explode(col("hits")).as("hit"))
+      .select(col("a"), col("hit._2").as("b"))
+  }
+
+  /** [[withNearDuplicates]] + norm, the node frame both HNSW gates
+    * checkpoint — exposed for the same pre-checkpoint plan scan. */
+  private[graft] def hnswNodes(s: SparkSession, dir: String): DataFrame =
+    withNearDuplicates(s, dir).withColumn("nm", norm(col("v")))
+
+  /** HNSW beam search over a graph built from LSH-BUCKETED candidates
+    * — the production composition [[hnswSearch]]'s docstring names,
+    * gated (round-11 verdict task 1: the one 100 TB claim that was
+    * argued rather than measured). The navigable graph's per-node
+    * top-k is computed over bucket-collision candidate pairs only
+    * (the [[annLsh]] tier's candidate generation, id-only bucket
+    * tables, vectors re-joined after the pair distinct — the width
+    * discipline), NOT the exact all-pairs; the beam walk is the SAME
+    * [[beamWalk]] the exact-graph gate runs. Signature width adapts
+    * to the corpus (`bits = max(4, log2(n / 24))`) so mean bucket
+    * occupancy stays ~constant: per-table candidate volume is
+    * sum over buckets of bucket^2 ~ n * 24 — LINEAR in n where the
+    * exact build is n^2. That is the measured scaling claim (see
+    * BASELINE.md hnsw-bucketed rows).
+    *
+    * Gate verdict (the [[annRecallGate]] philosophy — structural facts
+    * plus a retrieval-quality floor the oracle can state as
+    * constants, since DuckDB has no xxhash64 to mirror the planes):
+    *   - `n_queries`: all 5 declared queries produced a beam result;
+    *   - `recall_ok`: the beam over the BUCKETED graph found the
+    *     exact top-1 for >= 80 % of queries (the planted twins sit at
+    *     cosine >= 0.9999, where hyperplane collision probability is
+    *     ~1 per table — losing them means the graph or walk broke);
+    *   - `pairs_valid`: found/exact ids are real non-query non-self
+    *     nodes;
+    *   - `degree_bounded`: max out-degree of the built graph <= k
+    *     (the TopK buffer's hard bound held end-to-end). */
+  def hnswBucketed(s: SparkSession, dir: String, k: Int = 12,
+      beam: Int = 4, hops: Int = 12, nTables: Int = 8): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val nodes = hnswNodes(s, dir).localCheckpoint()
+    // An index build knows its corpus size (one linear count over the
+    // checkpointed nodes); bits grows with log n so bucket occupancy
+    // — and with it per-node candidate work — stays constant.
+    val n = nodes.count()
+    val bits = math.max(4,
+      math.ceil(math.log(n / 24.0) / math.log(2.0)).toInt)
+    val topk = bucketedKnnEdges(nodes, k, nTables, bits, par)
+      .localCheckpoint()
+    val adj = topk.select(col("a").as("src"), col("b").as("dst"))
+      .union(topk.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    // Exact top-1 per query: the audit baseline, and deliberately the
+    // LINEAR Q x N scan (queries broadcast, corpus streamed) — the n^2
+    // all-pairs stage exists only in [[hnswSearch]]'s audit role.
+    val qside = nodes.filter(col("vec_id") < 5)
+      .toDF("query_id", "qv", "qn")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    val exact = nodes.toDF("target_id", "tv", "tn").repartition(par)
+      .crossJoin(broadcast(qside))
+      .filter(col("target_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("target_id").as("exact_id"))
+    val entry = nodes.filter(col("vec_id") >= 5)
+      .withColumn("h",
+        pmod(col("vec_id") * lit(2654435761L), lit(999983L)))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("eid"))
+    val qframe = qside
+      .select(col("query_id"), col("qv"), col("qn")).localCheckpoint()
+    val found = beamWalk(nodes, adj, qframe, entry, beam, hops)
+    val r = found.join(broadcast(exact), Seq("query_id"))
+      .agg(
+        count(lit(1)).as("nq"),
+        sum(when(col("found_id") === col("exact_id"), 1L)
+          .otherwise(0L)).as("hits"),
+        sum(when(col("query_id") >= 5 ||
+            col("found_id") === col("query_id") ||
+            col("exact_id") === col("query_id"), 1L)
+          .otherwise(0L)).as("invalid"))
+      .crossJoin(topk.groupBy(col("a")).count()
+        .agg(max(col("count")).as("max_deg")))
+      .head()
+    import s.implicits._
+    Seq((r.getAs[Long]("nq"),
+        r.getAs[Long]("hits") * 5L >= r.getAs[Long]("nq") * 4L,
+        r.getAs[Long]("invalid") == 0L,
+        r.getAs[Long]("max_deg") <= k.toLong))
+      .toDF("n_queries", "recall_ok", "pairs_valid", "degree_bounded")
+  }
+
+  val hnswBucketedSql: String =
+    """SELECT CAST(5 AS BIGINT) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS recall_ok,
+      |  CAST(1 AS BOOLEAN) AS pairs_valid,
+      |  CAST(1 AS BOOLEAN) AS degree_bounded""".stripMargin
 
   def hnswSearchSql(k: Int = 12, beam: Int = 4, hops: Int = 12): String = {
     def cos(a: String, b: String): String =
@@ -3907,12 +4052,15 @@ object Similarity {
     "sim_rrf_fusion" -> ((s: SparkSession, d: String) =>
       rrfFusion(s, d)),
     "sim_hnsw_search" -> ((s: SparkSession, d: String) =>
-      hnswSearch(s, d)))
+      hnswSearch(s, d)),
+    "sim_hnsw_bucketed" -> ((s: SparkSession, d: String) =>
+      hnswBucketed(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_semdedup_cluster" -> semDedupClusterSql,
     "sim_semdedup_recall" -> semDedupRecallSql,
     "sim_hnsw_search" -> hnswSearchSql(),
+    "sim_hnsw_bucketed" -> hnswBucketedSql,
     // the streaming twin must converge to the batch verdicts
     "stream_semdedup" -> semDedupClusterSql,
     "embed_label_noise" -> labelNoiseKnnSql(),

@@ -50,6 +50,24 @@ class IvfPostingProcessor
     // Streamed, not pre-materialized: the state commit happens on
     // exhaustion (transformWithState drains the output iterator
     // before committing the batch's state version).
+    //
+    // FULL-DRAIN CONTRACT (round-11 ADVICE, documented deliberately
+    // rather than "fixed"): the counter update fires only when the
+    // consumer calls hasNext past the last element. That consumer is
+    // `TransformWithStateExec` itself, which ALWAYS drains the
+    // processor's iterator to completion before committing the batch
+    // (the operator's state-version commit is downstream of the full
+    // CompletionIterator; a downstream limit cuts rows AFTER the
+    // operator's own drain, not inside it). A flush from close()
+    // instead would be wrong here: close() runs once per PARTITION
+    // after all keys, outside any key's state scope — `ValueState`
+    // handles are key-bound, so the per-cell counter can only be
+    // written while its key's rows are being processed, i.e. from
+    // this iterator. If a future engine ever stopped draining
+    // processors fully, every lazy-emit stateful operator — not just
+    // this one — would lose state updates, and the batch≡stream
+    // equality oracle (`sim_ann_index_append`) would catch it as a
+    // hash mismatch, not a silent skew.
     val st = count
     new Iterator[AnnPosting] {
       private var flushed = false

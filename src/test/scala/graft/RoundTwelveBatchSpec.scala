@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 batch: the HNSW composed scale path (round-11 verdict
+  * task 1 — the one 100 TB claim that was argued rather than gated).
+  * `sim_hnsw_bucketed` builds the navigable graph from LSH
+  * bucket-collision candidates instead of the exact all-pairs top-k,
+  * runs the SAME beam walk, and gates recall against the exact top-1
+  * audit baseline. */
+class RoundTwelveBatchSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hnsw bucketed: beam over the LSH-candidate graph finds the " +
+      "exact top-1 (recall_ok), ids are valid, out-degree bounded by k") {
+    val r = graft.ops.Similarity.hnswBucketed(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 5L, "all 5 declared queries answered")
+    assert(row.getBoolean(1), "recall floor (>= 80 % of exact top-1)")
+    assert(row.getBoolean(2), "found/exact ids valid non-query nodes")
+    assert(row.getBoolean(3), "graph out-degree <= k end-to-end")
+  }
+
+  test("hnsw bucketed graph: candidate build is strictly smaller than " +
+      "all-pairs and keeps the twin edges the beam needs") {
+    val s = spark
+    val nodes = graft.ops.Similarity.hnswNodes(s, sf).localCheckpoint()
+    val n = nodes.count()
+    val bits = math.max(4,
+      math.ceil(math.log(n / 24.0) / math.log(2.0)).toInt)
+    val edges = graft.ops.Similarity
+      .bucketedKnnEdges(nodes, k = 12, nTables = 8, bits = bits, par = 4)
+      .collect()
+    // the build's whole point: far fewer scored pairs than n^2 — the
+    // EDGE set is k-bounded by construction, so assert the bound the
+    // gate's degree_bounded also pins, plus non-vacuity
+    assert(edges.nonEmpty)
+    val deg = edges.groupBy(_.getLong(0)).map(_._2.length)
+    assert(deg.max <= 12)
+    // every query's planted twin (cos >= 0.9999 — collides in
+    // essentially every 5-bit table) must appear as a graph edge in
+    // at least one direction, else the beam could not find it
+    val es = edges.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { q =>
+      assert(es.contains((q, q + 10000L)) || es.contains((q + 10000L, q)),
+        s"twin edge missing for query $q")
+    }
+  }
+}
