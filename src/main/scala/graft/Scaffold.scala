@@ -18,6 +18,22 @@ import java.util.concurrent.atomic.AtomicLong
 object Scaffold {
   private val acc = new AtomicLong(0L)
 
+  /** Scratch base for gate fixtures and streaming source/sink dirs:
+    * tmpfs when the host offers it, else /tmp — the same reasoning as
+    * `EventStreams.ckBase` (round 10), now applied to the OTHER side
+    * of every replay's I/O. Gate scratch is transient by contract
+    * (deleted and rewritten per run, ~1 GB at sf0.1), and each
+    * micro-batch of the 27 streaming gates pays parquet-sink commits
+    * plus file-source listings against this base — on spinning /tmp
+    * that is exactly the host-I/O noise the bench protocol documents
+    * for the stream tier. Production callers write to real durable
+    * storage; this base is gate-harness scoped. */
+  val scratchBase: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_scratch"
+    else "/tmp/graft_scratch"
+  }
+
   /** Run `f`, attributing its wall time to setup. */
   def setup[T](f: => T): T = {
     val t0 = System.nanoTime()

@@ -23,7 +23,7 @@ import graft.Tables
 object Bucketing {
 
   private def scratch(dir: String): String =
-    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/bucketed"
+    s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/bucketed"
 
   val NBuckets = 8
 

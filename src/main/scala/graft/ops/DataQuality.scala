@@ -459,7 +459,7 @@ object DataQuality {
       |ORDER BY "column"""".stripMargin
 
   private def dqScratch(dir: String, name: String): String =
-    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/dq/$name"
+    s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/dq/$name"
 
   def dqBenford(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)

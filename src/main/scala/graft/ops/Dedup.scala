@@ -1285,6 +1285,122 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-doc-only exact-substring dedup at the PUBLISHED operating
+    * point (round-11 verdict growth 8a): Lee et al. 2022 deploy
+    * ExactSubstr with L = 50 BPE tokens and — in the pipeline runs,
+    * as opposed to the paper's definition — count a span duplicated
+    * only when it recurs in a DIFFERENT document (self-repeats are
+    * legitimate structure: boilerplate headers, refrains, tables).
+    * [[exactSubstring]] is the paper-definition gate (occurrence
+    * count ≥ 2, L = 8 fixture knob); this is the deployment twin:
+    * same compiled stride-1 L-gram identity, same gaps-islands
+    * verdict tail ([[substrCoverage]]), but the duplication test is
+    * `COUNT(DISTINCT doc_id) >= 2` per gram and L = 50.
+    *
+    * The fixture corpus has no within-doc-only duplicated gram at ANY
+    * L (measured: 0 at L = 8 and L = 50 on sf0.001/sf0.01), so the
+    * two modes would coincide and the flag would be untested — the
+    * gate therefore PLANTS deterministic self-repeats (every
+    * `doc_id % 17 == 3` doc is self-concatenated, giving each ≥ L-token
+    * planted doc a genuine cyclic within-doc L-gram repeat) and the
+    * oracle prices the exclusion: occurrence-mode would mark those
+    * docs near-fully duplicated, cross-doc-only must leave every
+    * planted-but-unshared span unmarked (RoundTwelveBatchSpec asserts
+    * the modes differ on exactly the planted slice).
+    *
+    * Scale: identical shape to [[exactSubstring]] — O(corpus tokens)
+    * gram rows, the distinct-doc count is one map-combinable
+    * partial-distinct aggregate on the SAME hash(gram) exchange the
+    * join-back reuses, no suffix array, no driver state. The L = 50
+    * windows are ~6× the L = 8 strings per row, which is why
+    * production pre-hashes grams to 64 bits before the exchange; the
+    * fixture gate ships the strings so the DuckDB oracle shares the
+    * exact grouping key. */
+  def exactSubstringCrossDoc(s: SparkSession, dir: String,
+      l: Int = 50): DataFrame =
+    plantedSubstr(s, dir, l, crossDocOnly = true)
+
+  /** Occurrence-mode twin over the SAME planted corpus and L —
+    * exists so RoundTwelveBatchSpec can price what the deployment
+    * flag excludes (it must mark strictly MORE of each planted
+    * self-repeat doc, and differ nowhere else). Not a gate: the
+    * paper-definition gate is [[exactSubstring]]. */
+  private[graft] def exactSubstringOccurrence(s: SparkSession,
+      dir: String, l: Int = 50): DataFrame =
+    plantedSubstr(s, dir, l, crossDocOnly = false)
+
+  private def plantedSubstr(s: SparkSession, dir: String, l: Int,
+      crossDocOnly: Boolean): DataFrame = {
+    graft.plans.TextExpressions.register(s)
+    val corpus = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 3,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val docs = corpus
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        col("text"))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(graft.plans.TextExpressions.tokenNGrams(
+          split(col("text"), " "), l, emitWholeShortDoc = false)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("st"),
+        col("col").as("gram"))
+    val dup =
+      (if (crossDocOnly)
+        grams.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("f"))
+      else grams.groupBy(col("gram")).agg(count(lit(1)).as("f")))
+        .filter(col("f") >= 2).select(col("gram"))
+    val marked = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("st"))
+    substrCoverage(docs.select(col("doc_id"), col("n_tokens")), marked, l)
+  }
+
+  val exactSubstringCrossDocSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 3 THEN text || ' ' || text
+      |         ELSE text END AS text
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      |base AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM tok),
+      |pos AS (
+      |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 48, 1))) AS i
+      |  FROM base),
+      |grams AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS st,
+      |    array_to_string(t[i:i+49], ' ') AS gram
+      |  FROM pos),
+      |dup AS (SELECT gram FROM grams GROUP BY gram
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |spans AS (
+      |  SELECT g.doc_id, g.st, g.st + 50 AS en
+      |  FROM grams g JOIN dup USING (gram)),
+      |sweep AS (
+      |  SELECT doc_id, st, en,
+      |    COALESCE(MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      AS reach
+      |  FROM spans),
+      |cov AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(GREATEST(en - GREATEST(st, reach), 0)) AS BIGINT)
+      |      AS dup_tokens,
+      |    CAST(SUM(CASE WHEN st > reach THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_spans
+      |  FROM sweep GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens,
+      |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(COALESCE(cov.n_spans, 0) AS BIGINT) AS n_spans,
+      |  (COALESCE(cov.dup_tokens, 0) * 1000000) // b.n_tokens
+      |    AS dup_frac_ppm
+      |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   /** The gram-keyed state transform behind [[streamExactSubstring]],
     * exposed for the plan contract (TransformWithState, zero joins)
     * and batch≡stream identity. One shuffle per batch, on the gram
@@ -1327,7 +1443,7 @@ object Dedup {
   def streamExactSubstring(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     def scratch(name: String): String =
-      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+      s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
     val srcDir = scratch("essstream/src")
     val marksDir = scratch("essstream/marks")
     val ck = graft.streaming.EventStreams.gateCheckpoint(
@@ -2114,7 +2230,7 @@ object Dedup {
   def streamDupRate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     def scratch(name: String): String =
-      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+      s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
     val srcDir = scratch("dupstream/src")
     val outDir = scratch("dupstream/updates")
     val ck = graft.streaming.EventStreams.gateCheckpoint(
@@ -2201,7 +2317,7 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     import graft.functions.TextFunctions
     def scratch(name: String): String =
-      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+      s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
     val srcDir = scratch("mhstream/src")
     val pairsDir = scratch("mhstream/pairs")
     val ck = graft.streaming.EventStreams.gateCheckpoint(
@@ -2282,7 +2398,7 @@ object Dedup {
     val ttl = java.time.Duration.ofMillis(3000L)
     val gapMillis = 5000L // > ttl: the earlier horizon is provably dead
     def scratch(name: String): String =
-      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+      s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
     val srcDir = scratch("mhttl/src")
     val pairsDir = scratch("mhttl/pairs")
     val ck = graft.streaming.EventStreams.gateCheckpoint(
@@ -2611,6 +2727,8 @@ object Dedup {
     "dedup_span_union" -> ((s: SparkSession, d: String) => spanUnion(s, d)),
     "dedup_exact_substring" ->
       ((s: SparkSession, d: String) => exactSubstring(s, d)),
+    "dedup_exact_substring_xdoc" ->
+      ((s: SparkSession, d: String) => exactSubstringCrossDoc(s, d)),
     "stream_exact_substring" -> (streamExactSubstring _),
     "dedup_novelty_curve" -> ((s: SparkSession, d: String) => noveltyCurve(s, d)),
     "dedup_paragraph"     -> ((s: SparkSession, d: String) => paragraphDedup(s, d)),
@@ -2651,6 +2769,7 @@ object Dedup {
     "dedup_span_coverage" -> spanCoverageSql,
     "dedup_span_union" -> spanUnionSql,
     "dedup_exact_substring" -> exactSubstringSql,
+    "dedup_exact_substring_xdoc" -> exactSubstringCrossDocSql,
     // the streaming twin must converge to the batch verdicts
     "stream_exact_substring" -> exactSubstringSql,
     "dedup_novelty_curve" -> noveltyCurveSql,

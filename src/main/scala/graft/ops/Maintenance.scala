@@ -103,7 +103,7 @@ object Maintenance {
   // -------------------------------------------------------------- //
 
   private def scratch(dir: String, name: String): String =
-    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2)
       : org.apache.spark.sql.Column =

@@ -20,7 +20,7 @@ object ParityQueries {
   /** Scratch root, namespaced per scale factor so sf0.01 verify and
     * sf0.1 bench runs don't collide. */
   private def scratch(dir: String, name: String): String =
-    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
   /** The lineitem table declared in the reference's schema-JSON
     * dialect — exercises SchemaLoader end-to-end (INT32/INT64,

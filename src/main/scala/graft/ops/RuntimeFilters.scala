@@ -28,7 +28,7 @@ import graft.Tables
 object RuntimeFilters {
 
   private def scratch(dir: String, name: String): String =
-    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
   /** Year-partitioned copy of orders (built once per sfDir). */
   private[ops] def partitionedOrders(s: SparkSession, dir: String): String = {

@@ -160,7 +160,7 @@ object StreamingQueries {
     * value total order-independent, so the gate is hash-checkable. */
   def running(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val srcDir = s"/tmp/graft_scratch/$tag/stream_running_src"
+    val srcDir = s"${graft.Scaffold.scratchBase}/$tag/stream_running_src"
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -213,7 +213,7 @@ object StreamingQueries {
   private def rocksDbRunning(s: SparkSession, dir: String, name: String,
       transform: DataFrame => DataFrame): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val srcDir = s"/tmp/graft_scratch/$tag/${name}_src"
+    val srcDir = s"${graft.Scaffold.scratchBase}/$tag/${name}_src"
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -249,7 +249,7 @@ object StreamingQueries {
     * the stated set: `window_end ≤ max(ts) − 10 min`. */
   def lateDrop(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val srcDir = s"/tmp/graft_scratch/$tag/stream_late_src"
+    val srcDir = s"${graft.Scaffold.scratchBase}/$tag/stream_late_src"
     val cut = "2024-01-01 02:00:00"
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -307,7 +307,7 @@ object StreamingQueries {
     * each user's full history precedes its close. */
   def stateTtl(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val srcDir = s"/tmp/graft_scratch/$tag/stream_ttl_src"
+    val srcDir = s"${graft.Scaffold.scratchBase}/$tag/stream_ttl_src"
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -404,7 +404,7 @@ object StreamingQueries {
     * rows re-entering the join (extra pairs). */
   def outerMiss(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val srcDir = s"/tmp/graft_scratch/$tag/stream_outer_src"
+    val srcDir = s"${graft.Scaffold.scratchBase}/$tag/stream_outer_src"
     val cut = "2024-01-01 02:00:00"
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -520,7 +520,7 @@ object StreamingQueries {
   def streamAnomalyZ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     def scratch(name: String): String =
-      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+      s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
     val srcDir = scratch("anomstream/src")
     val outDir = scratch("anomstream/updates")
     val ck = EventStreams.gateCheckpoint(

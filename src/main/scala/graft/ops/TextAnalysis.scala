@@ -1699,7 +1699,7 @@ object TextAnalysis {
   def streamWatermarkRate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     def scratch(name: String): String =
-      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+      s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
     val srcDir = scratch("wmstream/src")
     val outDir = scratch("wmstream/updates")
     val ck = graft.streaming.EventStreams.gateCheckpoint(

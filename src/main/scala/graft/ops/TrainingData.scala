@@ -291,8 +291,8 @@ object TrainingData {
     val mBits = 1 << 17
     val k = 3
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val srcDir = s"/tmp/graft_scratch/$tag/dcstream/src"
-    val outDir = s"/tmp/graft_scratch/$tag/dcstream/updates"
+    val srcDir = s"${graft.Scaffold.scratchBase}/$tag/dcstream/src"
+    val outDir = s"${graft.Scaffold.scratchBase}/$tag/dcstream/updates"
     val ck = graft.streaming.EventStreams.gateCheckpoint(
       "dcstream_" + tag)
     def rm(p: String): Unit = {
@@ -986,7 +986,7 @@ object TrainingData {
     * [[packShardsSql]]: byte-identical to summarizing the source. */
   def exportJsonlGate(s: SparkSession, dir: String): DataFrame = {
     val outDir =
-      s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/jsonl_export"
+      s"${graft.Scaffold.scratchBase}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/jsonl_export"
     exportJsonlShards(s, dir, outDir)
     val schema = "doc_id BIGINT, text STRING"
     s.read.text(outDir)

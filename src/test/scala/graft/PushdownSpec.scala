@@ -90,7 +90,7 @@ class PushdownSpec extends SparkSpec {
   test("binaryFile metadata projection never reads file contents") {
     // Staging for the gate writes the .bin files; reuse them.
     graft.ops.ParityQueries.convBinaryFiles(spark, sf)
-    val binDir = s"/tmp/graft_scratch/${sf.replaceAll("[^A-Za-z0-9.]", "_")}" +
+    val binDir = s"${graft.Scaffold.scratchBase}/${sf.replaceAll("[^A-Za-z0-9.]", "_")}" +
       "/conv_binaryfiles"
     val metaOnly = spark.read.format("binaryFile").load(binDir)
       .select(col("path"), col("length"))

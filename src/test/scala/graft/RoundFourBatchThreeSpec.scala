@@ -129,7 +129,7 @@ class RoundFourBatchThreeSpec extends SparkSpec {
     val out = ops.ParityQueries.convCsvGzipRoundtrip(spark, sf).collect()
     assert(out.nonEmpty)
     val dir = new java.io.File(
-      s"/tmp/graft_scratch/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/conv_roundtrip_csv_gz")
+      s"${graft.Scaffold.scratchBase}/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/conv_roundtrip_csv_gz")
     val gz = dir.listFiles().filter(_.getName.endsWith(".csv.gz"))
     assert(gz.nonEmpty, s"no .csv.gz files in $dir")
     // row total survives the codec round-trip

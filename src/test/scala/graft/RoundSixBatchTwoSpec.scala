@@ -507,7 +507,7 @@ class RoundSixBatchTwoSpec extends SparkSpec {
     val got = Maintenance.partitionEvolution(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq.sorted === Seq(("2023-12", 2L), ("2024-02", 1L)))
-    val out = s"/tmp/graft_scratch/" +
+    val out = s"${graft.Scaffold.scratchBase}/" +
       s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/ev_by_month"
     assert(new java.io.File(out).listFiles()
       .exists(_.getName.startsWith("month=")))

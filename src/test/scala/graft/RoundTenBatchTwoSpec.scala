@@ -67,7 +67,7 @@ class RoundTenBatchTwoSpec extends SparkSpec {
       "assignment; n_members audits per-cell list growth") {
     graft.streaming.EventStreams.withRocksDb(spark) {
       val dirTag = sf.replaceAll("[^A-Za-z0-9.]", "_")
-      val indexDir = s"/tmp/graft_scratch/$dirTag/ann_spec_index"
+      val indexDir = s"${graft.Scaffold.scratchBase}/$dirTag/ann_spec_index"
       graft.ops.Similarity.annIvfBuildIndex(spark, sf, indexDir)
       val cents = spark.read.parquet(s"$indexDir/centroids")
       val centArr = cents.select(col("cell"), col("cv"))

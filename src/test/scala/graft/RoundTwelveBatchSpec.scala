@@ -48,4 +48,43 @@ class RoundTwelveBatchSpec extends SparkSpec {
         s"twin edge missing for query $q")
     }
   }
+
+  test("cross-doc exact-substring: the deployment flag excludes the " +
+      "planted self-repeats occurrence-mode would mark") {
+    val s = spark
+    // occurrence-mode verdict over the SAME planted corpus: self-
+    // concatenated docs (doc_id % 17 == 3, >= 50 tokens) carry a
+    // genuine cyclic within-doc 50-gram repeat, so the two modes MUST
+    // differ on that slice and may differ nowhere else
+    val cross = graft.ops.Dedup.exactSubstringCrossDoc(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val occ = graft.ops.Dedup.exactSubstringOccurrence(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cross.keySet == occ.keySet)
+    val differ = cross.keySet.filter(id => cross(id) != occ(id))
+    assert(differ.nonEmpty, "planted self-repeats found by neither mode")
+    assert(differ.forall(_ % 17 == 3),
+      s"modes differ off the planted slice: $differ")
+    differ.foreach { id =>
+      assert(occ(id) > cross(id),
+        s"occurrence-mode should mark MORE of planted doc $id")
+    }
+  }
+
+  test("multi-probe LSH at a quarter-size index (2 tables) beats " +
+      "single-probe recall on the same index and clears the 0.4 floor") {
+    val s = spark
+    val bf = graft.ops.Similarity.bruteForcePairs(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "target_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & bf).size.toDouble / bf.size
+    }
+    val single = recall(graft.ops.Similarity.annLsh(s, sf, nTables = 2))
+    val multi = recall(graft.ops.Similarity.annLshMultiProbe(s, sf))
+    assert(multi >= 0.4, s"multi-probe recall $multi below gate floor")
+    assert(multi > single,
+      s"probing sequence bought nothing: multi $multi vs single $single")
+  }
 }
