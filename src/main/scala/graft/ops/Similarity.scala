@@ -3278,6 +3278,153 @@ object Similarity {
       |  CAST(1 AS BOOLEAN) AS pairs_valid,
       |  CAST(1 AS BOOLEAN) AS degree_bounded""".stripMargin
 
+  /** STREAMING HNSW insert (round-11 verdict growth 8c — the
+    * live-index complement to [[streamAnnAppend]]): vectors arrive as
+    * micro-batches and are attached to the standing graph under the
+    * keyed-state pattern. Per arrival: LSH-bucket candidate discovery
+    * against the standing corpus' bucket tables (the SAME gated
+    * composition [[hnswBucketed]] builds from — id-only bucket rows,
+    * exact cosine only on collisions), then symmetric attach REQUESTS
+    * `(endpoint, other, sim)` for both edge directions flow into
+    * [[graft.streaming.HnswAttachProcessor]]: one ValueState per
+    * graph node holding its ≤ m adjacency, merged and pruned to the m
+    * best per batch — the eager both-endpoint form of Malkov &
+    * Yashunin's shrink-when-over-capacity rule. The emitted
+    * event-sourced snapshots (max version per node = live adjacency)
+    * ARE the index increment, the [[streamAnnAppend]] discipline.
+    *
+    * Contract scope, stated honestly: candidate discovery probes the
+    * STANDING corpus snapshot (the bucket tables are the static side
+    * of a stream-static join), so arrivals link to the base graph but
+    * not to same-run arrivals — the deployment that needs new→new
+    * navigability re-snapshots the bucket tables on its index-compact
+    * cadence (the [[annIvfIndexAppend]] rebuild contract). The twin
+    * facts this gate prices need only base links by construction.
+    *
+    * Verdict (5 rows, one per planted query): the inserted twin's
+    * bounded adjacency contains its source (`attached_to_source` —
+    * greedy attach found the cos ≥ 0.9999 neighbor), the source's
+    * adjacency gained the twin (`reverse_edge` — the receiver-side
+    * prune kept the near-exact edge), and no node anywhere exceeded
+    * m (`degree_bounded`). Deterministic under partitioning: the
+    * processor's merge is a pure function of the request set.
+    *
+    * Scale: per batch — arrival rows × nTables bucket rows join
+    * id-only tables, exact scoring on collisions only, one point
+    * state read/write per touched node; state = O(live nodes × m).
+    * No state-wide scan, no driver loop; the 3-batch replay is the
+    * harness bound, not the design bound. */
+  def streamHnswInsert(s: SparkSession, dir: String, m: Int = 8,
+      nTables: Int = 8): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcDir = s"${graft.Scaffold.scratchBase}/$tag/hnswins/src"
+    val outDir = s"${graft.Scaffold.scratchBase}/$tag/hnswins/adj"
+    val ck = graft.streaming.EventStreams.gateCheckpoint(
+      "hnswins_" + tag)
+    def rm(p: String): Unit = {
+      val path = new Path(p)
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    }
+    val base = vecs(s, dir)
+    val n = base.count()
+    val bits = math.max(4,
+      math.ceil(math.log(n / 24.0) / math.log(2.0)).toInt)
+    val baseTables = lshTables(base, nTables, bits)
+      .toDF("target_id", "table", "bucket").localCheckpoint()
+    val baseVecs = base
+      .select(col("vec_id").as("target_id"), col("v").as("tv"),
+        norm(col("v")).as("tn")).localCheckpoint()
+    val arrivals = hnswNodes(s, dir).filter(col("vec_id") >= 10000)
+      .select(col("vec_id"), col("v"))
+    graft.Scaffold.setup {
+      Seq(srcDir, outDir, ck).foreach(rm)
+      arrivals.filter(col("vec_id") % 3 === 0).coalesce(2).write
+        .mode("overwrite").parquet(srcDir)
+    }
+    graft.streaming.EventStreams.withRocksDb(s, statePartitions = 8) {
+      org.apache.spark.sql.GraftSqlBridge
+        .ensureStateStoreCoordinator(s)
+      import s.implicits._
+      val stream = s.readStream.schema(arrivals.schema).parquet(srcDir)
+      val scored = stream
+        .select(col("vec_id").as("new_id"), col("v"),
+          norm(col("v")).as("nn"),
+          posexplode(array((0 until nTables).map(t =>
+            lshBucket(col("v"), t, bits)): _*)))
+        .select(col("new_id"), col("v"), col("nn"),
+          col("pos").as("table"), col("col").as("bucket"))
+        .join(baseTables, Seq("table", "bucket"))
+        .join(baseVecs, "target_id")
+        .select(col("new_id"), col("target_id"),
+          (dot(col("v"), col("tv")) / (col("nn") * col("tn")))
+            .as("sim"))
+      val requests = scored
+        .select(col("new_id").as("node_id"),
+          col("target_id").as("other_id"), col("sim"))
+        .union(scored.select(col("target_id").as("node_id"),
+          col("new_id").as("other_id"), col("sim")))
+      val events = requests.as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.HnswAttachProcessor(m),
+          TimeMode.None(), OutputMode.Append())
+      val q = events.toDF().writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          arrivals.filter(col("vec_id") % 3 === 1).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+        graft.Scaffold.setup {
+          arrivals.filter(col("vec_id") % 3 === 2).coalesce(2).write
+            .mode("append").parquet(srcDir)
+        }
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        graft.streaming.EventStreams.dropCheckpoint(ck)
+      }
+    }
+    val wv = Window.partitionBy(col("node_id"))
+      .orderBy(col("version").desc)
+    val fin = s.read.parquet(outDir)
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("node_id"), col("nbrs"))
+      .localCheckpoint()
+    val maxDeg = fin.select(max(size(col("nbrs"))).as("d"))
+      .head().getInt(0)
+    val twinsF = fin
+      .filter(col("node_id") >= 10000 && col("node_id") < 10005)
+      .select((col("node_id") - 10000).as("query_id"),
+        array_contains(col("nbrs"), col("node_id") - 10000)
+          .as("attached_to_source"))
+    val revF = fin.filter(col("node_id") < 5)
+      .select(col("node_id").as("query_id"),
+        array_contains(col("nbrs"), col("node_id") + 10000)
+          .as("reverse_edge"))
+    twinsF.join(revF, Seq("query_id"))
+      .withColumn("degree_bounded", lit(maxDeg <= m))
+      .orderBy(col("query_id"))
+  }
+
+  val streamHnswInsertSql: String =
+    """SELECT vec_id AS query_id,
+      |  CAST(1 AS BOOLEAN) AS attached_to_source,
+      |  CAST(1 AS BOOLEAN) AS reverse_edge,
+      |  CAST(1 AS BOOLEAN) AS degree_bounded
+      |FROM embeddings WHERE vec_id < 5
+      |ORDER BY query_id""".stripMargin
+
   def hnswSearchSql(k: Int = 12, beam: Int = 4, hops: Int = 12): String = {
     def cos(a: String, b: String): String =
       s"""list_reduce(list_transform(generate_series(1, len($a)),
@@ -4139,13 +4286,16 @@ object Similarity {
     "sim_hnsw_search" -> ((s: SparkSession, d: String) =>
       hnswSearch(s, d)),
     "sim_hnsw_bucketed" -> ((s: SparkSession, d: String) =>
-      hnswBucketed(s, d)))
+      hnswBucketed(s, d)),
+    "stream_hnsw_insert" -> ((s: SparkSession, d: String) =>
+      streamHnswInsert(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_semdedup_cluster" -> semDedupClusterSql,
     "sim_semdedup_recall" -> semDedupRecallSql,
     "sim_hnsw_search" -> hnswSearchSql(),
     "sim_hnsw_bucketed" -> hnswBucketedSql,
+    "stream_hnsw_insert" -> streamHnswInsertSql,
     // the streaming twin must converge to the batch verdicts
     "stream_semdedup" -> semDedupClusterSql,
     "embed_label_noise" -> labelNoiseKnnSql(),

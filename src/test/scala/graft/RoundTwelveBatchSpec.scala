@@ -87,4 +87,17 @@ class RoundTwelveBatchSpec extends SparkSpec {
     assert(multi > single,
       s"probing sequence bought nothing: multi $multi vs single $single")
   }
+
+  test("streaming HNSW insert: every planted twin attaches to its " +
+      "source, the reverse edge survives the receiver prune, degrees " +
+      "stay bounded") {
+    val rows = graft.ops.Similarity.streamHnswInsert(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"twin of query ${r.getLong(0)} not " +
+        "attached to its source")
+      assert(r.getBoolean(2), s"reverse edge missing at query ${r.getLong(0)}")
+      assert(r.getBoolean(3), "adjacency exceeded m")
+    }
+  }
 }
