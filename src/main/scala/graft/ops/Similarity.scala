@@ -3042,9 +3042,12 @@ object Similarity {
     * node id, frontier membership is a distinct (query, node) id set,
     * and the output is all-BIGINT/BOOLEAN.
     *
-    * Scale: the all-pairs k-NN build is BY ROLE the audit baseline
-    * (production builds the graph with the gated ANN tiers' candidate
-    * generation, same downstream shape); ONE n² pass feeds graph +
+    * Scale: the all-pairs k-NN build is BY ROLE the audit baseline —
+    * and the production composition is no longer argued but GATED:
+    * [[hnswBucketed]] (`sim_hnsw_bucketed`) builds the graph from LSH
+    * bucket-collision candidates and runs the SAME [[beamWalk]], with
+    * a measured scaling row (r10 2.42 vs this build's 3.11,
+    * BASELINE.md round-12 table). ONE n² pass feeds graph +
     * exact stage (localCheckpoint). The search is `hops` rounds of
     * (frontier ⋈ adjacency) point lookups with the metadata-sized
     * frontier broadcast — the corpus-side adjacency streams map-side,
