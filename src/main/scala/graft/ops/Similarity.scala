@@ -3117,6 +3117,19 @@ object Similarity {
     * rank-1 node of the final frontier per query. */
   private def beamWalk(nodes: DataFrame, adj: DataFrame,
       qframe: DataFrame, entry: DataFrame, beam: Int,
+      hops: Int): DataFrame =
+    beamWalkFrom(nodes, adj, qframe,
+      qframe.select(col("query_id"))
+        .crossJoin(broadcast(entry))
+        .select(col("query_id"), col("eid").as("node")),
+      beam, hops)
+
+  /** [[beamWalk]] generalized to a PER-QUERY initial frontier
+    * `(query_id, node)` — what a hierarchical descent needs: each
+    * layer's walk seeds the next layer's frontier with that query's
+    * own best node, instead of one global entry ([[hnswLayered]]). */
+  private[graft] def beamWalkFrom(nodes: DataFrame, adj: DataFrame,
+      qframe: DataFrame, frontier0: DataFrame, beam: Int,
       hops: Int): DataFrame = {
     val tgt = nodes.toDF("dst", "dv", "dn")
     val wQ = Window.partitionBy(col("query_id"))
@@ -3127,10 +3140,7 @@ object Similarity {
         .withColumn("ns",
           dot(col("dv"), col("qv")) / (col("dn") * col("qn")))
         .withColumn("rn", row_number().over(wQ))
-    var frontier = qframe.select(col("query_id"))
-      .crossJoin(broadcast(entry))
-      .select(col("query_id"), col("eid").as("node"))
-      .localCheckpoint()
+    var frontier = frontier0.localCheckpoint()
     for (i <- 1 to hops) {
       val expand = frontier
         .join(adj, frontier("node") === adj("src"))
@@ -3427,6 +3437,145 @@ object Similarity {
       |  CAST(1 AS BOOLEAN) AS degree_bounded
       |FROM embeddings WHERE vec_id < 5
       |ORDER BY query_id""".stripMargin
+
+  /** MULTI-LAYER HNSW search — the full Malkov & Yashunin hierarchy
+    * ([[hnswSearch]] and [[hnswBucketed]] gate the single-layer
+    * core; this gates the part that makes the entry point cheap):
+    * nodes draw a deterministic geometric level (P(lvl ≥ 1) = 1/4,
+    * P(lvl = 2) = 1/16 via xxhash64 residues — nested by
+    * construction, the paper's exponentially-decaying layer sizes),
+    * each layer gets its own k-NN graph over ONLY its members (all
+    * three built by the gated LSH-bucketed path, [[bucketedKnnEdges]]
+    * with per-layer adaptive bits), and the search descends: a
+    * GREEDY walk (beam = 1, the paper's upper-layer ef) from the top
+    * layer's mult-hash entry finds each query's best top-layer node,
+    * which seeds that query's own entry into the next layer
+    * ([[beamWalkFrom]]'s per-query frontier), until the full ef-beam
+    * runs only at layer 0 — seeded by the descended best UNION the
+    * single-layer gates' fixed global entry (multi-entry: see the
+    * in-body comment for the measured navigability rationale).
+    *
+    * Why a hierarchy at 100 TB: the single-layer gates pay a fixed
+    * global entry + enough hops to cross the graph's diameter; the
+    * layered descent replaces that with O(log n) greedy point
+    * lookups over exponentially smaller graphs, so layer-0 beam
+    * length is set by LOCAL refinement, not by how far the entry
+    * happens to land — hop count stays flat as the corpus grows.
+    * Upper layers are 1/4ⁿ-size subsets, so their graphs cost
+    * nothing to build or hold relative to layer 0.
+    *
+    * Verdict ([[annRecallGate]] philosophy, constants oracle):
+    * `n_queries` all answered; `recall_ok` — the descent + layer-0
+    * beam finds the exact top-1 for ≥ 80 % of queries;
+    * `pairs_valid`; `degree_bounded` — every layer's graph respects
+    * the TopK bound; `layers_nested` — the level sets are strictly
+    * shrinking and non-empty (the hierarchy is real, not vacuous). */
+  def hnswLayered(s: SparkSession, dir: String, k: Int = 12,
+      beam: Int = 4, hops: Int = 8, nTables: Int = 8): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val nodes = hnswNodes(s, dir).localCheckpoint()
+    val lh = pmod(xxhash64(lit(7L), col("vec_id")), lit(16L))
+    val leveled = nodes.withColumn("lvl",
+      when(lh === 0, 2).when(pmod(lh, lit(4L)) === 0, 1)
+        .otherwise(0)).localCheckpoint()
+    def layerNodes(l: Int): DataFrame =
+      leveled.filter(col("lvl") >= l)
+        .select(col("vec_id"), col("v"), col("nm"))
+    def layerAdj(nl: DataFrame, nn: Long): (DataFrame, DataFrame) = {
+      // floor 1, not the corpus gates' 4: a 1/16-size top layer at
+      // small n would get more buckets than NODES under a 4-bit
+      // floor (measured at sf0.001: 19 layer-2 nodes in 16 buckets
+      // per table — a near-edgeless graph that strands the descent
+      // at its entry); 1 bit = 2 buckets keeps tiny layers dense
+      // while big layers still grow bits with log(n/24)
+      val bits = math.max(1,
+        math.ceil(math.log(math.max(nn, 48) / 24.0) / math.log(2.0)).toInt)
+      val e = bucketedKnnEdges(nl, k, nTables, bits, par)
+        .localCheckpoint()
+      (e, e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .distinct().localCheckpoint())
+    }
+    val (l0, l1, l2) = (layerNodes(0), layerNodes(1).localCheckpoint(),
+      layerNodes(2).localCheckpoint())
+    val (n0, n1, n2) = (l0.count(), l1.count(), l2.count())
+    val (e0, adj0) = layerAdj(l0, n0)
+    val (e1, adj1) = layerAdj(l1, n1)
+    val (e2, adj2) = layerAdj(l2, n2)
+    val qframe = leveled.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nm").as("qn")).localCheckpoint()
+    val entry = l2.filter(col("vec_id") >= 5)
+      .withColumn("h",
+        pmod(col("vec_id") * lit(2654435761L), lit(999983L)))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("eid"))
+    def seed(best: DataFrame): DataFrame =
+      best.select(col("query_id"), col("found_id").as("node"))
+    val f2 = qframe.select(col("query_id")).crossJoin(broadcast(entry))
+      .select(col("query_id"), col("eid").as("node"))
+    val best2 = beamWalkFrom(nodes, adj2, qframe, f2, 1, 4)
+    val best1 = beamWalkFrom(nodes, adj1, qframe, seed(best2), 1, 4)
+    // MULTI-ENTRY layer-0 seed: the descended per-query best UNION
+    // the single-layer gates' fixed mult-hash entry. Plain k-NN
+    // layer graphs lack the navigability HNSW's insertion heuristic
+    // builds in (measured at sf0.001: a greedy descent seed can land
+    // in a basin the beam never escapes — 3/5 twins from the descent
+    // seed alone, 5/5 with the union), so the standard multi-entry
+    // mitigation applies: the descent buys hop-efficiency on the
+    // common path, the global seed preserves the single-layer gate's
+    // reachability floor. One extra frontier row per query.
+    val entry0 = nodes.filter(col("vec_id") >= 5)
+      .withColumn("h",
+        pmod(col("vec_id") * lit(2654435761L), lit(999983L)))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("eid"))
+    val seed0 = seed(best1).union(
+      qframe.select(col("query_id")).crossJoin(broadcast(entry0))
+        .select(col("query_id"), col("eid").as("node")))
+    val found = beamWalkFrom(nodes, adj0, qframe, seed0, beam, hops)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("target_id"))
+    val exact = nodes.toDF("target_id", "tv", "tn").repartition(par)
+      .crossJoin(broadcast(qframe))
+      .filter(col("target_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("target_id").as("exact_id"))
+    // Per-LAYER degree bound (the paper's M is per layer — a node
+    // living on all three layers legitimately holds up to 3k edges
+    // total, k within each layer's graph)
+    val maxDeg = Seq(e0, e1, e2).map(e =>
+      e.groupBy(col("a")).count()
+        .agg(max(col("count")).as("d")).head().getLong(0)).max
+    val r = found.join(broadcast(exact), Seq("query_id"))
+      .agg(
+        count(lit(1)).as("nq"),
+        sum(when(col("found_id") === col("exact_id"), 1L)
+          .otherwise(0L)).as("hits"),
+        sum(when(col("query_id") >= 5 ||
+            col("found_id") === col("query_id") ||
+            col("exact_id") === col("query_id"), 1L)
+          .otherwise(0L)).as("invalid"))
+      .head()
+    import s.implicits._
+    Seq((r.getAs[Long]("nq"),
+        r.getAs[Long]("hits") * 5L >= r.getAs[Long]("nq") * 4L,
+        r.getAs[Long]("invalid") == 0L,
+        maxDeg <= k.toLong,
+        n2 >= 1L && n2 < n1 && n1 < n0))
+      .toDF("n_queries", "recall_ok", "pairs_valid", "degree_bounded",
+        "layers_nested")
+  }
+
+  val hnswLayeredSql: String =
+    """SELECT CAST(5 AS BIGINT) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS recall_ok,
+      |  CAST(1 AS BOOLEAN) AS pairs_valid,
+      |  CAST(1 AS BOOLEAN) AS degree_bounded,
+      |  CAST(1 AS BOOLEAN) AS layers_nested""".stripMargin
 
   def hnswSearchSql(k: Int = 12, beam: Int = 4, hops: Int = 12): String = {
     def cos(a: String, b: String): String =
@@ -4291,7 +4440,9 @@ object Similarity {
     "sim_hnsw_bucketed" -> ((s: SparkSession, d: String) =>
       hnswBucketed(s, d)),
     "stream_hnsw_insert" -> ((s: SparkSession, d: String) =>
-      streamHnswInsert(s, d)))
+      streamHnswInsert(s, d)),
+    "sim_hnsw_layered" -> ((s: SparkSession, d: String) =>
+      hnswLayered(s, d)))
 
   def oracle: Map[String, String] = Map(
     "sim_semdedup_cluster" -> semDedupClusterSql,
@@ -4299,6 +4450,7 @@ object Similarity {
     "sim_hnsw_search" -> hnswSearchSql(),
     "sim_hnsw_bucketed" -> hnswBucketedSql,
     "stream_hnsw_insert" -> streamHnswInsertSql,
+    "sim_hnsw_layered" -> hnswLayeredSql,
     // the streaming twin must converge to the batch verdicts
     "stream_semdedup" -> semDedupClusterSql,
     "embed_label_noise" -> labelNoiseKnnSql(),

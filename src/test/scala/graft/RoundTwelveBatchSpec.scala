@@ -88,6 +88,18 @@ class RoundTwelveBatchSpec extends SparkSpec {
       s"probing sequence bought nothing: multi $multi vs single $single")
   }
 
+  test("layered HNSW: the greedy descent over nested geometric " +
+      "layers finds the exact top-1, per-layer degrees bounded") {
+    val r = graft.ops.Similarity.hnswLayered(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 5L, "all 5 queries answered")
+    assert(row.getBoolean(1), "recall floor (>= 80 % exact top-1)")
+    assert(row.getBoolean(2), "found/exact ids valid")
+    assert(row.getBoolean(3), "per-layer out-degree <= k")
+    assert(row.getBoolean(4), "layer sets strictly nested, non-empty")
+  }
+
   test("streaming HNSW insert: every planted twin attaches to its " +
       "source, the reverse edge survives the receiver prune, degrees " +
       "stay bounded") {
