@@ -256,8 +256,22 @@ object CurationPipeline {
       .distinct().localCheckpoint()
     val allDocs = g.select(col("doc_id")).distinct().localCheckpoint()
     var sel = Seq.empty[(Long, Long, Long)] // (round, doc_id, gain)
-    var cov = g.limit(0).select(col("w"))
-    var selIds = g.limit(0).select(col("doc_id"))
+    // The accumulators are DERIVED frames over the checkpointed gram
+    // table: selected ids are k driver-held longs, covered words =
+    // `g` filtered to them. Same join/anti-join plans as before (the
+    // covered-word set is identical modulo duplicates an anti-join
+    // ignores), but no per-round localCheckpoint jobs — 2k fewer
+    // eager actions per gate run.
+    def selIds = {
+      val ids = sel.map(_._2)
+      if (ids.isEmpty) g.limit(0).select(col("doc_id"))
+      else allDocs.filter(col("doc_id").isin(ids: _*))
+    }
+    def cov = {
+      val ids = sel.map(_._2)
+      if (ids.isEmpty) g.limit(0).select(col("w"))
+      else g.filter(col("doc_id").isin(ids: _*)).select(col("w"))
+    }
     for (r <- 1 to k) {
       // Zero-gain candidates stay rankable (smallest unselected id
       // wins) so the greedy is total even once coverage saturates.
@@ -271,10 +285,6 @@ object CurationPipeline {
         .limit(1).collect()(0)
       val (id, gain) = (pick.getLong(0), pick.getLong(1))
       sel :+= ((r.toLong, id, gain))
-      selIds = selIds.unionByName(
-        allDocs.filter(col("doc_id") === id)).localCheckpoint()
-      cov = cov.unionByName(
-        g.filter(col("doc_id") === id).select(col("w"))).localCheckpoint()
     }
     import s.implicits._
     sel.toDF("round", "doc_id", "gain")

@@ -1414,6 +1414,10 @@ object Graph {
     var dist = nodes.select(col("node").as("s"), col("node"),
       lit(0L).as("d"))
     for (_ <- 1 to iters) {
+      // Per-round checkpoint deliberately kept: a 2-rounds-per-
+      // checkpoint cadence was MEASURED this round at +1.1 s on this
+      // gate (the in-between round's self-union re-executes its
+      // subtree; exchange reuse does not cover it).
       dist = dist.unionByName(dist
           .join(edges.withColumnRenamed("src", "node"), "node")
           .select(col("s"), col("dst").as("node"),

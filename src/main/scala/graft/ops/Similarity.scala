@@ -1177,10 +1177,17 @@ object Similarity {
       iters: Int = 4): DataFrame = {
     val base = vecs(s, dir)
     var cents = ivfSeeds(base, k).localCheckpoint()
-    val objs = (1 to iters).map { _ =>
-      val assigned = nearestCells(base, cents, 1, "v")
-      val obj = assigned.join(broadcast(cents), "cell")
-        .agg(sum(cosine(col("v"), col("cv")))).head().getDouble(0)
+    // Per-round objective frames are built LAZILY against that
+    // round's (checkpointed) centroids and collected in ONE unioned
+    // action at the end — the four objective passes then run as
+    // parallel branches of a single job instead of four sequential
+    // head() jobs, and each pass computes the identical expression
+    // (same assign argmax, same IEEE cosine fold) it always did.
+    val objFrames = (1 to iters).map { i =>
+      val c0 = cents
+      val assigned = nearestCells(base, c0, 1, "v")
+      val objF = assigned.join(broadcast(c0), "cell")
+        .agg(lit(i).as("iter"), sum(cosine(col("v"), col("cv"))).as("obj"))
       cents = assigned
         .withColumn("nrm", greatest(norm(col("v")), lit(1e-30)))
         .select(col("cell"), col("nrm"), posexplode(col("v")))
@@ -1190,8 +1197,10 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cell"), transform(col("pc"), p => p("c")).as("cv"))
         .localCheckpoint()
-      obj
+      objF
     }
+    val objs = objFrames.reduce(_.unionAll(_))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
     import s.implicits._
     objs.zipWithIndex.map { case (o, i) =>
       (i.toLong + 1L,
@@ -3140,6 +3149,13 @@ object Similarity {
         .withColumn("ns",
           dot(col("dv"), col("qv")) / (col("dn") * col("qn")))
         .withColumn("rn", row_number().over(wQ))
+    // frontier0 MUST be eagerly materialized: each hop references the
+    // frontier twice (adjacency join + union-carry), so between
+    // checkpoints the frontier subtree doubles per hop — a lazy seed
+    // would appear 2^4 times in the first segment's plan (measured
+    // this round: removing this checkpoint cost ~+0.5 s on each HNSW
+    // gate; one tiny job buys a linear, not exponential, segment
+    // plan).
     var frontier = frontier0.localCheckpoint()
     for (i <- 1 to hops) {
       val expand = frontier
@@ -3170,7 +3186,14 @@ object Similarity {
     * by spec, not in tools/fallback_inventory.tsv). */
   private[graft] def bucketedKnnEdges(nodes: DataFrame, k: Int,
       nTables: Int, bits: Int, par: Int): DataFrame = {
-    val tables = lshTables(nodes.select(col("vec_id"), col("v")),
+    // Widen the signature input: the node frame is checkpointed at
+    // its 1–2 scan partitions (the narrow width the beam walk's many
+    // tiny per-hop scans WANT), but the nTables×bits projection pass
+    // is the build's heaviest map stage and would serialize on those
+    // 1–2 tasks (measured 0.8 s on 2 tasks at sf0.1). One narrow
+    // exchange of (vec_id, v) buys session-wide parallelism for it.
+    val tables = lshTables(
+      nodes.select(col("vec_id"), col("v")).repartition(par),
       nTables, bits)
     // Bucket tables carry (id, table, bucket) only; the collision
     // self-join and the pair-dedup exchange never shuffle a vector.
@@ -3496,12 +3519,33 @@ object Similarity {
         .union(e.select(col("b").as("src"), col("a").as("dst")))
         .distinct().localCheckpoint())
     }
-    val (l0, l1, l2) = (layerNodes(0), layerNodes(1).localCheckpoint(),
-      layerNodes(2).localCheckpoint())
-    val (n0, n1, n2) = (l0.count(), l1.count(), l2.count())
-    val (e0, adj0) = layerAdj(l0, n0)
-    val (e1, adj1) = layerAdj(l1, n1)
-    val (e2, adj2) = layerAdj(l2, n2)
+    // Layer frames are cheap filters over the checkpointed `leveled`
+    // (no per-layer re-checkpoint), and all three layer sizes come
+    // from ONE aggregate pass instead of three count() jobs — the
+    // same numbers, a third of the actions (guide §1.2: remove
+    // passes before tuning inside them).
+    val (l0, l1, l2) = (layerNodes(0), layerNodes(1), layerNodes(2))
+    val cnts = leveled.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("lvl") >= 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("lvl") >= 2, 1L).otherwise(0L)).as("n2")).head()
+    val (n0, n1, n2) = (cnts.getAs[Long]("n0"), cnts.getAs[Long]("n1"),
+      cnts.getAs[Long]("n2"))
+    // The three per-layer graph builds are INDEPENDENT eager job
+    // chains over exponentially smaller inputs; submitting them from
+    // a small thread pool overlaps each build's shuffle tail with
+    // the next build's scan (guide §2.6 — actions are sequential
+    // only because the driver calls them sequentially). Results are
+    // unchanged: each build is deterministic and isolated.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val builds = Seq(l0 -> n0, l1 -> n1, l2 -> n2).map { case (nl, nn) =>
+      Future(layerAdj(nl, nn))
+    }
+    val Seq((e0, adj0), (e1, adj1), (e2, adj2)) =
+      builds.map(Await.result(_, Duration.Inf))
     val qframe = leveled.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nm").as("qn")).localCheckpoint()
@@ -3546,10 +3590,13 @@ object Similarity {
       .select(col("query_id"), col("target_id").as("exact_id"))
     // Per-LAYER degree bound (the paper's M is per layer — a node
     // living on all three layers legitimately holds up to 3k edges
-    // total, k within each layer's graph)
-    val maxDeg = Seq(e0, e1, e2).map(e =>
-      e.groupBy(col("a")).count()
-        .agg(max(col("count")).as("d")).head().getLong(0)).max
+    // total, k within each layer's graph). The three per-layer max
+    // degrees ride the SAME final action as the recall facts (the
+    // hnswBucketed crossJoin pattern) instead of three head() jobs.
+    val degAll = Seq(e0, e1, e2)
+      .map(_.groupBy(col("a")).count())
+      .reduce(_.unionAll(_))
+      .agg(max(col("count")).as("max_deg"))
     val r = found.join(broadcast(exact), Seq("query_id"))
       .agg(
         count(lit(1)).as("nq"),
@@ -3559,7 +3606,9 @@ object Similarity {
             col("found_id") === col("query_id") ||
             col("exact_id") === col("query_id"), 1L)
           .otherwise(0L)).as("invalid"))
+      .crossJoin(degAll)
       .head()
+    val maxDeg = r.getAs[Long]("max_deg")
     import s.implicits._
     Seq((r.getAs[Long]("nq"),
         r.getAs[Long]("hits") * 5L >= r.getAs[Long]("nq") * 4L,
@@ -3976,12 +4025,22 @@ object Similarity {
     val base = vecs(s, dir).withColumn("n", norm(col("v")))
     val a = base.toDF("id_a", "va", "na").repartition(par)
     val b = base.toDF("id_b", "vb", "nb")
+    // localCheckpoint behind a hash(id_a) repartition, NOT cache():
+    // a cache pins the crossJoin's 32-way partitioning, so every
+    // downstream pass (degree, core edges, borders, each component
+    // round) schedules 32 tasks over a few hundred pair rows; the
+    // repartition gives AQE a shuffle to coalesce, so the
+    // metadata-sized pair set materializes as 1–2 partitions and the
+    // downstream rounds schedule 1–2 tasks (the dbscanLsh shape) —
+    // while a corpus-sized pair set keeps its width. Same single
+    // evaluation of the n² stage, same rows.
     val nbrs = a.crossJoin(broadcast(b))
       .filter(col("id_a") =!= col("id_b"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
         >= eps)
       .select(col("id_a"), col("id_b"))
-      .cache() // id pairs only — reused for degree, edges, borders
+      .repartition(col("id_a"))
+      .localCheckpoint()
     dbscanDownstream(base, nbrs, minPts)
   }
 
@@ -4160,8 +4219,17 @@ object Similarity {
     // crossover: carry vectors while candidates ≫ n·nTables (low
     // bits); switch to id-only buckets + re-join once bits are high
     // enough that candidates ≪ corpus×tables.
-    val sig = base.select(col("vec_id"), col("v"), col("n"),
-      posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
+    // Spread the signature pass: the corpus arrives as ONE parquet
+    // partition at gate scale, so without an explicit repartition the
+    // whole nTables×bits×d fused-multiply-add pipeline (the gate's
+    // single heaviest stage — measured 1.3 s on one task this round)
+    // serializes on one core. Round-robin width comes from the
+    // session parallelism, so it scales with the executor, not a
+    // constant.
+    val sig = base
+      .repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("v"), col("n"),
+        posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
     // Equi hash join on (table, bucket) — identical subplans, so the
     // exchange is planned once and reused; shuffle_hash keeps the
     // documented hash-join shape (sorting ~n² collision rows for an

@@ -51,10 +51,15 @@ object TimeSeries {
     // otherwise specialize the spine branch into a second full scan
     // of the event table, defeating subtree reuse.
     val clustered = hourly.repartition(col("user_id")).cache()
+    // User dimension via distinct over the CACHED clustered frame —
+    // the cache is what keeps this from re-scanning the raw events
+    // (the concern the old row_number form addressed), and distinct
+    // is a hash aggregate on the standing hash(user_id) clustering:
+    // no per-user sort of the whole hourly frame just to keep one
+    // row per user (measured −0.5 s on the interpolate twin this
+    // round). Identical user set.
     val spine = clustered
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("h"))))
-      .filter(col("rn") === 1)
+      .select(col("user_id")).distinct()
       .select(col("user_id"),
         explode(sequence(
           lit(gridStart).cast(TimestampType),
@@ -1661,10 +1666,13 @@ object TimeSeries {
       .agg(sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
         .as("v"))
       .repartition(col("user_id")).cache()
+    // One user row per user via distinct, NOT a row_number window:
+    // the window form sorts the whole hourly frame per user just to
+    // keep one row it then projects away; distinct is a hash
+    // aggregate on the same hash(user_id) clustering (no sort, no
+    // extra exchange) and yields the identical user set.
     val spine = hourly
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("h"))))
-      .filter(col("rn") === 1)
+      .select(col("user_id")).distinct()
       .select(col("user_id"),
         explode(sequence(
           lit("2024-01-01 00:00:00").cast(TimestampType),
